@@ -1,0 +1,131 @@
+"""Manifest: the segment catalog for a KV table.
+
+Mirrors the reference's manifest log (`kv/file/manifest.go:27-35` — a replayable
+CREATE/DELETE edit log with a periodically-rewritten snapshot) with the
+Spark-idiomatic equivalent: an immutable JSON snapshot per committed version
+plus an atomically-swapped CURRENT pointer. Readers always see a consistent
+set of segments; a crash between writing parquet files and committing the
+manifest simply leaves unreferenced files (ignored, later garbage-collected),
+which is the same durability contract as the reference's
+write-then-manifest-edit ordering (`kv/file/manifest.go:295-324`).
+
+Segment records carry min/max key + per-level metadata so the read path can
+prune files before Spark even lists them — the analog of SST minKey/maxKey
+interval search (`kv/lsm/level_handler.go:45-64`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class SegmentInfo:
+    segment_id: str
+    kind: str  # "data" | "values"
+    level: int
+    path: str
+    min_key: str | None
+    max_key: str | None
+    row_count: int
+    size_bytes: int
+    created_seq: int
+    # values-segments only: bytes known dead (discard-stats accounting, A17)
+    discard_bytes: int = 0
+    total_value_bytes: int = 0
+
+
+@dataclass
+class ManifestState:
+    version: int = 0
+    next_seq: int = 1
+    segments: list = field(default_factory=list)  # list[SegmentInfo]
+
+    def data_segments(self) -> list:
+        return [s for s in self.segments if s.kind == "data"]
+
+    def value_segments(self) -> list:
+        return [s for s in self.segments if s.kind == "values"]
+
+
+class Manifest:
+    """Single-writer, atomically-committed segment catalog."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.dir = os.path.join(root, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+        self.state = self._load()
+
+    # -- persistence ---------------------------------------------------------
+    def _current_path(self) -> str:
+        return os.path.join(self.dir, "CURRENT")
+
+    def _load(self) -> ManifestState:
+        cur = self._current_path()
+        if not os.path.exists(cur):
+            return ManifestState()
+        with open(cur) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(self.dir, f"manifest-{version}.json")) as f:
+            raw = json.load(f)
+        return ManifestState(
+            version=raw["version"],
+            next_seq=raw["next_seq"],
+            segments=[SegmentInfo(**s) for s in raw["segments"]],
+        )
+
+    def commit(self, new_state: ManifestState) -> None:
+        """Write snapshot then atomically swap CURRENT (os.replace is atomic
+        on POSIX) — the analog of manifest AddChanges + rewrite."""
+        new_state.version = self.state.version + 1
+        snap = os.path.join(self.dir, f"manifest-{new_state.version}.json")
+        payload = {
+            "version": new_state.version,
+            "next_seq": new_state.next_seq,
+            "segments": [asdict(s) for s in new_state.segments],
+        }
+        tmp = snap + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, snap)
+        cur_tmp = self._current_path() + ".tmp"
+        with open(cur_tmp, "w") as f:
+            f.write(str(new_state.version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(cur_tmp, self._current_path())
+        self.state = new_state
+
+    # -- helpers -------------------------------------------------------------
+    def new_segment_path(self, kind: str) -> tuple[str, str]:
+        seg_id = f"{kind}-{uuid.uuid4().hex[:12]}"
+        return seg_id, os.path.join(self.root, "segments", seg_id)
+
+    def prune_for_key(self, key: str) -> list:
+        """Data segments whose [min_key, max_key] interval may contain `key`
+        — file-level pruning before Spark reads anything (SST interval
+        search analog)."""
+        out = []
+        for s in self.state.data_segments():
+            if s.min_key is not None and key < s.min_key:
+                continue
+            if s.max_key is not None and key > s.max_key:
+                continue
+            out.append(s)
+        return out
+
+    def prune_for_range(self, start: str | None, end: str | None) -> list:
+        out = []
+        for s in self.state.data_segments():
+            if end is not None and s.min_key is not None and s.min_key >= end:
+                continue
+            if start is not None and s.max_key is not None and s.max_key < start:
+                continue
+            out.append(s)
+        return out

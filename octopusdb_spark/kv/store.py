@@ -1,0 +1,385 @@
+"""KVStore — the reference's versioned KV engine, re-expressed Spark-first.
+
+Reference semantics reproduced (citations into /root/reference):
+
+- ``set``/``set_batch``   upsert with monotonically increasing versions
+                          (`kv/db.go:71-87`, `kv/db.go:191-285`). A batch is one
+                          Parquet append + one manifest commit (the analog of
+                          WAL+memtable+flush; durability = write-then-commit).
+- ``delete``              tombstone = NULL value (`kv/db.go:132-138`).
+- TTL                     ``expires_at`` unix seconds; a row is dead when
+                          ``expires_at != 0 and expires_at <= now``
+                          (`kv/db.go:121-130`, `kv/utils/entry.go:77-80`).
+- ``get``/``scan``        newest-live-version reads over the union of all
+                          segments — the k-way MergeIterator + version dedup
+                          (`kv/lsm/iterator.go:230-436`) becomes a window
+                          ``row_number() == 1`` over (version desc, seq desc).
+- value separation        payloads >= ``value_threshold`` (1024 B,
+                          `kv/option.go:31`) live in a separate ``values``
+                          table; the main row stores a pointer — WiscKey
+                          KV-separation (`kv/vlog.go:366-453`). Reads re-join.
+- ``compact``             merge segments, keep newest version, drop tombstones
+                          and expired rows (only when compacting the full
+                          keyspace — same rule as bottom-level compaction,
+                          `kv/lsm/compact.go:336-370`), range-partition the
+                          output (the parallel sub-compaction splits of
+                          `kv/lsm/compact.go:449-479` are Spark's range
+                          shuffle).
+- ``gc_values``           sample-free exact liveness via anti-join; value
+                          segments whose garbage ratio >= discard_ratio are
+                          rewritten live-rows-only (`kv/vlog_gc.go:17-196`).
+
+Scale notes (100 TB design): every operation is a declarative DataFrame plan —
+no driver-side row loops. Point reads prune segments via manifest min/max
+before Spark lists a file, then rely on Parquet row-group stats + (enabled)
+column bloom filters. The dedup window shuffles by key — at scale the segment
+layout is range-partitioned by compaction, so AQE + range pruning keep the
+shuffle local to the touched key range.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from octopusdb_spark.kv.manifest import Manifest, ManifestState, SegmentInfo
+
+BIT_DELETE = 1  # kv/utils/const.go:25-28
+BIT_VALUE_POINTER = 2
+
+DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("meta", T.IntegerType(), False),
+        T.StructField("expires_at", T.LongType(), False),
+        T.StructField("version", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("value_ptr", T.StringType(), True),
+    ]
+)
+
+VALUES_SCHEMA = T.StructType(
+    [
+        T.StructField("value_id", T.StringType(), False),
+        T.StructField("big_value", T.BinaryType(), False),
+    ]
+)
+
+
+@dataclass
+class Entry:
+    """Client-facing record — the analog of kv/utils/entry.go:50-60."""
+
+    key: str
+    value: bytes | None = None
+    expires_at: int = 0  # unix seconds; 0 = never
+    version: int | None = None  # stamped by the store when None
+
+    def with_ttl(self, seconds: int, now: int | None = None) -> "Entry":
+        now = int(time.time()) if now is None else now
+        self.expires_at = now + seconds
+        return self
+
+
+class KVStore:
+    """A versioned KV table persisted as Parquet segments + manifest."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        value_threshold: int = 1024,  # kv/option.go:31
+    ):
+        self.spark = spark
+        self.root = root
+        self.value_threshold = value_threshold
+        self.manifest = Manifest(root)
+
+    # ------------------------------------------------------------------ write
+    def set(self, entry: Entry) -> None:
+        self.set_batch([entry])
+
+    def delete(self, key: str) -> None:
+        """Del = Set(key, nil) — kv/db.go:132-138."""
+        self.set_batch([Entry(key=key, value=None)])
+
+    def set_batch(self, entries: list) -> None:
+        """One micro-batch: values-table append first, then data append, then
+        a single manifest commit covering both (vlog-then-LSM ordering of
+        kv/db.go:288-324 with manifest atomicity)."""
+        if not entries:
+            return
+        state = self.manifest.state
+        seq0 = state.next_seq
+        data_rows, value_rows = [], []
+        for i, e in enumerate(entries):
+            seq = seq0 + i
+            version = e.version if e.version is not None else seq
+            meta = 0
+            value, value_ptr = e.value, None
+            if e.value is None:
+                meta |= BIT_DELETE
+            elif len(e.value) >= self.value_threshold:
+                meta |= BIT_VALUE_POINTER
+                value_ptr = f"v{seq}"
+                value_rows.append((value_ptr, e.value))
+                value = None
+            data_rows.append((e.key, value, meta, int(e.expires_at), int(version), seq, value_ptr))
+
+        new_state = ManifestState(
+            version=state.version,
+            next_seq=seq0 + len(entries),
+            segments=list(state.segments),
+        )
+        if value_rows:
+            vseg_id, vpath = self.manifest.new_segment_path("values")
+            vdf = self.spark.createDataFrame(value_rows, VALUES_SCHEMA)
+            vdf.write.mode("overwrite").parquet(vpath)
+            total_bytes = sum(len(v) for _, v in value_rows)
+            new_state.segments.append(
+                SegmentInfo(
+                    segment_id=vseg_id,
+                    kind="values",
+                    level=0,
+                    path=vpath,
+                    min_key=None,
+                    max_key=None,
+                    row_count=len(value_rows),
+                    size_bytes=total_bytes,
+                    created_seq=seq0,
+                    total_value_bytes=total_bytes,
+                )
+            )
+        dseg_id, dpath = self.manifest.new_segment_path("data")
+        ddf = self.spark.createDataFrame(data_rows, DATA_SCHEMA)
+        (
+            ddf.sort("key", "version")  # sorted run, like an SST flush (A10)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#key", "true")
+            .parquet(dpath)
+        )
+        keys = [r[0] for r in data_rows]
+        new_state.segments.append(
+            SegmentInfo(
+                segment_id=dseg_id,
+                kind="data",
+                level=0,
+                path=dpath,
+                min_key=min(keys),
+                max_key=max(keys),
+                row_count=len(data_rows),
+                size_bytes=sum(len(r[1] or b"") for r in data_rows),
+                created_seq=seq0,
+            )
+        )
+        self.manifest.commit(new_state)
+
+    # ------------------------------------------------------------------- read
+    def _read_segments(self, segs: list, schema: T.StructType) -> DataFrame:
+        paths = [s.path for s in segs]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _values_df(self) -> DataFrame:
+        return self._read_segments(self.manifest.state.value_segments(), VALUES_SCHEMA)
+
+    def raw_df(self, segs: list | None = None) -> DataFrame:
+        segs = self.manifest.state.data_segments() if segs is None else segs
+        return self._read_segments(segs, DATA_SCHEMA)
+
+    def latest_df(self, segs: list | None = None) -> DataFrame:
+        """Newest version per key (tombstones still visible) — MergeIterator
+        + version dedup (`kv/lsm/iterator.go:314-319,356-366`)."""
+        w = Window.partitionBy("key").orderBy(F.desc("version"), F.desc("seq"))
+        return (
+            self.raw_df(segs)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def view(self, now: int | None = None, segs: list | None = None) -> DataFrame:
+        """The live view: newest version, tombstones hidden, TTL applied,
+        big values re-joined (`kv/db.go:89-130` read path as one plan)."""
+        now = int(time.time()) if now is None else now
+        live = self.latest_df(segs).filter(
+            (F.col("value").isNotNull() | F.col("value_ptr").isNotNull())
+            & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
+        )
+        vals = self._values_df()
+        return (
+            live.join(F.broadcast(vals), live.value_ptr == vals.value_id, "left")
+            .withColumn("value", F.coalesce(F.col("value"), F.col("big_value")))
+            .select("key", "value", "expires_at", "version", "seq")
+        )
+
+    def get(self, key: str, now: int | None = None):
+        """Point read with manifest min/max pruning (SST interval search,
+        `kv/lsm/level_handler.go:45-64`) + Parquet bloom/stats pushdown."""
+        segs = self.manifest.prune_for_key(key)
+        if not segs:
+            return None
+        rows = self.view(now=now, segs=segs).filter(F.col("key") == key).limit(1).collect()
+        if not rows:
+            return None
+        r = rows[0]
+        return Entry(key=r["key"], value=bytes(r["value"]), expires_at=r["expires_at"], version=r["version"])
+
+    def scan(
+        self,
+        prefix: str | None = None,
+        start: str | None = None,
+        end: str | None = None,
+        asc: bool = True,
+        now: int | None = None,
+    ) -> DataFrame:
+        """Ordered range scan — NewIterator (`kv/iterator.go:19-79`). Prefix
+        and bounds reach the Parquet scan as pushed filters; ordering is a
+        range-shuffle sort (pipelined, not a global single-node sort)."""
+        lo = start if start is not None else prefix
+        hi = end
+        if prefix is not None and end is None:
+            hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        segs = self.manifest.prune_for_range(lo, hi)
+        df = self.view(now=now, segs=segs)
+        if prefix is not None:
+            df = df.filter(F.col("key").startswith(prefix))
+        if start is not None:
+            df = df.filter(F.col("key") >= start)
+        if end is not None:
+            df = df.filter(F.col("key") < end)
+        return df.orderBy(F.col("key").asc() if asc else F.col("key").desc())
+
+    def info(self) -> dict:
+        """Stats endpoint (`kv/db.go:140-142` — a stub there; real here)."""
+        st = self.manifest.state
+        return {
+            "manifest_version": st.version,
+            "next_seq": st.next_seq,
+            "data_segments": len(st.data_segments()),
+            "value_segments": len(st.value_segments()),
+            "levels": sorted({s.level for s in st.data_segments()}),
+            "row_count": sum(s.row_count for s in st.data_segments()),
+        }
+
+    # ------------------------------------------------------------ maintenance
+    def compact(self, now: int | None = None, target_segments: int = 4) -> None:
+        """Full-keyspace compaction: one merged, deduped, range-partitioned
+        sorted run. Tombstones + expired rows are physically dropped — legal
+        exactly because the whole keyspace participates (the reference's
+        bottom-level rule, `kv/lsm/compact.go:336-370,904-909`). The range
+        split mirrors parallel sub-compactions (`kv/lsm/compact.go:449-479`);
+        Spark's range shuffle is the parallelism."""
+        now = int(time.time()) if now is None else now
+        state = self.manifest.state
+        old = state.data_segments()
+        if not old:
+            return
+        merged = self.latest_df(old).filter(
+            F.col("value_ptr").isNotNull()
+            | (
+                F.col("value").isNotNull()
+                & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
+            )
+        )
+        # Drop pointer rows whose TTL expired too (they hold no inline value).
+        merged = merged.filter((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
+        seg_id, path = self.manifest.new_segment_path("data")
+        n = max(1, min(target_segments, 200))
+        (
+            merged.repartitionByRange(n, "key")
+            .sortWithinPartitions("key")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#key", "true")
+            .parquet(path)
+        )
+        stats = (
+            self.spark.read.schema(DATA_SCHEMA)
+            .parquet(path)
+            .agg(
+                F.min("key").alias("mn"),
+                F.max("key").alias("mx"),
+                F.count("*").alias("cnt"),
+                F.sum(F.coalesce(F.length("value"), F.lit(0))).alias("bytes"),
+            )
+            .collect()[0]
+        )
+        new_state = ManifestState(
+            version=state.version,
+            next_seq=state.next_seq,
+            segments=[s for s in state.segments if s.kind != "data"],
+        )
+        if stats["cnt"]:
+            new_state.segments.append(
+                SegmentInfo(
+                    segment_id=seg_id,
+                    kind="data",
+                    level=6,  # bottom level, MaxLevelNum-1 (kv/db.go:57)
+                    path=path,
+                    min_key=stats["mn"],
+                    max_key=stats["mx"],
+                    row_count=stats["cnt"],
+                    size_bytes=int(stats["bytes"] or 0),
+                    created_seq=state.next_seq,
+                )
+            )
+        self.manifest.commit(new_state)
+
+    def gc_values(self, discard_ratio: float = 0.5, now: int | None = None) -> list:
+        """Value-log GC (`kv/vlog_gc.go`): exact (not sampled) liveness via
+        anti-join of each values segment against the live pointer set; any
+        segment over the discard ratio is rewritten with live rows only.
+        Returns the list of rewritten segment ids."""
+        state = self.manifest.state
+        vsegs = state.value_segments()
+        if not vsegs:
+            return []
+        live_ptrs = (
+            self.latest_df()
+            .filter(F.col("value_ptr").isNotNull())
+            .filter((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now if now is not None else int(time.time()))))
+            .select(F.col("value_ptr").alias("value_id"))
+        )
+        rewritten = []
+        new_segments = [s for s in state.segments if s.kind != "values"]
+        for seg in vsegs:
+            vdf = self.spark.read.schema(VALUES_SCHEMA).parquet(seg.path)
+            live = vdf.join(F.broadcast(live_ptrs), "value_id", "left_semi")
+            agg = live.agg(
+                F.count("*").alias("cnt"), F.sum(F.length("big_value")).alias("bytes")
+            ).collect()[0]
+            live_cnt, live_bytes = agg["cnt"], int(agg["bytes"] or 0)
+            total = max(seg.total_value_bytes, 1)
+            garbage_ratio = 1.0 - live_bytes / total
+            if garbage_ratio >= discard_ratio and live_cnt < seg.row_count:
+                if live_cnt > 0:
+                    new_id, new_path = self.manifest.new_segment_path("values")
+                    live.write.mode("overwrite").parquet(new_path)
+                    new_segments.append(
+                        SegmentInfo(
+                            segment_id=new_id,
+                            kind="values",
+                            level=0,
+                            path=new_path,
+                            min_key=None,
+                            max_key=None,
+                            row_count=live_cnt,
+                            size_bytes=live_bytes,
+                            created_seq=seg.created_seq,
+                            total_value_bytes=live_bytes,
+                        )
+                    )
+                rewritten.append(seg.segment_id)
+            else:
+                new_segments.append(seg)
+        if rewritten:
+            self.manifest.commit(
+                ManifestState(version=state.version, next_seq=state.next_seq, segments=new_segments)
+            )
+        return rewritten

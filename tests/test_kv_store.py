@@ -1,0 +1,127 @@
+"""KV semantic contract — the assertions of the reference's own tests
+(`kv/db_test.go:36-105`, `kv/vlog_test.go:25-136`) ported to the Spark engine:
+upsert-wins, delete hides, TTL expires, big values round-trip through value
+separation, GC never loses live data, scans are ordered+deduped, and
+compaction never changes query results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from octopusdb_spark.kv import Entry, KVStore
+
+NOW = 2_000_000_000
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return KVStore(spark, str(tmp_path / "kv"))
+
+
+def test_basic_set_get(store):
+    store.set_batch([Entry("hello", b"world"), Entry("foo", b"bar")])
+    assert store.get("hello", now=NOW).value == b"world"
+    assert store.get("foo", now=NOW).value == b"bar"
+    assert store.get("missing", now=NOW) is None
+
+
+def test_upsert_newest_wins(store):
+    store.set_batch([Entry("k", b"v1")])
+    store.set_batch([Entry("k", b"v2")])
+    store.set_batch([Entry("k", b"v3")])
+    assert store.get("k", now=NOW).value == b"v3"
+
+
+def test_delete_hides_key(store):
+    store.set_batch([Entry("k", b"v1"), Entry("other", b"x")])
+    store.delete("k")
+    assert store.get("k", now=NOW) is None
+    assert store.get("other", now=NOW).value == b"x"
+    # re-set after delete resurrects
+    store.set_batch([Entry("k", b"v2")])
+    assert store.get("k", now=NOW).value == b"v2"
+
+
+def test_ttl_expiry(store):
+    store.set_batch(
+        [
+            Entry("live", b"a", expires_at=NOW + 1000),
+            Entry("dead", b"b", expires_at=NOW - 1000),
+            Entry("forever", b"c", expires_at=0),
+        ]
+    )
+    assert store.get("live", now=NOW).value == b"a"
+    assert store.get("dead", now=NOW) is None
+    assert store.get("forever", now=NOW).value == b"c"
+
+
+def test_value_separation_round_trip(store):
+    big = b"x" * 32 * 1024  # 32 KB à la kv/vlog_test.go:100
+    small = b"tiny"
+    store.set_batch([Entry("big", big), Entry("small", small)])
+    assert store.get("big", now=NOW).value == big
+    assert store.get("small", now=NOW).value == small
+    raw = {r["key"]: r for r in store.raw_df().collect()}
+    assert raw["big"]["value_ptr"] is not None and raw["big"]["value"] is None
+    assert raw["small"]["value_ptr"] is None
+
+
+def test_scan_ordered_deduped(store):
+    store.set_batch([Entry(f"user:{i:03d}", f"v{i}".encode()) for i in range(10)])
+    store.set_batch([Entry("user:003", b"updated")])
+    store.delete("user:005")
+    rows = store.scan(prefix="user:", now=NOW).collect()
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys)
+    assert "user:005" not in keys
+    assert len(keys) == 9
+    d = {r["key"]: bytes(r["value"]) for r in rows}
+    assert d["user:003"] == b"updated"
+    # descending + seek
+    rows_desc = store.scan(prefix="user:", asc=False, now=NOW).collect()
+    assert [r["key"] for r in rows_desc] == sorted(keys, reverse=True)
+    rows_seek = store.scan(start="user:007", now=NOW).collect()
+    assert [r["key"] for r in rows_seek] == ["user:007", "user:008", "user:009"]
+
+
+def test_compaction_invariance_and_physical_drop(store):
+    store.set_batch([Entry(f"k{i:02d}", f"v{i}".encode()) for i in range(20)])
+    store.set_batch([Entry("k03", b"new3"), Entry("k04", b"new4")])
+    store.delete("k10")
+    store.set_batch([Entry("ttl", b"x", expires_at=NOW - 5)])
+    before = sorted((r["key"], bytes(r["value"])) for r in store.view(now=NOW).collect())
+    n_segs_before = store.info()["data_segments"]
+    store.compact(now=NOW)
+    after = sorted((r["key"], bytes(r["value"])) for r in store.view(now=NOW).collect())
+    assert before == after  # compaction invariance
+    info = store.info()
+    assert info["data_segments"] == 1 < n_segs_before
+    # tombstone + expired rows physically gone
+    raw = store.raw_df().collect()
+    assert all(r["value"] is not None or r["value_ptr"] is not None for r in raw)
+    assert all(r["key"] != "k10" for r in raw)
+    assert all(r["key"] != "ttl" for r in raw)
+    # versions survive compaction: another upsert still wins afterwards
+    store.set_batch([Entry("k03", b"newer3")])
+    assert store.get("k03", now=NOW).value == b"newer3"
+
+
+def test_value_gc_preserves_live_data(store):
+    big = lambda i: (f"payload-{i}-".encode() * 3000)[: 32 * 1024]
+    store.set_batch([Entry(f"big:{i:02d}", big(i)) for i in range(10)])
+    # overwrite most of them → their old vlog entries become garbage
+    store.set_batch([Entry(f"big:{i:02d}", b"small-now") for i in range(8)])
+    rewritten = store.gc_values(discard_ratio=0.5, now=NOW)
+    assert rewritten  # the first values segment was mostly garbage
+    for i in range(8):
+        assert store.get(f"big:{i:02d}", now=NOW).value == b"small-now"
+    for i in range(8, 10):
+        assert store.get(f"big:{i:02d}", now=NOW).value == big(i)
+
+
+def test_reopen_recovers_from_manifest(store, spark):
+    store.set_batch([Entry("persist", b"me")])
+    reopened = KVStore(spark, store.root)
+    assert reopened.get("persist", now=NOW).value == b"me"
+    assert reopened.manifest.state.next_seq == store.manifest.state.next_seq
