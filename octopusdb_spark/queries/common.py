@@ -1,0 +1,44 @@
+"""Shared helpers for the query surface.
+
+Cross-engine determinism rules (Spark result must hash-match the DuckDB
+oracle, so every expression must produce bit-identical values):
+
+- **Never sum raw doubles.** Float addition is order-dependent and Spark's
+  partition order is nondeterministic. Aggregate in DECIMAL(38,6) (exact,
+  order-independent), cast the final result to double (exact round-to-nearest
+  in both engines). Per-row double arithmetic (a*b) IS deterministic IEEE754
+  and safe before the cast.
+- **Fixed clock.** TTL/expiry logic uses NOW = 2_000_000_000 (never
+  wall-clock) so both engines and repeated runs agree.
+- **Total ordering.** Every window/top-k orders by a unique tie-break column
+  so rank/limit results are unambiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NOW = 2_000_000_000  # fixed "current time" for TTL semantics
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read it as raw nanos and expose `ts_us` (integer
+        # microseconds == DuckDB epoch_us(ts), exact cross-engine parity).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts_us", F.expr("ts div 1000"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent exact sum of a double expression: decimal-accumulate
+    then one exact cast back to double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,6)")).cast("double").alias(alias)
+
+
+def dsum_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"

@@ -1,0 +1,247 @@
+"""KV-semantics queries — the reference's query contract expressed over the
+driver's `events` table so the DuckDB oracle can check it.
+
+Mapping (deterministic, same in Spark and SQL): each event is an upsert into
+a versioned KV table, exactly the Entry shape of `kv/utils/entry.go:50-60`:
+
+    key        = 'u' || lpad(user_id, 4, '0')
+    value      = props                  (NULL when event_type='error' → tombstone,
+                                         the Del semantics of kv/db.go:132-138)
+    version    = event_id               (monotonic, newest wins)
+    seq        = event_id               (tie-break, source precedence of
+                                         kv/lsm/iterator.go:314-319)
+    expires_at = 1_000_000    if event_type='view'   (expired at NOW)
+                 3_000_000_000 if event_type='click' (live)
+                 0 otherwise                          (never expires)
+
+The live view is the engine's read path (`kv/db.go:89-130`): newest version
+per key → tombstone filter → TTL filter. At 100 TB this plan is a single
+hash-shuffle by key (the window), with filters pushed to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from octopusdb_spark.queries.common import NOW, t
+
+# ---------------------------------------------------------------- Spark side
+
+
+def kv_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("u"), F.lpad(F.col("user_id").cast("string"), 4, "0")).alias("key"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("value"),
+        F.when(F.col("event_type") == "view", F.lit(1_000_000))
+        .when(F.col("event_type") == "click", F.lit(3_000_000_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("expires_at"),
+        F.col("event_id").alias("version"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def _latest(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("key").orderBy(F.desc("version"), F.desc("seq"))
+    return df.withColumn("rn", F.row_number().over(w))
+
+
+def kv_live(spark: SparkSession, sf_dir: str, entries: DataFrame | None = None) -> DataFrame:
+    df = entries if entries is not None else kv_entries(spark, sf_dir)
+    return (
+        _latest(df)
+        .filter(
+            (F.col("rn") == 1)
+            & F.col("value").isNotNull()
+            & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(NOW)))
+        )
+        .select("key", "value", "expires_at", "version")
+    )
+
+
+def q_kv_latest_live(spark, sf_dir):
+    """A6/A7: full ordered scan of the latest-live view."""
+    return kv_live(spark, sf_dir).orderBy("key")
+
+
+def q_kv_point_lookup(spark, sf_dir):
+    """A2: Get(key) — filter reaches the scan; at real scale manifest
+    pruning + bloom would bound this to one segment."""
+    return kv_live(spark, sf_dir).filter(F.col("key") == "u0007")
+
+
+def q_kv_prefix_scan(spark, sf_dir):
+    """A6: iterator Prefix option (`kv/utils/iterator.go:16-19`) — pushed-down
+    startswith."""
+    return kv_live(spark, sf_dir).filter(F.col("key").startswith("u001")).orderBy("key")
+
+
+def q_kv_range_seek(spark, sf_dir):
+    """A9: Seek(k) then bounded iterate — `key >= k AND key < hi`."""
+    return (
+        kv_live(spark, sf_dir)
+        .filter((F.col("key") >= "u0050") & (F.col("key") < "u0080"))
+        .orderBy(F.col("key").desc())
+    )
+
+
+def q_kv_version_history(spark, sf_dir):
+    """Versioned read: every version of two keys, newest first — what the
+    reference's internal iterator sees before dedup."""
+    return (
+        kv_entries(spark, sf_dir)
+        .filter(F.col("key").isin("u0003", "u0007"))
+        .select("key", "version", "value", F.col("value").isNull().alias("is_tombstone"))
+        .orderBy("key", F.col("version").desc())
+    )
+
+
+def q_kv_tombstoned_keys(spark, sf_dir):
+    """A3: keys currently hidden by a tombstone (latest version is a delete)."""
+    return (
+        _latest(kv_entries(spark, sf_dir))
+        .filter((F.col("rn") == 1) & F.col("value").isNull())
+        .select("key", "version")
+        .orderBy("key")
+    )
+
+
+def q_kv_ttl_classes(spark, sf_dir):
+    """A4: TTL classification of the newest version of every key."""
+    return (
+        _latest(kv_entries(spark, sf_dir))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.when(F.col("expires_at") == 0, "never")
+            .when(F.col("expires_at") > F.lit(NOW), "live")
+            .otherwise("expired")
+            .alias("ttl_class")
+        )
+        .groupBy("ttl_class")
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("ttl_class")
+    )
+
+
+def q_kv_value_separation(spark, sf_dir):
+    """A14/A15: WiscKey value separation round-trip over `documents` —
+    payloads >= 300 chars are routed to a values table and re-joined on read;
+    the output proves reconstruction is lossless."""
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text").alias("payload")
+    )
+    big = docs.filter(F.length("payload") >= 300).select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("value_id"),
+        F.col("payload").alias("big_value"),
+    )
+    main = docs.select(
+        "doc_id",
+        F.when(F.length("payload") < 300, F.col("payload")).alias("inline_value"),
+        F.when(
+            F.length("payload") >= 300,
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")),
+        ).alias("value_ptr"),
+    )
+    joined = main.join(F.broadcast(big), main.value_ptr == big.value_id, "left")
+    return joined.select(
+        "doc_id",
+        F.col("value_ptr").isNotNull().alias("was_separated"),
+        F.length(F.coalesce("inline_value", "big_value")).alias("recovered_chars"),
+    ).orderBy("doc_id")
+
+
+def q_kv_merge_sorted_runs(spark, sf_dir):
+    """A7/A8: k-way merge of multiple sorted runs (here: three disjoint
+    'level' slices) with newest-wins dedup — union + window replaces the
+    reference's MergeIterator tree (`kv/lsm/iterator.go:230-436`)."""
+    ent = kv_entries(spark, sf_dir)
+    runs = [ent.filter(F.col("seq") % 3 == i) for i in range(3)]
+    merged = runs[0].unionByName(runs[1]).unionByName(runs[2])
+    return kv_live(spark, sf_dir, entries=merged).orderBy("key")
+
+
+def q_kv_gc_discard_stats(spark, sf_dir):
+    """A16/A17: discard-stats accounting — bytes of superseded (dead)
+    versions per value-log segment, the aggregation behind vlog GC candidate
+    selection (`kv/vlog_gc.go:198-253`)."""
+    return (
+        _latest(kv_entries(spark, sf_dir))
+        .filter((F.col("rn") > 1) & F.col("value").isNotNull())
+        .select((F.col("seq") % 8).alias("value_segment"), F.length("value").alias("vbytes"))
+        .groupBy("value_segment")
+        .agg(F.count("*").alias("dead_entries"), F.sum("vbytes").alias("dead_bytes"))
+        .orderBy("value_segment")
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+KV_BASE = """
+WITH kv AS (
+  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS key,
+         CASE WHEN event_type = 'error' THEN NULL ELSE props END AS value,
+         CAST(CASE WHEN event_type = 'view' THEN 1000000
+              WHEN event_type = 'click' THEN 3000000000
+              ELSE 0 END AS BIGINT) AS expires_at,
+         event_id AS version,
+         event_id AS seq
+  FROM events
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY key ORDER BY version DESC, seq DESC) AS rn
+  FROM kv
+), live AS (
+  SELECT key, value, expires_at, version FROM latest
+  WHERE rn = 1 AND value IS NOT NULL AND (expires_at = 0 OR expires_at > 2000000000)
+)
+"""
+
+ORACLES = {
+    "kv_latest_live": KV_BASE + "SELECT key, value, expires_at, version FROM live ORDER BY key",
+    "kv_point_lookup": KV_BASE + "SELECT key, value, expires_at, version FROM live WHERE key = 'u0007'",
+    "kv_prefix_scan": KV_BASE
+    + "SELECT key, value, expires_at, version FROM live WHERE key LIKE 'u001%' ORDER BY key",
+    "kv_range_seek": KV_BASE
+    + "SELECT key, value, expires_at, version FROM live WHERE key >= 'u0050' AND key < 'u0080' ORDER BY key DESC",
+    "kv_version_history": KV_BASE
+    + """SELECT key, version, value, value IS NULL AS is_tombstone
+         FROM kv WHERE key IN ('u0003','u0007') ORDER BY key, version DESC""",
+    "kv_tombstoned_keys": KV_BASE
+    + "SELECT key, version FROM latest WHERE rn = 1 AND value IS NULL ORDER BY key",
+    "kv_ttl_classes": KV_BASE
+    + """SELECT CASE WHEN expires_at = 0 THEN 'never'
+                WHEN expires_at > 2000000000 THEN 'live'
+                ELSE 'expired' END AS ttl_class,
+                count(*) AS n_keys
+         FROM latest WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+    "kv_value_separation": """
+        SELECT doc_id,
+               length(text) >= 300 AS was_separated,
+               length(text) AS recovered_chars
+        FROM documents ORDER BY doc_id""",
+    "kv_merge_sorted_runs": KV_BASE
+    + "SELECT key, value, expires_at, version FROM live ORDER BY key",
+    "kv_gc_discard_stats": KV_BASE
+    + """SELECT seq % 8 AS value_segment,
+                count(*) AS dead_entries,
+                sum(length(value)) AS dead_bytes
+         FROM latest WHERE rn > 1 AND value IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+}
+
+QUERIES = {
+    "kv_latest_live": q_kv_latest_live,
+    "kv_point_lookup": q_kv_point_lookup,
+    "kv_prefix_scan": q_kv_prefix_scan,
+    "kv_range_seek": q_kv_range_seek,
+    "kv_version_history": q_kv_version_history,
+    "kv_tombstoned_keys": q_kv_tombstoned_keys,
+    "kv_ttl_classes": q_kv_ttl_classes,
+    "kv_value_separation": q_kv_value_separation,
+    "kv_merge_sorted_runs": q_kv_merge_sorted_runs,
+    "kv_gc_discard_stats": q_kv_gc_discard_stats,
+}

@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, then compares row count, sorted column names, and values
+(order-insensitive, exact — floats must be bit-identical, which the query
+layer guarantees via decimal accumulation).
+
+Usage: python tools/oracle_check.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from octopusdb_spark.queries import ORACLE_SQL, REGISTRY
+from octopusdb_spark.session import TABLE_NAMES, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def norm_cell(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 2**53:
+            return int(v)  # 3.0 == 3 across engines
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    names = sys.argv[1:] or list(REGISTRY)
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        fn = REGISTRY[name]
+        try:
+            sdf = fn(get_spark("oracle-check"), SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in ORACLE_SQL:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols}")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(ORACLE_SQL[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: row count spark={len(srows)} duckdb={len(drows)}")
+            ok = False
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+            ok = False
+        if ok:
+            s = norm_rows(scols, srows)
+            d = norm_rows(dcols, drows)
+            if s != d:
+                diffs = [(a, b) for a, b in zip(s, d) if a != b][:3]
+                print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+                ok = False
+        if ok:
+            print(f"PASS {name}: {len(srows)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
