@@ -1,0 +1,81 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the noop sink (full execution, no driver-side
+collect — the realistic cluster pattern). First a warm-up touches each input
+table's footer so JVM/codegen startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from octopusdb_spark.queries import REGISTRY
+from octopusdb_spark.session import TABLE_NAMES, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "kv_latest_live",
+    "kv_merge_sorted_runs",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_top_customers_per_nation",
+    "q_sessionize",
+    "graph_degrees",
+    "graph_pagerank",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+]
+
+
+def main() -> None:
+    spark = get_spark("octopusdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: schema reads + one tiny job to absorb JVM/codegen startup
+    for name in TABLE_NAMES:
+        try:
+            if name == "events":
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(f"{SF_DIR}/{name}.parquet").limit(1).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

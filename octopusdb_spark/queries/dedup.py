@@ -1,0 +1,250 @@
+"""Deduplication operators over `documents` — the LLM-pipeline dedup stage
+(driver mandate; SURVEY.md §2 Part B / §7.3 M5).
+
+Four families, all expressed as shuffle-friendly DataFrame plans with exact
+DuckDB oracles (no randomness: hash functions are md5-derived with fixed
+seeds, so Spark and DuckDB compute identical signatures):
+
+- exact dedup          content-hash groupBy, keep min doc_id as canonical
+- n-gram Jaccard       5-word shingles → shared-shingle candidate pairs →
+                       exact Jaccard (the inverted-index join; candidates
+                       only, never the O(n²) cross product)
+- MinHash + LSH        16 md5-seeded min-hashes → 4 bands of 4 → band-join
+                       candidate pairs (the scale path: pair generation cost
+                       is bounded by band collisions, not corpus size)
+- SimHash              16-bit sign-aggregated fingerprint per doc
+
+Scale notes: every pair-generating join is on a hash/band key — at 100 TB
+the shuffle is by shingle/band, and hot shingles can be frequency-capped
+(drop shingles appearing in > X% of docs) without changing semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from octopusdb_spark.queries.common import t
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+# word 5-gram shingles, deduplicated per doc
+_SHINGLES_SPARK = """
+CASE WHEN size(ws) >= 5
+     THEN transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))
+     ELSE array()
+END
+"""
+
+SHINGLES_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 3, 1))) AS i FROM w),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s FROM idx)
+"""
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("ws", F.split("text", " "))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("s"))
+        .distinct()
+    )
+
+
+def _hash_long(*cols) -> F.Column:
+    """Deterministic 60-bit integer hash shared with the oracle:
+    first 15 hex chars of md5, as BIGINT."""
+    return F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10).cast("long")
+
+
+def _hash_long_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(content) groups; canonical = min doc_id."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("fp"))
+    canon = docs.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        docs.join(canon, "fp")
+        .select("doc_id", "canonical_id", (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"))
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dedup by exact Jaccard over 5-gram shingles, computed only for
+    candidate pairs that share >= 1 shingle (inverted-index join)."""
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig): md5-seeded 16-way MinHash, banded 4×4."""
+    sh = shingles(spark, sf_dir)
+    seeded = sh.select(
+        "doc_id",
+        "s",
+        F.explode(F.array([F.lit(i) for i in range(N_HASHES)])).alias("seed"),
+    )
+    minh = (
+        seeded.select(
+            "doc_id", "seed", _hash_long(F.col("seed").cast("string"), F.col("s")).alias("h")
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+    return (
+        minh.withColumn("band", F.expr(f"seed div {N_HASHES // N_BANDS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                        lambda x: x["minh"].cast("string"),
+                    ),
+                )
+            ).alias("sig")
+        )
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs: docs sharing >= 1 of 4 band signatures.
+    At scale, pair cost is bounded by band-bucket sizes (tunable via
+    bands×rows), never O(n²)."""
+    bands = minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprint per document (sign-sum over word hashes)."""
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    hashed = words.select("doc_id", _hash_long(F.lit("simhash"), F.col("w")).alias("h"))
+    bits = hashed.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    )
+    contrib = bits.select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("(h div cast(pow(2, bit) as bigint)) % 2") == 1, 1)
+        .otherwise(-1)
+        .alias("c"),
+    )
+    bitsum = contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
+    return (
+        bitsum.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("cast(pow(2, bit) as bigint)")).otherwise(0)
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SEEDS_SQL = f"(SELECT unnest(range(0, {N_HASHES})) AS seed)"
+
+ORACLES = {
+    "dedup_exact": """
+        WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        c AS (SELECT fp, min(doc_id) AS canonical_id FROM h GROUP BY fp)
+        SELECT doc_id, canonical_id, doc_id != canonical_id AS is_duplicate
+        FROM h JOIN c USING (fp) ORDER BY doc_id""",
+    "dedup_ngram_jaccard": SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY doc_a, doc_b""",
+    "dedup_minhash_lsh": SHINGLES_SQL
+    + f"""
+    , seeded AS (
+      SELECT doc_id, seed,
+             {_hash_long_sql("CAST(seed AS VARCHAR) || '|' || s")} AS h
+      FROM sh, {_SEEDS_SQL}
+    ),
+    minh AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // {N_HASHES // N_BANDS} AS band,
+             md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS sig
+      FROM minh GROUP BY doc_id, seed // {N_HASHES // N_BANDS}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY doc_a, doc_b""",
+    "dedup_simhash": f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {_hash_long_sql("'simhash' || '|' || w")} AS h FROM words
+    ),
+    bits AS (
+      SELECT doc_id, bit,
+             CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS c
+      FROM hashed, (SELECT unnest(range(0, 16)) AS bit)
+    ),
+    bitsum AS (SELECT doc_id, bit, sum(c) AS s FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+    FROM bitsum GROUP BY doc_id ORDER BY doc_id""",
+}
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}

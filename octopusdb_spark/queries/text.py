@@ -1,0 +1,180 @@
+"""Text-analysis operators over `documents` — the LLM-data-pipeline text
+stage (driver mandate; no reference analog — SURVEY.md §2 Part B).
+
+All pure column expressions (whole-stage codegen, no UDFs): language-ID by
+stopword-ratio heuristic, quality scoring, token counting, and document
+fingerprinting. Each has an exact DuckDB oracle.
+
+Scale: every query is a single scan + narrow projection (+ one aggregation
+where noted); no shuffles except the final groupBys. At 100 TB these are
+embarrassingly parallel map tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from octopusdb_spark.queries.common import t
+
+# Deterministic heuristic constants (same literals in both engines).
+EN_MARKERS = ("the", "a")
+STOPWORDS = ("the", "a", "row", "data", "value", "table")
+
+
+def q_text_stats(spark, sf_dir):
+    """Basic per-document statistics: chars, words, distinct words, mean
+    word length."""
+    docs = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        F.size(ws).alias("words"),
+        F.size(F.array_distinct(ws)).alias("distinct_words"),
+        F.round(
+            (F.length("text") - F.size(ws) + 1).cast("double") / F.size(ws), 6
+        ).alias("mean_word_len"),
+    ).orderBy("doc_id")
+
+
+def q_text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + regex word-tokens + a char/4
+    BPE-style length estimate (the standard cheap token estimator)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("re_tokens"),
+        F.expr("length(text) div 4").alias("bpe_est_tokens"),  # integer div: exact in both engines
+    ).orderBy("doc_id")
+
+
+def q_text_langid(spark, sf_dir):
+    """Language-ID heuristic (marker-word ratio) vs. the labeled lang column:
+    confusion counts per (actual, predicted)."""
+    docs = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    markers = F.size(F.filter(ws, lambda w: w.isin(*EN_MARKERS)))
+    pred = F.when(markers.cast("double") / F.size(ws) >= 0.05, "en").otherwise("other")
+    return (
+        docs.select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: stopword ratio, mean word length band, length band —
+    combined into a deterministic [0,1] score."""
+    docs = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws)
+    stop_ratio = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast("double") / n_words
+    len_score = F.when(n_words >= 50, 1.0).otherwise(n_words.cast("double") / 50.0)
+    score = F.round(0.5 * stop_ratio + 0.5 * len_score, 6)
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(len_score, 6).alias("length_score"),
+        score.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: exact-content md5 + order-insensitive
+    bag-of-words fingerprint (sorted distinct words) — the two standard
+    cheap near-duplicate keys."""
+    docs = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws)))).alias("bag_fp"),
+    ).orderBy("doc_id")
+
+
+def q_text_source_profile(spark, sf_dir):
+    """Corpus profiling: per-source doc counts, char volume, language mix —
+    the "where did my training data come from" rollup."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+_MARKER_LIST = "['" + "','".join(EN_MARKERS) + "']"
+_STOP_LIST = "['" + "','".join(STOPWORDS) + "']"
+
+ORACLES = {
+    "text_stats": """
+        SELECT doc_id,
+               length(text) AS chars,
+               len(string_split(text, ' ')) AS words,
+               len(list_distinct(string_split(text, ' '))) AS distinct_words,
+               round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS mean_word_len
+        FROM documents ORDER BY doc_id""",
+    "text_token_count": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+               length(text) // 4 AS bpe_est_tokens
+        FROM documents ORDER BY doc_id""",
+    "text_langid": f"""
+        WITH scored AS (
+          SELECT lang AS actual,
+                 CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                w -> list_contains({_MARKER_LIST}, w))) AS DOUBLE)
+                      / len(string_split(text, ' ')) >= 0.05
+                      THEN 'en' ELSE 'other' END AS predicted
+          FROM documents
+        )
+        SELECT actual, predicted, count(*) AS n_docs
+        FROM scored GROUP BY actual, predicted ORDER BY actual, predicted""",
+    "text_quality": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      w -> list_contains({_STOP_LIST}, w))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio,
+                 CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1.0
+                      ELSE CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0
+                 END AS len_score
+          FROM documents
+        )
+        SELECT doc_id,
+               round(stop_ratio, 6) AS stopword_ratio,
+               round(len_score, 6) AS length_score,
+               round(0.5 * stop_ratio + 0.5 * len_score, 6) AS quality_score
+        FROM s ORDER BY doc_id""",
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(text) AS content_fp,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                 AS bag_fp
+        FROM documents ORDER BY doc_id""",
+    "text_source_profile": """
+        SELECT source,
+               count(*) AS n_docs,
+               sum(length(text)) AS total_chars,
+               count(DISTINCT lang) AS n_langs,
+               min(doc_id) AS first_doc
+        FROM documents GROUP BY source ORDER BY source""",
+}
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_token_count": q_text_token_count,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "text_source_profile": q_text_source_profile,
+}

@@ -1,0 +1,86 @@
+"""Query-surface contract tests: the registry is consistent with the driver
+interface and every query runs at smoke scale. Full value parity vs DuckDB is
+exercised by tools/oracle_check.py (and the driver at sf0.01); here we pin
+structural invariants and a few known-answer spot checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from octopusdb_spark.queries import ORACLE_SQL, REGISTRY
+
+
+def test_registry_shape():
+    assert len(REGISTRY) >= 40
+    # every oracle refers to a registered query
+    assert set(ORACLE_SQL) <= set(REGISTRY)
+    # hash-checkable coverage should be (near-)total
+    assert len(ORACLE_SQL) >= len(REGISTRY) - 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "kv_latest_live",
+        "q1_pricing_summary",
+        "graph_degrees",
+        "text_stats",
+        "dedup_exact",
+        "sim_topk_cosine",
+        "multimodal_bytes",
+    ],
+)
+def test_query_runs_at_smoke_scale(spark, sf_dir, name):
+    df = REGISTRY[name](spark, sf_dir)
+    rows = df.limit(5).collect()
+    assert df.columns  # stable schema
+    assert rows is not None
+
+
+def test_kv_latest_live_semantics(spark, sf_dir):
+    """Newest-wins + tombstone + TTL: no key appears twice, no error-latest
+    key appears, no expired ('view'-latest) key appears."""
+    from octopusdb_spark.queries.kv_semantics import kv_entries, kv_live
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    live = {r["key"]: r for r in kv_live(spark, sf_dir).collect()}
+    assert len(live) > 0
+    ent = kv_entries(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy(F.desc("version"), F.desc("seq"))
+    newest = ent.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    for r in newest:
+        if r["value"] is None:  # tombstoned
+            assert r["key"] not in live
+        elif r["expires_at"] == 1_000_000:  # expired
+            assert r["key"] not in live
+        else:
+            assert live[r["key"]]["version"] == r["version"]
+
+
+def test_q1_aggregates_consistent(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"](spark, sf_dir).collect()
+    total = sum(r["count_order"] for r in df)
+    from pyspark.sql import functions as F
+
+    from octopusdb_spark.queries.common import t
+
+    li = t(spark, sf_dir, "lineitem")
+    assert total == li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp")).count()
+    for r in df:
+        assert r["sum_disc_price"] <= r["sum_base_price"]
+        assert abs(r["avg_qty"] - r["sum_qty"] / r["count_order"]) < 1e-9
+
+
+def test_topk_rank_bounds(spark, sf_dir):
+    rows = REGISTRY["sim_topk_cosine"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        cosines = [x["cosine"] for x in sorted(rs, key=lambda x: x["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.000001 <= c <= 1.000001 for c in cosines)
