@@ -1,0 +1,309 @@
+"""Advanced relational operators (SURVEY.md §2 Part B stretch surface):
+as-of join, pivot, anti join, exact median, ordered string agg, cube,
+decimal-exact correlation, and a vectorized Pandas-UDF stage.
+
+Determinism strategy as elsewhere: integer/decimal math wherever an
+aggregation crosses rows; the only float-function query (sigmoid UDF) rounds
+to 6 decimals, far above cross-libm ulp differences.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from octopusdb_spark.queries.common import t
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (Spark has no native one — composed from union + ordered
+    window, the scale-correct pattern: one shuffle by user, no range
+    explosion): for each purchase event, the most recent prior click of the
+    same user."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("ts_us"), F.col("event_id").alias("eid"), F.lit(0).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("ts_us"), F.col("event_id").alias("eid"), F.lit(1).alias("kind")
+    )
+    # kind asc in the ordering makes a click at the same ts_us visible to the
+    # purchase (click sorts first); eid breaks exact ties deterministically.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_eid",
+        F.last(F.when(F.col("kind") == 0, F.col("eid")), ignorenulls=True).over(w),
+    ).withColumn(
+        "last_click_us",
+        F.last(F.when(F.col("kind") == 0, F.col("ts_us")), ignorenulls=True).over(w),
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .select(
+            F.col("eid").alias("purchase_id"),
+            "user_id",
+            F.col("last_click_eid").alias("prior_click_id"),
+            ((F.col("ts_us") - F.col("last_click_us")) / F.lit(1_000_000)).alias("gap_sec"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def q_pivot_event_types(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns (fixed pivot values so
+    the schema is static — the scalable form; dynamic pivot needs a
+    pre-pass)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """Anti join: parts never shipped at a deep (> 8%) discount."""
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+def q_median_quantity(spark, sf_dir):
+    """Exact median per group without percentile interpolation ambiguity:
+    middle-row(s) average via row_number — bit-identical in both engines
+    (a mean of at most two doubles)."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == (F.col("n") + 1) / 2)
+        | (F.col("rn") == (F.col("n") + 2) / 2)
+    )
+    return (
+        mid.groupBy("l_returnflag")
+        .agg(
+            (F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double") / F.count("*")).alias(
+                "median_qty"
+            )
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation: top-3 (by acctbal desc) customer names per
+    nation, comma-joined — collect_list + array_sort keeps it deterministic."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    top = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+    return (
+        top.groupBy("n_name")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "c_name"))),
+                    lambda x: x["c_name"],
+                ),
+            ).alias("top_customers")
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_cube_orders(spark, sf_dir):
+    """CUBE aggregation over (status, priority): all grouping-set rollups."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+def q_correlation(spark, sf_dir):
+    """Pearson correlation (price vs quantity per returnflag) from
+    decimal-exact moment sums — order-independent, unlike F.corr's streaming
+    accumulation."""
+    li = t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(38,6)")
+    moments = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(d("l_quantity")).cast("double").alias("sx"),
+        F.sum(d("l_extendedprice")).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return moments.select("l_returnflag", F.round(corr, 6).alias("price_qty_corr")).orderBy(
+        "l_returnflag"
+    )
+
+
+def q_pandas_udf_score(spark, sf_dir):
+    """Pandas-UDF surface: sigmoid score over customer balances, aggregated
+    per segment. Vectorized (Arrow-batched) — the sanctioned Python path,
+    ~10-100× faster than row-at-a-time UDFs. Defined inside the function
+    (pandas_udf needs an active session; closure ships by value to
+    executors). Rounded well above cross-libm ulp noise."""
+
+    @pandas_udf("double")
+    def sigmoid(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-v / 1000.0))
+
+    cust = t(spark, sf_dir, "customer")
+    scored = cust.select("c_mktsegment", F.round(sigmoid("c_acctbal"), 6).alias("score"))
+    return (
+        scored.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("score").cast("decimal(38,6)")).cast("double").alias("total_score"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Approximate distinct (HLL++) next to the exact count — sketch results
+    are engine-specific, so this is a rows-only capability check."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    ).orderBy("event_type")
+
+
+_PIVOT_COLS = ", ".join(
+    f'count(*) FILTER (WHERE event_type = \'{et}\') AS "{et}"' for et in EVENT_TYPES
+)
+
+ORACLES = {
+    "q_asof_join": """
+        WITH tagged AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id AS eid,
+                 CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+          FROM events WHERE event_type IN ('click', 'purchase')
+        ), windowed AS (
+          SELECT *,
+                 last_value(CASE WHEN kind = 0 THEN eid END IGNORE NULLS)
+                   OVER w AS last_click_eid,
+                 last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS)
+                   OVER w AS last_click_us
+          FROM tagged
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, kind, eid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT eid AS purchase_id, user_id, last_click_eid AS prior_click_id,
+               (ts_us - last_click_us) / 1000000 AS gap_sec
+        FROM windowed WHERE kind = 1 ORDER BY purchase_id""",
+    "q_pivot_event_types": f"""
+        SELECT user_id, {_PIVOT_COLS}
+        FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_anti_join": """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.08)
+        ORDER BY p_partkey""",
+    "q_median_quantity": """
+        WITH ranked AS (
+          SELECT l_returnflag, l_quantity,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS median_qty
+        FROM ranked
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_string_agg": """
+        WITH top AS (
+          SELECT n_name, c_name,
+                 row_number() OVER (PARTITION BY n_name
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, string_agg(c_name, ',' ORDER BY rk) AS top_customers
+        FROM top WHERE rk <= 3 GROUP BY n_name ORDER BY n_name""",
+    "q_cube_orders": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_correlation": """
+        WITH m AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               round((n * sxy - sx * sy) /
+                     (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                 AS price_qty_corr
+        FROM m ORDER BY l_returnflag""",
+    "q_pandas_udf_score": """
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(SUM(CAST(round(1.0 / (1.0 + exp(-c_acctbal / 1000.0)), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS total_score
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+}
+
+QUERIES = {
+    "q_asof_join": q_asof_join,
+    "q_pivot_event_types": q_pivot_event_types,
+    "q_anti_join": q_anti_join,
+    "q_median_quantity": q_median_quantity,
+    "q_string_agg": q_string_agg,
+    "q_cube_orders": q_cube_orders,
+    "q_correlation": q_correlation,
+    "q_pandas_udf_score": q_pandas_udf_score,
+    "q_approx_distinct": q_approx_distinct,  # rows-only: sketch is engine-specific
+}

@@ -104,35 +104,53 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+# Affine-rehash MinHash constants: one md5 per shingle, then 16 cheap
+# (a*h + b) mod p permutations — the textbook construction. Bounds:
+# h < 2^28 (7 hex chars), a,b < 2^31, so a*h + b < 2^59 (no int64 overflow
+# under ANSI mode). Same literals are inlined into the DuckDB oracle.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_AB = [
+    ((2_654_435_761 * (i + 1) + 12_345) % MINHASH_P or 1, (40_503 * (i + 1) + 987) % MINHASH_P)
+    for i in range(N_HASHES)
+]
+_ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig): md5-seeded 16-way MinHash, banded 4×4."""
-    sh = shingles(spark, sf_dir)
-    seeded = sh.select(
+    """(doc_id, band, sig): 16-way MinHash banded 4×4.
+
+    Scale shape: one shuffle (groupBy doc_id) computing all 16 mins as
+    parallel aggregates over a single 28-bit shingle hash — no seed
+    explosion, so the shuffle volume equals the shingle count, not 16× it.
+    """
+    sh = shingles(spark, sf_dir).select(
         "doc_id",
-        "s",
-        F.explode(F.array([F.lit(i) for i in range(N_HASHES)])).alias("seed"),
+        F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("h"),
     )
-    minh = (
-        seeded.select(
-            "doc_id", "seed", _hash_long(F.col("seed").cast("string"), F.col("s")).alias("h")
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ]
     )
-    return (
-        minh.withColumn("band", F.expr(f"seed div {N_HASHES // N_BANDS}"))
-        .groupBy("doc_id", "band")
-        .agg(
+    sigs = mins.select(
+        "doc_id",
+        *[
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                        lambda x: x["minh"].cast("string"),
-                    ),
+                    *[
+                        F.col(f"m{j}").cast("string")
+                        for j in range(band * _ROWS_PER_BAND, (band + 1) * _ROWS_PER_BAND)
+                    ],
                 )
-            ).alias("sig")
-        )
+            ).alias(f"sig{band}")
+            for band in range(N_BANDS)
+        ],
+    )
+    stack_args = ", ".join(f"{band}, sig{band}" for band in range(N_BANDS))
+    return sigs.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)")
     )
 
 
@@ -185,8 +203,6 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
-_SEEDS_SQL = f"(SELECT unnest(range(0, {N_HASHES})) AS seed)"
-
 ORACLES = {
     "dedup_exact": """
         WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents),
@@ -209,16 +225,19 @@ ORACLES = {
     ORDER BY doc_a, doc_b""",
     "dedup_minhash_lsh": SHINGLES_SQL
     + f"""
-    , seeded AS (
-      SELECT doc_id, seed,
-             {_hash_long_sql("CAST(seed AS VARCHAR) || '|' || s")} AS h
-      FROM sh, {_SEEDS_SQL}
+    , hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h FROM sh
     ),
-    minh AS (SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed),
+    mins AS (
+      SELECT doc_id,
+             {", ".join(f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(MINHASH_AB))}
+      FROM hashed GROUP BY doc_id
+    ),
     bands AS (
-      SELECT doc_id, seed // {N_HASHES // N_BANDS} AS band,
-             md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)) AS sig
-      FROM minh GROUP BY doc_id, seed // {N_HASHES // N_BANDS}
+      {" UNION ALL ".join(
+          "SELECT doc_id, %d AS band, md5(%s) AS sig FROM mins"
+          % (band, " || ',' || ".join(f"CAST(m{j} AS VARCHAR)" for j in range(band * _ROWS_PER_BAND, (band + 1) * _ROWS_PER_BAND)))
+          for band in range(N_BANDS))}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
     FROM bands a JOIN bands b

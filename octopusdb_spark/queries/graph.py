@@ -114,14 +114,17 @@ def q_graph_pagerank(spark, sf_dir):
     Contributions are decimal-accumulated so the result is bit-deterministic
     (and matches the oracle's unrolled SQL). Dangling nodes keep rank via
     the (1-d) base term only, same as the oracle."""
+    # Loop-invariant state is cached once: edges⋈outdeg and the node list
+    # are reused every iteration (otherwise the lineage re-scans the source
+    # 3× per join — the classic iterative-algorithm pitfall).
     e = edges(spark, sf_dir)
-    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().cache()
     out_deg = e.groupBy("src").agg(F.count("*").alias("outd"))
+    e_outd = e.join(out_deg, "src").select("src", "dst", "outd").cache()
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(3):
         contribs = (
-            e.join(out_deg, "src")
-            .join(ranks, e.src == ranks.node)
+            e_outd.join(ranks, e_outd.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outd")).alias("c"))
         )
         summed = contribs.groupBy("node").agg(
@@ -143,7 +146,11 @@ def q_graph_components(spark, sf_dir):
     (Full convergence loop available in the library; fixed depth keeps the
     oracle expressible.)"""
     e = edges(spark, sf_dir)
-    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()  # loop-invariant, joined every iteration
+    )
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()

@@ -44,7 +44,9 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    normed = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    # None-safe, mixed-type-safe total order for the order-insensitive compare
+    return sorted(normed, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
 def main():
