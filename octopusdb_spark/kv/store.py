@@ -89,15 +89,23 @@ class Entry:
 class KVStore:
     """A versioned KV table persisted as Parquet segments + manifest."""
 
+    MAX_LEVEL = 6  # L0..L6, MaxLevelNum=7 (kv/db.go:57)
+
     def __init__(
         self,
         spark: SparkSession,
         root: str,
         value_threshold: int = 1024,  # kv/option.go:31
+        level0_trigger: int = 4,  # NumLevelZeroTables analog (kv/option.go)
+        base_level_bytes: int = 1 << 20,  # baseLevelSize analog, scaled for tests
+        level_multiplier: int = 10,  # levelSizeMultiplier (kv/option.go)
     ):
         self.spark = spark
         self.root = root
         self.value_threshold = value_threshold
+        self.level0_trigger = level0_trigger
+        self.base_level_bytes = base_level_bytes
+        self.level_multiplier = level_multiplier
         self.manifest = Manifest(root)
 
     # ------------------------------------------------------------------ write
@@ -269,67 +277,142 @@ class KVStore:
         }
 
     # ------------------------------------------------------------ maintenance
-    def compact(self, now: int | None = None, target_segments: int = 4) -> None:
-        """Full-keyspace compaction: one merged, deduped, range-partitioned
-        sorted run. Tombstones + expired rows are physically dropped — legal
-        exactly because the whole keyspace participates (the reference's
-        bottom-level rule, `kv/lsm/compact.go:336-370,904-909`). The range
-        split mirrors parallel sub-compactions (`kv/lsm/compact.go:449-479`);
-        Spark's range shuffle is the parallelism."""
-        now = int(time.time()) if now is None else now
-        state = self.manifest.state
-        old = state.data_segments()
-        if not old:
-            return
-        merged = self.latest_df(old).filter(
-            F.col("value_ptr").isNotNull()
-            | (
-                F.col("value").isNotNull()
-                & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
-            )
-        )
-        # Drop pointer rows whose TTL expired too (they hold no inline value).
-        merged = merged.filter((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
-        seg_id, path = self.manifest.new_segment_path("data")
+    def _write_ranged_segments(
+        self, df: DataFrame, level: int, target_segments: int
+    ) -> list:
+        """Write a merged run as N range-disjoint segments (one directory
+        each, tight min/max in the manifest) — the parallel sub-compaction
+        split of `kv/lsm/compact.go:449-479`. One shuffle assigns range
+        buckets; dynamic partition write fans the buckets out in the same
+        job; a final per-bucket agg records manifest stats."""
         n = max(1, min(target_segments, 200))
+        staging_id, staging = self.manifest.new_segment_path("data")
         (
-            merged.repartitionByRange(n, "key")
+            df.repartitionByRange(n, "key")
             .sortWithinPartitions("key")
+            .withColumn("_bucket", F.spark_partition_id())
             .write.mode("overwrite")
+            .partitionBy("_bucket")
             .option("parquet.bloom.filter.enabled#key", "true")
-            .parquet(path)
+            .parquet(staging)
         )
         stats = (
-            self.spark.read.schema(DATA_SCHEMA)
-            .parquet(path)
+            self.spark.read.parquet(staging)
+            .groupBy("_bucket")
             .agg(
                 F.min("key").alias("mn"),
                 F.max("key").alias("mx"),
                 F.count("*").alias("cnt"),
                 F.sum(F.coalesce(F.length("value"), F.lit(0))).alias("bytes"),
             )
-            .collect()[0]
+            .collect()
         )
-        new_state = ManifestState(
-            version=state.version,
-            next_seq=state.next_seq,
-            segments=[s for s in state.segments if s.kind != "data"],
-        )
-        if stats["cnt"]:
-            new_state.segments.append(
+        segs = []
+        for r in sorted(stats, key=lambda r: r["mn"]):
+            segs.append(
                 SegmentInfo(
-                    segment_id=seg_id,
+                    segment_id=f"{staging_id}-b{r['_bucket']}",
                     kind="data",
-                    level=6,  # bottom level, MaxLevelNum-1 (kv/db.go:57)
-                    path=path,
-                    min_key=stats["mn"],
-                    max_key=stats["mx"],
-                    row_count=stats["cnt"],
-                    size_bytes=int(stats["bytes"] or 0),
-                    created_seq=state.next_seq,
+                    level=level,
+                    path=f"{staging}/_bucket={r['_bucket']}",
+                    min_key=r["mn"],
+                    max_key=r["mx"],
+                    row_count=r["cnt"],
+                    size_bytes=int(r["bytes"] or 0),
+                    created_seq=self.manifest.state.next_seq,
                 )
             )
-        self.manifest.commit(new_state)
+        return segs
+
+    def compaction_priorities(self) -> list:
+        """Level scores, highest first — the pickCompactLevels scoring of
+        `kv/lsm/compact.go:626-685`: L0 by file count / trigger, Ln by
+        size / target where target = base * multiplier^(n-1)."""
+        st = self.manifest.state
+        by_level: dict = {}
+        for s in st.data_segments():
+            by_level.setdefault(s.level, []).append(s)
+        out = []
+        for level, segs in by_level.items():
+            if level == 0:
+                score = len(segs) / self.level0_trigger
+            elif level == self.MAX_LEVEL:
+                continue  # bottom level never self-selects
+            else:
+                target = self.base_level_bytes * (self.level_multiplier ** (level - 1))
+                score = sum(s.size_bytes for s in segs) / max(target, 1)
+            out.append((level, score))
+        return sorted(out, key=lambda x: -x[1])
+
+    def compact_level(self, src_level: int, now: int | None = None, target_segments: int = 4) -> None:
+        """Merge all src-level segments with the key-overlapping segments of
+        the next level into new next-level segments (doCompact,
+        `kv/lsm/compact.go:124-168`). Keeps the newest version of each key
+        among participants; never drops tombstones/expired here — a newer or
+        older version may live in a non-participating level (the reference's
+        overlap-below rule, `kv/lsm/compact.go:362-369`). Full cleanup
+        happens in compact()."""
+        now = int(time.time()) if now is None else now
+        state = self.manifest.state
+        dst_level = min(src_level + 1, self.MAX_LEVEL)
+        src = [s for s in state.data_segments() if s.level == src_level]
+        if not src:
+            return
+        lo = min(s.min_key for s in src)
+        hi = max(s.max_key for s in src)
+        dst = [
+            s
+            for s in state.data_segments()
+            if s.level == dst_level and not (s.max_key < lo or s.min_key > hi)
+        ]
+        participants = src + dst
+        merged = self.latest_df(participants)
+        new_segs = self._write_ranged_segments(merged, dst_level, target_segments)
+        part_ids = {s.segment_id for s in participants}
+        self.manifest.commit(
+            ManifestState(
+                version=state.version,
+                next_seq=state.next_seq,
+                segments=[s for s in state.segments if s.segment_id not in part_ids] + new_segs,
+            )
+        )
+
+    def auto_compact(self, now: int | None = None, max_rounds: int = 8) -> int:
+        """Run leveled compactions while any level's score >= 1.0 — the
+        runCompacter loop (`kv/lsm/compact.go:65-85`) as an on-demand
+        maintenance job. Returns rounds executed."""
+        rounds = 0
+        for _ in range(max_rounds):
+            pris = [(lvl, sc) for lvl, sc in self.compaction_priorities() if sc >= 1.0]
+            if not pris:
+                break
+            self.compact_level(pris[0][0], now=now)
+            rounds += 1
+        return rounds
+
+    def compact(self, now: int | None = None, target_segments: int = 4) -> None:
+        """Full-keyspace compaction: one merged, deduped, range-partitioned
+        bottom-level run. Tombstones + expired rows are physically dropped —
+        legal exactly because the whole keyspace participates (the
+        reference's bottom-level rule, `kv/lsm/compact.go:336-370,904-909`)."""
+        now = int(time.time()) if now is None else now
+        state = self.manifest.state
+        old = state.data_segments()
+        if not old:
+            return
+        merged = (
+            self.latest_df(old)
+            .filter(F.col("value").isNotNull() | F.col("value_ptr").isNotNull())
+            .filter((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
+        )
+        new_segs = self._write_ranged_segments(merged, self.MAX_LEVEL, target_segments)
+        self.manifest.commit(
+            ManifestState(
+                version=state.version,
+                next_seq=state.next_seq,
+                segments=[s for s in state.segments if s.kind != "data"] + new_segs,
+            )
+        )
 
     def gc_values(self, discard_ratio: float = 0.5, now: int | None = None) -> list:
         """Value-log GC (`kv/vlog_gc.go`): exact (not sampled) liveness via

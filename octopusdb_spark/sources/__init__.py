@@ -1,0 +1,3 @@
+from octopusdb_spark.sources.io import read_table, write_table
+
+__all__ = ["read_table", "write_table"]

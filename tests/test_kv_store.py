@@ -91,12 +91,15 @@ def test_compaction_invariance_and_physical_drop(store):
     store.delete("k10")
     store.set_batch([Entry("ttl", b"x", expires_at=NOW - 5)])
     before = sorted((r["key"], bytes(r["value"])) for r in store.view(now=NOW).collect())
-    n_segs_before = store.info()["data_segments"]
     store.compact(now=NOW)
     after = sorted((r["key"], bytes(r["value"])) for r in store.view(now=NOW).collect())
     assert before == after  # compaction invariance
     info = store.info()
-    assert info["data_segments"] == 1 < n_segs_before
+    assert info["levels"] == [store.MAX_LEVEL]
+    # range-split outputs: segments are key-disjoint and ordered
+    segs = sorted(store.manifest.state.data_segments(), key=lambda s: s.min_key)
+    for a, b in zip(segs, segs[1:]):
+        assert a.max_key < b.min_key
     # tombstone + expired rows physically gone
     raw = store.raw_df().collect()
     assert all(r["value"] is not None or r["value_ptr"] is not None for r in raw)
@@ -118,6 +121,37 @@ def test_value_gc_preserves_live_data(store):
         assert store.get(f"big:{i:02d}", now=NOW).value == b"small-now"
     for i in range(8, 10):
         assert store.get(f"big:{i:02d}", now=NOW).value == big(i)
+
+
+def test_leveled_compaction_scoring_and_invariance(store, spark):
+    # many small L0 batches → L0 score exceeds trigger
+    for b in range(6):
+        store.set_batch([Entry(f"k{i:02d}", f"b{b}-v{i}".encode()) for i in range(10)])
+    pris = dict(store.compaction_priorities())
+    assert pris[0] >= 1.0  # 6 L0 segments / trigger 4
+    before = sorted((r["key"], bytes(r["value"])) for r in store.view(now=NOW).collect())
+    rounds = store.auto_compact(now=NOW)
+    assert rounds >= 1
+    after = sorted((r["key"], bytes(r["value"])) for r in store.view(now=NOW).collect())
+    assert before == after  # leveled compaction invariance
+    assert not [s for s in store.manifest.state.data_segments() if s.level == 0]
+    # newest versions survived: every key reads its b5 value
+    assert store.get("k03", now=NOW).value == b"b5-v3"
+    # a tombstone written after compaction still hides through levels
+    store.delete("k03")
+    assert store.get("k03", now=NOW) is None
+
+
+def test_compact_level_preserves_tombstones(store):
+    """Partial (leveled) compaction must NOT drop tombstones — only the
+    full-keyspace compact() may (the reference's overlap-below rule)."""
+    store.set_batch([Entry("a", b"1"), Entry("b", b"2")])
+    store.delete("a")
+    store.compact_level(0, now=NOW)
+    raw = {r["key"]: r for r in store.raw_df().collect()}
+    assert raw["a"]["value"] is None  # tombstone retained at L1
+    assert store.get("a", now=NOW) is None
+    assert store.get("b", now=NOW).value == b"2"
 
 
 def test_reopen_recovers_from_manifest(store, spark):
