@@ -1,0 +1,177 @@
+"""OctopusDB facade — the reference's public API, method for method, so a
+user of zach030/OctopusDB can switch engines without relearning the surface.
+
+Reference API (`kv/db.go:19-26`): Set, Get, Del, NewIterator, Info, Close —
+plus the batch path (`kv/db.go:191-222`), TTL entries
+(`kv/utils/entry.go:77-80`), value-log GC (`kv/vlog_gc.go:17-46`), and the
+graph-over-KV usage pattern of `kv/db_test.go:107-179` (JSON-encoded User
+adjacency payloads), which gets first-class helpers here.
+
+Differences by design (documented, not accidental):
+- reads/scans are Spark jobs — batch-oriented latency, cluster-scale
+  throughput;
+- versions are real (monotonic per write) where the reference stamps a
+  constant ts (`kv/db.go:78`, noted as a bug in SURVEY.md §2);
+- Close() is a no-op beyond Spark session hygiene — durability is the
+  manifest commit, not an open file handle.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from octopusdb_spark.kv.store import Entry, KVStore
+
+
+class Iterator:
+    """Materialized ordered scan — the DBIterator surface
+    (`kv/iterator.go:19-79`): Rewind/Valid/Item/Next/Seek/Close over the
+    already-deduped, tombstone/TTL-filtered live view."""
+
+    def __init__(self, rows: list):
+        self._rows = rows
+        self._pos = 0
+
+    def rewind(self) -> None:
+        self._pos = 0
+
+    def valid(self) -> bool:
+        return self._pos < len(self._rows)
+
+    def item(self) -> Entry:
+        r = self._rows[self._pos]
+        return Entry(
+            key=r["key"],
+            value=bytes(r["value"]) if r["value"] is not None else None,
+            expires_at=r["expires_at"],
+            version=r["version"],
+        )
+
+    def next(self) -> None:
+        self._pos += 1
+
+    def seek(self, key: str) -> None:
+        """Position at the first entry >= key (working Seek — the
+        reference's is an unimplemented stub, `kv/iterator.go:78-79`)."""
+        lo, hi = 0, len(self._rows)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._rows[mid]["key"] < key:
+                lo = mid + 1
+            else:
+                hi = mid
+        self._pos = lo
+
+    def close(self) -> None:
+        self._rows = []
+        self._pos = 0
+
+
+class OctopusDB:
+    """Drop-in-shaped engine handle. All state lives in the KV store's
+    manifest + Parquet segments; this class is a thin veneer."""
+
+    def __init__(self, spark: SparkSession, work_dir: str, **kv_options):
+        self.spark = spark
+        self.kv = KVStore(spark, work_dir, **kv_options)
+        self._closed = False
+
+    # ------------------------------------------------------------- core API
+    def set(self, key: str, value: bytes, ttl_seconds: int | None = None, now: int | None = None) -> None:
+        e = Entry(key=key, value=value)
+        if ttl_seconds is not None:
+            e = e.with_ttl(ttl_seconds, now=now)
+        self.kv.set(e)
+
+    def set_batch(self, entries: list) -> None:
+        self.kv.set_batch(entries)
+
+    def get(self, key: str, now: int | None = None) -> bytes | None:
+        e = self.kv.get(key, now=now)
+        return None if e is None else e.value
+
+    def delete(self, key: str) -> None:
+        self.kv.delete(key)
+
+    def new_iterator(
+        self,
+        prefix: str | None = None,
+        asc: bool = True,
+        now: int | None = None,
+    ) -> Iterator:
+        df = self.kv.scan(prefix=prefix, asc=asc, now=now)
+        return Iterator(df.collect())
+
+    def scan_df(self, **kwargs) -> DataFrame:
+        """The Spark-native scan — what new code should use instead of the
+        materialized iterator."""
+        return self.kv.scan(**kwargs)
+
+    def info(self) -> dict:
+        return self.kv.info()
+
+    def run_value_log_gc(self, discard_ratio: float = 0.5, now: int | None = None) -> list:
+        return self.kv.gc_values(discard_ratio=discard_ratio, now=now)
+
+    def compact(self, now: int | None = None) -> None:
+        self.kv.compact(now=now)
+
+    def close(self) -> None:
+        self._closed = True
+
+    # -------------------------------------------------- graph-over-KV layer
+    USER_SCHEMA = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("follower", T.ArrayType(T.StringType())),
+            T.StructField("following", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def put_user(self, user: dict) -> None:
+        """Store a User as JSON under its id — `kv/db_test.go:107-143`."""
+        self.kv.set(Entry(key=f"user:{user['id']}", value=json.dumps(user, sort_keys=True).encode()))
+
+    def put_users(self, users: list) -> None:
+        self.kv.set_batch(
+            [
+                Entry(key=f"user:{u['id']}", value=json.dumps(u, sort_keys=True).encode())
+                for u in users
+            ]
+        )
+
+    def get_user(self, user_id: str, now: int | None = None) -> dict | None:
+        raw = self.get(f"user:{user_id}", now=now)
+        return None if raw is None else json.loads(raw)
+
+    def users_df(self, now: int | None = None) -> DataFrame:
+        """Typed view over the JSON payloads: from_json on the live KV scan —
+        the declarative form of TestUserInfoQuery (`kv/db_test.go:145-179`)."""
+        live = self.kv.scan(prefix="user:", now=now)
+        return live.select(
+            F.from_json(F.col("value").cast("string"), self.USER_SCHEMA).alias("u")
+        ).select("u.id", "u.name", "u.follower", "u.following")
+
+    def follower_counts(self, now: int | None = None) -> DataFrame:
+        return self.users_df(now=now).select(
+            "id",
+            F.size(F.coalesce("follower", F.array())).alias("n_followers"),
+            F.size(F.coalesce("following", F.array())).alias("n_following"),
+        )
+
+    def mutual_follows(self, now: int | None = None) -> DataFrame:
+        """Pairs following each other — explode + self-join over the
+        adjacency arrays."""
+        u = self.users_df(now=now)
+        f = u.select("id", F.explode("following").alias("other"))
+        rev = f.select(F.col("other").alias("id"), F.col("id").alias("other"))
+        return (
+            f.intersect(rev)
+            .filter(F.col("id") < F.col("other"))
+            .select(F.col("id").alias("a"), F.col("other").alias("b"))
+        )

@@ -176,6 +176,21 @@ def q_graph_components(spark, sf_dir):
     )
 
 
+def q_graph_adjacency(spark, sf_dir):
+    """Adjacency-list reconstruction: the reference's User payload shape
+    (`kv/db_test.go:107-112` — following[] arrays) rebuilt from the edge
+    table, sorted for determinism."""
+    e = edges(spark, sf_dir)
+    return (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(
+            F.array_sort(F.collect_list("dst")).alias("following"),
+            F.count("*").alias("n_following"),
+        )
+        .orderBy("node")
+    )
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 
@@ -259,6 +274,12 @@ ORACLES = {
                 JOIN und e3 ON e2.b = e3.b AND e1.a = e3.a""",
     "graph_pagerank": _pagerank_sql(),
     "graph_components": _components_sql(),
+    "graph_adjacency": EDGES_SQL
+    + """
+    SELECT src AS node,
+           array_agg(dst ORDER BY dst) AS following,
+           count(*) AS n_following
+    FROM edges GROUP BY src ORDER BY node""",
 }
 
 QUERIES = {
@@ -268,4 +289,5 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "graph_pagerank": q_graph_pagerank,
     "graph_components": q_graph_components,
+    "graph_adjacency": q_graph_adjacency,
 }

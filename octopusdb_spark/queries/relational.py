@@ -239,7 +239,33 @@ def q_avg_order_gap(spark, sf_dir):
     )
 
 
+def q_event_time_windows(spark, sf_dir):
+    """Batch analog of the streaming tumbling-window rollup: hourly
+    event-time buckets per type (F.window is the same operator Structured
+    Streaming uses; ts reconstructed from integer µs for oracle parity)."""
+    ev = t(spark, sf_dir, "events")
+    win = F.window(F.timestamp_micros(F.col("ts_us")), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 ORACLES = {
+    "q_event_time_windows": """
+        SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST("value" AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2""",
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {dsum_sql("l_quantity", "sum_qty")},
@@ -385,6 +411,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "q_event_time_windows": q_event_time_windows,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,

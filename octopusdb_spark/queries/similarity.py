@@ -158,6 +158,39 @@ def q_sim_label_centroids(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection: the 20 closest pairs in
+    the corpus, ranked. (This corpus is near-orthogonal — max cosine ~0.51 —
+    so a fixed threshold would be vacuous; production would threshold at
+    ~0.95 and pre-filter by sign bucket. The all-pairs scoring below is the
+    exactness baseline the bucketed variant is judged against.)"""
+    emb = _with_norm(t(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+        .orderBy("rank")
+    )
+
+
 _EMB_NORM_SQL = f"""
 WITH emb AS (
   SELECT vec_id, embedding, label,
@@ -198,6 +231,20 @@ ORACLES = {
     )
     SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
     FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
+    "dedup_embedding_cosine": _EMB_NORM_SQL
+    + f"""
+    , pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DOT_SQL.format(a="a.embedding", b="b.embedding")} / (a.norm * b.norm) AS cos
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_a, vec_b, cos,
+             row_number() OVER (ORDER BY cos DESC, vec_a ASC, vec_b ASC) AS rank
+      FROM pairs
+    )
+    SELECT rank, vec_a, vec_b, round(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 20 ORDER BY rank""",
     "sim_label_centroids": _EMB_NORM_SQL
     + """
     SELECT label, count(*) AS n_vectors,
@@ -210,4 +257,5 @@ QUERIES = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ann_bucketed": q_sim_ann_bucketed,
     "sim_label_centroids": q_sim_label_centroids,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }

@@ -1,0 +1,106 @@
+"""Facade parity tests — the reference's own test flows
+(`kv/db_test.go:36-179`) run against the OctopusDB facade."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from octopusdb_spark.db import OctopusDB
+from octopusdb_spark.kv import Entry
+
+NOW = 2_000_000_000
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return OctopusDB(spark, str(tmp_path / "db"))
+
+
+def test_basic_set_get_del(db):
+    """TestBasicSetGet + delete behavior (kv/db_test.go:36-58)."""
+    db.set("hello", b"world")
+    assert db.get("hello", now=NOW) == b"world"
+    db.delete("hello")
+    assert db.get("hello", now=NOW) is None
+
+
+def test_api_soak_ttl(db):
+    """TestAPI shape (kv/db_test.go:59-105): batched TTL writes, deletes,
+    read-back — scaled down for CI time."""
+    db.set_batch(
+        [Entry(f"soak:{i:04d}", f"val{i}".encode()).with_ttl(1000, now=NOW) for i in range(200)]
+    )
+    for i in range(0, 40):
+        db.delete(f"soak:{i:04d}")
+    for i in range(40, 50):
+        assert db.get(f"soak:{i:04d}", now=NOW) == f"val{i}".encode()
+    for i in range(0, 5):
+        assert db.get(f"soak:{i:04d}", now=NOW) is None
+    # past their TTL, everything is gone
+    assert db.get("soak:0045", now=NOW + 2000) is None
+
+
+def test_iterator_contract(db):
+    db.set_batch([Entry(f"it:{i:02d}", f"v{i}".encode()) for i in range(10)])
+    db.delete("it:04")
+    it = db.new_iterator(prefix="it:", now=NOW)
+    seen = []
+    it.rewind()
+    while it.valid():
+        seen.append(it.item().key)
+        it.next()
+    assert seen == [f"it:{i:02d}" for i in range(10) if i != 4]
+    it.seek("it:07")
+    assert it.valid() and it.item().key == "it:07"
+    it.seek("it:99")
+    assert not it.valid()
+    it.close()
+
+
+def test_graph_over_kv(db):
+    """TestUserInfoQuery (kv/db_test.go:145-179): JSON user payloads round-
+    trip and adjacency queries work."""
+    rng = random.Random(42)
+    users = []
+    for i in range(30):
+        ids = [str(j) for j in range(30) if j != i]
+        users.append(
+            {
+                "id": str(i),
+                "name": f"user-{i}",
+                "follower": rng.sample(ids, 5),
+                "following": rng.sample(ids, 5),
+            }
+        )
+    db.put_users(users)
+    u7 = db.get_user("7", now=NOW)
+    assert u7["name"] == "user-7" and len(u7["following"]) == 5
+    counts = {r["id"]: r for r in db.follower_counts(now=NOW).collect()}
+    assert len(counts) == 30
+    assert counts["7"]["n_followers"] == 5 and counts["7"]["n_following"] == 5
+    mutual = db.mutual_follows(now=NOW).collect()
+    for r in mutual:
+        a, b = r["a"], r["b"]
+        ua, ub = db.get_user(a, now=NOW), db.get_user(b, now=NOW)
+        assert b in ua["following"] and a in ub["following"]
+    # update a user: adjacency view reflects newest version
+    u7["following"] = ["1"]
+    db.put_user(u7)
+    counts7 = db.follower_counts(now=NOW).filter("id = '7'").collect()[0]
+    assert counts7["n_following"] == 1
+
+
+def test_big_value_round_trip_and_gc(db):
+    """TestVlogBase + TestValueGC shape (kv/vlog_test.go:25-136)."""
+    payload = bytes(range(256)) * 128  # 32 KB
+    db.set("blob:1", payload)
+    db.set("blob:2", payload[::-1])
+    assert db.get("blob:1", now=NOW) == payload
+    db.set("blob:1", b"small")  # old vlog entry becomes garbage
+    rewritten = db.run_value_log_gc(0.4, now=NOW)
+    assert rewritten
+    assert db.get("blob:1", now=NOW) == b"small"
+    assert db.get("blob:2", now=NOW) == payload[::-1]
+    assert db.info()["row_count"] > 0
