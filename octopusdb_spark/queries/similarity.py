@@ -182,10 +182,13 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    # merged at the driver) — a global row_number window would instead drag
+    # every pair into one partition. The rank window then runs on 20 rows.
+    top = pairs.orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b")).limit(20)
     w = Window.orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
         .orderBy("rank")
     )
