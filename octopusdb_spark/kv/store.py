@@ -12,8 +12,9 @@ Reference semantics reproduced (citations into /root/reference):
                           (`kv/db.go:121-130`, `kv/utils/entry.go:77-80`).
 - ``get``/``scan``        newest-live-version reads over the union of all
                           segments — the k-way MergeIterator + version dedup
-                          (`kv/lsm/iterator.go:230-436`) becomes a window
-                          ``row_number() == 1`` over (version desc, seq desc).
+                          (`kv/lsm/iterator.go:230-436`) becomes a
+                          ``max_by`` agg on (version desc, seq desc) with a
+                          map-side partial phase.
 - value separation        payloads >= ``value_threshold`` (1024 B,
                           `kv/option.go:31`) live in a separate ``values``
                           table; the main row stores a pointer — WiscKey
@@ -42,7 +43,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -203,13 +204,22 @@ class KVStore:
 
     def latest_df(self, segs: list | None = None) -> DataFrame:
         """Newest version per key (tombstones still visible) — MergeIterator
-        + version dedup (`kv/lsm/iterator.go:314-319,356-366`)."""
-        w = Window.partitionBy("key").orderBy(F.desc("version"), F.desc("seq"))
+        + version dedup (`kv/lsm/iterator.go:314-319,356-366`). max_by agg,
+        not a row_number window: the partial-aggregation phase collapses each
+        key to one candidate per input partition before the shuffle, so
+        shuffle volume is O(live keys), not O(total versions)."""
         return (
             self.raw_df(segs)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            .groupBy("key")
+            .agg(
+                F.max_by(
+                    F.struct("value", "meta", "expires_at", "version", "seq", "value_ptr"),
+                    F.struct("version", "seq"),
+                ).alias("e")
+            )
+            .select(
+                "key", "e.value", "e.meta", "e.expires_at", "e.version", "e.seq", "e.value_ptr"
+            )
         )
 
     def view(self, now: int | None = None, segs: list | None = None) -> DataFrame:

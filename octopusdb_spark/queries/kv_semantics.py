@@ -47,20 +47,29 @@ def kv_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _latest(df: DataFrame) -> DataFrame:
+    """Full version ranking — only for history/GC accounting queries that
+    need the losers (rn > 1); the hot read path uses ``_newest`` instead."""
     w = Window.partitionBy("key").orderBy(F.desc("version"), F.desc("seq"))
     return df.withColumn("rn", F.row_number().over(w))
 
 
+def _newest(df: DataFrame) -> DataFrame:
+    """Newest version per key via max_by aggregation, NOT a window: the agg
+    has a map-side partial phase, so the shuffle carries one candidate row
+    per key per input partition instead of the key's whole version history —
+    the difference between O(versions) and O(keys) shuffle volume at scale."""
+    return df.groupBy("key").agg(
+        F.max_by(
+            F.struct("value", "expires_at", "version"), F.struct("version", "seq")
+        ).alias("e")
+    ).select("key", "e.value", "e.expires_at", "e.version")
+
+
 def kv_live(spark: SparkSession, sf_dir: str, entries: DataFrame | None = None) -> DataFrame:
     df = entries if entries is not None else kv_entries(spark, sf_dir)
-    return (
-        _latest(df)
-        .filter(
-            (F.col("rn") == 1)
-            & F.col("value").isNotNull()
-            & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(NOW)))
-        )
-        .select("key", "value", "expires_at", "version")
+    return _newest(df).filter(
+        F.col("value").isNotNull()
+        & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(NOW)))
     )
 
 
@@ -104,8 +113,8 @@ def q_kv_version_history(spark, sf_dir):
 def q_kv_tombstoned_keys(spark, sf_dir):
     """A3: keys currently hidden by a tombstone (latest version is a delete)."""
     return (
-        _latest(kv_entries(spark, sf_dir))
-        .filter((F.col("rn") == 1) & F.col("value").isNull())
+        _newest(kv_entries(spark, sf_dir))
+        .filter(F.col("value").isNull())
         .select("key", "version")
         .orderBy("key")
     )
@@ -114,8 +123,7 @@ def q_kv_tombstoned_keys(spark, sf_dir):
 def q_kv_ttl_classes(spark, sf_dir):
     """A4: TTL classification of the newest version of every key."""
     return (
-        _latest(kv_entries(spark, sf_dir))
-        .filter(F.col("rn") == 1)
+        _newest(kv_entries(spark, sf_dir))
         .select(
             F.when(F.col("expires_at") == 0, "never")
             .when(F.col("expires_at") > F.lit(NOW), "live")
