@@ -12,6 +12,7 @@ _MODULES = [
     "octopusdb_spark.queries.kv_semantics",
     "octopusdb_spark.queries.relational",
     "octopusdb_spark.queries.advanced",
+    "octopusdb_spark.queries.scale_patterns",
     "octopusdb_spark.queries.graph",
     "octopusdb_spark.queries.text",
     "octopusdb_spark.queries.dedup",

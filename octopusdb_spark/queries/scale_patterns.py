@@ -1,0 +1,153 @@
+"""Scale-pattern operators: the join/sampling shapes that keep a 100 TB
+cluster job off its worst-case plan, each verified against a DuckDB oracle
+that computes the same answer the naive way.
+
+The reference engine never needs these (single-node, `kv/db.go`), but any
+large-scale pipeline over this engine's tables does:
+
+- **Bucketed range join** — Spark has no range-join optimization, so a plain
+  `ON ship >= start AND ship < end` predicate compiles to a broadcast/
+  cartesian nested-loop join: O(n*m) comparisons. Bucketing both sides by a
+  bucket the width of the range turns it into an equi-join (each range spans
+  at most 2 buckets) + a residual filter: O(n+m) shuffle, then only
+  bucket-local comparisons.
+- **Salted skew join** — a hot key floods one reducer in a hash join.
+  Salting the fact side (deterministic hash % SALTS) and exploding the dim
+  side SALTS-fold spreads each hot key over SALTS reducers. AQE's skew-join
+  handles moderate skew at runtime; salting is the explicit form that also
+  works for aggregations.
+- **Hash sampling** — `df.sample()` is nondeterministic across runs and
+  engines; hashing a stable row id and keeping one hex bucket gives a
+  deterministic, reproducible 1/16 sample that any engine agrees on —
+  the only sane way to sample a 100 TB table for profiling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from octopusdb_spark.queries.common import dsum, dsum_sql, t
+
+WEEK_US = 7 * 86_400 * 1_000_000  # range width == bucket width, microseconds
+SALTS = 16
+
+
+def q_range_join_bucketed(spark, sf_dir):
+    """For a deterministic 1% order sample: how many lineitems (any order)
+    shipped within 7 days of the order date, and their total value. The
+    range join runs as bucket-equi-join + residual filter, not a nested
+    loop."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .select(
+            "o_orderkey",
+            # parquet NTZ -> timestamp is exact (session tz pinned to UTC)
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("start_us"),
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) + F.lit(WEEK_US)).alias(
+                "end_us"
+            ),
+        )
+    )
+    # a [start, start+W) window overlaps at most 2 W-wide buckets
+    ob = o.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_us") / WEEK_US),
+                F.floor((F.col("end_us") - 1) / WEEK_US),
+            )
+        ),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+        "l_extendedprice",
+    )
+    lb = li.withColumn("bucket", F.floor(F.col("ship_us") / WEEK_US))
+    return (
+        ob.join(lb, "bucket")
+        .filter((F.col("ship_us") >= F.col("start_us")) & (F.col("ship_us") < F.col("end_us")))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_shipped"),
+            dsum("l_extendedprice", "shipped_value"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Events joined to their customer's nation with an explicit salt:
+    events carry salt = event_id % SALTS, the (small) customer side is
+    exploded SALTS-fold, and the join key is (custkey, salt). Result is
+    identical to the unsalted join the oracle runs — salting changes the
+    shuffle layout, never the answer."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "value", (F.col("event_id") % SALTS).alias("salt")
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALTS)])))
+    )
+    return (
+        ev.join(cust, (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .orderBy("c_nationkey")
+    )
+
+
+def q_hash_sampled_stats(spark, sf_dir):
+    """Profile stats over a deterministic 1/16 sample: rows whose
+    md5(orderkey-linenumber) starts with '0'. Reproducible on any engine,
+    any run, any partitioning — unlike rand()/TABLESAMPLE."""
+    li = t(spark, sf_dir, "lineitem")
+    rid = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return (
+        li.filter(F.md5(rid.cast("binary")).startswith("0"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLES = {
+    "q_range_join_bucketed": f"""
+        SELECT o.o_orderkey,
+               count(*) AS n_shipped,
+               {dsum_sql("l.l_extendedprice", "shipped_value")}
+        FROM orders o
+        JOIN lineitem l
+          ON epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate)
+         AND epoch_us(l.l_shipdate) < epoch_us(o.o_orderdate) + {WEEK_US}
+        WHERE o.o_orderkey % 101 = 0
+        GROUP BY 1 ORDER BY 1""",
+    "q_skew_salted_join": f"""
+        SELECT c.c_nationkey,
+               count(*) AS n_events,
+               {dsum_sql('e."value"', "total_value")}
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY 1""",
+    "q_hash_sampled_stats": f"""
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               {dsum_sql("l_quantity", "sum_qty")},
+               {dsum_sql("l_extendedprice", "sum_price")}
+        FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+        GROUP BY 1 ORDER BY 1""",
+}
+
+QUERIES = {
+    "q_range_join_bucketed": q_range_join_bucketed,
+    "q_skew_salted_join": q_skew_salted_join,
+    "q_hash_sampled_stats": q_hash_sampled_stats,
+}
