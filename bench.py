@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
+    "dedup_embedding_cosine",
+    "q_event_time_windows",
+    "q_range_join_bucketed",
 ]
 
 
@@ -50,6 +53,16 @@ def main() -> None:
             spark.read.parquet(f"{SF_DIR}/{name}.parquet").limit(1).count()
         except Exception:
             pass
+    # warm the Python worker pool too (one trivial Arrow round-trip): worker
+    # fork + numpy/pandas import is cluster spin-up, not query cost — on a
+    # real cluster the pool is long-lived, exactly like the JVM
+    def _ident(it):
+        for p in it:
+            yield p
+
+    spark.range(64).repartition(32).mapInPandas(_ident, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -90,9 +90,14 @@ class OctopusDB:
     def set_batch(self, entries: list) -> None:
         self.kv.set_batch(entries)
 
-    def get(self, key: str, now: int | None = None) -> bytes | None:
-        e = self.kv.get(key, now=now)
+    def get(self, key: str, now: int | None = None, as_of: int | None = None) -> bytes | None:
+        e = self.kv.get(key, now=now, as_of=as_of)
         return None if e is None else e.value
+
+    def snapshot(self) -> int:
+        """Current snapshot sequence — pass as ``as_of`` for repeatable
+        point-in-time reads (versioned-key semantics, `kv/utils/key.go:32-37`)."""
+        return self.kv.snapshot_seq()
 
     def delete(self, key: str) -> None:
         self.kv.delete(key)

@@ -204,13 +204,16 @@ class KVStore:
 
     def latest_df(self, segs: list | None = None) -> DataFrame:
         """Newest version per key (tombstones still visible) — MergeIterator
-        + version dedup (`kv/lsm/iterator.go:314-319,356-366`). max_by agg,
-        not a row_number window: the partial-aggregation phase collapses each
-        key to one candidate per input partition before the shuffle, so
-        shuffle volume is O(live keys), not O(total versions)."""
+        + version dedup (`kv/lsm/iterator.go:314-319,356-366`)."""
+        return self._newest_of(self.raw_df(segs))
+
+    @staticmethod
+    def _newest_of(df: DataFrame) -> DataFrame:
+        """max_by agg, not a row_number window: the partial-aggregation phase
+        collapses each key to one candidate per input partition before the
+        shuffle, so shuffle volume is O(live keys), not O(total versions)."""
         return (
-            self.raw_df(segs)
-            .groupBy("key")
+            df.groupBy("key")
             .agg(
                 F.max_by(
                     F.struct("value", "meta", "expires_at", "version", "seq", "value_ptr"),
@@ -222,11 +225,25 @@ class KVStore:
             )
         )
 
-    def view(self, now: int | None = None, segs: list | None = None) -> DataFrame:
+    def view(
+        self,
+        now: int | None = None,
+        segs: list | None = None,
+        as_of: int | None = None,
+    ) -> DataFrame:
         """The live view: newest version, tombstones hidden, TTL applied,
-        big values re-joined (`kv/db.go:89-130` read path as one plan)."""
+        big values re-joined (`kv/db.go:89-130` read path as one plan).
+
+        ``as_of`` reads the snapshot as of write sequence ``as_of`` (the
+        reference's versioned keys, `kv/utils/key.go:32-37`, read at a fixed
+        ts): entries with seq > as_of are invisible. Snapshot depth is
+        bounded by compaction — merged segments drop superseded versions,
+        exactly like an LSM without snapshot pinning."""
         now = int(time.time()) if now is None else now
-        live = self.latest_df(segs).filter(
+        base = self.raw_df(segs)
+        if as_of is not None:
+            base = base.filter(F.col("seq") <= as_of)
+        live = self._newest_of(base).filter(
             (F.col("value").isNotNull() | F.col("value_ptr").isNotNull())
             & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
         )
@@ -237,13 +254,18 @@ class KVStore:
             .select("key", "value", "expires_at", "version", "seq")
         )
 
-    def get(self, key: str, now: int | None = None):
+    def get(self, key: str, now: int | None = None, as_of: int | None = None):
         """Point read with manifest min/max pruning (SST interval search,
         `kv/lsm/level_handler.go:45-64`) + Parquet bloom/stats pushdown."""
         segs = self.manifest.prune_for_key(key)
         if not segs:
             return None
-        rows = self.view(now=now, segs=segs).filter(F.col("key") == key).limit(1).collect()
+        rows = (
+            self.view(now=now, segs=segs, as_of=as_of)
+            .filter(F.col("key") == key)
+            .limit(1)
+            .collect()
+        )
         if not rows:
             return None
         r = rows[0]
@@ -256,6 +278,7 @@ class KVStore:
         end: str | None = None,
         asc: bool = True,
         now: int | None = None,
+        as_of: int | None = None,
     ) -> DataFrame:
         """Ordered range scan — NewIterator (`kv/iterator.go:19-79`). Prefix
         and bounds reach the Parquet scan as pushed filters; ordering is a
@@ -265,7 +288,7 @@ class KVStore:
         if prefix is not None and end is None:
             hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
         segs = self.manifest.prune_for_range(lo, hi)
-        df = self.view(now=now, segs=segs)
+        df = self.view(now=now, segs=segs, as_of=as_of)
         if prefix is not None:
             df = df.filter(F.col("key").startswith(prefix))
         if start is not None:
@@ -273,6 +296,11 @@ class KVStore:
         if end is not None:
             df = df.filter(F.col("key") < end)
         return df.orderBy(F.col("key").asc() if asc else F.col("key").desc())
+
+    def snapshot_seq(self) -> int:
+        """The sequence number capturing everything committed so far — pass
+        to ``view/scan/get(as_of=...)`` for a repeatable snapshot read."""
+        return self.manifest.state.next_seq - 1
 
     def info(self) -> dict:
         """Stats endpoint (`kv/db.go:140-142` — a stub there; real here)."""

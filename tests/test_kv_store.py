@@ -159,3 +159,32 @@ def test_reopen_recovers_from_manifest(store, spark):
     reopened = KVStore(spark, store.root)
     assert reopened.get("persist", now=NOW).value == b"me"
     assert reopened.manifest.state.next_seq == store.manifest.state.next_seq
+
+
+def test_as_of_snapshot_reads(store):
+    store.set_batch([Entry("a", b"v1"), Entry("b", b"b1")])
+    snap = store.snapshot_seq()
+    store.set_batch([Entry("a", b"v2")])
+    store.delete("b")
+    # current state: overwrite + tombstone visible
+    assert store.get("a", now=NOW).value == b"v2"
+    assert store.get("b", now=NOW) is None
+    # snapshot state: both originals, delete not yet applied
+    assert store.get("a", now=NOW, as_of=snap).value == b"v1"
+    assert store.get("b", now=NOW, as_of=snap).value == b"b1"
+    rows = {r["key"]: bytes(r["value"]) for r in store.scan(now=NOW, as_of=snap).collect()}
+    assert rows == {"a": b"v1", "b": b"b1"}
+    # as_of=0 predates every write -> empty view
+    assert store.view(now=NOW, as_of=0).count() == 0
+
+
+def test_as_of_horizon_after_compaction(store):
+    store.set_batch([Entry("k", b"old")])
+    snap = store.snapshot_seq()
+    store.set_batch([Entry("k", b"new")])
+    store.compact(now=NOW)
+    # full compaction keeps only the newest version: the snapshot horizon
+    # moved past `snap` (documented LSM-without-snapshot-pinning behavior)
+    assert store.get("k", now=NOW).value == b"new"
+    got = store.get("k", now=NOW, as_of=snap)
+    assert got is None or got.value == b"old"
