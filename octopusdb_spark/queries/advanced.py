@@ -218,7 +218,57 @@ _PIVOT_COLS = ", ".join(
     f'count(*) FILTER (WHERE event_type = \'{et}\') AS "{et}"' for et in EVENT_TYPES
 )
 
+def q_linear_regression(spark, sf_dir):
+    """OLS slope/intercept of extendedprice on quantity per returnflag,
+    assembled from decimal-exact moment sums (n, Σx, Σy, Σxx, Σxy) instead
+    of the engines' regr_slope (whose float accumulation order differs).
+    The closed form runs on exact sums, so both engines agree bit-for-bit.
+    One partial-aggregable groupBy — the same shuffle as any scan-agg."""
+    li = t(spark, sf_dir, "lineitem")
+    d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(d(x)).cast("double").alias("sx"),
+        F.sum(d(y)).cast("double").alias("sy"),
+        F.sum(d(x * y)).cast("double").alias("sxy"),
+        F.sum(d(x * x)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        agg.withColumn("slope", slope)
+        .select(
+            "l_returnflag",
+            F.round("slope", 9).alias("slope"),
+            F.round((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n"), 9).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 ORACLES = {
+    "q_linear_regression": """
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+          FROM lineitem GROUP BY l_returnflag
+        ), s AS (
+          SELECT l_returnflag, n, sx, sy,
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+          FROM m
+        )
+        SELECT l_returnflag,
+               round(slope, 9) AS slope,
+               round((sy - slope * sx) / n, 9) AS intercept
+        FROM s ORDER BY l_returnflag""",
     "q_asof_join": """
         WITH tagged AS (
           SELECT user_id, epoch_us(ts) AS ts_us, event_id AS eid,
@@ -306,4 +356,5 @@ QUERIES = {
     "q_correlation": q_correlation,
     "q_pandas_udf_score": q_pandas_udf_score,
     "q_approx_distinct": q_approx_distinct,  # rows-only: sketch is engine-specific
+    "q_linear_regression": q_linear_regression,
 }

@@ -113,7 +113,52 @@ def q_text_source_profile(spark, sf_dir):
 _MARKER_LIST = "['" + "','".join(EN_MARKERS) + "']"
 _STOP_LIST = "['" + "','".join(STOPWORDS) + "']"
 
+def q_text_tokenize_udtf(spark, sf_dir):
+    """Python UDTF surface (one row in, N rows out with per-call state —
+    the table-function shape that `posexplode(split(...))` can't express
+    once the expansion needs imperative logic). Kept off the 100 TB hot
+    path by design: row-at-a-time Python; the builtin-split twin is
+    ``text_token_count``. Bounded to 20 docs. Self-contained class body —
+    executors don't need the package importable."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string, token_len int")
+    class Tokenize:
+        def eval(self, doc_id, text):
+            import re
+
+            pos = 0
+            for tok in re.split(r"\s+", text or ""):
+                if tok:
+                    yield doc_id, pos, tok, len(tok)
+                    pos += 1
+
+    spark.udtf.register("octo_tokenize", Tokenize)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "_docs_for_udtf"
+    )
+    return spark.sql(
+        """SELECT f.doc_id, f.pos, f.token, f.token_len
+           FROM _docs_for_udtf d, LATERAL octo_tokenize(d.doc_id, d.text) f
+           ORDER BY f.doc_id, f.pos"""
+    )
+
+
 ORACLES = {
+    "text_tokenize_udtf": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(text, '\s+') AS arr
+          FROM documents WHERE doc_id < 20
+        ), ex AS (
+          SELECT doc_id, generate_subscripts(arr, 1) AS i, unnest(arr) AS token
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS pos,
+               token,
+               CAST(length(token) AS INT) AS token_len
+        FROM ex WHERE token <> ''
+        ORDER BY doc_id, pos""",
     "text_stats": """
         SELECT doc_id,
                length(text) AS chars,
@@ -177,4 +222,5 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_source_profile": q_text_source_profile,
+    "text_tokenize_udtf": q_text_tokenize_udtf,
 }
