@@ -35,6 +35,37 @@ def infer_format(path: str) -> str:
     return _EXT_TO_FMT.get(ext.lower(), "parquet")
 
 
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    media_type: str = "image",
+) -> DataFrame:
+    """Ingest raw media files as opaque binary rows — the on-ramp into the
+    multimodal pipeline (`functions/multimodal.py` MEDIA_SCHEMA shape).
+    Spark's built-in binaryFile source reads (path, modificationTime,
+    length, content); we derive a stable media_id from the path hash so
+    downstream joins don't depend on listing order. Payloads stay columnar
+    Arrow batches end-to-end; at scale, `pathGlobFilter` prunes at listing
+    time, before any bytes are read."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.col("content").alias("payload"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        F.lit(None).cast("long").alias("meta_duration_ms"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("source_bytes"),
+    )
+
+
 def read_table(
     spark: SparkSession,
     path: str,

@@ -59,3 +59,29 @@ def test_orc_round_trip(spark, tmp_path):
     write_table(df, p)
     back = read_table(spark, p)
     assert back.count() == 3
+
+
+def test_read_media_dir_binary_ingest(spark, tmp_path):
+    from octopusdb_spark.functions.multimodal import extract_features
+    from octopusdb_spark.sources.io import read_media_dir
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.img").write_bytes(b"\x01\x02\x03" * 100)
+    (media / "b.img").write_bytes(b"\xff" * 5000)
+    (media / "skip.txt").write_text("not media")
+
+    df = read_media_dir(spark, str(media), glob="*.img", media_type="image")
+    rows = {r["source_path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert bytes(rows["a.img"]["payload"]) == b"\x01\x02\x03" * 100
+    assert rows["b.img"]["source_bytes"] == 5000
+    # ids are stable path hashes, not listing-order dependent
+    assert rows["a.img"]["media_id"] == df.filter("source_path like '%a.img'").first()["media_id"]
+
+    # flows straight into the multimodal feature pipeline
+    feats = extract_features(df.select(
+        "media_id", "media_type", "payload", "meta_width", "meta_height", "meta_duration_ms"
+    ))
+    out = {r["byte_len"]: r["feat_dim"] for r in feats.collect()}
+    assert out == {300: 3, 5000: 3}
