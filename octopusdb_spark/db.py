@@ -90,6 +90,11 @@ class OctopusDB:
     def set_batch(self, entries: list) -> None:
         self.kv.set_batch(entries)
 
+    def ingest_df(self, df: DataFrame, **kwargs) -> int:
+        """Distributed bulk load — data never touches the driver; see
+        KVStore.ingest_df."""
+        return self.kv.ingest_df(df, **kwargs)
+
     def get(self, key: str, now: int | None = None, as_of: int | None = None) -> bytes | None:
         e = self.kv.get(key, now=now, as_of=as_of)
         return None if e is None else e.value

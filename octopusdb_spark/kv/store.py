@@ -188,6 +188,112 @@ class KVStore:
         )
         self.manifest.commit(new_state)
 
+    def ingest_df(
+        self,
+        df: DataFrame,
+        key_col: str = "key",
+        value_col: str = "value",
+        expires_col: str | None = None,
+        target_segments: int = 8,
+    ) -> int:
+        """Distributed bulk load — the 100 TB write path. ``set_batch``
+        funnels rows through the driver (fine for the reference's 3×1000
+        batching, `kv/db.go:224-285`); this ingests any DataFrame without
+        the data ever touching the driver:
+
+        - seq stamping, value-separation routing, and tombstone bits are
+          computed executor-side and **materialized once** to a staging
+          segment (monotonically_increasing_id is nondeterministic across
+          re-evaluation, so the values and data writes must carve from one
+          frozen copy, not recompute the lineage);
+        - big payloads land in the values table, the main rows keep a
+          pointer (vlog-then-LSM write order of `kv/db.go:288-324`);
+        - data lands as range-partitioned, key-sorted, bloom-filtered L0
+          segments; one manifest commit covers both tables.
+
+        Returns the number of rows ingested. Intra-batch duplicate keys are
+        resolved by seq order (later partition wins), matching batchSet's
+        sequential stamping.
+        """
+        state = self.manifest.state
+        seq0 = state.next_seq
+        expires = (
+            F.coalesce(F.col(expires_col).cast("long"), F.lit(0))
+            if expires_col
+            else F.lit(0).cast("long")
+        )
+        is_big = F.col("value").isNotNull() & (
+            F.length("value") >= F.lit(self.value_threshold)
+        )
+        staged_rows = (
+            df.select(
+                F.col(key_col).cast("string").alias("key"),
+                F.col(value_col).cast("binary").alias("value"),
+                expires.alias("expires_at"),
+            )
+            .withColumn("seq", F.lit(seq0) + F.monotonically_increasing_id())
+            .select(
+                "key",
+                "value",
+                F.when(F.col("value").isNull(), F.lit(BIT_DELETE))
+                .when(is_big, F.lit(BIT_VALUE_POINTER))
+                .otherwise(F.lit(0))
+                .alias("meta"),
+                "expires_at",
+                F.col("seq").alias("version"),
+                "seq",
+                F.when(is_big, F.concat(F.lit("v"), F.col("seq"))).alias("value_ptr"),
+            )
+        )
+        _, staging = self.manifest.new_segment_path("staging")
+        staged_rows.write.mode("overwrite").parquet(staging)
+        staged = self.spark.read.parquet(staging)
+
+        totals = staged.agg(
+            F.count("*").alias("cnt"), F.max("seq").alias("mxseq")
+        ).collect()[0]
+        if not totals["cnt"]:
+            return 0
+        new_state = ManifestState(
+            version=state.version,
+            next_seq=int(totals["mxseq"]) + 1,
+            segments=list(state.segments),
+        )
+
+        big = staged.filter(F.col("value_ptr").isNotNull()).select(
+            F.col("value_ptr").alias("value_id"), F.col("value").alias("big_value")
+        )
+        vstats = big.agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.coalesce(F.length("big_value"), F.lit(0))).alias("bytes"),
+        ).collect()[0]
+        if vstats["cnt"]:
+            vseg_id, vpath = self.manifest.new_segment_path("values")
+            big.write.mode("overwrite").parquet(vpath)
+            new_state.segments.append(
+                SegmentInfo(
+                    segment_id=vseg_id,
+                    kind="values",
+                    level=0,
+                    path=vpath,
+                    min_key=None,
+                    max_key=None,
+                    row_count=int(vstats["cnt"]),
+                    size_bytes=int(vstats["bytes"] or 0),
+                    created_seq=seq0,
+                    total_value_bytes=int(vstats["bytes"] or 0),
+                )
+            )
+
+        data = staged.withColumn(
+            "value", F.when(F.col("value_ptr").isNotNull(), F.lit(None)).otherwise(F.col("value"))
+        ).select("key", "value", "meta", "expires_at", "version", "seq", "value_ptr")
+        new_state.segments.extend(
+            self._write_ranged_segments(data, level=0, target_segments=target_segments)
+        )
+        self.manifest.commit(new_state)
+        return int(totals["cnt"])
+
     # ------------------------------------------------------------------- read
     def _read_segments(self, segs: list, schema: T.StructType) -> DataFrame:
         paths = [s.path for s in segs]

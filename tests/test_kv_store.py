@@ -188,3 +188,29 @@ def test_as_of_horizon_after_compaction(store):
     assert store.get("k", now=NOW).value == b"new"
     got = store.get("k", now=NOW, as_of=snap)
     assert got is None or got.value == b"old"
+
+
+def test_ingest_df_bulk_load(store, spark):
+    from pyspark.sql import functions as F
+
+    big_payload = "X" * 2000  # over the 1024 value-separation threshold
+    df = spark.range(500).select(
+        F.concat(F.lit("bulk"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("k"),
+        F.when(F.col("id") == 7, F.lit(big_payload))
+        .otherwise(F.concat(F.lit("val"), F.col("id").cast("string")))
+        .cast("binary")
+        .alias("v"),
+    )
+    n = store.ingest_df(df, key_col="k", value_col="v", target_segments=4)
+    assert n == 500
+    # distributed rows readable through the same view as driver-side writes
+    assert store.get("bulk0003", now=NOW).value == b"val3"
+    # big value round-trips through value separation
+    assert store.get("bulk0007", now=NOW).value == big_payload.encode()
+    # range-partitioned segments carry tight min/max for pruning
+    segs = store.manifest.prune_for_key("bulk0499")
+    assert len(segs) < len(store.manifest.state.data_segments()) or len(segs) == 1
+    # later driver-side write supersedes bulk rows (seq monotonicity held)
+    store.set_batch([Entry("bulk0003", b"newer")])
+    assert store.get("bulk0003", now=NOW).value == b"newer"
+    assert store.view(now=NOW).count() == 500
