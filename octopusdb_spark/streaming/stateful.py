@@ -102,7 +102,9 @@ def sessionize_stream(
         closed = []
         for i in order:
             t, v = ts[i], vals[i]
-            if cur is not None and t - cur[1] > gap_seconds:
+            # >= matches the batch q_sessionize gap rule exactly, so
+            # streaming and batch sessionization agree row-for-row
+            if cur is not None and t - cur[1] >= gap_seconds:
                 closed.append((*cur, user_id))
                 cur = None
             if cur is None:
