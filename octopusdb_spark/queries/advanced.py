@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from octopusdb_spark.queries.common import t
+from octopusdb_spark.queries.common import dsum, dsum_sql, t
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -218,6 +218,30 @@ _PIVOT_COLS = ", ".join(
     f'count(*) FILTER (WHERE event_type = \'{et}\') AS "{et}"' for et in EVENT_TYPES
 )
 
+def q_time_rollup(spark, sf_dir):
+    """Time-hierarchy ROLLUP (year -> quarter -> month) over order totals —
+    the hypertable/continuous-aggregate shape: one pass computes every
+    granularity plus the grand total, instead of three separate aggs. At
+    scale ROLLUP expands map-side (one shuffle keyed by grouping-set id)."""
+    o = t(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return (
+        o.select(
+            F.year(ts).alias("yr"),
+            F.quarter(ts).alias("qtr"),
+            F.month(ts).alias("mon"),
+            "o_totalprice",
+        )
+        .rollup("yr", "qtr", "mon")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price"))
+        .orderBy(
+            F.col("yr").asc_nulls_first(),
+            F.col("qtr").asc_nulls_first(),
+            F.col("mon").asc_nulls_first(),
+        )
+    )
+
+
 def q_linear_regression(spark, sf_dir):
     """OLS slope/intercept of extendedprice on quantity per returnflag,
     assembled from decimal-exact moment sums (n, Σx, Σy, Σxx, Σxy) instead
@@ -251,6 +275,15 @@ def q_linear_regression(spark, sf_dir):
 
 
 ORACLES = {
+    "q_time_rollup": f"""
+        SELECT year(o_orderdate) AS yr,
+               quarter(o_orderdate) AS qtr,
+               month(o_orderdate) AS mon,
+               count(*) AS n_orders,
+               {dsum_sql("o_totalprice", "total_price")}
+        FROM orders
+        GROUP BY ROLLUP (yr, qtr, mon)
+        ORDER BY yr NULLS FIRST, qtr NULLS FIRST, mon NULLS FIRST""",
     "q_linear_regression": """
         WITH m AS (
           SELECT l_returnflag,
@@ -357,4 +390,5 @@ QUERIES = {
     "q_pandas_udf_score": q_pandas_udf_score,
     "q_approx_distinct": q_approx_distinct,  # rows-only: sketch is engine-specific
     "q_linear_regression": q_linear_regression,
+    "q_time_rollup": q_time_rollup,
 }

@@ -156,3 +156,37 @@ def test_streaming_matches_batch_sessionize(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 20  # non-trivial corpus
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from octopusdb_spark.streaming.joins import interval_join_streams
+
+    lsrc, rsrc = str(tmp_path / "impr"), str(tmp_path / "clicks")
+    (
+        spark.createDataFrame(
+            [(1, BASE), (1, BASE + 5000), (2, BASE + 100)], "user_id long, e long"
+        )
+        .select("user_id", F.col("e").cast("timestamp").alias("l_ts"))
+        .coalesce(1)
+        .write.parquet(lsrc)
+    )
+    (
+        spark.createDataFrame(
+            [(1, BASE + 120), (2, BASE + 7000), (3, BASE)], "user_id long, e long"
+        )
+        .select("user_id", F.col("e").cast("timestamp").alias("r_ts"))
+        .coalesce(1)
+        .write.parquet(rsrc)
+    )
+    left = spark.readStream.schema("user_id long, l_ts timestamp").parquet(lsrc)
+    right = spark.readStream.schema("user_id long, r_ts timestamp").parquet(rsrc)
+    joined = interval_join_streams(left, right, within="10 minutes", watermark="1 minute")
+    name = f"ssj_{int(time.time())}"
+    _run_to_memory(joined, name)
+    got = sorted(
+        (r["user_id"], int(r["l_ts"].timestamp()), int(r["r_ts"].timestamp()))
+        for r in spark.table(name).collect()
+    )
+    # user 1: click at +120 matches impression at BASE (within 10 min) only;
+    # user 2: click at +7000 is outside +100's window; user 3: no impression
+    assert got == [(1, BASE, BASE + 120)]
