@@ -214,3 +214,58 @@ def test_ingest_df_bulk_load(store, spark):
     store.set_batch([Entry("bulk0003", b"newer")])
     assert store.get("bulk0003", now=NOW).value == b"newer"
     assert store.view(now=NOW).count() == 500
+
+
+def test_randomized_ops_match_model(store, spark):
+    """Model-based check: a random interleaving of upserts, deletes, TTL
+    writes, and big values must always read back exactly like a dict model —
+    through segment accumulation, compaction, GC, and reopen."""
+    import random
+
+    rng = random.Random(0)
+    model = {}
+
+    def apply_batch(n):
+        batch = []
+        for _ in range(n):
+            k = f"k{rng.randrange(40):03d}"
+            op = rng.random()
+            if op < 0.2:
+                batch.append(Entry(k, None))  # tombstone
+                model[k] = None
+            elif op < 0.3:
+                exp = NOW + rng.choice([-500, 500])  # expired or live TTL
+                v = f"ttl{rng.randrange(1000)}".encode()
+                batch.append(Entry(k, v, expires_at=exp))
+                model[k] = v if exp > NOW else None
+            elif op < 0.4:
+                v = bytes([rng.randrange(256)]) * 2000  # value-separated
+                batch.append(Entry(k, v))
+                model[k] = v
+            else:
+                v = f"v{rng.randrange(10**6)}".encode()
+                batch.append(Entry(k, v))
+                model[k] = v
+        store.set_batch(batch)
+
+    def check(tag):
+        live = {k: v for k, v in model.items() if v is not None}
+        got = {
+            r["key"]: bytes(r["value"])
+            for r in store.scan(now=NOW).collect()
+        }
+        assert got == live, f"divergence after {tag}"
+
+    for i in range(4):
+        apply_batch(25)
+    check("4 batches")
+    store.compact(now=NOW)
+    check("compact")
+    store.gc_values(discard_ratio=0.0, now=NOW)
+    check("gc")
+    apply_batch(25)
+    check("post-maintenance writes")
+    reopened = KVStore(spark, store.root)
+    live = {k: v for k, v in model.items() if v is not None}
+    got = {r["key"]: bytes(r["value"]) for r in reopened.scan(now=NOW).collect()}
+    assert got == live, "divergence after reopen"
