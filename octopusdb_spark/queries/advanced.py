@@ -82,6 +82,19 @@ def q_anti_join(spark, sf_dir):
     )
 
 
+def q_semi_join(spark, sf_dir):
+    """Semi join (EXISTS): suppliers with at least one max-quantity (>= 49)
+    shipment — left_semi keeps the probe side only, so nothing from the big
+    side is projected or duplicated (the shuffle carries just the join key)."""
+    supp = t(spark, sf_dir, "supplier")
+    bulk = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        supp.join(bulk, supp.s_suppkey == bulk.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_median_quantity(spark, sf_dir):
     """Exact median per group without percentile interpolation ambiguity:
     middle-row(s) average via row_number — bit-identical in both engines
@@ -284,6 +297,12 @@ ORACLES = {
         FROM orders
         GROUP BY ROLLUP (yr, qtr, mon)
         ORDER BY yr NULLS FIRST, qtr NULLS FIRST, mon NULLS FIRST""",
+    "q_semi_join": """
+        SELECT s_suppkey, s_name, s_nationkey
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+        ORDER BY s_suppkey""",
     "q_linear_regression": """
         WITH m AS (
           SELECT l_returnflag,
@@ -391,4 +410,5 @@ QUERIES = {
     "q_approx_distinct": q_approx_distinct,  # rows-only: sketch is engine-specific
     "q_linear_regression": q_linear_regression,
     "q_time_rollup": q_time_rollup,
+    "q_semi_join": q_semi_join,
 }
