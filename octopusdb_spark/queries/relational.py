@@ -258,7 +258,62 @@ def q_event_time_windows(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel: users whose first view precedes their first
+    subsequent click precedes their first subsequent purchase. Three
+    conditional-min aggregations over one pass (no self-joins): stage k's
+    timestamp is min(ts) among events after stage k-1 — the standard
+    scalable funnel (shuffle = one hash agg by user)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("t_view")
+    stage = ev.groupBy("user_id").agg(v)
+    ev2 = ev.join(stage, "user_id")
+    c = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t_view")),
+            F.col("ts_us"),
+        )
+    ).alias("t_click")
+    stage2 = ev2.groupBy("user_id", "t_view").agg(c)
+    ev3 = ev.join(stage2, "user_id")
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t_click")),
+            F.col("ts_us"),
+        )
+    ).alias("t_purchase")
+    funnel = ev3.groupBy("user_id", "t_view", "t_click").agg(p)
+    return funnel.select(
+        "user_id",
+        F.col("t_view").isNotNull().alias("did_view"),
+        F.col("t_click").isNotNull().alias("did_click"),
+        F.col("t_purchase").isNotNull().alias("did_purchase"),
+    ).orderBy("user_id")
+
+
 ORACLES = {
+    "q_funnel": """
+        WITH s1 AS (
+          SELECT user_id, min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
+          FROM events GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, s1.t_view,
+                 min(CASE WHEN e.event_type = 'click' AND epoch_us(e.ts) > s1.t_view
+                     THEN epoch_us(e.ts) END) AS t_click
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          GROUP BY e.user_id, s1.t_view
+        ), s3 AS (
+          SELECT e.user_id, s2.t_view, s2.t_click,
+                 min(CASE WHEN e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_click
+                     THEN epoch_us(e.ts) END) AS t_purchase
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          GROUP BY e.user_id, s2.t_view, s2.t_click
+        )
+        SELECT user_id,
+               t_view IS NOT NULL AS did_view,
+               t_click IS NOT NULL AS did_click,
+               t_purchase IS NOT NULL AS did_purchase
+        FROM s3 ORDER BY user_id""",
     "q_event_time_windows": """
         SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
                event_type,
@@ -412,6 +467,7 @@ ORACLES = {
 
 QUERIES = {
     "q_event_time_windows": q_event_time_windows,
+    "q_funnel": q_funnel,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,

@@ -4,9 +4,12 @@ LLM-pipeline ANN stage (driver mandate; SURVEY.md §2 Part B / §7.3 M5).
 - brute-force cosine top-k: the exactness baseline. Dot products via
   zip_with + sequential aggregate so Spark and DuckDB (list_reduce) produce
   bit-identical doubles — floats are widened to double before any multiply.
-- sign-bucket ANN: an LSH/IVF-style scale path — candidates must share a
+- sign-bucket ANN: an LSH-style scale path — candidates must share a
   deterministic 8-bit sign bucket (axis hyperplanes), cutting comparisons
   ~256× at the cost of recall. Same scoring math, so also oracle-checkable.
+- IVF ANN: coarse-quantizer inverted lists over fixed seed centroids with
+  nprobe=2 probing — the partition-pruned scale path; deterministic, so
+  also oracle-checkable.
 - embedding near-duplicate pairs: all pairs >= 0.999 cosine, candidate-
   bounded by the sign bucket (near-identical vectors share the bucket unless
   a coordinate sits exactly at a sign boundary).
