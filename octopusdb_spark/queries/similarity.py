@@ -67,6 +67,23 @@ _SIGN_BUCKET_SQL = " + ".join(
 )
 
 
+def _sign_bucket_slice(col, offset: int, nbits: int) -> Column:
+    """Sign bits of coordinates [offset, offset+nbits) — one LSH table key."""
+    total = F.lit(0)
+    for i in range(nbits):
+        total = total + F.when(
+            F.element_at(col, offset + i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return total
+
+
+def _sign_bucket_slice_sql(prefix: str, offset: int, nbits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {prefix}.embedding[{offset + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+
+
 def q_sim_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-5 for each query vector (vec_id < 5) against
     the whole corpus — the exact baseline every ANN variant is judged by."""
@@ -104,26 +121,32 @@ def q_sim_topk_cosine(spark, sf_dir):
 
 
 def q_sim_ann_bucketed(spark, sf_dir):
-    """Sign-bucket ANN: same scoring, candidates restricted to the query's
-    8-bit sign bucket — the IVF/LSH-shaped scale path (per-bucket joins
-    instead of a cross join)."""
+    """Multi-table sign-LSH ANN: 4 hash tables, each keyed by the sign bits
+    of 4 coordinates. A candidate qualifies if it collides with the query in
+    ANY table — the standard L-tables LSH construction (a single 8-bit
+    table gives 1/256 collision odds for weakly-similar vectors: recall ~0
+    on a near-orthogonal corpus; 4 tables of 4 bits trade candidate volume
+    for usable recall). Spark shape: posexplode to (table, bucket) keys →
+    equi-join → distinct — never an OR-condition join (which would degrade
+    to a nested loop)."""
     emb = _with_norm(t(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", _sign_bucket(F.col("embedding"))
+        "buckets",
+        F.array(*[_sign_bucket_slice(F.col("embedding"), tbl * 4, 4) for tbl in range(4)]),
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
-        F.col("bucket"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
     )
     c = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
-        F.col("bucket"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
     )
     scored = (
-        q.join(c, "bucket")
+        q.join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
@@ -132,6 +155,7 @@ def q_sim_ann_bucketed(spark, sf_dir):
                 "cos"
             ),
         )
+        .dropDuplicates(["query_id", "cand_id", "cos"])
     )
     from pyspark.sql import Window
 
@@ -340,7 +364,9 @@ ORACLES = {
     , scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              {_DOT_SQL.format(a="q.embedding", b="c.embedding")} / (q.norm * c.norm) AS cos
-      FROM emb q JOIN emb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      FROM emb q JOIN emb c ON q.vec_id != c.vec_id AND (
+           {" OR ".join(f"({_sign_bucket_slice_sql('q', t * 4, 4)}) = ({_sign_bucket_slice_sql('c', t * 4, 4)})" for t in range(4))}
+      )
       WHERE q.vec_id < {N_QUERIES}
     ),
     ranked AS (

@@ -84,3 +84,17 @@ def test_topk_rank_bounds(spark, sf_dir):
         cosines = [x["cosine"] for x in sorted(rs, key=lambda x: x["rank"])]
         assert cosines == sorted(cosines, reverse=True)
         assert all(-1.000001 <= c <= 1.000001 for c in cosines)
+
+
+def test_ann_recall_floors(spark):
+    """ANN variants must actually find neighbors: recall vs the exact top-k
+    at sf0.01 (deterministic corpus). Multi-table LSH ~0.56, IVF nprobe=2/8
+    ~0.24 here; floors leave margin for testdata regeneration."""
+    sf = "/root/testdata/sf0.01"
+    exact = {(r["query_id"], r["cand_id"]) for r in REGISTRY["sim_topk_cosine"](spark, sf).collect()}
+    recall = {}
+    for name in ("sim_ann_bucketed", "sim_ann_ivf"):
+        approx = {(r["query_id"], r["cand_id"]) for r in REGISTRY[name](spark, sf).collect()}
+        recall[name] = len(exact & approx) / len(exact)
+    assert recall["sim_ann_bucketed"] >= 0.4, recall
+    assert recall["sim_ann_ivf"] >= 0.15, recall
