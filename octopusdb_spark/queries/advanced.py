@@ -217,6 +217,42 @@ def q_pandas_udf_score(spark, sf_dir):
     )
 
 
+def q_pandas_udaf_trimmed_mean(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (the UDAF surface): 10% trimmed mean of
+    order totals per priority — an aggregate the builtins can't express.
+    Each group arrives as one Arrow-backed Series; sorting inside the UDF
+    makes the float reduction order deterministic regardless of shuffle
+    layout, and round(6) sits far above any cross-engine ulp drift. At
+    scale this is one hash shuffle; groups must fit per-executor (true for
+    any bounded-cardinality grouping)."""
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        import math
+
+        s = v.sort_values().to_numpy()
+        k = int(len(s) * 0.1)
+        core = s[k : len(s) - k] if len(s) > 2 * k else s
+        # math.fsum is exactly rounded — order-independent, and within one
+        # ulp of the oracle's Kahan fsum(), far inside the round(6) margin
+        return math.fsum(core) / len(core)
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # builtin count() can't share an agg with a grouped-map pandas UDF
+        return len(v)
+
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            n_rows("o_totalprice").alias("n_orders"),
+            F.round(trimmed_mean("o_totalprice"), 6).alias("trimmed_mean_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_approx_distinct(spark, sf_dir):
     """Approximate distinct (HLL++) next to the exact count — sketch results
     are engine-specific, so this is a rows-only capability check."""
@@ -297,6 +333,21 @@ ORACLES = {
         FROM orders
         GROUP BY ROLLUP (yr, qtr, mon)
         ORDER BY yr NULLS FIRST, qtr NULLS FIRST, mon NULLS FIRST""",
+    "q_pandas_udaf_trimmed_mean": """
+        WITH ranked AS (
+          SELECT o_orderpriority, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders
+        )
+        SELECT o_orderpriority,
+               max(n) AS n_orders,
+               round(fsum(CASE WHEN rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+                                AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+                          THEN o_totalprice END)
+                     / (max(n) - 2 * CAST(FLOOR(max(n) * 0.1) AS BIGINT)), 6) AS trimmed_mean_price
+        FROM ranked
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_semi_join": """
         SELECT s_suppkey, s_name, s_nationkey
         FROM supplier s
@@ -411,4 +462,5 @@ QUERIES = {
     "q_linear_regression": q_linear_regression,
     "q_time_rollup": q_time_rollup,
     "q_semi_join": q_semi_join,
+    "q_pandas_udaf_trimmed_mean": q_pandas_udaf_trimmed_mean,
 }
