@@ -403,6 +403,34 @@ class KVStore:
             df = df.filter(F.col("key") < end)
         return df.orderBy(F.col("key").asc() if asc else F.col("key").desc())
 
+    def cache_view(self, now: int | None = None) -> DataFrame:
+        """Pin the current live view in executor memory — the block-cache
+        analog (A13, `kv/lsm/cache.go:7-28`): repeated reads skip the
+        segment scan + dedup entirely. Spark's storage layer replaces
+        W-TinyLFU (LRU eviction under memory pressure). The pin is tied to
+        this manifest version; any write invalidates it."""
+        if getattr(self, "_cached_view", None) is not None:
+            self.uncache_view()
+        df = self.view(now=now).cache()
+        self._cached_view = df
+        self._cached_version = self.manifest.state.version
+        return df
+
+    def cached_view(self) -> DataFrame | None:
+        """The pinned view if still valid for the current manifest version."""
+        if getattr(self, "_cached_view", None) is None:
+            return None
+        if self._cached_version != self.manifest.state.version:
+            self.uncache_view()
+            return None
+        return self._cached_view
+
+    def uncache_view(self) -> None:
+        if getattr(self, "_cached_view", None) is not None:
+            self._cached_view.unpersist()
+            self._cached_view = None
+            self._cached_version = None
+
     def snapshot_seq(self) -> int:
         """The sequence number capturing everything committed so far — pass
         to ``view/scan/get(as_of=...)`` for a repeatable snapshot read."""

@@ -269,3 +269,14 @@ def test_randomized_ops_match_model(store, spark):
     live = {k: v for k, v in model.items() if v is not None}
     got = {r["key"]: bytes(r["value"]) for r in reopened.scan(now=NOW).collect()}
     assert got == live, "divergence after reopen"
+
+
+def test_cache_view_pin_and_invalidate(store):
+    store.set_batch([Entry("c1", b"x"), Entry("c2", b"y")])
+    df = store.cache_view(now=NOW)
+    assert df.count() == 2
+    assert store.cached_view() is not None
+    # a write moves the manifest version -> pin is stale and dropped
+    store.set_batch([Entry("c3", b"z")])
+    assert store.cached_view() is None
+    assert store.view(now=NOW).count() == 3
