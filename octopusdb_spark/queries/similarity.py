@@ -4,20 +4,20 @@ LLM-pipeline ANN stage (driver mandate; SURVEY.md §2 Part B / §7.3 M5).
 - brute-force cosine top-k: the exactness baseline. Dot products via
   zip_with + sequential aggregate so Spark and DuckDB (list_reduce) produce
   bit-identical doubles — floats are widened to double before any multiply.
-- sign-bucket ANN: an LSH-style scale path — candidates must share a
-  deterministic 8-bit sign bucket (axis hyperplanes), cutting comparisons
-  ~256× at the cost of recall. Same scoring math, so also oracle-checkable.
+- multi-table sign-LSH ANN: 4 hash tables × 4 sign bits, any-table
+  collision qualifies a candidate (recall 0.56 vs 0 for a single 8-bit
+  table on this near-orthogonal corpus). Deterministic, oracle-checkable.
 - IVF ANN: coarse-quantizer inverted lists over fixed seed centroids with
   nprobe=2 probing — the partition-pruned scale path; deterministic, so
   also oracle-checkable.
-- embedding near-duplicate pairs: all pairs >= 0.999 cosine, candidate-
-  bounded by the sign bucket (near-identical vectors share the bucket unless
-  a coordinate sits exactly at a sign boundary).
+- embedding near-duplicate pairs: broadcast-GEMM candidate selection with
+  exact sequential re-scoring of the global top-20 closest pairs.
 
 Scale notes: brute force is O(Q×N) — fine for a query batch against 100 TB
-when Q is small and the corpus is partition-pruned; the bucketed variant is
-the default at scale. The per-vector norm is computed once (projection,
-no shuffle); pair generation shuffles on the bucket key only.
+when Q is small and the corpus is partition-pruned; the LSH/IVF variants
+are the default at scale (tests/test_queries.py pins their recall floors).
+The per-vector norm is computed once (projection, no shuffle); candidate
+generation shuffles on (table, bucket) / inverted-list keys only.
 """
 
 from __future__ import annotations
@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from octopusdb_spark.queries.common import t
 
-N_SIGN_BITS = 8
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 
@@ -47,24 +46,6 @@ _DOT_SQL = (
 
 def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
-
-
-def _sign_bucket(col) -> Column:
-    """Deterministic LSH bucket: sign bits of the first 8 coordinates."""
-    bits = [
-        F.when(F.element_at(col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(N_SIGN_BITS)
-    ]
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return total
-
-
-_SIGN_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(N_SIGN_BITS)
-)
 
 
 def _sign_bucket_slice(col, offset: int, nbits: int) -> Column:
@@ -337,8 +318,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 _EMB_NORM_SQL = f"""
 WITH emb AS (
   SELECT vec_id, embedding, label,
-         sqrt({_DOT_SQL.format(a="embedding", b="embedding")}) AS norm,
-         {_SIGN_BUCKET_SQL} AS bucket
+         sqrt({_DOT_SQL.format(a="embedding", b="embedding")}) AS norm
   FROM embeddings
 )
 """
