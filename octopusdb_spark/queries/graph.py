@@ -191,6 +191,33 @@ def q_graph_adjacency(spark, sf_dir):
     )
 
 
+def q_graph_khop(spark, sf_dir):
+    """BFS min-distance to 3 hops from seed nodes (src < 5) — the frontier-
+    expansion loop (each hop: one join from the current frontier + a min
+    agg; BFS guarantees the first time a node is reached is its min
+    distance, so the frontier stays small). Oracle: DuckDB recursive CTE.
+    At scale this is the standard Pregel frontier pattern — per-hop shuffle
+    is bounded by the frontier size, not the graph."""
+    e = edges(spark, sf_dir).cache()
+    dist = (
+        e.select(F.col("src").alias("node"))
+        .filter(F.col("node") < 5)
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+    )
+    frontier = dist
+    for hop in range(1, 4):
+        reached = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        new_nodes = reached.join(dist, "node", "left_anti")
+        dist = dist.unionByName(new_nodes)
+        frontier = new_nodes
+    return dist.orderBy("node")
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 
@@ -274,6 +301,18 @@ ORACLES = {
                 JOIN und e3 ON e2.b = e3.b AND e1.a = e3.a""",
     "graph_pagerank": _pagerank_sql(),
     "graph_components": _components_sql(),
+    "graph_khop": EDGES_SQL
+    + """
+    , bfs AS (
+      WITH RECURSIVE walk(node, dist) AS (
+        SELECT DISTINCT src AS node, 0 AS dist FROM edges WHERE src < 5
+        UNION ALL
+        SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.dist < 3
+      )
+      SELECT node, min(dist) AS dist FROM walk GROUP BY node
+    )
+    SELECT node, CAST(dist AS INT) AS dist FROM bfs ORDER BY node""",
     "graph_adjacency": EDGES_SQL
     + """
     SELECT src AS node,
@@ -290,4 +329,5 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_components": q_graph_components,
     "graph_adjacency": q_graph_adjacency,
+    "graph_khop": q_graph_khop,
 }
