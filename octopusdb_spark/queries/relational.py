@@ -291,7 +291,38 @@ def q_funnel(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 200, joined back
+    to their customer — aggregate-then-filter (HAVING) feeding a broadcast
+    join; the lineitem scan aggregates before anything is joined, so the
+    join input is orders-not-lineitems sized."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", F.col("o_orderkey").alias("orderkey"), "o_totalprice", "sum_qty")
+        .orderBy(F.desc("sum_qty"), "orderkey")
+        .limit(100)
+    )
+
+
 ORACLES = {
+    "q18_large_volume": f"""
+        WITH big AS (
+          SELECT l_orderkey, {dsum_sql("l_quantity", "sum_qty")}
+          FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 200
+        )
+        SELECT c_name, o_orderkey AS orderkey, o_totalprice, sum_qty
+        FROM big JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY sum_qty DESC, orderkey LIMIT 100""",
     "q_funnel": """
         WITH s1 AS (
           SELECT user_id, min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
@@ -468,6 +499,7 @@ ORACLES = {
 QUERIES = {
     "q_event_time_windows": q_event_time_windows,
     "q_funnel": q_funnel,
+    "q18_large_volume": q18_large_volume,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,

@@ -12,6 +12,7 @@ embarrassingly parallel map tasks.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from octopusdb_spark.queries.common import t
@@ -113,6 +114,37 @@ def q_text_source_profile(spark, sf_dir):
 _MARKER_LIST = "['" + "','".join(EN_MARKERS) + "']"
 _STOP_LIST = "['" + "','".join(STOPWORDS) + "']"
 
+def q_text_tfidf_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document (doc_id < 50) by
+    tf * ln(N/df). Two aggregations — term frequency by (doc, term), then
+    document frequency by term — and a keyed window; the corpus size N is
+    the only scalar that touches the driver. Ranking ties are broken by
+    term, and (tf, df) pairs that tie produce identical scores in both
+    engines, so the top-3 is deterministic."""
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar; everything else stays distributed
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .filter(F.col("doc_id") < 50)
+        .withColumn(
+            "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
+        .orderBy("doc_id", "rank")
+    )
+
+
 def q_text_tokenize_udtf(spark, sf_dir):
     """Python UDTF surface (one row in, N rows out with per-call state —
     the table-function shape that `posexplode(split(...))` can't express
@@ -145,6 +177,28 @@ def q_text_tokenize_udtf(spark, sf_dir):
 
 
 ORACLES = {
+    "text_tfidf_keywords": """
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), nz AS (
+          SELECT doc_id, term FROM words WHERE term <> ''
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM nz GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n
+          WHERE tf.doc_id < 50
+        ), ranked AS (
+          SELECT doc_id, term, tf, df, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, rank, term, tf, df, round(tfidf, 6) AS tfidf
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
     "text_tokenize_udtf": r"""
         WITH toks AS (
           SELECT doc_id, string_split_regex(text, '\s+') AS arr
@@ -223,4 +277,5 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_source_profile": q_text_source_profile,
     "text_tokenize_udtf": q_text_tokenize_udtf,
+    "text_tfidf_keywords": q_text_tfidf_keywords,
 }
