@@ -280,3 +280,20 @@ def test_cache_view_pin_and_invalidate(store):
     store.set_batch([Entry("c3", b"z")])
     assert store.cached_view() is None
     assert store.view(now=NOW).count() == 3
+
+
+def test_uncommitted_segment_ignored_on_reopen(store, spark):
+    """Durability contract (WAL analog, A18): data files without a manifest
+    commit — a crash between segment write and commit — are invisible."""
+    from octopusdb_spark.kv.store import DATA_SCHEMA
+
+    store.set_batch([Entry("real", b"1")])
+    _, orphan = store.manifest.new_segment_path("data")
+    spark.createDataFrame(
+        [("ghost", bytearray(b"boo"), 0, 0, 999, 999, None)], DATA_SCHEMA
+    ).write.parquet(orphan)
+
+    reopened = KVStore(spark, store.root)
+    assert reopened.get("ghost", now=NOW) is None
+    assert reopened.get("real", now=NOW).value == b"1"
+    assert reopened.view(now=NOW).count() == 1
