@@ -39,6 +39,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "q_event_time_windows",
     "q_range_join_bucketed",
+    "sim_ann_bucketed",
+    "graph_khop",
+    "q_funnel",
+    "q18_large_volume",
 ]
 
 

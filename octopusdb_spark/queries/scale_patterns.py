@@ -118,7 +118,37 @@ def q_hash_sampled_stats(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: exactly 20 orders per priority
+    class, chosen by md5-hash order — balanced profiling input regardless
+    of class skew (a plain hash sample under-represents rare strata). One
+    keyed window; at scale the per-class top-20 is a partial top-k."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    hid = F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+    w = Window.partitionBy("o_orderpriority").orderBy(hid.asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("o_orderpriority", F.col("rn").alias("sample_rank"), "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "sample_rank")
+    )
+
+
 ORACLES = {
+    "q_stratified_sample": """
+        WITH ranked AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC, o_orderkey ASC
+                 ) AS rn
+          FROM orders
+        )
+        SELECT o_orderpriority, rn AS sample_rank, o_orderkey, o_totalprice
+        FROM ranked WHERE rn <= 20
+        ORDER BY o_orderpriority, sample_rank""",
     "q_range_join_bucketed": f"""
         SELECT o.o_orderkey,
                count(*) AS n_shipped,
@@ -150,4 +180,5 @@ QUERIES = {
     "q_range_join_bucketed": q_range_join_bucketed,
     "q_skew_salted_join": q_skew_salted_join,
     "q_hash_sampled_stats": q_hash_sampled_stats,
+    "q_stratified_sample": q_stratified_sample,
 }
