@@ -212,7 +212,9 @@ def q_graph_khop(spark, sf_dir):
             .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
             .distinct()
         )
-        new_nodes = reached.join(dist, "node", "left_anti")
+        # cache each (tiny) frontier: without it, hop k's anti-join re-plans
+        # the whole union-of-unions lineage — ~40% of the query's wall time
+        new_nodes = reached.join(dist, "node", "left_anti").cache()
         dist = dist.unionByName(new_nodes)
         frontier = new_nodes
     return dist.orderBy("node")
