@@ -313,7 +313,34 @@ def q18_large_volume(spark, sf_dir):
     )
 
 
+def q_mode_event_type(spark, sf_dir):
+    """Per-user mode (most frequent event type), ties broken by type desc —
+    deterministic in both engines via an explicit rank, since native mode()
+    functions leave ties unspecified. Count-then-rank: the shuffle carries
+    one row per (user, type), not per event."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.desc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), F.col("cnt").alias("n"))
+        .orderBy("user_id")
+    )
+
+
 ORACLES = {
+    "q_mode_event_type": """
+        WITH counts AS (
+          SELECT user_id, event_type, count(*) AS cnt
+          FROM events GROUP BY user_id, event_type
+        ), ranked AS (
+          SELECT user_id, event_type, cnt,
+                 row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type DESC) AS rn
+          FROM counts
+        )
+        SELECT user_id, event_type AS mode_event_type, cnt AS n
+        FROM ranked WHERE rn = 1 ORDER BY user_id""",
     "q18_large_volume": f"""
         WITH big AS (
           SELECT l_orderkey, {dsum_sql("l_quantity", "sum_qty")}
@@ -500,6 +527,7 @@ QUERIES = {
     "q_event_time_windows": q_event_time_windows,
     "q_funnel": q_funnel,
     "q18_large_volume": q18_large_volume,
+    "q_mode_event_type": q_mode_event_type,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
