@@ -18,3 +18,9 @@ no RDDs, no driver-side row loops on data paths.
 """
 
 __version__ = "0.1.0"
+
+from octopusdb_spark.db import Iterator, OctopusDB
+from octopusdb_spark.kv.store import Entry, KVStore
+from octopusdb_spark.session import get_spark
+
+__all__ = ["OctopusDB", "Iterator", "KVStore", "Entry", "get_spark", "__version__"]
