@@ -51,6 +51,10 @@ class ManifestState:
         return [s for s in self.segments if s.kind == "values"]
 
 
+class ManifestConflictError(RuntimeError):
+    """Another writer committed since this handle loaded its state."""
+
+
 class Manifest:
     """Single-writer, atomically-committed segment catalog."""
 
@@ -80,7 +84,21 @@ class Manifest:
 
     def commit(self, new_state: ManifestState) -> None:
         """Write snapshot then atomically swap CURRENT (os.replace is atomic
-        on POSIX) — the analog of manifest AddChanges + rewrite."""
+        on POSIX) — the analog of manifest AddChanges + rewrite.
+
+        Enforces the single-writer discipline (`kv/db.go:224-285` has one
+        doWrites goroutine): if CURRENT moved since this handle loaded its
+        state, committing would silently drop the other writer's segments —
+        raise instead so the caller reloads."""
+        cur = self._current_path()
+        if os.path.exists(cur):
+            with open(cur) as f:
+                disk_version = int(f.read().strip())
+            if disk_version != self.state.version:
+                raise ManifestConflictError(
+                    f"manifest moved underneath this writer (disk v{disk_version}, "
+                    f"base v{self.state.version}); open a fresh KVStore handle"
+                )
         new_state.version = self.state.version + 1
         snap = os.path.join(self.dir, f"manifest-{new_state.version}.json")
         payload = {

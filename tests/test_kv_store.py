@@ -297,3 +297,20 @@ def test_uncommitted_segment_ignored_on_reopen(store, spark):
     assert reopened.get("ghost", now=NOW) is None
     assert reopened.get("real", now=NOW).value == b"1"
     assert reopened.view(now=NOW).count() == 1
+
+
+def test_concurrent_writer_conflict_detected(store, spark):
+    """Single-writer discipline: a stale handle must fail loudly instead of
+    silently clobbering another writer's committed segments."""
+    import pytest as _pytest
+
+    from octopusdb_spark.kv.manifest import ManifestConflictError
+
+    store.set_batch([Entry("w1", b"a")])
+    other = KVStore(spark, store.root)  # loads current state
+    other.set_batch([Entry("w2", b"b")])  # commits -> store's base is stale
+    with _pytest.raises(ManifestConflictError):
+        store.set_batch([Entry("w3", b"c")])
+    # the fresh handle sees both committed writes, nothing lost
+    fresh = KVStore(spark, store.root)
+    assert {r["key"] for r in fresh.view(now=NOW).collect()} == {"w1", "w2"}
