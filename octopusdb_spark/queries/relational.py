@@ -313,6 +313,28 @@ def q18_large_volume(spark, sf_dir):
     )
 
 
+def q_moving_avg(spark, sf_dir):
+    """Sliding window frame: 3-month moving average of monthly revenue per
+    order priority (rowsBetween(-2, 0)). The frame sums at most 3 exact
+    doubles in frame order — deterministic in both engines; monthly totals
+    themselves are decimal-accumulated."""
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("month")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        monthly.withColumn("mov_avg_3m", F.round(F.avg("revenue").over(w), 6))
+        .select("o_orderpriority", "month", "revenue", "mov_avg_3m")
+        .orderBy("o_orderpriority", "month")
+    )
+
+
 def q_mode_event_type(spark, sf_dir):
     """Per-user mode (most frequent event type), ties broken by type desc —
     deterministic in both engines via an explicit rank, since native mode()
@@ -330,6 +352,18 @@ def q_mode_event_type(spark, sf_dir):
 
 
 ORACLES = {
+    "q_moving_avg": f"""
+        WITH monthly AS (
+          SELECT o_orderpriority,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 {dsum_sql("o_totalprice", "revenue")}
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderpriority, month, revenue,
+               round(avg(revenue) OVER (
+                 PARTITION BY o_orderpriority ORDER BY month
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg_3m
+        FROM monthly ORDER BY o_orderpriority, month""",
     "q_mode_event_type": """
         WITH counts AS (
           SELECT user_id, event_type, count(*) AS cnt
@@ -528,6 +562,7 @@ QUERIES = {
     "q_funnel": q_funnel,
     "q18_large_volume": q18_large_volume,
     "q_mode_event_type": q_mode_event_type,
+    "q_moving_avg": q_moving_avg,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
