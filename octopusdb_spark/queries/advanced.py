@@ -148,6 +148,22 @@ def q_string_agg(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the generalization cube/rollup compile to:
+    per-status totals, per-priority totals, and the grand total in one pass
+    (one shuffle keyed by grouping-set id), without the full cube's cross
+    product."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  count(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           FROM _orders_gs
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+    )
+
+
 def q_cube_orders(spark, sf_dir):
     """CUBE aggregation over (status, priority): all grouping-set rollups."""
     orders = t(spark, sf_dir, "orders")
@@ -348,6 +364,13 @@ ORACLES = {
                      / (max(n) - 2 * CAST(FLOOR(max(n) * 0.1) AS BIGINT)), 6) AS trimmed_mean_price
         FROM ranked
         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "q_semi_join": """
         SELECT s_suppkey, s_name, s_nationkey
         FROM supplier s
@@ -456,6 +479,7 @@ QUERIES = {
     "q_median_quantity": q_median_quantity,
     "q_string_agg": q_string_agg,
     "q_cube_orders": q_cube_orders,
+    "q_grouping_sets": q_grouping_sets,
     "q_correlation": q_correlation,
     "q_pandas_udf_score": q_pandas_udf_score,
     "q_approx_distinct": q_approx_distinct,  # rows-only: sketch is engine-specific

@@ -104,3 +104,29 @@ def test_big_value_round_trip_and_gc(db):
     assert db.get("blob:1", now=NOW) == b"small"
     assert db.get("blob:2", now=NOW) == payload[::-1]
     assert db.info()["row_count"] > 0
+
+
+def test_iterator_seek_property():
+    """Property: seek(k) positions at the first entry >= k — binary search
+    must agree with the linear-scan definition for any key set and probe."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from octopusdb_spark.db import Iterator
+
+    keys_st = st.lists(st.text(alphabet="abcz", min_size=1, max_size=5), unique=True)
+    probe_st = st.text(alphabet="abcz", min_size=0, max_size=5)
+
+    @settings(max_examples=300, deadline=None)
+    @given(keys=keys_st, probe=probe_st)
+    def check(keys, probe):
+        srt = sorted(keys)
+        rows = [{"key": k, "value": b"v", "expires_at": 0, "version": 1} for k in srt]
+        it = Iterator(rows)
+        it.seek(probe)
+        expected = next((i for i, k in enumerate(srt) if k >= probe), len(srt))
+        assert it._pos == expected
+        if it.valid():
+            assert it.item().key >= probe
+
+    check()
