@@ -1,0 +1,96 @@
+"""Maintenance-path benchmark: bulk ingest → leveled compaction → value GC.
+
+Ingests the sf lineitem table (600k rows at sf0.1) into a KV store as three
+bulk batches (so L0 accumulates overlapping sorted runs), overwrites ~1/7 of
+the keys (creating dead versions + dead values), then times auto_compact and
+gc_values. Prints one JSON line. This is the engine's A11/A16 story under a
+realistic write pattern — every phase is a distributed Spark job; nothing
+rows through the driver.
+
+Usage: python tools/maintenance_bench.py  (honors SPARK_GRAFT_SF_DIR)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from octopusdb_spark.kv.store import KVStore
+from octopusdb_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NOW = 2_000_000_000
+
+
+def main() -> None:
+    spark = get_spark("octopusdb-maintenance-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ).alias("key"),
+        F.concat(
+            F.lit("flag="), F.col("l_returnflag"), F.lit(";price="),
+            F.col("l_extendedprice").cast("string"),
+        ).cast("binary").alias("value"),
+    )
+    timings: dict[str, float] = {}
+    with tempfile.TemporaryDirectory() as d:
+        store = KVStore(spark, os.path.join(d, "kv"))
+
+        t0 = time.perf_counter()
+        n = 0
+        for part in range(3):  # three overlapping sorted runs at L0
+            n += store.ingest_df(
+                li.filter(F.pmod(F.xxhash64("key"), F.lit(3)) == part), target_segments=8
+            )
+        timings["ingest_3_batches"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        n_over = store.ingest_df(
+            li.filter(F.pmod(F.xxhash64("key"), F.lit(7)) == 0).withColumn(
+                "value", F.concat(F.col("value").cast("string"), F.lit(";v2")).cast("binary")
+            ),
+            target_segments=8,
+        )
+        timings["overwrite_1_in_7"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        rounds = store.auto_compact(now=NOW)
+        timings["auto_compact"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        store.gc_values(discard_ratio=0.0, now=NOW)
+        timings["gc_values"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        live = store.view(now=NOW).count()
+        timings["post_compact_full_scan"] = round(time.perf_counter() - t0, 3)
+
+        print(
+            json.dumps(
+                {
+                    "metric": "kv_maintenance_wall_clock",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "phases": timings,
+                    "rows_ingested": n + n_over,
+                    "live_keys": live,
+                    "compaction_rounds": rounds,
+                    "segments": store.info(),
+                    "sf_dir": SF_DIR,
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
