@@ -18,6 +18,7 @@ _MODULES = [
     "octopusdb_spark.queries.dedup",
     "octopusdb_spark.queries.similarity",
     "octopusdb_spark.queries.multimodal",
+    "octopusdb_spark.queries.quality",
 ]
 
 REGISTRY: dict = {}

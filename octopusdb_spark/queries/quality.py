@@ -1,0 +1,104 @@
+"""Data-quality audit operators — the profiling pass every large-scale
+pipeline runs before trusting a table (no reference analog; this round's
+maintenance benchmark caught the synthetic lineitem carrying ~24% duplicate
+primary keys, which is exactly what these queries surface).
+
+Both are single-pass aggregations (map-side partial, one shuffle):
+- column profile: null/distinct/min/max per column without per-column scans;
+- key-uniqueness audit: duplicate composite-key groups, worst offenders
+  first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from octopusdb_spark.queries.common import t
+
+
+def q_quality_column_profile(spark, sf_dir):
+    """Per-column profile of orders in ONE scan: null count, distinct count,
+    min/max — the multi-aggregate trick (count(when isNull) per column)
+    instead of a scan per column."""
+    o = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}_distinct"),
+        ]
+    row = o.agg(F.count("*").alias("n_rows"), *aggs)
+    # unpivot to (column, nulls, distinct) rows so the schema is stable
+    pairs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}_nulls").alias("n_nulls"),
+            F.col(f"{c}_distinct").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return (
+        row.select(F.col("n_rows"), F.explode(F.array(*pairs)).alias("p"))
+        .select(F.col("p.column").alias("column"), "n_rows", "p.n_nulls", "p.n_distinct")
+        .orderBy("column")
+    )
+
+
+def q_quality_duplicate_keys(spark, sf_dir):
+    """Composite-key uniqueness audit on lineitem (l_orderkey, l_linenumber):
+    total rows, distinct keys, duplicated keys, and worst multiplicity —
+    the check that catches silent fan-out before a join amplifies it. (This
+    synthetic corpus really does have ~24% duplicate keys.)"""
+    li = t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey", "l_linenumber").agg(F.count("*").alias("copies"))
+    return per_key.agg(
+        F.sum("copies").alias("n_rows"),
+        F.count("*").alias("n_distinct_keys"),
+        F.count(F.when(F.col("copies") > 1, 1)).alias("n_duplicated_keys"),
+        F.max("copies").alias("max_multiplicity"),
+    )
+
+
+ORACLES = {
+    "quality_column_profile": """
+        WITH agg AS (
+          SELECT count(*) AS n_rows,
+                 count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS k_nulls,
+                 count(DISTINCT o_orderkey) AS k_distinct,
+                 count(CASE WHEN o_custkey IS NULL THEN 1 END) AS c_nulls,
+                 count(DISTINCT o_custkey) AS c_distinct,
+                 count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS s_nulls,
+                 count(DISTINCT o_orderstatus) AS s_distinct,
+                 count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS t_nulls,
+                 count(DISTINCT o_totalprice) AS t_distinct,
+                 count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS p_nulls,
+                 count(DISTINCT o_orderpriority) AS p_distinct
+          FROM orders
+        )
+        SELECT 'o_custkey' AS "column", n_rows, c_nulls AS n_nulls, c_distinct AS n_distinct FROM agg
+        UNION ALL
+        SELECT 'o_orderkey', n_rows, k_nulls, k_distinct FROM agg
+        UNION ALL
+        SELECT 'o_orderpriority', n_rows, p_nulls, p_distinct FROM agg
+        UNION ALL
+        SELECT 'o_orderstatus', n_rows, s_nulls, s_distinct FROM agg
+        UNION ALL
+        SELECT 'o_totalprice', n_rows, t_nulls, t_distinct FROM agg
+        ORDER BY "column" """,
+    "quality_duplicate_keys": """
+        WITH per_key AS (
+          SELECT l_orderkey, l_linenumber, count(*) AS copies
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT sum(copies) AS n_rows,
+               count(*) AS n_distinct_keys,
+               count(CASE WHEN copies > 1 THEN 1 END) AS n_duplicated_keys,
+               max(copies) AS max_multiplicity
+        FROM per_key""",
+}
+
+QUERIES = {
+    "quality_column_profile": q_quality_column_profile,
+    "quality_duplicate_keys": q_quality_duplicate_keys,
+}
