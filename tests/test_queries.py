@@ -98,3 +98,17 @@ def test_ann_recall_floors(spark):
         recall[name] = len(exact & approx) / len(exact)
     assert recall["sim_ann_bucketed"] >= 0.4, recall
     assert recall["sim_ann_ivf"] >= 0.15, recall
+
+
+def test_every_registered_query_executes(spark):
+    """Every registry entry must at least build and execute at smoke scale —
+    catches runtime breakage in queries the spot-check list doesn't cover
+    (full value parity runs in tools/oracle_check.py / the driver gate)."""
+    sf = "/root/testdata/sf0.001"
+    failures = {}
+    for name, fn in sorted(REGISTRY.items()):
+        try:
+            fn(spark, sf).limit(5).collect()
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failures[name] = str(e).splitlines()[0][:120]
+    assert not failures, failures
