@@ -313,6 +313,24 @@ def q18_large_volume(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention over the event stream: users bucketed by first-seen
+    day, counted per days-since-cohort offset — the classic retention
+    triangle. Two aggregations (first-seen per user, then cohort x offset
+    distinct users); integer-day math keeps it engine-exact."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")  # integer div, exact
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+        .filter(F.col("day_offset") <= 3)
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def q_moving_avg(spark, sf_dir):
     """Sliding window frame: 3-month moving average of monthly revenue per
     order priority (rowsBetween(-2, 0)). The frame sums at most 3 exact
@@ -352,6 +370,18 @@ def q_mode_event_type(spark, sf_dir):
 
 
 ORACLES = {
+    "q_cohort_retention": """
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day
+          FROM events
+        ), first_seen AS (
+          SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+        )
+        SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+               count(DISTINCT e.user_id) AS n_active_users
+        FROM ev e JOIN first_seen f USING (user_id)
+        GROUP BY 1, 2 HAVING day_offset <= 3
+        ORDER BY 1, 2""",
     "q_moving_avg": f"""
         WITH monthly AS (
           SELECT o_orderpriority,
@@ -563,6 +593,7 @@ QUERIES = {
     "q18_large_volume": q18_large_volume,
     "q_mode_event_type": q_mode_event_type,
     "q_moving_avg": q_moving_avg,
+    "q_cohort_retention": q_cohort_retention,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
