@@ -122,6 +122,28 @@ def q_median_quantity(spark, sf_dir):
     )
 
 
+def q_p95_disc(spark, sf_dir):
+    """Exact discrete 95th percentile of extendedprice per returnflag —
+    percentile_disc semantics made engine-exact: the value at rank
+    ceil(0.95 * n) in sort order (an actual data value, no interpolation,
+    so no float-accumulation ambiguity). One keyed window."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.ceil(F.col("n") * 0.95))
+        .select("l_returnflag", F.col("l_extendedprice").alias("p95_price"))
+        .orderBy("l_returnflag")
+    )
+
+
 def q_string_agg(spark, sf_dir):
     """Ordered string aggregation: top-3 (by acctbal desc) customer names per
     nation, comma-joined — collect_list + array_sort keeps it deterministic."""
@@ -371,6 +393,17 @@ ORACLES = {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_p95_disc": """
+        WITH ranked AS (
+          SELECT l_returnflag, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem
+        )
+        SELECT l_returnflag, l_extendedprice AS p95_price
+        FROM ranked WHERE rn = CAST(ceil(n * 0.95) AS BIGINT)
+        ORDER BY l_returnflag""",
     "q_semi_join": """
         SELECT s_suppkey, s_name, s_nationkey
         FROM supplier s
@@ -477,6 +510,7 @@ QUERIES = {
     "q_pivot_event_types": q_pivot_event_types,
     "q_anti_join": q_anti_join,
     "q_median_quantity": q_median_quantity,
+    "q_p95_disc": q_p95_disc,
     "q_string_agg": q_string_agg,
     "q_cube_orders": q_cube_orders,
     "q_grouping_sets": q_grouping_sets,
