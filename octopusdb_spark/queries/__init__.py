@@ -11,6 +11,7 @@ from importlib import import_module
 _MODULES = [
     "octopusdb_spark.queries.kv_semantics",
     "octopusdb_spark.queries.relational",
+    "octopusdb_spark.queries.tpch_extra",
     "octopusdb_spark.queries.advanced",
     "octopusdb_spark.queries.scale_patterns",
     "octopusdb_spark.queries.graph",
