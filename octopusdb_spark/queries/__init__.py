@@ -13,6 +13,7 @@ _MODULES = [
     "octopusdb_spark.queries.relational",
     "octopusdb_spark.queries.tpch_extra",
     "octopusdb_spark.queries.advanced",
+    "octopusdb_spark.queries.analytics_extra",
     "octopusdb_spark.queries.scale_patterns",
     "octopusdb_spark.queries.graph",
     "octopusdb_spark.queries.text",
