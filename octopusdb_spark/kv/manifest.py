@@ -43,6 +43,11 @@ class ManifestState:
     version: int = 0
     next_seq: int = 1
     segments: list = field(default_factory=list)  # list[SegmentInfo]
+    # Streaming exactly-once bookkeeping: checkpoint-dir -> highest batch_id
+    # whose segment append + manifest commit landed. foreachBatch is
+    # at-least-once; replayed batches are skipped by consulting this map,
+    # making the side effect idempotent per (checkpoint, batch_id).
+    stream_commits: dict = field(default_factory=dict)
 
     def data_segments(self) -> list:
         return [s for s in self.segments if s.kind == "data"]
@@ -80,6 +85,7 @@ class Manifest:
             version=raw["version"],
             next_seq=raw["next_seq"],
             segments=[SegmentInfo(**s) for s in raw["segments"]],
+            stream_commits=raw.get("stream_commits", {}),
         )
 
     def commit(self, new_state: ManifestState) -> None:
@@ -89,7 +95,10 @@ class Manifest:
         Enforces the single-writer discipline (`kv/db.go:224-285` has one
         doWrites goroutine): if CURRENT moved since this handle loaded its
         state, committing would silently drop the other writer's segments —
-        raise instead so the caller reloads."""
+        raise instead so the caller reloads. The snapshot file itself is
+        claimed with O_CREAT|O_EXCL, so two handles racing past the CURRENT
+        check cannot both own the same version: the loser's open() fails
+        atomically instead of clobbering the winner's manifest-{v}.json."""
         cur = self._current_path()
         if os.path.exists(cur):
             with open(cur) as f:
@@ -100,18 +109,28 @@ class Manifest:
                     f"base v{self.state.version}); open a fresh KVStore handle"
                 )
         new_state.version = self.state.version + 1
+        if not new_state.stream_commits:
+            # Carry streaming bookkeeping forward through maintenance commits
+            # (compaction/GC) that rebuild the state from scratch.
+            new_state.stream_commits = dict(self.state.stream_commits)
         snap = os.path.join(self.dir, f"manifest-{new_state.version}.json")
         payload = {
             "version": new_state.version,
             "next_seq": new_state.next_seq,
             "segments": [asdict(s) for s in new_state.segments],
+            "stream_commits": new_state.stream_commits,
         }
-        tmp = snap + ".tmp"
-        with open(tmp, "w") as f:
+        try:
+            fd = os.open(snap, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            raise ManifestConflictError(
+                f"manifest-{new_state.version}.json already committed by a "
+                "concurrent writer; open a fresh KVStore handle"
+            ) from None
+        with os.fdopen(fd, "w") as f:
             json.dump(payload, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, snap)
         cur_tmp = self._current_path() + ".tmp"
         with open(cur_tmp, "w") as f:
             f.write(str(new_state.version))

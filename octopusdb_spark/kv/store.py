@@ -72,6 +72,21 @@ VALUES_SCHEMA = T.StructType(
 )
 
 
+def _prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string > every key with this prefix, for segment pruning.
+
+    Increment-with-carry: trailing U+10FFFF characters can't be bumped
+    (chr(0x110000) is invalid), so drop them and bump the previous char.
+    An all-U+10FFFF prefix has no finite bound — return None (no pruning).
+    """
+    i = len(prefix) - 1
+    while i >= 0 and ord(prefix[i]) == 0x10FFFF:
+        i -= 1
+    if i < 0:
+        return None
+    return prefix[:i] + chr(ord(prefix[i]) + 1)
+
+
 @dataclass
 class Entry:
     """Client-facing record — the analog of kv/utils/entry.go:50-60."""
@@ -195,6 +210,7 @@ class KVStore:
         value_col: str = "value",
         expires_col: str | None = None,
         target_segments: int = 8,
+        commit_tag: tuple[str, int] | None = None,
     ) -> int:
         """Distributed bulk load — the 100 TB write path. ``set_batch``
         funnels rows through the driver (fine for the reference's 3×1000
@@ -214,8 +230,18 @@ class KVStore:
         Returns the number of rows ingested. Intra-batch duplicate keys are
         resolved by seq order (later partition wins), matching batchSet's
         sequential stamping.
+
+        ``commit_tag=(stream_id, batch_id)`` makes the ingest idempotent:
+        if the manifest already records batch_id (or later) as committed for
+        stream_id, the call is a no-op — the replay-safety contract for
+        foreachBatch's at-least-once side effects.
         """
         state = self.manifest.state
+        if commit_tag is not None:
+            stream_id, batch_id = commit_tag
+            done = state.stream_commits.get(stream_id)
+            if done is not None and int(batch_id) <= int(done):
+                return 0  # replayed micro-batch; already committed
         seq0 = state.next_seq
         expires = (
             F.coalesce(F.col(expires_col).cast("long"), F.lit(0))
@@ -258,7 +284,10 @@ class KVStore:
             version=state.version,
             next_seq=int(totals["mxseq"]) + 1,
             segments=list(state.segments),
+            stream_commits=dict(state.stream_commits),
         )
+        if commit_tag is not None:
+            new_state.stream_commits[commit_tag[0]] = int(commit_tag[1])
 
         big = staged.filter(F.col("value_ptr").isNotNull()).select(
             F.col("value_ptr").alias("value_id"), F.col("value").alias("big_value")
@@ -343,8 +372,12 @@ class KVStore:
         ``as_of`` reads the snapshot as of write sequence ``as_of`` (the
         reference's versioned keys, `kv/utils/key.go:32-37`, read at a fixed
         ts): entries with seq > as_of are invisible. Snapshot depth is
-        bounded by compaction — merged segments drop superseded versions,
-        exactly like an LSM without snapshot pinning."""
+        bounded by maintenance — compaction drops superseded versions, and
+        ``gc_values`` drops superseded big-value payloads, exactly like an
+        LSM without snapshot pinning. A separated value whose payload was
+        GC'd after the snapshot resolves to a dangling pointer; such rows
+        are filtered out (the snapshot horizon has moved past them), never
+        surfaced as NULL values."""
         now = int(time.time()) if now is None else now
         base = self.raw_df(segs)
         if as_of is not None:
@@ -357,6 +390,7 @@ class KVStore:
         return (
             live.join(F.broadcast(vals), live.value_ptr == vals.value_id, "left")
             .withColumn("value", F.coalesce(F.col("value"), F.col("big_value")))
+            .filter(F.col("value").isNotNull())  # GC'd dangling pointers
             .select("key", "value", "expires_at", "version", "seq")
         )
 
@@ -375,6 +409,8 @@ class KVStore:
         if not rows:
             return None
         r = rows[0]
+        if r["value"] is None:  # defense-in-depth; view() filters these
+            return None
         return Entry(key=r["key"], value=bytes(r["value"]), expires_at=r["expires_at"], version=r["version"])
 
     def scan(
@@ -392,7 +428,7 @@ class KVStore:
         lo = start if start is not None else prefix
         hi = end
         if prefix is not None and end is None:
-            hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            hi = _prefix_upper_bound(prefix)
         segs = self.manifest.prune_for_range(lo, hi)
         df = self.view(now=now, segs=segs, as_of=as_of)
         if prefix is not None:
@@ -468,8 +504,14 @@ class KVStore:
             .option("parquet.bloom.filter.enabled#key", "true")
             .parquet(staging)
         )
+        # Explicit schema: when df is empty (e.g. compacting a fully
+        # tombstoned store) the dynamic-partition write produces no part
+        # files, and schema inference on the staging dir would fail.
+        readback_schema = T.StructType(
+            list(DATA_SCHEMA.fields) + [T.StructField("_bucket", T.IntegerType(), True)]
+        )
         stats = (
-            self.spark.read.parquet(staging)
+            self.spark.read.schema(readback_schema).parquet(staging)
             .groupBy("_bucket")
             .agg(
                 F.min("key").alias("mn"),

@@ -236,7 +236,7 @@ ORACLES = {
     "kv_gc_discard_stats": KV_BASE
     + """SELECT seq % 8 AS value_segment,
                 count(*) AS dead_entries,
-                sum(length(value)) AS dead_bytes
+                CAST(sum(length(value)) AS BIGINT) AS dead_bytes
          FROM latest WHERE rn > 1 AND value IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
 }

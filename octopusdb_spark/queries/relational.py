@@ -570,7 +570,8 @@ ORACLES = {
                    AS session_id
           FROM flagged
         )
-        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
         FROM sessions GROUP BY user_id ORDER BY user_id""",
     "q_avg_order_gap": """
         WITH gaps AS (

@@ -13,11 +13,10 @@ that a 100 TB ingest pipeline runs alongside raw ingestion.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from octopusdb_spark.kv.manifest import ManifestState, SegmentInfo
-from octopusdb_spark.kv.store import DATA_SCHEMA, KVStore
+from octopusdb_spark.kv.store import KVStore
 
 
 def ingest_stream_to_kv(
@@ -26,67 +25,48 @@ def ingest_stream_to_kv(
     checkpoint_dir: str,
     key_col: str = "key",
     value_col: str = "value",
+    expires_col: str | None = None,
+    target_segments: int = 2,
+    compact_every: int = 4,
 ):
     """Run a streaming DataFrame into the KV store: each micro-batch is one
-    segment + one manifest commit (single-writer discipline preserved — the
-    foreachBatch callback runs serially, like the reference's doWrites
-    goroutine). Returns the StreamingQuery; caller awaits termination.
+    atomic segment-append + manifest commit (single-writer discipline
+    preserved — the foreachBatch callback runs serially, like the
+    reference's doWrites goroutine). Returns the StreamingQuery; caller
+    awaits termination.
 
-    stream_df must provide key_col (string) and value_col (binary/string).
+    Full batch-write-path parity (`kv/db.go:79-87`): the micro-batch goes
+    through ``KVStore.ingest_df``, so big payloads are value-separated,
+    NULL values become tombstones, and ``expires_col`` carries TTL —
+    identical semantics to a ``set_batch``/``ingest_df`` of the same rows.
+
+    Exactly-once: foreachBatch replays batches after failures; the commit
+    is made idempotent by recording (checkpoint_dir, batch_id) in the
+    manifest (`ManifestState.stream_commits`) and skipping batches already
+    committed.
+
+    Maintenance: every ``compact_every`` committed batches, run
+    ``auto_compact`` — the reference compacter's tick
+    (`kv/lsm/compact.go:65-85`) — so L0 stays bounded on a long-lived
+    stream.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select(
+        cols = [
             F.col(key_col).cast("string").alias("key"),
             F.col(value_col).cast("binary").alias("value"),
+        ]
+        if expires_col is not None:
+            cols.append(F.col(expires_col).cast("long").alias("expires_at"))
+        rows = batch_df.select(*cols)
+        n = store.ingest_df(
+            rows,
+            expires_col="expires_at" if expires_col is not None else None,
+            target_segments=target_segments,
+            commit_tag=(checkpoint_dir, int(batch_id)),
         )
-        state = store.manifest.state
-        seq0 = state.next_seq
-        seg_id, path = store.manifest.new_segment_path("data")
-        out = rows.withColumn(
-            "seq", F.lit(seq0) + F.monotonically_increasing_id()
-        ).select(
-            "key",
-            "value",
-            F.lit(0).alias("meta"),
-            F.lit(0).cast("long").alias("expires_at"),
-            F.col("seq").alias("version"),
-            "seq",
-            F.lit(None).cast("string").alias("value_ptr"),
-        )
-        out.write.mode("overwrite").parquet(path)
-        stats = (
-            store.spark.read.schema(DATA_SCHEMA)
-            .parquet(path)
-            .agg(
-                F.min("key").alias("mn"),
-                F.max("key").alias("mx"),
-                F.count("*").alias("cnt"),
-                F.max("seq").alias("mxseq"),
-            )
-            .collect()[0]
-        )
-        if not stats["cnt"]:
-            return
-        new_state = ManifestState(
-            version=state.version,
-            next_seq=int(stats["mxseq"]) + 1,
-            segments=list(state.segments),
-        )
-        new_state.segments.append(
-            SegmentInfo(
-                segment_id=seg_id,
-                kind="data",
-                level=0,
-                path=path,
-                min_key=stats["mn"],
-                max_key=stats["mx"],
-                row_count=stats["cnt"],
-                size_bytes=0,
-                created_seq=seq0,
-            )
-        )
-        store.manifest.commit(new_state)
+        if n and compact_every and (int(batch_id) + 1) % compact_every == 0:
+            store.auto_compact()
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

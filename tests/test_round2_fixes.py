@@ -1,0 +1,106 @@
+"""Round-2 hardening: GC vs snapshot reads, empty compaction, prefix-bound
+carry, manifest commit race, and idempotent streaming ingest — the failure
+modes flagged by round-1 review (ADVICE.md)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from octopusdb_spark.kv import Entry, KVStore
+from octopusdb_spark.kv.manifest import Manifest, ManifestConflictError, ManifestState
+from octopusdb_spark.kv.store import _prefix_upper_bound
+
+NOW = 2_000_000_000
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return KVStore(spark, str(tmp_path / "kv"), value_threshold=64)
+
+
+# ---------------------------------------------------------------- GC safety
+def test_gc_after_snapshot_does_not_crash_reads(store):
+    """A big value GC'd after a snapshot must not surface NULL values or
+    crash get(); the snapshot horizon moves past the dangling pointer."""
+    big_old = b"x" * 200
+    store.set_batch([Entry("k", big_old), Entry("keep", b"small")])
+    snap = store.snapshot_seq()
+    # supersede the big value so the old values segment is pure garbage
+    store.set_batch([Entry("k", b"y" * 200)])
+    rewritten = store.gc_values(discard_ratio=0.1, now=NOW)
+    assert rewritten, "old values segment should be rewritten/dropped"
+    # current read still sees the new value
+    assert store.get("k", now=NOW).value == b"y" * 200
+    # snapshot read: the dangling-pointer row is filtered, not NULL/crash
+    snap_rows = {r["key"]: r["value"] for r in store.view(now=NOW, as_of=snap).collect()}
+    assert "keep" in snap_rows
+    assert snap_rows.get("k") is None  # horizon moved past the GC'd payload
+    assert store.get("k", now=NOW, as_of=snap) is None
+
+
+# ----------------------------------------------------- empty-store compaction
+def test_compact_fully_tombstoned_store(store):
+    store.set_batch([Entry("a", b"1"), Entry("b", b"2")])
+    store.delete("a")
+    store.delete("b")
+    store.compact(now=NOW)  # must not crash on the empty merged set
+    assert store.view(now=NOW).count() == 0
+    assert store.info()["data_segments"] == 0
+    # store remains writable after the empty compaction
+    store.set_batch([Entry("c", b"3")])
+    assert store.get("c", now=NOW).value == b"3"
+
+
+# ------------------------------------------------------------- prefix bounds
+def test_prefix_upper_bound_carry():
+    assert _prefix_upper_bound("abc") == "abd"
+    top = chr(0x10FFFF)
+    assert _prefix_upper_bound("ab" + top) == "ac"
+    assert _prefix_upper_bound("a" + top + top) == "b"
+    assert _prefix_upper_bound(top * 3) is None
+
+
+def test_scan_prefix_with_max_codepoint(store):
+    top = chr(0x10FFFF)
+    store.set_batch([Entry("p" + top + "1", b"a"), Entry("q0", b"b"), Entry(top, b"c")])
+    got = [r["key"] for r in store.scan(prefix="p" + top, now=NOW).collect()]
+    assert got == ["p" + top + "1"]
+    got_all = [r["key"] for r in store.scan(prefix=top, now=NOW).collect()]
+    assert got_all == [top]
+
+
+# -------------------------------------------------------- manifest commit race
+def test_manifest_snapshot_claim_is_exclusive(tmp_path):
+    """Two writers racing past the CURRENT check cannot both own a version:
+    the snapshot file is claimed with O_CREAT|O_EXCL."""
+    m = Manifest(str(tmp_path / "t"))
+    m.commit(ManifestState(version=0, next_seq=1, segments=[]))
+    # simulate the loser: the winner already wrote manifest-2.json
+    next_snap = os.path.join(m.dir, "manifest-2.json")
+    with open(next_snap, "w") as f:
+        f.write("{}")
+    with pytest.raises(ManifestConflictError):
+        m.commit(ManifestState(version=0, next_seq=2, segments=[]))
+
+
+# -------------------------------------------------- idempotent tagged ingest
+def test_ingest_df_commit_tag_idempotent(spark, store):
+    df = spark.createDataFrame([("k1", b"v1"), ("k2", b"v2")], "key string, value binary")
+    n1 = store.ingest_df(df, commit_tag=("ckpt-a", 0))
+    assert n1 == 2
+    v_before = store.manifest.state.version
+    # replay of the same micro-batch is a no-op
+    assert store.ingest_df(df, commit_tag=("ckpt-a", 0)) == 0
+    assert store.manifest.state.version == v_before
+    assert store.view(now=NOW).count() == 2
+    # the bookkeeping survives reopen and maintenance commits
+    store.compact(now=NOW)
+    reopened = KVStore(spark, store.root)
+    assert reopened.manifest.state.stream_commits == {"ckpt-a": 0}
+    assert reopened.ingest_df(df, commit_tag=("ckpt-a", 0)) == 0
+    # a later batch on the same checkpoint goes through
+    df2 = spark.createDataFrame([("k3", b"v3")], "key string, value binary")
+    assert reopened.ingest_df(df2, commit_tag=("ckpt-a", 1)) == 1
+    assert reopened.view(now=NOW).count() == 3

@@ -67,3 +67,67 @@ def test_windowed_event_counts_plan(spark, tmp_path):
         batch.groupBy(F.window("ts", "1 minute"), "event_type").count().count()
     )
     assert expected > 0  # plan is executable; exact emission is mode-dependent
+
+
+def test_stream_ingest_batch_parity_and_bounded_l0(spark, tmp_path):
+    """Streaming ingest has full batch-write-path parity: big values are
+    separated, NULL values tombstone, TTL applies — the post-stream view()
+    equals a set_batch replay of the same entries — and auto-compaction
+    keeps L0 bounded across 10 micro-batches."""
+    import os
+
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    batches = []
+    for i in range(10):
+        rows = [
+            (f"b{i}_small", f"s{i}".encode(), 0),
+            (f"b{i}_big", bytes([65 + i]) * 200, 0),  # >= threshold 64
+            (f"b{i}_expired", b"dead", NOW - 10),
+            ("shared", f"round{i}".encode(), 0),  # upsert chain across batches
+        ]
+        if i >= 5:
+            rows.append((f"b{i-5}_small", None, 0))  # tombstone earlier key
+        batches.append(rows)
+        df = spark.createDataFrame(rows, "key string, value binary, expires long")
+        part = str(tmp_path / f"part{i}")
+        df.coalesce(1).write.parquet(part)
+        fname = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"batch{i:02d}.parquet")
+        os.rename(os.path.join(part, fname), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    store = KVStore(spark, str(tmp_path / "kv2"), value_threshold=64)
+    stream = (
+        spark.readStream.schema("key string, value binary, expires long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ingest_stream_to_kv(
+        stream, store, str(tmp_path / "ckpt2"), expires_col="expires",
+        target_segments=2, compact_every=4,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    # batch replay of the same entries in the same order
+    ref = KVStore(spark, str(tmp_path / "kvref"), value_threshold=64)
+    from octopusdb_spark.kv import Entry
+
+    for rows in batches:
+        ref.set_batch([Entry(k, v, expires_at=e) for k, v, e in rows])
+
+    got = {r["key"]: bytes(r["value"]) for r in store.view(now=NOW).collect()}
+    want = {r["key"]: bytes(r["value"]) for r in ref.view(now=NOW).collect()}
+    assert got == want
+    assert got["shared"] == b"round9"
+    assert got["b3_big"] == b"D" * 200  # value separation round-trips
+    assert "b0_small" not in got  # tombstoned by batch 5
+    assert "b2_expired" not in got  # TTL applied
+    # value separation actually happened on the streaming path
+    assert store.info()["value_segments"] >= 1
+    # auto-compaction kept L0 bounded (2 segs/batch x 10 batches = 20 raw)
+    info = store.info()
+    l0 = [s for s in store.manifest.state.data_segments() if s.level == 0]
+    assert len(l0) <= 8, f"L0 not bounded: {len(l0)} segments"
+    assert info["data_segments"] < 20

@@ -25,21 +25,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def norm_cell(v):
+    """Type-tagged canonical form.
+
+    The driver's value hash distinguishes Decimal('12') from 12 from 12.0
+    (round-1 lesson: DuckDB sum(INTEGER) → DECIMAL(38,0) drift slipped past
+    a value-only compare because Decimal('12') == 12 in Python). Tag every
+    numeric with its concrete type so the local gate is at least as strict
+    as the driver's.
+    """
+    import decimal
+
+    if v is None:
+        return ("null", None)
     if isinstance(v, bool):
-        return v
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 2**53:
-            return int(v)  # 3.0 == 3 across engines
-        return v
+        return ("float", "NaN" if math.isnan(v) else v)
     if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
+        return ("bytes", v.hex())
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(norm_cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, norm_cell(x)) for k, x in v.items())))
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
+        return ("dt", v.isoformat())
+    return (type(v).__name__, v)
 
 
 def norm_rows(cols, rows):
