@@ -237,64 +237,80 @@ def q_sim_label_centroids(spark, sf_dir):
     )
 
 
-def q_dedup_embedding_cosine(spark, sf_dir):
+def q_dedup_embedding_cosine(spark, sf_dir, n_blocks: int = 4):
     """Embedding-cosine near-duplicate detection: the 20 closest pairs in
     the corpus, ranked. (This corpus is near-orthogonal — max cosine ~0.51 —
     so a fixed threshold would be vacuous; production would threshold at
     ~0.95 and pre-filter by sign bucket. The all-pairs scoring below is the
-    exactness baseline the bucketed variant is judged against.)"""
+    exactness baseline the bucketed variant is judged against.)
+
+    Block-pair GEMM selection, fully distributed — no embedding ever
+    reaches the driver. Each vector hashes to one of B blocks; a row is
+    replicated to the B block-pairs (i<=j) it participates in (explode,
+    (B+1)x shuffle volume), and each pair-group scores its two blocks with
+    one BLAS matmul in applyInPandas, keeping its local top-20. Any global
+    top-20 pair lives in exactly one pair-group and cannot be outranked by
+    20 pairs inside it, so the union of local top-20s contains the answer.
+    Pair-group memory is 2N/B rows — B tunes the per-task footprint at
+    100 TB, where the old broadcast-whole-corpus variant would OOM the
+    driver. Survivors are re-scored with the exact sequential-order dot
+    product, so reported values stay bit-identical to the oracle."""
     emb = _with_norm(t(spark, sf_dir, "embeddings"))
+    B = n_blocks
 
-    # Block-broadcast GEMM selection: the corpus matrix is broadcast once and
-    # each partition scores its rows against it with one BLAS matmul (~100×
-    # faster than per-pair zip_with/aggregate on the JVM), keeping only its
-    # local top-20 candidate pairs. At 100 TB the broadcast side is tiled
-    # (loop over corpus blocks); the per-partition matmul + local top-k shape
-    # is unchanged. Survivors are re-scored with the exact sequential-order
-    # dot product, so reported values stay bit-identical to the oracle.
-    small = emb.select("vec_id", "embedding").collect()  # broadcast side only
+    blk = F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
+    routes = F.array(
+        *[
+            F.struct(
+                (F.least(blk, F.lit(j)) * B + F.greatest(blk, F.lit(j))).alias("pair"),
+                (blk <= F.lit(j)).alias("is_left"),
+            )
+            for j in range(B)
+        ]
+    )
+    # each row lands in B distinct pair-groups (j ranges over blocks): its
+    # diagonal group once as left, each cross group as left or right
+    routed = emb.select("vec_id", "embedding", F.explode(routes).alias("r")).select(
+        "vec_id", "embedding", "r.pair", "r.is_left"
+    )
 
-    def _np():
-        import numpy as np
-
-        ids = np.array([r["vec_id"] for r in small], dtype=np.int64)
-        m = np.array([list(r["embedding"]) for r in small], dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        return ids, m
-
-    bc = spark.sparkContext.broadcast(_np())
-
-    def block_topk(batches):
+    def pair_topk(key, pdf):
         import numpy as np
         import pandas as pd
 
-        bids, bm = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            aids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_m = np.array(pdf["embedding"].to_list(), dtype=np.float64)
-            a_m /= np.linalg.norm(a_m, axis=1, keepdims=True)
-            c = a_m @ bm.T
-            c[aids[:, None] >= bids[None, :]] = -np.inf  # each pair once: a < b
-            k = min(20, c.size)
-            idx = np.argpartition(c.ravel(), -k)[-k:]
-            keep = np.isfinite(c.ravel()[idx])
-            idx = idx[keep]
-            yield pd.DataFrame(
-                {"vec_a": aids[idx // c.shape[1]], "vec_b": bids[idx % c.shape[1]]}
-            )
+        left = pdf[pdf["is_left"]]
+        right = pdf[~pdf["is_left"]]
+        diagonal = right.empty
+        if diagonal:
+            right = left
+        lids = left["vec_id"].to_numpy(dtype=np.int64)
+        rids = right["vec_id"].to_numpy(dtype=np.int64)
+        lm = np.array(left["embedding"].to_list(), dtype=np.float64)
+        rm = np.array(right["embedding"].to_list(), dtype=np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        c = lm @ rm.T
+        if diagonal:
+            c[lids[:, None] >= rids[None, :]] = -np.inf  # each pair once
+        k = min(20, c.size)
+        idx = np.argpartition(c.ravel(), -k)[-k:]
+        idx = idx[np.isfinite(c.ravel()[idx])]
+        ra, rb = lids[idx // c.shape[1]], rids[idx % c.shape[1]]
+        return pd.DataFrame({"vec_a": np.minimum(ra, rb), "vec_b": np.maximum(ra, rb)})
 
-    cand = emb.select("vec_id", "embedding").mapInPandas(block_topk, "vec_a long, vec_b long")
+    cand = routed.groupBy("pair").applyInPandas(pair_topk, "vec_a long, vec_b long")
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb")
     )
+    # broadcast the tiny candidate set (<= 20 * B(B+1)/2 rows) and stream
+    # the corpus past it — never broadcast the corpus itself
     pairs = (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        F.broadcast(cand)
+        .join(a, "vec_a")
+        .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",
