@@ -107,14 +107,35 @@ class OctopusDB:
     def delete(self, key: str) -> None:
         self.kv.delete(key)
 
+    # Driver-side materialization cap for the facade iterator. The iterator
+    # is API parity for small working sets; Spark-native code uses scan_df.
+    ITERATOR_MAX_ROWS = 100_000
+
     def new_iterator(
         self,
         prefix: str | None = None,
         asc: bool = True,
         now: int | None = None,
+        max_rows: int | None = None,
     ) -> Iterator:
+        """Materialized ordered iterator over the live view.
+
+        Rows stream to the driver partition-at-a-time (``toLocalIterator``,
+        not ``collect``) and materialization stops at ``max_rows`` (default
+        ``ITERATOR_MAX_ROWS``) — a careless iterator over a huge store
+        raises instead of OOM-ing the driver. Use ``scan_df`` for
+        cluster-scale scans."""
+        cap = self.ITERATOR_MAX_ROWS if max_rows is None else max_rows
         df = self.kv.scan(prefix=prefix, asc=asc, now=now)
-        return Iterator(df.collect())
+        rows = []
+        for r in df.toLocalIterator(prefetchPartitions=True):
+            if len(rows) >= cap:
+                raise ValueError(
+                    f"new_iterator scan exceeds max_rows={cap}; use scan_df() "
+                    "for large scans or raise max_rows explicitly"
+                )
+            rows.append(r)
+        return Iterator(rows)
 
     def scan_df(self, **kwargs) -> DataFrame:
         """The Spark-native scan — what new code should use instead of the

@@ -41,7 +41,7 @@ shuffle local to the touched key range.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -140,6 +140,15 @@ class KVStore:
             return
         state = self.manifest.state
         seq0 = state.next_seq
+        # Pointer format mirrors the reference ValuePtr (Fid, Offset, Len):
+        # "{values_segment}:{seq}:{len}" — carrying the segment id and size
+        # lets compaction account discarded value bytes per segment without
+        # touching the values table (A17 discard stats).
+        vseg_id, vpath = (None, None)
+        if any(
+            e.value is not None and len(e.value) >= self.value_threshold for e in entries
+        ):
+            vseg_id, vpath = self.manifest.new_segment_path("values")
         data_rows, value_rows = [], []
         for i, e in enumerate(entries):
             seq = seq0 + i
@@ -150,7 +159,7 @@ class KVStore:
                 meta |= BIT_DELETE
             elif len(e.value) >= self.value_threshold:
                 meta |= BIT_VALUE_POINTER
-                value_ptr = f"v{seq}"
+                value_ptr = f"{vseg_id}:{seq}:{len(e.value)}"
                 value_rows.append((value_ptr, e.value))
                 value = None
             data_rows.append((e.key, value, meta, int(e.expires_at), int(version), seq, value_ptr))
@@ -161,7 +170,6 @@ class KVStore:
             segments=list(state.segments),
         )
         if value_rows:
-            vseg_id, vpath = self.manifest.new_segment_path("values")
             vdf = self.spark.createDataFrame(value_rows, VALUES_SCHEMA)
             vdf.write.mode("overwrite").parquet(vpath)
             total_bytes = sum(len(v) for _, v in value_rows)
@@ -251,6 +259,9 @@ class KVStore:
         is_big = F.col("value").isNotNull() & (
             F.length("value") >= F.lit(self.value_threshold)
         )
+        # values segment id fixed up front so pointers can carry it
+        # (ValuePtr format "{values_segment}:{seq}:{len}" — see set_batch)
+        vseg_id, vpath = self.manifest.new_segment_path("values")
         staged_rows = (
             df.select(
                 F.col(key_col).cast("string").alias("key"),
@@ -268,7 +279,10 @@ class KVStore:
                 "expires_at",
                 F.col("seq").alias("version"),
                 "seq",
-                F.when(is_big, F.concat(F.lit("v"), F.col("seq"))).alias("value_ptr"),
+                F.when(
+                    is_big,
+                    F.concat_ws(":", F.lit(vseg_id), F.col("seq"), F.length("value")),
+                ).alias("value_ptr"),
             )
         )
         _, staging = self.manifest.new_segment_path("staging")
@@ -297,7 +311,6 @@ class KVStore:
             F.sum(F.coalesce(F.length("big_value"), F.lit(0))).alias("bytes"),
         ).collect()[0]
         if vstats["cnt"]:
-            vseg_id, vpath = self.manifest.new_segment_path("values")
             big.write.mode("overwrite").parquet(vpath)
             new_state.segments.append(
                 SegmentInfo(
@@ -538,6 +551,44 @@ class KVStore:
             )
         return segs
 
+    def _dropped_ptr_bytes(self, participants: list, merged: DataFrame) -> dict:
+        """Discard-stats accounting (A17, `kv/lsm/compact.go:314-335`): value
+        pointers present in the compaction inputs but absent from the merged
+        output are dead; their segment id and byte length are parsed straight
+        out of the ValuePtr string, so this is O(participant pointer rows)
+        with zero reads of the values table. Returns values-segment-id ->
+        newly dead bytes."""
+        before = (
+            self.raw_df(participants)
+            .filter(F.col("value_ptr").isNotNull())
+            .select("value_ptr")
+        )
+        survivors = merged.filter(F.col("value_ptr").isNotNull()).select("value_ptr")
+        parts = F.split(F.col("value_ptr"), ":")
+        rows = (
+            before.join(survivors, "value_ptr", "left_anti")
+            .select(
+                parts.getItem(0).alias("seg"),
+                parts.getItem(2).cast("long").alias("nbytes"),
+            )
+            .filter(F.col("nbytes").isNotNull())  # tolerate legacy pointers
+            .groupBy("seg")
+            .agg(F.sum("nbytes").alias("nbytes"))
+            .collect()
+        )
+        return {r["seg"]: int(r["nbytes"]) for r in rows}
+
+    @staticmethod
+    def _with_discard_updates(segments: list, drops: dict) -> list:
+        if not drops:
+            return segments
+        out = []
+        for s in segments:
+            if s.kind == "values" and s.segment_id in drops:
+                s = replace(s, discard_bytes=s.discard_bytes + drops[s.segment_id])
+            out.append(s)
+        return out
+
     def compaction_priorities(self) -> list:
         """Level scores, highest first — the pickCompactLevels scoring of
         `kv/lsm/compact.go:626-685`: L0 by file count / trigger, Ln by
@@ -582,12 +633,14 @@ class KVStore:
         participants = src + dst
         merged = self.latest_df(participants)
         new_segs = self._write_ranged_segments(merged, dst_level, target_segments)
+        drops = self._dropped_ptr_bytes(participants, merged)
         part_ids = {s.segment_id for s in participants}
+        kept = [s for s in state.segments if s.segment_id not in part_ids]
         self.manifest.commit(
             ManifestState(
                 version=state.version,
                 next_seq=state.next_seq,
-                segments=[s for s in state.segments if s.segment_id not in part_ids] + new_segs,
+                segments=self._with_discard_updates(kept, drops) + new_segs,
             )
         )
 
@@ -620,23 +673,41 @@ class KVStore:
             .filter((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
         )
         new_segs = self._write_ranged_segments(merged, self.MAX_LEVEL, target_segments)
+        drops = self._dropped_ptr_bytes(old, merged)
+        kept = [s for s in state.segments if s.kind != "data"]
         self.manifest.commit(
             ManifestState(
                 version=state.version,
                 next_seq=state.next_seq,
-                segments=[s for s in state.segments if s.kind != "data"] + new_segs,
+                segments=self._with_discard_updates(kept, drops) + new_segs,
             )
         )
 
     def gc_values(self, discard_ratio: float = 0.5, now: int | None = None) -> list:
-        """Value-log GC (`kv/vlog_gc.go`): exact (not sampled) liveness via
-        anti-join of each values segment against the live pointer set; any
-        segment over the discard ratio is rewritten with live rows only.
-        Returns the list of rewritten segment ids."""
+        """Value-log GC (`kv/vlog_gc.go`): candidate segments are selected
+        from the incremental discard stats that compaction maintains
+        (`SegmentInfo.discard_bytes`, the reference's discard-stats pick,
+        `kv/vlog.go:625-679`) — clean segments are never scanned. Candidates
+        are then verified with exact (not sampled) liveness via anti-join
+        against the live pointer set, and rewritten live-rows-only when the
+        garbage ratio holds up. When no stats exist yet (store never
+        compacted), every segment is a candidate — the exact-scan bootstrap
+        path. Returns the list of rewritten segment ids."""
         state = self.manifest.state
         vsegs = state.value_segments()
         if not vsegs:
             return []
+        have_stats = any(s.discard_bytes > 0 for s in vsegs)
+        if have_stats:
+            candidates = {
+                s.segment_id
+                for s in vsegs
+                if s.discard_bytes / max(s.total_value_bytes, 1) >= discard_ratio
+            }
+            if not candidates:
+                return []
+        else:
+            candidates = {s.segment_id for s in vsegs}
         live_ptrs = (
             self.latest_df()
             .filter(F.col("value_ptr").isNotNull())
@@ -646,6 +717,9 @@ class KVStore:
         rewritten = []
         new_segments = [s for s in state.segments if s.kind != "values"]
         for seg in vsegs:
+            if seg.segment_id not in candidates:
+                new_segments.append(seg)  # clean per stats: never scanned
+                continue
             vdf = self.spark.read.schema(VALUES_SCHEMA).parquet(seg.path)
             live = vdf.join(F.broadcast(live_ptrs), "value_id", "left_semi")
             agg = live.agg(
@@ -674,7 +748,11 @@ class KVStore:
                     )
                 rewritten.append(seg.segment_id)
             else:
-                new_segments.append(seg)
+                # exact scan disagreed with (or refined) the stats — record
+                # the measured dead bytes so the next pick is sharper
+                new_segments.append(
+                    replace(seg, discard_bytes=max(seg.total_value_bytes - live_bytes, 0))
+                )
         if rewritten:
             self.manifest.commit(
                 ManifestState(version=state.version, next_seq=state.next_seq, segments=new_segments)

@@ -292,13 +292,29 @@ def q_pandas_udaf_trimmed_mean(spark, sf_dir):
 
 
 def q_approx_distinct(spark, sf_dir):
-    """Approximate distinct (HLL++) next to the exact count — sketch results
-    are engine-specific, so this is a rows-only capability check."""
+    """Approximate distinct (HLL++) validated against the exact count. The
+    sketch value itself is engine-specific, so the oracle-checked output is
+    the exact count plus a ``within_5pct`` accuracy bound — the oracle
+    asserts TRUE, making HLL++ drift a hard hash mismatch instead of a
+    rows-only shrug."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
-    ).orderBy("event_type")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
 
 
 _PIVOT_COLS = ", ".join(
@@ -503,6 +519,13 @@ ORACLES = {
                CAST(SUM(CAST(round(1.0 / (1.0 + exp(-c_acctbal / 1000.0)), 6)
                     AS DECIMAL(38,6))) AS DOUBLE) AS total_score
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    # the oracle pins the exact counts and asserts the HLL++ estimate landed
+    # within 5% — the accuracy bound is the checked value, not the sketch
+    "q_approx_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type""",
 }
 
 QUERIES = {
@@ -516,7 +539,7 @@ QUERIES = {
     "q_grouping_sets": q_grouping_sets,
     "q_correlation": q_correlation,
     "q_pandas_udf_score": q_pandas_udf_score,
-    "q_approx_distinct": q_approx_distinct,  # rows-only: sketch is engine-specific
+    "q_approx_distinct": q_approx_distinct,  # oracle checks the 5% HLL bound
     "q_linear_regression": q_linear_regression,
     "q_time_rollup": q_time_rollup,
     "q_semi_join": q_semi_join,

@@ -104,3 +104,54 @@ def test_ingest_df_commit_tag_idempotent(spark, store):
     df2 = spark.createDataFrame([("k3", b"v3")], "key string, value binary")
     assert reopened.ingest_df(df2, commit_tag=("ckpt-a", 1)) == 1
     assert reopened.view(now=NOW).count() == 3
+
+
+# ------------------------------------------------ incremental discard stats
+def test_compaction_records_discard_bytes_and_gc_uses_them(spark, tmp_path):
+    """Compaction accounts superseded value-pointer bytes into the owning
+    values segment's discard_bytes, and gc_values picks candidates from
+    those stats — a segment with real garbage but no recorded stats is not
+    scanned (compaction, not GC, is the stats producer)."""
+    store = KVStore(spark, str(tmp_path / "kv"), value_threshold=64)
+    big = b"A" * 200
+    store.set_batch([Entry(f"a{i}", big) for i in range(10)])  # vseg1
+    vseg1 = store.manifest.state.value_segments()[0].segment_id
+    store.set_batch([Entry(f"a{i}", b"small") for i in range(8)])  # supersede 8
+    assert all(s.discard_bytes == 0 for s in store.manifest.state.value_segments())
+
+    store.compact(now=NOW)
+    seg1 = next(s for s in store.manifest.state.value_segments() if s.segment_id == vseg1)
+    assert seg1.discard_bytes == 8 * 200  # exactly the superseded bytes
+
+    # second values segment: garbage created but NOT compacted → no stats
+    store.set_batch([Entry(f"b{i}", big) for i in range(10)])  # vseg2
+    vseg2 = next(
+        s.segment_id for s in store.manifest.state.value_segments() if s.segment_id != vseg1
+    )
+    store.set_batch([Entry(f"b{i}", b"small") for i in range(8)])
+
+    rewritten = store.gc_values(discard_ratio=0.5, now=NOW)
+    assert rewritten == [vseg1]  # stats-selected; vseg2 skipped despite garbage
+    assert any(s.segment_id == vseg2 for s in store.manifest.state.value_segments())
+
+    # after the next compaction vseg2 gets stats and GC picks it up
+    store.compact(now=NOW)
+    rewritten2 = store.gc_values(discard_ratio=0.5, now=NOW)
+    assert rewritten2 == [vseg2]
+    # no data lost anywhere
+    assert store.get("a3", now=NOW).value == b"small"
+    assert store.get("a9", now=NOW).value == big
+    assert store.get("b9", now=NOW).value == big
+
+
+# -------------------------------------------------- bounded facade iterator
+def test_new_iterator_row_cap(spark, tmp_path):
+    from octopusdb_spark.db import OctopusDB
+
+    db = OctopusDB(spark, str(tmp_path / "db"))
+    db.set_batch([Entry(f"it:{i:03d}", str(i).encode()) for i in range(20)])
+    it = db.new_iterator(prefix="it:", now=NOW)  # under the default cap
+    it.rewind()
+    assert it.valid() and it.item().key == "it:000"
+    with pytest.raises(ValueError, match="max_rows"):
+        db.new_iterator(prefix="it:", now=NOW, max_rows=5)
