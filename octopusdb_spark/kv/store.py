@@ -52,17 +52,26 @@ from octopusdb_spark.kv.manifest import Manifest, ManifestState, SegmentInfo
 BIT_DELETE = 1  # kv/utils/const.go:25-28
 BIT_VALUE_POINTER = 2
 
-DATA_SCHEMA = T.StructType(
-    [
-        T.StructField("key", T.StringType(), False),
-        T.StructField("value", T.BinaryType(), True),
-        T.StructField("meta", T.IntegerType(), False),
-        T.StructField("expires_at", T.LongType(), False),
-        T.StructField("version", T.LongType(), False),
-        T.StructField("seq", T.LongType(), False),
-        T.StructField("value_ptr", T.StringType(), True),
-    ]
-)
+def data_schema(key_type: str = "string") -> T.StructType:
+    """Main-table schema. Keys are opaque bytes in the reference
+    (`kv/utils/key.go:32-37`, `kv/utils/entry.go:50-60`); ``key_type=
+    "binary"`` preserves that contract, while "string" is the ergonomic
+    default for text keys."""
+    kt = {"string": T.StringType(), "binary": T.BinaryType()}[key_type]
+    return T.StructType(
+        [
+            T.StructField("key", kt, False),
+            T.StructField("value", T.BinaryType(), True),
+            T.StructField("meta", T.IntegerType(), False),
+            T.StructField("expires_at", T.LongType(), False),
+            T.StructField("version", T.LongType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("value_ptr", T.StringType(), True),
+        ]
+    )
+
+
+DATA_SCHEMA = data_schema("string")
 
 VALUES_SCHEMA = T.StructType(
     [
@@ -87,11 +96,23 @@ def _prefix_upper_bound(prefix: str) -> str | None:
     return prefix[:i] + chr(ord(prefix[i]) + 1)
 
 
+def _bytes_prefix_upper_bound(prefix: bytes) -> bytes | None:
+    """Byte-key analog: drop trailing 0xFF, bump the previous byte; an
+    all-0xFF prefix has no finite bound."""
+    i = len(prefix) - 1
+    while i >= 0 and prefix[i] == 0xFF:
+        i -= 1
+    if i < 0:
+        return None
+    return prefix[:i] + bytes([prefix[i] + 1])
+
+
 @dataclass
 class Entry:
-    """Client-facing record — the analog of kv/utils/entry.go:50-60."""
+    """Client-facing record — the analog of kv/utils/entry.go:50-60.
+    ``key`` is ``bytes`` when the store runs in binary-key mode."""
 
-    key: str
+    key: str | bytes
     value: bytes | None = None
     expires_at: int = 0  # unix seconds; 0 = never
     version: int | None = None  # stamped by the store when None
@@ -115,14 +136,29 @@ class KVStore:
         level0_trigger: int = 4,  # NumLevelZeroTables analog (kv/option.go)
         base_level_bytes: int = 1 << 20,  # baseLevelSize analog, scaled for tests
         level_multiplier: int = 10,  # levelSizeMultiplier (kv/option.go)
+        key_type: str = "string",  # "binary" = reference's opaque []byte keys
     ):
+        if key_type not in ("string", "binary"):
+            raise ValueError(f"key_type must be 'string' or 'binary', got {key_type!r}")
         self.spark = spark
         self.root = root
         self.value_threshold = value_threshold
         self.level0_trigger = level0_trigger
         self.base_level_bytes = base_level_bytes
         self.level_multiplier = level_multiplier
+        self.key_type = key_type
+        self._schema = data_schema(key_type)
         self.manifest = Manifest(root)
+
+    def _enc(self, key):
+        """Manifest-comparable form of a key. Binary keys are hex-encoded:
+        fixed-width-per-byte hex preserves unsigned lexicographic order, so
+        min/max pruning works on the encoded strings unchanged."""
+        if key is None:
+            return None
+        if isinstance(key, (bytes, bytearray)):
+            return bytes(key).hex()
+        return key
 
     # ------------------------------------------------------------------ write
     def set(self, entry: Entry) -> None:
@@ -188,7 +224,7 @@ class KVStore:
                 )
             )
         dseg_id, dpath = self.manifest.new_segment_path("data")
-        ddf = self.spark.createDataFrame(data_rows, DATA_SCHEMA)
+        ddf = self.spark.createDataFrame(data_rows, self._schema)
         (
             ddf.sort("key", "version")  # sorted run, like an SST flush (A10)
             .write.mode("overwrite")
@@ -202,8 +238,8 @@ class KVStore:
                 kind="data",
                 level=0,
                 path=dpath,
-                min_key=min(keys),
-                max_key=max(keys),
+                min_key=self._enc(min(keys)),
+                max_key=self._enc(max(keys)),
                 row_count=len(data_rows),
                 size_bytes=sum(len(r[1] or b"") for r in data_rows),
                 created_seq=seq0,
@@ -264,7 +300,7 @@ class KVStore:
         vseg_id, vpath = self.manifest.new_segment_path("values")
         staged_rows = (
             df.select(
-                F.col(key_col).cast("string").alias("key"),
+                F.col(key_col).cast(self.key_type).alias("key"),
                 F.col(value_col).cast("binary").alias("value"),
                 expires.alias("expires_at"),
             )
@@ -348,7 +384,7 @@ class KVStore:
 
     def raw_df(self, segs: list | None = None) -> DataFrame:
         segs = self.manifest.state.data_segments() if segs is None else segs
-        return self._read_segments(segs, DATA_SCHEMA)
+        return self._read_segments(segs, self._schema)
 
     def latest_df(self, segs: list | None = None) -> DataFrame:
         """Newest version per key (tombstones still visible) — MergeIterator
@@ -407,10 +443,10 @@ class KVStore:
             .select("key", "value", "expires_at", "version", "seq")
         )
 
-    def get(self, key: str, now: int | None = None, as_of: int | None = None):
+    def get(self, key, now: int | None = None, as_of: int | None = None):
         """Point read with manifest min/max pruning (SST interval search,
         `kv/lsm/level_handler.go:45-64`) + Parquet bloom/stats pushdown."""
-        segs = self.manifest.prune_for_key(key)
+        segs = self.manifest.prune_for_key(self._enc(key))
         if not segs:
             return None
         rows = (
@@ -424,28 +460,40 @@ class KVStore:
         r = rows[0]
         if r["value"] is None:  # defense-in-depth; view() filters these
             return None
-        return Entry(key=r["key"], value=bytes(r["value"]), expires_at=r["expires_at"], version=r["version"])
+        key_out = bytes(r["key"]) if self.key_type == "binary" else r["key"]
+        return Entry(key=key_out, value=bytes(r["value"]), expires_at=r["expires_at"], version=r["version"])
 
     def scan(
         self,
-        prefix: str | None = None,
-        start: str | None = None,
-        end: str | None = None,
+        prefix=None,
+        start=None,
+        end=None,
         asc: bool = True,
         now: int | None = None,
         as_of: int | None = None,
     ) -> DataFrame:
         """Ordered range scan — NewIterator (`kv/iterator.go:19-79`). Prefix
         and bounds reach the Parquet scan as pushed filters; ordering is a
-        range-shuffle sort (pipelined, not a global single-node sort)."""
+        range-shuffle sort (pipelined, not a global single-node sort).
+        Bounds are ``bytes`` in binary-key mode; a byte prefix becomes the
+        half-open range [prefix, increment-with-carry(prefix))."""
         lo = start if start is not None else prefix
         hi = end
         if prefix is not None and end is None:
-            hi = _prefix_upper_bound(prefix)
-        segs = self.manifest.prune_for_range(lo, hi)
+            if self.key_type == "binary":
+                hi = _bytes_prefix_upper_bound(prefix)
+            else:
+                hi = _prefix_upper_bound(prefix)
+        segs = self.manifest.prune_for_range(self._enc(lo), self._enc(hi))
         df = self.view(now=now, segs=segs, as_of=as_of)
         if prefix is not None:
-            df = df.filter(F.col("key").startswith(prefix))
+            if self.key_type == "binary":
+                # range form — equivalent to startswith for byte keys
+                df = df.filter(F.col("key") >= F.lit(bytes(prefix)))
+                if hi is not None:
+                    df = df.filter(F.col("key") < F.lit(hi))
+            else:
+                df = df.filter(F.col("key").startswith(prefix))
         if start is not None:
             df = df.filter(F.col("key") >= start)
         if end is not None:
@@ -521,7 +569,7 @@ class KVStore:
         # tombstoned store) the dynamic-partition write produces no part
         # files, and schema inference on the staging dir would fail.
         readback_schema = T.StructType(
-            list(DATA_SCHEMA.fields) + [T.StructField("_bucket", T.IntegerType(), True)]
+            list(self._schema.fields) + [T.StructField("_bucket", T.IntegerType(), True)]
         )
         stats = (
             self.spark.read.schema(readback_schema).parquet(staging)
@@ -535,15 +583,15 @@ class KVStore:
             .collect()
         )
         segs = []
-        for r in sorted(stats, key=lambda r: r["mn"]):
+        for r in sorted(stats, key=lambda r: bytes(r["mn"]) if self.key_type == "binary" else r["mn"]):
             segs.append(
                 SegmentInfo(
                     segment_id=f"{staging_id}-b{r['_bucket']}",
                     kind="data",
                     level=level,
                     path=f"{staging}/_bucket={r['_bucket']}",
-                    min_key=r["mn"],
-                    max_key=r["mx"],
+                    min_key=self._enc(r["mn"]),
+                    max_key=self._enc(r["mx"]),
                     row_count=r["cnt"],
                     size_bytes=int(r["bytes"] or 0),
                     created_seq=self.manifest.state.next_seq,

@@ -64,6 +64,8 @@ _PRIORITY = [
     "kv_gc_discard_stats", "q_sessionize",
     # gained an oracle this round
     "q_approx_distinct",
+    # new this round
+    "kv_binary_key_scan",
 ]
 
 

@@ -208,6 +208,23 @@ WITH kv AS (
 )
 """
 
+def q_kv_binary_key_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-key range scan: the reference's keys are opaque []byte
+    (`kv/utils/key.go:32-37`), ordered by unsigned byte comparison. Keys
+    here are raw md5 digests (16 bytes, decidedly non-UTF8); the plan
+    filters and orders on the BinaryType column itself — the same
+    comparisons KVStore(key_type='binary') relies on — and emits hex for
+    the oracle compare."""
+    docs = t(spark, sf_dir, "documents")
+    bkey = F.unhex(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.select(bkey.alias("bkey"), "doc_id", "n_chars")
+        .filter(F.col("bkey") < F.lit(b"\x20"))  # byte-range scan [x'00', x'20')
+        .orderBy("bkey")
+        .select(F.lower(F.hex("bkey")).alias("key_hex"), "doc_id", "n_chars")
+    )
+
+
 ORACLES = {
     "kv_latest_live": KV_BASE + "SELECT key, value, expires_at, version FROM live ORDER BY key",
     "kv_point_lookup": KV_BASE + "SELECT key, value, expires_at, version FROM live WHERE key = 'u0007'",
@@ -239,6 +256,12 @@ ORACLES = {
                 CAST(sum(length(value)) AS BIGINT) AS dead_bytes
          FROM latest WHERE rn > 1 AND value IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+    "kv_binary_key_scan": """
+        SELECT lower(hex(unhex(md5(CAST(doc_id AS VARCHAR))))) AS key_hex,
+               doc_id, n_chars
+        FROM documents
+        WHERE unhex(md5(CAST(doc_id AS VARCHAR))) < unhex('20')
+        ORDER BY 1""",
 }
 
 QUERIES = {
@@ -252,4 +275,5 @@ QUERIES = {
     "kv_value_separation": q_kv_value_separation,
     "kv_merge_sorted_runs": q_kv_merge_sorted_runs,
     "kv_gc_discard_stats": q_kv_gc_discard_stats,
+    "kv_binary_key_scan": q_kv_binary_key_scan,
 }

@@ -53,7 +53,7 @@ def ingest_stream_to_kv(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         cols = [
-            F.col(key_col).cast("string").alias("key"),
+            F.col(key_col).cast(store.key_type).alias("key"),
             F.col(value_col).cast("binary").alias("value"),
         ]
         if expires_col is not None:

@@ -155,3 +155,55 @@ def test_new_iterator_row_cap(spark, tmp_path):
     assert it.valid() and it.item().key == "it:000"
     with pytest.raises(ValueError, match="max_rows"):
         db.new_iterator(prefix="it:", now=NOW, max_rows=5)
+
+
+# ---------------------------------------------------------- binary-key mode
+def test_binary_key_store_contract(spark, tmp_path):
+    """The reference's keys are opaque []byte (kv/utils/key.go:32-37):
+    non-UTF8 keys must round-trip through write/read/scan/compact/reopen."""
+    store = KVStore(spark, str(tmp_path / "bkv"), value_threshold=64, key_type="binary")
+    k1, k2, k3 = b"\xff\x00\x01", b"\xff\x00\x02", b"\x80abc"
+    store.set_batch(
+        [
+            Entry(k1, b"v1"),
+            Entry(k2, b"B" * 200),  # value-separated
+            Entry(k3, b"v3"),
+            Entry(b"\x00", b"v0"),
+        ]
+    )
+    assert store.get(k1, now=NOW).value == b"v1"
+    assert store.get(k2, now=NOW).value == b"B" * 200
+    assert store.get(b"\x00", now=NOW).value == b"v0"
+    assert store.get(b"missing", now=NOW) is None
+    # upsert + delete
+    store.set_batch([Entry(k1, b"v1b")])
+    store.delete(k3)
+    assert store.get(k1, now=NOW).value == b"v1b"
+    assert store.get(k3, now=NOW) is None
+    # prefix scan across a 0xFF boundary (increment-with-carry bound)
+    got = [bytes(r["key"]) for r in store.scan(prefix=b"\xff\x00", now=NOW).collect()]
+    assert got == [k1, k2]
+    got_all = [bytes(r["key"]) for r in store.scan(now=NOW).collect()]
+    assert got_all == [b"\x00", k1, k2]  # unsigned byte order
+    # range scan
+    got_rng = [
+        bytes(r["key"]) for r in store.scan(start=b"\x01", end=b"\xff\x00\x02", now=NOW).collect()
+    ]
+    assert got_rng == [k1]
+    # compaction + reopen preserve everything
+    store.compact(now=NOW)
+    reopened = KVStore(spark, store.root, key_type="binary")
+    assert reopened.get(k2, now=NOW).value == b"B" * 200
+    assert [bytes(r["key"]) for r in reopened.scan(now=NOW).collect()] == got_all
+    # distributed ingest with a binary key column
+    df = spark.createDataFrame([(b"\xfe\x01", b"bulk")], "key binary, value binary")
+    assert reopened.ingest_df(df) == 1
+    assert reopened.get(b"\xfe\x01", now=NOW).value == b"bulk"
+
+
+def test_binary_prefix_upper_bound():
+    from octopusdb_spark.kv.store import _bytes_prefix_upper_bound
+
+    assert _bytes_prefix_upper_bound(b"ab") == b"ac"
+    assert _bytes_prefix_upper_bound(b"a\xff\xff") == b"b"
+    assert _bytes_prefix_upper_bound(b"\xff\xff") is None
