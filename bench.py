@@ -75,6 +75,18 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # maintenance path (bulk ingest → compaction → value GC) recorded
+    # alongside the query wall-clocks so regressions there are visible
+    # round-over-round; set SPARK_GRAFT_SKIP_MAINTENANCE=1 to skip
+    maintenance = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_MAINTENANCE"):
+        try:
+            from tools.maintenance_bench import run as run_maintenance
+
+            maintenance = run_maintenance(spark, SF_DIR)
+        except Exception as e:  # never fail the query bench on maintenance
+            maintenance = {"error": str(e)}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -88,6 +100,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "maintenance": maintenance,
             }
         )
     )

@@ -29,10 +29,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NOW = 2_000_000_000
 
 
-def main() -> None:
-    spark = get_spark("octopusdb-maintenance-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+def run(spark, sf_dir: str = SF_DIR) -> dict:
+    """Execute the maintenance cycle and return the metrics payload —
+    importable so bench.py can fold these numbers into the per-round bench
+    artifact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         F.concat_ws(
             "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
         ).alias("key"),
@@ -43,7 +44,10 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as d:
-        store = KVStore(spark, os.path.join(d, "kv"))
+        # value_threshold below the typical payload size so the run
+        # exercises the WiscKey path for real: value separation on ingest,
+        # discard-stats accounting at compaction, and a non-trivial GC
+        store = KVStore(spark, os.path.join(d, "kv"), value_threshold=20)
 
         t0 = time.perf_counter()
         n = 0
@@ -74,21 +78,23 @@ def main() -> None:
         live = store.view(now=NOW).count()
         timings["post_compact_full_scan"] = round(time.perf_counter() - t0, 3)
 
-        print(
-            json.dumps(
-                {
-                    "metric": "kv_maintenance_wall_clock",
-                    "value": round(sum(timings.values()), 3),
-                    "unit": "sec",
-                    "phases": timings,
-                    "rows_ingested": n + n_over,
-                    "live_keys": live,
-                    "compaction_rounds": rounds,
-                    "segments": store.info(),
-                    "sf_dir": SF_DIR,
-                }
-            )
-        )
+        return {
+            "metric": "kv_maintenance_wall_clock",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "phases": timings,
+            "rows_ingested": n + n_over,
+            "live_keys": live,
+            "compaction_rounds": rounds,
+            "segments": store.info(),
+            "sf_dir": sf_dir,
+        }
+
+
+def main() -> None:
+    spark = get_spark("octopusdb-maintenance-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run(spark)))
     spark.stop()
 
 
