@@ -66,6 +66,8 @@ _PRIORITY = [
     "q_approx_distinct",
     # new this round
     "kv_binary_key_scan",
+    "dedup_cluster_keep", "text_decontaminate", "text_shard_assignment",
+    "quality_pattern_scan",
 ]
 
 

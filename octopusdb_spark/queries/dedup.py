@@ -203,7 +203,95 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_keep(spark, sf_dir):
+    """Near-duplicate clustering + keep-list — the actual OUTPUT of a
+    training-data dedup stage: connected components over the Jaccard>=0.5
+    candidate-pair graph (3 min-label rounds, deterministic), cluster id =
+    smallest member, keep exactly the canonical doc per cluster. Only docs
+    that participate in at least one near-dup pair are emitted (singletons
+    are trivially kept). Scale shape: pair generation is the inverted-index
+    shingle join (never all-pairs); each propagation round is one join +
+    one min-agg, both keyed by doc id."""
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    und = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        und.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("lbl", F.col("doc_id"))
+    )
+    for _ in range(3):
+        neigh = (
+            und.join(labels, und.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = labels.join(neigh, "doc_id", "left").select(
+            "doc_id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+        )
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_CLUSTER_SQL = (
+    SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    und AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS lbl FROM und),
+    {rounds}
+    SELECT doc_id, lbl AS cluster_id, doc_id = lbl AS keep
+    FROM l3 ORDER BY doc_id"""
+).format(
+    rounds=",\n    ".join(
+        f"""l{i + 1} AS (
+      SELECT v.doc_id, least(v.lbl, coalesce(min(n.lbl), v.lbl)) AS lbl
+      FROM l{i} v
+      LEFT JOIN und e ON e.doc_b = v.doc_id
+      LEFT JOIN l{i} n ON n.doc_id = e.doc_a
+      GROUP BY v.doc_id, v.lbl
+    )"""
+        for i in range(3)
+    )
+)
+
+
 ORACLES = {
+    "dedup_cluster_keep": _CLUSTER_SQL,
     "dedup_exact": """
         WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents),
         c AS (SELECT fp, min(doc_id) AS canonical_id FROM h GROUP BY fp)
@@ -262,6 +350,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "dedup_cluster_keep": q_dedup_cluster_keep,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

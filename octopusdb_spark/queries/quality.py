@@ -60,7 +60,36 @@ def q_quality_duplicate_keys(spark, sf_dir):
     )
 
 
+def q_quality_pattern_scan(spark, sf_dir):
+    """Pattern-based content filter — the PII/blocklist scan shape every
+    corpus pipeline runs before release (emails, phone numbers, banned
+    terms). The pattern here targets terms present in the synthetic corpus
+    ('vector' or 'stream' as whole words); production swaps in PII regexes
+    unchanged. One scan with a conditional aggregation per source — the
+    regex runs codegen-side (RLIKE), no UDF."""
+    docs = t(spark, sf_dir, "documents")
+    hit = F.col("text").rlike(r"\b(vector|stream)\b")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(hit, 1)).alias("n_flagged"),
+            F.round(
+                F.count(F.when(hit, 1)).cast("double") / F.count("*"), 6
+            ).alias("flag_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 ORACLES = {
+    "quality_pattern_scan": r"""
+        SELECT source, count(*) AS n_docs,
+               count(CASE WHEN regexp_matches(text, '\b(vector|stream)\b')
+                     THEN 1 END) AS n_flagged,
+               round(CAST(count(CASE WHEN regexp_matches(text, '\b(vector|stream)\b')
+                          THEN 1 END) AS DOUBLE) / count(*), 6) AS flag_rate
+        FROM documents GROUP BY source ORDER BY source""",
     "quality_column_profile": """
         WITH agg AS (
           SELECT count(*) AS n_rows,
@@ -101,4 +130,5 @@ ORACLES = {
 QUERIES = {
     "quality_column_profile": q_quality_column_profile,
     "quality_duplicate_keys": q_quality_duplicate_keys,
+    "quality_pattern_scan": q_quality_pattern_scan,
 }

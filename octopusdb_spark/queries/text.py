@@ -176,7 +176,82 @@ def q_text_tokenize_udtf(spark, sf_dir):
     )
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the eval-leak guard every training
+    pipeline needs: flag corpus documents that share any word-5-gram with
+    the held-out benchmark set (doc_id < 20 here). Inverted-index join on
+    the shingle (shuffle keyed by shingle, never all-pairs); output is the
+    contaminated doc with how many distinct shingles and benchmark docs it
+    collides with. At 100 TB the benchmark shingle side is tiny and
+    broadcast."""
+    from octopusdb_spark.queries.dedup import shingles
+
+    sh = shingles(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corpus = sh.filter(F.col("doc_id") >= 20)
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("n_shared_shingles"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_shard_assignment(spark, sf_dir):
+    """Deterministic shard assignment + per-shard balance stats — how a
+    training pipeline splits a corpus into N reproducible shards: shard =
+    md5(doc_id) mod 16 (content-independent, stable under reruns), then one
+    aggregation validates the balance (doc count, token mass, char mass per
+    shard). One scan, one shuffle keyed by shard."""
+    docs = t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 16
+    ).alias("shard")
+    return (
+        docs.select(shard, F.size(F.split("text", " ")).alias("toks"), F.col("n_chars"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("toks").cast("long")).alias("total_tokens"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.min("toks").alias("min_tokens"),
+            F.max("toks").alias("max_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
 ORACLES = {
+    "text_decontaminate": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 3, 1))) AS i FROM w),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s FROM idx)
+        SELECT c.doc_id,
+               count(DISTINCT c.s) AS n_shared_shingles,
+               count(DISTINCT b.doc_id) AS n_bench_docs
+        FROM sh c JOIN sh b ON c.s = b.s AND b.doc_id < 20 AND c.doc_id >= 20
+        GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "text_shard_assignment": """
+        WITH s AS (
+          SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16
+                   AS shard,
+                 len(string_split(text, ' ')) AS toks,
+                 n_chars
+          FROM documents
+        )
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(toks) AS INT) AS min_tokens,
+               CAST(max(toks) AS INT) AS max_tokens
+        FROM s GROUP BY shard ORDER BY shard""",
     "text_tfidf_keywords": """
         WITH words AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -278,4 +353,6 @@ QUERIES = {
     "text_source_profile": q_text_source_profile,
     "text_tokenize_udtf": q_text_tokenize_udtf,
     "text_tfidf_keywords": q_text_tfidf_keywords,
+    "text_decontaminate": q_text_decontaminate,
+    "text_shard_assignment": q_text_shard_assignment,
 }
