@@ -48,6 +48,9 @@ class ManifestState:
     # at-least-once; replayed batches are skipped by consulting this map,
     # making the side effect idempotent per (checkpoint, batch_id).
     stream_commits: dict = field(default_factory=dict)
+    # Cumulative bytes rewritten by compaction — the write-amplification
+    # numerator (amplification = compacted_bytes / live user bytes).
+    compacted_bytes: int = 0
 
     def data_segments(self) -> list:
         return [s for s in self.segments if s.kind == "data"]
@@ -86,6 +89,7 @@ class Manifest:
             next_seq=raw["next_seq"],
             segments=[SegmentInfo(**s) for s in raw["segments"]],
             stream_commits=raw.get("stream_commits", {}),
+            compacted_bytes=raw.get("compacted_bytes", 0),
         )
 
     def commit(self, new_state: ManifestState) -> None:
@@ -113,12 +117,15 @@ class Manifest:
             # Carry streaming bookkeeping forward through maintenance commits
             # (compaction/GC) that rebuild the state from scratch.
             new_state.stream_commits = dict(self.state.stream_commits)
+        if not new_state.compacted_bytes:
+            new_state.compacted_bytes = self.state.compacted_bytes
         snap = os.path.join(self.dir, f"manifest-{new_state.version}.json")
         payload = {
             "version": new_state.version,
             "next_seq": new_state.next_seq,
             "segments": [asdict(s) for s in new_state.segments],
             "stream_commits": new_state.stream_commits,
+            "compacted_bytes": new_state.compacted_bytes,
         }
         try:
             fd = os.open(snap, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)

@@ -534,15 +534,32 @@ class KVStore:
         return self.manifest.state.next_seq - 1
 
     def info(self) -> dict:
-        """Stats endpoint (`kv/db.go:140-142` — a stub there; real here)."""
+        """Stats endpoint (`kv/db.go:140-142` — a stub there; real here).
+        Includes per-level layout, value-log garbage accounting, and the
+        cumulative write-amplification numerator (bytes rewritten by
+        compaction vs. live bytes)."""
         st = self.manifest.state
+        levels: dict = {}
+        for s in st.data_segments():
+            d = levels.setdefault(s.level, {"segments": 0, "bytes": 0, "rows": 0})
+            d["segments"] += 1
+            d["bytes"] += s.size_bytes
+            d["rows"] += s.row_count
+        live_bytes = sum(s.size_bytes for s in st.data_segments())
         return {
             "manifest_version": st.version,
             "next_seq": st.next_seq,
             "data_segments": len(st.data_segments()),
             "value_segments": len(st.value_segments()),
-            "levels": sorted({s.level for s in st.data_segments()}),
+            "levels": sorted(levels),
+            "levels_detail": {str(k): levels[k] for k in sorted(levels)},
             "row_count": sum(s.row_count for s in st.data_segments()),
+            "value_total_bytes": sum(s.total_value_bytes for s in st.value_segments()),
+            "value_discard_bytes": sum(s.discard_bytes for s in st.value_segments()),
+            "compacted_bytes": st.compacted_bytes,
+            "write_amplification": round(st.compacted_bytes / live_bytes, 3)
+            if live_bytes
+            else 0.0,
         }
 
     # ------------------------------------------------------------ maintenance
@@ -689,6 +706,8 @@ class KVStore:
                 version=state.version,
                 next_seq=state.next_seq,
                 segments=self._with_discard_updates(kept, drops) + new_segs,
+                compacted_bytes=state.compacted_bytes
+                + sum(s.size_bytes for s in new_segs),
             )
         )
 
@@ -728,6 +747,8 @@ class KVStore:
                 version=state.version,
                 next_seq=state.next_seq,
                 segments=self._with_discard_updates(kept, drops) + new_segs,
+                compacted_bytes=state.compacted_bytes
+                + sum(s.size_bytes for s in new_segs),
             )
         )
 

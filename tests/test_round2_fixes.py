@@ -207,3 +207,23 @@ def test_binary_prefix_upper_bound():
     assert _bytes_prefix_upper_bound(b"ab") == b"ac"
     assert _bytes_prefix_upper_bound(b"a\xff\xff") == b"b"
     assert _bytes_prefix_upper_bound(b"\xff\xff") is None
+
+
+# ------------------------------------------------ write-amplification stats
+def test_info_levels_and_write_amplification(spark, tmp_path):
+    store = KVStore(spark, str(tmp_path / "wkv"))
+    for b in range(3):
+        store.set_batch([Entry(f"k{i:02d}", f"b{b}v{i}".encode()) for i in range(10)])
+    assert store.info()["compacted_bytes"] == 0
+    store.compact(now=NOW)
+    info = store.info()
+    assert info["compacted_bytes"] > 0
+    assert info["write_amplification"] > 0
+    assert info["levels_detail"][str(KVStore.MAX_LEVEL)]["rows"] == 10
+    # survives reopen; a second compaction accumulates
+    prev = info["compacted_bytes"]
+    reopened = KVStore(spark, store.root)
+    assert reopened.info()["compacted_bytes"] == prev
+    reopened.set_batch([Entry("k00", b"again")])
+    reopened.compact(now=NOW)
+    assert reopened.info()["compacted_bytes"] > prev
