@@ -43,6 +43,11 @@ HEADLINE = [
     "graph_khop",
     "q_funnel",
     "q18_large_volume",
+    # added round 2 (training-pipeline operators)
+    "dedup_cluster_keep",
+    "text_decontaminate",
+    "text_shard_assignment",
+    "kv_binary_key_scan",
 ]
 
 
