@@ -34,3 +34,27 @@ def interval_join_streams(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, "inner").drop(f"_r_{key}")
+
+
+def enrich_stream_with_kv(
+    stream_df: DataFrame,
+    store,
+    key_col: str = "key",
+    now: int | None = None,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Stream-static enrichment: join a stream against the KV store's live
+    view — the dimension-lookup pattern (events enriched with the stored
+    profile/feature value for their key). The static side is pinned to the
+    manifest state captured when this plan is built (segment paths are
+    resolved once): a consistent store snapshot for the whole query. For
+    per-batch freshness, rebuild the join inside ``foreachBatch``; pin
+    ``as_of`` for an explicit historical snapshot. The KV view is a
+    broadcast-size dimension in typical use; at 100 TB of KV the optimizer
+    falls back to a shuffled join keyed by the stream's key column."""
+    view = store.view(now=now, as_of=as_of).select(
+        F.col("key").alias(key_col),
+        F.col("value").alias("kv_value"),
+        F.col("version").alias("kv_version"),
+    )
+    return stream_df.join(view, key_col, "left")

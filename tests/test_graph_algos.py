@@ -1,0 +1,74 @@
+"""Convergence-loop graph algorithms vs exact single-machine references:
+components against union-find, pagerank against pure-Python power iteration
+on the same (small) edge set."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from octopusdb_spark.functions.graph_algos import connected_components, pagerank
+from octopusdb_spark.queries.graph import edges
+
+
+def _collect_edges(spark, sf_dir):
+    return [(r["src"], r["dst"]) for r in edges(spark, sf_dir).collect()]
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    es = _collect_edges(spark, sf_dir)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for s, d in es:
+        union(s, d)
+    # canonical component = min member
+    want = {}
+    members: dict = {}
+    for v in parent:
+        members.setdefault(find(v), []).append(v)
+    for root, vs in members.items():
+        canon = min(vs + [root])
+        for v in vs:
+            want[v] = canon
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges(spark, sf_dir)).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_converges_and_matches_power_iteration(spark, sf_dir):
+    es = _collect_edges(spark, sf_dir)
+    nodes = sorted({v for e in es for v in e})
+    outd: dict = {}
+    for s, _ in es:
+        outd[s] = outd.get(s, 0) + 1
+    rank = {v: 1.0 for v in nodes}
+    for _ in range(200):
+        contrib: dict = {}
+        for s, d in es:
+            contrib[d] = contrib.get(d, 0.0) + rank[s] / outd[s]
+        new = {v: 0.15 + 0.85 * contrib.get(v, 0.0) for v in nodes}
+        delta = max(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if delta < 1e-9:
+            break
+
+    out = pagerank(edges(spark, sf_dir), tol=1e-8).collect()
+    got = {r["node"]: r["pagerank"] for r in out}
+    n_iter = out[0]["n_iter"]
+    assert 1 < n_iter < 50  # converged before the cap, after real work
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-5, f"node {v}: {got[v]} vs {rank[v]}"

@@ -131,3 +131,36 @@ def test_stream_ingest_batch_parity_and_bounded_l0(spark, tmp_path):
     l0 = [s for s in store.manifest.state.data_segments() if s.level == 0]
     assert len(l0) <= 8, f"L0 not bounded: {len(l0)} segments"
     assert info["data_segments"] < 20
+
+
+def test_enrich_stream_with_kv(spark, tmp_path):
+    """Stream-static KV enrichment: streamed events pick up the store's
+    live value for their key; tombstoned/absent keys enrich to NULL."""
+    from octopusdb_spark.streaming.joins import enrich_stream_with_kv
+
+    store = KVStore(spark, str(tmp_path / "kvdim"))
+    from octopusdb_spark.kv import Entry
+
+    store.set_batch([Entry("u1", b"gold"), Entry("u2", b"silver"), Entry("u3", b"old")])
+    store.delete("u3")
+
+    src = str(tmp_path / "evsrc2")
+    spark.createDataFrame(
+        [("u1", 10), ("u2", 20), ("u3", 30), ("u9", 40)], "key string, amount int"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("key string, amount int").parquet(src)
+    enriched = enrich_stream_with_kv(stream, store, now=NOW)
+    out_name = f"enrich_{int(time.time())}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["key"]: (bytes(r["kv_value"]) if r["kv_value"] is not None else None)
+        for r in spark.sql(f"SELECT * FROM {out_name}").collect()
+    }
+    assert rows == {"u1": b"gold", "u2": b"silver", "u3": None, "u9": None}
