@@ -230,7 +230,129 @@ def q22_global_sales(spark, sf_dir):
     )
 
 
+def q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution. LEFT OUTER join
+    with an ON-clause filter (o_orderstatus <> 'F' stands in for the
+    comment NOT LIKE predicate the trimmed schema lacks), double
+    aggregation. Customers with zero qualifying orders land in the c_count
+    = 0 bucket — the part an inner join would silently drop."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier by quarterly revenue — the revenue
+    'view' is a grouped subquery, the winner is picked with an exact
+    scalar-max equality (decimal-accumulated revenue, so the equality is
+    reliable cross-engine; ties would all be returned, per spec)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev.mx)
+        .join(supp, supp.s_suppkey == revenue.supplier_no)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_shape(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who solely 'failed' a multi-supplier
+    order — the EXISTS + NOT-EXISTS double over the same fact table.
+    l_returnflag = 'R' stands in for late delivery (the trimmed schema has
+    no commit/receipt dates). A returned line qualifies when another
+    supplier participated in the order (left-semi with a <> residual) but
+    no other supplier had a returned line there (left-anti with the same
+    residual)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders_f = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders_f, li.l_orderkey == orders_f.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    others_r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_supp")
+    )
+    waited = (
+        l1.join(
+            others,
+            (l1.l_orderkey == others.o_key) & (l1.l_suppkey != others.o_supp),
+            "left_semi",
+        )
+        .join(
+            others_r,
+            (l1.l_orderkey == others_r.r_key) & (l1.l_suppkey != others_r.r_supp),
+            "left_anti",
+        )
+    )
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        waited.join(F.broadcast(supp), waited.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
 ORACLES = {
+    "q13_custdist": """
+        WITH per_cust AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+          GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""",
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 {dsum_sql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""",
+    "q21_waiting_shape": """
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name ORDER BY numwait DESC, s_name""",
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
@@ -330,6 +452,9 @@ ORACLES = {
 }
 
 QUERIES = {
+    "q13_custdist": q13_custdist,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_waiting_shape": q21_waiting_shape,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
