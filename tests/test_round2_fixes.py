@@ -227,3 +227,29 @@ def test_info_levels_and_write_amplification(spark, tmp_path):
     reopened.set_batch([Entry("k00", b"again")])
     reopened.compact(now=NOW)
     assert reopened.info()["compacted_bytes"] > prev
+
+
+def test_binary_prefix_bound_property():
+    """Property: for any byte prefix p with a finite upper bound u, every
+    byte string extending p sorts in [p, u), and every string outside the
+    prefix sorts outside [p, u) — the pruning-bound contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from octopusdb_spark.kv.store import _bytes_prefix_upper_bound
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        prefix=st.binary(min_size=1, max_size=6),
+        suffix=st.binary(min_size=0, max_size=6),
+        other=st.binary(min_size=0, max_size=8),
+    )
+    def check(prefix, suffix, other):
+        u = _bytes_prefix_upper_bound(prefix)
+        ext = prefix + suffix
+        assert ext >= prefix and (u is None or ext < u)
+        if not other.startswith(prefix):
+            inside = other >= prefix and (u is None or other < u)
+            assert not inside
+
+    check()
