@@ -82,7 +82,17 @@ class Manifest:
             return ManifestState()
         with open(cur) as f:
             version = int(f.read().strip())
-        with open(os.path.join(self.dir, f"manifest-{version}.json")) as f:
+        return self.load_version(version)
+
+    def load_version(self, version: int) -> ManifestState:
+        """Read a specific committed manifest version — every snapshot is
+        retained on disk, so any historical segment set can be reopened
+        (time travel). Segments referenced by old manifests survive until a
+        retention sweep; compaction/GC only deregister, never delete files."""
+        path = os.path.join(self.dir, f"manifest-{version}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"manifest version {version} does not exist")
+        with open(path) as f:
             raw = json.load(f)
         return ManifestState(
             version=raw["version"],
@@ -91,6 +101,17 @@ class Manifest:
             stream_commits=raw.get("stream_commits", {}),
             compacted_bytes=raw.get("compacted_bytes", 0),
         )
+
+    def versions(self) -> list:
+        """All committed manifest versions on disk, ascending."""
+        out = []
+        for name in os.listdir(self.dir):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                try:
+                    out.append(int(name[len("manifest-"):-len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
 
     def commit(self, new_state: ManifestState) -> None:
         """Write snapshot then atomically swap CURRENT (os.replace is atomic
@@ -151,12 +172,12 @@ class Manifest:
         seg_id = f"{kind}-{uuid.uuid4().hex[:12]}"
         return seg_id, os.path.join(self.root, "segments", seg_id)
 
-    def prune_for_key(self, key: str) -> list:
+    def prune_for_key(self, key: str, segments: list | None = None) -> list:
         """Data segments whose [min_key, max_key] interval may contain `key`
         — file-level pruning before Spark reads anything (SST interval
         search analog)."""
         out = []
-        for s in self.state.data_segments():
+        for s in segments if segments is not None else self.state.data_segments():
             if s.min_key is not None and key < s.min_key:
                 continue
             if s.max_key is not None and key > s.max_key:
@@ -164,9 +185,11 @@ class Manifest:
             out.append(s)
         return out
 
-    def prune_for_range(self, start: str | None, end: str | None) -> list:
+    def prune_for_range(
+        self, start: str | None, end: str | None, segments: list | None = None
+    ) -> list:
         out = []
-        for s in self.state.data_segments():
+        for s in segments if segments is not None else self.state.data_segments():
             if end is not None and s.min_key is not None and s.min_key >= end:
                 continue
             if start is not None and s.max_key is not None and s.max_key < start:

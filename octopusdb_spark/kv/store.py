@@ -414,6 +414,7 @@ class KVStore:
         now: int | None = None,
         segs: list | None = None,
         as_of: int | None = None,
+        at_version: int | None = None,
     ) -> DataFrame:
         """The live view: newest version, tombstones hidden, TTL applied,
         big values re-joined (`kv/db.go:89-130` read path as one plan).
@@ -426,8 +427,19 @@ class KVStore:
         LSM without snapshot pinning. A separated value whose payload was
         GC'd after the snapshot resolves to a dangling pointer; such rows
         are filtered out (the snapshot horizon has moved past them), never
-        surfaced as NULL values."""
+        surfaced as NULL values.
+
+        ``at_version`` reads through a HISTORICAL manifest snapshot (time
+        travel): every committed manifest is retained on disk and
+        maintenance only deregisters segments — their files survive — so
+        any prior table state reopens exactly, including its own values
+        segments."""
         now = int(time.time()) if now is None else now
+        hist = (
+            self.manifest.load_version(at_version) if at_version is not None else None
+        )
+        if hist is not None and segs is None:
+            segs = hist.data_segments()
         base = self.raw_df(segs)
         if as_of is not None:
             base = base.filter(F.col("seq") <= as_of)
@@ -435,7 +447,11 @@ class KVStore:
             (F.col("value").isNotNull() | F.col("value_ptr").isNotNull())
             & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
         )
-        vals = self._values_df()
+        vals = (
+            self._read_segments(hist.value_segments(), VALUES_SCHEMA)
+            if hist is not None
+            else self._values_df()
+        )
         return (
             live.join(F.broadcast(vals), live.value_ptr == vals.value_id, "left")
             .withColumn("value", F.coalesce(F.col("value"), F.col("big_value")))
@@ -471,12 +487,15 @@ class KVStore:
         asc: bool = True,
         now: int | None = None,
         as_of: int | None = None,
+        at_version: int | None = None,
     ) -> DataFrame:
         """Ordered range scan — NewIterator (`kv/iterator.go:19-79`). Prefix
         and bounds reach the Parquet scan as pushed filters; ordering is a
         range-shuffle sort (pipelined, not a global single-node sort).
         Bounds are ``bytes`` in binary-key mode; a byte prefix becomes the
-        half-open range [prefix, increment-with-carry(prefix))."""
+        half-open range [prefix, increment-with-carry(prefix)).
+        ``at_version`` scans a historical manifest snapshot (time travel),
+        with the same file-level pruning over that snapshot's segments."""
         lo = start if start is not None else prefix
         hi = end
         if prefix is not None and end is None:
@@ -484,8 +503,13 @@ class KVStore:
                 hi = _bytes_prefix_upper_bound(prefix)
             else:
                 hi = _prefix_upper_bound(prefix)
-        segs = self.manifest.prune_for_range(self._enc(lo), self._enc(hi))
-        df = self.view(now=now, segs=segs, as_of=as_of)
+        hist_segs = (
+            self.manifest.load_version(at_version).data_segments()
+            if at_version is not None
+            else None
+        )
+        segs = self.manifest.prune_for_range(self._enc(lo), self._enc(hi), hist_segs)
+        df = self.view(now=now, segs=segs, as_of=as_of, at_version=at_version)
         if prefix is not None:
             if self.key_type == "binary":
                 # range form — equivalent to startswith for byte keys

@@ -253,3 +253,36 @@ def test_binary_prefix_bound_property():
             assert not inside
 
     check()
+
+
+# ------------------------------------------------------------- time travel
+def test_time_travel_reads_historical_manifest(spark, tmp_path):
+    """Every committed manifest survives on disk and maintenance only
+    deregisters segment files — so view(at_version=) reopens any prior
+    table state exactly, including across compaction and value GC."""
+    store = KVStore(spark, str(tmp_path / "tt"), value_threshold=64)
+    store.set_batch([Entry("a", b"1"), Entry("big", b"X" * 200)])
+    v1 = store.manifest.state.version
+    store.set_batch([Entry("a", b"2"), Entry("b", b"3")])
+    v2 = store.manifest.state.version
+    store.delete("a")
+    store.set_batch([Entry("big", b"Y" * 200)])
+    store.compact(now=NOW)
+    store.gc_values(discard_ratio=0.0, now=NOW)
+
+    # current state: a deleted, big rewritten
+    now_view = {r["key"]: bytes(r["value"]) for r in store.view(now=NOW).collect()}
+    assert "a" not in now_view and now_view["big"] == b"Y" * 200
+
+    tt1 = {r["key"]: bytes(r["value"]) for r in store.view(now=NOW, at_version=v1).collect()}
+    assert tt1 == {"a": b"1", "big": b"X" * 200}  # GC'd payload still readable
+    tt2 = {r["key"]: bytes(r["value"]) for r in store.view(now=NOW, at_version=v2).collect()}
+    assert tt2 == {"a": b"2", "b": b"3", "big": b"X" * 200}
+    # scan honors the historical snapshot + pruning
+    got = [r["key"] for r in store.scan(prefix="a", now=NOW, at_version=v2).collect()]
+    assert got == ["a"]
+    assert store.manifest.versions()[0] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        store.view(now=NOW, at_version=9999)
