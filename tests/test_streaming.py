@@ -164,3 +164,63 @@ def test_enrich_stream_with_kv(spark, tmp_path):
         for r in spark.sql(f"SELECT * FROM {out_name}").collect()
     }
     assert rows == {"u1": b"gold", "u2": b"silver", "u3": None, "u9": None}
+
+
+def test_continuous_rollup_matches_batch_aggregate(spark, tmp_path):
+    """The streamed continuous aggregate equals a one-shot batch groupBy of
+    the same rows, including across multiple micro-batches and an
+    idempotent replay."""
+    import os
+
+    from octopusdb_spark.streaming.rollup import ContinuousRollup, maintain_rollup_stream
+
+    src = str(tmp_path / "rollsrc")
+    os.makedirs(src)
+    base_us = 1_700_000_000 * 1_000_000
+    all_rows = []
+    for i in range(5):
+        rows = [
+            (base_us + (i * 40 + j) * 300 * 1_000_000, ["click", "view"][j % 2], float(j))
+            for j in range(40)
+        ]
+        all_rows += rows
+        df = spark.createDataFrame(rows, "ts_us long, event_type string, value double")
+        part = str(tmp_path / f"rpart{i}")
+        df.coalesce(1).write.parquet(part)
+        fname = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"b{i:02d}.parquet")
+        os.rename(os.path.join(part, fname), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    roll = ContinuousRollup(spark, str(tmp_path / "rollup"), bucket_seconds=3600)
+    stream = (
+        spark.readStream.schema("ts_us long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_rollup_stream(stream, roll, str(tmp_path / "rollckpt"))
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    full = spark.createDataFrame(all_rows, "ts_us long, event_type string, value double")
+    want = {
+        (r["bucket"], r["grp"]): (r["n"], round(r["tv"], 6))
+        for r in full.groupBy(
+            ((F.col("ts_us") / 1_000_000).cast("long") / 3600).cast("long").alias("b"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .select((F.col("b") * 3600).alias("bucket"), F.col("event_type").alias("grp"), "n", "tv")
+        .collect()
+    }
+    got = {
+        (r["bucket"], r["grp"]): (r["n_events"], round(r["total_value"], 6))
+        for r in roll.table().collect()
+    }
+    assert got == want
+    # replaying an already-committed batch is a no-op
+    v = roll.manifest.state.version
+    one = spark.createDataFrame(all_rows[:5], "ts_us long, event_type string, value double")
+    ck = str(tmp_path / "rollckpt")
+    assert roll.merge_batch(one, commit_tag=(ck, 0)) == 0
+    assert roll.manifest.state.version == v
