@@ -20,7 +20,22 @@ no RDDs, no driver-side row loops on data paths.
 __version__ = "0.1.0"
 
 from octopusdb_spark.db import Iterator, OctopusDB
+from octopusdb_spark.functions.graph_algos import connected_components, pagerank
 from octopusdb_spark.kv.store import Entry, KVStore
 from octopusdb_spark.session import get_spark
+from octopusdb_spark.streaming.ingest import ingest_stream_to_kv
+from octopusdb_spark.streaming.rollup import ContinuousRollup, maintain_rollup_stream
 
-__all__ = ["OctopusDB", "Iterator", "KVStore", "Entry", "get_spark", "__version__"]
+__all__ = [
+    "OctopusDB",
+    "Iterator",
+    "KVStore",
+    "Entry",
+    "get_spark",
+    "pagerank",
+    "connected_components",
+    "ingest_stream_to_kv",
+    "ContinuousRollup",
+    "maintain_rollup_stream",
+    "__version__",
+]
