@@ -113,6 +113,58 @@ class Manifest:
                     continue
         return sorted(out)
 
+    def prune_versions(self, keep_last: int = 2) -> dict:
+        """Retention sweep — the analog of the reference's periodic manifest
+        rewrite (`kv/file/manifest.go`, deletions-threshold rewrite) plus
+        physical file GC. Keeps the newest ``keep_last`` manifest versions
+        (always including CURRENT), deletes older manifest snapshots, then
+        removes every top-level entry under ``<root>/segments`` that no
+        retained manifest references — superseded compaction inputs, GC'd
+        value segments, and ingest staging files.
+
+        Single-writer only: call from the handle that owns the store, never
+        concurrently with a write. Time travel to pruned versions raises
+        afterwards; that is the retention trade, made explicit."""
+        import shutil
+
+        vs = self.versions()
+        keep = set(vs[-max(keep_last, 1):])
+        keep.add(self.state.version)
+        referenced: set = set()
+        seg_root = os.path.join(self.root, "segments")
+        for v in keep:
+            for s in self.load_version(v).segments:
+                # normalize to the top-level entry under segments/
+                rel = os.path.relpath(s.path, seg_root)
+                referenced.add(rel.split(os.sep)[0])
+        removed_versions = []
+        for v in vs:
+            if v not in keep:
+                os.remove(os.path.join(self.dir, f"manifest-{v}.json"))
+                removed_versions.append(v)
+        removed_dirs, freed = [], 0
+        if os.path.isdir(seg_root):
+            for entry in os.listdir(seg_root):
+                if entry in referenced:
+                    continue
+                full = os.path.join(seg_root, entry)
+                for dirpath, _, files in os.walk(full):
+                    freed += sum(
+                        os.path.getsize(os.path.join(dirpath, f)) for f in files
+                    )
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+                else:
+                    freed += os.path.getsize(full) if os.path.exists(full) else 0
+                    os.remove(full)
+                removed_dirs.append(entry)
+        return {
+            "removed_versions": removed_versions,
+            "removed_segments": removed_dirs,
+            "bytes_freed": freed,
+            "kept_versions": sorted(keep),
+        }
+
     def commit(self, new_state: ManifestState) -> None:
         """Write snapshot then atomically swap CURRENT (os.replace is atomic
         on POSIX) — the analog of manifest AddChanges + rewrite.

@@ -776,6 +776,15 @@ class KVStore:
             )
         )
 
+    def prune_history(self, keep_versions: int = 2) -> dict:
+        """Bound space amplification: drop manifest versions older than the
+        newest ``keep_versions`` and physically delete segment files no
+        retained version references (superseded compaction inputs, GC'd
+        value segments, staging leftovers). Invalidates time travel past
+        the horizon — the explicit retention trade. Single-writer only."""
+        self.uncache_view()
+        return self.manifest.prune_versions(keep_last=keep_versions)
+
     def gc_values(self, discard_ratio: float = 0.5, now: int | None = None) -> list:
         """Value-log GC (`kv/vlog_gc.go`): candidate segments are selected
         from the incremental discard stats that compaction maintains

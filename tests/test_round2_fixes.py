@@ -286,3 +286,34 @@ def test_time_travel_reads_historical_manifest(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="does not exist"):
         store.view(now=NOW, at_version=9999)
+
+
+# ---------------------------------------------------------- retention sweep
+def test_prune_history_frees_space_and_bounds_time_travel(spark, tmp_path):
+    import os
+
+    store = KVStore(spark, str(tmp_path / "ph"), value_threshold=64)
+    store.set_batch([Entry("a", b"1"), Entry("big", b"Z" * 300)])
+    v_old = store.manifest.state.version
+    store.set_batch([Entry("big", b"Y" * 300)])  # supersede the big value
+    store.compact(now=NOW)
+    store.gc_values(discard_ratio=0.0, now=NOW)
+    seg_root = os.path.join(store.root, "segments")
+    n_before = len(os.listdir(seg_root))
+
+    report = store.prune_history(keep_versions=1)
+    assert report["removed_versions"], "old manifests should be dropped"
+    assert report["removed_segments"], "unreferenced segment files should be deleted"
+    assert report["bytes_freed"] > 0
+    assert len(os.listdir(seg_root)) < n_before
+    # current state fully intact
+    assert store.get("a", now=NOW).value == b"1"
+    assert store.get("big", now=NOW).value == b"Y" * 300
+    # time travel past the horizon now raises (the explicit trade)
+    with pytest.raises(ValueError, match="does not exist"):
+        store.view(now=NOW, at_version=v_old)
+    # store remains writable and reopenable after the sweep
+    store.set_batch([Entry("c", b"3")])
+    reopened = KVStore(spark, store.root)
+    assert reopened.get("c", now=NOW).value == b"3"
+    assert reopened.view(now=NOW).count() == 3
