@@ -151,6 +151,11 @@ class OctopusDB:
     def compact(self, now: int | None = None) -> None:
         self.kv.compact(now=now)
 
+    def prune_history(self, keep_versions: int = 2) -> dict:
+        """Retention sweep: bound time-travel depth and reclaim segment
+        files no retained manifest references."""
+        return self.kv.prune_history(keep_versions=keep_versions)
+
     def close(self) -> None:
         self._closed = True
 
