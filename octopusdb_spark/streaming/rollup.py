@@ -155,18 +155,24 @@ def maintain_rollup_stream(
     ts_us_col: str = "ts_us",
     group_col: str = "event_type",
     value_col: str = "value",
+    prune_every: int = 8,
 ):
     """Run a stream into the rollup: one atomic snapshot per micro-batch,
-    idempotent under foreachBatch replays. Returns the StreamingQuery."""
+    idempotent under foreachBatch replays. Every ``prune_every`` batches
+    the snapshot history is swept (keep last 2), so an always-on stream
+    holds a bounded number of rollup segments on disk. Returns the
+    StreamingQuery."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rollup.merge_batch(
+        n = rollup.merge_batch(
             batch_df,
             ts_us_col=ts_us_col,
             group_col=group_col,
             value_col=value_col,
             commit_tag=(checkpoint_dir, int(batch_id)),
         )
+        if n and prune_every and (int(batch_id) + 1) % prune_every == 0:
+            rollup.manifest.prune_versions(keep_last=2)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -224,3 +224,11 @@ def test_continuous_rollup_matches_batch_aggregate(spark, tmp_path):
     ck = str(tmp_path / "rollckpt")
     assert roll.merge_batch(one, commit_tag=(ck, 0)) == 0
     assert roll.manifest.state.version == v
+    # snapshot history prunes without changing the readable table
+    report = roll.manifest.prune_versions(keep_last=2)
+    assert report["removed_versions"] and report["removed_segments"]
+    got_after = {
+        (r["bucket"], r["grp"]): (r["n_events"], round(r["total_value"], 6))
+        for r in roll.table().collect()
+    }
+    assert got_after == want
