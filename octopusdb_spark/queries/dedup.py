@@ -203,6 +203,67 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+MAX_SHINGLE_DF = 2  # hot-shingle cap: drop shingles appearing in > 2 docs
+
+
+def q_dedup_minhash_capped(spark, sf_dir):
+    """MinHash-LSH with the hot-shingle cap — the documented skew
+    mitigation implemented as a first-class variant. Shingles whose
+    document frequency exceeds MAX_SHINGLE_DF are dropped BEFORE hashing:
+    the hot list is tiny by construction (only shingles shared by many
+    docs), so it broadcasts, and the anti-join removes exactly the keys
+    that would otherwise concentrate band buckets — at 100 TB this is what
+    keeps the band-join's per-bucket fan-in bounded. Deterministic, so the
+    oracle applies the identical cap."""
+    sh = shingles(spark, sf_dir)
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("s")
+    )
+    kept = sh.join(F.broadcast(hot), "s", "left_anti").select(
+        "doc_id", F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("h")
+    )
+    mins = kept.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ]
+    )
+    sigs = mins.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{j}").cast("string")
+                        for j in range(band * _ROWS_PER_BAND, (band + 1) * _ROWS_PER_BAND)
+                    ],
+                )
+            ).alias(f"sig{band}")
+            for band in range(N_BANDS)
+        ],
+    )
+    stack_args = ", ".join(f"{band}, sig{band}" for band in range(N_BANDS))
+    bands = sigs.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_dedup_cluster_keep(spark, sf_dir):
     """Near-duplicate clustering + keep-list — the actual OUTPUT of a
     training-data dedup stage: connected components over the Jaccard>=0.5
@@ -290,7 +351,34 @@ _CLUSTER_SQL = (
 )
 
 
+_MINHASH_CAPPED_SQL = (
+    SHINGLES_SQL
+    + f"""
+    , dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s)
+             WHERE df <= {MAX_SHINGLE_DF}),
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h FROM kept
+    ),
+    mins AS (
+      SELECT doc_id,
+             {", ".join(f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(MINHASH_AB))}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          "SELECT doc_id, %d AS band, md5(%s) AS sig FROM mins"
+          % (band, " || ',' || ".join(f"CAST(m{j} AS VARCHAR)" for j in range(band * _ROWS_PER_BAND, (band + 1) * _ROWS_PER_BAND)))
+          for band in range(N_BANDS))}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY doc_a, doc_b"""
+)
+
 ORACLES = {
+    "dedup_minhash_capped": _MINHASH_CAPPED_SQL,
     "dedup_cluster_keep": _CLUSTER_SQL,
     "dedup_exact": """
         WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents),
@@ -350,6 +438,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "dedup_minhash_capped": q_dedup_minhash_capped,
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
