@@ -68,7 +68,7 @@ _PRIORITY = [
     "kv_binary_key_scan",
     "dedup_cluster_keep", "text_decontaminate", "text_shard_assignment",
     "quality_pattern_scan", "q13_custdist", "q15_top_supplier",
-    "q21_waiting_shape", "dedup_minhash_capped",
+    "q21_waiting_shape", "dedup_minhash_capped", "q_rollup_merge",
 ]
 
 

@@ -291,6 +291,34 @@ def q_pandas_udaf_trimmed_mean(spark, sf_dir):
     )
 
 
+def q_rollup_merge(spark, sf_dir):
+    """Incremental-view-maintenance equivalence under the hash gate: the
+    events table is split into 3 deterministic batches (event_id mod 3) and
+    merged through ContinuousRollup — partial aggregate per batch, decimal
+    merge by (bucket, grp), atomic snapshot per merge — and the resulting
+    materialized table must hash-match the oracle's ONE-SHOT aggregate of
+    the same rows. Decimal accumulation is what makes the merge order
+    irrelevant; this query makes that claim falsifiable."""
+    import tempfile
+
+    from octopusdb_spark.streaming.rollup import ContinuousRollup
+
+    ev = t(spark, sf_dir, "events")
+    roll = ContinuousRollup(spark, tempfile.mkdtemp(prefix="rollupq-"), bucket_seconds=3600)
+    for i in range(3):
+        roll.merge_batch(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            ts_us_col="ts_us",
+            group_col="event_type",
+            value_col="value",
+        )
+    return (
+        roll.table()
+        .select("bucket", "grp", "n_events", F.round("total_value", 6).alias("total_value"))
+        .orderBy("bucket", "grp")
+    )
+
+
 def q_approx_distinct(spark, sf_dir):
     """Approximate distinct (HLL++) validated against the exact count. The
     sketch value itself is engine-specific, so the oracle-checked output is
@@ -519,6 +547,15 @@ ORACLES = {
                CAST(SUM(CAST(round(1.0 / (1.0 + exp(-c_acctbal / 1000.0)), 6)
                     AS DECIMAL(38,6))) AS DOUBLE) AS total_score
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    # one-shot aggregate twin of the 3-batch incremental merge
+    "q_rollup_merge": """
+        SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS bucket,
+               event_type AS grp,
+               count(*) AS n_events,
+               round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+                 AS total_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY bucket, grp""",
     # the oracle pins the exact counts and asserts the HLL++ estimate landed
     # within 5% — the accuracy bound is the checked value, not the sketch
     "q_approx_distinct": """
@@ -540,6 +577,7 @@ QUERIES = {
     "q_correlation": q_correlation,
     "q_pandas_udf_score": q_pandas_udf_score,
     "q_approx_distinct": q_approx_distinct,  # oracle checks the 5% HLL bound
+    "q_rollup_merge": q_rollup_merge,
     "q_linear_regression": q_linear_regression,
     "q_time_rollup": q_time_rollup,
     "q_semi_join": q_semi_join,
