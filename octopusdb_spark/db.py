@@ -99,6 +99,10 @@ class OctopusDB:
         e = self.kv.get(key, now=now, as_of=as_of)
         return None if e is None else e.value
 
+    def mget(self, keys: list, now: int | None = None, as_of: int | None = None) -> dict:
+        """Batched point read — one Spark job for N keys; see KVStore.mget."""
+        return {k: e.value for k, e in self.kv.mget(keys, now=now, as_of=as_of).items()}
+
     def snapshot(self) -> int:
         """Current snapshot sequence — pass as ``as_of`` for repeatable
         point-in-time reads (versioned-key semantics, `kv/utils/key.go:32-37`)."""

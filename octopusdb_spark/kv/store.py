@@ -479,6 +479,38 @@ class KVStore:
         key_out = bytes(r["key"]) if self.key_type == "binary" else r["key"]
         return Entry(key=key_out, value=bytes(r["value"]), expires_at=r["expires_at"], version=r["version"])
 
+    def mget(self, keys: list, now: int | None = None, as_of: int | None = None) -> dict:
+        """Batched point read: one job for N keys instead of N jobs. Segments
+        are pruned to the union of per-key candidate sets, then a single
+        IN-filtered view scan resolves every key — the pattern a caller
+        looping ``get`` actually wants. Returns {key: Entry} for found keys
+        (missing/tombstoned/expired keys are absent)."""
+        if not keys:
+            return {}
+        seg_ids, segs = set(), []
+        for k in keys:
+            for s in self.manifest.prune_for_key(self._enc(k)):
+                if s.segment_id not in seg_ids:
+                    seg_ids.add(s.segment_id)
+                    segs.append(s)
+        if not segs:
+            return {}
+        rows = (
+            self.view(now=now, segs=segs, as_of=as_of)
+            .filter(F.col("key").isin(list(keys)))
+            .collect()
+        )
+        out = {}
+        for r in rows:
+            k = bytes(r["key"]) if self.key_type == "binary" else r["key"]
+            out[k] = Entry(
+                key=k,
+                value=bytes(r["value"]),
+                expires_at=r["expires_at"],
+                version=r["version"],
+            )
+        return out
+
     def scan(
         self,
         prefix=None,

@@ -317,3 +317,24 @@ def test_prune_history_frees_space_and_bounds_time_travel(spark, tmp_path):
     reopened = KVStore(spark, store.root)
     assert reopened.get("c", now=NOW).value == b"3"
     assert reopened.view(now=NOW).count() == 3
+
+
+# ------------------------------------------------------------ batched reads
+def test_mget_batched_point_reads(store):
+    store.set_batch([Entry(f"k{i}", str(i).encode()) for i in range(10)])
+    store.delete("k3")
+    store.set_batch([Entry("ttl", b"x", expires_at=NOW - 1), Entry("big", b"B" * 100)])
+    got = store.mget(["k1", "k3", "k7", "ttl", "big", "absent"], now=NOW)
+    assert {k: e.value for k, e in got.items()} == {
+        "k1": b"1",
+        "k7": b"7",
+        "big": b"B" * 100,
+    }
+    assert store.mget([], now=NOW) == {}
+
+
+def test_mget_binary_keys(spark, tmp_path):
+    s = KVStore(spark, str(tmp_path / "mb"), key_type="binary")
+    s.set_batch([Entry(b"\xff\x01", b"a"), Entry(b"\x00", b"b")])
+    got = s.mget([b"\xff\x01", b"\x00", b"nope"], now=NOW)
+    assert {k: e.value for k, e in got.items()} == {b"\xff\x01": b"a", b"\x00": b"b"}
