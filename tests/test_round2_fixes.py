@@ -338,3 +338,64 @@ def test_mget_binary_keys(spark, tmp_path):
     s.set_batch([Entry(b"\xff\x01", b"a"), Entry(b"\x00", b"b")])
     got = s.mget([b"\xff\x01", b"\x00", b"nope"], now=NOW)
     assert {k: e.value for k, e in got.items()} == {b"\xff\x01": b"a", b"\x00": b"b"}
+
+
+def test_randomized_binary_key_ops_match_model(spark, tmp_path):
+    """Randomized upsert/tombstone/TTL/big-value workload over NON-UTF8
+    byte keys, cross-checked against a dict model through compaction, GC,
+    retention sweep, and reopen — the string-mode model test's twin for
+    key_type='binary'."""
+    import random
+
+    rng = random.Random(1234)
+    store = KVStore(spark, str(tmp_path / "rbk"), value_threshold=256, key_type="binary")
+    model: dict = {}
+    keyspace = [bytes([rng.randrange(256), rng.randrange(256)]) for _ in range(30)]
+
+    def apply_batch(n):
+        batch = []
+        for _ in range(n):
+            k = rng.choice(keyspace)
+            op = rng.random()
+            if op < 0.2:
+                batch.append(Entry(k, None))
+                model[k] = None
+            elif op < 0.3:
+                exp = NOW + rng.choice([-500, 500])
+                v = f"ttl{rng.randrange(1000)}".encode()
+                batch.append(Entry(k, v, expires_at=exp))
+                model[k] = v if exp > NOW else None
+            elif op < 0.4:
+                v = bytes([rng.randrange(256)]) * 600  # value-separated
+                batch.append(Entry(k, v))
+                model[k] = v
+            else:
+                v = f"v{rng.randrange(10**6)}".encode()
+                batch.append(Entry(k, v))
+                model[k] = v
+        # intra-batch duplicate keys: later entry wins (seq order)
+        store.set_batch(batch)
+
+    def check(tag):
+        live = {k: v for k, v in model.items() if v is not None}
+        got = {bytes(r["key"]): bytes(r["value"]) for r in store.scan(now=NOW).collect()}
+        assert got == live, f"divergence after {tag}"
+        # scan order is unsigned-bytewise
+        keys = [bytes(r["key"]) for r in store.scan(now=NOW).collect()]
+        assert keys == sorted(keys)
+
+    for _ in range(3):
+        apply_batch(20)
+    check("3 batches")
+    store.compact(now=NOW)
+    check("compact")
+    store.gc_values(discard_ratio=0.0, now=NOW)
+    check("gc")
+    store.prune_history(keep_versions=1)
+    check("retention sweep")
+    apply_batch(20)
+    check("post-maintenance writes")
+    reopened = KVStore(spark, store.root, key_type="binary")
+    live = {k: v for k, v in model.items() if v is not None}
+    got = {bytes(r["key"]): bytes(r["value"]) for r in reopened.scan(now=NOW).collect()}
+    assert got == live, "divergence after reopen"
