@@ -232,3 +232,51 @@ def test_continuous_rollup_matches_batch_aggregate(spark, tmp_path):
         for r in roll.table().collect()
     }
     assert got_after == want
+
+
+def test_dedup_then_kv_ingest_pipeline(spark, tmp_path):
+    """End-to-end training-data ingest pipeline: document stream →
+    in-flight exact dedup (first arrival per content hash wins, watermark-
+    bounded state) → idempotent KV ingest. The store ends up with exactly
+    one entry per distinct content, keyed by content hash."""
+    import os
+
+    from octopusdb_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path / "docsrc")
+    os.makedirs(src)
+    base = 1_700_000_000
+    texts = [f"document body {i % 7}" for i in range(20)]  # 7 distinct contents
+    for b in range(4):
+        rows = [
+            (b * 5 + j, texts[b * 5 + j], base + (b * 5 + j) * 10)
+            for j in range(5)
+        ]
+        df = (
+            spark.createDataFrame(rows, "doc_id long, text string, epoch long")
+            .withColumn("ts", F.col("epoch").cast("timestamp"))
+            .drop("epoch")
+        )
+        part = str(tmp_path / f"dpart{b}")
+        df.coalesce(1).write.parquet(part)
+        fname = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"d{b:02d}.parquet")
+        os.rename(os.path.join(part, fname), dst)
+        os.utime(dst, (base + b * 60, base + b * 60))
+
+    store = KVStore(spark, str(tmp_path / "dockv"))
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    deduped = dedup_stream(
+        stream.withColumn("fp", F.md5("text")), key_cols=["fp"], ts_col="ts"
+    ).select(F.col("fp").alias("key"), F.col("text").cast("binary").alias("value"))
+    q = ingest_stream_to_kv(deduped, store, str(tmp_path / "dockpt"))
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = {r["key"]: bytes(r["value"]).decode() for r in store.view(now=NOW).collect()}
+    assert len(got) == 7  # one entry per distinct content
+    assert set(got.values()) == set(texts)
+    for fp, text in got.items():
+        import hashlib
+
+        assert hashlib.md5(text.encode()).hexdigest() == fp
