@@ -40,6 +40,7 @@ shuffle local to the touched key range.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, replace
 
@@ -807,6 +808,53 @@ class KVStore:
                 + sum(s.size_bytes for s in new_segs),
             )
         )
+
+    def clone_to(self, dest_root: str, at_version: int | None = None) -> "KVStore":
+        """Portable snapshot: copy one committed manifest version and
+        exactly the segment files it references into ``dest_root`` — a
+        consistent, independent backup/branch of the store (writes to
+        either side never affect the other). Defaults to the current
+        version; pass ``at_version`` to branch from a historical state.
+        Copy cost is proportional to live segment bytes of that version
+        only, not to history."""
+        import shutil
+
+        state = (
+            self.manifest.load_version(at_version)
+            if at_version is not None
+            else self.manifest.state
+        )
+        os.makedirs(os.path.join(dest_root, "segments"), exist_ok=True)
+        new_segments = []
+        for s in state.segments:
+            rel = os.path.relpath(s.path, os.path.join(self.root, "segments"))
+            dest_path = os.path.join(dest_root, "segments", rel)
+            if not os.path.exists(dest_path):
+                if os.path.isdir(s.path):
+                    shutil.copytree(s.path, dest_path)
+                else:
+                    os.makedirs(os.path.dirname(dest_path), exist_ok=True)
+                    shutil.copy2(s.path, dest_path)
+            new_segments.append(replace(s, path=dest_path))
+        clone = KVStore(
+            self.spark,
+            dest_root,
+            value_threshold=self.value_threshold,
+            level0_trigger=self.level0_trigger,
+            base_level_bytes=self.base_level_bytes,
+            level_multiplier=self.level_multiplier,
+            key_type=self.key_type,
+        )
+        clone.manifest.commit(
+            ManifestState(
+                version=clone.manifest.state.version,
+                next_seq=state.next_seq,
+                segments=new_segments,
+                stream_commits=dict(state.stream_commits),
+                compacted_bytes=state.compacted_bytes,
+            )
+        )
+        return clone
 
     def prune_history(self, keep_versions: int = 2) -> dict:
         """Bound space amplification: drop manifest versions older than the

@@ -399,3 +399,32 @@ def test_randomized_binary_key_ops_match_model(spark, tmp_path):
     live = {k: v for k, v in model.items() if v is not None}
     got = {bytes(r["key"]): bytes(r["value"]) for r in reopened.scan(now=NOW).collect()}
     assert got == live, "divergence after reopen"
+
+
+# ------------------------------------------------------------- backup/clone
+def test_clone_to_is_consistent_and_independent(spark, tmp_path):
+    store = KVStore(spark, str(tmp_path / "orig"), value_threshold=64)
+    store.set_batch([Entry("a", b"1"), Entry("big", b"Z" * 200)])
+    v1 = store.manifest.state.version
+    store.set_batch([Entry("b", b"2")])
+
+    clone = store.clone_to(str(tmp_path / "backup"))
+    got = {r["key"]: bytes(r["value"]) for r in clone.view(now=NOW).collect()}
+    assert got == {"a": b"1", "b": b"2", "big": b"Z" * 200}
+    # independence: divergent writes do not cross
+    store.set_batch([Entry("only_orig", b"x")])
+    clone.set_batch([Entry("only_clone", b"y")])
+    assert clone.get("only_orig", now=NOW) is None
+    assert store.get("only_clone", now=NOW) is None
+    # clone survives aggressive maintenance on the original
+    store.delete("big")
+    store.compact(now=NOW)
+    store.gc_values(discard_ratio=0.0, now=NOW)
+    store.prune_history(keep_versions=1)
+    assert clone.get("big", now=NOW).value == b"Z" * 200
+    # branch from a historical version of the clone's own history:
+    # version 1 is the initial clone commit, before only_clone was written
+    assert v1  # original's history is pruned; branch via the clone instead
+    clone2 = clone.clone_to(str(tmp_path / "b2"), at_version=1)
+    got2 = {r["key"]: bytes(r["value"]) for r in clone2.view(now=NOW).collect()}
+    assert got2 == {"a": b"1", "b": b"2", "big": b"Z" * 200}  # pre-only_clone
