@@ -160,6 +160,13 @@ class OctopusDB:
         files no retained manifest references."""
         return self.kv.prune_history(keep_versions=keep_versions)
 
+    def clone_to(self, dest_root: str, at_version: int | None = None) -> "OctopusDB":
+        """Consistent, independent backup/branch; see KVStore.clone_to."""
+        cloned = self.kv.clone_to(dest_root, at_version=at_version)
+        out = OctopusDB.__new__(OctopusDB)
+        out.spark, out.kv, out._closed = self.spark, cloned, False
+        return out
+
     def close(self) -> None:
         self._closed = True
 

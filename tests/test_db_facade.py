@@ -130,3 +130,15 @@ def test_iterator_seek_property():
             assert it.item().key >= probe
 
     check()
+
+
+def test_facade_mget_and_clone(spark, tmp_path):
+    from octopusdb_spark.db import OctopusDB
+
+    db = OctopusDB(spark, str(tmp_path / "fc"))
+    db.set_batch([Entry("x", b"1"), Entry("y", b"2")])
+    assert db.mget(["x", "y", "z"], now=NOW) == {"x": b"1", "y": b"2"}
+    backup = db.clone_to(str(tmp_path / "fcb"))
+    db.delete("x")
+    assert db.get("x", now=NOW) is None
+    assert backup.get("x", now=NOW) == b"1"
