@@ -781,6 +781,30 @@ class KVStore:
             rounds += 1
         return rounds
 
+    def maintenance_tick(
+        self,
+        now: int | None = None,
+        discard_ratio: float = 0.5,
+        max_rounds: int = 8,
+    ) -> dict:
+        """One full background-maintenance cycle — the reference's
+        compacter tick + value-log GC ticker (`kv/lsm/compact.go:65-85`,
+        `kv/vlog_gc.go:17-46`) as a single on-demand call: run leveled
+        compactions while any level is over its trigger, then GC value
+        segments whose compaction-maintained discard stats clear the
+        ratio. Cheap when there is nothing to do (score check is manifest
+        metadata; GC candidate selection reads no data)."""
+        rounds = self.auto_compact(now=now, max_rounds=max_rounds)
+        st = self.manifest.state
+        has_dirty = any(
+            s.discard_bytes / max(s.total_value_bytes, 1) >= discard_ratio
+            for s in st.value_segments()
+        )
+        rewritten = (
+            self.gc_values(discard_ratio=discard_ratio, now=now) if has_dirty else []
+        )
+        return {"compaction_rounds": rounds, "gc_rewritten": rewritten}
+
     def compact(self, now: int | None = None, target_segments: int = 4) -> None:
         """Full-keyspace compaction: one merged, deduped, range-partitioned
         bottom-level run. Tombstones + expired rows are physically dropped —

@@ -45,10 +45,11 @@ def ingest_stream_to_kv(
     manifest (`ManifestState.stream_commits`) and skipping batches already
     committed.
 
-    Maintenance: every ``compact_every`` committed batches, run
-    ``auto_compact`` — the reference compacter's tick
-    (`kv/lsm/compact.go:65-85`) — so L0 stays bounded on a long-lived
-    stream.
+    Maintenance: every ``compact_every`` committed batches, run a full
+    ``maintenance_tick`` — leveled compaction while over-trigger plus
+    stats-driven value GC, the reference compacter + GC tickers
+    (`kv/lsm/compact.go:65-85`, `kv/vlog_gc.go:17-46`) — so both L0 and
+    value-log garbage stay bounded on a long-lived stream.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -66,7 +67,7 @@ def ingest_stream_to_kv(
             commit_tag=(checkpoint_dir, int(batch_id)),
         )
         if n and compact_every and (int(batch_id) + 1) % compact_every == 0:
-            store.auto_compact()
+            store.maintenance_tick()
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -463,3 +463,20 @@ def test_compact_range_touches_only_overlap(spark, tmp_path):
     assert got["z19"] == b"z19"
     raw_keys = [r["key"] for r in store.raw_df().collect()]
     assert raw_keys.count("m05") == 0  # physically dropped
+
+
+# --------------------------------------------------------- maintenance tick
+def test_maintenance_tick_compacts_and_gcs(spark, tmp_path):
+    store = KVStore(spark, str(tmp_path / "mt"), value_threshold=64)
+    big = b"Q" * 300
+    for b in range(5):  # exceed the L0 trigger
+        store.set_batch([Entry(f"k{i}", big if i < 3 else b"s") for i in range(10)])
+    report = store.maintenance_tick(now=NOW, discard_ratio=0.3)
+    assert report["compaction_rounds"] >= 1
+    # first tick recorded discard stats for the superseded big values;
+    # the same tick (or the next) rewrites the dirty segments
+    if not report["gc_rewritten"]:
+        report = store.maintenance_tick(now=NOW, discard_ratio=0.3)
+    assert report["gc_rewritten"]
+    assert store.get("k0", now=NOW).value == big
+    assert store.get("k5", now=NOW).value == b"s"
