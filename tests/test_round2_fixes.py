@@ -428,6 +428,11 @@ def test_clone_to_is_consistent_and_independent(spark, tmp_path):
     clone2 = clone.clone_to(str(tmp_path / "b2"), at_version=1)
     got2 = {r["key"]: bytes(r["value"]) for r in clone2.view(now=NOW).collect()}
     assert got2 == {"a": b"1", "b": b"2", "big": b"Z" * 200}  # pre-only_clone
+    # cloning a compacted store copies bucketed segment paths correctly
+    clone.compact(now=NOW)
+    clone3 = clone.clone_to(str(tmp_path / "b3"))
+    got3 = {r["key"]: bytes(r["value"]) for r in clone3.view(now=NOW).collect()}
+    assert got3["big"] == b"Z" * 200 and got3["only_clone"] == b"y"
 
 
 # ------------------------------------------------------ range compaction
