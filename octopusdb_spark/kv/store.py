@@ -26,9 +26,18 @@ Reference semantics reproduced (citations into /root/reference):
                           output (the parallel sub-compaction splits of
                           `kv/lsm/compact.go:449-479` are Spark's range
                           shuffle).
-- ``gc_values``           sample-free exact liveness via anti-join; value
-                          segments whose garbage ratio >= discard_ratio are
-                          rewritten live-rows-only (`kv/vlog_gc.go:17-196`).
+- ``gc_values``           stats-driven candidate pick (discard accounting
+                          maintained by compaction, `kv/vlog.go:625-679`)
+                          verified by exact anti-join liveness; dirty value
+                          segments are rewritten live-rows-only
+                          (`kv/vlog_gc.go:17-196`).
+
+Beyond the reference's surface (see docs/PARITY.md "additions"): ``mget``
+batched point reads, ``view/scan(at_version=)`` time travel over retained
+manifests with ``prune_history`` retention, ``clone_to`` consistent
+backup/branching, ``compact_range`` hot-range maintenance,
+``maintenance_tick`` (compaction + GC cycle), binary (opaque bytes) key
+mode, and idempotent tagged ingest for exactly-once streaming.
 
 Scale notes (100 TB design): every operation is a declarative DataFrame plan —
 no driver-side row loops. Point reads prune segments via manifest min/max
