@@ -1,0 +1,143 @@
+"""Persistent IVF index: build once, query many.
+
+The registry's `sim_ann_ivf` recomputes centroid assignment per query so a
+DuckDB oracle can check it; this is the production lifecycle: `build_ivf`
+materializes the coarse quantizer and the inverted lists to Parquet —
+lists written partitioned BY centroid, so a probe reads only its lists'
+files (partition pruning, the on-disk analog of an IVF index's posting
+lists) — and `query_ivf` answers any query batch against the prebuilt
+index without touching the full corpus.
+
+Scale shape: build is one broadcast assignment pass + one partitioned
+write, O(corpus). A query batch scores K centroids (broadcast), prunes to
+nprobe lists (partition filter reaches the Parquet scan), and exact-scores
+only those candidates — corpus I/O per query batch is nprobe/K of the
+data, the IVF contract. K and nprobe tune recall vs. cost; deterministic
+given the seed centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from octopusdb_spark.queries.similarity import _dot, _with_norm
+
+
+def build_ivf(
+    emb_df: DataFrame,
+    index_dir: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the index: seed centroids (first n_centroids vectors by
+    id — deterministic; swap in k-means offline if desired) plus inverted
+    lists partitioned by centroid id."""
+    emb = _with_norm(
+        emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    )
+    w = Window.orderBy("vec_id")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(w).alias("cent_id"),
+            F.col("embedding").alias("ct_emb"),
+            F.col("norm").alias("ct_norm"),
+        )
+    )
+    cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cent_r = _read_centroids(emb.sparkSession, index_dir)
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_r))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            "cent_id",
+            (
+                _dot(F.col("embedding"), F.col("ct_emb"))
+                / (F.col("norm") * F.col("ct_norm"))
+            ).alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cent_id", "vec_id", "embedding", "norm")
+    )
+    (
+        assigned.repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{index_dir}/lists")
+    )
+
+
+def _read_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{index_dir}/centroids")
+
+
+def query_ivf(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    top_k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Answer a query batch from the prebuilt index: rank centroids per
+    query (broadcast, K rows), keep nprobe, and exact-score only the rows
+    of those inverted lists — the `cent_id IN (...)` filter prunes list
+    partitions at the Parquet scan. Returns (query_id, cand_id, rank,
+    cosine); a query vector that is also in the corpus never matches
+    itself."""
+    q = _with_norm(
+        queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("embedding"))
+    ).select("query_id", F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm"))
+    cent = _read_centroids(spark, index_dir)
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            "cent_id",
+            (_dot(F.col("q_emb"), F.col("ct_emb")) / (F.col("q_norm") * F.col("ct_norm"))).alias(
+                "ccos"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "cent_id")
+    )
+    lists = spark.read.parquet(f"{index_dir}/lists")
+    scored = (
+        lists.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            (_dot(F.col("embedding"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm"))).alias(
+                "cos"
+            ),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,45 @@
+"""Persistent IVF index lifecycle: build once, query many, partition-pruned
+probes, pinned recall vs. the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from octopusdb_spark.functions.ann_index import build_ivf, query_ivf
+from octopusdb_spark.queries.similarity import q_sim_topk_cosine
+
+
+def test_ivf_index_build_query_recall(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf(emb, idx, n_centroids=8)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = query_ivf(spark, idx, queries, top_k=5, nprobe=2).collect()
+    assert {r["query_id"] for r in got} == set(range(5))
+    for r in got:
+        assert r["cand_id"] != r["query_id"]
+
+    # determinism: a second run returns the identical result set
+    again = query_ivf(spark, idx, queries, top_k=5, nprobe=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+    # recall floor vs the exact baseline (same floor class as sim_ann_ivf)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in q_sim_topk_cosine(spark, sf_dir).collect()
+    }
+    approx = {(r["query_id"], r["cand_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall collapsed: {recall}"
+
+    # the probe's centroid filter prunes list partitions at the scan
+    plan = (
+        query_ivf(spark, idx, queries, top_k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "cent_id" in plan
