@@ -31,6 +31,11 @@ def get_spark(app_name: str = "octopusdb-spark", shuffle_partitions: int | None 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # catalog tables (bucketed layouts) land outside the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/octopusdb-warehouse"),
+        )
     )
     return builder.getOrCreate()
 

@@ -85,3 +85,42 @@ def test_read_media_dir_binary_ingest(spark, tmp_path):
     ))
     out = {r["byte_len"]: r["feat_dim"] for r in feats.collect()}
     assert out == {300: 3, 5000: 3}
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed by the join key into the same bucket count must
+    sort-merge join with NO Exchange on either side — the paid-once-at-
+    write-time shuffle contract that co-located joins rely on at scale."""
+    from octopusdb_spark.sources.io import save_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    save_bucketed(orders, "t_orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    save_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+    )
+    try:
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "bucketed join should not shuffle"
+            # and it computes the right thing
+            n = joined.count()
+            want = (
+                orders.join(
+                    lineitem, orders.o_orderkey == lineitem.l_orderkey
+                ).count()
+            )
+            assert n == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
