@@ -67,7 +67,10 @@ def pagerank(
 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components (undirected) by min-label propagation until no
-    label changes. Returns (node, component)."""
+    label changes. Returns (node, component, converged) — ``converged``
+    is False on every row when ``max_iter`` rounds were not enough (label
+    propagation needs ~graph-diameter rounds), so a truncated result is
+    detectable instead of silently wrong."""
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().cache()
@@ -77,6 +80,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             und.join(labels, und.src == labels.node)
@@ -97,5 +101,8 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels.select("node", F.col("lbl").alias("component"))
+    return labels.select(
+        "node", F.col("lbl").alias("component"), F.lit(converged).alias("converged")
+    )

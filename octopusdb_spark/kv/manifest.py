@@ -47,10 +47,13 @@ class ManifestState:
     # whose segment append + manifest commit landed. foreachBatch is
     # at-least-once; replayed batches are skipped by consulting this map,
     # making the side effect idempotent per (checkpoint, batch_id).
-    stream_commits: dict = field(default_factory=dict)
+    # None = "not set by this writer": Manifest.commit inherits the previous
+    # state's map; pass {} explicitly to clear.
+    stream_commits: dict | None = None
     # Cumulative bytes rewritten by compaction — the write-amplification
     # numerator (amplification = compacted_bytes / live user bytes).
-    compacted_bytes: int = 0
+    # None = inherit from the previous state (same sentinel rule).
+    compacted_bytes: int | None = None
 
     def data_segments(self) -> list:
         return [s for s in self.segments if s.kind == "data"]
@@ -127,7 +130,9 @@ class Manifest:
         afterwards; that is the retention trade, made explicit."""
         import shutil
 
-        vs = self.versions()
+        # versions beyond CURRENT are claim-orphans from crashed commits:
+        # never load (possibly partial JSON), always sweep
+        vs = [v for v in self.versions() if v <= self.state.version]
         keep = set(vs[-max(keep_last, 1):])
         keep.add(self.state.version)
         referenced: set = set()
@@ -138,7 +143,7 @@ class Manifest:
                 rel = os.path.relpath(s.path, seg_root)
                 referenced.add(rel.split(os.sep)[0])
         removed_versions = []
-        for v in vs:
+        for v in self.versions():  # includes claim-orphans past CURRENT
             if v not in keep:
                 os.remove(os.path.join(self.dir, f"manifest-{v}.json"))
                 removed_versions.append(v)
@@ -186,12 +191,13 @@ class Manifest:
                     f"base v{self.state.version}); open a fresh KVStore handle"
                 )
         new_state.version = self.state.version + 1
-        if not new_state.stream_commits:
-            # Carry streaming bookkeeping forward through maintenance commits
-            # (compaction/GC) that rebuild the state from scratch.
-            new_state.stream_commits = dict(self.state.stream_commits)
-        if not new_state.compacted_bytes:
-            new_state.compacted_bytes = self.state.compacted_bytes
+        # None = the writer didn't touch the field: carry bookkeeping forward
+        # through commits that rebuild the state from scratch. An explicit
+        # value (including {} / 0) is honored as a deliberate overwrite.
+        if new_state.stream_commits is None:
+            new_state.stream_commits = dict(self.state.stream_commits or {})
+        if new_state.compacted_bytes is None:
+            new_state.compacted_bytes = self.state.compacted_bytes or 0
         snap = os.path.join(self.dir, f"manifest-{new_state.version}.json")
         payload = {
             "version": new_state.version,
@@ -200,13 +206,7 @@ class Manifest:
             "stream_commits": new_state.stream_commits,
             "compacted_bytes": new_state.compacted_bytes,
         }
-        try:
-            fd = os.open(snap, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        except FileExistsError:
-            raise ManifestConflictError(
-                f"manifest-{new_state.version}.json already committed by a "
-                "concurrent writer; open a fresh KVStore handle"
-            ) from None
+        fd = self._claim_snapshot(snap, new_state.version)
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f)
             f.flush()
@@ -218,6 +218,38 @@ class Manifest:
             os.fsync(f.fileno())
         os.replace(cur_tmp, self._current_path())
         self.state = new_state
+
+    def _claim_snapshot(self, snap: str, version: int) -> int:
+        """Claim manifest-{version}.json with O_CREAT|O_EXCL. If the file
+        already exists there are two cases:
+
+        - CURRENT has advanced to (or past) this version: a concurrent
+          writer really committed — raise ManifestConflictError.
+        - CURRENT has NOT advanced: the file is an orphan from a commit
+          that crashed between claiming the snapshot and swapping CURRENT
+          (the crash contract says orphans are ignored, never fatal).
+          Remove it and re-claim once; if someone re-claims in that gap,
+          treat it as a genuine conflict.
+        """
+        for attempt in (0, 1):
+            try:
+                return os.open(snap, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            except FileExistsError:
+                cur = self._current_path()
+                disk_version = 0
+                if os.path.exists(cur):
+                    with open(cur) as f:
+                        disk_version = int(f.read().strip())
+                if disk_version >= version or attempt == 1:
+                    raise ManifestConflictError(
+                        f"manifest-{version}.json already committed by a "
+                        "concurrent writer; open a fresh KVStore handle"
+                    ) from None
+                try:
+                    os.unlink(snap)  # crash orphan: reclaim
+                except FileNotFoundError:
+                    pass
+        raise AssertionError("unreachable")
 
     # -- helpers -------------------------------------------------------------
     def new_segment_path(self, kind: str) -> tuple[str, str]:

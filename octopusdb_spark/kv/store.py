@@ -293,7 +293,7 @@ class KVStore:
         state = self.manifest.state
         if commit_tag is not None:
             stream_id, batch_id = commit_tag
-            done = state.stream_commits.get(stream_id)
+            done = (state.stream_commits or {}).get(stream_id)
             if done is not None and int(batch_id) <= int(done):
                 return 0  # replayed micro-batch; already committed
         seq0 = state.next_seq
@@ -344,7 +344,7 @@ class KVStore:
             version=state.version,
             next_seq=int(totals["mxseq"]) + 1,
             segments=list(state.segments),
-            stream_commits=dict(state.stream_commits),
+            stream_commits=dict(state.stream_commits or {}),
         )
         if commit_tag is not None:
             new_state.stream_commits[commit_tag[0]] = int(commit_tag[1])
@@ -622,8 +622,8 @@ class KVStore:
             "row_count": sum(s.row_count for s in st.data_segments()),
             "value_total_bytes": sum(s.total_value_bytes for s in st.value_segments()),
             "value_discard_bytes": sum(s.discard_bytes for s in st.value_segments()),
-            "compacted_bytes": st.compacted_bytes,
-            "write_amplification": round(st.compacted_bytes / live_bytes, 3)
+            "compacted_bytes": st.compacted_bytes or 0,
+            "write_amplification": round((st.compacted_bytes or 0) / live_bytes, 3)
             if live_bytes
             else 0.0,
         }
@@ -772,7 +772,7 @@ class KVStore:
                 version=state.version,
                 next_seq=state.next_seq,
                 segments=self._with_discard_updates(kept, drops) + new_segs,
-                compacted_bytes=state.compacted_bytes
+                compacted_bytes=(state.compacted_bytes or 0)
                 + sum(s.size_bytes for s in new_segs),
             )
         )
@@ -837,7 +837,7 @@ class KVStore:
                 version=state.version,
                 next_seq=state.next_seq,
                 segments=self._with_discard_updates(kept, drops) + new_segs,
-                compacted_bytes=state.compacted_bytes
+                compacted_bytes=(state.compacted_bytes or 0)
                 + sum(s.size_bytes for s in new_segs),
             )
         )
@@ -883,8 +883,8 @@ class KVStore:
                 version=clone.manifest.state.version,
                 next_seq=state.next_seq,
                 segments=new_segments,
-                stream_commits=dict(state.stream_commits),
-                compacted_bytes=state.compacted_bytes,
+                stream_commits=dict(state.stream_commits or {}),
+                compacted_bytes=state.compacted_bytes or 0,
             )
         )
         return clone
@@ -943,7 +943,7 @@ class KVStore:
                 version=state.version,
                 next_seq=state.next_seq,
                 segments=self._with_discard_updates(kept, drops) + new_segs,
-                compacted_bytes=state.compacted_bytes
+                compacted_bytes=(state.compacted_bytes or 0)
                 + sum(s.size_bytes for s in new_segs),
             )
         )
@@ -981,6 +981,7 @@ class KVStore:
             .select(F.col("value_ptr").alias("value_id"))
         )
         rewritten = []
+        stats_refined = False
         new_segments = [s for s in state.segments if s.kind != "values"]
         for seg in vsegs:
             if seg.segment_id not in candidates:
@@ -1016,10 +1017,13 @@ class KVStore:
             else:
                 # exact scan disagreed with (or refined) the stats — record
                 # the measured dead bytes so the next pick is sharper
-                new_segments.append(
-                    replace(seg, discard_bytes=max(seg.total_value_bytes - live_bytes, 0))
-                )
-        if rewritten:
+                refined = max(seg.total_value_bytes - live_bytes, 0)
+                if refined != seg.discard_bytes:
+                    stats_refined = True
+                new_segments.append(replace(seg, discard_bytes=refined))
+        if rewritten or stats_refined:
+            # committing refinements matters even with no rewrites: without
+            # them the next bootstrap-mode call re-scans every clean segment
             self.manifest.commit(
                 ManifestState(version=state.version, next_seq=state.next_seq, segments=new_segments)
             )

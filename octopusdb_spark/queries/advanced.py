@@ -299,12 +299,25 @@ def q_rollup_merge(spark, sf_dir):
     materialized table must hash-match the oracle's ONE-SHOT aggregate of
     the same rows. Decimal accumulation is what makes the merge order
     irrelevant; this query makes that claim falsifiable."""
+    import os
+    import shutil
     import tempfile
 
     from octopusdb_spark.streaming.rollup import ContinuousRollup
 
+    # scratch stores live under one parent; stale runs are swept here so
+    # repeated registry sweeps (oracle check, bench, plan audit) don't
+    # accumulate /tmp garbage — the current run's dir is removed by the
+    # next invocation
+    parent = os.path.join(tempfile.gettempdir(), "octopusdb-rollupq")
+    if os.path.isdir(parent):
+        shutil.rmtree(parent, ignore_errors=True)
+    os.makedirs(parent, exist_ok=True)
+
     ev = t(spark, sf_dir, "events")
-    roll = ContinuousRollup(spark, tempfile.mkdtemp(prefix="rollupq-"), bucket_seconds=3600)
+    roll = ContinuousRollup(
+        spark, tempfile.mkdtemp(prefix="r", dir=parent), bucket_seconds=3600
+    )
     for i in range(3):
         roll.merge_batch(
             ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),

@@ -278,11 +278,18 @@ def q_dedup_embedding_cosine(spark, sf_dir, n_blocks: int = 4):
         import numpy as np
         import pandas as pd
 
+        # diagonal groups are identified by the key (i == j), NOT by an
+        # empty side: with sparse id distributions a cross group can have
+        # an empty block, which must yield no pairs — treating it as a
+        # diagonal would duplicate the other block's internal pairs
+        pair_id = int(key[0])
+        diagonal = (pair_id // B) == (pair_id % B)
         left = pdf[pdf["is_left"]]
-        right = pdf[~pdf["is_left"]]
-        diagonal = right.empty
-        if diagonal:
-            right = left
+        right = left if diagonal else pdf[~pdf["is_left"]]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"vec_a": np.array([], dtype=np.int64), "vec_b": np.array([], dtype=np.int64)}
+            )
         lids = left["vec_id"].to_numpy(dtype=np.int64)
         rids = right["vec_id"].to_numpy(dtype=np.int64)
         lm = np.array(left["embedding"].to_list(), dtype=np.float64)

@@ -66,7 +66,10 @@ def ingest_stream_to_kv(
             target_segments=target_segments,
             commit_tag=(checkpoint_dir, int(batch_id)),
         )
-        if n and compact_every and (int(batch_id) + 1) % compact_every == 0:
+        # run the tick on its cadence even for empty/replayed batches: a
+        # no-op tick costs only manifest metadata checks, while skipping a
+        # boundary after a crash-replay would delay maintenance a full cycle
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
             store.maintenance_tick()
 
     return (

@@ -77,7 +77,7 @@ class ContinuousRollup:
         result — and commits a new snapshot. Returns rows in the batch."""
         state = self.manifest.state
         if commit_tag is not None:
-            done = state.stream_commits.get(commit_tag[0])
+            done = (state.stream_commits or {}).get(commit_tag[0])
             if done is not None and int(commit_tag[1]) <= int(done):
                 return 0
         bucket = (
@@ -140,7 +140,7 @@ class ContinuousRollup:
                     created_seq=state.next_seq,
                 )
             ],
-            stream_commits=dict(state.stream_commits),
+            stream_commits=dict(state.stream_commits or {}),
         )
         if commit_tag is not None:
             new_state.stream_commits[commit_tag[0]] = int(commit_tag[1])

@@ -41,11 +41,22 @@ def test_connected_components_matches_union_find(spark, sf_dir):
         canon = min(vs + [root])
         for v in vs:
             want[v] = canon
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(edges(spark, sf_dir)).collect()
-    }
+    rows = connected_components(edges(spark, sf_dir)).collect()
+    assert all(r["converged"] for r in rows)
+    got = {r["node"]: r["component"] for r in rows}
     assert got == want
+
+
+def test_connected_components_reports_non_convergence(spark):
+    # a chain needs ~diameter rounds; 3 rounds on a 12-node path is not enough
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    rows = connected_components(chain, max_iter=3).collect()
+    assert rows and all(not r["converged"] for r in rows)
+    full = connected_components(chain, max_iter=20).collect()
+    assert all(r["converged"] for r in full)
+    assert {r["component"] for r in full} == {0}
 
 
 def test_pagerank_converges_and_matches_power_iteration(spark, sf_dir):

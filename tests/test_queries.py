@@ -112,3 +112,35 @@ def test_every_registered_query_executes(spark):
         except Exception as e:  # noqa: BLE001 - collecting all failures
             failures[name] = str(e).splitlines()[0][:120]
     assert not failures, failures
+
+
+def test_embedding_cosine_handles_sparse_id_blocks(spark, tmp_path):
+    """Block-pair GEMM with id residues that leave some blocks empty: a
+    cross pair-group with an empty side must contribute nothing (not crash,
+    not duplicate the diagonal). Verified against an exact numpy top-20."""
+    import numpy as np
+
+    from octopusdb_spark.queries.similarity import q_dedup_embedding_cosine
+
+    rng = np.random.RandomState(7)
+    ids = [i * 2 for i in range(40)]  # only even ids: blocks 1 and 3 empty (B=4)
+    vecs = rng.randn(40, 8).astype("float32")
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = [
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in q_dedup_embedding_cosine(spark, str(tmp_path), n_blocks=4).collect()
+    ]
+    # no duplicate pairs
+    assert len({(a, b) for a, b, _ in got}) == len(got) == 20
+    # exact reference
+    m = vecs.astype("float64")
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    c = m @ m.T
+    pairs = [
+        (ids[i], ids[j], c[i, j]) for i in range(40) for j in range(i + 1, 40)
+    ]
+    want = sorted(pairs, key=lambda p: (-p[2], p[0], p[1]))[:20]
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]

@@ -72,17 +72,41 @@ def test_scan_prefix_with_max_codepoint(store):
 
 
 # -------------------------------------------------------- manifest commit race
-def test_manifest_snapshot_claim_is_exclusive(tmp_path):
-    """Two writers racing past the CURRENT check cannot both own a version:
-    the snapshot file is claimed with O_CREAT|O_EXCL."""
+def test_manifest_commit_recovers_orphan_and_detects_conflict(tmp_path):
+    """A crash between claiming manifest-{v}.json and swapping CURRENT
+    leaves an orphan snapshot; the next commit must reclaim it (not wedge
+    forever). A snapshot whose version CURRENT has actually advanced to is
+    a real conflict and must raise."""
     m = Manifest(str(tmp_path / "t"))
     m.commit(ManifestState(version=0, next_seq=1, segments=[]))
-    # simulate the loser: the winner already wrote manifest-2.json
-    next_snap = os.path.join(m.dir, "manifest-2.json")
-    with open(next_snap, "w") as f:
-        f.write("{}")
+    # crash orphan: manifest-2.json exists (even partial) but CURRENT is 1
+    orphan = os.path.join(m.dir, "manifest-2.json")
+    with open(orphan, "w") as f:
+        f.write('{"version"')  # truncated JSON, as a crash would leave
+    m.commit(ManifestState(version=0, next_seq=2, segments=[]))  # recovers
+    assert m.state.version == 2
+    reloaded = Manifest(str(tmp_path / "t"))
+    assert reloaded.state.next_seq == 2  # the recovered commit is readable
+    # true conflict: CURRENT advanced underneath a stale handle
+    stale = Manifest(str(tmp_path / "t"))
+    m.commit(ManifestState(version=0, next_seq=3, segments=[]))
     with pytest.raises(ManifestConflictError):
-        m.commit(ManifestState(version=0, next_seq=2, segments=[]))
+        stale.commit(ManifestState(version=0, next_seq=9, segments=[]))
+
+
+def test_manifest_orphan_is_swept_not_loaded(tmp_path):
+    """prune_versions must never parse claim-orphans past CURRENT (they may
+    be partial JSON) — it deletes them."""
+    m = Manifest(str(tmp_path / "t2"))
+    m.commit(ManifestState(version=0, next_seq=1, segments=[]))
+    m.commit(ManifestState(version=0, next_seq=2, segments=[]))
+    orphan = os.path.join(m.dir, "manifest-9.json")
+    with open(orphan, "w") as f:
+        f.write('{"version"')
+    report = m.prune_versions(keep_last=2)
+    assert 9 in report["removed_versions"]
+    assert not os.path.exists(orphan)
+    assert m.state.version == 2
 
 
 # -------------------------------------------------- idempotent tagged ingest
