@@ -203,6 +203,52 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+SIMHASH_MAX_HAMMING = 3  # near-dup threshold over the 16-bit fingerprint
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairing: docs whose 16-bit fingerprints are
+    within hamming distance 3, found WITHOUT an all-pairs comparison. The
+    fingerprint splits into 4 bands of 4 bits; by pigeonhole, hamming<=3
+    implies at least one band matches exactly, so candidates come from a
+    band-bucket equi-join (the Manku/Jarvelin banding trick), then the
+    exact xor-popcount filter runs only on collisions. Scale: shuffle is
+    keyed by (band, nibble) — bounded buckets — never O(n^2)."""
+    fp = q_dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash div {1 << (4 * b)}) % 16").alias("nib"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("r"),
+    ).select("doc_id", "simhash", "r.band", "r.nib")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 MAX_SHINGLE_DF = 2  # hot-shingle cap: drop shingles appearing in > 2 docs
 
 
@@ -435,6 +481,35 @@ ORACLES = {
     SELECT doc_id,
            sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash
     FROM bitsum GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_simhash_pairs": f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {_hash_long_sql("'simhash' || '|' || w")} AS h FROM words
+    ),
+    bits AS (
+      SELECT doc_id, bit,
+             CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS c
+      FROM hashed, (SELECT unnest(range(0, 16)) AS bit)
+    ),
+    bitsum AS (SELECT doc_id, bit, sum(c) AS s FROM bits GROUP BY doc_id, bit),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bitsum GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, band, (simhash // CAST(pow(16, band) AS BIGINT)) % 16 AS nib
+      FROM fp, (SELECT unnest(range(0, 4)) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b""",
 }
 
 QUERIES = {
@@ -444,4 +519,5 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }

@@ -215,6 +215,28 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_session_window(spark, sf_dir):
+    """Sessionization via Spark's NATIVE session_window operator (dynamic
+    gap-merging windows) — the built-in alternative to the lag+cumsum
+    sessionizer above. Boundary semantics differ by design: session_window
+    merges an event landing exactly at last_ts + gap (new session only
+    when the gap is EXCEEDED), so the oracle uses the matching strict->
+    rule. One shuffle by (user, merged window); state is
+    O(open sessions)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("ts", F.timestamp_micros("ts_us"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("ev"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("ev").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_avg_order_gap(spark, sf_dir):
     """Window lag over dates: average days between consecutive orders per
     customer, for customers with >= 5 orders."""
@@ -573,6 +595,25 @@ ORACLES = {
         SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM sessions GROUP BY user_id ORDER BY user_id""",
+    # native session_window twin: strict > gap starts a new session
+    "q_session_window": """
+        WITH flagged AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), sessions AS (
+          SELECT user_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM flagged
+        )
+        SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY user_id ORDER BY user_id""",
     "q_avg_order_gap": """
         WITH gaps AS (
           SELECT o_custkey,
@@ -606,5 +647,6 @@ QUERIES = {
     "q_json_extract": q_json_extract,
     "q_running_totals": q_running_totals,
     "q_sessionize": q_sessionize,
+    "q_session_window": q_session_window,
     "q_avg_order_gap": q_avg_order_gap,
 }
