@@ -90,13 +90,22 @@ def query_ivf(
     nprobe: int = 2,
     id_col: str = "query_id",
     vec_col: str = "embedding",
+    exclude_matching_ids: bool = False,
 ) -> DataFrame:
     """Answer a query batch from the prebuilt index: rank centroids per
     query (broadcast, K rows), keep nprobe, and exact-score only the rows
-    of those inverted lists — the `cent_id IN (...)` filter prunes list
-    partitions at the Parquet scan. Returns (query_id, cand_id, rank,
-    cosine); a query vector that is also in the corpus never matches
-    itself."""
+    of those inverted lists. The union of probed centroid ids (a tiny set,
+    <= nprobe x queries) is collected and pushed as a LITERAL
+    ``cent_id IN (...)`` filter, so list partitions prune statically at
+    the Parquet scan — no reliance on dynamic partition pruning firing.
+    Returns (query_id, cand_id, rank, cosine).
+
+    ``exclude_matching_ids=True`` drops candidates whose corpus vec_id
+    equals the query's id — ONLY meaningful when query ids are drawn from
+    the corpus id space (self-match suppression for in-corpus queries).
+    Leave False for external query batches: their ids are unrelated, and
+    excluding a coincidental collision would silently drop a legitimate
+    neighbor."""
     q = _with_norm(
         queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("embedding"))
     ).select("query_id", F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm"))
@@ -121,10 +130,17 @@ def query_ivf(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_emb", "q_norm", "cent_id")
     )
-    lists = spark.read.parquet(f"{index_dir}/lists")
+    # static partition pruning: the probed centroid set is tiny metadata
+    # (never vectors) — collecting it lets the IN filter reach the scan
+    probed_ids = [r["cent_id"] for r in probes.select("cent_id").distinct().collect()]
+    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+        F.col("cent_id").isin(probed_ids)
+    )
+    scored = lists.join(F.broadcast(probes), "cent_id")
+    if exclude_matching_ids:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
     scored = (
-        lists.join(F.broadcast(probes), "cent_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        scored
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),

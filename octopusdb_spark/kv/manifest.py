@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import asdict, dataclass, field
 
@@ -219,17 +220,24 @@ class Manifest:
         os.replace(cur_tmp, self._current_path())
         self.state = new_state
 
+    # A claim older than this is a crash orphan (the claim->CURRENT-swap
+    # window is milliseconds; a live writer's claim is always fresh).
+    ORPHAN_GRACE_SECONDS = 60.0
+
     def _claim_snapshot(self, snap: str, version: int) -> int:
         """Claim manifest-{version}.json with O_CREAT|O_EXCL. If the file
-        already exists there are two cases:
+        already exists there are three cases:
 
         - CURRENT has advanced to (or past) this version: a concurrent
           writer really committed — raise ManifestConflictError.
-        - CURRENT has NOT advanced: the file is an orphan from a commit
-          that crashed between claiming the snapshot and swapping CURRENT
-          (the crash contract says orphans are ignored, never fatal).
-          Remove it and re-claim once; if someone re-claims in that gap,
-          treat it as a genuine conflict.
+        - CURRENT has NOT advanced and the claim is FRESH (younger than
+          ORPHAN_GRACE_SECONDS): an in-flight writer owns it — raising
+          preserves exclusivity (reclaiming here would let two writers
+          both 'commit' the same version with one silently lost).
+        - CURRENT has NOT advanced and the claim is STALE: the claimant
+          died between claiming and swapping CURRENT (the crash contract
+          says orphans never wedge the store). Reclaim it; if someone
+          re-claims in the gap, treat it as a genuine conflict.
         """
         for attempt in (0, 1):
             try:
@@ -240,13 +248,18 @@ class Manifest:
                 if os.path.exists(cur):
                     with open(cur) as f:
                         disk_version = int(f.read().strip())
-                if disk_version >= version or attempt == 1:
+                try:
+                    age = time.time() - os.path.getmtime(snap)
+                except OSError:
+                    age = float("inf")  # vanished: claimant finished or cleaned
+                if disk_version >= version or age < self.ORPHAN_GRACE_SECONDS or attempt == 1:
                     raise ManifestConflictError(
-                        f"manifest-{version}.json already committed by a "
-                        "concurrent writer; open a fresh KVStore handle"
+                        f"manifest-{version}.json already claimed "
+                        f"({'committed' if disk_version >= version else 'in flight or fresh orphan'}); "
+                        "open a fresh KVStore handle (or retry after the orphan grace period)"
                     ) from None
                 try:
-                    os.unlink(snap)  # crash orphan: reclaim
+                    os.unlink(snap)  # stale crash orphan: reclaim
                 except FileNotFoundError:
                     pass
         raise AssertionError("unreachable")

@@ -799,18 +799,22 @@ class KVStore:
         """One full background-maintenance cycle — the reference's
         compacter tick + value-log GC ticker (`kv/lsm/compact.go:65-85`,
         `kv/vlog_gc.go:17-46`) as a single on-demand call: run leveled
-        compactions while any level is over its trigger, then GC value
-        segments whose compaction-maintained discard stats clear the
-        ratio. Cheap when there is nothing to do (score check is manifest
-        metadata; GC candidate selection reads no data)."""
+        compactions while any level is over its trigger, then run
+        ``gc_values``. With compaction-maintained discard stats the GC
+        candidate check is manifest metadata only; on a store with value
+        segments but no stats yet, GC takes its bootstrap exact-scan path
+        (the correct price of having no stats — once any compaction or
+        scan records stats, subsequent ticks are metadata-gated)."""
         rounds = self.auto_compact(now=now, max_rounds=max_rounds)
-        st = self.manifest.state
-        has_dirty = any(
-            s.discard_bytes / max(s.total_value_bytes, 1) >= discard_ratio
-            for s in st.value_segments()
-        )
+        # delegate candidate selection to gc_values itself: with stats it is
+        # a metadata-only check (clean segments are never read); without
+        # stats it takes its documented bootstrap exact-scan path — gating
+        # here on discard_bytes alone would silently skip that path and
+        # leave a never-compacted store's value-log garbage unreclaimed
         rewritten = (
-            self.gc_values(discard_ratio=discard_ratio, now=now) if has_dirty else []
+            self.gc_values(discard_ratio=discard_ratio, now=now)
+            if self.manifest.state.value_segments()
+            else []
         )
         return {"compaction_rounds": rounds, "gc_rewritten": rewritten}
 

@@ -305,14 +305,23 @@ def q_rollup_merge(spark, sf_dir):
 
     from octopusdb_spark.streaming.rollup import ContinuousRollup
 
-    # scratch stores live under one parent; stale runs are swept here so
-    # repeated registry sweeps (oracle check, bench, plan audit) don't
-    # accumulate /tmp garbage — the current run's dir is removed by the
-    # next invocation
+    # scratch stores live under one parent; entries older than an hour are
+    # swept so repeated registry sweeps don't accumulate /tmp garbage —
+    # never the whole parent, which would yank live stores out from under
+    # a concurrent run (bench + plan audit in parallel) or a still-lazy
+    # DataFrame from a recent invocation
+    import time as _time
+
     parent = os.path.join(tempfile.gettempdir(), "octopusdb-rollupq")
-    if os.path.isdir(parent):
-        shutil.rmtree(parent, ignore_errors=True)
     os.makedirs(parent, exist_ok=True)
+    cutoff = _time.time() - 3600
+    for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
+        try:
+            if os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
 
     ev = t(spark, sf_dir, "events")
     roll = ContinuousRollup(

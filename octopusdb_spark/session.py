@@ -14,6 +14,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_warehouse_dir() -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.getcwd().encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"octopusdb-warehouse-{os.getuid()}-{tag}"
+    )
+
+
 def get_spark(app_name: str = "octopusdb-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
@@ -31,10 +41,12 @@ def get_spark(app_name: str = "octopusdb-spark", shuffle_partitions: int | None 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # catalog tables (bucketed layouts) land outside the repo tree
+        # catalog tables (bucketed layouts) land outside the repo tree, in a
+        # per-user, per-checkout location so concurrent users/checkouts on
+        # one host never collide on managed-table paths
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/octopusdb-warehouse"),
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", _default_warehouse_dir()),
         )
     )
     return builder.getOrCreate()

@@ -17,13 +17,19 @@ def test_ivf_index_build_query_recall(spark, sf_dir, tmp_path):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    got = query_ivf(spark, idx, queries, top_k=5, nprobe=2).collect()
+    # in-corpus queries: opt into self-match suppression
+    got = query_ivf(spark, idx, queries, top_k=5, nprobe=2, exclude_matching_ids=True).collect()
     assert {r["query_id"] for r in got} == set(range(5))
     for r in got:
         assert r["cand_id"] != r["query_id"]
+    # external-id semantics (default): a coincidental id equality is NOT
+    # dropped — the self vector appears as the trivially-best match
+    ext = query_ivf(spark, idx, queries, top_k=5, nprobe=2).collect()
+    self_hits = [r for r in ext if r["cand_id"] == r["query_id"]]
+    assert self_hits and all(r["rank"] == 1 and r["cosine"] == 1.0 for r in self_hits)
 
     # determinism: a second run returns the identical result set
-    again = query_ivf(spark, idx, queries, top_k=5, nprobe=2).collect()
+    again = query_ivf(spark, idx, queries, top_k=5, nprobe=2, exclude_matching_ids=True).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
 
     # recall floor vs the exact baseline (same floor class as sim_ann_ivf)
@@ -35,11 +41,18 @@ def test_ivf_index_build_query_recall(spark, sf_dir, tmp_path):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"recall collapsed: {recall}"
 
-    # the probe's centroid filter prunes list partitions at the scan
+    # the probed-centroid IN filter statically prunes list partitions:
+    # the scan node's PartitionFilters must constrain cent_id
     plan = (
         query_ivf(spark, idx, queries, top_k=5, nprobe=2)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "cent_id" in plan
+    part_filters = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert part_filters, "expected a partitioned FileScan in the plan"
+    assert any("cent_id" in line and "IN" in line.upper() for line in part_filters), (
+        f"cent_id IN filter did not reach PartitionFilters: {part_filters}"
+    )

@@ -83,6 +83,12 @@ def test_manifest_commit_recovers_orphan_and_detects_conflict(tmp_path):
     orphan = os.path.join(m.dir, "manifest-2.json")
     with open(orphan, "w") as f:
         f.write('{"version"')  # truncated JSON, as a crash would leave
+    # a FRESH claim belongs to an in-flight writer: must conflict, not reclaim
+    with pytest.raises(ManifestConflictError, match="in flight"):
+        m.commit(ManifestState(version=0, next_seq=2, segments=[]))
+    # past the grace period it is a dead claimant's orphan: reclaimed
+    stale_ts = 1_700_000_000
+    os.utime(orphan, (stale_ts, stale_ts))
     m.commit(ManifestState(version=0, next_seq=2, segments=[]))  # recovers
     assert m.state.version == 2
     reloaded = Manifest(str(tmp_path / "t"))
@@ -481,9 +487,13 @@ def test_compact_range_touches_only_overlap(spark, tmp_path):
     # segments fully outside [m, n) survived untouched
     untouched = {s.segment_id for s in after} & before
     assert untouched, "cold segments should not be rewritten"
+    # every surviving pre-compaction segment lies fully outside [m, n):
+    # anything overlapping the range was a participant and got replaced
     for s in after:
         if s.segment_id in untouched:
-            assert s.max_key < "m" or s.min_key >= "n" or True  # may overlap via L0
+            assert s.max_key < "m" or s.min_key >= "n", (
+                f"segment {s.segment_id} [{s.min_key},{s.max_key}] overlaps the range"
+            )
     # semantic checks: in-range tombstone/expired physically droppable rows gone
     got = {r["key"]: bytes(r["value"]) for r in store.view(now=NOW).collect()}
     assert "m05" not in got and "m06" not in got
