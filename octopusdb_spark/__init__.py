@@ -20,9 +20,11 @@ no RDDs, no driver-side row loops on data paths.
 __version__ = "0.1.0"
 
 from octopusdb_spark.db import Iterator, OctopusDB
+from octopusdb_spark.functions.ann_index import build_ivf, query_ivf
 from octopusdb_spark.functions.graph_algos import connected_components, pagerank
 from octopusdb_spark.kv.store import Entry, KVStore
 from octopusdb_spark.session import get_spark
+from octopusdb_spark.sources.io import save_bucketed
 from octopusdb_spark.streaming.ingest import ingest_stream_to_kv
 from octopusdb_spark.streaming.rollup import ContinuousRollup, maintain_rollup_stream
 
@@ -34,6 +36,9 @@ __all__ = [
     "get_spark",
     "pagerank",
     "connected_components",
+    "build_ivf",
+    "query_ivf",
+    "save_bucketed",
     "ingest_stream_to_kv",
     "ContinuousRollup",
     "maintain_rollup_stream",
