@@ -142,3 +142,37 @@ def test_facade_mget_and_clone(spark, tmp_path):
     db.delete("x")
     assert db.get("x", now=NOW) is None
     assert backup.get("x", now=NOW) == b"1"
+
+
+def test_facade_time_travel_and_retention(spark, tmp_path):
+    from octopusdb_spark.db import OctopusDB
+
+    db = OctopusDB(spark, str(tmp_path / "ftt"))
+    db.set_batch([Entry("a", b"1")])
+    v1 = db.kv.manifest.state.version
+    db.set_batch([Entry("a", b"2"), Entry("b", b"3")])
+    # scan_df passes at_version through to the store
+    old = {r["key"]: bytes(r["value"]) for r in db.scan_df(now=NOW, at_version=v1).collect()}
+    assert old == {"a": b"1"}
+    report = db.prune_history(keep_versions=1)
+    assert report["removed_versions"]
+    assert db.get("a", now=NOW) == b"2"
+
+
+def test_driver_entry_contract(spark):
+    """Mimic the driver's t1 smoke: entry(spark) runs, yields rows, and the
+    schema is stable across invocations."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_t", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df1 = mod.entry(spark)
+    df2 = mod.entry(spark)
+    assert df1.schema == df2.schema
+    assert len(df1.collect()) >= 1
+    qs, osql = mod.queries(), mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) == 99
