@@ -175,4 +175,4 @@ def test_driver_entry_contract(spark):
     assert len(df1.collect()) >= 1
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
-    assert len(qs) == 99
+    assert len(qs) >= 99  # grows round over round
