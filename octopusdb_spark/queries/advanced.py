@@ -371,6 +371,58 @@ _PIVOT_COLS = ", ".join(
     f'count(*) FILTER (WHERE event_type = \'{et}\') AS "{et}"' for et in EVENT_TYPES
 )
 
+def q_time_gapfill(spark, sf_dir):
+    """Hypertable gap-fill + LOCF: per (event_type, day) activity where
+    MISSING days are materialized as zero-count rows (generate the full
+    bucket range once, explode, left-join the aggregates) and the rolling
+    average value carries the last observation forward across gaps — the
+    time_bucket_gapfill/locf pair of a time-series store. Scale: the dense
+    bucket axis is (days x types) — tiny metadata — so the only real
+    shuffle is the aggregation; gap filling is a broadcast join against
+    the generated axis."""
+    ev = t(spark, sf_dir, "events")
+    day = F.expr("ts_us div 86400000000").cast("long")  # µs → days since epoch
+    agg = ev.groupBy(day.alias("day"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_value"),  # decimal-accumulated: order-independent
+    )
+    bounds = ev.select(
+        F.expr("min(ts_us div 86400000000)").cast("long").alias("lo"),
+        F.expr("max(ts_us div 86400000000)").cast("long").alias("hi"),
+    )
+    axis = (
+        bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .crossJoin(
+            t(spark, sf_dir, "events").select("event_type").distinct()
+        )
+    )
+    filled = (
+        F.broadcast(axis)
+        .join(agg, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "avg_value",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        filled.withColumn(
+            "avg_value_locf", F.last("avg_value", ignorenulls=True).over(w)
+        )
+        .select("day", "event_type", "n_events", "avg_value_locf")
+        .orderBy("day", "event_type")
+    )
+
+
 def q_time_rollup(spark, sf_dir):
     """Time-hierarchy ROLLUP (year -> quarter -> month) over order totals —
     the hypertable/continuous-aggregate shape: one pass computes every
@@ -569,6 +621,36 @@ ORACLES = {
                CAST(SUM(CAST(round(1.0 / (1.0 + exp(-c_acctbal / 1000.0)), 6)
                     AS DECIMAL(38,6))) AS DOUBLE) AS total_score
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_time_gapfill": """
+        WITH agg AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                 count(*) AS n_events,
+                 round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       / count(*), 6) AS avg_value
+          FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT min(epoch_us(ts) // 86400000000) AS lo,
+                 max(epoch_us(ts) // 86400000000) AS hi
+          FROM events
+        ),
+        axis AS (
+          SELECT d.day, et.event_type
+          FROM (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds) d,
+               (SELECT DISTINCT event_type FROM events) et
+        ),
+        filled AS (
+          SELECT axis.day, axis.event_type,
+                 CAST(coalesce(n_events, 0) AS BIGINT) AS n_events, avg_value
+          FROM axis LEFT JOIN agg
+            ON agg.day = axis.day AND agg.event_type = axis.event_type
+        )
+        SELECT day, event_type, n_events,
+               last_value(avg_value IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_value_locf
+        FROM filled ORDER BY day, event_type""",
     # one-shot aggregate twin of the 3-batch incremental merge
     "q_rollup_merge": """
         SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS bucket,
@@ -602,6 +684,7 @@ QUERIES = {
     "q_rollup_merge": q_rollup_merge,
     "q_linear_regression": q_linear_regression,
     "q_time_rollup": q_time_rollup,
+    "q_time_gapfill": q_time_gapfill,
     "q_semi_join": q_semi_join,
     "q_pandas_udaf_trimmed_mean": q_pandas_udaf_trimmed_mean,
 }
