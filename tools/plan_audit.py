@@ -48,6 +48,7 @@ ALLOWED_CARTESIAN = {
     "sim_ann_ivf": "broadcast NLJ against the fixed K-centroid table (K tiny)",
     "q_weighted_sample": "scalar total-weight subquery (1-row broadcast)",
     "q22_global_sales": "TPC-H Q22 uncorrelated scalar subquery (1-row broadcast)",
+    "q_time_gapfill": "dense bucket axis x event types: days*5 rows, broadcast",
 }
 
 # query -> reason an Exchange SinglePartition is bounded anyway
@@ -55,6 +56,7 @@ ALLOWED_SINGLE_PARTITION = {
     "dedup_embedding_cosine": "rank window runs on 20 rows post-limit",
     "sim_topk_cosine": "rank window on <= 25 rows post-limit",
     "q_p95_disc": "per-flag count frame: one row per returnflag (3 rows)",
+    "q_time_gapfill": "SinglePartition is the global min/max bounds agg; the LOCF window itself is keyed by event_type",
 }
 
 # row-at-a-time Python is banned on data paths; declared capability demos
