@@ -519,3 +519,25 @@ def test_maintenance_tick_compacts_and_gcs(spark, tmp_path):
     assert report["gc_rewritten"]
     assert store.get("k0", now=NOW).value == big
     assert store.get("k5", now=NOW).value == b"s"
+
+
+# ------------------------------------------- feature-interaction coverage
+def test_time_travel_with_binary_keys(spark, tmp_path):
+    store = KVStore(spark, str(tmp_path / "ttb"), key_type="binary")
+    store.set_batch([Entry(b"\xff\x01", b"old"), Entry(b"\x00", b"keep")])
+    v1 = store.manifest.state.version
+    store.set_batch([Entry(b"\xff\x01", b"new")])
+    store.compact(now=NOW)
+    tt = {bytes(r["key"]): bytes(r["value"]) for r in store.view(now=NOW, at_version=v1).collect()}
+    assert tt == {b"\xff\x01": b"old", b"\x00": b"keep"}
+    got = [bytes(r["key"]) for r in store.scan(prefix=b"\xff", now=NOW, at_version=v1).collect()]
+    assert got == [b"\xff\x01"]
+
+
+def test_empty_tagged_ingest_is_noop(spark, store):
+    df = spark.createDataFrame([], "key string, value binary")
+    v = store.manifest.state.version
+    assert store.ingest_df(df, commit_tag=("ck", 0)) == 0
+    assert store.manifest.state.version == v  # no commit, replay-safe later
+    one = spark.createDataFrame([("k", b"v")], "key string, value binary")
+    assert store.ingest_df(one, commit_tag=("ck", 0)) == 1  # batch 0 still lands
