@@ -280,3 +280,53 @@ def test_dedup_then_kv_ingest_pipeline(spark, tmp_path):
         import hashlib
 
         assert hashlib.md5(text.encode()).hexdigest() == fp
+
+
+def test_rollup_merge_split_invariance(spark, tmp_path):
+    """Merge algebra property: ANY partition of the rows into sequential
+    batches produces the identical rollup table as one-shot aggregation —
+    three seeded random splits over the same data."""
+    import random
+
+    from octopusdb_spark.streaming.rollup import ContinuousRollup
+
+    base_us = 1_700_000_000 * 1_000_000
+    rows = [
+        (base_us + i * 777 * 1_000_000, ["a", "b", "c"][i % 3], float(i) / 7.0)
+        for i in range(60)
+    ]
+    full = spark.createDataFrame(rows, "ts_us long, event_type string, value double")
+    want = {
+        (r["bucket"], r["grp"]): (r["n"], round(r["tv"], 6))
+        for r in full.groupBy(
+            (((F.col("ts_us") / 1_000_000).cast("long") / 3600).cast("long") * 3600).alias(
+                "bucket"
+            ),
+            F.col("event_type").alias("grp"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        n_batches = rng.randint(2, 6)
+        cuts = sorted(rng.sample(range(1, len(rows)), n_batches - 1))
+        batches = [
+            shuffled[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])
+        ]
+        roll = ContinuousRollup(spark, str(tmp_path / f"inv{seed}"), bucket_seconds=3600)
+        for batch in batches:
+            if batch:
+                roll.merge_batch(
+                    spark.createDataFrame(batch, "ts_us long, event_type string, value double")
+                )
+        got = {
+            (r["bucket"], r["grp"]): (r["n_events"], round(r["total_value"], 6))
+            for r in roll.table().collect()
+        }
+        assert got == want, f"seed {seed}: split changed the rollup"
