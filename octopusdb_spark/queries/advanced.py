@@ -336,7 +336,14 @@ def q_rollup_merge(spark, sf_dir):
         )
     return (
         roll.table()
-        .select("bucket", "grp", "n_events", F.round("total_value", 6).alias("total_value"))
+        .select(
+            "bucket",
+            "grp",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+            "min_value",
+            "max_value",
+        )
         .orderBy("bucket", "grp")
     )
 
@@ -657,7 +664,9 @@ ORACLES = {
                event_type AS grp,
                count(*) AS n_events,
                round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
-                 AS total_value
+                 AS total_value,
+               min(value) AS min_value,
+               max(value) AS max_value
         FROM events
         GROUP BY 1, 2 ORDER BY bucket, grp""",
     # the oracle pins the exact counts and asserts the HLL++ estimate landed

@@ -40,6 +40,8 @@ ROLLUP_SCHEMA = T.StructType(
         T.StructField("grp", T.StringType(), True),
         T.StructField("n_events", T.LongType(), False),
         T.StructField("total_value", T.DoubleType(), True),
+        T.StructField("min_value", T.DoubleType(), True),
+        T.StructField("max_value", T.DoubleType(), True),
     ]
 )
 
@@ -94,12 +96,16 @@ class ContinuousRollup:
             .agg(
                 F.count("*").alias("n_events"),
                 F.sum(F.col("v").cast("decimal(38,6)")).alias("dv"),
+                F.min("v").alias("min_value"),
+                F.max("v").alias("max_value"),
             )
             .select(
                 "bucket",
                 "grp",
                 "n_events",
                 F.col("dv").cast("double").alias("total_value"),
+                "min_value",
+                "max_value",
             )
         )
         n_batch = batch_agg.agg(F.sum("n_events")).collect()[0][0]
@@ -114,6 +120,10 @@ class ContinuousRollup:
                 F.sum(F.col("total_value").cast("decimal(38,6)"))
                 .cast("double")
                 .alias("total_value"),
+                # min/max merge losslessly (idempotent, order-free) — the
+                # textbook mergeable-aggregate set alongside count/sum
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
             )
         )
         seg_id, path = self.manifest.new_segment_path("data")
