@@ -953,6 +953,50 @@ class KVStore:
         )
         return len(participants)
 
+    def compact_values(self, target_segments: int = 4) -> int:
+        """Merge the value-log's many small segments (one lands per write
+        batch) into ``target_segments`` files — pure file-count hygiene:
+        value_id is the read path's join key, so pointers stay valid across
+        the rewrite. Skipped when already at or under the target. Carried
+        discard stats are summed (attribution by embedded segment id stops
+        at a rewrite — the same documented approximation as GC rewrites;
+        the exact anti-join still verifies before any GC). Returns the
+        number of segments merged, 0 if nothing to do."""
+        state = self.manifest.state
+        vsegs = state.value_segments()
+        if len(vsegs) <= target_segments:
+            return 0
+        merged = self._read_segments(vsegs, VALUES_SCHEMA)
+        new_id, new_path = self.manifest.new_segment_path("values")
+        merged.repartition(max(1, target_segments)).write.mode("overwrite").parquet(new_path)
+        stats = (
+            self.spark.read.schema(VALUES_SCHEMA)
+            .parquet(new_path)
+            .agg(F.count("*").alias("cnt"), F.sum(F.length("big_value")).alias("bytes"))
+            .collect()[0]
+        )
+        new_seg = SegmentInfo(
+            segment_id=new_id,
+            kind="values",
+            level=0,
+            path=new_path,
+            min_key=None,
+            max_key=None,
+            row_count=int(stats["cnt"]),
+            size_bytes=int(stats["bytes"] or 0),
+            created_seq=min(s.created_seq for s in vsegs),
+            total_value_bytes=int(stats["bytes"] or 0),
+            discard_bytes=sum(s.discard_bytes for s in vsegs),
+        )
+        self.manifest.commit(
+            ManifestState(
+                version=state.version,
+                next_seq=state.next_seq,
+                segments=[s for s in state.segments if s.kind != "values"] + [new_seg],
+            )
+        )
+        return len(vsegs)
+
     def gc_values(self, discard_ratio: float = 0.5, now: int | None = None) -> list:
         """Value-log GC (`kv/vlog_gc.go`): candidate segments are selected
         from the incremental discard stats that compaction maintains

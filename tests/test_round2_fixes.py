@@ -541,3 +541,25 @@ def test_empty_tagged_ingest_is_noop(spark, store):
     assert store.manifest.state.version == v  # no commit, replay-safe later
     one = spark.createDataFrame([("k", b"v")], "key string, value binary")
     assert store.ingest_df(one, commit_tag=("ck", 0)) == 1  # batch 0 still lands
+
+
+# ------------------------------------------------------ value-log compaction
+def test_compact_values_merges_segments_and_preserves_reads(spark, tmp_path):
+    store = KVStore(spark, str(tmp_path / "cv"), value_threshold=64)
+    for b in range(6):  # six small values segments
+        store.set_batch([Entry(f"b{b}k{i}", bytes([65 + b]) * 100) for i in range(3)])
+    assert store.info()["value_segments"] == 6
+    n = store.compact_values(target_segments=2)
+    assert n == 6
+    assert store.info()["value_segments"] == 1  # one logical segment (2 files)
+    # every separated value still reads back
+    for b in range(6):
+        assert store.get(f"b{b}k1", now=NOW).value == bytes([65 + b]) * 100
+    # snapshot reads still resolve through the merged value log
+    snap = store.snapshot_seq()
+    store.set_batch([Entry("b0k0", b"small-now")])
+    assert store.get("b0k0", now=NOW, as_of=snap).value == b"A" * 100
+    # no-op when already at target
+    assert store.compact_values(target_segments=2) == 0
+    # reopen sees the merged layout
+    assert KVStore(spark, store.root).get("b5k2", now=NOW).value == b"F" * 100
