@@ -816,7 +816,16 @@ class KVStore:
             if self.manifest.state.value_segments()
             else []
         )
-        return {"compaction_rounds": rounds, "gc_rewritten": rewritten}
+        # after GC (dirty segments rewritten), bound the value-log file
+        # count; merging first would dilute discard stats across segments
+        merged = 0
+        if len(self.manifest.state.value_segments()) > 2 * self.level0_trigger:
+            merged = self.compact_values(target_segments=self.level0_trigger)
+        return {
+            "compaction_rounds": rounds,
+            "gc_rewritten": rewritten,
+            "value_segments_merged": merged,
+        }
 
     def compact(self, now: int | None = None, target_segments: int = 4) -> None:
         """Full-keyspace compaction: one merged, deduped, range-partitioned
