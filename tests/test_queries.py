@@ -144,3 +144,17 @@ def test_embedding_cosine_handles_sparse_id_blocks(spark, tmp_path):
     ]
     want = sorted(pairs, key=lambda p: (-p[2], p[0], p[1]))[:20]
     assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+
+
+def test_driver_priority_window_invariant():
+    """The driver's correctness gate checks the first 50 registry entries in
+    insertion order; every _PRIORITY query must stay inside that window, or
+    a future addition silently loses its driver correctness row."""
+    from octopusdb_spark.queries import ORACLE_SQL, REGISTRY, _PRIORITY
+
+    assert len(_PRIORITY) <= 50
+    window = set(list(REGISTRY)[:50])
+    missing = [n for n in _PRIORITY if n not in window]
+    assert not missing, f"priority queries outside the driver window: {missing}"
+    # and the whole registry stays fully oracle-checked
+    assert set(ORACLE_SQL) == set(REGISTRY)
