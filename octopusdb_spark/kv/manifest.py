@@ -16,9 +16,9 @@ interval search (`kv/lsm/level_handler.go:45-64`).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
-import time
 import uuid
 from dataclasses import asdict, dataclass, field
 
@@ -176,12 +176,36 @@ class Manifest:
         on POSIX) — the analog of manifest AddChanges + rewrite.
 
         Enforces the single-writer discipline (`kv/db.go:224-285` has one
-        doWrites goroutine): if CURRENT moved since this handle loaded its
-        state, committing would silently drop the other writer's segments —
-        raise instead so the caller reloads. The snapshot file itself is
-        claimed with O_CREAT|O_EXCL, so two handles racing past the CURRENT
-        check cannot both own the same version: the loser's open() fails
-        atomically instead of clobbering the winner's manifest-{v}.json."""
+        doWrites goroutine) with an OS-level ``flock`` on ``_manifest/LOCK``
+        held across the whole snapshot-write -> CURRENT-swap window:
+
+        - A concurrent live writer holds the lock, so a second committer
+          fails fast with ManifestConflictError instead of stealing the
+          claim — even if the first writer stalls arbitrarily long (GC
+          pause, slow fsync). No age heuristic: liveness is the lock.
+        - A crashed writer's lock is released by the OS, so an existing
+          ``manifest-{v}.json`` observed under the lock with CURRENT still
+          at the base version is *definitively* a dead claimant's orphan
+          and is reclaimed immediately (orphans never wedge the store).
+        - If CURRENT moved since this handle loaded its state, committing
+          would silently drop the other writer's segments — raise so the
+          caller reloads."""
+        lock_fd = os.open(
+            os.path.join(self.dir, "LOCK"), os.O_CREAT | os.O_RDWR, 0o644
+        )
+        try:
+            try:
+                fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except (BlockingIOError, OSError):
+                raise ManifestConflictError(
+                    "another writer is in flight (commit lock held); retry "
+                    "after it finishes or open a fresh KVStore handle"
+                ) from None
+            self._commit_locked(new_state)
+        finally:
+            os.close(lock_fd)  # releases the flock
+
+    def _commit_locked(self, new_state: ManifestState) -> None:
         cur = self._current_path()
         if os.path.exists(cur):
             with open(cur) as f:
@@ -207,7 +231,14 @@ class Manifest:
             "stream_commits": new_state.stream_commits,
             "compacted_bytes": new_state.compacted_bytes,
         }
-        fd = self._claim_snapshot(snap, new_state.version)
+        # Under the lock with CURRENT verified at the base version, an
+        # existing snapshot for this version can only be a dead claimant's
+        # leftover (a live writer would hold the flock): reclaim it.
+        try:
+            os.unlink(snap)
+        except FileNotFoundError:
+            pass
+        fd = os.open(snap, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f)
             f.flush()
@@ -219,50 +250,6 @@ class Manifest:
             os.fsync(f.fileno())
         os.replace(cur_tmp, self._current_path())
         self.state = new_state
-
-    # A claim older than this is a crash orphan (the claim->CURRENT-swap
-    # window is milliseconds; a live writer's claim is always fresh).
-    ORPHAN_GRACE_SECONDS = 60.0
-
-    def _claim_snapshot(self, snap: str, version: int) -> int:
-        """Claim manifest-{version}.json with O_CREAT|O_EXCL. If the file
-        already exists there are three cases:
-
-        - CURRENT has advanced to (or past) this version: a concurrent
-          writer really committed — raise ManifestConflictError.
-        - CURRENT has NOT advanced and the claim is FRESH (younger than
-          ORPHAN_GRACE_SECONDS): an in-flight writer owns it — raising
-          preserves exclusivity (reclaiming here would let two writers
-          both 'commit' the same version with one silently lost).
-        - CURRENT has NOT advanced and the claim is STALE: the claimant
-          died between claiming and swapping CURRENT (the crash contract
-          says orphans never wedge the store). Reclaim it; if someone
-          re-claims in the gap, treat it as a genuine conflict.
-        """
-        for attempt in (0, 1):
-            try:
-                return os.open(snap, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-            except FileExistsError:
-                cur = self._current_path()
-                disk_version = 0
-                if os.path.exists(cur):
-                    with open(cur) as f:
-                        disk_version = int(f.read().strip())
-                try:
-                    age = time.time() - os.path.getmtime(snap)
-                except OSError:
-                    age = float("inf")  # vanished: claimant finished or cleaned
-                if disk_version >= version or age < self.ORPHAN_GRACE_SECONDS or attempt == 1:
-                    raise ManifestConflictError(
-                        f"manifest-{version}.json already claimed "
-                        f"({'committed' if disk_version >= version else 'in flight or fresh orphan'}); "
-                        "open a fresh KVStore handle (or retry after the orphan grace period)"
-                    ) from None
-                try:
-                    os.unlink(snap)  # stale crash orphan: reclaim
-                except FileNotFoundError:
-                    pass
-        raise AssertionError("unreachable")
 
     # -- helpers -------------------------------------------------------------
     def new_segment_path(self, kind: str) -> tuple[str, str]:

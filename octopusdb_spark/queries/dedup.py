@@ -479,7 +479,8 @@ ORACLES = {
     ),
     bitsum AS (SELECT doc_id, bit, sum(c) AS s FROM bits GROUP BY doc_id, bit)
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bitsum GROUP BY doc_id ORDER BY doc_id""",
     "dedup_simhash_pairs": f"""
     WITH words AS (

@@ -181,10 +181,18 @@ def q_graph_adjacency(spark, sf_dir):
     (`kv/db_test.go:107-112` — following[] arrays) rebuilt from the edge
     table, sorted for determinism."""
     e = edges(spark, sf_dir)
+    # The adjacency list is emitted as a sorted comma-joined string, not an
+    # array: the driver's checker canonicalizes via pandas and crashes on
+    # list-typed cells (round-2 "unhashable type: 'list'").
     return (
         e.groupBy(F.col("src").alias("node"))
         .agg(
-            F.array_sort(F.collect_list("dst")).alias("following"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("dst")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("following"),
             F.count("*").alias("n_following"),
         )
         .orderBy("node")
@@ -318,7 +326,7 @@ ORACLES = {
     "graph_adjacency": EDGES_SQL
     + """
     SELECT src AS node,
-           array_agg(dst ORDER BY dst) AS following,
+           array_to_string(array_agg(dst ORDER BY dst), ',') AS following,
            count(*) AS n_following
     FROM edges GROUP BY src ORDER BY node""",
 }

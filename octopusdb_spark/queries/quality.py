@@ -120,7 +120,7 @@ ORACLES = {
           SELECT l_orderkey, l_linenumber, count(*) AS copies
           FROM lineitem GROUP BY 1, 2
         )
-        SELECT sum(copies) AS n_rows,
+        SELECT CAST(sum(copies) AS BIGINT) AS n_rows,
                count(*) AS n_distinct_keys,
                count(CASE WHEN copies > 1 THEN 1 END) AS n_duplicated_keys,
                max(copies) AS max_multiplicity

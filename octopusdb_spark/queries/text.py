@@ -338,7 +338,7 @@ ORACLES = {
     "text_source_profile": """
         SELECT source,
                count(*) AS n_docs,
-               sum(length(text)) AS total_chars,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
                count(DISTINCT lang) AS n_langs,
                min(doc_id) AS first_doc
         FROM documents GROUP BY source ORDER BY source""",

@@ -75,20 +75,25 @@ def test_scan_prefix_with_max_codepoint(store):
 def test_manifest_commit_recovers_orphan_and_detects_conflict(tmp_path):
     """A crash between claiming manifest-{v}.json and swapping CURRENT
     leaves an orphan snapshot; the next commit must reclaim it (not wedge
-    forever). A snapshot whose version CURRENT has actually advanced to is
-    a real conflict and must raise."""
+    forever). A LIVE in-flight writer is identified by the flock it holds
+    on _manifest/LOCK — not by file age — so a stalled writer can never
+    have its claim stolen, and a dead writer's orphan (lock released by
+    the OS) is reclaimed immediately."""
+    import fcntl
+
     m = Manifest(str(tmp_path / "t"))
     m.commit(ManifestState(version=0, next_seq=1, segments=[]))
     # crash orphan: manifest-2.json exists (even partial) but CURRENT is 1
     orphan = os.path.join(m.dir, "manifest-2.json")
     with open(orphan, "w") as f:
         f.write('{"version"')  # truncated JSON, as a crash would leave
-    # a FRESH claim belongs to an in-flight writer: must conflict, not reclaim
+    # a LIVE writer holds the commit flock (however long it stalls): conflict
+    holder = os.open(os.path.join(m.dir, "LOCK"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(holder, fcntl.LOCK_EX)
     with pytest.raises(ManifestConflictError, match="in flight"):
         m.commit(ManifestState(version=0, next_seq=2, segments=[]))
-    # past the grace period it is a dead claimant's orphan: reclaimed
-    stale_ts = 1_700_000_000
-    os.utime(orphan, (stale_ts, stale_ts))
+    # the claimant died: lock released, orphan reclaimed immediately
+    os.close(holder)
     m.commit(ManifestState(version=0, next_seq=2, segments=[]))  # recovers
     assert m.state.version == 2
     reloaded = Manifest(str(tmp_path / "t"))

@@ -82,14 +82,30 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        # The driver canonicalizes results via pandas sort_values, which
+        # raises "unhashable type: 'list'" on array/map columns (round-2
+        # graph_adjacency crash). No registry query may emit one.
+        bad_types = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad_types:
+            print(f"FAIL {name}: driver-incompatible array/map/struct cols: {bad_types}")
+            n_fail += 1
+            continue
         if name not in ORACLE_SQL:
             print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols}")
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(ORACLE_SQL[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # Fetch through Arrow, exactly like the driver: DuckDB HUGEINT /
+            # DECIMAL(38,0) surfaces as decimal128 here (round-2 lesson:
+            # fetchall() converts HUGEINT to a plain Python int, which let
+            # sum(BIGINT) drift pass locally while failing the driver hash).
+            tbl = con.execute(ORACLE_SQL[name]).arrow()
+            dcols = tbl.schema.names
+            drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
