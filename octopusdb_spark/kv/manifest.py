@@ -37,6 +37,13 @@ class SegmentInfo:
     # values-segments only: bytes known dead (discard-stats accounting, A17)
     discard_bytes: int = 0
     total_value_bytes: int = 0
+    # values-segments only: ids of segments this one absorbed via rewrite
+    # (compact_values merge, GC live-row rewrite). ValuePtr strings embed
+    # the segment id the value was WRITTEN to and survive rewrites (value_id
+    # is the join key), so discard-stat drops arriving under an absorbed id
+    # are remapped onto this surviving segment. Transitive: a rewrite of a
+    # rewrite carries the whole set.
+    aliases: list = field(default_factory=list)
 
 
 @dataclass

@@ -713,10 +713,28 @@ class KVStore:
     def _with_discard_updates(segments: list, drops: dict) -> list:
         if not drops:
             return segments
+        # Pointers embed the segment id they were originally written to;
+        # value-log rewrites (compact_values, GC) keep value_id stable but
+        # retire that id, so route drops attributed to an absorbed id onto
+        # the surviving segment via its alias set. A drop whose id matches
+        # no live segment or alias belongs to a fully-collected segment —
+        # nothing left to attribute.
+        owner: dict = {}
+        for s in segments:
+            if s.kind != "values":
+                continue
+            owner[s.segment_id] = s.segment_id
+            for a in s.aliases:
+                owner.setdefault(a, s.segment_id)
+        routed: dict = {}
+        for seg_id, nbytes in drops.items():
+            target = owner.get(seg_id)
+            if target is not None:
+                routed[target] = routed.get(target, 0) + nbytes
         out = []
         for s in segments:
-            if s.kind == "values" and s.segment_id in drops:
-                s = replace(s, discard_bytes=s.discard_bytes + drops[s.segment_id])
+            if s.kind == "values" and s.segment_id in routed:
+                s = replace(s, discard_bytes=s.discard_bytes + routed[s.segment_id])
             out.append(s)
         return out
 
@@ -967,10 +985,11 @@ class KVStore:
         batch) into ``target_segments`` files — pure file-count hygiene:
         value_id is the read path's join key, so pointers stay valid across
         the rewrite. Skipped when already at or under the target. Carried
-        discard stats are summed (attribution by embedded segment id stops
-        at a rewrite — the same documented approximation as GC rewrites;
-        the exact anti-join still verifies before any GC). Returns the
-        number of segments merged, 0 if nothing to do."""
+        discard stats are summed, and the merged segment records every
+        absorbed id in ``aliases`` so future drops attributed to pre-merge
+        segment ids (pointers embed the id they were written to) keep
+        landing on it. Returns the number of segments merged, 0 if nothing
+        to do."""
         state = self.manifest.state
         vsegs = state.value_segments()
         if len(vsegs) <= target_segments:
@@ -996,6 +1015,7 @@ class KVStore:
             created_seq=min(s.created_seq for s in vsegs),
             total_value_bytes=int(stats["bytes"] or 0),
             discard_bytes=sum(s.discard_bytes for s in vsegs),
+            aliases=sorted({a for s in vsegs for a in (*s.aliases, s.segment_id)}),
         )
         self.manifest.commit(
             ManifestState(
@@ -1068,6 +1088,7 @@ class KVStore:
                             size_bytes=live_bytes,
                             created_seq=seg.created_seq,
                             total_value_bytes=live_bytes,
+                            aliases=sorted({*seg.aliases, seg.segment_id}),
                         )
                     )
                 rewritten.append(seg.segment_id)

@@ -305,27 +305,29 @@ def q_rollup_merge(spark, sf_dir):
 
     from octopusdb_spark.streaming.rollup import ContinuousRollup
 
-    # scratch stores live under one parent; entries older than an hour are
-    # swept so repeated registry sweeps don't accumulate /tmp garbage —
-    # never the whole parent, which would yank live stores out from under
-    # a concurrent run (bench + plan audit in parallel) or a still-lazy
-    # DataFrame from a recent invocation
-    import time as _time
-
+    # scratch stores live under one parent, each dir tagged with the pid
+    # that created it; the sweep removes only dirs whose owning process is
+    # DEAD. A live process may still hold lazy DataFrames over its earlier
+    # stores (long session, concurrent bench + plan audit), so age alone is
+    # never grounds for deletion.
     parent = os.path.join(tempfile.gettempdir(), "octopusdb-rollupq")
     os.makedirs(parent, exist_ok=True)
-    cutoff = _time.time() - 3600
     for entry in os.listdir(parent):
-        full = os.path.join(parent, entry)
+        if not entry.startswith("pid"):
+            continue
+        pid_str = entry[3:].split("-", 1)[0]
         try:
-            if os.path.getmtime(full) < cutoff:
-                shutil.rmtree(full, ignore_errors=True)
-        except OSError:
-            pass
+            os.kill(int(pid_str), 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        except (ValueError, PermissionError, OSError):
+            pass  # unparseable tag or someone else's live pid: leave it
 
     ev = t(spark, sf_dir, "events")
     roll = ContinuousRollup(
-        spark, tempfile.mkdtemp(prefix="r", dir=parent), bucket_seconds=3600
+        spark,
+        tempfile.mkdtemp(prefix=f"pid{os.getpid()}-", dir=parent),
+        bucket_seconds=3600,
     )
     for i in range(3):
         roll.merge_batch(

@@ -179,6 +179,47 @@ def test_compaction_records_discard_bytes_and_gc_uses_them(spark, tmp_path):
     assert store.get("b9", now=NOW).value == big
 
 
+def test_discard_stats_survive_value_log_merge(spark, tmp_path):
+    """Overwrite garbage created AFTER compact_values merged the value log
+    must still land on the surviving merged segment: live pointers embed
+    pre-merge segment ids, so drops are remapped via the alias set.
+    (Round-2 ADVICE: without the remap, merged segments accumulate
+    invisible garbage that stats-gated GC never reclaims.)"""
+    store = KVStore(spark, str(tmp_path / "kv"), value_threshold=64)
+    big = b"B" * 200
+    # two write batches -> two value segments
+    store.set_batch([Entry(f"k{i}", big) for i in range(6)])
+    store.set_batch([Entry(f"k{i}", big) for i in range(6, 12)])
+    pre_ids = {s.segment_id for s in store.manifest.state.value_segments()}
+    assert len(pre_ids) == 2
+    merged_n = store.compact_values(target_segments=1)
+    assert merged_n == 2
+    [mseg] = store.manifest.state.value_segments()
+    assert set(mseg.aliases) == pre_ids
+    assert mseg.discard_bytes == 0
+
+    # NOW create garbage: overwrite 8 of the 12 big values post-merge
+    store.set_batch([Entry(f"k{i}", b"small") for i in range(8)])
+    store.compact(now=NOW)
+    [mseg2] = [
+        s
+        for s in store.manifest.state.value_segments()
+        if s.segment_id == mseg.segment_id
+    ]
+    # drops referenced the defunct pre-merge ids, remapped onto the merge
+    assert mseg2.discard_bytes == 8 * 200
+
+    # stats-gated GC (have_stats=True) now sees and reclaims the garbage
+    rewritten = store.gc_values(discard_ratio=0.5, now=NOW)
+    assert rewritten == [mseg.segment_id]
+    # the GC rewrite carries the alias chain forward transitively
+    [gseg] = store.manifest.state.value_segments()
+    assert set(gseg.aliases) >= pre_ids | {mseg.segment_id}
+    # no data lost
+    assert store.get("k0", now=NOW).value == b"small"
+    assert store.get("k11", now=NOW).value == big
+
+
 # -------------------------------------------------- bounded facade iterator
 def test_new_iterator_row_cap(spark, tmp_path):
     from octopusdb_spark.db import OctopusDB
