@@ -24,12 +24,20 @@ NOW = 2_000_000_000  # fixed "current time" for TTL semantics
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read it as raw nanos and expose `ts_us` (integer
-        # microseconds == DuckDB epoch_us(ts), exact cross-engine parity).
+        # Expose `ts_us` (integer microseconds == DuckDB epoch_us(ts), exact
+        # cross-engine parity) regardless of how the generator typed `ts`:
+        # TIMESTAMP(NANOS) parquet (read as raw nanos via nanosAsLong) or
+        # TIMESTAMP(MICROS) (read as timestamp_ntz; session tz is UTC, so the
+        # ntz->timestamp cast is epoch-exact).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts_us", F.expr("ts div 1000"))
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts_us", F.expr("ts div 1000"))
+        return df.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
