@@ -682,19 +682,26 @@ class KVStore:
             )
         return segs
 
-    def _dropped_ptr_bytes(self, participants: list, merged: DataFrame) -> dict:
+    def _dropped_ptr_bytes(self, participants: list, merged_segs: list) -> dict:
         """Discard-stats accounting (A17, `kv/lsm/compact.go:314-335`): value
         pointers present in the compaction inputs but absent from the merged
         output are dead; their segment id and byte length are parsed straight
         out of the ValuePtr string, so this is O(participant pointer rows)
-        with zero reads of the values table. Returns values-segment-id ->
-        newly dead bytes."""
+        with zero reads of the values table. Survivors come from the freshly
+        WRITTEN segments (a column-pruned value_ptr scan), not the merge
+        lineage — re-evaluating the merge plan here would run the whole
+        max_by shuffle a second time. Returns values-segment-id -> newly
+        dead bytes."""
         before = (
             self.raw_df(participants)
             .filter(F.col("value_ptr").isNotNull())
             .select("value_ptr")
         )
-        survivors = merged.filter(F.col("value_ptr").isNotNull()).select("value_ptr")
+        survivors = (
+            self.raw_df(merged_segs)
+            .filter(F.col("value_ptr").isNotNull())
+            .select("value_ptr")
+        )
         parts = F.split(F.col("value_ptr"), ":")
         rows = (
             before.join(survivors, "value_ptr", "left_anti")
@@ -782,7 +789,7 @@ class KVStore:
         participants = src + dst
         merged = self.latest_df(participants)
         new_segs = self._write_ranged_segments(merged, dst_level, target_segments)
-        drops = self._dropped_ptr_bytes(participants, merged)
+        drops = self._dropped_ptr_bytes(participants, new_segs)
         part_ids = {s.segment_id for s in participants}
         kept = [s for s in state.segments if s.segment_id not in part_ids]
         self.manifest.commit(
@@ -861,7 +868,7 @@ class KVStore:
             .filter((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
         )
         new_segs = self._write_ranged_segments(merged, self.MAX_LEVEL, target_segments)
-        drops = self._dropped_ptr_bytes(old, merged)
+        drops = self._dropped_ptr_bytes(old, new_segs)
         kept = [s for s in state.segments if s.kind != "data"]
         self.manifest.commit(
             ManifestState(
@@ -966,7 +973,7 @@ class KVStore:
         )
         merged = self.latest_df(participants).filter(~(in_range & dead))
         new_segs = self._write_ranged_segments(merged, self.MAX_LEVEL, target_segments)
-        drops = self._dropped_ptr_bytes(participants, merged)
+        drops = self._dropped_ptr_bytes(participants, new_segs)
         part_ids = {s.segment_id for s in participants}
         kept = [s for s in state.segments if s.segment_id not in part_ids]
         self.manifest.commit(
@@ -1051,11 +1058,16 @@ class KVStore:
                 return []
         else:
             candidates = {s.segment_id for s in vsegs}
+        # The live-pointer set requires a full merge of the data segments;
+        # cache it ONCE — the per-segment loop below drives one action for
+        # the liveness agg and another for each rewrite, and without the
+        # cache every action re-runs the whole latest_df() merge.
         live_ptrs = (
             self.latest_df()
             .filter(F.col("value_ptr").isNotNull())
             .filter((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now if now is not None else int(time.time()))))
             .select(F.col("value_ptr").alias("value_id"))
+            .cache()
         )
         rewritten = []
         stats_refined = False
@@ -1099,6 +1111,7 @@ class KVStore:
                 if refined != seg.discard_bytes:
                     stats_refined = True
                 new_segments.append(replace(seg, discard_bytes=refined))
+        live_ptrs.unpersist()
         if rewritten or stats_refined:
             # committing refinements matters even with no rewrites: without
             # them the next bootstrap-mode call re-scans every clean segment
