@@ -45,11 +45,13 @@ sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s FROM idx)
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array_distinct dedupes within the doc BEFORE the explode, so the
+    # (doc_id, s) output is already unique — no global distinct (which would
+    # shuffle every shingle once more for zero semantic effect).
     docs = t(spark, sf_dir, "documents")
     return (
         docs.withColumn("ws", F.split("text", " "))
         .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("s"))
-        .distinct()
     )
 
 
@@ -354,6 +356,13 @@ def q_dedup_cluster_keep(spark, sf_dir):
         labels = labels.join(neigh, "doc_id", "left").select(
             "doc_id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
         )
+        # Each round references `labels` twice (neighbor agg + left join),
+        # so without truncation the plan DOUBLES per round (2^rounds subtree
+        # copies — hundreds of exchanges by round 3). Eager localCheckpoint
+        # materializes the (small, O(participating docs)) label frame and
+        # cuts the lineage — the standard Pregel-iteration pattern; on a
+        # cluster you'd use reliable checkpointing for fault tolerance.
+        labels = labels.localCheckpoint(eager=True)
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

@@ -168,6 +168,9 @@ def q_graph_components(spark, sf_dir):
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
             )
+            # `labels` appears twice per round (neighbor agg + left join):
+            # truncate lineage each round or the plan doubles per iteration
+            .localCheckpoint(eager=True)
         )
     return (
         labels.groupBy("label")
