@@ -336,7 +336,14 @@ class KVStore:
         staged = self.spark.read.parquet(staging)
 
         totals = staged.agg(
-            F.count("*").alias("cnt"), F.max("seq").alias("mxseq")
+            F.count("*").alias("cnt"),
+            F.max("seq").alias("mxseq"),
+            F.sum(
+                F.when(F.col("value_ptr").isNotNull(), 1).otherwise(0)
+            ).alias("vcnt"),
+            F.sum(
+                F.when(F.col("value_ptr").isNotNull(), F.length("value")).otherwise(0)
+            ).alias("vbytes"),
         ).collect()[0]
         if not totals["cnt"]:
             return 0
@@ -349,14 +356,10 @@ class KVStore:
         if commit_tag is not None:
             new_state.stream_commits[commit_tag[0]] = int(commit_tag[1])
 
-        big = staged.filter(F.col("value_ptr").isNotNull()).select(
-            F.col("value_ptr").alias("value_id"), F.col("value").alias("big_value")
-        )
-        vstats = big.agg(
-            F.count("*").alias("cnt"),
-            F.sum(F.coalesce(F.length("big_value"), F.lit(0))).alias("bytes"),
-        ).collect()[0]
-        if vstats["cnt"]:
+        if totals["vcnt"]:
+            big = staged.filter(F.col("value_ptr").isNotNull()).select(
+                F.col("value_ptr").alias("value_id"), F.col("value").alias("big_value")
+            )
             big.write.mode("overwrite").parquet(vpath)
             new_state.segments.append(
                 SegmentInfo(
@@ -366,10 +369,10 @@ class KVStore:
                     path=vpath,
                     min_key=None,
                     max_key=None,
-                    row_count=int(vstats["cnt"]),
-                    size_bytes=int(vstats["bytes"] or 0),
+                    row_count=int(totals["vcnt"]),
+                    size_bytes=int(totals["vbytes"] or 0),
                     created_seq=seq0,
-                    total_value_bytes=int(vstats["bytes"] or 0),
+                    total_value_bytes=int(totals["vbytes"] or 0),
                 )
             )
 
