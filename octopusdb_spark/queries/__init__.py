@@ -54,8 +54,6 @@ _PRIORITY = [
     "q_sessionize", "q_session_window", "q_event_time_windows", "q_funnel",
     "q_cohort_retention", "q_moving_avg", "q_mode_event_type",
     "q_time_gapfill", "q_time_rollup", "q_asof_join", "q_avg_order_gap",
-    "q_orders_by_month", "q_json_extract", "q_pivot_event_types",
-    "q_string_agg",
     # TPC-H core + extras
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
@@ -66,9 +64,9 @@ _PRIORITY = [
     "q_grouping_sets", "q_set_ops", "q_scalar_functions", "q_running_totals",
     "q_semi_join", "q_anti_join", "q_median_quantity", "q_p95_disc",
     "q_correlation", "q_linear_regression", "q_pandas_udf_score",
-    # touched this round (lineage truncation in label propagation)
-    "dedup_cluster_keep", "graph_components", "graph_pagerank",
-    "dedup_simhash_pairs",
+    # brand-new this round (no driver row ever)
+    "q8_market_share", "q9_profit_shape", "text_repetition",
+    "text_ngram_topk",
 ]
 
 

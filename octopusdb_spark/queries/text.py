@@ -228,7 +228,84 @@ def q_text_shard_assignment(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Repetition-ratio quality signal: the fraction of a document's word
+    3-grams that are repeats (1 - distinct/total) — high values indicate
+    boilerplate/looping text, a standard training-data filter. Pure per-row
+    column expressions (array ops, no explode, no shuffle until the final
+    sort): embarrassingly parallel at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grams = F.expr(
+        """CASE WHEN size(split(text, ' ')) >= 3
+                THEN transform(sequence(1, size(split(text, ' ')) - 2),
+                               i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+                ELSE array() END"""
+    )
+    total = F.size(grams)
+    dist = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        total.alias("n_grams"),
+        dist.alias("n_distinct"),
+        F.when(total > 0, F.round(1.0 - dist.cast("double") / total, 6))
+        .otherwise(0.0)
+        .alias("repetition_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_text_ngram_topk(spark, sf_dir):
+    """Corpus-level top-20 word 3-grams by document frequency — the
+    boilerplate/contamination detector run before dedup in a training
+    pipeline. Explode → groupBy(ngram) with map-side partial counts; the
+    top-k is a single ordered limit with the ngram itself as tie-break.
+    Shuffle volume is the distinct-ngram set, never all occurrences."""
+    docs = t(spark, sf_dir, "documents")
+    grams = F.expr(
+        """CASE WHEN size(split(text, ' ')) >= 3
+                THEN transform(sequence(1, size(split(text, ' ')) - 2),
+                               i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+                ELSE array() END"""
+    )
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "g")
+        .limit(20)
+    )
+
+
 ORACLES = {
+    "text_repetition": """
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN len(string_split(text, ' ')) >= 3
+                      THEN len(string_split(text, ' ')) - 2 ELSE 0 END AS n_grams,
+                 string_split(text, ' ') AS ws
+          FROM documents
+        ),
+        dist AS (
+          SELECT doc_id, count(DISTINCT array_to_string(ws[i:i+2], ' ')) AS n_distinct
+          FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM g)
+          GROUP BY doc_id
+        )
+        SELECT g.doc_id, g.n_grams,
+               CASE WHEN g.n_grams > 0 THEN d.n_distinct ELSE 0 END AS n_distinct,
+               CASE WHEN g.n_grams > 0
+                    THEN round(1.0 - CAST(d.n_distinct AS DOUBLE) / g.n_grams, 6)
+                    ELSE 0.0 END AS repetition_ratio
+        FROM g LEFT JOIN dist d USING (doc_id)
+        ORDER BY g.doc_id""",
+    "text_ngram_topk": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM w
+                WHERE len(ws) >= 3),
+        grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+                  FROM idx WHERE i <= len(ws) - 2)
+        SELECT g, count(*) AS doc_freq
+        FROM grams GROUP BY g
+        ORDER BY doc_freq DESC, g LIMIT 20""",
     "text_decontaminate": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 3, 1))) AS i FROM w),
@@ -355,4 +432,6 @@ QUERIES = {
     "text_tfidf_keywords": q_text_tfidf_keywords,
     "text_decontaminate": q_text_decontaminate,
     "text_shard_assignment": q_text_shard_assignment,
+    "text_repetition": q_text_repetition,
+    "text_ngram_topk": q_text_ngram_topk,
 }

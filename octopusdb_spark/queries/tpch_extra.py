@@ -314,7 +314,135 @@ def q21_waiting_shape(spark, sf_dir):
     )
 
 
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — NATION_2's share of ECONOMY-
+    part revenue sold to ASIA-region customers, by order year. The classic
+    snowflake fan-out: fact scan + five broadcast dimension joins (part,
+    orders-side customer→nation→region restricted to the region, supplier→
+    nation for the share numerator). Share = decimal-exact conditional sum /
+    decimal-exact total, divided as doubles (IEEE-exact both engines)."""
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            dsum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+                    0.0
+                ),
+                "nation_rev",
+            ),
+            dsum(F.col("volume"), "total_rev"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_profit_shape(spark, sf_dir):
+    """TPC-H Q9 shape: product-type profit by nation and year. The trimmed
+    schema has no partsupp, so supply cost is proxied deterministically as
+    0.5 * p_retailprice per unit (keeps the 4-table join + two-level group
+    shape; the real query's ps_supplycost is likewise a per-part scalar).
+    Parts are filtered by name containment ('%bolt%'), as in the spec."""
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("bolt"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount"), "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
 ORACLES = {
+    "q8_market_share": f"""
+        WITH vol AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND EXISTS (
+              SELECT 1 FROM nation n1 JOIN region ON n1.n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA' AND n1.n_nationkey = c_nationkey
+            )
+        )
+        SELECT o_year,
+               round(
+                 CAST(SUM(CAST((CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0.0 END) AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE),
+                 6) AS mkt_share
+        FROM vol GROUP BY o_year ORDER BY o_year""",
+    "q9_profit_shape": f"""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               {dsum_sql("l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity", "sum_profit")}
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""",
     "q13_custdist": """
         WITH per_cust AS (
           SELECT c_custkey, count(o_orderkey) AS c_count
@@ -452,6 +580,8 @@ ORACLES = {
 }
 
 QUERIES = {
+    "q8_market_share": q8_market_share,
+    "q9_profit_shape": q9_profit_shape,
     "q13_custdist": q13_custdist,
     "q15_top_supplier": q15_top_supplier,
     "q21_waiting_shape": q21_waiting_shape,
