@@ -1062,9 +1062,9 @@ class KVStore:
         else:
             candidates = {s.segment_id for s in vsegs}
         # The live-pointer set requires a full merge of the data segments;
-        # cache it ONCE — the per-segment loop below drives one action for
-        # the liveness agg and another for each rewrite, and without the
-        # cache every action re-runs the whole latest_df() merge.
+        # cache it ONCE — both the liveness agg and the rewrite below are
+        # separate actions, and without the cache each would re-run the
+        # whole latest_df() merge.
         live_ptrs = (
             self.latest_df()
             .filter(F.col("value_ptr").isNotNull())
@@ -1072,40 +1072,50 @@ class KVStore:
             .select(F.col("value_ptr").alias("value_id"))
             .cache()
         )
+        # Batched verification: ONE job computes exact per-segment liveness
+        # for every candidate (per-segment sequential jobs would make GC
+        # latency O(candidate count) — a real problem when stats flag many
+        # segments at once). The segment tag is a literal per input frame,
+        # so the union stays a parallel file scan with no shuffle; the
+        # semi-join side is the broadcast live-pointer set.
+        cand = [s for s in vsegs if s.segment_id in candidates]
+        from functools import reduce as _reduce
+
+        tagged = _reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.schema(VALUES_SCHEMA)
+                .parquet(s.path)
+                .withColumn("__seg", F.lit(s.segment_id))
+                for s in cand
+            ],
+        )
+        live_stats = {
+            r["__seg"]: (r["cnt"], int(r["bytes"] or 0))
+            for r in (
+                tagged.join(F.broadcast(live_ptrs), "value_id", "left_semi")
+                .groupBy("__seg")
+                .agg(
+                    F.count("*").alias("cnt"),
+                    F.sum(F.length("big_value")).alias("bytes"),
+                )
+                .collect()
+            )
+        }
         rewritten = []
         stats_refined = False
+        to_rewrite: list = []  # segments with surviving rows to rewrite
         new_segments = [s for s in state.segments if s.kind != "values"]
         for seg in vsegs:
             if seg.segment_id not in candidates:
                 new_segments.append(seg)  # clean per stats: never scanned
                 continue
-            vdf = self.spark.read.schema(VALUES_SCHEMA).parquet(seg.path)
-            live = vdf.join(F.broadcast(live_ptrs), "value_id", "left_semi")
-            agg = live.agg(
-                F.count("*").alias("cnt"), F.sum(F.length("big_value")).alias("bytes")
-            ).collect()[0]
-            live_cnt, live_bytes = agg["cnt"], int(agg["bytes"] or 0)
+            live_cnt, live_bytes = live_stats.get(seg.segment_id, (0, 0))
             total = max(seg.total_value_bytes, 1)
             garbage_ratio = 1.0 - live_bytes / total
             if garbage_ratio >= discard_ratio and live_cnt < seg.row_count:
                 if live_cnt > 0:
-                    new_id, new_path = self.manifest.new_segment_path("values")
-                    live.write.mode("overwrite").parquet(new_path)
-                    new_segments.append(
-                        SegmentInfo(
-                            segment_id=new_id,
-                            kind="values",
-                            level=0,
-                            path=new_path,
-                            min_key=None,
-                            max_key=None,
-                            row_count=live_cnt,
-                            size_bytes=live_bytes,
-                            created_seq=seg.created_seq,
-                            total_value_bytes=live_bytes,
-                            aliases=sorted({*seg.aliases, seg.segment_id}),
-                        )
-                    )
+                    to_rewrite.append((seg, live_cnt, live_bytes))
                 rewritten.append(seg.segment_id)
             else:
                 # exact scan disagreed with (or refined) the stats — record
@@ -1114,6 +1124,35 @@ class KVStore:
                 if refined != seg.discard_bytes:
                     stats_refined = True
                 new_segments.append(replace(seg, discard_bytes=refined))
+        if to_rewrite:
+            # ONE dynamic-partition write rewrites every dirty segment's
+            # surviving rows; each __seg= subdir becomes its own segment so
+            # per-segment accounting (and future per-segment GC) survives.
+            staging_id, staging = self.manifest.new_segment_path("values")
+            ids = [seg.segment_id for seg, _, _ in to_rewrite]
+            (
+                tagged.filter(F.col("__seg").isin(ids))
+                .join(F.broadcast(live_ptrs), "value_id", "left_semi")
+                .write.mode("overwrite")
+                .partitionBy("__seg")
+                .parquet(staging)
+            )
+            for seg, live_cnt, live_bytes in to_rewrite:
+                new_segments.append(
+                    SegmentInfo(
+                        segment_id=f"{staging_id}-{seg.segment_id}",
+                        kind="values",
+                        level=0,
+                        path=f"{staging}/__seg={seg.segment_id}",
+                        min_key=None,
+                        max_key=None,
+                        row_count=live_cnt,
+                        size_bytes=live_bytes,
+                        created_seq=seg.created_seq,
+                        total_value_bytes=live_bytes,
+                        aliases=sorted({*seg.aliases, seg.segment_id}),
+                    )
+                )
         live_ptrs.unpersist()
         if rewritten or stats_refined:
             # committing refinements matters even with no rewrites: without
