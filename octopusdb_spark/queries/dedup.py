@@ -160,7 +160,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH candidate pairs: docs sharing >= 1 of 4 band signatures.
     At scale, pair cost is bounded by band-bucket sizes (tunable via
     bands×rows), never O(n²)."""
-    bands = minhash_bands(spark, sf_dir)
+    # Materialize the (doc_id, band, sig) frame once — the self-join would
+    # otherwise run the whole shingle→minhash pipeline twice (static planner
+    # does not reuse the exchange across the join's two sides here).
+    bands = minhash_bands(spark, sf_dir).localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -297,7 +300,7 @@ def q_dedup_minhash_capped(spark, sf_dir):
     stack_args = ", ".join(f"{band}, sig{band}" for band in range(N_BANDS))
     bands = sigs.select(
         "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)")
-    )
+    ).localCheckpoint(eager=True)  # self-joined below; materialize once
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -122,20 +122,24 @@ def q_graph_pagerank(spark, sf_dir):
     out_deg = e.groupBy("src").agg(F.count("*").alias("outd"))
     e_outd = e.join(out_deg, "src").select("src", "dst", "outd").cache()
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    zero = nodes.select("node", F.lit(0.0).alias("c"))  # dangling-node base rows
     for _ in range(3):
         contribs = (
             e_outd.join(ranks, e_outd.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outd")).alias("c"))
         )
-        summed = contribs.groupBy("node").agg(
-            F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("csum")
+        # Union a zero row per node instead of left-joining the node list
+        # after the aggregate: every node (dangling included) survives the
+        # groupBy, and each iteration costs ONE shuffle (the agg) plus the
+        # rank-side shuffle of the join — the nodes⋈summed join and its
+        # extra shuffle are gone. Zero rows are exact under the decimal sum.
+        summed = (
+            contribs.unionByName(zero)
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("csum"))
         )
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                (F.lit(0.15) + F.lit(0.85) * F.coalesce("csum", F.lit(0.0))).alias("rank"),
-            )
+        ranks = summed.select(
+            "node", (F.lit(0.15) + F.lit(0.85) * F.col("csum")).alias("rank")
         )
         # NOTE: no per-iteration checkpoint here — rank lineage is linear
         # (each round references `ranks` exactly once), so the plan grows
@@ -227,10 +231,12 @@ def q_graph_khop(spark, sf_dir):
             .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
             .distinct()
         )
-        # cache each (tiny) frontier: without it, hop k's anti-join re-plans
-        # the whole union-of-unions lineage — ~40% of the query's wall time
-        new_nodes = reached.join(dist, "node", "left_anti").cache()
-        dist = dist.unionByName(new_nodes)
+        # materialize each (tiny) frontier and truncate its lineage: `dist`
+        # is referenced twice per hop (anti-join + union), so an un-truncated
+        # plan doubles per hop (~109 exchanges by hop 3 with cache() alone —
+        # caches dedupe execution but not planning)
+        new_nodes = reached.join(dist, "node", "left_anti").localCheckpoint(eager=True)
+        dist = dist.unionByName(new_nodes).localCheckpoint(eager=True)
         frontier = new_nodes
     return dist.orderBy("node")
 
