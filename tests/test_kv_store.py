@@ -123,6 +123,34 @@ def test_value_gc_preserves_live_data(store):
         assert store.get(f"big:{i:02d}", now=NOW).value == big(i)
 
 
+def test_value_gc_batches_multiple_dirty_segments(store):
+    """Two dirty value segments from two batches must both be rewritten in
+    one GC call (the batched partitioned-rewrite path), with per-segment
+    accounting and alias routing preserved."""
+    big = lambda tag, i: (f"{tag}-{i}-".encode() * 3000)[: 16 * 1024]
+    store.set_batch([Entry(f"a:{i:02d}", big("a", i)) for i in range(6)])
+    store.set_batch([Entry(f"b:{i:02d}", big("b", i)) for i in range(6)])
+    assert len(store.manifest.state.value_segments()) == 2
+    # overwrite most of BOTH batches → both segments mostly garbage
+    store.set_batch(
+        [Entry(f"a:{i:02d}", b"small") for i in range(5)]
+        + [Entry(f"b:{i:02d}", b"small") for i in range(5)]
+    )
+    rewritten = store.gc_values(discard_ratio=0.5, now=NOW)
+    assert len(rewritten) == 2  # both dirty segments collected in one call
+    vsegs = store.manifest.state.value_segments()
+    # each rewritten segment carries exactly one live row and aliases its
+    # original id so future discard-stat drops still route to it
+    assert sorted(len(s.aliases) for s in vsegs) == [1, 1]
+    assert {a for s in vsegs for a in s.aliases} == set(rewritten)
+    assert all(s.row_count == 1 for s in vsegs)
+    for i in range(5):
+        assert store.get(f"a:{i:02d}", now=NOW).value == b"small"
+        assert store.get(f"b:{i:02d}", now=NOW).value == b"small"
+    assert store.get("a:05", now=NOW).value == big("a", 5)
+    assert store.get("b:05", now=NOW).value == big("b", 5)
+
+
 def test_leveled_compaction_scoring_and_invariance(store, spark):
     # many small L0 batches → L0 score exceeds trigger
     for b in range(6):
