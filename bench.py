@@ -48,6 +48,9 @@ HEADLINE = [
     "text_decontaminate",
     "text_shard_assignment",
     "kv_binary_key_scan",
+    # added round 4
+    "q8_market_share",
+    "text_repetition",
 ]
 
 
