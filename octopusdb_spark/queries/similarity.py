@@ -346,7 +346,105 @@ WITH emb AS (
 )
 """
 
+def q_sim_quantized_cosine(spark, sf_dir):
+    """Int8-quantized cosine top-5 — the memory/bandwidth scale path for
+    brute-force search: each vector is symmetrically quantized to int8
+    (q_i = floor(127 * x_i / max|x| + 0.5)), cutting the candidate matrix
+    4× vs float32 and making every dot product EXACT int64 arithmetic
+    (per-vector scales cancel in the cosine), so the ranking is fully
+    oracle-checkable — no float-accumulation drift by construction. The
+    quantization projection is one narrow map; scoring is the same
+    crossJoin shape as the exact baseline."""
+    emb = t(spark, sf_dir, "embeddings")
+    absmax = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    qemb = emb.withColumn("absmax", absmax).filter(F.col("absmax") > 0).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                F.lit(127.0) * x.cast("double") / F.col("absmax") + F.lit(0.5)
+            ),
+        ).alias("qv"),
+    )
+    idot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    qn = qemb.withColumn("qq", idot(F.col("qv"), F.col("qv")))
+    q = qn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("qq").alias("q_qq"),
+    )
+    c = qn.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("qq").alias("c_qq"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                idot(F.col("q_qv"), F.col("c_qv")).cast("double")
+                / (F.sqrt(F.col("q_qq").cast("double")) * F.sqrt(F.col("c_qq").cast("double")))
+            ).alias("qcos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.round("qcos", 6).alias("qcosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_QUANT_SQL = f"""
+WITH qe AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(127.0 * CAST(x AS DOUBLE) /
+                      list_reduce(list_transform(embedding,
+                                                 y -> abs(CAST(y AS DOUBLE))),
+                                  (s, v) -> greatest(s, v))
+                      + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+  WHERE list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+                    (s, v) -> greatest(s, v)) > 0
+),
+qn AS (
+  SELECT vec_id, qv,
+         list_reduce(list_transform(list_zip(qv, qv), p -> p[1] * p[2]),
+                     (s, x) -> s + x) AS qq
+  FROM qe
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(list_reduce(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2]),
+                          (s, x) -> s + x) AS DOUBLE)
+         / (sqrt(CAST(q.qq AS DOUBLE)) * sqrt(CAST(c.qq AS DOUBLE))) AS qcos
+  FROM qn q JOIN qn c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, cand_id, qcos,
+         row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, rank, round(qcos, 6) AS qcosine
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
 ORACLES = {
+    "sim_quantized_cosine": _QUANT_SQL,
     "sim_topk_cosine": _EMB_NORM_SQL
     + f"""
     , scored AS (
@@ -437,6 +535,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "sim_quantized_cosine": q_sim_quantized_cosine,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ann_bucketed": q_sim_ann_bucketed,
     "sim_ann_ivf": q_sim_ann_ivf,

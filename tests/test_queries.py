@@ -100,6 +100,15 @@ def test_ann_recall_floors(spark):
     assert recall["sim_ann_ivf"] >= 0.15, recall
 
 
+def test_quantized_cosine_tracks_exact(spark):
+    """Int8 quantization error is small (<= ~1/254 per coordinate), so the
+    quantized top-5 should largely agree with the exact top-5."""
+    sf = "/root/testdata/sf0.01"
+    exact = {(r["query_id"], r["cand_id"]) for r in REGISTRY["sim_topk_cosine"](spark, sf).collect()}
+    quant = {(r["query_id"], r["cand_id"]) for r in REGISTRY["sim_quantized_cosine"](spark, sf).collect()}
+    assert len(exact & quant) / len(exact) >= 0.8, (exact, quant)
+
+
 def test_every_registered_query_executes(spark):
     """Every registry entry must at least build and execute at smoke scale —
     catches runtime breakage in queries the spot-check list doesn't cover

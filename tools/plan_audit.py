@@ -42,6 +42,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
 
 # query -> reason a cartesian/nested-loop join is the documented intent
 ALLOWED_CARTESIAN = {
+    "sim_quantized_cosine": "brute-force scoring by design (int8 variant of the exact baseline; Q small)",
     "sim_topk_cosine": "exact brute-force baseline (Q small, corpus pruned)",
     "dedup_embedding_cosine": "exact re-score of <=O(B^2*20) candidate rows",
     "q_asof_join": "small build side; per-key ranges joined then filtered",
