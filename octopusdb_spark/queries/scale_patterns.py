@@ -136,7 +136,71 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+TOKEN_BUDGET = 4096  # whitespace tokens per training shard
+PACK_BUCKET = 500  # fixed doc_id range per bucket (deterministic boundaries)
+
+
+def q_token_budget_packing(spark, sf_dir):
+    """Token-budget shard packing — assign documents (in doc_id order) to
+    consecutive training shards of ~TOKEN_BUDGET whitespace tokens each:
+    shard = floor(running_token_total_before_doc / budget).
+
+    A global running sum over 100 TB cannot be one unpartitioned window
+    (single task). This is the **distributed two-phase prefix sum**: docs
+    fall into FIXED doc_id buckets (deterministic boundaries, unlike
+    sampled repartitionByRange), phase 1 windows WITHIN each bucket in
+    parallel, phase 2 computes per-bucket totals (tiny frame), prefix-sums
+    them with a window over buckets (rows = bucket count, not doc count),
+    and a broadcast join adds each bucket's offset back. Every shuffle key
+    is the bucket id; no stage sees more than one bucket's rows in order.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("doc_id")
+    within = docs.withColumn(
+        "cum_in",  # running total inside the bucket, INCLUSIVE of this doc
+        F.sum("toks").over(w_in),
+    )
+    bucket_totals = docs.groupBy("bucket").agg(F.sum("toks").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.withColumn(
+        "offset", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
+    ).select("bucket", "offset")
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "toks",
+            (F.col("offset") + F.col("cum_in") - F.col("toks")).alias("tokens_before"),
+            (
+                (F.col("offset") + F.col("cum_in") - F.col("toks"))
+                / F.lit(TOKEN_BUDGET)
+            )
+            .cast("long")
+            .alias("shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLES = {
+    "q_token_budget_packing": f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                 CAST(coalesce(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                   OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+          FROM documents
+        )
+        SELECT doc_id, toks, tokens_before,
+               CAST(floor(CAST(tokens_before AS DOUBLE) / {TOKEN_BUDGET}) AS BIGINT) AS shard
+        FROM c ORDER BY doc_id""",
     "q_stratified_sample": """
         WITH ranked AS (
           SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -177,6 +241,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "q_token_budget_packing": q_token_budget_packing,
     "q_range_join_bucketed": q_range_join_bucketed,
     "q_skew_salted_join": q_skew_salted_join,
     "q_hash_sampled_stats": q_hash_sampled_stats,
