@@ -376,6 +376,61 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_approx_percentile(spark, sf_dir):
+    """Approximate percentiles (the mergeable KLL-style sketch behind
+    ``approx_percentile``) validated against exact rank-based quantiles —
+    the q_approx_distinct pattern for order statistics. The exact p-quantile
+    is the value at rank ceil(p*n) under a total order (no interpolation, so
+    both engines compute the identical double); the sketch estimate itself
+    is engine-specific and is reduced to a within-bound boolean the oracle
+    asserts TRUE. At 100 TB the sketch is the only viable path (one pass,
+    mergeable partials); this query pins how far it strays."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    exact = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(F.col("n") * 0.5))
+            | (F.col("rn") == F.ceil(F.col("n") * 0.95))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("l_extendedprice"))
+            ).alias("p50_exact"),
+            F.min(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.95), F.col("l_extendedprice"))
+            ).alias("p95_exact"),
+        )
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("a95"),
+    )
+    return (
+        exact.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("p50_exact", 6).alias("p50_exact"),
+            F.round("p95_exact", 6).alias("p95_exact"),
+            (F.abs(F.col("a50") - F.col("p50_exact")) / F.col("p50_exact") <= 0.05).alias(
+                "p50_within_5pct"
+            ),
+            (F.abs(F.col("a95") - F.col("p95_exact")) / F.col("p95_exact") <= 0.05).alias(
+                "p95_within_5pct"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 _PIVOT_COLS = ", ".join(
     f'count(*) FILTER (WHERE event_type = \'{et}\') AS "{et}"' for et in EVENT_TYPES
 )
@@ -678,6 +733,26 @@ ORACLES = {
                count(DISTINCT user_id) AS exact_users,
                TRUE AS within_5pct
         FROM events GROUP BY event_type ORDER BY event_type""",
+    # same pattern for order statistics: exact rank-based quantiles pinned,
+    # the sketch estimate reduced to an asserted accuracy bound
+    "q_approx_percentile": """
+        WITH ranked AS (
+          SELECT l_returnflag, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem
+        )
+        SELECT l_returnflag,
+               round(min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                              THEN l_extendedprice END), 6) AS p50_exact,
+               round(min(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                              THEN l_extendedprice END), 6) AS p95_exact,
+               TRUE AS p50_within_5pct,
+               TRUE AS p95_within_5pct
+        FROM ranked
+        WHERE rn = CAST(ceil(n * 0.5) AS BIGINT) OR rn = CAST(ceil(n * 0.95) AS BIGINT)
+        GROUP BY l_returnflag ORDER BY l_returnflag""",
 }
 
 QUERIES = {
@@ -692,6 +767,7 @@ QUERIES = {
     "q_correlation": q_correlation,
     "q_pandas_udf_score": q_pandas_udf_score,
     "q_approx_distinct": q_approx_distinct,  # oracle checks the 5% HLL bound
+    "q_approx_percentile": q_approx_percentile,  # oracle checks the 5% sketch bound
     "q_rollup_merge": q_rollup_merge,
     "q_linear_regression": q_linear_regression,
     "q_time_rollup": q_time_rollup,
