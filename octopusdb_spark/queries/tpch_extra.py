@@ -407,7 +407,85 @@ def q9_profit_shape(spark, sf_dir):
     )
 
 
+def q11_volume_share_shape(spark, sf_dir):
+    """TPC-H Q11 shape: per-nation supply volume with a global-total scalar
+    subquery in the HAVING (nations whose volume exceeds 2% of world
+    volume). The trimmed schema has no partsupp; volume is proxied by
+    lineitem value routed through the supplier's nation — same two-level
+    aggregate + scalar-threshold shape. The 1-row global total is a
+    broadcast, never a shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    vol = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            (F.col("l_extendedprice") * F.col("l_quantity")).alias("v"),
+        )
+    )
+    per_nation = vol.groupBy("n_name").agg(dsum(F.col("v"), "nation_volume"))
+    total = per_nation.agg(
+        F.sum(F.col("nation_volume").cast("decimal(38,6)")).cast("double").alias("world")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("nation_volume") > 0.02 * F.col("world"))
+        .select("n_name", "nation_volume")
+        .orderBy(F.desc("nation_volume"), "n_name")
+    )
+
+
+def q12_ship_lag_shape(spark, sf_dir):
+    """TPC-H Q12 shape: shipping-delay effect on priority classes — the
+    two-way conditional aggregation. The trimmed schema has no
+    shipmode/commit/receipt dates, so the predicate is ship lag > 60 days
+    after order date, and the output counts urgent (1-2) vs other
+    priority lines per returnflag."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    lag_days = (
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    ) / F.lit(86_400_000_000)
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(lag_days > 60)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 ORACLES = {
+    "q11_volume_share_shape": f"""
+        WITH per_nation AS (
+          SELECT n_name, {dsum_sql("l_extendedprice * l_quantity", "nation_volume")}
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT n_name, nation_volume
+        FROM per_nation
+        WHERE nation_volume > 0.02 * (
+          SELECT CAST(SUM(CAST(nation_volume AS DECIMAL(38,6))) AS DOUBLE) FROM per_nation
+        )
+        ORDER BY nation_volume DESC, n_name""",
+    "q12_ship_lag_shape": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE (epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 86400000000.0 > 60
+        GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q8_market_share": f"""
         WITH vol AS (
           SELECT CAST(year(o_orderdate) AS INT) AS o_year,
@@ -582,6 +660,8 @@ ORACLES = {
 QUERIES = {
     "q8_market_share": q8_market_share,
     "q9_profit_shape": q9_profit_shape,
+    "q11_volume_share_shape": q11_volume_share_shape,
+    "q12_ship_lag_shape": q12_ship_lag_shape,
     "q13_custdist": q13_custdist,
     "q15_top_supplier": q15_top_supplier,
     "q21_waiting_shape": q21_waiting_shape,
