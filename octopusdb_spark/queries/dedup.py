@@ -55,6 +55,22 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sh) computed column-wise — size(array_distinct(grams))
+    per row, NO explode + groupBy shuffle. Identical to counting the
+    exploded distinct shingles (docs are <= 100 words here; for megabyte
+    documents the exploded aggregate is the safer form)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("n_sh"),
+        )
+        .filter(F.col("n_sh") > 0)
+    )
+
+
 def _hash_long(*cols) -> F.Column:
     """Deterministic 60-bit integer hash shared with the oracle:
     first 15 hex chars of md5, as BIGINT."""
@@ -80,7 +96,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dedup by exact Jaccard over 5-gram shingles, computed only for
     candidate pairs that share >= 1 shingle (inverted-index join)."""
     sh = shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = shingle_counts(spark, sf_dir)  # column-wise, no extra shuffle
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -325,7 +341,7 @@ def q_dedup_cluster_keep(spark, sf_dir):
     shingle join (never all-pairs); each propagation round is one join +
     one min-agg, both keyed by doc id."""
     sh = shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = shingle_counts(spark, sf_dir)  # column-wise, no extra shuffle
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
