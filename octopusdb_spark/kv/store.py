@@ -569,6 +569,49 @@ class KVStore:
             df = df.filter(F.col("key") < end)
         return df.orderBy(F.col("key").asc() if asc else F.col("key").desc())
 
+    def changes_since(self, snapshot_seq: int, now: int | None = None) -> DataFrame:
+        """Changefeed (CDC): the current state of every key written after
+        ``snapshot_seq`` (e.g. a value previously captured via
+        ``snapshot_seq()``), as (key, change, value, version) where change
+        is 'upsert' or 'delete' (tombstoned or expired-by-now).
+
+        O(delta) by construction: versions are monotonic, so a touched
+        key's newest version lives in a post-snapshot segment — the
+        manifest prunes to segments with ``created_seq >= snapshot_seq``
+        and the base data is never rescanned. Value pointers are resolved
+        against the values table so consumers see full payloads.
+
+        Retention caveat (standard for LSM CDC): a full ``compact()``
+        physically drops tombstones, so deletes older than the last full
+        compaction are no longer observable — consume the feed before
+        compacting, or use leveled compaction (which preserves tombstones
+        above the bottom level)."""
+        now = int(time.time()) if now is None else now
+        segs = [
+            s
+            for s in self.manifest.state.data_segments()
+            if s.created_seq >= snapshot_seq
+        ]
+        delta = self.raw_df(segs).filter(F.col("seq") > F.lit(snapshot_seq))
+        newest = self._newest_of(delta)
+        vals = self._values_df()
+        resolved = (
+            newest.join(F.broadcast(vals), newest.value_ptr == vals.value_id, "left")
+            .withColumn("value", F.coalesce(F.col("value"), F.col("big_value")))
+        )
+        return resolved.select(
+            "key",
+            F.when(
+                F.col("value").isNull()
+                | ((F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(now))),
+                F.lit("delete"),
+            )
+            .otherwise(F.lit("upsert"))
+            .alias("change"),
+            "value",
+            "version",
+        )
+
     def cache_view(self, now: int | None = None) -> DataFrame:
         """Pin the current live view in executor memory — the block-cache
         analog (A13, `kv/lsm/cache.go:7-28`): repeated reads skip the

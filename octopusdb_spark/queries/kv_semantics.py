@@ -208,6 +208,36 @@ WITH kv AS (
 )
 """
 
+def q_kv_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed (CDC) view: for every key touched after a snapshot point
+    (here the 80th percentile of the seq domain), emit its CURRENT state as
+    an upsert/delete event — what a downstream consumer replays to stay in
+    sync. Because versions are monotonic, the newest version of a touched
+    key always lies inside the delta, so the plan reads ONLY post-snapshot
+    rows (in the engine: only segments whose created_seq exceeds the
+    snapshot — manifest-pruned O(delta), see KVStore.changes_since) and
+    never rescans the base. Tombstones and entries that expired by NOW
+    surface as 'delete'."""
+    entries = kv_entries(spark, sf_dir)
+    cut = entries.agg(
+        F.floor(F.max("seq") * 0.8).cast("long").alias("cutoff")
+    )
+    delta = entries.join(F.broadcast(cut)).filter(F.col("seq") > F.col("cutoff"))
+    newest = _newest(delta)
+    return newest.select(
+        "key",
+        F.when(
+            F.col("value").isNull()
+            | ((F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(NOW))),
+            F.lit("delete"),
+        )
+        .otherwise(F.lit("upsert"))
+        .alias("change"),
+        "value",
+        "version",
+    ).orderBy("key")
+
+
 def q_kv_binary_key_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-key range scan: the reference's keys are opaque []byte
     (`kv/utils/key.go:32-37`), ordered by unsigned byte comparison. Keys
@@ -262,6 +292,18 @@ ORACLES = {
         FROM documents
         WHERE unhex(md5(CAST(doc_id AS VARCHAR))) < unhex('20')
         ORDER BY 1""",
+    "kv_changefeed": KV_BASE
+    + """, cut AS (SELECT CAST(floor(max(seq) * 0.8) AS BIGINT) AS cutoff FROM kv),
+    delta AS (SELECT kv.* FROM kv, cut WHERE kv.seq > cut.cutoff),
+    dn AS (
+      SELECT *, row_number() OVER (PARTITION BY key ORDER BY version DESC, seq DESC) AS drn
+      FROM delta
+    )
+    SELECT key,
+           CASE WHEN value IS NULL OR (expires_at != 0 AND expires_at <= 2000000000)
+                THEN 'delete' ELSE 'upsert' END AS change,
+           value, version
+    FROM dn WHERE drn = 1 ORDER BY key""",
 }
 
 QUERIES = {
@@ -276,4 +318,5 @@ QUERIES = {
     "kv_merge_sorted_runs": q_kv_merge_sorted_runs,
     "kv_gc_discard_stats": q_kv_gc_discard_stats,
     "kv_binary_key_scan": q_kv_binary_key_scan,
+    "kv_changefeed": q_kv_changefeed,
 }

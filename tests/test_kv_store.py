@@ -123,6 +123,26 @@ def test_value_gc_preserves_live_data(store):
         assert store.get(f"big:{i:02d}", now=NOW).value == big(i)
 
 
+def test_changes_since_feed(store):
+    """CDC: only post-snapshot keys appear, with their CURRENT state;
+    deletes and expired entries surface as 'delete'; separated big values
+    are resolved."""
+    store.set_batch([Entry("a", b"1"), Entry("b", b"2"), Entry("c", b"3")])
+    snap = store.snapshot_seq()
+    big = b"x" * 4096
+    store.set_batch([Entry("b", b"2-new"), Entry("d", big)])
+    store.delete("a")
+    store.set_batch([Entry("e", b"soon").with_ttl(1, now=NOW - 10)])  # expired
+    feed = {r["key"]: r for r in store.changes_since(snap, now=NOW).collect()}
+    assert set(feed) == {"a", "b", "d", "e"}  # c untouched -> absent
+    assert feed["a"]["change"] == "delete"
+    assert feed["b"]["change"] == "upsert" and bytes(feed["b"]["value"]) == b"2-new"
+    assert feed["d"]["change"] == "upsert" and bytes(feed["d"]["value"]) == big
+    assert feed["e"]["change"] == "delete"
+    # empty feed when nothing moved
+    assert store.changes_since(store.snapshot_seq(), now=NOW).count() == 0
+
+
 def test_value_gc_batches_multiple_dirty_segments(store):
     """Two dirty value segments from two batches must both be rewritten in
     one GC call (the batched partitioned-rewrite path), with per-segment

@@ -49,6 +49,7 @@ ALLOWED_CARTESIAN = {
     "sim_ann_ivf": "broadcast NLJ against the fixed K-centroid table (K tiny)",
     "q_weighted_sample": "scalar total-weight subquery (1-row broadcast)",
     "q11_volume_share_shape": "TPC-H Q11 global-total scalar subquery (1-row broadcast)",
+    "kv_changefeed": "snapshot-cutoff scalar subquery (1-row broadcast)",
     "q22_global_sales": "TPC-H Q22 uncorrelated scalar subquery (1-row broadcast)",
     "q_time_gapfill": "dense bucket axis x event types: days*5 rows, broadcast",
 }
