@@ -62,11 +62,12 @@ _PRIORITY = [
     # relational / analytics core
     "q_top_customers_per_nation", "q_rollup_acctbal", "q_cube_orders",
     "q_grouping_sets", "q_set_ops", "q_scalar_functions", "q_running_totals",
-    "q_semi_join", "q_anti_join", "q_median_quantity", "q_p95_disc",
-    "q_correlation",
+    "q_semi_join",
     # brand-new this round (no driver row ever)
-    "q8_market_share", "q9_profit_shape", "text_repetition",
-    "text_ngram_topk", "sim_quantized_cosine", "q_token_budget_packing",
+    "q8_market_share", "q9_profit_shape", "q11_volume_share_shape",
+    "q12_ship_lag_shape", "text_repetition", "text_ngram_topk",
+    "sim_quantized_cosine", "q_token_budget_packing", "q_approx_percentile",
+    "kv_changefeed",
 ]
 
 
