@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from octopusdb_spark.queries.similarity import _dot, _with_norm
+from octopusdb_spark.queries.similarity import _dot, _with_norm, kmeans_centroids
 
 
 def build_ivf(
@@ -30,10 +30,15 @@ def build_ivf(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 2,
 ) -> None:
-    """Materialize the index: seed centroids (first n_centroids vectors by
-    id — deterministic; swap in k-means offline if desired) plus inverted
-    lists partitioned by centroid id."""
+    """Materialize the index: TRAINED centroids — deterministic seed (first
+    n_centroids vectors by id) refined by ``kmeans_iters`` Lloyd rounds
+    (see `kmeans_centroids`: decimal-mean update, fixed tie-breaks, no
+    randomness) — plus inverted lists partitioned by centroid id. Pass
+    ``kmeans_iters=0`` for the raw-seed quantizer. Training cost is
+    iters × (one broadcast assignment pass + one (cent,dim)-keyed agg),
+    O(corpus) per round."""
     emb = _with_norm(
         emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     )
@@ -47,6 +52,8 @@ def build_ivf(
             F.col("norm").alias("ct_norm"),
         )
     )
+    if kmeans_iters > 0:
+        cent = kmeans_centroids(emb, cent, iters=kmeans_iters)
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     cent_r = _read_centroids(emb.sparkSession, index_dir)
     assigned = (

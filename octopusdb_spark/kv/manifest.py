@@ -34,6 +34,13 @@ class SegmentInfo:
     row_count: int
     size_bytes: int
     created_seq: int
+    # data-segments: exact upper bound on the row seqs inside (None =
+    # unknown, treated as unbounded). The changefeed prunes on THIS —
+    # max_seq <= snapshot proves a segment cannot contribute post-snapshot
+    # rows, a claim created_seq alone cannot make once compaction merges
+    # old and new rows into one output. created_seq is the matching lower
+    # bound (compaction carries the MIN of its sources).
+    max_seq: int | None = None
     # values-segments only: bytes known dead (discard-stats accounting, A17)
     discard_bytes: int = 0
     total_value_bytes: int = 0

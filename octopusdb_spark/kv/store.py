@@ -138,6 +138,17 @@ class KVStore:
 
     MAX_LEVEL = 6  # L0..L6, MaxLevelNum=7 (kv/db.go:57)
 
+    # Broadcast-hint ceiling for the values (vlog) relation and other
+    # metadata-estimated join sides. The values table is the WiscKey
+    # *large-payload* side — at scale it is the biggest table in the
+    # system, so a forced broadcast is a guaranteed OOM. The manifest
+    # already tracks exact per-segment byte totals, so the hint is gated
+    # on real metadata: under the ceiling we keep the broadcast (point
+    # reads stay single-stage); over it the join is left unhinted and
+    # AQE/sort-merge handles it. Tests shrink this to force the big-side
+    # plan on small data.
+    BROADCAST_MAX_BYTES = 64 << 20
+
     def __init__(
         self,
         spark: SparkSession,
@@ -253,6 +264,7 @@ class KVStore:
                 row_count=len(data_rows),
                 size_bytes=sum(len(r[1] or b"") for r in data_rows),
                 created_seq=seq0,
+                max_seq=seq0 + len(entries) - 1,
             )
         )
         self.manifest.commit(new_state)
@@ -272,10 +284,10 @@ class KVStore:
         the data ever touching the driver:
 
         - seq stamping, value-separation routing, and tombstone bits are
-          computed executor-side and **materialized once** to a staging
-          segment (monotonically_increasing_id is nondeterministic across
-          re-evaluation, so the values and data writes must carve from one
-          frozen copy, not recompute the lineage);
+          computed executor-side and **materialized once** via an eager
+          localCheckpoint (monotonically_increasing_id is nondeterministic
+          across re-evaluation, so the values and data writes must carve
+          from one frozen copy, not recompute the lineage);
         - big payloads land in the values table, the main rows keep a
           pointer (vlog-then-LSM write order of `kv/db.go:288-324`);
         - data lands as range-partitioned, key-sorted, bloom-filtered L0
@@ -331,32 +343,51 @@ class KVStore:
                 ).alias("value_ptr"),
             )
         )
-        _, staging = self.manifest.new_segment_path("staging")
-        staged_rows.write.mode("overwrite").parquet(staging)
-        staged = self.spark.read.parquet(staging)
+        # ONE materialization: localCheckpoint freezes the nondeterministic
+        # seq assignment (monotonically_increasing_id) in executor block
+        # storage, so the ranged data write and the values write read the
+        # same frozen rows — no staging-parquet round trip (the old shape
+        # wrote the full batch to disk, read it back, and rewrote it: two
+        # full materializations per batch). The blocks are non-replicated:
+        # losing an executor FAILS the job rather than silently re-stamping
+        # seqs on recompute (the property that matters), and the batch
+        # replays idempotently via commit_tag. For bulk loads where
+        # executor churn is expected, a reliable checkpoint dir trades one
+        # extra write for restartability.
+        staged = staged_rows.localCheckpoint(eager=True)
 
-        totals = staged.agg(
-            F.count("*").alias("cnt"),
-            F.max("seq").alias("mxseq"),
-            F.sum(
-                F.when(F.col("value_ptr").isNotNull(), 1).otherwise(0)
-            ).alias("vcnt"),
-            F.sum(
-                F.when(F.col("value_ptr").isNotNull(), F.length("value")).otherwise(0)
-            ).alias("vbytes"),
-        ).collect()[0]
-        if not totals["cnt"]:
+        data = staged.withColumn(
+            "value", F.when(F.col("value_ptr").isNotNull(), F.lit(None)).otherwise(F.col("value"))
+        ).select("key", "value", "meta", "expires_at", "version", "seq", "value_ptr")
+        # batch totals fold into the ranged write's own stats job (pointer
+        # byte lengths parsed from the ptr string — the values column is
+        # already nulled here): no separate totals scan
+        ptr_len = F.split(F.col("value_ptr"), ":").getItem(2).cast("long")
+        new_data_segs, bucket_stats = self._write_ranged_segments(
+            data,
+            level=0,
+            target_segments=target_segments,
+            created_seq=seq0,
+            extra_stats={
+                "vcnt": F.count("value_ptr"),
+                "vbytes": F.sum(ptr_len),
+            },
+        )
+        total_cnt = sum(r["cnt"] for r in bucket_stats)
+        if not total_cnt:
             return 0
+        vcnt = sum(r["vcnt"] for r in bucket_stats)
+        vbytes = sum(int(r["vbytes"] or 0) for r in bucket_stats)
         new_state = ManifestState(
             version=state.version,
-            next_seq=int(totals["mxseq"]) + 1,
+            next_seq=int(max(r["_mxseq"] for r in bucket_stats)) + 1,
             segments=list(state.segments),
             stream_commits=dict(state.stream_commits or {}),
         )
         if commit_tag is not None:
             new_state.stream_commits[commit_tag[0]] = int(commit_tag[1])
 
-        if totals["vcnt"]:
+        if vcnt:
             big = staged.filter(F.col("value_ptr").isNotNull()).select(
                 F.col("value_ptr").alias("value_id"), F.col("value").alias("big_value")
             )
@@ -369,21 +400,16 @@ class KVStore:
                     path=vpath,
                     min_key=None,
                     max_key=None,
-                    row_count=int(totals["vcnt"]),
-                    size_bytes=int(totals["vbytes"] or 0),
+                    row_count=int(vcnt),
+                    size_bytes=vbytes,
                     created_seq=seq0,
-                    total_value_bytes=int(totals["vbytes"] or 0),
+                    total_value_bytes=vbytes,
                 )
             )
 
-        data = staged.withColumn(
-            "value", F.when(F.col("value_ptr").isNotNull(), F.lit(None)).otherwise(F.col("value"))
-        ).select("key", "value", "meta", "expires_at", "version", "seq", "value_ptr")
-        new_state.segments.extend(
-            self._write_ranged_segments(data, level=0, target_segments=target_segments)
-        )
+        new_state.segments.extend(new_data_segs)
         self.manifest.commit(new_state)
-        return int(totals["cnt"])
+        return int(total_cnt)
 
     # ------------------------------------------------------------------- read
     def _read_segments(self, segs: list, schema: T.StructType) -> DataFrame:
@@ -394,6 +420,17 @@ class KVStore:
 
     def _values_df(self) -> DataFrame:
         return self._read_segments(self.manifest.state.value_segments(), VALUES_SCHEMA)
+
+    def _values_join_side(self, vsegs: list) -> DataFrame:
+        """The values relation prepared as a join side: broadcast-hinted only
+        when the manifest's exact byte totals say it fits
+        (``BROADCAST_MAX_BYTES``); otherwise unhinted so the planner/AQE
+        picks sort-merge or a runtime broadcast. Never force-broadcast the
+        payload table — see BROADCAST_MAX_BYTES."""
+        vals = self._read_segments(vsegs, VALUES_SCHEMA)
+        if sum(s.size_bytes for s in vsegs) <= self.BROADCAST_MAX_BYTES:
+            return F.broadcast(vals)
+        return vals
 
     def raw_df(self, segs: list | None = None) -> DataFrame:
         segs = self.manifest.state.data_segments() if segs is None else segs
@@ -460,13 +497,14 @@ class KVStore:
             (F.col("value").isNotNull() | F.col("value_ptr").isNotNull())
             & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
         )
-        vals = (
-            self._read_segments(hist.value_segments(), VALUES_SCHEMA)
+        vsegs = (
+            hist.value_segments()
             if hist is not None
-            else self._values_df()
+            else self.manifest.state.value_segments()
         )
+        vals = self._values_join_side(vsegs)
         return (
-            live.join(F.broadcast(vals), live.value_ptr == vals.value_id, "left")
+            live.join(vals, live.value_ptr == vals.value_id, "left")
             .withColumn("value", F.coalesce(F.col("value"), F.col("big_value")))
             .filter(F.col("value").isNotNull())  # GC'd dangling pointers
             .select("key", "value", "expires_at", "version", "seq")
@@ -569,37 +607,54 @@ class KVStore:
             df = df.filter(F.col("key") < end)
         return df.orderBy(F.col("key").asc() if asc else F.col("key").desc())
 
-    def changes_since(self, snapshot_seq: int, now: int | None = None) -> DataFrame:
+    def changes_since(
+        self,
+        snapshot_seq: int,
+        now: int | None = None,
+        include_preimage: bool = False,
+    ) -> DataFrame:
         """Changefeed (CDC): the current state of every key written after
         ``snapshot_seq`` (e.g. a value previously captured via
         ``snapshot_seq()``), as (key, change, value, version) where change
         is 'upsert' or 'delete' (tombstoned or expired-by-now).
 
-        O(delta) by construction: versions are monotonic, so a touched
-        key's newest version lives in a post-snapshot segment — the
-        manifest prunes to segments with ``created_seq >= snapshot_seq``
-        and the base data is never rescanned. Value pointers are resolved
-        against the values table so consumers see full payloads.
+        O(delta) while the delta is un-compacted: versions are monotonic,
+        so a touched key's newest version lives in a post-snapshot segment
+        — the manifest prunes on each segment's exact ``max_seq`` bound
+        (max_seq <= snapshot proves the segment holds no post-snapshot
+        rows; unknown bounds are conservatively admitted). After a
+        compaction merges the delta into base segments, the merged outputs
+        carry the delta's max_seq and are rescanned — pruning degrades to
+        the merged segments' span (correctness always comes from the
+        row-level ``seq`` filter); consume feeds before compacting for the
+        tight O(delta) scan. Value pointers are resolved against the
+        values table so consumers see full payloads.
+
+        ``include_preimage=True`` adds ``old_value``: the key's live value
+        as of the snapshot (NULL when the key did not exist / was dead at
+        the snapshot) — the pre-image a downstream cache invalidator or
+        audit log wants. Costs one extra join against the as-of view.
 
         Retention caveat (standard for LSM CDC): a full ``compact()``
         physically drops tombstones, so deletes older than the last full
         compaction are no longer observable — consume the feed before
         compacting, or use leveled compaction (which preserves tombstones
-        above the bottom level)."""
+        above the bottom level). ``tests/test_kv_store.py`` pins this
+        contract."""
         now = int(time.time()) if now is None else now
         segs = [
             s
             for s in self.manifest.state.data_segments()
-            if s.created_seq >= snapshot_seq
+            if s.max_seq is None or s.max_seq > snapshot_seq
         ]
         delta = self.raw_df(segs).filter(F.col("seq") > F.lit(snapshot_seq))
         newest = self._newest_of(delta)
-        vals = self._values_df()
+        vals = self._values_join_side(self.manifest.state.value_segments())
         resolved = (
-            newest.join(F.broadcast(vals), newest.value_ptr == vals.value_id, "left")
+            newest.join(vals, newest.value_ptr == vals.value_id, "left")
             .withColumn("value", F.coalesce(F.col("value"), F.col("big_value")))
         )
-        return resolved.select(
+        out = resolved.select(
             "key",
             F.when(
                 F.col("value").isNull()
@@ -611,6 +666,14 @@ class KVStore:
             "value",
             "version",
         )
+        if include_preimage:
+            pre = self.view(now=now, as_of=snapshot_seq).select(
+                "key", F.col("value").alias("old_value")
+            )
+            out = out.join(pre, "key", "left").select(
+                "key", "change", "value", "old_value", "version"
+            )
+        return out
 
     def cache_view(self, now: int | None = None) -> DataFrame:
         """Pin the current live view in executor memory — the block-cache
@@ -676,13 +739,31 @@ class KVStore:
 
     # ------------------------------------------------------------ maintenance
     def _write_ranged_segments(
-        self, df: DataFrame, level: int, target_segments: int
+        self,
+        df: DataFrame,
+        level: int,
+        target_segments: int,
+        created_seq: int | None = None,
+        extra_stats: dict | None = None,
     ) -> list:
         """Write a merged run as N range-disjoint segments (one directory
         each, tight min/max in the manifest) — the parallel sub-compaction
         split of `kv/lsm/compact.go:449-479`. One shuffle assigns range
         buckets; dynamic partition write fans the buckets out in the same
-        job; a final per-bucket agg records manifest stats."""
+        job; a final per-bucket agg records manifest stats.
+
+        ``created_seq``: manifest stamp meaning "this segment holds only
+        rows with seq >= created_seq". Compaction passes the MIN of its
+        sources so the changefeed's segment pruning stays tight after
+        merges; defaults to the current next_seq (fresh-ingest semantics).
+
+        ``extra_stats``: {name: agg Column} evaluated in the same readback
+        stats job; totals (summed across buckets for counts/sums, max for
+        maxes — the caller gets the raw per-bucket rows) are exposed on the
+        returned list as ``segs_extra`` attribute-free second channel: when
+        provided, the return value is ``(segs, rows)`` with ``rows`` the
+        per-bucket stat Rows. Lets callers fold their own accounting into
+        the one stats job instead of re-scanning."""
         n = max(1, min(target_segments, 200))
         staging_id, staging = self.manifest.new_segment_path("data")
         (
@@ -708,9 +789,12 @@ class KVStore:
                 F.max("key").alias("mx"),
                 F.count("*").alias("cnt"),
                 F.sum(F.coalesce(F.length("value"), F.lit(0))).alias("bytes"),
+                F.max("seq").alias("_mxseq"),  # exact per-segment seq bound
+                *[c.alias(nm) for nm, c in (extra_stats or {}).items()],
             )
             .collect()
         )
+        stamp = created_seq if created_seq is not None else self.manifest.state.next_seq
         segs = []
         for r in sorted(stats, key=lambda r: bytes(r["mn"]) if self.key_type == "binary" else r["mn"]):
             segs.append(
@@ -723,9 +807,12 @@ class KVStore:
                     max_key=self._enc(r["mx"]),
                     row_count=r["cnt"],
                     size_bytes=int(r["bytes"] or 0),
-                    created_seq=self.manifest.state.next_seq,
+                    created_seq=stamp,
+                    max_seq=int(r["_mxseq"]),
                 )
             )
+        if extra_stats is not None:
+            return segs, stats
         return segs
 
     def _dropped_ptr_bytes(self, participants: list, merged_segs: list) -> dict:
@@ -834,7 +921,14 @@ class KVStore:
         ]
         participants = src + dst
         merged = self.latest_df(participants)
-        new_segs = self._write_ranged_segments(merged, dst_level, target_segments)
+        # MIN source created_seq keeps the changefeed's created_seq >= snap
+        # segment pruning tight after merges (rows' seqs are preserved)
+        new_segs = self._write_ranged_segments(
+            merged,
+            dst_level,
+            target_segments,
+            created_seq=min(s.created_seq for s in participants),
+        )
         drops = self._dropped_ptr_bytes(participants, new_segs)
         part_ids = {s.segment_id for s in participants}
         kept = [s for s in state.segments if s.segment_id not in part_ids]
@@ -913,7 +1007,12 @@ class KVStore:
             .filter(F.col("value").isNotNull() | F.col("value_ptr").isNotNull())
             .filter((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
         )
-        new_segs = self._write_ranged_segments(merged, self.MAX_LEVEL, target_segments)
+        new_segs = self._write_ranged_segments(
+            merged,
+            self.MAX_LEVEL,
+            target_segments,
+            created_seq=min(s.created_seq for s in old),
+        )
         drops = self._dropped_ptr_bytes(old, new_segs)
         kept = [s for s in state.segments if s.kind != "data"]
         self.manifest.commit(
@@ -1018,7 +1117,12 @@ class KVStore:
             | ((F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(now)))
         )
         merged = self.latest_df(participants).filter(~(in_range & dead))
-        new_segs = self._write_ranged_segments(merged, self.MAX_LEVEL, target_segments)
+        new_segs = self._write_ranged_segments(
+            merged,
+            self.MAX_LEVEL,
+            target_segments,
+            created_seq=min(s.created_seq for s in participants),
+        )
         drops = self._dropped_ptr_bytes(participants, new_segs)
         part_ids = {s.segment_id for s in participants}
         kept = [s for s in state.segments if s.segment_id not in part_ids]
@@ -1115,88 +1219,104 @@ class KVStore:
             .select(F.col("value_ptr").alias("value_id"))
             .cache()
         )
-        # Batched verification: ONE job computes exact per-segment liveness
-        # for every candidate (per-segment sequential jobs would make GC
-        # latency O(candidate count) — a real problem when stats flag many
-        # segments at once). The segment tag is a literal per input frame,
-        # so the union stays a parallel file scan with no shuffle; the
-        # semi-join side is the broadcast live-pointer set.
-        cand = [s for s in vsegs if s.segment_id in candidates]
-        from functools import reduce as _reduce
+        # Everything touching the cached frame sits in try/finally so an
+        # exception in the liveness collect or the rewrite write cannot
+        # leak the cached pointer set in executor memory (ADVICE r4).
+        try:
+            # Broadcast the pointer set only while the manifest says it's small:
+            # pointers are ~40-byte strings, but at billions of separated values
+            # the set is multi-GB — forcing it onto every executor is the same
+            # OOM class as broadcasting the values table. Separated-value count
+            # is bounded by the value segments' row totals (exact metadata).
+            ptr_est_bytes = sum(s.row_count for s in vsegs) * 64
+            ptr_side = (
+                F.broadcast(live_ptrs)
+                if ptr_est_bytes <= self.BROADCAST_MAX_BYTES
+                else live_ptrs
+            )
+            # Batched verification: ONE job computes exact per-segment liveness
+            # for every candidate (per-segment sequential jobs would make GC
+            # latency O(candidate count) — a real problem when stats flag many
+            # segments at once). The segment tag is a literal per input frame,
+            # so the union stays a parallel file scan with no shuffle; the
+            # semi-join side is the (size-gated) live-pointer set.
+            cand = [s for s in vsegs if s.segment_id in candidates]
+            from functools import reduce as _reduce
 
-        tagged = _reduce(
-            DataFrame.unionByName,
-            [
-                self.spark.read.schema(VALUES_SCHEMA)
-                .parquet(s.path)
-                .withColumn("__seg", F.lit(s.segment_id))
-                for s in cand
-            ],
-        )
-        live_stats = {
-            r["__seg"]: (r["cnt"], int(r["bytes"] or 0))
-            for r in (
-                tagged.join(F.broadcast(live_ptrs), "value_id", "left_semi")
-                .groupBy("__seg")
-                .agg(
-                    F.count("*").alias("cnt"),
-                    F.sum(F.length("big_value")).alias("bytes"),
-                )
-                .collect()
+            tagged = _reduce(
+                DataFrame.unionByName,
+                [
+                    self.spark.read.schema(VALUES_SCHEMA)
+                    .parquet(s.path)
+                    .withColumn("__seg", F.lit(s.segment_id))
+                    for s in cand
+                ],
             )
-        }
-        rewritten = []
-        stats_refined = False
-        to_rewrite: list = []  # segments with surviving rows to rewrite
-        new_segments = [s for s in state.segments if s.kind != "values"]
-        for seg in vsegs:
-            if seg.segment_id not in candidates:
-                new_segments.append(seg)  # clean per stats: never scanned
-                continue
-            live_cnt, live_bytes = live_stats.get(seg.segment_id, (0, 0))
-            total = max(seg.total_value_bytes, 1)
-            garbage_ratio = 1.0 - live_bytes / total
-            if garbage_ratio >= discard_ratio and live_cnt < seg.row_count:
-                if live_cnt > 0:
-                    to_rewrite.append((seg, live_cnt, live_bytes))
-                rewritten.append(seg.segment_id)
-            else:
-                # exact scan disagreed with (or refined) the stats — record
-                # the measured dead bytes so the next pick is sharper
-                refined = max(seg.total_value_bytes - live_bytes, 0)
-                if refined != seg.discard_bytes:
-                    stats_refined = True
-                new_segments.append(replace(seg, discard_bytes=refined))
-        if to_rewrite:
-            # ONE dynamic-partition write rewrites every dirty segment's
-            # surviving rows; each __seg= subdir becomes its own segment so
-            # per-segment accounting (and future per-segment GC) survives.
-            staging_id, staging = self.manifest.new_segment_path("values")
-            ids = [seg.segment_id for seg, _, _ in to_rewrite]
-            (
-                tagged.filter(F.col("__seg").isin(ids))
-                .join(F.broadcast(live_ptrs), "value_id", "left_semi")
-                .write.mode("overwrite")
-                .partitionBy("__seg")
-                .parquet(staging)
-            )
-            for seg, live_cnt, live_bytes in to_rewrite:
-                new_segments.append(
-                    SegmentInfo(
-                        segment_id=f"{staging_id}-{seg.segment_id}",
-                        kind="values",
-                        level=0,
-                        path=f"{staging}/__seg={seg.segment_id}",
-                        min_key=None,
-                        max_key=None,
-                        row_count=live_cnt,
-                        size_bytes=live_bytes,
-                        created_seq=seg.created_seq,
-                        total_value_bytes=live_bytes,
-                        aliases=sorted({*seg.aliases, seg.segment_id}),
+            live_stats = {
+                r["__seg"]: (r["cnt"], int(r["bytes"] or 0))
+                for r in (
+                    tagged.join(ptr_side, "value_id", "left_semi")
+                    .groupBy("__seg")
+                    .agg(
+                        F.count("*").alias("cnt"),
+                        F.sum(F.length("big_value")).alias("bytes"),
                     )
+                    .collect()
                 )
-        live_ptrs.unpersist()
+            }
+            rewritten = []
+            stats_refined = False
+            to_rewrite: list = []  # segments with surviving rows to rewrite
+            new_segments = [s for s in state.segments if s.kind != "values"]
+            for seg in vsegs:
+                if seg.segment_id not in candidates:
+                    new_segments.append(seg)  # clean per stats: never scanned
+                    continue
+                live_cnt, live_bytes = live_stats.get(seg.segment_id, (0, 0))
+                total = max(seg.total_value_bytes, 1)
+                garbage_ratio = 1.0 - live_bytes / total
+                if garbage_ratio >= discard_ratio and live_cnt < seg.row_count:
+                    if live_cnt > 0:
+                        to_rewrite.append((seg, live_cnt, live_bytes))
+                    rewritten.append(seg.segment_id)
+                else:
+                    # exact scan disagreed with (or refined) the stats — record
+                    # the measured dead bytes so the next pick is sharper
+                    refined = max(seg.total_value_bytes - live_bytes, 0)
+                    if refined != seg.discard_bytes:
+                        stats_refined = True
+                    new_segments.append(replace(seg, discard_bytes=refined))
+            if to_rewrite:
+                # ONE dynamic-partition write rewrites every dirty segment's
+                # surviving rows; each __seg= subdir becomes its own segment so
+                # per-segment accounting (and future per-segment GC) survives.
+                staging_id, staging = self.manifest.new_segment_path("values")
+                ids = [seg.segment_id for seg, _, _ in to_rewrite]
+                (
+                    tagged.filter(F.col("__seg").isin(ids))
+                    .join(ptr_side, "value_id", "left_semi")
+                    .write.mode("overwrite")
+                    .partitionBy("__seg")
+                    .parquet(staging)
+                )
+                for seg, live_cnt, live_bytes in to_rewrite:
+                    new_segments.append(
+                        SegmentInfo(
+                            segment_id=f"{staging_id}-{seg.segment_id}",
+                            kind="values",
+                            level=0,
+                            path=f"{staging}/__seg={seg.segment_id}",
+                            min_key=None,
+                            max_key=None,
+                            row_count=live_cnt,
+                            size_bytes=live_bytes,
+                            created_seq=seg.created_seq,
+                            total_value_bytes=live_bytes,
+                            aliases=sorted({*seg.aliases, seg.segment_id}),
+                        )
+                    )
+        finally:
+            live_ptrs.unpersist()
         if rewritten or stats_refined:
             # committing refinements matters even with no rewrites: without
             # them the next bootstrap-mode call re-scans every clean segment

@@ -21,6 +21,7 @@ _MODULES = [
     "octopusdb_spark.queries.similarity",
     "octopusdb_spark.queries.multimodal",
     "octopusdb_spark.queries.quality",
+    "octopusdb_spark.queries.stream_twin",
 ]
 
 REGISTRY: dict = {}
@@ -38,40 +39,53 @@ for _m in _MODULES:
     ORACLE_SQL.update(getattr(mod, "ORACLES", {}))
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order. Rounds 2 and 3 both covered the same 50 (the round-2
-# priority head), so the other half — the KV semantics family, the TPC-H
-# core, and the events/relational set — has had no driver row since round
-# 1. Rotate that half to the front for round 4; it also contains every
-# query touched by this round's events.ts schema change (timestamp NANOS →
-# MICROS in the generated parquet), so the hard gate re-confirms exactly
-# the code that changed. Next round: rotate again.
+# insertion order. Round-5 rotation closes the only lifetime coverage
+# hole (dedup_simhash_pairs — registry position 100 every prior round,
+# never inside any window) and refreshes the 10 queries whose last driver
+# row was round 1, then fills with (a) every query whose code path changed
+# this round (KV store broadcast gating / single-pass ingest / changefeed
+# pre-image; Jaccard hot-shingle cap) and (b) the graph/sim/text families
+# last checked in round 3. Next round: rotate the remainder back in.
 _PRIORITY = [
-    # KV semantics (driver-checked r1, not since; kv_latest_live is entry())
-    "kv_latest_live", "kv_point_lookup", "kv_tombstoned_keys",
-    "kv_ttl_classes", "kv_prefix_scan", "kv_range_seek",
-    "kv_merge_sorted_runs", "kv_value_separation", "kv_version_history",
-    # events-family (ts_us derivation changed this round)
-    "q_sessionize", "q_session_window", "q_event_time_windows", "q_funnel",
-    "q_cohort_retention", "q_moving_avg", "q_mode_event_type",
-    "q_time_gapfill", "q_time_rollup", "q_asof_join", "q_avg_order_gap",
-    # TPC-H core + extras
-    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
-    "q10_returned_items", "q14_promo_effect", "q17_small_quantity",
-    "q18_large_volume", "q19_discounted_revenue", "q22_global_sales",
-    # relational / analytics core
-    "q_top_customers_per_nation", "q_rollup_acctbal", "q_cube_orders",
-    "q_grouping_sets", "q_set_ops", "q_scalar_functions", "q_running_totals",
-    "q_semi_join",
-    # brand-new this round (no driver row ever)
-    "q8_market_share", "q9_profit_shape", "q11_volume_share_shape",
-    "q12_ship_lag_shape", "text_repetition", "text_ngram_topk",
-    "sim_quantized_cosine", "q_token_budget_packing", "q_approx_percentile",
-    "kv_changefeed",
+    # never driver-checked in any round, plus this round's new queries
+    "dedup_simhash_pairs", "kv_changefeed_preimage", "q_stream_sessionize",
+    "sim_ann_ivf_kmeans",
+    # stale since round 1
+    "q_orders_by_month", "q_json_extract", "q_pivot_event_types",
+    "q_anti_join", "q_median_quantity", "q_p95_disc", "q_string_agg",
+    "q_correlation", "q_pandas_udf_score", "q_linear_regression",
+    # KV paths touched this round (broadcast gating, ingest, changefeed)
+    "kv_latest_live", "kv_point_lookup", "kv_value_separation",
+    "kv_changefeed", "kv_gc_discard_stats", "kv_binary_key_scan",
+    # dedup family (Jaccard/cluster hot-shingle cap touched this round)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_minhash_capped", "dedup_simhash", "dedup_cluster_keep",
+    "dedup_embedding_cosine",
+    # similarity family (last checked round 3)
+    "sim_topk_cosine", "sim_ann_bucketed", "sim_ann_ivf",
+    "sim_label_centroids",
+    # graph family (last checked round 3)
+    "graph_degrees", "graph_mutual_follows", "graph_two_hop",
+    "graph_triangles", "graph_pagerank", "graph_components",
+    "graph_adjacency", "graph_khop",
+    # text family picks (last checked round 3)
+    "text_stats", "text_langid", "text_tokenize_udtf", "text_tfidf_keywords",
+    "text_decontaminate", "text_shard_assignment",
+    # multimodal + quality (last checked round 3)
+    "multimodal_bytes", "multimodal_chunking", "quality_column_profile",
+    "quality_duplicate_keys", "quality_pattern_scan",
 ]
 
 
 def _reorder(mapping: dict) -> dict:
+    # A typo here would silently shrink the driver-checked head — fail loudly
+    # instead (ADVICE r4). REGISTRY is checked rather than `mapping` because
+    # ORACLE_SQL legitimately lacks rows-only queries.
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    assert not missing, f"_PRIORITY names absent from REGISTRY: {missing}"
+    assert len(_PRIORITY) == len(set(_PRIORITY)) == 50, (
+        f"_PRIORITY must be 50 unique names (driver window size), got {len(_PRIORITY)}"
+    )
     head = {n: mapping[n] for n in _PRIORITY if n in mapping}
     tail = {n: v for n, v in mapping.items() if n not in head}
     return {**head, **tail}

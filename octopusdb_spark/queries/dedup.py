@@ -92,11 +92,45 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+# Hot-shingle document-frequency cap for the Jaccard/cluster default path.
+# A shingle appearing in k docs yields k^2 candidate pairs out of the
+# inverted-index join — boilerplate shingles at corpus scale make that
+# quadratic. Dropping shingles with df > cap bounds every join bucket at
+# cap^2 pairs while losing nothing discriminative (a shingle shared by 64+
+# docs carries no near-dup signal). Jaccard is computed over the CAPPED
+# shingle universe on both sides (sizes included), so the oracle applies
+# the identical cap and values stay exact at any scale. At the test scales
+# the observed max df is 4, so the cap is inactive there (results are
+# unchanged vs. the uncapped definition) — but it is IN the plan, which is
+# what the 100 TB guarantee needs. `dedup_minhash_capped` (df > 2) remains
+# the variant where the cap actually bites at test scale.
+JACCARD_MAX_SHINGLE_DF = 64
+
+
+def capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) shingles with document frequency <= the cap. The hot
+    list is tiny by construction (only shingles shared by >cap docs), so it
+    broadcasts; the anti-join removes exactly the keys that concentrate
+    join buckets. Materialized eagerly: callers use the frame on several
+    join sides, and without truncation each side would re-run the
+    shingle+dfreq pipeline."""
+    sh = shingles(spark, sf_dir)
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > JACCARD_MAX_SHINGLE_DF)
+        .select("s")
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(eager=True)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dedup by exact Jaccard over 5-gram shingles, computed only for
-    candidate pairs that share >= 1 shingle (inverted-index join)."""
-    sh = shingles(spark, sf_dir)
-    sizes = shingle_counts(spark, sf_dir)  # column-wise, no extra shuffle
+    candidate pairs that share >= 1 shingle (inverted-index join), with the
+    hot-shingle df cap active (JACCARD_MAX_SHINGLE_DF) so no join bucket
+    can go quadratic at corpus scale."""
+    sh = capped_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -338,10 +372,11 @@ def q_dedup_cluster_keep(spark, sf_dir):
     smallest member, keep exactly the canonical doc per cluster. Only docs
     that participate in at least one near-dup pair are emitted (singletons
     are trivially kept). Scale shape: pair generation is the inverted-index
-    shingle join (never all-pairs); each propagation round is one join +
-    one min-agg, both keyed by doc id."""
-    sh = shingles(spark, sf_dir)
-    sizes = shingle_counts(spark, sf_dir)  # column-wise, no extra shuffle
+    shingle join with the hot-shingle df cap active (never all-pairs, no
+    quadratic bucket); each propagation round is one join + one min-agg,
+    both keyed by doc id."""
+    sh = capped_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -389,13 +424,21 @@ def q_dedup_cluster_keep(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# capped shingle universe shared by the Jaccard/cluster oracles — the
+# identical df cap the Spark plans apply (see JACCARD_MAX_SHINGLE_DF)
+_CAPPED_SH_SQL = f"""
+    , jdf AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN jdf USING (s)
+            WHERE df <= {JACCARD_MAX_SHINGLE_DF})"""
+
 _CLUSTER_SQL = (
     SHINGLES_SQL
+    + _CAPPED_SH_SQL
     + """
-    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
     ),
     pairs AS (
       SELECT doc_a, doc_b FROM inter
@@ -460,11 +503,12 @@ ORACLES = {
         SELECT doc_id, canonical_id, doc_id != canonical_id AS is_duplicate
         FROM h JOIN c USING (fp) ORDER BY doc_id""",
     "dedup_ngram_jaccard": SHINGLES_SQL
+    + _CAPPED_SH_SQL
     + """
-    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_common,

@@ -238,6 +238,48 @@ def q_kv_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
+def q_kv_changefeed_preimage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed with pre-images (KVStore.changes_since(include_preimage=
+    True)): each post-snapshot change additionally carries ``old_value`` —
+    the key's LIVE value as of the snapshot (NULL when the key was absent,
+    tombstoned, or expired at the snapshot) — what a cache invalidator or
+    audit log consumes. Plan shape: the delta side is identical to
+    kv_changefeed (O(delta)); the pre-image side is one extra as-of read
+    joined by key, i.e. the delta's keys against the snapshot view — in the
+    engine the as-of view is manifest-pruned, and the join is keyed by the
+    same key column the delta was just aggregated on."""
+    entries = kv_entries(spark, sf_dir)
+    cut = entries.agg(F.floor(F.max("seq") * 0.8).cast("long").alias("cutoff"))
+    with_cut = entries.join(F.broadcast(cut))
+    delta = with_cut.filter(F.col("seq") > F.col("cutoff"))
+    newest = _newest(delta)
+    pre = (
+        _newest(with_cut.filter(F.col("seq") <= F.col("cutoff")))
+        .filter(
+            F.col("value").isNotNull()
+            & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(NOW)))
+        )
+        .select("key", F.col("value").alias("old_value"))
+    )
+    return (
+        newest.join(pre, "key", "left")
+        .select(
+            "key",
+            F.when(
+                F.col("value").isNull()
+                | ((F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(NOW))),
+                F.lit("delete"),
+            )
+            .otherwise(F.lit("upsert"))
+            .alias("change"),
+            "value",
+            "old_value",
+            "version",
+        )
+        .orderBy("key")
+    )
+
+
 def q_kv_binary_key_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-key range scan: the reference's keys are opaque []byte
     (`kv/utils/key.go:32-37`), ordered by unsigned byte comparison. Keys
@@ -304,6 +346,28 @@ ORACLES = {
                 THEN 'delete' ELSE 'upsert' END AS change,
            value, version
     FROM dn WHERE drn = 1 ORDER BY key""",
+    "kv_changefeed_preimage": KV_BASE
+    + """, cut AS (SELECT CAST(floor(max(seq) * 0.8) AS BIGINT) AS cutoff FROM kv),
+    delta AS (SELECT kv.* FROM kv, cut WHERE kv.seq > cut.cutoff),
+    dn AS (
+      SELECT *, row_number() OVER (PARTITION BY key ORDER BY version DESC, seq DESC) AS drn
+      FROM delta
+    ),
+    base AS (SELECT kv.* FROM kv, cut WHERE kv.seq <= cut.cutoff),
+    bn AS (
+      SELECT *, row_number() OVER (PARTITION BY key ORDER BY version DESC, seq DESC) AS brn
+      FROM base
+    ),
+    pre AS (
+      SELECT key, value AS old_value FROM bn
+      WHERE brn = 1 AND value IS NOT NULL AND (expires_at = 0 OR expires_at > 2000000000)
+    )
+    SELECT dn.key,
+           CASE WHEN dn.value IS NULL OR (dn.expires_at != 0 AND dn.expires_at <= 2000000000)
+                THEN 'delete' ELSE 'upsert' END AS change,
+           dn.value, pre.old_value, dn.version
+    FROM dn LEFT JOIN pre ON pre.key = dn.key
+    WHERE dn.drn = 1 ORDER BY dn.key""",
 }
 
 QUERIES = {
@@ -319,4 +383,5 @@ QUERIES = {
     "kv_gc_discard_stats": q_kv_gc_discard_stats,
     "kv_binary_key_scan": q_kv_binary_key_scan,
     "kv_changefeed": q_kv_changefeed,
+    "kv_changefeed_preimage": q_kv_changefeed_preimage,
 }

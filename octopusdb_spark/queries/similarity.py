@@ -220,6 +220,132 @@ def q_sim_ann_ivf(spark, sf_dir):
     )
 
 
+KMEANS_ITERS = 2
+
+
+def kmeans_centroids(emb: DataFrame, init: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Deterministic Lloyd k-means: fixed init, fixed iteration count,
+    cosine assignment with (desc cos, asc cent_id) tie-break, and centroid
+    update as a per-dimension DECIMAL(38,12)-accumulated mean — exact and
+    order-independent, so Spark and DuckDB converge to bit-identical
+    centroids (the repo's standard cross-engine float discipline; see
+    queries/common.py). Empty clusters drop out (both engines group only
+    non-empty assignments). Scale shape per iteration: one broadcast
+    crossJoin against K rows for assignment, one (cent_id, dim)-keyed agg
+    for the update — never an all-pairs join; K rows localCheckpoint per
+    round keeps the iterated plan flat.
+
+    ``init``/result schema: (cent_id, ct_emb, ct_norm).
+    """
+    from pyspark.sql import Window
+
+    cent = init
+    for _ in range(iters):
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+        asg = (
+            emb.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "embedding",
+                "cent_id",
+                (
+                    _dot(F.col("embedding"), F.col("ct_emb"))
+                    / (F.col("norm") * F.col("ct_norm"))
+                ).alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            asg.select("cent_id", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cent_id", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("double").cast("decimal(38,12)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+        )
+        cent = (
+            means.groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("ct_emb")
+            )
+            .withColumn("ct_norm", F.sqrt(_dot(F.col("ct_emb"), F.col("ct_emb"))))
+            .localCheckpoint(eager=True)  # K rows; keeps the per-round plan flat
+        )
+    return cent
+
+
+def q_sim_ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN over TRAINED centroids: the seed centroids of `sim_ann_ivf`
+    (vec_id 8..15) refined by 2 deterministic Lloyd iterations before the
+    inverted lists are built — the production IVF lifecycle (train coarse
+    quantizer, assign, probe) with every step oracle-checkable. Probe flow
+    is identical to sim_ann_ivf: nprobe=2 lists per query, exact re-score
+    of candidates only."""
+    from pyspark.sql import Window
+
+    emb = _with_norm(t(spark, sf_dir, "embeddings"))
+    init = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 8 + N_IVF_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ct_emb"),
+        F.col("norm").alias("ct_norm"),
+    )
+    cent = kmeans_centroids(emb, init, iters=KMEANS_ITERS)
+    assign_scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        (_dot(F.col("embedding"), F.col("ct_emb")) / (F.col("norm") * F.col("ct_norm"))).alias(
+            "cos"
+        ),
+    )
+    w_vec = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    ranked = assign_scored.withColumn("rn", F.row_number().over(w_vec))
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)).select(
+        F.col("vec_id").alias("query_id"), "cent_id"
+    )
+    cands = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_sim_label_centroids(spark, sf_dir):
     """Per-label centroid norms + sizes — the clustering-summary aggregate
     (decimal accumulation per dimension would be 64 columns; instead this
@@ -345,6 +471,46 @@ WITH emb AS (
   FROM embeddings
 )
 """
+
+
+def _kmeans_cte_sql(iters: int = 2, k: int = 8, dim: int = 64) -> str:
+    """CTE chain replicating `kmeans_centroids` exactly: cent0 = seed
+    vectors (vec_id 8..8+k), then per iteration assign (cosine rank 1) and
+    re-center (per-dimension DECIMAL(38,12) mean — order-independent, so it
+    matches Spark's decimal accumulation bit-for-bit). Final centroids are
+    ``cent{iters}``."""
+    out = [
+        f"""
+    , cent0 AS (
+      SELECT vec_id AS cent_id, embedding AS ct_emb, norm AS ct_norm
+      FROM emb WHERE vec_id >= 8 AND vec_id < {8 + k}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        out.append(
+            f"""
+    , as{i} AS (
+      SELECT e.vec_id, c.cent_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_DOT_SQL.format(a="e.embedding", b="c.ct_emb")} / (e.norm * c.ct_norm) DESC,
+                        c.cent_id ASC) AS rn
+      FROM emb e CROSS JOIN cent{i - 1} c
+    ), am{i} AS (SELECT vec_id, cent_id FROM as{i} WHERE rn = 1),
+    cd{i} AS (
+      SELECT a.cent_id, t.dim,
+             CAST(SUM(CAST(CAST(e.embedding[t.dim] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*) AS m
+      FROM am{i} a JOIN emb e ON e.vec_id = a.vec_id
+      CROSS JOIN unnest(range(1, {dim + 1})) AS t(dim)
+      GROUP BY 1, 2
+    ), cent{i} AS (
+      SELECT cent_id, ct_emb,
+             sqrt({_DOT_SQL.format(a="ct_emb", b="ct_emb")}) AS ct_norm
+      FROM (SELECT cent_id, list(m ORDER BY dim) AS ct_emb FROM cd{i} GROUP BY cent_id)
+    )"""
+        )
+    return "".join(out)
 
 def q_sim_quantized_cosine(spark, sf_dir):
     """Int8-quantized cosine top-5 — the memory/bandwidth scale path for
@@ -526,6 +692,39 @@ ORACLES = {
     )
     SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
     FROM final WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
+    "sim_ann_ivf_kmeans": _EMB_NORM_SQL
+    + _kmeans_cte_sql()
+    + f"""
+    , assign_scored AS (
+      SELECT e.vec_id, c.cent_id,
+             {_DOT_SQL.format(a="e.embedding", b="c.ct_emb")} / (e.norm * c.ct_norm) AS cos
+      FROM emb e CROSS JOIN cent{KMEANS_ITERS} c
+    ), ranked AS (
+      SELECT vec_id, cent_id, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+      FROM assign_scored
+    ), assigned AS (
+      SELECT vec_id, cent_id FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cent_id FROM ranked
+      WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}
+    ), cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+      FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      WHERE a.vec_id <> p.query_id
+    ), scored AS (
+      SELECT cd.query_id, cd.cand_id,
+             {_DOT_SQL.format(a="q.embedding", b="x.embedding")} / (q.norm * x.norm) AS cos
+      FROM cands cd
+      JOIN emb q ON q.vec_id = cd.query_id
+      JOIN emb x ON x.vec_id = cd.cand_id
+    ), final AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
+    FROM final WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
     "sim_label_centroids": _EMB_NORM_SQL
     + """
     SELECT label, count(*) AS n_vectors,
@@ -539,6 +738,7 @@ QUERIES = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ann_bucketed": q_sim_ann_bucketed,
     "sim_ann_ivf": q_sim_ann_ivf,
+    "sim_ann_ivf_kmeans": q_sim_ann_ivf_kmeans,
     "sim_label_centroids": q_sim_label_centroids,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }

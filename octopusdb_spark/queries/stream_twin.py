@@ -1,0 +1,114 @@
+"""Registry twin for the custom stateful-streaming operator.
+
+``sessionize_stream`` (applyInPandasWithState, `streaming/stateful.py`) was
+previously pytest-only; this module runs it as a REAL bounded stream inside
+a registry query so the driver's DuckDB oracle hash-checks the closed
+sessions — the hard correctness signal for the stateful operator, not just
+a unit test.
+
+Determinism strategy: one far-future sentinel event is appended per user,
+so every real session closes via the GAP rule inside the batch (the
+sentinel's own 1-event session stays open and is never emitted). That
+removes any reliance on watermark-timeout timing across micro-batches: the
+emitted rows are exactly the real sessions regardless of how the engine
+schedules timeout batches. The whole source is written as a single parquet
+file so the availableNow run processes it as one micro-batch (no
+cross-batch watermark late-drops).
+
+Oracle parity: the stream operator tracks event times as whole epoch
+SECONDS (Arrow-friendly state), so the oracle applies the identical
+truncated-second gap rule (floor(epoch_us/1e6) diffs >= 1800). Events in
+the same truncated second can never open a session boundary (diff 0), so
+tie order is irrelevant and the session partition is deterministic.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from octopusdb_spark.queries.common import t
+from octopusdb_spark.streaming.stateful import sessionize_stream
+
+GAP_SECONDS = 1800
+# far enough past every event (data ends 2024-01-30) to breach any gap
+_SENTINEL_US = 4_102_444_800_000_000  # 2100-01-01T00:00:00Z in microseconds
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts computed BY THE STREAMING OPERATOR: events
+    (+ per-user sentinel) -> file stream -> sessionize_stream -> memory
+    sink -> aggregate closed sessions. Matches the batch lag+cumsum
+    sessionizer under the truncated-second gap rule."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.timestamp_micros("ts_us").alias("ts"),
+    )
+    sentinels = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(0.0).alias("value"),
+            F.timestamp_micros(F.lit(_SENTINEL_US)).alias("ts"),
+        )
+    )
+    run_id = uuid.uuid4().hex[:12]
+    src = tempfile.mkdtemp(prefix=f"stream_twin_{run_id}_")
+    try:
+        # single part file => single availableNow micro-batch
+        ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, value double, ts timestamp"
+        ).parquet(src)
+        name = f"stream_sessionize_{run_id}"
+        q = (
+            sessionize_stream(stream, gap_seconds=GAP_SECONDS, watermark_delay="10 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        sessions = spark.table(name)
+        # memory-sink table: bounded rows (one per closed session); pull them
+        # into a concrete frame so the result outlives the tmp source dir
+        out = (
+            sessions.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .orderBy("user_id")
+        )
+        return spark.createDataFrame(out.collect(), "user_id long, n_sessions long, n_events long")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+ORACLES = {
+    # identical truncated-second gap rule as the stream's whole-second state
+    "q_stream_sessionize": """
+        WITH sec AS (
+          SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s FROM events
+        ), flagged AS (
+          SELECT user_id,
+                 CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w >= 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM sec
+          WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+        )
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM flagged GROUP BY user_id ORDER BY user_id""",
+}
+
+QUERIES = {
+    "q_stream_sessionize": q_stream_sessionize,
+}

@@ -32,14 +32,24 @@ def test_ivf_index_build_query_recall(spark, sf_dir, tmp_path):
     again = query_ivf(spark, idx, queries, top_k=5, nprobe=2, exclude_matching_ids=True).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
 
-    # recall floor vs the exact baseline (same floor class as sim_ann_ivf)
+    # recall floor vs the exact baseline: trained (kmeans_iters=2 default)
+    # measures 0.88 at sf0.001 / 0.92 at sf0.01 — pin well above collapse
+    # but below run-to-run structure noise on this random corpus
     exact = {
         (r["query_id"], r["cand_id"])
         for r in q_sim_topk_cosine(spark, sf_dir).collect()
     }
     approx = {(r["query_id"], r["cand_id"]) for r in got}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"recall collapsed: {recall}"
+    assert recall >= 0.8, f"recall collapsed: {recall}"
+
+    # the raw-seed quantizer (kmeans_iters=0) must also stay serviceable —
+    # both the trained and untrained builds share the probe path
+    idx0 = str(tmp_path / "ivf_seed")
+    build_ivf(emb, idx0, n_centroids=8, kmeans_iters=0)
+    got0 = query_ivf(spark, idx0, queries, top_k=5, nprobe=2, exclude_matching_ids=True).collect()
+    approx0 = {(r["query_id"], r["cand_id"]) for r in got0}
+    assert len(exact & approx0) / len(exact) >= 0.8
 
     # the probed-centroid IN filter statically prunes list partitions:
     # the scan node's PartitionFilters must constrain cent_id

@@ -362,3 +362,79 @@ def test_concurrent_writer_conflict_detected(store, spark):
     # the fresh handle sees both committed writes, nothing lost
     fresh = KVStore(spark, store.root)
     assert {r["key"] for r in fresh.view(now=NOW).collect()} == {"w1", "w2"}
+
+
+def test_changes_since_preimage(store):
+    """CDC pre-images: old_value = the key's live value as of the snapshot;
+    NULL for keys that did not exist (or were dead) at the snapshot."""
+    store.set_batch([Entry("a", b"1"), Entry("b", b"2"), Entry("c", b"3")])
+    snap = store.snapshot_seq()
+    store.set_batch([Entry("b", b"2-new"), Entry("d", b"4")])
+    store.delete("a")
+    feed = {
+        r["key"]: r
+        for r in store.changes_since(snap, now=NOW, include_preimage=True).collect()
+    }
+    assert set(feed) == {"a", "b", "d"}
+    assert feed["a"]["change"] == "delete" and bytes(feed["a"]["old_value"]) == b"1"
+    assert bytes(feed["b"]["old_value"]) == b"2" and bytes(feed["b"]["value"]) == b"2-new"
+    assert feed["d"]["change"] == "upsert" and feed["d"]["old_value"] is None
+
+
+def test_changefeed_retention_full_compact_drops_unconsumed_deletes(store):
+    """The documented retention contract, enforced by a test: a delete not
+    consumed before a FULL compact() is physically dropped (bottom-level
+    tombstone rule, kv/lsm/compact.go:336-370) and no longer observable in
+    the feed — while upserts survive compaction in the feed via max_seq."""
+    store.set_batch([Entry("a", b"1"), Entry("b", b"2")])
+    snap = store.snapshot_seq()
+    store.delete("a")
+    store.set_batch([Entry("b", b"2-new")])
+    before = {r["key"]: r["change"] for r in store.changes_since(snap, now=NOW).collect()}
+    assert before == {"a": "delete", "b": "upsert"}
+    store.compact(now=NOW)
+    after = {r["key"]: r["change"] for r in store.changes_since(snap, now=NOW).collect()}
+    assert "a" not in after  # tombstone eaten: the caveat is real
+    assert after == {"b": "upsert"}
+
+
+def test_changefeed_prune_is_tight_after_compaction(store):
+    """max_seq pruning: a snapshot taken AFTER a full compaction prunes the
+    compacted segments entirely (O(delta), not O(base)); a snapshot taken
+    BEFORE still rescans them (correctness over pruning)."""
+    store.set_batch([Entry(f"k{i:02d}", b"v") for i in range(20)])
+    store.compact(now=NOW)
+    snap = store.snapshot_seq()
+    store.set_batch([Entry("new", b"x")])
+    # every data segment carries an exact max_seq bound
+    assert all(s.max_seq is not None for s in store.manifest.state.data_segments())
+    admitted = [
+        s for s in store.manifest.state.data_segments() if s.max_seq > snap
+    ]
+    compacted = [s for s in store.manifest.state.data_segments() if s.level == store.MAX_LEVEL]
+    assert compacted, "full compact must produce bottom-level segments"
+    assert not ({s.segment_id for s in admitted} & {s.segment_id for s in compacted})
+    assert {r["key"] for r in store.changes_since(snap, now=NOW).collect()} == {"new"}
+    # pre-compaction snapshot: merged segments admitted, results still exact
+    assert (
+        store.changes_since(0, now=NOW).filter("change = 'upsert'").count() == 21
+    )
+
+
+def test_values_broadcast_hint_gated_on_manifest_bytes(store):
+    """The values (vlog payload) relation must never be FORCE-broadcast
+    when the manifest says it is big — at 100 TB it is the largest table in
+    the system. Under the ceiling the hint stays (single-stage point
+    reads); over it the join side is unhinted and the planner/AQE decides."""
+    store.set_batch([Entry(f"b{i}", b"x" * 4096) for i in range(5)])
+    vsegs = store.manifest.state.value_segments()
+    assert vsegs and sum(s.size_bytes for s in vsegs) > 0
+
+    hinted = store._values_join_side(vsegs)
+    assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
+
+    store.BROADCAST_MAX_BYTES = 0  # simulate the 100 TB values table
+    unhinted = store._values_join_side(vsegs)
+    assert "hint" not in unhinted._jdf.queryExecution().logical().toString().lower()
+    # the full read path still answers correctly through the unhinted plan
+    assert store.get("b3", now=NOW).value == b"x" * 4096

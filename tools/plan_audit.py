@@ -50,6 +50,8 @@ ALLOWED_CARTESIAN = {
     "q_weighted_sample": "scalar total-weight subquery (1-row broadcast)",
     "q11_volume_share_shape": "TPC-H Q11 global-total scalar subquery (1-row broadcast)",
     "kv_changefeed": "snapshot-cutoff scalar subquery (1-row broadcast)",
+    "kv_changefeed_preimage": "snapshot-cutoff scalar subquery (1-row broadcast), shared with kv_changefeed",
+    "sim_ann_ivf_kmeans": "broadcast NLJ against the fixed K-centroid table per Lloyd round (K tiny), same as sim_ann_ivf",
     "q22_global_sales": "TPC-H Q22 uncorrelated scalar subquery (1-row broadcast)",
     "q_time_gapfill": "dense bucket axis x event types: days*5 rows, broadcast",
 }
@@ -61,6 +63,7 @@ ALLOWED_SINGLE_PARTITION = {
     "sim_topk_cosine": "rank window on <= 25 rows post-limit",
     "q_p95_disc": "per-flag count frame: one row per returnflag (3 rows)",
     "q_time_gapfill": "SinglePartition is the global min/max bounds agg; the LOCF window itself is keyed by event_type",
+    "sim_ann_ivf_kmeans": "optimizer-injected runtime bloom_filter_agg (global 1-row aggregate); every row_number window is keyed by vec_id/query_id",
 }
 
 # row-at-a-time Python is banned on data paths; declared capability demos
