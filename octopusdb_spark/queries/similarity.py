@@ -346,6 +346,165 @@ def q_sim_ann_ivf_kmeans(spark, sf_dir):
     )
 
 
+# Product quantization: M subspaces x K codewords. Seed codebooks (the
+# subvectors of vec_id 16..31 — deterministic, like the IVF seeds) keep the
+# oracle tractable; codebook TRAINING would reuse kmeans_centroids per
+# subspace and only moves recall, not the operator shape.
+PQ_M = 8  # subspaces (64 dims / 8)
+PQ_K = 16  # codewords per subspace
+PQ_SUB = 8  # dims per subspace
+PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact re-rank
+
+
+def _l2sq(a, b) -> Column:
+    """Sequential double-accumulated squared L2 — bit-identical cross-engine
+    (same discipline as _dot)."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_L2SQ_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> "
+    "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+    "(s, x) -> s + x)"
+)
+
+
+def q_sim_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (ADC scoring): each vector is encoded as
+    PQ_M one-byte codes (nearest codeword per 8-dim subspace, L2) plus its
+    exact norm; a query precomputes an M x K lookup table of subspace DOT
+    products and scores any candidate with M table lookups — approx
+    cosine = sum(lut) / (q_norm * cand_norm) — instead of a 64-dim float
+    dot (Jegou et al., PQ for nearest neighbor search; IP tables because
+    the exact baseline ranks by cosine). 100 TB shape: codebooks are M*K
+    tiny rows (broadcast), encode is one pass, the scored scan reads only
+    the 8-byte code column + 1 norm (not embeddings), and the LUT
+    crossJoin is bounded by the query batch. Exact by construction given
+    the codebooks, so fully oracle-checkable; recall vs. the exact
+    baseline is pinned in tests/test_queries.py."""
+    from pyspark.sql import Window
+
+    emb = _with_norm(t(spark, sf_dir, "embeddings"))
+    sub = lambda col, m: F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+    # codebooks: (m, code, cw) — code 1..K from seed vectors 16..31
+    seeds = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + PQ_K))
+    codebook = seeds.select(
+        (F.col("vec_id") - 15).cast("int").alias("code"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("cw"))
+                for m in range(PQ_M)
+            ])
+        ).alias("e"),
+    ).select("e.m", "code", "e.cw")
+    # encode: nearest codeword per (vec, subspace); ties -> smallest code
+    subvecs = emb.select(
+        "vec_id",
+        "norm",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("sv"))
+                for m in range(PQ_M)
+            ])
+        ).alias("e"),
+    ).select("vec_id", "norm", "e.m", "e.sv")
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+    codes = (
+        subvecs.join(F.broadcast(codebook), "m")
+        .select("vec_id", "norm", "m", "code", _l2sq(F.col("sv"), F.col("cw")).alias("d2"))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            ).alias("codes"),
+            F.min("norm").alias("norm"),  # per-vec constant
+        )
+    )
+    # ADC lookup tables: per query, lut[m][code] = subspace DOT product
+    lut = (
+        subvecs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(codebook), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("norm").alias("q_norm"),
+            "m",
+            "code",
+            _dot(F.col("sv"), F.col("cw")).alias("dp"),
+        )
+        .groupBy("query_id", "q_norm", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "dp"))), lambda s: s["dp"]
+            ).alias("lm")
+        )
+        .groupBy("query_id", "q_norm")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "lm"))), lambda s: s["lm"]
+            ).alias("lut")
+        )
+    )
+    # score: M table lookups per (query, candidate) — the code column scan
+    scored = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            (
+                F.aggregate(
+                    F.zip_with(F.col("codes"), F.col("lut"), lambda c, l: F.element_at(l, c)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("acos"),
+        )
+    )
+    # ADC shortlist -> exact re-rank (the production PQ pipeline: the
+    # compressed scan prunes the corpus to PQ_SHORTLIST candidates per
+    # query, exact cosine runs only on the shortlist)
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("cand_id"))
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w_q))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    rescored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_sim_label_centroids(spark, sf_dir):
     """Per-label centroid norms + sizes — the clustering-summary aggregate
     (decimal accumulation per dimension would be 64 columns; instead this
@@ -725,6 +884,72 @@ ORACLES = {
     )
     SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
     FROM final WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
+    "sim_ann_pq": _EMB_NORM_SQL
+    + f"""
+    , seeds AS (
+      SELECT CAST(vec_id - 15 AS INT) AS code, embedding
+      FROM embeddings WHERE vec_id >= 16 AND vec_id < {16 + PQ_K}
+    ),
+    codebook AS (
+      SELECT t.m, code, embedding[t.m*{PQ_SUB}+1 : t.m*{PQ_SUB}+{PQ_SUB}] AS cw
+      FROM seeds CROSS JOIN unnest(range(0, {PQ_M})) AS t(m)
+    ),
+    subvecs AS (
+      SELECT e.vec_id, e.norm, t.m, e.embedding[t.m*{PQ_SUB}+1 : t.m*{PQ_SUB}+{PQ_SUB}] AS sv
+      FROM emb e CROSS JOIN unnest(range(0, {PQ_M})) AS t(m)
+    ),
+    enc AS (
+      SELECT vec_id, norm, m, code,
+             row_number() OVER (
+               PARTITION BY vec_id, m
+               ORDER BY {_L2SQ_SQL.format(a="sv", b="cw")} ASC, code ASC) AS rn
+      FROM subvecs JOIN codebook USING (m)
+    ),
+    codes AS (
+      SELECT vec_id, list(code ORDER BY m) AS codes, min(norm) AS norm
+      FROM enc WHERE rn = 1 GROUP BY vec_id
+    ),
+    dtab AS (
+      SELECT s.vec_id AS query_id, s.norm AS q_norm, s.m, c.code,
+             {_DOT_SQL.format(a="s.sv", b="c.cw")} AS dp
+      FROM subvecs s JOIN codebook c USING (m)
+      WHERE s.vec_id < {N_QUERIES}
+    ),
+    lutm AS (
+      SELECT query_id, q_norm, m, list(dp ORDER BY code) AS lm
+      FROM dtab GROUP BY query_id, q_norm, m
+    ),
+    lut AS (
+      SELECT query_id, q_norm, list(lm ORDER BY m) AS lut
+      FROM lutm GROUP BY query_id, q_norm
+    ),
+    scored AS (
+      SELECT l.query_id, c.vec_id AS cand_id,
+             list_reduce(list_transform(list_zip(c.codes, l.lut), p -> p[2][p[1]]),
+                         (s, x) -> s + x) / (l.q_norm * c.norm) AS acos
+      FROM codes c CROSS JOIN lut l WHERE c.vec_id <> l.query_id
+    ),
+    shortlist AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, cand_id ASC) AS srank
+        FROM scored
+      ) WHERE srank <= {PQ_SHORTLIST}
+    ),
+    rescored AS (
+      SELECT s.query_id, s.cand_id,
+             {_DOT_SQL.format(a="q.embedding", b="x.embedding")} / (q.norm * x.norm) AS cos
+      FROM shortlist s
+      JOIN emb q ON q.vec_id = s.query_id
+      JOIN emb x ON x.vec_id = s.cand_id
+    ),
+    final AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+      FROM rescored
+    )
+    SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
+    FROM final WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
     "sim_label_centroids": _EMB_NORM_SQL
     + """
     SELECT label, count(*) AS n_vectors,
@@ -739,6 +964,7 @@ QUERIES = {
     "sim_ann_bucketed": q_sim_ann_bucketed,
     "sim_ann_ivf": q_sim_ann_ivf,
     "sim_ann_ivf_kmeans": q_sim_ann_ivf_kmeans,
+    "sim_ann_pq": q_sim_ann_pq,
     "sim_label_centroids": q_sim_label_centroids,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from octopusdb_spark.queries.common import t
-from octopusdb_spark.streaming.stateful import sessionize_stream
+from octopusdb_spark.streaming.stateful import dedup_stream, sessionize_stream
 
 GAP_SECONDS = 1800
 # far enough past every event (data ends 2024-01-30) to breach any gap
@@ -92,7 +92,52 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup computed BY THE STREAMING OPERATOR
+    (dropDuplicatesWithinWatermark, `streaming/stateful.py::dedup_stream`):
+    events -> file stream -> first-arrival-wins per (user_id, event_type)
+    -> memory sink -> per-type distinct-user counts. WHICH duplicate wins
+    is processing-order-dependent, so the checked output is the surviving
+    key set (cardinality per event_type) — exactly the operator's
+    contract, and deterministic. Single part file => one micro-batch => no
+    cross-batch watermark drops."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.timestamp_micros("ts_us").alias("ts")
+    )
+    run_id = uuid.uuid4().hex[:12]
+    src = tempfile.mkdtemp(prefix=f"stream_dedup_{run_id}_")
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        name = f"stream_dedup_{run_id}"
+        q = (
+            dedup_stream(stream, ["user_id", "event_type"], watermark_delay="10 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_distinct_users"))
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(
+            out.collect(), "event_type string, n_distinct_users long"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 ORACLES = {
+    "q_stream_dedup": """
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+        FROM events GROUP BY event_type ORDER BY event_type""",
     # identical truncated-second gap rule as the stream's whole-second state
     "q_stream_sessionize": """
         WITH sec AS (
@@ -111,4 +156,5 @@ ORACLES = {
 
 QUERIES = {
     "q_stream_sessionize": q_stream_sessionize,
+    "q_stream_dedup": q_stream_dedup,
 }

@@ -89,15 +89,21 @@ def test_topk_rank_bounds(spark, sf_dir):
 def test_ann_recall_floors(spark):
     """ANN variants must actually find neighbors: recall vs the exact top-k
     at sf0.01 (deterministic corpus). Multi-table LSH ~0.56, IVF nprobe=2/8
-    ~0.24 here; floors leave margin for testdata regeneration."""
+    ~0.24, trained-IVF ~0.36 (2 Lloyd rounds lift the same seeds from
+    0.24), PQ shortlist-50 + exact re-rank ~0.44 here; floors leave margin
+    for testdata regeneration."""
     sf = "/root/testdata/sf0.01"
     exact = {(r["query_id"], r["cand_id"]) for r in REGISTRY["sim_topk_cosine"](spark, sf).collect()}
     recall = {}
-    for name in ("sim_ann_bucketed", "sim_ann_ivf"):
+    for name in ("sim_ann_bucketed", "sim_ann_ivf", "sim_ann_ivf_kmeans", "sim_ann_pq"):
         approx = {(r["query_id"], r["cand_id"]) for r in REGISTRY[name](spark, sf).collect()}
         recall[name] = len(exact & approx) / len(exact)
     assert recall["sim_ann_bucketed"] >= 0.4, recall
     assert recall["sim_ann_ivf"] >= 0.15, recall
+    assert recall["sim_ann_ivf_kmeans"] >= 0.3, recall
+    # training must not LOSE recall vs the identical-seed untrained IVF
+    assert recall["sim_ann_ivf_kmeans"] >= recall["sim_ann_ivf"], recall
+    assert recall["sim_ann_pq"] >= 0.3, recall
 
 
 def test_quantized_cosine_tracks_exact(spark):

@@ -52,6 +52,7 @@ ALLOWED_CARTESIAN = {
     "kv_changefeed": "snapshot-cutoff scalar subquery (1-row broadcast)",
     "kv_changefeed_preimage": "snapshot-cutoff scalar subquery (1-row broadcast), shared with kv_changefeed",
     "sim_ann_ivf_kmeans": "broadcast NLJ against the fixed K-centroid table per Lloyd round (K tiny), same as sim_ann_ivf",
+    "sim_ann_pq": "broadcast NLJ against the 5-query ADC lookup tables (the PQ compressed scan; corpus side reads only codes+norm)",
     "q22_global_sales": "TPC-H Q22 uncorrelated scalar subquery (1-row broadcast)",
     "q_time_gapfill": "dense bucket axis x event types: days*5 rows, broadcast",
 }
