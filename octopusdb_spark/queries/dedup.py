@@ -111,10 +111,11 @@ def capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s) shingles with document frequency <= the cap. The hot
     list is tiny by construction (only shingles shared by >cap docs), so it
     broadcasts; the anti-join removes exactly the keys that concentrate
-    join buckets. Materialized eagerly: callers use the frame on several
-    join sides, and without truncation each side would re-run the
-    shingle+dfreq pipeline."""
-    sh = shingles(spark, sf_dir)
+    join buckets. The raw shingle frame is materialized ONCE up front — the
+    df count and the anti-join both read it, and callers then use the
+    capped result on several join sides, so without truncation the
+    shingle explode would run 3x."""
+    sh = shingles(spark, sf_dir).localCheckpoint(eager=True)
     hot = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -152,6 +153,36 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
                 6,
             ).alias("jaccard"),
         )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Shingle-containment near-dup pairs: containment(a, b) =
+    |A ∩ B| / min(|A|, |B|) >= 0.8 — catches a document largely CONTAINED
+    in a longer one (quote-and-extend, boilerplate wrapping), which
+    symmetric Jaccard misses because the union is dominated by the longer
+    doc. Same inverted-index + df-cap plan shape as the Jaccard path; only
+    the denominator changes."""
+    sh = capped_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("c_raw", F.col("n_common").cast("double") / F.least("n_a", "n_b"))
+        .filter(F.col("c_raw") >= CONTAINMENT_THRESHOLD)  # unrounded, like the oracle
+        .select("doc_a", "doc_b", "n_common", F.round("c_raw", 6).alias("containment"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -517,6 +548,22 @@ ORACLES = {
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     ORDER BY doc_a, doc_b""",
+    "dedup_containment": SHINGLES_SQL
+    + _CAPPED_SH_SQL
+    + f"""
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b""",
     "dedup_minhash_lsh": SHINGLES_SQL
     + f"""
     , hashed AS (
@@ -586,6 +633,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "dedup_containment": q_dedup_containment,
     "dedup_minhash_capped": q_dedup_minhash_capped,
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "dedup_exact": q_dedup_exact,
