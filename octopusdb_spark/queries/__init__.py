@@ -50,6 +50,7 @@ _PRIORITY = [
     # never driver-checked in any round, plus this round's new queries
     "dedup_simhash_pairs", "kv_changefeed_preimage", "q_stream_sessionize",
     "sim_ann_ivf_kmeans", "sim_ann_pq", "q_stream_dedup",
+    "q_stream_rollup", "q_stream_interval_join",
     # stale since round 1
     "q_orders_by_month", "q_json_extract", "q_pivot_event_types",
     "q_anti_join", "q_median_quantity", "q_p95_disc", "q_string_agg",
@@ -65,8 +66,7 @@ _PRIORITY = [
     "sim_topk_cosine", "sim_ann_bucketed", "sim_ann_ivf",
     "sim_label_centroids",
     # graph family (last checked round 3)
-    "graph_degrees", "graph_mutual_follows",
-    "graph_triangles", "graph_pagerank", "graph_components",
+    "graph_degrees", "graph_pagerank", "graph_components",
     "graph_adjacency", "graph_khop",
     # text family picks (last checked round 3)
     "text_stats", "text_tokenize_udtf", "text_tfidf_keywords",

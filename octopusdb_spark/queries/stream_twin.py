@@ -134,7 +134,114 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
 
 
+ROLLUP_BUCKET_SECONDS = 86_400  # daily buckets
+
+
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance run FOR REAL: events -> file stream
+    -> foreachBatch merge into a ContinuousRollup (atomic manifest
+    snapshots, idempotent per batch id) -> read the materialized table.
+    Sums accumulate in DECIMAL(38,6) inside the rollup, so the maintained
+    value is bit-identical to the oracle's direct decimal aggregation no
+    matter how the stream was batched; min/max/count merge losslessly."""
+    ev = t(spark, sf_dir, "events").select(
+        "ts_us", "event_type", F.col("value").cast("double").alias("value")
+    )
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_rollup_{run_id}_")
+    try:
+        src = f"{base}/src"
+        ev.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "ts_us long, event_type string, value double"
+        ).parquet(src)
+        from octopusdb_spark.streaming.rollup import (
+            ContinuousRollup,
+            maintain_rollup_stream,
+        )
+
+        roll = ContinuousRollup(
+            spark, f"{base}/rollup", bucket_seconds=ROLLUP_BUCKET_SECONDS
+        )
+        q = maintain_rollup_stream(stream, roll, f"{base}/ckpt")
+        q.awaitTermination(300)
+        out = roll.table().orderBy("bucket", "grp")
+        return spark.createDataFrame(
+            out.collect(),
+            "bucket long, grp string, n_events long, total_value double,"
+            " min_value double, max_value double",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run FOR REAL: views ⋈ clicks per user
+    where the click lands within 10 minutes after the view
+    (`streaming/joins.py::interval_join_streams`, watermark-bounded state).
+    Both sides are bounded file streams processed under availableNow; the
+    inner join's match set is deterministic, emitted as epoch-microsecond
+    pairs for exact cross-engine compare."""
+    ev = t(spark, sf_dir, "events")
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_ij_{run_id}_")
+    try:
+        ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.timestamp_micros("ts_us").alias("l_ts")
+        ).coalesce(1).write.parquet(f"{base}/views")
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.timestamp_micros("ts_us").alias("r_ts")
+        ).coalesce(1).write.parquet(f"{base}/clicks")
+        left = spark.readStream.schema("user_id long, l_ts timestamp").parquet(
+            f"{base}/views"
+        )
+        right = spark.readStream.schema("user_id long, r_ts timestamp").parquet(
+            f"{base}/clicks"
+        )
+        from octopusdb_spark.streaming.joins import interval_join_streams
+
+        joined = interval_join_streams(
+            left, right, key="user_id", within="10 minutes", watermark="10 minutes"
+        )
+        name = f"stream_ij_{run_id}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.table(name)
+            .select(
+                "user_id",
+                F.unix_micros("l_ts").alias("l_us"),
+                F.unix_micros("r_ts").alias("r_us"),
+            )
+            .orderBy("user_id", "l_us", "r_us")
+        )
+        return spark.createDataFrame(out.collect(), "user_id long, l_us long, r_us long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 ORACLES = {
+    "q_stream_rollup": f"""
+        SELECT (epoch_us(ts) // 1000000 // {ROLLUP_BUCKET_SECONDS}) * {ROLLUP_BUCKET_SECONDS} AS bucket,
+               event_type AS grp,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY 1, 2 ORDER BY bucket, grp""",
+    "q_stream_interval_join": """
+        SELECT v.user_id, epoch_us(v.ts) AS l_us, epoch_us(c.ts) AS r_us
+        FROM events v
+        JOIN events c ON c.user_id = v.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        ORDER BY v.user_id, l_us, r_us""",
     "q_stream_dedup": """
         SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
         FROM events GROUP BY event_type ORDER BY event_type""",
@@ -157,4 +264,6 @@ ORACLES = {
 QUERIES = {
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_rollup": q_stream_rollup,
+    "q_stream_interval_join": q_stream_interval_join,
 }
