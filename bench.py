@@ -51,6 +51,9 @@ HEADLINE = [
     # added round 4
     "q8_market_share",
     "text_repetition",
+    # added round 5
+    "sim_ann_pq",
+    "sim_ann_ivf_kmeans",
 ]
 
 
