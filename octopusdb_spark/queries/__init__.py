@@ -51,6 +51,7 @@ _PRIORITY = [
     "dedup_simhash_pairs", "kv_changefeed_preimage", "q_stream_sessionize",
     "sim_ann_ivf_kmeans", "sim_ann_pq", "q_stream_dedup",
     "q_stream_rollup", "q_stream_interval_join",
+    "q16_supplier_cnt_shape", "q20_excess_shipping_shape",
     # stale since round 1
     "q_orders_by_month", "q_json_extract", "q_pivot_event_types",
     "q_anti_join", "q_median_quantity", "q_p95_disc", "q_string_agg",
@@ -66,10 +67,9 @@ _PRIORITY = [
     "sim_topk_cosine", "sim_ann_bucketed", "sim_ann_ivf",
     "sim_label_centroids",
     # graph family (last checked round 3)
-    "graph_degrees", "graph_pagerank", "graph_components",
-    "graph_adjacency", "graph_khop",
+    "graph_degrees", "graph_pagerank", "graph_adjacency", "graph_khop",
     # text family picks (last checked round 3)
-    "text_stats", "text_tokenize_udtf", "text_tfidf_keywords",
+    "text_stats", "text_tokenize_udtf",
     "text_decontaminate", "text_shard_assignment",
     # multimodal + quality (last checked round 3)
     "multimodal_bytes", "multimodal_chunking", "quality_column_profile",

@@ -462,7 +462,112 @@ def q12_ship_lag_shape(spark, sf_dir):
     )
 
 
+def q16_supplier_cnt_shape(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute group
+    with an exclusion subquery. The trimmed schema has no partsupp (supply
+    relationships come from lineitem) and no s_comment (the complaints
+    anti-join keys on negative s_acctbal instead) — same shape: anti-join
+    the supplier exclusion set, distinct-count suppliers per
+    (brand, type, size), filtered to exclude one brand and one type. The
+    exclusion set is tiny (broadcast anti-join); the distinct-count shuffle
+    is keyed by the group columns."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#2") & (F.col("p_type") != "ECONOMY")
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_excess_shipping_shape(spark, sf_dir):
+    """TPC-H Q20 shape: the semi-join chain part -> per-(part, supplier)
+    quantity aggregate -> threshold -> suppliers -> nation filter. Without
+    partsupp availqty, the threshold is a fixed floor on 1996 shipped
+    quantity of 'small *' parts (> 60 units); the output is the qualifying
+    suppliers of nations in region AMERICA, by name. All dims broadcast;
+    the one fact shuffle is the (part, supplier) aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    small_parts = part.filter(F.col("p_name").startswith("small")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    amer_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            nation.n_regionkey == F.col("r_regionkey"),
+            "left_semi",
+        )
+        .select("n_nationkey")
+    )
+    return (
+        supp.join(shipped, supp.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(
+            F.broadcast(amer_nations),
+            supp.s_nationkey == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
 ORACLES = {
+    "q16_supplier_cnt_shape": """
+        WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+        pairs AS (
+          SELECT l_partkey, l_suppkey FROM lineitem
+          WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+        )
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM pairs JOIN part ON p_partkey = l_partkey
+        WHERE p_brand != 'Brand#2' AND p_type != 'ECONOMY'
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q20_excess_shipping_shape": """
+        WITH small_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        shipped AS (
+          SELECT l_suppkey
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+            AND l_partkey IN (SELECT p_partkey FROM small_parts)
+          GROUP BY l_partkey, l_suppkey
+          HAVING sum(l_quantity) > 60
+        ),
+        amer AS (
+          SELECT n_nationkey FROM nation
+          WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'AMERICA')
+        )
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM shipped)
+          AND s_nationkey IN (SELECT n_nationkey FROM amer)
+        ORDER BY s_name""",
     "q11_volume_share_shape": f"""
         WITH per_nation AS (
           SELECT n_name, {dsum_sql("l_extendedprice * l_quantity", "nation_volume")}
@@ -658,6 +763,8 @@ ORACLES = {
 }
 
 QUERIES = {
+    "q16_supplier_cnt_shape": q16_supplier_cnt_shape,
+    "q20_excess_shipping_shape": q20_excess_shipping_shape,
     "q8_market_share": q8_market_share,
     "q9_profit_shape": q9_profit_shape,
     "q11_volume_share_shape": q11_volume_share_shape,
