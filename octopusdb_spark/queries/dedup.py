@@ -110,11 +110,14 @@ JACCARD_MAX_SHINGLE_DF = 64
 def capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s) shingles with document frequency <= the cap. The hot
     list is tiny by construction (only shingles shared by >cap docs), so it
-    broadcasts; the anti-join removes exactly the keys that concentrate
-    join buckets. The raw shingle frame is materialized ONCE up front — the
-    df count and the anti-join both read it, and callers then use the
-    capped result on several join sides, so without truncation the
-    shingle explode would run 3x."""
+    broadcasts (left to AQE's runtime sizing rather than a forced hint —
+    an adversarial corpus where billions of distinct shingles each clear
+    the cap would make a forced broadcast the OOM, and the shuffled
+    anti-join is already keyed by shingle); the anti-join removes exactly
+    the keys that concentrate join buckets. The raw shingle frame is
+    materialized ONCE up front — the df count and the anti-join both read
+    it, and callers then use the capped result on several join sides, so
+    without truncation the shingle explode would run 3x."""
     sh = shingles(spark, sf_dir).localCheckpoint(eager=True)
     hot = (
         sh.groupBy("s")
@@ -122,7 +125,7 @@ def capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > JACCARD_MAX_SHINGLE_DF)
         .select("s")
     )
-    return sh.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(eager=True)
+    return sh.join(hot, "s", "left_anti").localCheckpoint(eager=True)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -342,9 +345,10 @@ def q_dedup_minhash_capped(spark, sf_dir):
     """MinHash-LSH with the hot-shingle cap — the documented skew
     mitigation implemented as a first-class variant. Shingles whose
     document frequency exceeds MAX_SHINGLE_DF are dropped BEFORE hashing:
-    the hot list is tiny by construction (only shingles shared by many
-    docs), so it broadcasts, and the anti-join removes exactly the keys
-    that would otherwise concentrate band buckets — at 100 TB this is what
+    the hot list is tiny in practice (only shingles shared by many
+    docs), so AQE broadcasts it at runtime — no forced hint, for the same
+    adversarial-corpus reason as capped_shingles — and the anti-join
+    removes exactly the keys that would otherwise concentrate band buckets — at 100 TB this is what
     keeps the band-join's per-bucket fan-in bounded. Deterministic, so the
     oracle applies the identical cap."""
     sh = shingles(spark, sf_dir)
@@ -354,7 +358,7 @@ def q_dedup_minhash_capped(spark, sf_dir):
         .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("s")
     )
-    kept = sh.join(F.broadcast(hot), "s", "left_anti").select(
+    kept = sh.join(hot, "s", "left_anti").select(
         "doc_id", F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("h")
     )
     mins = kept.groupBy("doc_id").agg(
