@@ -289,7 +289,11 @@ class KVStore:
           across re-evaluation, so the values and data writes must carve
           from one frozen copy, not recompute the lineage);
         - big payloads land in the values table, the main rows keep a
-          pointer (vlog-then-LSM write order of `kv/db.go:288-324`);
+          pointer (write ORDER between the two tables is irrelevant here —
+          unlike the reference's vlog-then-LSM crash contract,
+          `kv/db.go:288-324`, visibility comes solely from the atomic
+          manifest commit: files written before a crash are unreferenced
+          orphans either way);
         - data lands as range-partitioned, key-sorted, bloom-filtered L0
           segments; one manifest commit covers both tables.
 
@@ -418,9 +422,6 @@ class KVStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def _values_df(self) -> DataFrame:
-        return self._read_segments(self.manifest.state.value_segments(), VALUES_SCHEMA)
-
     def _values_join_side(self, vsegs: list) -> DataFrame:
         """The values relation prepared as a join side: broadcast-hinted only
         when the manifest's exact byte totals say it fits
@@ -490,6 +491,16 @@ class KVStore:
         )
         if hist is not None and segs is None:
             segs = hist.data_segments()
+        if as_of is not None and segs is None:
+            # created_seq is a true lower bound on a segment's row seqs
+            # (compaction carries the MIN of its sources), so a segment
+            # created wholly after the snapshot holds nothing visible —
+            # the as-of read scans O(pre-snapshot segments), not the store
+            segs = [
+                s
+                for s in self.manifest.state.data_segments()
+                if s.created_seq <= as_of
+            ]
         base = self.raw_df(segs)
         if as_of is not None:
             base = base.filter(F.col("seq") <= as_of)
@@ -630,10 +641,15 @@ class KVStore:
         tight O(delta) scan. Value pointers are resolved against the
         values table so consumers see full payloads.
 
-        ``include_preimage=True`` adds ``old_value``: the key's live value
-        as of the snapshot (NULL when the key did not exist / was dead at
-        the snapshot) — the pre-image a downstream cache invalidator or
-        audit log wants. Costs one extra join against the as-of view.
+        ``include_preimage=True`` adds ``old_value``: the key's value as of
+        the snapshot, with TTL evaluated at ``now`` (read time) — i.e. what
+        an ``as_of`` read would return today, which is also what a
+        TTL-respecting downstream cache still holds. NULL means the key was
+        absent, tombstoned, or is expired by ``now`` (snapshot wall-time is
+        not recorded, so liveness cannot be evaluated "as of then"; a
+        pre-image that has since expired surfaces as NULL, matching the
+        consumer's own expiry). Costs one extra join against the as-of
+        view, which prunes to pre-snapshot segments via created_seq.
 
         Retention caveat (standard for LSM CDC): a full ``compact()``
         physically drops tombstones, so deletes older than the last full

@@ -52,6 +52,7 @@ _PRIORITY = [
     "sim_ann_ivf_kmeans", "sim_ann_pq", "q_stream_dedup",
     "q_stream_rollup", "q_stream_interval_join",
     "q16_supplier_cnt_shape", "q20_excess_shipping_shape",
+    "dedup_containment",
     # stale since round 1
     "q_orders_by_month", "q_json_extract", "q_pivot_event_types",
     "q_anti_join", "q_median_quantity", "q_p95_disc", "q_string_agg",
@@ -73,7 +74,7 @@ _PRIORITY = [
     "text_decontaminate", "text_shard_assignment",
     # multimodal + quality (last checked round 3)
     "multimodal_bytes", "multimodal_chunking", "quality_column_profile",
-    "quality_duplicate_keys", "quality_pattern_scan",
+    "quality_duplicate_keys",
 ]
 
 

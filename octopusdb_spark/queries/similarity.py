@@ -190,7 +190,9 @@ def q_sim_ann_ivf(spark, sf_dir):
         .select("query_id", F.col("vec_id").alias("cand_id"))
         .distinct()
     )
-    q = emb.select(
+    # only query vectors reach the broadcast side — hinting the full
+    # corpus would be the forced-big-side-broadcast OOM class at scale
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
@@ -316,7 +318,9 @@ def q_sim_ann_ivf_kmeans(spark, sf_dir):
         .select("query_id", F.col("vec_id").alias("cand_id"))
         .distinct()
     )
-    q = emb.select(
+    # only query vectors reach the broadcast side — hinting the full
+    # corpus would be the forced-big-side-broadcast OOM class at scale
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),

@@ -38,6 +38,20 @@ GAP_SECONDS = 1800
 # far enough past every event (data ends 2024-01-30) to breach any gap
 _SENTINEL_US = 4_102_444_800_000_000  # 2100-01-01T00:00:00Z in microseconds
 
+def _run_bounded(q) -> None:
+    """Wait for an availableNow run to finish, loudly. A silent timeout
+    would hand a partial/empty memory-sink table to the correctness gate
+    (misread as a semantics failure) and let the finally-block delete the
+    parquet source out from under the still-running stream."""
+    try:
+        if not q.awaitTermination(300):
+            raise RuntimeError("bounded stream did not finish within 300 s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+
 
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session counts computed BY THE STREAMING OPERATOR: events
@@ -75,7 +89,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _run_bounded(q)
         sessions = spark.table(name)
         # memory-sink table: bounded rows (one per closed session); pull them
         # into a concrete frame so the result outlives the tmp source dir
@@ -87,7 +101,11 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("user_id")
         )
-        return spark.createDataFrame(out.collect(), "user_id long, n_sessions long, n_events long")
+        result = spark.createDataFrame(
+            out.collect(), "user_id long, n_sessions long, n_events long"
+        )
+        spark.catalog.dropTempView(name)  # free the memory-sink rows
+        return result
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
@@ -120,16 +138,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _run_bounded(q)
         out = (
             spark.table(name)
             .groupBy("event_type")
             .agg(F.count("*").alias("n_distinct_users"))
             .orderBy("event_type")
         )
-        return spark.createDataFrame(
+        result = spark.createDataFrame(
             out.collect(), "event_type string, n_distinct_users long"
         )
+        spark.catalog.dropTempView(name)  # free the memory-sink rows
+        return result
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
@@ -164,7 +184,7 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, f"{base}/rollup", bucket_seconds=ROLLUP_BUCKET_SECONDS
         )
         q = maintain_rollup_stream(stream, roll, f"{base}/ckpt")
-        q.awaitTermination(300)
+        _run_bounded(q)
         out = roll.table().orderBy("bucket", "grp")
         return spark.createDataFrame(
             out.collect(),
@@ -211,7 +231,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _run_bounded(q)
         out = (
             spark.table(name)
             .select(
@@ -221,7 +241,11 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("user_id", "l_us", "r_us")
         )
-        return spark.createDataFrame(out.collect(), "user_id long, l_us long, r_us long")
+        result = spark.createDataFrame(
+            out.collect(), "user_id long, l_us long, r_us long"
+        )
+        spark.catalog.dropTempView(name)  # free the memory-sink rows
+        return result
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
