@@ -92,6 +92,34 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_dedup_exact_normalized(spark, sf_dir):
+    """Canonicalized exact dedup — the standard pre-hash normalization of a
+    training-data pipeline (lowercase, strip non-alphanumerics, collapse
+    whitespace) so trivially-reformatted copies (case, punctuation,
+    spacing) hash together where raw md5 misses them. Same one-shuffle
+    groupBy shape as dedup_exact; normalization is a pure projection."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    h = docs.select("doc_id", F.md5(norm).alias("fp"))
+    canon = h.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        h.join(canon, "fp")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+            "group_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Hot-shingle document-frequency cap for the Jaccard/cluster default path.
 # A shingle appearing in k docs yields k^2 candidate pairs out of the
 # inverted-index join — boilerplate shingles at corpus scale make that
@@ -532,6 +560,16 @@ _MINHASH_CAPPED_SQL = (
 ORACLES = {
     "dedup_minhash_capped": _MINHASH_CAPPED_SQL,
     "dedup_cluster_keep": _CLUSTER_SQL,
+    "dedup_exact_normalized": """
+        WITH h AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                         ' +', ' ', 'g'))) AS fp
+          FROM documents
+        ),
+        c AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size FROM h GROUP BY fp)
+        SELECT doc_id, canonical_id, doc_id != canonical_id AS is_duplicate, group_size
+        FROM h JOIN c USING (fp) ORDER BY doc_id""",
     "dedup_exact": """
         WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents),
         c AS (SELECT fp, min(doc_id) AS canonical_id FROM h GROUP BY fp)
@@ -638,6 +676,7 @@ ORACLES = {
 
 QUERIES = {
     "dedup_containment": q_dedup_containment,
+    "dedup_exact_normalized": q_dedup_exact_normalized,
     "dedup_minhash_capped": q_dedup_minhash_capped,
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "dedup_exact": q_dedup_exact,
