@@ -55,22 +55,6 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_sh) computed column-wise — size(array_distinct(grams))
-    per row, NO explode + groupBy shuffle. Identical to counting the
-    exploded distinct shingles (docs are <= 100 words here; for megabyte
-    documents the exploded aggregate is the safer form)."""
-    docs = t(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("ws", F.split("text", " "))
-        .select(
-            "doc_id",
-            F.size(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("n_sh"),
-        )
-        .filter(F.col("n_sh") > 0)
-    )
-
-
 def _hash_long(*cols) -> F.Column:
     """Deterministic 60-bit integer hash shared with the oracle:
     first 15 hex chars of md5, as BIGINT."""
