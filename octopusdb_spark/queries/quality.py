@@ -82,7 +82,49 @@ def q_quality_pattern_scan(spark, sf_dir):
     )
 
 
+
+def q_quality_filter_reasons(spark, sf_dir):
+    """Rule-based document filter with REASONS — the keep/drop decision a
+    training pipeline has to audit: each rule is a columnar predicate, the
+    reasons column concatenates every failed rule (fixed rule order, so
+    the value is deterministic), keep = no rule failed. Pure projection +
+    one final order; rules are evaluated in a single pass with no UDF."""
+    docs = t(spark, sf_dir, "documents")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    rules = [
+        ("too_short", F.col("n_chars") < 100),
+        ("low_alpha", n_alpha.cast("double") / F.col("n_chars") < 0.5),
+        ("digit_heavy", n_digit.cast("double") / F.col("n_chars") > 0.2),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return (
+        docs.select(
+            "doc_id",
+            reasons.alias("reasons"),
+            (reasons == "").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
 ORACLES = {
+    "quality_filter_reasons": """
+        WITH r AS (
+          SELECT doc_id,
+                 n_chars < 100 AS too_short,
+                 CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / n_chars < 0.5 AS low_alpha,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / n_chars > 0.2 AS digit_heavy
+          FROM documents
+        )
+        SELECT doc_id,
+               concat_ws(',',
+                 CASE WHEN too_short THEN 'too_short' END,
+                 CASE WHEN low_alpha THEN 'low_alpha' END,
+                 CASE WHEN digit_heavy THEN 'digit_heavy' END) AS reasons,
+               NOT (too_short OR low_alpha OR digit_heavy) AS keep
+        FROM r ORDER BY doc_id""",
     "quality_pattern_scan": r"""
         SELECT source, count(*) AS n_docs,
                count(CASE WHEN regexp_matches(text, '\b(vector|stream)\b')
@@ -131,4 +173,5 @@ QUERIES = {
     "quality_column_profile": q_quality_column_profile,
     "quality_duplicate_keys": q_quality_duplicate_keys,
     "quality_pattern_scan": q_quality_pattern_scan,
+    "quality_filter_reasons": q_quality_filter_reasons,
 }

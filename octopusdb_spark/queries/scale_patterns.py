@@ -136,6 +136,31 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_source_balanced_sample(spark, sf_dir):
+    """Source-mixture rebalancing — the downsample step that equalizes a
+    training corpus across sources: every source contributes exactly
+    min-source-count documents, chosen deterministically by md5-hash order
+    (so regeneration keeps the same sample). Plan: a 1-row global min
+    (broadcast) + one per-source top-k window — WindowGroupLimit pushes the
+    rank<=k cut into each partition before the shuffle, so skewed sources
+    never sort their full bulk. The general weighted-mixture case is this
+    same plan with a per-source target joined in place of the scalar."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n"))
+    target = per_source.agg(F.min("n").alias("take"))
+    hid = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(hid.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("take"))
+        .select("source", F.col("rn").alias("sample_rank"), "doc_id", "lang")
+        .orderBy("source", "sample_rank")
+    )
+
+
 TOKEN_BUDGET = 4096  # whitespace tokens per training shard
 PACK_BUCKET = 500  # fixed doc_id range per bucket (deterministic boundaries)
 
@@ -189,6 +214,20 @@ def q_token_budget_packing(spark, sf_dir):
 
 
 ORACLES = {
+    "q_source_balanced_sample": """
+        WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        tgt AS (SELECT min(n) AS take FROM counts),
+        ranked AS (
+          SELECT source, doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                 ) AS rn
+          FROM documents
+        )
+        SELECT source, CAST(rn AS BIGINT) AS sample_rank, doc_id, lang
+        FROM ranked, tgt WHERE rn <= tgt.take
+        ORDER BY source, sample_rank""",
     "q_token_budget_packing": f"""
         WITH c AS (
           SELECT doc_id,
@@ -246,4 +285,5 @@ QUERIES = {
     "q_skew_salted_join": q_skew_salted_join,
     "q_hash_sampled_stats": q_hash_sampled_stats,
     "q_stratified_sample": q_stratified_sample,
+    "q_source_balanced_sample": q_source_balanced_sample,
 }

@@ -55,6 +55,7 @@ ALLOWED_CARTESIAN = {
     "sim_ann_pq": "broadcast NLJ against the 5-query ADC lookup tables (the PQ compressed scan; corpus side reads only codes+norm)",
     "q22_global_sales": "TPC-H Q22 uncorrelated scalar subquery (1-row broadcast)",
     "q_time_gapfill": "dense bucket axis x event types: days*5 rows, broadcast",
+    "q_source_balanced_sample": "global-min target scalar subquery (1-row broadcast)",
 }
 
 # query -> reason an Exchange SinglePartition is bounded anyway
@@ -65,6 +66,7 @@ ALLOWED_SINGLE_PARTITION = {
     "q_p95_disc": "per-flag count frame: one row per returnflag (3 rows)",
     "q_time_gapfill": "SinglePartition is the global min/max bounds agg; the LOCF window itself is keyed by event_type",
     "sim_ann_ivf_kmeans": "optimizer-injected runtime bloom_filter_agg (global 1-row aggregate); every row_number window is keyed by vec_id/query_id",
+    "q_source_balanced_sample": "SinglePartition is the global min over per-source counts (rows = source count); the sampling window is keyed by source",
 }
 
 # row-at-a-time Python is banned on data paths; declared capability demos
