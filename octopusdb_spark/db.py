@@ -111,6 +111,20 @@ class OctopusDB:
     def delete(self, key: str) -> None:
         self.kv.delete(key)
 
+    def changes_since(
+        self,
+        snapshot_seq: int,
+        now: int | None = None,
+        include_preimage: bool = False,
+    ) -> DataFrame:
+        """Changefeed (CDC): current state of every key written after
+        ``snapshot_seq`` (take one with ``snapshot()``), as
+        (key, change, value[, old_value], version) — see
+        KVStore.changes_since for pruning and retention semantics."""
+        return self.kv.changes_since(
+            snapshot_seq, now=now, include_preimage=include_preimage
+        )
+
     # Driver-side materialization cap for the facade iterator. The iterator
     # is API parity for small working sets; Spark-native code uses scan_df.
     ITERATOR_MAX_ROWS = 100_000

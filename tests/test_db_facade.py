@@ -176,3 +176,20 @@ def test_driver_entry_contract(spark):
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 99  # grows round over round
+
+
+def test_facade_changefeed(db):
+    """CDC through the user-facing facade: snapshot -> writes -> feed with
+    pre-images, matching the store-level contract."""
+    db.set("a", b"1")
+    db.set("b", b"2")
+    snap = db.snapshot()
+    db.set("b", b"2-new")
+    db.delete("a")
+    feed = {
+        r["key"]: r
+        for r in db.changes_since(snap, now=NOW, include_preimage=True).collect()
+    }
+    assert set(feed) == {"a", "b"}
+    assert feed["a"]["change"] == "delete" and bytes(feed["a"]["old_value"]) == b"1"
+    assert feed["b"]["change"] == "upsert" and bytes(feed["b"]["old_value"]) == b"2"
