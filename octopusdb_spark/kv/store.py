@@ -359,61 +359,82 @@ class KVStore:
         # executor churn is expected, a reliable checkpoint dir trades one
         # extra write for restartability.
         staged = staged_rows.localCheckpoint(eager=True)
+        try:
+            # Empty micro-batches are common under streaming ingest: bail
+            # before allocating the ranged write (staging dir + _SUCCESS +
+            # stats job) — on a checkpointed frame this probe is block-local.
+            if staged.isEmpty():
+                if commit_tag is not None:
+                    # still record the batch id so a replay stays a no-op
+                    new_state = ManifestState(
+                        version=state.version,
+                        next_seq=state.next_seq,
+                        segments=list(state.segments),
+                        stream_commits=dict(state.stream_commits or {}),
+                    )
+                    new_state.stream_commits[commit_tag[0]] = int(commit_tag[1])
+                    self.manifest.commit(new_state)
+                return 0
 
-        data = staged.withColumn(
-            "value", F.when(F.col("value_ptr").isNotNull(), F.lit(None)).otherwise(F.col("value"))
-        ).select("key", "value", "meta", "expires_at", "version", "seq", "value_ptr")
-        # batch totals fold into the ranged write's own stats job (pointer
-        # byte lengths parsed from the ptr string — the values column is
-        # already nulled here): no separate totals scan
-        ptr_len = F.split(F.col("value_ptr"), ":").getItem(2).cast("long")
-        new_data_segs, bucket_stats = self._write_ranged_segments(
-            data,
-            level=0,
-            target_segments=target_segments,
-            created_seq=seq0,
-            extra_stats={
-                "vcnt": F.count("value_ptr"),
-                "vbytes": F.sum(ptr_len),
-            },
-        )
-        total_cnt = sum(r["cnt"] for r in bucket_stats)
-        if not total_cnt:
-            return 0
-        vcnt = sum(r["vcnt"] for r in bucket_stats)
-        vbytes = sum(int(r["vbytes"] or 0) for r in bucket_stats)
-        new_state = ManifestState(
-            version=state.version,
-            next_seq=int(max(r["_mxseq"] for r in bucket_stats)) + 1,
-            segments=list(state.segments),
-            stream_commits=dict(state.stream_commits or {}),
-        )
-        if commit_tag is not None:
-            new_state.stream_commits[commit_tag[0]] = int(commit_tag[1])
-
-        if vcnt:
-            big = staged.filter(F.col("value_ptr").isNotNull()).select(
-                F.col("value_ptr").alias("value_id"), F.col("value").alias("big_value")
+            data = staged.withColumn(
+                "value", F.when(F.col("value_ptr").isNotNull(), F.lit(None)).otherwise(F.col("value"))
+            ).select("key", "value", "meta", "expires_at", "version", "seq", "value_ptr")
+            # batch totals fold into the ranged write's own stats job (pointer
+            # byte lengths parsed from the ptr string — the values column is
+            # already nulled here): no separate totals scan
+            ptr_len = F.split(F.col("value_ptr"), ":").getItem(2).cast("long")
+            new_data_segs, bucket_stats = self._write_ranged_segments(
+                data,
+                level=0,
+                target_segments=target_segments,
+                created_seq=seq0,
+                extra_stats={
+                    "vcnt": F.count("value_ptr"),
+                    "vbytes": F.sum(ptr_len),
+                },
             )
-            big.write.mode("overwrite").parquet(vpath)
-            new_state.segments.append(
-                SegmentInfo(
-                    segment_id=vseg_id,
-                    kind="values",
-                    level=0,
-                    path=vpath,
-                    min_key=None,
-                    max_key=None,
-                    row_count=int(vcnt),
-                    size_bytes=vbytes,
-                    created_seq=seq0,
-                    total_value_bytes=vbytes,
+            total_cnt = sum(r["cnt"] for r in bucket_stats)
+            if not total_cnt:
+                return 0
+            vcnt = sum(r["vcnt"] for r in bucket_stats)
+            vbytes = sum(int(r["vbytes"] or 0) for r in bucket_stats)
+            new_state = ManifestState(
+                version=state.version,
+                next_seq=int(max(r["_mxseq"] for r in bucket_stats)) + 1,
+                segments=list(state.segments),
+                stream_commits=dict(state.stream_commits or {}),
+            )
+            if commit_tag is not None:
+                new_state.stream_commits[commit_tag[0]] = int(commit_tag[1])
+
+            if vcnt:
+                big = staged.filter(F.col("value_ptr").isNotNull()).select(
+                    F.col("value_ptr").alias("value_id"), F.col("value").alias("big_value")
                 )
-            )
+                big.write.mode("overwrite").parquet(vpath)
+                new_state.segments.append(
+                    SegmentInfo(
+                        segment_id=vseg_id,
+                        kind="values",
+                        level=0,
+                        path=vpath,
+                        min_key=None,
+                        max_key=None,
+                        row_count=int(vcnt),
+                        size_bytes=vbytes,
+                        created_seq=seq0,
+                        total_value_bytes=vbytes,
+                    )
+                )
 
-        new_state.segments.extend(new_data_segs)
-        self.manifest.commit(new_state)
-        return int(total_cnt)
+            new_state.segments.extend(new_data_segs)
+            self.manifest.commit(new_state)
+            return int(total_cnt)
+        finally:
+            # Both table writes have landed (or failed) by now, so the frozen
+            # batch blocks can leave executor storage — without this every
+            # streaming micro-batch stays pinned until driver-side GC.
+            staged.unpersist()
 
     # ------------------------------------------------------------------- read
     def _read_segments(self, segs: list, schema: T.StructType) -> DataFrame:
@@ -495,11 +516,18 @@ class KVStore:
             # created_seq is a true lower bound on a segment's row seqs
             # (compaction carries the MIN of its sources), so a segment
             # created wholly after the snapshot holds nothing visible —
-            # the as-of read scans O(pre-snapshot segments), not the store
+            # the as-of read scans O(pre-snapshot segments), not the store.
+            # That MIN-carry invariant only holds for segments written with
+            # the exact-stats format (max_seq stamped): legacy compaction
+            # outputs stamped created_seq = next_seq at compaction time (an
+            # UPPER bound), so pruning them on created_seq would silently
+            # drop pre-snapshot keys. Legacy segments (max_seq is None) are
+            # conservatively scanned — the row-level seq filter below keeps
+            # correctness; only the pruning degrades.
             segs = [
                 s
                 for s in self.manifest.state.data_segments()
-                if s.created_seq <= as_of
+                if s.max_seq is None or s.created_seq <= as_of
             ]
         base = self.raw_df(segs)
         if as_of is not None:
@@ -655,8 +683,14 @@ class KVStore:
         physically drops tombstones, so deletes older than the last full
         compaction are no longer observable — consume the feed before
         compacting, or use leveled compaction (which preserves tombstones
-        above the bottom level). ``tests/test_kv_store.py`` pins this
-        contract."""
+        above the bottom level). The same applies to pre-images of
+        *upserts* under ANY compaction (leveled included): compaction keeps
+        only the newest version per key, so once a touched key's
+        pre-snapshot version is merged away, its ``old_value`` degrades to
+        NULL. For durable pre-images, resolve against a retained manifest
+        version captured at snapshot time (``view(at_version=...)`` time
+        travel) instead of the live manifest. ``tests/test_kv_store.py``
+        pins this contract."""
         now = int(time.time()) if now is None else now
         segs = [
             s

@@ -39,42 +39,41 @@ for _m in _MODULES:
     ORACLE_SQL.update(getattr(mod, "ORACLES", {}))
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order. Round-5 rotation closes the only lifetime coverage
-# hole (dedup_simhash_pairs — registry position 100 every prior round,
-# never inside any window) and refreshes the 10 queries whose last driver
-# row was round 1, then fills with (a) every query whose code path changed
-# this round (KV store broadcast gating / single-pass ingest / changefeed
-# pre-image; Jaccard hot-shingle cap) and (b) the graph/sim/text families
-# last checked in round 3. Next round: rotate the remainder back in.
+# insertion order. Round-6 rotation: (a) the three round-5 additions that
+# landed after the round-5 window froze and so have ZERO lifetime driver
+# rows, (b) everything whose last driver row is round 3, (c) every query
+# whose code path changed this round (TPC-H forced-hint removal, the
+# kv_value_separation payload-hint removal, the as_of prune gate, the
+# shared capped-shingle frame, trained PQ codebooks), (d) fill from the
+# round-4-stale remainder. PROTOCOL: a query added to the registry after
+# this list is frozen must be inserted at the HEAD at that moment
+# (displacing the last fill entry), not next round.
 _PRIORITY = [
-    # never driver-checked in any round, plus this round's new queries
-    "dedup_simhash_pairs", "kv_changefeed_preimage", "q_stream_sessionize",
-    "sim_ann_ivf_kmeans", "sim_ann_pq", "q_stream_dedup",
-    "q_stream_rollup", "q_stream_interval_join",
-    "q16_supplier_cnt_shape", "q20_excess_shipping_shape",
-    "dedup_containment",
-    # stale since round 1
-    "q_orders_by_month", "q_json_extract", "q_pivot_event_types",
-    "q_anti_join", "q_median_quantity", "q_p95_disc", "q_string_agg",
-    "q_correlation", "q_pandas_udf_score", "q_linear_regression",
-    # KV paths touched this round (broadcast gating, ingest, changefeed)
-    "kv_latest_live", "kv_point_lookup", "kv_value_separation",
-    "kv_changefeed", "kv_gc_discard_stats", "kv_binary_key_scan",
-    # dedup family (Jaccard/cluster hot-shingle cap touched this round)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_minhash_capped", "dedup_simhash", "dedup_cluster_keep",
-    "dedup_embedding_cosine",
-    # similarity family (last checked round 3)
-    "sim_topk_cosine", "sim_ann_bucketed", "sim_ann_ivf",
-    "sim_label_centroids",
-    # graph family (last checked round 3)
-    "graph_degrees", "graph_pagerank", "graph_adjacency", "graph_khop",
-    # text family picks (last checked round 3)
-    "text_stats", "text_tokenize_udtf",
-    "text_decontaminate", "text_shard_assignment",
-    # multimodal + quality (last checked round 3)
-    "multimodal_bytes", "multimodal_chunking", "quality_column_profile",
-    "quality_duplicate_keys",
+    # never driver-checked (added after the round-5 window froze)
+    "dedup_exact_normalized", "q_source_balanced_sample",
+    "quality_filter_reasons",
+    # stale since round 3
+    "q13_custdist", "q15_top_supplier", "q21_waiting_shape",
+    "q_approx_distinct", "q_rollup_merge", "q_pandas_udaf_trimmed_mean",
+    "q_window_family", "q_weighted_sample", "q_array_hof",
+    "q_range_join_bucketed", "q_skew_salted_join", "q_hash_sampled_stats",
+    "q_stratified_sample", "graph_mutual_follows", "graph_two_hop",
+    "graph_triangles", "graph_components", "text_token_count",
+    "text_langid", "text_quality", "text_fingerprint",
+    "text_source_profile", "text_tfidf_keywords", "quality_pattern_scan",
+    # code paths touched this round
+    "kv_value_separation",   # forced payload broadcast removed
+    "kv_version_history",    # as_of prune gated on the max_seq marker
+    "sim_ann_pq",            # trained per-subspace codebooks
+    "q3_shipping_priority", "q5_local_supplier_volume", "q18_large_volume",
+    "q_top_customers_per_nation", "q7_volume_shipping", "q10_returned_items",
+    "q14_promo_effect", "q17_small_quantity", "q19_discounted_revenue",
+    "q22_global_sales", "q8_market_share", "q9_profit_shape",
+    "q11_volume_share_shape",
+    # round-4-stale fill (KV scan family + remaining TPC-H)
+    "kv_prefix_scan", "kv_range_seek", "kv_tombstoned_keys",
+    "kv_ttl_classes", "kv_merge_sorted_runs",
+    "q4_order_priority", "q6_forecast_revenue",
 ]
 
 

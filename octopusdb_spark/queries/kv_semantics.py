@@ -155,7 +155,11 @@ def q_kv_value_separation(spark, sf_dir):
             F.concat(F.lit("d"), F.col("doc_id").cast("string")),
         ).alias("value_ptr"),
     )
-    joined = main.join(F.broadcast(big), main.value_ptr == big.value_id, "left")
+    # `big` is the *payload* (large-value) side of the WiscKey split — the
+    # majority of the table's bytes. Never force-broadcast it: AQE will
+    # broadcast at runtime iff it actually fits (mirrors
+    # KVStore._values_join_side's manifest-gated hint, kv/store.py).
+    joined = main.join(big, main.value_ptr == big.value_id, "left")
     return joined.select(
         "doc_id",
         F.col("value_ptr").isNotNull().alias("was_separated"),

@@ -3,9 +3,11 @@ windows, sorts/top-k, set ops, scalar functions, date/JSON handling — the
 DataFrame capabilities the engine exposes over external tables, phrased as
 TPC-H-style named queries on the driver's star schema.
 
-Scale notes: dimension tables (region/nation/customer/supplier/part) are
-broadcast (`F.broadcast`) so fact-table joins never shuffle the big side;
-aggregates do map-side partial aggregation for free; every top-k is a
+Scale notes: only fixed-size dimensions (region=5 rows, nation=25 rows)
+carry a forced `F.broadcast` hint. Customer/supplier/part scale linearly
+with SF (billions of rows at the 100 TB design point), so those joins are
+left to AQE — broadcast at runtime when small, shuffled when not.
+Aggregates do map-side partial aggregation for free; every top-k is a
 window/limit with a unique tie-break. Decimal-accumulated sums keep results
 bit-identical to the oracle (see common.py).
 """
@@ -43,7 +45,8 @@ def q1_pricing_summary(spark, sf_dir):
 
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective 3-way join + agg + deterministic top-10.
-    customer is broadcast; orders⋈lineitem shuffles on orderkey only."""
+    The segment-filtered customer side is SF-scaled, so its join strategy
+    is AQE's call; orders⋈lineitem shuffles on orderkey only."""
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -53,7 +56,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -62,7 +65,8 @@ def q3_shipping_priority(spark, sf_dir):
 
 
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way join (dims broadcast) + per-nation revenue."""
+    """TPC-H Q5 shape: 6-way join + per-nation revenue. Fixed-size
+    nation/region are hinted; SF-scaled supplier/customer are AQE's call."""
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = t(spark, sf_dir, "nation")
     cust = t(spark, sf_dir, "customer")
@@ -74,8 +78,8 @@ def q5_local_supplier_volume(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -93,7 +97,7 @@ def q_top_customers_per_nation(spark, sf_dir):
     totals = (
         orders.groupBy("o_custkey")
         .agg(dsum("o_totalprice", "total_spend"), F.count("*").alias("n_orders"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("total_spend"), F.asc("o_custkey"))
@@ -315,9 +319,10 @@ def q_funnel(spark, sf_dir):
 
 def q18_large_volume(spark, sf_dir):
     """TPC-H Q18 shape: orders whose total quantity exceeds 200, joined back
-    to their customer — aggregate-then-filter (HAVING) feeding a broadcast
-    join; the lineitem scan aggregates before anything is joined, so the
-    join input is orders-not-lineitems sized."""
+    to their customer — aggregate-then-filter (HAVING) feeding the customer
+    join (strategy left to AQE; customer is SF-scaled); the lineitem scan
+    aggregates before anything is joined, so the join input is
+    orders-not-lineitems sized."""
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -328,7 +333,7 @@ def q18_large_volume(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_name", F.col("o_orderkey").alias("orderkey"), "o_totalprice", "sum_qty")
         .orderBy(F.desc("sum_qty"), "orderkey")
         .limit(100)

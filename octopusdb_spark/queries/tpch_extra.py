@@ -9,9 +9,13 @@ non-equi residuals, scalar subqueries, OR-of-conjuncts pushdown, correlated
 aggregates) — capabilities the reference engine lacks entirely (closest
 analogs: vlog deref join A15, graph self-join A23).
 
-Scale notes: every dimension side is broadcast; fact-fact joins shuffle on
-the join key only; all sums are decimal-accumulated for cross-engine
-determinism (common.py rules).
+Scale notes: only *fixed-size* dimensions (nation=25 rows, region=5 rows,
+1-row scalar aggregates) carry a forced `F.broadcast` hint. Customer,
+supplier, and part scale linearly with SF (~15 B customer rows at the
+100 TB design point), so their joins are left unhinted — AQE broadcasts
+them at runtime when they fit, and shuffles them when they don't.
+Fact-fact joins shuffle on the join key only; all sums are
+decimal-accumulated for cross-engine determinism (common.py rules).
 """
 
 from __future__ import annotations
@@ -79,8 +83,8 @@ def q7_volume_shipping(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -106,7 +110,7 @@ def q10_returned_items(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -117,8 +121,9 @@ def q10_returned_items(spark, sf_dir):
 
 def q14_promo_effect(spark, sf_dir):
     """TPC-H Q14 shape: promo revenue share in one month — conditional
-    aggregation over a broadcast part join; two decimal-exact sums divided
-    once at the end (deterministic double division)."""
+    aggregation over the part join (part is SF-scaled, so the join strategy
+    is left to AQE); two decimal-exact sums divided once at the end
+    (deterministic double division)."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
@@ -126,7 +131,7 @@ def q14_promo_effect(spark, sf_dir):
     part = t(spark, sf_dir, "part")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             dsum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0), "promo_rev"),
             dsum(disc_price, "total_rev"),
@@ -147,7 +152,7 @@ def q17_small_quantity(spark, sf_dir):
     broadcasts the join-back."""
     part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     li = t(spark, sf_dir, "lineitem")
-    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    brand_li = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     avg_qty = brand_li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
@@ -169,13 +174,13 @@ def q17_small_quantity(spark, sf_dir):
 
 
 def q19_discounted_revenue(spark, sf_dir):
-    """TPC-H Q19 shape: OR-of-conjuncts over a broadcast part join (brand ×
+    """TPC-H Q19 shape: OR-of-conjuncts over the part join (brand ×
     size-range × quantity-range disjuncts, adapted from the container/brand
     triples). Catalyst extracts the common l_partkey=p_partkey equi-key and
     keeps the disjunction as a join residual."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -307,7 +312,7 @@ def q21_waiting_shape(spark, sf_dir):
     )
     supp = t(spark, sf_dir, "supplier")
     return (
-        waited.join(F.broadcast(supp), waited.l_suppkey == supp.s_suppkey)
+        waited.join(supp, waited.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -317,9 +322,10 @@ def q21_waiting_shape(spark, sf_dir):
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: national market share — NATION_2's share of ECONOMY-
     part revenue sold to ASIA-region customers, by order year. The classic
-    snowflake fan-out: fact scan + five broadcast dimension joins (part,
-    orders-side customer→nation→region restricted to the region, supplier→
-    nation for the share numerator). Share = decimal-exact conditional sum /
+    snowflake fan-out: fact scan + five dimension joins (part, orders-side
+    customer→nation→region restricted to the region, supplier→nation for
+    the share numerator); only the fixed-size nation-derived sides are
+    hinted. Share = decimal-exact conditional sum /
     decimal-exact total, divided as doubles (IEEE-exact both engines)."""
     part = (
         t(spark, sf_dir, "part")
@@ -342,11 +348,11 @@ def q8_market_share(spark, sf_dir):
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     vol = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -389,9 +395,9 @@ def q9_profit_shape(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
@@ -418,7 +424,7 @@ def q11_volume_share_shape(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     vol = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "n_name",
@@ -469,20 +475,18 @@ def q16_supplier_cnt_shape(spark, sf_dir):
     anti-join keys on negative s_acctbal instead) — same shape: anti-join
     the supplier exclusion set, distinct-count suppliers per
     (brand, type, size), filtered to exclude one brand and one type. The
-    exclusion set is tiny (broadcast anti-join); the distinct-count shuffle
-    is keyed by the group columns."""
+    exclusion set scales with SF, so the anti-join strategy is left to AQE;
+    the distinct-count shuffle is keyed by the group columns."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     supp = t(spark, sf_dir, "supplier")
     bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     pairs = (
         li.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(
-            F.broadcast(
-                part.filter(
-                    (F.col("p_brand") != "Brand#2") & (F.col("p_type") != "ECONOMY")
-                )
+            part.filter(
+                (F.col("p_brand") != "Brand#2") & (F.col("p_type") != "ECONOMY")
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
@@ -499,8 +503,9 @@ def q20_excess_shipping_shape(spark, sf_dir):
     quantity aggregate -> threshold -> suppliers -> nation filter. Without
     partsupp availqty, the threshold is a fixed floor on 1996 shipped
     quantity of 'small *' parts (> 60 units); the output is the qualifying
-    suppliers of nations in region AMERICA, by name. All dims broadcast;
-    the one fact shuffle is the (part, supplier) aggregate."""
+    suppliers of nations in region AMERICA, by name. Fixed-size dims
+    (nation/region) broadcast; SF-scaled sides (small_parts, supplier) are
+    left to AQE; the one fact shuffle is the (part, supplier) aggregate."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     supp = t(spark, sf_dir, "supplier")
@@ -511,7 +516,7 @@ def q20_excess_shipping_shape(spark, sf_dir):
         li.filter(
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
         )
-        .join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(small_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 60)

@@ -238,6 +238,28 @@ def test_as_of_horizon_after_compaction(store):
     assert got is None or got.value == b"old"
 
 
+def test_as_of_scans_legacy_segments_conservatively(store):
+    """Segments without the exact-stats marker (max_seq=None) may carry a
+    legacy UPPER created_seq stamp (old compaction stamped next_seq at
+    compaction time), so the as_of prune must not trust created_seq on
+    them — they are conservatively scanned and the row-level seq filter
+    does the work."""
+    store.set_batch([Entry("a", b"v1"), Entry("b", b"b1")])
+    snap = store.snapshot_seq()
+    store.set_batch([Entry("a", b"v2")])
+    store.compact(now=NOW)  # merged output holds pre-snapshot key `b`
+    # Simulate the legacy stamp on every merged segment: no max_seq marker,
+    # created_seq = next_seq at compaction time (> all contained seqs).
+    legacy_stamp = store.manifest.state.next_seq
+    for s in store.manifest.state.data_segments():
+        s.max_seq = None
+        s.created_seq = legacy_stamp
+    # b was written before the snapshot and never touched: it must survive
+    # an as-of read even though its segment's created_seq lies above snap.
+    got = store.get("b", now=NOW, as_of=snap)
+    assert got is not None and got.value == b"b1"
+
+
 def test_ingest_df_bulk_load(store, spark):
     from pyspark.sql import functions as F
 

@@ -22,6 +22,14 @@ patterns that kill 100 TB runs:
                      but a Sort feeding further joins/aggs forces a full
                      range shuffle; only reported (info), not failed.
 
+Additionally, a *source-level* forced-hint sweep: every ``F.broadcast(x)``
+in the package must hint a relation on the declared fixed-size allow-list
+(HINT_ALLOWED_BASES). Forced hints on SF-scaled relations (customer,
+supplier, part, payload/values tables, …) OOM the driver at the 100 TB
+design point — AQE already broadcasts them at runtime when they fit, so a
+hard hint only ever *removes* safety. Hints gated on real metadata (the KV
+store's manifest-byte gate) are allow-listed by name with the gate cited.
+
 Exit code 1 if any non-allow-listed finding appears; prints one JSON line.
 Usage: python tools/plan_audit.py [query_name ...]
 """
@@ -75,6 +83,75 @@ ALLOWED_ROW_PYTHON = {
     "text_tokenize_udtf": "Python UDTF is the declared off-hot-path capability demo",
 }
 
+# base identifier -> why a forced F.broadcast(<base>...) hint is safe at
+# 100 TB. Everything NOT listed here is flagged: customer/supplier/part and
+# any payload-derived relation scale with SF and must be left to AQE.
+HINT_ALLOWED_BASES = {
+    # fixed-size TPC-H dimensions (25 / 5 rows at every SF)
+    "nation": "25 rows at every SF",
+    "region": "5 rows at every SF",
+    "n1": "nation alias (25 rows)",
+    "n2": "nation alias (25 rows)",
+    "asia_nations": "nation semi-joined to one region (<=25 rows)",
+    "supp_nation": "nation projection (25 rows)",
+    "amer_nations": "nation semi-joined to one region (<=25 rows)",
+    # 1-row / K-row scalar aggregates
+    "max_w": "1-row global max",
+    "max_rev": "1-row global max",
+    "avg_bal": "1-row global avg",
+    "total": "1-row global total",
+    "cut": "1-row snapshot cutoff",
+    "target": "1-row global min",
+    "bounds": "1-row min/max pair",
+    "offsets": "one row per pack bucket (bucket totals, not docs)",
+    "axis": "gapfill axis: day-range x event types, bounded by time span",
+    # ANN structures bounded by construction (K centroids / M*K codebooks /
+    # N_QUERIES query rows / fixed shortlist)
+    "cent": "K centroid rows (K fixed)",
+    "cent_r": "K centroid rows (K fixed)",
+    "probes": "nprobe centroid ids per query (fixed)",
+    "codebook": "M x K codebook rows (fixed)",
+    "lut": "ADC lookup tables for N_QUERIES queries (fixed)",
+    "q": "N_QUERIES query vectors (fixed)",
+    "qv": "N_QUERIES query vectors (fixed)",
+    "shortlist": "fixed-size ADC shortlist",
+    "cand": "bounded candidate pair set (<=O(B^2*20) ids, never the corpus)",
+    "bench": "benchmark shingle set, bounded by benchmark size",
+    # KV store sites gated on real manifest metadata before hinting
+    "vals": "kv/store.py _values_join_side: hint emitted only when manifest "
+            "value-bytes < BROADCAST_MAX_BYTES",
+    "live_ptrs": "kv/store.py gc_values: hint gated on manifest pointer-bytes "
+                 "< BROADCAST_MAX_BYTES",
+}
+
+_HINT_RE = re.compile(r"F\.broadcast\(\s*(?:F\.)?([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def audit_forced_hints(pkg_root: str) -> dict:
+    """Scan package sources for F.broadcast hints on non-allow-listed bases."""
+    flagged = {}
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        if "__pycache__" in dirpath:
+            continue
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            with open(path, encoding="utf-8") as fh:
+                for lineno, line in enumerate(fh, 1):
+                    m = _HINT_RE.search(line)
+                    if not m:
+                        continue
+                    base = m.group(1)
+                    if base not in HINT_ALLOWED_BASES:
+                        rel = os.path.relpath(path, os.path.dirname(pkg_root))
+                        flagged.setdefault(rel, []).append(
+                            {"line": lineno, "base": base,
+                             "detail": "forced broadcast hint on relation not in "
+                                       "the fixed-size allow-list"}
+                        )
+    return flagged
+
 
 def audit_one(spark, name, fn):
     findings = []
@@ -108,6 +185,11 @@ def audit_one(spark, name, fn):
 
 def main() -> int:
     names = sys.argv[1:] or list(REGISTRY)
+    pkg_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "octopusdb_spark",
+    )
+    hint_flags = audit_forced_hints(pkg_root)
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     report, n_bad = {}, 0
@@ -116,9 +198,13 @@ def main() -> int:
         if findings:
             report[name] = findings
             n_bad += 1
-    print(json.dumps({"queries_audited": len(names), "flagged": report}))
+    print(json.dumps({
+        "queries_audited": len(names),
+        "flagged": report,
+        "forced_hints_flagged": hint_flags,
+    }))
     spark.stop()
-    return 1 if n_bad else 0
+    return 1 if (n_bad or hint_flags) else 0
 
 
 if __name__ == "__main__":
