@@ -57,6 +57,35 @@ HEADLINE = [
 ]
 
 
+def _calibration(spark) -> dict:
+    """Fixed synthetic workload, CONSTANT across rounds — the box-drift
+    yardstick. This machine has shown ~2x uniform slowdowns under
+    sustained load (see BASELINE.md); dividing a round's query times by
+    its calibration median separates environment drift from plan
+    regressions. Deliberately registry-independent (no query code path):
+    20M md5 hashes + a 65k-group count on 32 fixed partitions, 3 runs.
+    """
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("substr(md5(cast(id as string)), 1, 4) AS s")
+            .groupBy("s")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        runs.append(round(time.perf_counter() - t0, 3))
+    return {
+        "metric": "calibration_fixed_workload",
+        "unit": "sec",
+        "runs": runs,
+        "median": sorted(runs)[1],
+    }
+
+
 def main() -> None:
     spark = get_spark("octopusdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -78,6 +107,8 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(_ident, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+
+    calibration = _calibration(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -111,6 +142,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "calibration": calibration,
                 "maintenance": maintenance,
             }
         )

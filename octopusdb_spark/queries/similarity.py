@@ -350,14 +350,23 @@ def q_sim_ann_ivf_kmeans(spark, sf_dir):
     )
 
 
-# Product quantization: M subspaces x K codewords. Seed codebooks (the
-# subvectors of vec_id 16..31 — deterministic, like the IVF seeds) keep the
-# oracle tractable; codebook TRAINING would reuse kmeans_centroids per
-# subspace and only moves recall, not the operator shape.
+# Product quantization: M subspaces x K codewords. Codebooks are TRAINED:
+# seed codewords (the subvectors of vec_id 16..31 — deterministic, like the
+# IVF seeds) refined by PQ_TRAIN_ITERS deterministic Lloyd rounds per
+# subspace under L2 (the PQ objective), with the same DECIMAL(38,12)
+# per-dimension mean discipline as `kmeans_centroids`, so the DuckDB oracle
+# replicates training bit-for-bit.
 PQ_M = 8  # subspaces (64 dims / 8)
 PQ_K = 16  # codewords per subspace
 PQ_SUB = 8  # dims per subspace
 PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact re-rank
+PQ_TRAIN_ITERS = 2  # Lloyd rounds per subspace (matches KMEANS_ITERS)
+# Codebooks train on a deterministic 1-in-N corpus sample (vec_id % N == 1):
+# quantizer quality needs a representative sample, not the corpus — at the
+# 100 TB design point full-corpus Lloyd rounds would dominate the build for
+# no recall gain, so sampling IS the production shape, and the modulo rule
+# keeps the oracle bit-replicable.
+PQ_TRAIN_SAMPLE_MOD = 4
 
 
 def _l2sq(a, b) -> Column:
@@ -376,6 +385,66 @@ _L2SQ_SQL = (
 )
 
 
+def pq_train_codebooks(subvecs: DataFrame, init: DataFrame, iters: int = PQ_TRAIN_ITERS) -> DataFrame:
+    """Per-subspace Lloyd k-means under L2 — `kmeans_centroids`' discipline
+    applied independently in each of the M subspaces (Jegou et al. train PQ
+    codebooks exactly this way): fixed init, fixed iteration count,
+    assignment by (asc squared-L2, asc code), and codeword update as a
+    per-(m, code, dim) DECIMAL(38,12)-accumulated mean — order-independent,
+    so Spark and DuckDB converge to bit-identical codebooks. Empty codes
+    drop out of the update (both engines group only non-empty assignments).
+
+    Scale shape per iteration: the codebook is M*K tiny rows (broadcast);
+    assignment is one pass over the exploded subvectors with a
+    (vec_id, m)-keyed rank; the update is a (m, code, dim)-keyed narrow agg
+    — never an all-pairs join. M*K rows localCheckpoint per round keeps the
+    iterated plan flat.
+
+    ``subvecs``: (vec_id, m, sv); ``init``/result schema: (m, code, cw).
+    """
+    from pyspark.sql import Window
+
+    # The training set is a bounded sample by contract (callers pass the
+    # 1-in-N id sample, never the raw corpus) — materialize it once so the
+    # source scan + subvector explode doesn't recompute every Lloyd round.
+    subvecs = subvecs.localCheckpoint(eager=True)
+    codebook = init
+    for _ in range(iters):
+        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+        asg = (
+            subvecs.join(F.broadcast(codebook), "m")
+            .select("vec_id", "m", "sv", "code", _l2sq(F.col("sv"), F.col("cw")).alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            asg.select("m", "code", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("m", "code", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("double").cast("decimal(38,12)")).cast("double")
+                    / F.count("*")
+                ).alias("mu")
+            )
+        )
+        codebook = (
+            means.groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+                ).alias("cw")
+            )
+            .localCheckpoint(eager=True)  # M*K rows; keeps the per-round plan flat
+        )
+    # Dense re-code: an emptied cluster leaves a gap in the code sequence,
+    # but downstream ADC indexes the lookup table POSITIONALLY
+    # (element_at(lut[m], code)), so surviving codes must be 1..K' dense.
+    # Deterministic (row_number over the surviving code order, M partitions)
+    # and a no-op when nothing dropped.
+    w_dense = Window.partitionBy("m").orderBy("code")
+    return codebook.withColumn("code", F.row_number().over(w_dense))
+
+
 def q_sim_ann_pq(spark, sf_dir):
     """Product-quantization ANN (ADC scoring): each vector is encoded as
     PQ_M one-byte codes (nearest codeword per 8-dim subspace, L2) plus its
@@ -383,28 +452,19 @@ def q_sim_ann_pq(spark, sf_dir):
     products and scores any candidate with M table lookups — approx
     cosine = sum(lut) / (q_norm * cand_norm) — instead of a 64-dim float
     dot (Jegou et al., PQ for nearest neighbor search; IP tables because
-    the exact baseline ranks by cosine). 100 TB shape: codebooks are M*K
-    tiny rows (broadcast), encode is one pass, the scored scan reads only
-    the 8-byte code column + 1 norm (not embeddings), and the LUT
-    crossJoin is bounded by the query batch. Exact by construction given
-    the codebooks, so fully oracle-checkable; recall vs. the exact
-    baseline is pinned in tests/test_queries.py."""
+    the exact baseline ranks by cosine). Codebooks are trained: seed
+    codewords refined by PQ_TRAIN_ITERS per-subspace Lloyd rounds
+    (`pq_train_codebooks`), replicated exactly in the oracle. 100 TB
+    shape: codebooks are M*K tiny rows (broadcast), training touches only
+    the exploded subvectors with narrow keyed aggs, encode is one pass,
+    the scored scan reads only the 8-byte code column + 1 norm (not
+    embeddings), and the LUT crossJoin is bounded by the query batch.
+    Exact by construction given the codebooks, so fully oracle-checkable;
+    recall vs. the exact baseline is pinned in tests/test_queries.py."""
     from pyspark.sql import Window
 
     emb = _with_norm(t(spark, sf_dir, "embeddings"))
     sub = lambda col, m: F.slice(col, m * PQ_SUB + 1, PQ_SUB)
-    # codebooks: (m, code, cw) — code 1..K from seed vectors 16..31
-    seeds = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + PQ_K))
-    codebook = seeds.select(
-        (F.col("vec_id") - 15).cast("int").alias("code"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("cw"))
-                for m in range(PQ_M)
-            ])
-        ).alias("e"),
-    ).select("e.m", "code", "e.cw")
-    # encode: nearest codeword per (vec, subspace); ties -> smallest code
     subvecs = emb.select(
         "vec_id",
         "norm",
@@ -415,6 +475,26 @@ def q_sim_ann_pq(spark, sf_dir):
             ])
         ).alias("e"),
     ).select("vec_id", "norm", "e.m", "e.sv")
+    # seed codebooks: (m, code, cw) — code 1..K from seed vectors 16..31,
+    # then refined per-subspace (L2 Lloyd, decimal-exact means)
+    seeds = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + PQ_K))
+    seed_codebook = seeds.select(
+        (F.col("vec_id") - 15).cast("int").alias("code"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("cw"))
+                for m in range(PQ_M)
+            ])
+        ).alias("e"),
+    ).select("e.m", "code", "e.cw")
+    codebook = pq_train_codebooks(
+        subvecs.filter(F.col("vec_id") % PQ_TRAIN_SAMPLE_MOD == 1).select(
+            "vec_id", "m", "sv"
+        ),
+        seed_codebook,
+        iters=PQ_TRAIN_ITERS,
+    )
+    # encode: nearest codeword per (vec, subspace); ties -> smallest code
     w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
     codes = (
         subvecs.join(F.broadcast(codebook), "m")
@@ -675,6 +755,51 @@ def _kmeans_cte_sql(iters: int = 2, k: int = 8, dim: int = 64) -> str:
         )
     return "".join(out)
 
+def _pq_train_cte_sql(iters: int = PQ_TRAIN_ITERS) -> str:
+    """CTE chain replicating `pq_train_codebooks` exactly: codebook0 = seed
+    codewords, then per iteration assign (min squared-L2, asc-code
+    tie-break) and re-center (per-(m, code, dim) DECIMAL(38,12) mean), and
+    a final dense re-code. Assumes ``subvecs`` (vec_id, norm, m, sv) and
+    ``codebook0`` (m, code, cw) are already defined; emits ``codebook``.
+    Training reads the deterministic 1-in-{PQ_TRAIN_SAMPLE_MOD} sample
+    (``tsub``), matching the Spark side."""
+    out = [
+        f"""
+    , tsub AS (
+      SELECT * FROM subvecs WHERE vec_id % {PQ_TRAIN_SAMPLE_MOD} = 1
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        out.append(
+            f"""
+    , pqas{i} AS (
+      SELECT s.vec_id, s.m, c.code,
+             row_number() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY {_L2SQ_SQL.format(a="s.sv", b="c.cw")} ASC, c.code ASC) AS rn
+      FROM tsub s JOIN codebook{i - 1} c ON s.m = c.m
+    ), pqam{i} AS (SELECT vec_id, m, code FROM pqas{i} WHERE rn = 1),
+    pqcd{i} AS (
+      SELECT a.m, a.code, t.dim,
+             CAST(SUM(CAST(CAST(s.sv[t.dim] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*) AS mu
+      FROM pqam{i} a JOIN tsub s ON s.vec_id = a.vec_id AND s.m = a.m
+      CROSS JOIN unnest(range(1, {PQ_SUB + 1})) AS t(dim)
+      GROUP BY 1, 2, 3
+    ), codebook{i} AS (
+      SELECT m, code, list(mu ORDER BY dim) AS cw FROM pqcd{i} GROUP BY m, code
+    )"""
+        )
+    out.append(
+        f"""
+    , codebook AS (
+      SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY code) AS INT) AS code, cw
+      FROM codebook{iters}
+    )"""
+    )
+    return "".join(out)
+
+
 def q_sim_quantized_cosine(spark, sf_dir):
     """Int8-quantized cosine top-5 — the memory/bandwidth scale path for
     brute-force search: each vector is symmetrically quantized to int8
@@ -894,15 +1019,17 @@ ORACLES = {
       SELECT CAST(vec_id - 15 AS INT) AS code, embedding
       FROM embeddings WHERE vec_id >= 16 AND vec_id < {16 + PQ_K}
     ),
-    codebook AS (
+    codebook0 AS (
       SELECT t.m, code, embedding[t.m*{PQ_SUB}+1 : t.m*{PQ_SUB}+{PQ_SUB}] AS cw
       FROM seeds CROSS JOIN unnest(range(0, {PQ_M})) AS t(m)
     ),
     subvecs AS (
       SELECT e.vec_id, e.norm, t.m, e.embedding[t.m*{PQ_SUB}+1 : t.m*{PQ_SUB}+{PQ_SUB}] AS sv
       FROM emb e CROSS JOIN unnest(range(0, {PQ_M})) AS t(m)
-    ),
-    enc AS (
+    )"""
+    + _pq_train_cte_sql()
+    + f"""
+    , enc AS (
       SELECT vec_id, norm, m, code,
              row_number() OVER (
                PARTITION BY vec_id, m

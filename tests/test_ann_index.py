@@ -66,3 +66,41 @@ def test_ivf_index_build_query_recall(spark, sf_dir, tmp_path):
     assert any("cent_id" in line and "IN" in line.upper() for line in part_filters), (
         f"cent_id IN filter did not reach PartitionFilters: {part_filters}"
     )
+
+
+def test_pq_index_build_query_recall(spark, sf_dir, tmp_path):
+    from octopusdb_spark.functions.ann_index import build_pq, query_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "pq")
+    build_pq(emb, idx)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # refine path: ADC shortlist re-scored exactly against the raw corpus
+    got = query_pq(
+        spark, idx, queries, top_k=5, corpus_df=emb, exclude_matching_ids=True
+    ).collect()
+    assert {r["query_id"] for r in got} == set(range(5))
+    for r in got:
+        assert r["cand_id"] != r["query_id"]
+
+    # determinism: a second run returns the identical result set
+    again = query_pq(
+        spark, idx, queries, top_k=5, corpus_df=emb, exclude_matching_ids=True
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+    # ADC-only path (no corpus): approximate ranks, same shape
+    adc = query_pq(spark, idx, queries, top_k=5, exclude_matching_ids=True).collect()
+    assert {r["query_id"] for r in adc} == set(range(5))
+
+    # recall floor vs the exact baseline (trained codebooks + exact refine)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in q_sim_topk_cosine(spark, sf_dir).collect()
+    }
+    approx = {(r["query_id"], r["cand_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall collapsed: {recall}"

@@ -90,8 +90,9 @@ def test_ann_recall_floors(spark):
     """ANN variants must actually find neighbors: recall vs the exact top-k
     at sf0.01 (deterministic corpus). Multi-table LSH ~0.56, IVF nprobe=2/8
     ~0.24, trained-IVF ~0.36 (2 Lloyd rounds lift the same seeds from
-    0.24), PQ shortlist-50 + exact re-rank ~0.44 here; floors leave margin
-    for testdata regeneration."""
+    0.24), trained-PQ shortlist-50 + exact re-rank ~0.60 (up from ~0.44
+    with seed codebooks — the 0.5 floor pins that training actually helps);
+    floors leave margin for testdata regeneration."""
     sf = "/root/testdata/sf0.01"
     exact = {(r["query_id"], r["cand_id"]) for r in REGISTRY["sim_topk_cosine"](spark, sf).collect()}
     recall = {}
@@ -103,7 +104,7 @@ def test_ann_recall_floors(spark):
     assert recall["sim_ann_ivf_kmeans"] >= 0.3, recall
     # training must not LOSE recall vs the identical-seed untrained IVF
     assert recall["sim_ann_ivf_kmeans"] >= recall["sim_ann_ivf"], recall
-    assert recall["sim_ann_pq"] >= 0.3, recall
+    assert recall["sim_ann_pq"] >= 0.5, recall  # above the seed-codebook ~0.44
 
 
 def test_quantized_cosine_tracks_exact(spark):

@@ -74,6 +74,7 @@ ALLOWED_SINGLE_PARTITION = {
     "q_p95_disc": "per-flag count frame: one row per returnflag (3 rows)",
     "q_time_gapfill": "SinglePartition is the global min/max bounds agg; the LOCF window itself is keyed by event_type",
     "sim_ann_ivf_kmeans": "optimizer-injected runtime bloom_filter_agg (global 1-row aggregate); every row_number window is keyed by vec_id/query_id",
+    "sim_ann_pq": "optimizer-injected runtime bloom_filter_agg under the codebook-training joins (global 1-row aggregate); every window is keyed by (vec_id, m) / query_id / m",
     "q_source_balanced_sample": "SinglePartition is the global min over per-source counts (rows = source count); the sampling window is keyed by source",
 }
 
@@ -111,6 +112,7 @@ HINT_ALLOWED_BASES = {
     "cent_r": "K centroid rows (K fixed)",
     "probes": "nprobe centroid ids per query (fixed)",
     "codebook": "M x K codebook rows (fixed)",
+    "cb": "M x K codebook rows read from a PQ index (fixed)",
     "lut": "ADC lookup tables for N_QUERIES queries (fixed)",
     "q": "N_QUERIES query vectors (fixed)",
     "qv": "N_QUERIES query vectors (fixed)",
