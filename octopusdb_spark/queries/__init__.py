@@ -49,6 +49,9 @@ for _m in _MODULES:
 # this list is frozen must be inserted at the HEAD at that moment
 # (displacing the last fill entry), not next round.
 _PRIORITY = [
+    # NEW this round (inserted at head per protocol, displacing the last
+    # fill entry q6_forecast_revenue)
+    "kv_stream_ingest",
     # never driver-checked (added after the round-5 window froze)
     "dedup_exact_normalized", "q_source_balanced_sample",
     "quality_filter_reasons",
@@ -73,7 +76,7 @@ _PRIORITY = [
     # round-4-stale fill (KV scan family + remaining TPC-H)
     "kv_prefix_scan", "kv_range_seek", "kv_tombstoned_keys",
     "kv_ttl_classes", "kv_merge_sorted_runs",
-    "q4_order_priority", "q6_forecast_revenue",
+    "q4_order_priority",
 ]
 
 

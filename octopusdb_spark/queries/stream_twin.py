@@ -31,7 +31,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from octopusdb_spark.queries.common import t
+from octopusdb_spark.queries.common import NOW, t
 from octopusdb_spark.streaming.stateful import dedup_stream, sessionize_stream
 
 GAP_SECONDS = 1800
@@ -250,7 +250,81 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_kv_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KV ingest run FOR REAL — the write path of the reference's
+    channel-fed batch pipeline (`kv/db.go:224-285`) as a Structured
+    Streaming job: documents -> 4-file parquet source -> file stream
+    (maxFilesPerTrigger=1, so four micro-batches) -> foreachBatch ->
+    ``KVStore.ingest_df(commit_tag=...)`` (`streaming/ingest.py`), each
+    batch one atomic segment-append + manifest commit, with a maintenance
+    tick (leveled compaction + value GC) every second batch. Every
+    ingest-path behavior rides the stream: doc_id % 37 == 0 rows carry
+    NULL values and become tombstones; texts >= the 1024-byte threshold
+    are value-separated and re-joined on read.
+
+    Exactly-once is ASSERTED in-query: after the stream drains, a batch id
+    already recorded in the manifest is replayed via ``ingest_df`` — it
+    must commit nothing and leave the live view's key count unchanged
+    (the `ManifestState.stream_commits` idempotency contract).
+
+    The checked output is the live view (key + reconstructed value
+    length): unique keys make it independent of micro-batch seq stamping,
+    so the feed order the engine picks cannot move the hash."""
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.when(F.col("doc_id") % 37 == 0, F.lit(None))
+        .otherwise(F.col("text"))
+        .cast("binary")
+        .alias("value"),
+    )
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_kv_{run_id}_")
+    try:
+        src = f"{base}/src"
+        ckpt = f"{base}/ckpt"
+        docs.repartitionByRange(4, "key").write.parquet(src)
+        from octopusdb_spark.kv.store import KVStore
+        from octopusdb_spark.streaming.ingest import ingest_stream_to_kv
+
+        store = KVStore(spark, f"{base}/kv")
+        stream = (
+            spark.readStream.schema("key string, value binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = ingest_stream_to_kv(stream, store, ckpt, compact_every=2)
+        _run_bounded(q)
+        before = store.view(now=NOW).count()
+        # replay a committed batch id: the manifest's stream_commits gate
+        # must turn the duplicate into a no-op (exactly-once contract)
+        replayed = store.ingest_df(
+            docs.limit(32), key_col="key", value_col="value", commit_tag=(ckpt, 0)
+        )
+        if replayed != 0 or store.view(now=NOW).count() != before:
+            raise RuntimeError(
+                f"replayed batch was not idempotent: rows={replayed}"
+            )
+        out = (
+            store.view(now=NOW)
+            .select(
+                "key",
+                F.length(F.col("value").cast("string")).alias("value_chars"),
+            )
+            .orderBy("key")
+        )
+        # bounded rows (one per live doc); concrete frame so the result
+        # outlives the tmp store dir
+        return spark.createDataFrame(out.collect(), "key string, value_chars int")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 ORACLES = {
+    "kv_stream_ingest": """
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               CAST(length(text) AS INT) AS value_chars
+        FROM documents WHERE doc_id % 37 != 0
+        ORDER BY key""",
     "q_stream_rollup": f"""
         SELECT (epoch_us(ts) // 1000000 // {ROLLUP_BUCKET_SECONDS}) * {ROLLUP_BUCKET_SECONDS} AS bucket,
                event_type AS grp,
@@ -286,6 +360,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "kv_stream_ingest": q_kv_stream_ingest,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_rollup": q_stream_rollup,
