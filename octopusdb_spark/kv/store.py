@@ -148,6 +148,14 @@ class KVStore:
     # AQE/sort-merge handles it. Tests shrink this to force the big-side
     # plan on small data.
     BROADCAST_MAX_BYTES = 64 << 20
+    # Leveled compaction splits its output by seq epoch (pre/post the base
+    # segments' max_seq) when the base dominates the delta by this row
+    # ratio: without the split, merging a small post-snapshot delta into a
+    # large base yields one wide-seq-span segment that every later
+    # changes_since rescans in full — the split keeps feeds O(delta)
+    # across maintenance. Below the ratio the rescan is already cheap and
+    # the extra output partitioning isn't worth the segment count.
+    EPOCH_SPLIT_RATIO = 4.0
 
     def __init__(
         self,
@@ -661,13 +669,15 @@ class KVStore:
         so a touched key's newest version lives in a post-snapshot segment
         — the manifest prunes on each segment's exact ``max_seq`` bound
         (max_seq <= snapshot proves the segment holds no post-snapshot
-        rows; unknown bounds are conservatively admitted). After a
-        compaction merges the delta into base segments, the merged outputs
-        carry the delta's max_seq and are rescanned — pruning degrades to
-        the merged segments' span (correctness always comes from the
-        row-level ``seq`` filter); consume feeds before compacting for the
-        tight O(delta) scan. Value pointers are resolved against the
-        values table so consumers see full payloads.
+        rows; unknown bounds are conservatively admitted). Leveled
+        compaction preserves this across maintenance: when a small delta
+        merges into a dominating base, the output is epoch-split at the
+        base's max_seq (`EPOCH_SPLIT_RATIO`), so the merged base prunes
+        and only delta-sized segments rescan. Below the ratio (or under
+        full ``compact()``) pruning degrades to the merged segments' span
+        — correctness always comes from the row-level ``seq`` filter.
+        Value pointers are resolved against the values table so consumers
+        see full payloads.
 
         ``include_preimage=True`` adds ``old_value``: the key's value as of
         the snapshot, with TTL evaluated at ``now`` (read time) — i.e. what
@@ -795,6 +805,7 @@ class KVStore:
         target_segments: int,
         created_seq: int | None = None,
         extra_stats: dict | None = None,
+        epoch_cut: int | None = None,
     ) -> list:
         """Write a merged run as N range-disjoint segments (one directory
         each, tight min/max in the manifest) — the parallel sub-compaction
@@ -807,6 +818,16 @@ class KVStore:
         sources so the changefeed's segment pruning stays tight after
         merges; defaults to the current next_seq (fresh-ingest semantics).
 
+        ``epoch_cut``: additionally split the output by seq epoch — rows
+        with seq <= cut land in epoch-0 segments (stamped ``created_seq``,
+        max_seq <= cut by construction), rows with seq > cut in epoch-1
+        segments (stamped created_seq = cut + 1, a true lower bound).
+        Same single shuffle and write job — the epoch is just one more
+        dynamic partition column — but ``changes_since(snap >= cut)``
+        prunes the entire epoch-0 (base) output and rescans only the
+        delta-sized epoch-1 segments. Epoch segments overlap in key range
+        across epochs; the view's newest-wins dedup already handles that.
+
         ``extra_stats``: {name: agg Column} evaluated in the same readback
         stats job; totals (summed across buckets for counts/sums, max for
         maxes — the caller gets the raw per-bucket rows) are exposed on the
@@ -816,24 +837,34 @@ class KVStore:
         the one stats job instead of re-scanning."""
         n = max(1, min(target_segments, 200))
         staging_id, staging = self.manifest.new_segment_path("data")
-        (
+        part_cols = ["_bucket"]
+        staged = (
             df.repartitionByRange(n, "key")
             .sortWithinPartitions("key")
             .withColumn("_bucket", F.spark_partition_id())
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
+        )
+        if epoch_cut is not None:
+            staged = staged.withColumn(
+                "_epoch",
+                F.when(F.col("seq") <= F.lit(int(epoch_cut)), F.lit(0)).otherwise(F.lit(1)),
+            )
+            part_cols = ["_epoch", "_bucket"]
+        (
+            staged.write.mode("overwrite")
+            .partitionBy(*part_cols)
             .option("parquet.bloom.filter.enabled#key", "true")
             .parquet(staging)
         )
         # Explicit schema: when df is empty (e.g. compacting a fully
         # tombstoned store) the dynamic-partition write produces no part
         # files, and schema inference on the staging dir would fail.
-        readback_schema = T.StructType(
-            list(self._schema.fields) + [T.StructField("_bucket", T.IntegerType(), True)]
-        )
+        extra_fields = [T.StructField("_bucket", T.IntegerType(), True)]
+        if epoch_cut is not None:
+            extra_fields.insert(0, T.StructField("_epoch", T.IntegerType(), True))
+        readback_schema = T.StructType(list(self._schema.fields) + extra_fields)
         stats = (
             self.spark.read.schema(readback_schema).parquet(staging)
-            .groupBy("_bucket")
+            .groupBy(*part_cols)
             .agg(
                 F.min("key").alias("mn"),
                 F.max("key").alias("mx"),
@@ -846,18 +877,32 @@ class KVStore:
         )
         stamp = created_seq if created_seq is not None else self.manifest.state.next_seq
         segs = []
-        for r in sorted(stats, key=lambda r: bytes(r["mn"]) if self.key_type == "binary" else r["mn"]):
+
+        def _sort_key(r):
+            mn = bytes(r["mn"]) if self.key_type == "binary" else r["mn"]
+            return (r["_epoch"] if epoch_cut is not None else 0, mn)
+
+        for r in sorted(stats, key=_sort_key):
+            if epoch_cut is not None:
+                e = r["_epoch"]
+                seg_id = f"{staging_id}-e{e}-b{r['_bucket']}"
+                path = f"{staging}/_epoch={e}/_bucket={r['_bucket']}"
+                seg_created = stamp if e == 0 else int(epoch_cut) + 1
+            else:
+                seg_id = f"{staging_id}-b{r['_bucket']}"
+                path = f"{staging}/_bucket={r['_bucket']}"
+                seg_created = stamp
             segs.append(
                 SegmentInfo(
-                    segment_id=f"{staging_id}-b{r['_bucket']}",
+                    segment_id=seg_id,
                     kind="data",
                     level=level,
-                    path=f"{staging}/_bucket={r['_bucket']}",
+                    path=path,
                     min_key=self._enc(r["mn"]),
                     max_key=self._enc(r["mx"]),
                     row_count=r["cnt"],
                     size_bytes=int(r["bytes"] or 0),
-                    created_seq=stamp,
+                    created_seq=seg_created,
                     max_seq=int(r["_mxseq"]),
                 )
             )
@@ -971,6 +1016,20 @@ class KVStore:
         ]
         participants = src + dst
         merged = self.latest_df(participants)
+        # Epoch split (manifest-metadata decision, no extra scan): when the
+        # base (dst) rows dominate the delta (src) by EPOCH_SPLIT_RATIO and
+        # the delta actually carries newer seqs, split the output at the
+        # base's exact max_seq so later changefeeds prune the merged base
+        # instead of rescanning it. Requires exact stats on every dst
+        # segment (legacy max_seq=None can't prove the cut).
+        cut = None
+        if dst and all(s.max_seq is not None for s in dst):
+            base_max = max(s.max_seq for s in dst)
+            src_newer = any(s.max_seq is None or s.max_seq > base_max for s in src)
+            dst_rows = sum(s.row_count for s in dst)
+            src_rows = sum(s.row_count for s in src)
+            if src_newer and dst_rows >= self.EPOCH_SPLIT_RATIO * max(src_rows, 1):
+                cut = base_max
         # MIN source created_seq keeps the changefeed's created_seq >= snap
         # segment pruning tight after merges (rows' seqs are preserved)
         new_segs = self._write_ranged_segments(
@@ -978,6 +1037,7 @@ class KVStore:
             dst_level,
             target_segments,
             created_seq=min(s.created_seq for s in participants),
+            epoch_cut=cut,
         )
         drops = self._dropped_ptr_bytes(participants, new_segs)
         part_ids = {s.segment_id for s in participants}

@@ -238,6 +238,51 @@ def test_as_of_horizon_after_compaction(store):
     assert got is None or got.value == b"old"
 
 
+def test_epoch_split_keeps_changefeed_tight_after_leveled_compaction(store):
+    """A leveled compaction that merges a small post-snapshot delta into a
+    dominating base epoch-splits its output at the base's max_seq, so a
+    later changes_since scans only delta-sized segments — not the merged
+    base (the O(delta) feed contract across maintenance). Feed rows are
+    unchanged by the maintenance either way."""
+    store.set_batch([Entry(f"base{i:03d}", b"v") for i in range(100)])
+    store.compact_level(0, now=NOW)  # base now lives at L1
+    assert all(s.level == 1 for s in store.manifest.state.data_segments())
+    snap = store.snapshot_seq()
+    store.set_batch([Entry("base000", b"v2"), Entry("delta-a", b"x"), Entry("delta-b", b"y")])
+    before = {
+        r["key"]: r["change"] for r in store.changes_since(snap, now=NOW).collect()
+    }
+    assert before == {"base000": "upsert", "delta-a": "upsert", "delta-b": "upsert"}
+    # merge the 3-row delta (L0) into the overlapping 100-row L1 base:
+    # ratio 100/3 >= EPOCH_SPLIT_RATIO, delta seqs exceed the base's
+    # max_seq -> the output must epoch-split
+    store.compact_level(0, now=NOW)
+    segs = store.manifest.state.data_segments()
+    assert any("-e1-" in s.segment_id for s in segs), "epoch split did not fire"
+    assert all(s.max_seq is not None for s in segs)
+    admitted = [s for s in segs if s.max_seq > snap]
+    # the feed's pruned scan covers exactly the delta's rows, not the base
+    assert sum(s.row_count for s in admitted) == 3, [
+        (s.segment_id, s.row_count, s.created_seq, s.max_seq) for s in admitted
+    ]
+    # epoch-1 segments carry the post-cut lower bound, so as-of pruning
+    # also benefits
+    assert all(s.created_seq > snap for s in admitted)
+    after = {
+        r["key"]: (r["change"], bytes(r["value"]))
+        for r in store.changes_since(snap, now=NOW).collect()
+    }
+    assert after == {
+        "base000": ("upsert", b"v2"),
+        "delta-a": ("upsert", b"x"),
+        "delta-b": ("upsert", b"y"),
+    }
+    # view invariant: newest-wins across overlapping epoch segments
+    assert store.view(now=NOW).count() == 102
+    assert store.get("base000", now=NOW).value == b"v2"
+    assert store.get("base001", now=NOW).value == b"v"
+
+
 def test_as_of_scans_legacy_segments_conservatively(store):
     """Segments without the exact-stats marker (max_seq=None) may carry a
     legacy UPPER created_seq stamp (old compaction stamped next_seq at
