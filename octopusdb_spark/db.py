@@ -163,6 +163,13 @@ class OctopusDB:
     def info(self) -> dict:
         return self.kv.info()
 
+    def pin(self, now: int | None = None):
+        """Pinned point-read session: ``with db.pin(now=...):`` makes every
+        ``get``/``mget`` inside resolve against one shared cached live view
+        instead of replanning per call (see `KVStore.pin`). Writes inside
+        the session invalidate and transparently rebuild the cache."""
+        return self.kv.pin(now=now)
+
     def run_value_log_gc(self, discard_ratio: float = 0.5, now: int | None = None) -> list:
         return self.kv.gc_values(discard_ratio=discard_ratio, now=now)
 

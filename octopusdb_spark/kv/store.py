@@ -559,7 +559,17 @@ class KVStore:
 
     def get(self, key, now: int | None = None, as_of: int | None = None):
         """Point read with manifest min/max pruning (SST interval search,
-        `kv/lsm/level_handler.go:45-64`) + Parquet bloom/stats pushdown."""
+        `kv/lsm/level_handler.go:45-64`) + Parquet bloom/stats pushdown.
+        Inside a ``pin()`` session the read hits the shared cached view
+        (no replanning, no segment scan)."""
+        pinned = self._pinned_view(now, as_of)
+        if pinned is not None:
+            rows = pinned.filter(F.col("key") == key).limit(1).collect()
+            if not rows:
+                return None
+            r = rows[0]
+            key_out = bytes(r["key"]) if self.key_type == "binary" else r["key"]
+            return Entry(key=key_out, value=bytes(r["value"]), expires_at=r["expires_at"], version=r["version"])
         segs = self.manifest.prune_for_key(self._enc(key))
         if not segs:
             return None
@@ -585,19 +595,23 @@ class KVStore:
         (missing/tombstoned/expired keys are absent)."""
         if not keys:
             return {}
-        seg_ids, segs = set(), []
-        for k in keys:
-            for s in self.manifest.prune_for_key(self._enc(k)):
-                if s.segment_id not in seg_ids:
-                    seg_ids.add(s.segment_id)
-                    segs.append(s)
-        if not segs:
-            return {}
-        rows = (
-            self.view(now=now, segs=segs, as_of=as_of)
-            .filter(F.col("key").isin(list(keys)))
-            .collect()
-        )
+        pinned = self._pinned_view(now, as_of)
+        if pinned is not None:
+            rows = pinned.filter(F.col("key").isin(list(keys))).collect()
+        else:
+            seg_ids, segs = set(), []
+            for k in keys:
+                for s in self.manifest.prune_for_key(self._enc(k)):
+                    if s.segment_id not in seg_ids:
+                        seg_ids.add(s.segment_id)
+                        segs.append(s)
+            if not segs:
+                return {}
+            rows = (
+                self.view(now=now, segs=segs, as_of=as_of)
+                .filter(F.col("key").isin(list(keys)))
+                .collect()
+            )
         out = {}
         for r in rows:
             k = bytes(r["key"]) if self.key_type == "binary" else r["key"]
@@ -762,6 +776,47 @@ class KVStore:
             self._cached_view.unpersist()
             self._cached_view = None
             self._cached_version = None
+
+    def pin(self, now: int | None = None):
+        """Pinned-read session: inside ``with store.pin(now=...):``, every
+        ``get``/``mget`` resolves against one shared cached live view
+        (``cache_view``) instead of replanning the full
+        scan → dedup → values-join per call — the repeated-point-read
+        pattern a driver loop actually produces. The cache is built
+        lazily on first read, TTL is evaluated at the pin's fixed ``now``
+        (a pinned session IS a consistent read point), and a write
+        invalidates it via the existing manifest-version check, so the
+        next read transparently rebuilds against the new version. Reads
+        that pass ``as_of`` or a different ``now`` bypass the pin (they
+        ask for a different snapshot/time). The pin is released — and the
+        cache dropped — on exit."""
+        store = self
+
+        class _PinnedSession:
+            def __enter__(self):
+                store._pinned_now = int(time.time()) if now is None else int(now)
+                store._pinned = True
+                return store
+
+            def __exit__(self, *exc):
+                store._pinned = False
+                store._pinned_now = None
+                store.uncache_view()
+                return False
+
+        return _PinnedSession()
+
+    def _pinned_view(self, now: int | None, as_of: int | None) -> DataFrame | None:
+        """The shared pinned view when this read can use it: pin active, no
+        as_of override, and the read's TTL time matches the pin's."""
+        if not getattr(self, "_pinned", False) or as_of is not None:
+            return None
+        if now is not None and now != self._pinned_now:
+            return None
+        df = self.cached_view()
+        if df is None:
+            df = self.cache_view(now=self._pinned_now)
+        return df
 
     def snapshot_seq(self) -> int:
         """The sequence number capturing everything committed so far — pass

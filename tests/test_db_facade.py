@@ -193,3 +193,37 @@ def test_facade_changefeed(db):
     assert set(feed) == {"a", "b"}
     assert feed["a"]["change"] == "delete" and bytes(feed["a"]["old_value"]) == b"1"
     assert feed["b"]["change"] == "upsert" and bytes(feed["b"]["old_value"]) == b"2"
+
+
+def test_pinned_reads_reuse_cached_view(db):
+    """pin(): the first read builds the cached view; subsequent point reads
+    must NOT replan the scan -> dedup -> values-join (store.view is never
+    called again); a write invalidates the pin's cache and exactly one
+    rebuild serves the next read; exiting the session drops the cache."""
+    db.set_batch([Entry("a", b"1"), Entry("b", b"2")])
+    with db.pin(now=NOW) as store:
+        assert db.get("a", now=NOW) == b"1"  # lazily builds the cache
+        assert store.cached_view() is not None
+        calls = 0
+        orig_view = store.view
+
+        def counting_view(*args, **kwargs):
+            nonlocal calls
+            calls += 1
+            return orig_view(*args, **kwargs)
+
+        store.view = counting_view
+        assert db.get("b", now=NOW) == b"2"
+        assert db.get("missing", now=NOW) is None
+        assert db.mget(["a", "b"], now=NOW) == {"a": b"1", "b": b"2"}
+        assert calls == 0, "pinned reads replanned the view"
+        # a write bumps the manifest version: one rebuild, then cached again
+        db.set("c", b"3")
+        assert db.get("c", now=NOW) == b"3"
+        assert db.get("a", now=NOW) == b"1"
+        assert calls == 1, f"expected exactly one rebuild, got {calls}"
+        # an as-of read asks for a different snapshot: bypasses the pin
+        snap = db.snapshot()
+        assert db.get("a", now=NOW, as_of=snap) == b"1"
+        store.view = orig_view
+    assert store.cached_view() is None  # released on exit
