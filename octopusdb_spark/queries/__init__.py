@@ -50,8 +50,8 @@ for _m in _MODULES:
 # (displacing the last fill entry), not next round.
 _PRIORITY = [
     # NEW this round (inserted at head per protocol, displacing the last
-    # fill entry q6_forecast_revenue)
-    "kv_stream_ingest",
+    # fill entries q6_forecast_revenue / q4_order_priority)
+    "kv_stream_ingest", "pipeline_pretrain_corpus",
     # never driver-checked (added after the round-5 window froze)
     "dedup_exact_normalized", "q_source_balanced_sample",
     "quality_filter_reasons",
@@ -76,7 +76,6 @@ _PRIORITY = [
     # round-4-stale fill (KV scan family + remaining TPC-H)
     "kv_prefix_scan", "kv_range_seek", "kv_tombstoned_keys",
     "kv_ttl_classes", "kv_merge_sorted_runs",
-    "q4_order_priority",
 ]
 
 

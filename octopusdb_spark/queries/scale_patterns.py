@@ -213,7 +213,115 @@ def q_token_budget_packing(spark, sf_dir):
     )
 
 
+def q_pipeline_pretrain_corpus(spark, sf_dir):
+    """The full pretraining-corpus prep chain as ONE declarative plan —
+    quality filter → exact dedup → source-balanced downsample →
+    token-budget shard packing — proving the individual operators compose
+    without materialization barriers (Catalyst plans the whole chain; at
+    100 TB each stage keeps its own scale shape: projection filter, one
+    hash-groupBy dedup shuffle, per-source WindowGroupLimit sample, and
+    the bucket-keyed two-phase prefix sum — no global window, no
+    collect). Output is the shard manifest (docs + token totals per
+    shard), the artifact a training launcher actually consumes."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    # stage 1: rule filter (the keep-side of quality_filter_reasons)
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    kept = docs.filter(
+        ~(
+            (F.col("n_chars") < 100)
+            | (n_alpha.cast("double") / F.col("n_chars") < 0.5)
+            | (n_digit.cast("double") / F.col("n_chars") > 0.2)
+        )
+    )
+    # stage 2: exact dedup — canonical (min doc_id) per content hash
+    canon = kept.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # stage 3: source-balanced sample (same plan as q_source_balanced_sample)
+    per_source = surv.groupBy("source").agg(F.count("*").alias("n"))
+    target = per_source.agg(F.min("n").alias("take"))
+    hid = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w_s = Window.partitionBy("source").orderBy(hid.asc(), F.col("doc_id").asc())
+    sample = (
+        surv.withColumn("rn", F.row_number().over(w_s))
+        .join(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("take"))
+        .select(
+            "doc_id",
+            (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+        )
+    )
+    # stage 4: token-budget packing (two-phase distributed prefix sum)
+    w_in = Window.partitionBy("bucket").orderBy("doc_id")
+    within = sample.withColumn("cum_in", F.sum("toks").over(w_in))
+    bucket_totals = sample.groupBy("bucket").agg(F.sum("toks").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.withColumn(
+        "offset", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
+    ).select("bucket", "offset")
+    packed = within.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "toks",
+        (
+            (F.col("offset") + F.col("cum_in") - F.col("toks")) / F.lit(TOKEN_BUDGET)
+        )
+        .cast("long")
+        .alias("shard"),
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
 ORACLES = {
+    "pipeline_pretrain_corpus": f"""
+        WITH kept AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE NOT (n_chars < 100
+            OR CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / n_chars < 0.5
+            OR CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / n_chars > 0.2)
+        ), canon AS (
+          SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+        ), surv AS (
+          SELECT k.* FROM kept k WHERE k.doc_id IN (SELECT doc_id FROM canon)
+        ), counts AS (
+          SELECT source, count(*) AS n FROM surv GROUP BY source
+        ), tgt AS (SELECT min(n) AS take FROM counts),
+        ranked AS (
+          SELECT doc_id, text,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                 ) AS rn
+          FROM surv
+        ), sample AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM ranked, tgt WHERE rn <= tgt.take
+        ), pre AS (
+          SELECT doc_id, toks,
+                 CAST(coalesce(SUM(toks) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS tokens_before
+          FROM sample
+        )
+        SELECT CAST(floor(CAST(tokens_before AS DOUBLE) / {TOKEN_BUDGET}) AS BIGINT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS shard_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM pre GROUP BY 1 ORDER BY shard""",
     "q_source_balanced_sample": """
         WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         tgt AS (SELECT min(n) AS take FROM counts),
@@ -280,6 +388,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "pipeline_pretrain_corpus": q_pipeline_pretrain_corpus,
     "q_token_budget_packing": q_token_budget_packing,
     "q_range_join_bucketed": q_range_join_bucketed,
     "q_skew_salted_join": q_skew_salted_join,

@@ -64,6 +64,7 @@ ALLOWED_CARTESIAN = {
     "q22_global_sales": "TPC-H Q22 uncorrelated scalar subquery (1-row broadcast)",
     "q_time_gapfill": "dense bucket axis x event types: days*5 rows, broadcast",
     "q_source_balanced_sample": "global-min target scalar subquery (1-row broadcast)",
+    "pipeline_pretrain_corpus": "global-min sample-target scalar subquery (1-row broadcast), inherited from the q_source_balanced_sample stage",
 }
 
 # query -> reason an Exchange SinglePartition is bounded anyway
@@ -76,6 +77,7 @@ ALLOWED_SINGLE_PARTITION = {
     "sim_ann_ivf_kmeans": "optimizer-injected runtime bloom_filter_agg (global 1-row aggregate); every row_number window is keyed by vec_id/query_id",
     "sim_ann_pq": "optimizer-injected runtime bloom_filter_agg under the codebook-training joins (global 1-row aggregate); every window is keyed by (vec_id, m) / query_id / m",
     "q_source_balanced_sample": "SinglePartition is the global min over per-source counts (rows = source count); the sampling window is keyed by source",
+    "pipeline_pretrain_corpus": "SinglePartition covers the global-min sample target (rows = source count) and the phase-2 prefix sum over BUCKET TOTALS (rows = bucket count); per-doc windows are source-/bucket-keyed",
 }
 
 # row-at-a-time Python is banned on data paths; declared capability demos
