@@ -54,6 +54,9 @@ HEADLINE = [
     # added round 5
     "sim_ann_pq",
     "sim_ann_ivf_kmeans",
+    # added round 6
+    "sim_ann_ivfpq",
+    "pipeline_pretrain_corpus",
 ]
 
 

@@ -589,6 +589,177 @@ def q_sim_ann_pq(spark, sf_dir):
     )
 
 
+IVFPQ_SHORTLIST = 25  # ADC shortlist within the probed lists
+
+
+def q_sim_ann_ivfpq(spark, sf_dir):
+    """Combined IVF-PQ — the production ANN composite: a trained coarse
+    quantizer (kmeans_centroids, 2 Lloyd rounds, cosine) routes each
+    vector to an inverted list; PQ codes (trained per-subspace codebooks,
+    `pq_train_codebooks`) compress every vector to 8 bytes + a norm; a
+    query probes its nprobe closest lists and ADC-scores ONLY those
+    lists' candidates (M table lookups per candidate, no float dot), then
+    the shortlist is exact-rescored. Encoding quantizes the raw vector
+    (IVF-Flat layout with PQ codes; residual encoding would subtract the
+    centroid first — same plan shape, different codebook input — left
+    raw so the oracle shares the sim_ann_pq codebook chain verbatim).
+
+    100 TB shape: corpus I/O per query batch = nprobe/K of the CODES
+    table (~30x compressed), never the embeddings — the only full-width
+    vector reads are the K centroids, the query batch, and the
+    IVFPQ_SHORTLIST re-rank rows. Every stage is the already-audited
+    bounded shape: broadcast-K assignment, banded list join, positional
+    LUT scoring, keyed rank windows."""
+    from pyspark.sql import Window
+
+    emb = _with_norm(t(spark, sf_dir, "embeddings"))
+    # coarse quantizer: trained IVF centroids (same chain as sim_ann_ivf_kmeans)
+    init = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 8 + N_IVF_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ct_emb"),
+        F.col("norm").alias("ct_norm"),
+    )
+    cent = kmeans_centroids(emb, init, iters=KMEANS_ITERS)
+    assign_scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        (_dot(F.col("embedding"), F.col("ct_emb")) / (F.col("norm") * F.col("ct_norm"))).alias(
+            "cos"
+        ),
+    )
+    w_vec = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    ranked = assign_scored.withColumn("rn", F.row_number().over(w_vec))
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+    # PQ compression: trained codebooks + codes (same chain as sim_ann_pq)
+    sub = lambda col, m: F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+    subvecs = emb.select(
+        "vec_id",
+        "norm",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("sv"))
+                for m in range(PQ_M)
+            ])
+        ).alias("e"),
+    ).select("vec_id", "norm", "e.m", "e.sv")
+    seeds = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + PQ_K))
+    seed_codebook = seeds.select(
+        (F.col("vec_id") - 15).cast("int").alias("code"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("cw"))
+                for m in range(PQ_M)
+            ])
+        ).alias("e"),
+    ).select("e.m", "code", "e.cw")
+    codebook = pq_train_codebooks(
+        subvecs.filter(F.col("vec_id") % PQ_TRAIN_SAMPLE_MOD == 1).select(
+            "vec_id", "m", "sv"
+        ),
+        seed_codebook,
+        iters=PQ_TRAIN_ITERS,
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+    codes = (
+        subvecs.join(F.broadcast(codebook), "m")
+        .select("vec_id", "norm", "m", "code", _l2sq(F.col("sv"), F.col("cw")).alias("d2"))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            ).alias("codes"),
+            F.min("norm").alias("norm"),
+        )
+    )
+    lut = (
+        subvecs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(codebook), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("norm").alias("q_norm"),
+            "m",
+            "code",
+            _dot(F.col("sv"), F.col("cw")).alias("dp"),
+        )
+        .groupBy("query_id", "q_norm", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "dp"))), lambda s: s["dp"]
+            ).alias("lm")
+        )
+        .groupBy("query_id", "q_norm")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "lm"))), lambda s: s["lm"]
+            ).alias("lut")
+        )
+    )
+    # probe: candidates = vectors of the probed lists only (never the corpus)
+    cands = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+    scored = (
+        cands.join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(lut), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.aggregate(
+                    F.zip_with(F.col("codes"), F.col("lut"), lambda c, l: F.element_at(l, c)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("acos"),
+        )
+    )
+    w_s = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("cand_id"))
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w_s))
+        .filter(F.col("srank") <= IVFPQ_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    rescored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_sim_label_centroids(spark, sf_dir):
     """Per-label centroid norms + sizes — the clustering-summary aggregate
     (decimal accumulation per dimension would be 64 columns; instead this
@@ -1081,6 +1252,86 @@ ORACLES = {
     )
     SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
     FROM final WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
+    "sim_ann_ivfpq": _EMB_NORM_SQL
+    + _kmeans_cte_sql()
+    + f"""
+    , seeds AS (
+      SELECT CAST(vec_id - 15 AS INT) AS code, embedding
+      FROM embeddings WHERE vec_id >= 16 AND vec_id < {16 + PQ_K}
+    ),
+    codebook0 AS (
+      SELECT t.m, code, embedding[t.m*{PQ_SUB}+1 : t.m*{PQ_SUB}+{PQ_SUB}] AS cw
+      FROM seeds CROSS JOIN unnest(range(0, {PQ_M})) AS t(m)
+    ),
+    subvecs AS (
+      SELECT e.vec_id, e.norm, t.m, e.embedding[t.m*{PQ_SUB}+1 : t.m*{PQ_SUB}+{PQ_SUB}] AS sv
+      FROM emb e CROSS JOIN unnest(range(0, {PQ_M})) AS t(m)
+    )"""
+    + _pq_train_cte_sql()
+    + f"""
+    , assign_scored AS (
+      SELECT e.vec_id, c.cent_id,
+             {_DOT_SQL.format(a="e.embedding", b="c.ct_emb")} / (e.norm * c.ct_norm) AS cos
+      FROM emb e CROSS JOIN cent{KMEANS_ITERS} c
+    ), ranked AS (
+      SELECT vec_id, cent_id, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+      FROM assign_scored
+    ), assigned AS (
+      SELECT vec_id, cent_id FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cent_id FROM ranked
+      WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}
+    ), enc AS (
+      SELECT vec_id, norm, m, code,
+             row_number() OVER (
+               PARTITION BY vec_id, m
+               ORDER BY {_L2SQ_SQL.format(a="sv", b="cw")} ASC, code ASC) AS rn
+      FROM subvecs JOIN codebook USING (m)
+    ), codes AS (
+      SELECT vec_id, list(code ORDER BY m) AS codes, min(norm) AS norm
+      FROM enc WHERE rn = 1 GROUP BY vec_id
+    ), dtab AS (
+      SELECT s.vec_id AS query_id, s.norm AS q_norm, s.m, c.code,
+             {_DOT_SQL.format(a="s.sv", b="c.cw")} AS dp
+      FROM subvecs s JOIN codebook c USING (m)
+      WHERE s.vec_id < {N_QUERIES}
+    ), lutm AS (
+      SELECT query_id, q_norm, m, list(dp ORDER BY code) AS lm
+      FROM dtab GROUP BY query_id, q_norm, m
+    ), lut AS (
+      SELECT query_id, q_norm, list(lm ORDER BY m) AS lut
+      FROM lutm GROUP BY query_id, q_norm
+    ), cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+      FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      WHERE a.vec_id <> p.query_id
+    ), scored AS (
+      SELECT cd.query_id, cd.cand_id,
+             list_reduce(list_transform(list_zip(c.codes, l.lut), p -> p[2][p[1]]),
+                         (s, x) -> s + x) / (l.q_norm * c.norm) AS acos
+      FROM cands cd
+      JOIN codes c ON c.vec_id = cd.cand_id
+      JOIN lut l ON l.query_id = cd.query_id
+    ), shortlist AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, cand_id ASC) AS srank
+        FROM scored
+      ) WHERE srank <= {IVFPQ_SHORTLIST}
+    ), rescored AS (
+      SELECT s.query_id, s.cand_id,
+             {_DOT_SQL.format(a="q.embedding", b="x.embedding")} / (q.norm * x.norm) AS cos
+      FROM shortlist s
+      JOIN emb q ON q.vec_id = s.query_id
+      JOIN emb x ON x.vec_id = s.cand_id
+    ), final AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+      FROM rescored
+    )
+    SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
+    FROM final WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
     "sim_label_centroids": _EMB_NORM_SQL
     + """
     SELECT label, count(*) AS n_vectors,
@@ -1096,6 +1347,7 @@ QUERIES = {
     "sim_ann_ivf": q_sim_ann_ivf,
     "sim_ann_ivf_kmeans": q_sim_ann_ivf_kmeans,
     "sim_ann_pq": q_sim_ann_pq,
+    "sim_ann_ivfpq": q_sim_ann_ivfpq,
     "sim_label_centroids": q_sim_label_centroids,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }

@@ -96,7 +96,10 @@ def test_ann_recall_floors(spark):
     sf = "/root/testdata/sf0.01"
     exact = {(r["query_id"], r["cand_id"]) for r in REGISTRY["sim_topk_cosine"](spark, sf).collect()}
     recall = {}
-    for name in ("sim_ann_bucketed", "sim_ann_ivf", "sim_ann_ivf_kmeans", "sim_ann_pq"):
+    for name in (
+        "sim_ann_bucketed", "sim_ann_ivf", "sim_ann_ivf_kmeans",
+        "sim_ann_pq", "sim_ann_ivfpq",
+    ):
         approx = {(r["query_id"], r["cand_id"]) for r in REGISTRY[name](spark, sf).collect()}
         recall[name] = len(exact & approx) / len(exact)
     assert recall["sim_ann_bucketed"] >= 0.4, recall
@@ -105,6 +108,10 @@ def test_ann_recall_floors(spark):
     # training must not LOSE recall vs the identical-seed untrained IVF
     assert recall["sim_ann_ivf_kmeans"] >= recall["sim_ann_ivf"], recall
     assert recall["sim_ann_pq"] >= 0.5, recall  # above the seed-codebook ~0.44
+    # IVF-PQ is recall-bounded by its coarse quantizer's probes (~0.36 here,
+    # equal to trained IVF: the exact re-rank recovers everything ADC
+    # approximates away inside the probed lists)
+    assert recall["sim_ann_ivfpq"] >= 0.3, recall
 
 
 def test_quantized_cosine_tracks_exact(spark):

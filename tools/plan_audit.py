@@ -61,6 +61,7 @@ ALLOWED_CARTESIAN = {
     "kv_changefeed_preimage": "snapshot-cutoff scalar subquery (1-row broadcast), shared with kv_changefeed",
     "sim_ann_ivf_kmeans": "broadcast NLJ against the fixed K-centroid table per Lloyd round (K tiny), same as sim_ann_ivf",
     "sim_ann_pq": "broadcast NLJ against the 5-query ADC lookup tables (the PQ compressed scan; corpus side reads only codes+norm)",
+    "sim_ann_ivfpq": "broadcast NLJ against the fixed K-centroid table per Lloyd round (K tiny), same as sim_ann_ivf_kmeans; ADC runs as an equi-join on cand_id/query_id",
     "q22_global_sales": "TPC-H Q22 uncorrelated scalar subquery (1-row broadcast)",
     "q_time_gapfill": "dense bucket axis x event types: days*5 rows, broadcast",
     "q_source_balanced_sample": "global-min target scalar subquery (1-row broadcast)",
@@ -76,6 +77,7 @@ ALLOWED_SINGLE_PARTITION = {
     "q_time_gapfill": "SinglePartition is the global min/max bounds agg; the LOCF window itself is keyed by event_type",
     "sim_ann_ivf_kmeans": "optimizer-injected runtime bloom_filter_agg (global 1-row aggregate); every row_number window is keyed by vec_id/query_id",
     "sim_ann_pq": "optimizer-injected runtime bloom_filter_agg under the codebook-training joins (global 1-row aggregate); every window is keyed by (vec_id, m) / query_id / m",
+    "sim_ann_ivfpq": "optimizer-injected runtime bloom_filter_agg under the training joins (global 1-row aggregate); every window is keyed by vec_id / (vec_id, m) / query_id",
     "q_source_balanced_sample": "SinglePartition is the global min over per-source counts (rows = source count); the sampling window is keyed by source",
     "pipeline_pretrain_corpus": "SinglePartition covers the global-min sample target (rows = source count) and the phase-2 prefix sum over BUCKET TOTALS (rows = bucket count); per-doc windows are source-/bucket-keyed",
 }
