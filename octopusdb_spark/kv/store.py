@@ -371,17 +371,11 @@ class KVStore:
             # Empty micro-batches are common under streaming ingest: bail
             # before allocating the ranged write (staging dir + _SUCCESS +
             # stats job) — on a checkpointed frame this probe is block-local.
+            # Deliberately NO commit and NO batch-tag burn (pinned by
+            # test_empty_tagged_ingest_is_noop): an empty batch must leave
+            # the manifest untouched so a later replay of the same id that
+            # does carry rows still lands.
             if staged.isEmpty():
-                if commit_tag is not None:
-                    # still record the batch id so a replay stays a no-op
-                    new_state = ManifestState(
-                        version=state.version,
-                        next_seq=state.next_seq,
-                        segments=list(state.segments),
-                        stream_commits=dict(state.stream_commits or {}),
-                    )
-                    new_state.stream_commits[commit_tag[0]] = int(commit_tag[1])
-                    self.manifest.commit(new_state)
                 return 0
 
             data = staged.withColumn(
