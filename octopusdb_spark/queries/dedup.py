@@ -123,7 +123,10 @@ JACCARD_MAX_SHINGLE_DF = 64
 # cluster-keep all start from the identical frame, so the explode + df-cap
 # materializes once per gate run instead of once per caller. The inputs are
 # immutable parquet, so the memo never goes stale; it holds exactly one
-# checkpointed frame per sf_dir (bounded).
+# checkpointed frame per sf_dir (bounded). The value stores the OWNING
+# session and is compared by identity — a strong ref, so a stopped
+# session's id can never be recycled into a stale-frame hit; a new session
+# simply rebuilds and replaces the entry.
 _CAPPED_SHINGLES_MEMO: dict = {}
 
 
@@ -139,10 +142,9 @@ def capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a plain cache for the duration of that one materialization — df
     count and anti-join read it — then released, so nothing but the capped
     frame stays pinned in executor storage."""
-    memo_key = (id(spark), sf_dir)
-    hit = _CAPPED_SHINGLES_MEMO.get(memo_key)
-    if hit is not None:
-        return hit
+    hit = _CAPPED_SHINGLES_MEMO.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     sh = shingles(spark, sf_dir).cache()
     hot = (
         sh.groupBy("s")
@@ -152,7 +154,7 @@ def capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = sh.join(hot, "s", "left_anti").localCheckpoint(eager=True)
     sh.unpersist()
-    _CAPPED_SHINGLES_MEMO[memo_key] = capped
+    _CAPPED_SHINGLES_MEMO[sf_dir] = (spark, capped)
     return capped
 
 

@@ -406,7 +406,10 @@ def pq_train_codebooks(subvecs: DataFrame, init: DataFrame, iters: int = PQ_TRAI
 
     # The training set is a bounded sample by contract (callers pass the
     # 1-in-N id sample, never the raw corpus) — materialize it once so the
-    # source scan + subvector explode doesn't recompute every Lloyd round.
+    # source scan + subvector explode doesn't recompute every Lloyd round,
+    # and release it (plus each superseded round's codebook blocks) once
+    # the final codebook is materialized: nothing from training stays
+    # pinned in executor storage except the M*K-row result.
     subvecs = subvecs.localCheckpoint(eager=True)
     codebook = init
     for _ in range(iters):
@@ -427,6 +430,7 @@ def pq_train_codebooks(subvecs: DataFrame, init: DataFrame, iters: int = PQ_TRAI
                 ).alias("mu")
             )
         )
+        prev = codebook
         codebook = (
             means.groupBy("m", "code")
             .agg(
@@ -436,6 +440,9 @@ def pq_train_codebooks(subvecs: DataFrame, init: DataFrame, iters: int = PQ_TRAI
             )
             .localCheckpoint(eager=True)  # M*K rows; keeps the per-round plan flat
         )
+        if prev is not init:  # superseded round's blocks (never the caller's init)
+            prev.unpersist()
+    subvecs.unpersist()
     # Dense re-code: an emptied cluster leaves a gap in the code sequence,
     # but downstream ADC indexes the lookup table POSITIONALLY
     # (element_at(lut[m], code)), so surviving codes must be 1..K' dense.
