@@ -99,10 +99,14 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the `changed` count materialized new_labels' (lazy) checkpoint and
+        # was the last reader of the previous round's — release those blocks
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
             break
+    und.unpersist()  # label checkpoints no longer depend on the edge cache
     return labels.select(
         "node", F.col("lbl").alias("component"), F.lit(converged).alias("converged")
     )

@@ -466,6 +466,7 @@ def q_dedup_cluster_keep(spark, sf_dir):
     labels = (
         und.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("lbl", F.col("doc_id"))
     )
+    prev_ckpt = None
     for _ in range(3):
         neigh = (
             und.join(labels, und.doc_a == labels.doc_id)
@@ -481,7 +482,13 @@ def q_dedup_cluster_keep(spark, sf_dir):
         # materializes the (small, O(participating docs)) label frame and
         # cuts the lineage — the standard Pregel-iteration pattern; on a
         # cluster you'd use reliable checkpointing for fault tolerance.
-        labels = labels.localCheckpoint(eager=True)
+        # Superseded rounds' blocks release immediately (only the final
+        # label frame stays pinned).
+        new_ckpt = labels.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = labels = new_ckpt
+    und.unpersist()  # final labels are materialized; the pair graph is free
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

@@ -164,6 +164,7 @@ def q_graph_components(spark, sf_dir):
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    prev_ckpt = None
     for _ in range(4):
         neighbor_min = (
             und.join(labels, und.dst == labels.node)
@@ -180,6 +181,10 @@ def q_graph_components(spark, sf_dir):
             # truncate lineage each round or the plan doubles per iteration
             .localCheckpoint(eager=True)
         )
+        if prev_ckpt is not None:  # release the superseded round's blocks
+            prev_ckpt.unpersist()
+        prev_ckpt = labels
+    und.unpersist()  # final labels are materialized; the edge cache is free
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("component_size"))
@@ -225,6 +230,7 @@ def q_graph_khop(spark, sf_dir):
         .select("node", F.lit(0).alias("dist"))
     )
     frontier = dist
+    initial = dist
     for hop in range(1, 4):
         reached = (
             frontier.join(e, frontier.node == e.src)
@@ -236,8 +242,17 @@ def q_graph_khop(spark, sf_dir):
         # plan doubles per hop (~109 exchanges by hop 3 with cache() alone —
         # caches dedupe execution but not planning)
         new_nodes = reached.join(dist, "node", "left_anti").localCheckpoint(eager=True)
+        prev_dist, prev_frontier = dist, frontier
         dist = dist.unionByName(new_nodes).localCheckpoint(eager=True)
+        # both superseded frames are already baked into eager checkpoints
+        # (prev_frontier into new_nodes, prev_dist into dist) — release them
+        if prev_dist is not initial:
+            prev_dist.unpersist()
+        if prev_frontier is not initial and prev_frontier is not prev_dist:
+            prev_frontier.unpersist()
         frontier = new_nodes
+    frontier.unpersist()  # last frontier is subsumed by the final dist
+    e.unpersist()
     return dist.orderBy("node")
 
 

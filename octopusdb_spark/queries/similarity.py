@@ -268,6 +268,7 @@ def kmeans_centroids(emb: DataFrame, init: DataFrame, iters: int = KMEANS_ITERS)
                 ).alias("m")
             )
         )
+        prev = cent
         cent = (
             means.groupBy("cent_id")
             .agg(
@@ -278,6 +279,8 @@ def kmeans_centroids(emb: DataFrame, init: DataFrame, iters: int = KMEANS_ITERS)
             .withColumn("ct_norm", F.sqrt(_dot(F.col("ct_emb"), F.col("ct_emb"))))
             .localCheckpoint(eager=True)  # K rows; keeps the per-round plan flat
         )
+        if prev is not init:  # release the superseded round's blocks
+            prev.unpersist()
     return cent
 
 
