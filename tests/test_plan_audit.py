@@ -30,3 +30,29 @@ def test_headline_plans_clean(spark):
         if findings:
             flagged[name] = findings
     assert not flagged, f"plan anti-patterns: {flagged}"
+
+
+def test_forced_hint_sweep_flags_sf_scaled_bases(tmp_path):
+    """The source-level forced-hint audit: a hint on an SF-scaled relation
+    (customer) is flagged; hints on allow-listed fixed-size bases
+    (nation, a 1-row scalar) pass. The live package must sweep clean."""
+    import os
+
+    from tools.plan_audit import audit_forced_hints
+
+    pkg = tmp_path / "fakepkg"
+    pkg.mkdir()
+    (pkg / "bad.py").write_text(
+        "df = fact.join(F.broadcast(cust), fact.k == cust.k)\n"
+        "ok = fact.join(F.broadcast(nation), fact.n == nation.n)\n"
+        "ok2 = fact.crossJoin(F.broadcast(total))\n"
+    )
+    flagged = audit_forced_hints(str(pkg))
+    assert list(flagged) == ["fakepkg/bad.py"]
+    assert [f["base"] for f in flagged["fakepkg/bad.py"]] == ["cust"]
+
+    repo_pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "octopusdb_spark",
+    )
+    assert audit_forced_hints(repo_pkg) == {}
