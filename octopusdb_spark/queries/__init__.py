@@ -51,8 +51,9 @@ for _m in _MODULES:
 _PRIORITY = [
     # NEW this round (inserted at head per protocol, displacing the last
     # fill entries q6_forecast_revenue / q4_order_priority /
-    # kv_merge_sorted_runs)
+    # kv_merge_sorted_runs / kv_ttl_classes)
     "kv_stream_ingest", "pipeline_pretrain_corpus", "sim_ann_ivfpq",
+    "kv_stream_enrich",
     # never driver-checked (added after the round-5 window froze)
     "dedup_exact_normalized", "q_source_balanced_sample",
     "quality_filter_reasons",
@@ -76,7 +77,6 @@ _PRIORITY = [
     "q11_volume_share_shape",
     # round-4-stale fill (KV scan family + remaining TPC-H)
     "kv_prefix_scan", "kv_range_seek", "kv_tombstoned_keys",
-    "kv_ttl_classes",
 ]
 
 

@@ -319,7 +319,82 @@ def q_kv_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_kv_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static KV enrichment run FOR REAL — the dimension-lookup
+    pattern (`streaming/joins.py::enrich_stream_with_kv`): user profiles
+    land in a KV store (user ids 0..99, deleted when id % 10 == 0), then
+    the events table rides a file stream and every event picks up the
+    store's live value for its user — tombstoned/absent keys enrich to
+    NULL, exactly like a left lookup against the reference's Get path
+    (`kv/db.go:89-130`) per event. The checked output aggregates per
+    enrichment status so the result is independent of stream batching."""
+    from octopusdb_spark.kv.store import Entry, KVStore
+    from octopusdb_spark.streaming.joins import enrich_stream_with_kv
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_enrich_{run_id}_")
+    try:
+        store = KVStore(spark, f"{base}/kv", key_type="string")
+        store.set_batch(
+            [Entry(str(u), f"profile-{u}".encode()) for u in range(100)]
+        )
+        for u in range(0, 100, 10):
+            store.delete(str(u))
+        src = f"{base}/src"
+        ev.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("event_id long, user_id long").parquet(src)
+        keyed = stream.withColumn("key", F.col("user_id").cast("string"))
+        enriched = enrich_stream_with_kv(keyed, store, key_col="key", now=NOW)
+        name = f"stream_enrich_{run_id}"
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_bounded(q)
+        out = (
+            spark.table(name)
+            .select(
+                "user_id",
+                F.col("kv_value").isNotNull().alias("enriched"),
+                F.length(F.col("kv_value").cast("string")).alias("value_chars"),
+            )
+            .groupBy("enriched")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.coalesce("value_chars", F.lit(0))).alias("total_chars"),
+            )
+            .orderBy("enriched")
+        )
+        result = spark.createDataFrame(
+            out.collect(),
+            "enriched boolean, n_events long, n_users long, total_chars long",
+        )
+        spark.catalog.dropTempView(name)
+        return result
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 ORACLES = {
+    "kv_stream_enrich": """
+        WITH prof AS (
+          SELECT u AS user_id, length('profile-' || CAST(u AS VARCHAR)) AS value_chars
+          FROM unnest(range(0, 100)) AS t(u)
+          WHERE u % 10 != 0
+        ), e AS (
+          SELECT ev.user_id, p.value_chars
+          FROM events ev LEFT JOIN prof p ON ev.user_id = p.user_id
+        )
+        SELECT value_chars IS NOT NULL AS enriched,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(coalesce(value_chars, 0)) AS BIGINT) AS total_chars
+        FROM e GROUP BY 1 ORDER BY enriched""",
     "kv_stream_ingest": """
         SELECT CAST(doc_id AS VARCHAR) AS key,
                CAST(length(text) AS INT) AS value_chars
@@ -361,6 +436,7 @@ ORACLES = {
 
 QUERIES = {
     "kv_stream_ingest": q_kv_stream_ingest,
+    "kv_stream_enrich": q_kv_stream_enrich,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_rollup": q_stream_rollup,
