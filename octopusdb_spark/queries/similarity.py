@@ -674,9 +674,25 @@ def q_sim_ann_ivfpq(spark, sf_dir):
         seed_codebook,
         iters=PQ_TRAIN_ITERS,
     )
+    # probe: candidates = vectors of the probed lists only (never the corpus)
+    cands = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+    # One-shot query: only the probed lists' vectors are ever ADC-scored,
+    # so only THEY are encoded (semi-join before the encode window) —
+    # nprobe/K of the corpus. A build-once index pre-encodes everything
+    # instead (`functions/ann_index.py::build_pq`); same codes either way.
+    cand_subvecs = subvecs.join(
+        cands.select(F.col("cand_id").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_semi",
+    )
     w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
     codes = (
-        subvecs.join(F.broadcast(codebook), "m")
+        cand_subvecs.join(F.broadcast(codebook), "m")
         .select("vec_id", "norm", "m", "code", _l2sq(F.col("sv"), F.col("cw")).alias("d2"))
         .withColumn("rn", F.row_number().over(w_enc))
         .filter(F.col("rn") == 1)
@@ -710,13 +726,6 @@ def q_sim_ann_ivfpq(spark, sf_dir):
                 F.array_sort(F.collect_list(F.struct("m", "lm"))), lambda s: s["lm"]
             ).alias("lut")
         )
-    )
-    # probe: candidates = vectors of the probed lists only (never the corpus)
-    cands = (
-        probes.join(assigned, "cent_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("cand_id"))
-        .distinct()
     )
     scored = (
         cands.join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
@@ -1292,12 +1301,17 @@ ORACLES = {
     ), probes AS (
       SELECT vec_id AS query_id, cent_id FROM ranked
       WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}
+    ), cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+      FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      WHERE a.vec_id <> p.query_id
     ), enc AS (
       SELECT vec_id, norm, m, code,
              row_number() OVER (
                PARTITION BY vec_id, m
                ORDER BY {_L2SQ_SQL.format(a="sv", b="cw")} ASC, code ASC) AS rn
       FROM subvecs JOIN codebook USING (m)
+      WHERE vec_id IN (SELECT cand_id FROM cands)
     ), codes AS (
       SELECT vec_id, list(code ORDER BY m) AS codes, min(norm) AS norm
       FROM enc WHERE rn = 1 GROUP BY vec_id
@@ -1312,10 +1326,6 @@ ORACLES = {
     ), lut AS (
       SELECT query_id, q_norm, list(lm ORDER BY m) AS lut
       FROM lutm GROUP BY query_id, q_norm
-    ), cands AS (
-      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
-      FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
-      WHERE a.vec_id <> p.query_id
     ), scored AS (
       SELECT cd.query_id, cd.cand_id,
              list_reduce(list_transform(list_zip(c.codes, l.lut), p -> p[2][p[1]]),
