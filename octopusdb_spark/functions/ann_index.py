@@ -228,13 +228,18 @@ def build_pq(
         sub_dim,
         "cw",
     ).select("m", "code", "cw")
-    codebook = pq_train_codebooks(
-        subvecs.filter(F.col("vec_id") % train_sample_mod == 1).select(
-            "vec_id", "m", "sv"
-        ),
-        seed_codebook,
-        iters=train_iters,
+    sample = subvecs.filter(F.col("vec_id") % train_sample_mod == 1).select(
+        "vec_id", "m", "sv"
     )
+    # An id space with no id ≡ 1 (mod N) would train on nothing and write
+    # an empty codebook that query_pq can only crash on — fail fast with
+    # the fix in hand instead.
+    if sample.isEmpty():
+        raise ValueError(
+            f"PQ training sample is empty (no {id_col} % {train_sample_mod} == 1 "
+            "in the corpus); choose a different train_sample_mod"
+        )
+    codebook = pq_train_codebooks(sample, seed_codebook, iters=train_iters)
     codebook.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
     cb = emb.sparkSession.read.parquet(f"{index_dir}/codebooks")
     w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
@@ -275,8 +280,11 @@ def query_pq(
     corpus I/O = shortlist rows, not the scan); otherwise ADC-ranked
     results are returned directly with the approximate cosine."""
     cb = spark.read.parquet(f"{index_dir}/codebooks")
-    n_sub = cb.agg(F.countDistinct("m")).collect()[0][0]
-    sub_dim = cb.select(F.size("cw").alias("d")).limit(1).collect()[0]["d"]
+    # one metadata job for both scalars (the codebook is M*K tiny rows)
+    meta = cb.agg(
+        F.countDistinct("m").alias("n_sub"), F.max(F.size("cw")).alias("sub_dim")
+    ).collect()[0]
+    n_sub, sub_dim = meta["n_sub"], meta["sub_dim"]
     q = _with_norm(
         queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("embedding"))
     )

@@ -751,9 +751,11 @@ class KVStore:
         this manifest version; any write invalidates it."""
         if getattr(self, "_cached_view", None) is not None:
             self.uncache_view()
+        now = int(time.time()) if now is None else int(now)
         df = self.view(now=now).cache()
         self._cached_view = df
         self._cached_version = self.manifest.state.version
+        self._cached_now = now  # TTL evaluation time baked into the cache
         return df
 
     def cached_view(self) -> DataFrame | None:
@@ -770,6 +772,7 @@ class KVStore:
             self._cached_view.unpersist()
             self._cached_view = None
             self._cached_version = None
+            self._cached_now = None
 
     def pin(self, now: int | None = None):
         """Pinned-read session: inside ``with store.pin(now=...):``, every
@@ -782,32 +785,49 @@ class KVStore:
         invalidates it via the existing manifest-version check, so the
         next read transparently rebuilds against the new version. Reads
         that pass ``as_of`` or a different ``now`` bypass the pin (they
-        ask for a different snapshot/time). The pin is released — and the
-        cache dropped — on exit."""
+        ask for a different snapshot/time). Sessions nest: an inner pin
+        restores the outer pin's state on exit, and a cache the outer pin
+        (or the user, via ``cache_view``) built before entry survives —
+        only the cache this session itself built is dropped."""
         store = self
 
         class _PinnedSession:
             def __enter__(self):
+                self._saved = (
+                    getattr(store, "_pinned", False),
+                    getattr(store, "_pinned_now", None),
+                )
+                self._pre_cache = store.cached_view()
                 store._pinned_now = int(time.time()) if now is None else int(now)
                 store._pinned = True
                 return store
 
             def __exit__(self, *exc):
-                store._pinned = False
-                store._pinned_now = None
-                store.uncache_view()
+                outer_pinned, outer_now = self._saved
+                cur = store.cached_view()
+                keep = cur is not None and (
+                    cur is self._pre_cache
+                    or (outer_pinned and store._cached_now == outer_now)
+                )
+                if not keep:
+                    store.uncache_view()
+                store._pinned, store._pinned_now = outer_pinned, outer_now
                 return False
 
         return _PinnedSession()
 
     def _pinned_view(self, now: int | None, as_of: int | None) -> DataFrame | None:
         """The shared pinned view when this read can use it: pin active, no
-        as_of override, and the read's TTL time matches the pin's."""
+        as_of override, and the read's TTL time matches the pin's. A cached
+        view built at a DIFFERENT ``now`` (e.g. by an earlier cache_view or
+        an inner pin) is rebuilt, never served with the wrong TTL time."""
         if not getattr(self, "_pinned", False) or as_of is not None:
             return None
         if now is not None and now != self._pinned_now:
             return None
         df = self.cached_view()
+        if df is not None and self._cached_now != self._pinned_now:
+            df = None  # wrong TTL time baked in — rebuild below
         if df is None:
             df = self.cache_view(now=self._pinned_now)
         return df

@@ -455,6 +455,37 @@ def pq_train_codebooks(subvecs: DataFrame, init: DataFrame, iters: int = PQ_TRAI
     return codebook.withColumn("code", F.row_number().over(w_dense))
 
 
+def pq_seed_and_subvecs(emb: DataFrame):
+    """Shared PQ prep for the ad-hoc ANN queries: the exploded
+    (vec_id, norm, m, sv) subvector frame and the deterministic seed
+    codebook (m, code, cw) — codes 1..K from the subvectors of vec_id
+    16..16+K. One definition keeps q_sim_ann_pq / q_sim_ann_ivfpq and
+    their oracle CTE chains in lockstep (the index-build analog is
+    `functions/ann_index.py::_subspaces`)."""
+    sub = lambda col, m: F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+    subvecs = emb.select(
+        "vec_id",
+        "norm",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("sv"))
+                for m in range(PQ_M)
+            ])
+        ).alias("e"),
+    ).select("vec_id", "norm", "e.m", "e.sv")
+    seeds = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + PQ_K))
+    seed_codebook = seeds.select(
+        (F.col("vec_id") - 15).cast("int").alias("code"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("cw"))
+                for m in range(PQ_M)
+            ])
+        ).alias("e"),
+    ).select("e.m", "code", "e.cw")
+    return subvecs, seed_codebook
+
+
 def q_sim_ann_pq(spark, sf_dir):
     """Product-quantization ANN (ADC scoring): each vector is encoded as
     PQ_M one-byte codes (nearest codeword per 8-dim subspace, L2) plus its
@@ -474,29 +505,8 @@ def q_sim_ann_pq(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = _with_norm(t(spark, sf_dir, "embeddings"))
-    sub = lambda col, m: F.slice(col, m * PQ_SUB + 1, PQ_SUB)
-    subvecs = emb.select(
-        "vec_id",
-        "norm",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("sv"))
-                for m in range(PQ_M)
-            ])
-        ).alias("e"),
-    ).select("vec_id", "norm", "e.m", "e.sv")
-    # seed codebooks: (m, code, cw) — code 1..K from seed vectors 16..31,
-    # then refined per-subspace (L2 Lloyd, decimal-exact means)
-    seeds = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + PQ_K))
-    seed_codebook = seeds.select(
-        (F.col("vec_id") - 15).cast("int").alias("code"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("cw"))
-                for m in range(PQ_M)
-            ])
-        ).alias("e"),
-    ).select("e.m", "code", "e.cw")
+    # seed codebooks refined per-subspace (L2 Lloyd, decimal-exact means)
+    subvecs, seed_codebook = pq_seed_and_subvecs(emb)
     codebook = pq_train_codebooks(
         subvecs.filter(F.col("vec_id") % PQ_TRAIN_SAMPLE_MOD == 1).select(
             "vec_id", "m", "sv"
@@ -646,27 +656,7 @@ def q_sim_ann_ivfpq(spark, sf_dir):
         (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
     ).select(F.col("vec_id").alias("query_id"), "cent_id")
     # PQ compression: trained codebooks + codes (same chain as sim_ann_pq)
-    sub = lambda col, m: F.slice(col, m * PQ_SUB + 1, PQ_SUB)
-    subvecs = emb.select(
-        "vec_id",
-        "norm",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("sv"))
-                for m in range(PQ_M)
-            ])
-        ).alias("e"),
-    ).select("vec_id", "norm", "e.m", "e.sv")
-    seeds = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + PQ_K))
-    seed_codebook = seeds.select(
-        (F.col("vec_id") - 15).cast("int").alias("code"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("cw"))
-                for m in range(PQ_M)
-            ])
-        ).alias("e"),
-    ).select("e.m", "code", "e.cw")
+    subvecs, seed_codebook = pq_seed_and_subvecs(emb)
     codebook = pq_train_codebooks(
         subvecs.filter(F.col("vec_id") % PQ_TRAIN_SAMPLE_MOD == 1).select(
             "vec_id", "m", "sv"

@@ -339,8 +339,9 @@ def q_kv_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.set_batch(
             [Entry(str(u), f"profile-{u}".encode()) for u in range(100)]
         )
-        for u in range(0, 100, 10):
-            store.delete(str(u))
+        # one tombstone batch (one commit, one L0 segment) — not a per-key
+        # delete() loop, which would leave 10 one-row segments in the view
+        store.set_batch([Entry(str(u), None) for u in range(0, 100, 10)])
         src = f"{base}/src"
         ev.coalesce(1).write.parquet(src)
         stream = spark.readStream.schema("event_id long, user_id long").parquet(src)

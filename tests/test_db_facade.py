@@ -227,3 +227,22 @@ def test_pinned_reads_reuse_cached_view(db):
         assert db.get("a", now=NOW, as_of=snap) == b"1"
         store.view = orig_view
     assert store.cached_view() is None  # released on exit
+
+
+def test_pin_sessions_nest_and_respect_ttl_time(db):
+    """Nested pins restore the outer session's state, an inner pin at a
+    different TTL time never serves the outer cache, and a pre-existing
+    same-now cache is reused rather than rebuilt."""
+    db.set_batch([Entry("a", b"1")])
+    store = db.kv
+    pre = store.cache_view(now=NOW)
+    with db.pin(now=NOW):
+        assert db.get("a", now=NOW) == b"1"
+        assert store.cached_view() is pre  # same now: reused, not rebuilt
+        with db.pin(now=NOW + 5):
+            assert db.get("a", now=NOW + 5) == b"1"
+            assert store.cached_view() is not pre  # rebuilt at the inner now
+        # outer pin restored and functional after the inner exit
+        assert store._pinned and store._pinned_now == NOW
+        assert db.get("a", now=NOW) == b"1"
+    assert not store._pinned  # fully released

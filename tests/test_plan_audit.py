@@ -46,10 +46,17 @@ def test_forced_hint_sweep_flags_sf_scaled_bases(tmp_path):
         "df = fact.join(F.broadcast(cust), fact.k == cust.k)\n"
         "ok = fact.join(F.broadcast(nation), fact.n == nation.n)\n"
         "ok2 = fact.crossJoin(F.broadcast(total))\n"
+        # multi-line call (the regex-era blind spot) and a chained base
+        "df2 = fact.join(F.broadcast(\n"
+        "    supplier.filter(x)\n"
+        "), fact.k == supplier.k)\n"
+        # comments/docstrings must NOT false-positive
+        "# removed: F.broadcast(part) was a forced hint\n"
+        '"""docs mention F.broadcast(orders) without meaning it"""\n'
     )
     flagged = audit_forced_hints(str(pkg))
     assert list(flagged) == ["fakepkg/bad.py"]
-    assert [f["base"] for f in flagged["fakepkg/bad.py"]] == ["cust"]
+    assert [f["base"] for f in flagged["fakepkg/bad.py"]] == ["cust", "supplier"]
 
     repo_pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -130,11 +130,33 @@ HINT_ALLOWED_BASES = {
                  "< BROADCAST_MAX_BYTES",
 }
 
-_HINT_RE = re.compile(r"F\.broadcast\(\s*(?:F\.)?([A-Za-z_][A-Za-z0-9_]*)")
+def _hint_base_name(expr) -> str | None:
+    """The base identifier of a broadcast argument: F.broadcast(cust) ->
+    'cust', F.broadcast(part.filter(...).select(...)) -> 'part'."""
+    import ast
+
+    while True:
+        if isinstance(expr, ast.Name):
+            return expr.id
+        if isinstance(expr, ast.Call):
+            expr = expr.func
+        elif isinstance(expr, ast.Attribute):
+            expr = expr.value
+        else:
+            return None
 
 
 def audit_forced_hints(pkg_root: str) -> dict:
-    """Scan package sources for F.broadcast hints on non-allow-listed bases."""
+    """Scan package sources for F.broadcast hints on non-allow-listed bases.
+
+    AST-based, not regex: multi-line calls (``F.broadcast(\\n  cust\\n)``)
+    are caught and comments/docstrings cannot false-positive. Known
+    limitation, accepted as a tripwire-not-proof: the allow-list matches
+    bare variable names package-wide, so binding an SF-scaled frame to an
+    allow-listed name (e.g. ``q = lineitem``) would slip through — review
+    owns naming discipline; this gate owns the mechanical cases."""
+    import ast
+
     flagged = {}
     for dirpath, _dirs, files in os.walk(pkg_root):
         if "__pycache__" in dirpath:
@@ -144,18 +166,25 @@ def audit_forced_hints(pkg_root: str) -> dict:
                 continue
             path = os.path.join(dirpath, fname)
             with open(path, encoding="utf-8") as fh:
-                for lineno, line in enumerate(fh, 1):
-                    m = _HINT_RE.search(line)
-                    if not m:
-                        continue
-                    base = m.group(1)
-                    if base not in HINT_ALLOWED_BASES:
-                        rel = os.path.relpath(path, os.path.dirname(pkg_root))
-                        flagged.setdefault(rel, []).append(
-                            {"line": lineno, "base": base,
-                             "detail": "forced broadcast hint on relation not in "
-                                       "the fixed-size allow-list"}
-                        )
+                tree = ast.parse(fh.read(), filename=path)
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "F"
+                    and node.args
+                ):
+                    continue
+                base = _hint_base_name(node.args[0])
+                if base is None or base not in HINT_ALLOWED_BASES:
+                    rel = os.path.relpath(path, os.path.dirname(pkg_root))
+                    flagged.setdefault(rel, []).append(
+                        {"line": node.lineno, "base": base or "<expr>",
+                         "detail": "forced broadcast hint on relation not in "
+                                   "the fixed-size allow-list"}
+                    )
     return flagged
 
 
