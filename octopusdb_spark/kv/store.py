@@ -389,7 +389,6 @@ class KVStore:
                 data,
                 level=0,
                 target_segments=target_segments,
-                created_seq=seq0,
                 extra_stats={
                     "vcnt": F.count("value_ptr"),
                     "vbytes": F.sum(ptr_len),
@@ -515,17 +514,16 @@ class KVStore:
         if hist is not None and segs is None:
             segs = hist.data_segments()
         if as_of is not None and segs is None:
-            # created_seq is a true lower bound on a segment's row seqs
-            # (compaction carries the MIN of its sources), so a segment
-            # created wholly after the snapshot holds nothing visible —
+            # created_seq is a true lower bound on a segment's row seqs —
+            # every exact-stats segment (max_seq stamped) is stamped with
+            # its exact per-segment min(seq) at write time, including
+            # compaction outputs that merged legacy inputs — so a segment
+            # created wholly after the snapshot holds nothing visible and
             # the as-of read scans O(pre-snapshot segments), not the store.
-            # That MIN-carry invariant only holds for segments written with
-            # the exact-stats format (max_seq stamped): legacy compaction
-            # outputs stamped created_seq = next_seq at compaction time (an
-            # UPPER bound), so pruning them on created_seq would silently
-            # drop pre-snapshot keys. Legacy segments (max_seq is None) are
-            # conservatively scanned — the row-level seq filter below keeps
-            # correctness; only the pruning degrades.
+            # Legacy segments themselves (max_seq is None) carry a
+            # historical UPPER-bound stamp and are conservatively scanned —
+            # the row-level seq filter below keeps correctness; only the
+            # pruning degrades.
             segs = [
                 s
                 for s in self.manifest.state.data_segments()
@@ -872,7 +870,6 @@ class KVStore:
         df: DataFrame,
         level: int,
         target_segments: int,
-        created_seq: int | None = None,
         extra_stats: dict | None = None,
         epoch_cut: int | None = None,
     ) -> list:
@@ -882,15 +879,22 @@ class KVStore:
         buckets; dynamic partition write fans the buckets out in the same
         job; a final per-bucket agg records manifest stats.
 
-        ``created_seq``: manifest stamp meaning "this segment holds only
-        rows with seq >= created_seq". Compaction passes the MIN of its
-        sources so the changefeed's segment pruning stays tight after
-        merges; defaults to the current next_seq (fresh-ingest semantics).
+        ``created_seq`` (manifest stamp meaning "this segment holds only
+        rows with seq >= created_seq") is computed EXACTLY per output
+        segment: the same readback stats job that records max_seq also
+        records min(seq), and that exact minimum is the stamp. Carrying a
+        min of the participants' stamps instead (the pre-round-7 scheme)
+        was unsound for legacy inputs: a legacy segment (max_seq=None)
+        carries an UPPER-bound created_seq, and once compaction stamped
+        the merged output with an exact max_seq, ``view()``'s as_of gate
+        trusted that false lower bound and could prune pre-snapshot keys
+        (ADVICE r6). The exact min is both always true and the tightest
+        possible bound, so as-of pruning only improves.
 
         ``epoch_cut``: additionally split the output by seq epoch — rows
-        with seq <= cut land in epoch-0 segments (stamped ``created_seq``,
-        max_seq <= cut by construction), rows with seq > cut in epoch-1
-        segments (stamped created_seq = cut + 1, a true lower bound).
+        with seq <= cut land in epoch-0 segments (max_seq <= cut by
+        construction), rows with seq > cut in epoch-1 segments (exact
+        min(seq) >= cut + 1 by construction).
         Same single shuffle and write job — the epoch is just one more
         dynamic partition column — but ``changes_since(snap >= cut)``
         prunes the entire epoch-0 (base) output and rescans only the
@@ -940,11 +944,11 @@ class KVStore:
                 F.count("*").alias("cnt"),
                 F.sum(F.coalesce(F.length("value"), F.lit(0))).alias("bytes"),
                 F.max("seq").alias("_mxseq"),  # exact per-segment seq bound
+                F.min("seq").alias("_mnseq"),  # exact lower bound -> created_seq
                 *[c.alias(nm) for nm, c in (extra_stats or {}).items()],
             )
             .collect()
         )
-        stamp = created_seq if created_seq is not None else self.manifest.state.next_seq
         segs = []
 
         def _sort_key(r):
@@ -956,11 +960,13 @@ class KVStore:
                 e = r["_epoch"]
                 seg_id = f"{staging_id}-e{e}-b{r['_bucket']}"
                 path = f"{staging}/_epoch={e}/_bucket={r['_bucket']}"
-                seg_created = stamp if e == 0 else int(epoch_cut) + 1
             else:
                 seg_id = f"{staging_id}-b{r['_bucket']}"
                 path = f"{staging}/_bucket={r['_bucket']}"
-                seg_created = stamp
+            # exact per-bucket min(seq): the tightest TRUE lower bound —
+            # never the carried participant stamp, which is unsound for
+            # legacy (max_seq=None) inputs (ADVICE r6)
+            seg_created = int(r["_mnseq"]) if r["_mnseq"] is not None else 0
             segs.append(
                 SegmentInfo(
                     segment_id=seg_id,
@@ -1099,13 +1105,13 @@ class KVStore:
             src_rows = sum(s.row_count for s in src)
             if src_newer and dst_rows >= self.EPOCH_SPLIT_RATIO * max(src_rows, 1):
                 cut = base_max
-        # MIN source created_seq keeps the changefeed's created_seq >= snap
-        # segment pruning tight after merges (rows' seqs are preserved)
+        # created_seq on each output is the exact per-segment min(seq)
+        # (stamped inside _write_ranged_segments), so as-of pruning stays
+        # both tight and sound across merges of legacy segments
         new_segs = self._write_ranged_segments(
             merged,
             dst_level,
             target_segments,
-            created_seq=min(s.created_seq for s in participants),
             epoch_cut=cut,
         )
         drops = self._dropped_ptr_bytes(participants, new_segs)
@@ -1190,7 +1196,6 @@ class KVStore:
             merged,
             self.MAX_LEVEL,
             target_segments,
-            created_seq=min(s.created_seq for s in old),
         )
         drops = self._dropped_ptr_bytes(old, new_segs)
         kept = [s for s in state.segments if s.kind != "data"]
@@ -1300,7 +1305,6 @@ class KVStore:
             merged,
             self.MAX_LEVEL,
             target_segments,
-            created_seq=min(s.created_seq for s in participants),
         )
         drops = self._dropped_ptr_bytes(participants, new_segs)
         part_ids = {s.segment_id for s in participants}

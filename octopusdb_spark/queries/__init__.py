@@ -39,49 +39,41 @@ for _m in _MODULES:
     ORACLE_SQL.update(getattr(mod, "ORACLES", {}))
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order. Round-6 rotation: (a) the three round-5 additions that
-# landed after the round-5 window froze and so have ZERO lifetime driver
-# rows, (b) everything whose last driver row is round 3, (c) every query
-# whose code path changed this round (TPC-H forced-hint removal, the
-# kv_value_separation payload-hint removal, the as_of prune gate, the
-# shared capped-shingle frame, trained PQ codebooks), (d) fill from the
-# round-4-stale remainder. PROTOCOL: a query added to the registry after
-# this list is frozen must be inserted at the HEAD at that moment
-# (displacing the last fill entry), not next round.
+# insertion order. Round-7 rotation (VERDICT r6 "Next round #1"): lead
+# with the 38 queries whose most recent driver row is round 4 (two rounds
+# stale — the only coverage gap left), then fill with every code path
+# round 7 touches (durable pre-images, memoized ANN training, residual
+# IVF-PQ, streaming TTL, the created_seq compaction fix, pinned reads).
+# PROTOCOL: a query added to the registry after this list is frozen must
+# be inserted at the HEAD at that moment (displacing the last fill
+# entry), not next round.
 _PRIORITY = [
-    # NEW this round (inserted at head per protocol, displacing the last
-    # fill entries q6_forecast_revenue / q4_order_priority /
-    # kv_merge_sorted_runs / kv_ttl_classes)
-    "kv_stream_ingest", "pipeline_pretrain_corpus", "sim_ann_ivfpq",
-    "kv_stream_enrich",
-    # never driver-checked (added after the round-5 window froze)
-    "dedup_exact_normalized", "q_source_balanced_sample",
-    "quality_filter_reasons",
-    # stale since round 3
-    "q13_custdist", "q15_top_supplier", "q21_waiting_shape",
-    "q_approx_distinct", "q_rollup_merge", "q_pandas_udaf_trimmed_mean",
-    "q_window_family", "q_weighted_sample", "q_array_hof",
-    "q_range_join_bucketed", "q_skew_salted_join", "q_hash_sampled_stats",
-    "q_stratified_sample", "graph_mutual_follows", "graph_two_hop",
-    "graph_triangles", "graph_components", "text_token_count",
-    "text_langid", "text_quality", "text_fingerprint",
-    "text_source_profile", "text_tfidf_keywords", "quality_pattern_scan",
-    # code paths touched this round
-    "kv_value_separation",    # forced payload broadcast removed
-    "kv_version_history",     # as_of prune gated on the max_seq marker
-    "kv_changefeed",          # epoch-split compaction changes its pruning
-    "kv_changefeed_preimage",
-    "sim_ann_pq",             # trained per-subspace codebooks
-    "sim_ann_ivf_kmeans",     # kmeans_centroids now releases round blocks
-    "dedup_ngram_jaccard",    # shared capped-shingle memo
-    "dedup_containment", "dedup_cluster_keep",
-    "graph_khop",             # frontier/dist block release
-    # forced-hint removal representatives (all 15 share the one-line change
-    # class; the judge's full oracle sweep covers the rest)
-    "q3_shipping_priority", "q5_local_supplier_volume", "q18_large_volume",
-    "q10_returned_items", "q8_market_share", "q9_profit_shape",
-    "q11_volume_share_shape", "q16_supplier_cnt_shape",
-    "q20_excess_shipping_shape",
+    # stale since round 4 (the full list from VERDICT r6 What's-missing #1)
+    "kv_prefix_scan", "kv_range_seek", "kv_tombstoned_keys",
+    "kv_ttl_classes", "kv_merge_sorted_runs", "q_event_time_windows",
+    "q_funnel", "q_mode_event_type", "q_moving_avg", "q_cohort_retention",
+    "q1_pricing_summary", "q_top_customers_per_nation", "q_rollup_acctbal",
+    "q_set_ops", "q_scalar_functions", "q_running_totals", "q_sessionize",
+    "q_session_window", "q_avg_order_gap", "q12_ship_lag_shape",
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q14_promo_effect", "q17_small_quantity", "q19_discounted_revenue",
+    "q22_global_sales", "q_asof_join", "q_cube_orders", "q_grouping_sets",
+    "q_approx_percentile", "q_time_rollup", "q_time_gapfill", "q_semi_join",
+    "q_token_budget_packing", "text_repetition", "text_ngram_topk",
+    "sim_quantized_cosine",
+    # code paths touched round 7
+    "kv_changefeed_preimage",  # durable pre-images across compaction
+    "kv_changefeed",           # same changes_since path
+    "kv_version_history",      # created_seq compaction stamp fix (ADVICE r6)
+    "kv_latest_live",          # compaction output stamping
+    "kv_point_lookup",         # pin()/get path changes
+    "kv_stream_ingest",        # TTL rides the streaming write path
+    "sim_ann_ivfpq",           # residual encoding
+    "sim_ann_pq",              # memoized trained codebooks
+    "sim_ann_ivf_kmeans",      # memoized trained centroids
+    "kv_gc_discard_stats",     # GC after created_seq stamp change
+    "kv_value_separation",     # ingest path shared with TTL change
+    "kv_binary_key_scan",      # scan over restamped segments
 ]
 
 

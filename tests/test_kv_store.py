@@ -305,6 +305,38 @@ def test_as_of_scans_legacy_segments_conservatively(store):
     assert got is not None and got.value == b"b1"
 
 
+def test_compacting_legacy_segments_restamps_created_seq_exactly(store):
+    """ADVICE r6 (medium): compacting LEGACY segments (max_seq=None,
+    UPPER-bound created_seq stamp) must not launder the false stamp into
+    an exact-stats output — the as_of gate trusts created_seq once max_seq
+    is set. The fix stamps compaction outputs with their exact per-segment
+    min(seq), so an as-of read after compacting a legacy store still sees
+    every pre-snapshot key AND still prunes (no conservative full scan)."""
+    store.set_batch([Entry("a", b"v1"), Entry("b", b"b1")])
+    snap = store.snapshot_seq()
+    store.set_batch([Entry("a", b"v2")])
+    # Make every current segment legacy: no exact-stats marker, created_seq
+    # stamped at next_seq (an upper bound > every contained row seq).
+    legacy_stamp = store.manifest.state.next_seq
+    for s in store.manifest.state.data_segments():
+        s.max_seq = None
+        s.created_seq = legacy_stamp
+    store.compact(now=NOW)  # new code merges the legacy inputs
+    segs = store.manifest.state.data_segments()
+    # outputs are exact-stats and their created_seq is a TRUE lower bound
+    for s in segs:
+        assert s.max_seq is not None
+        assert s.created_seq <= s.max_seq
+    # min-carry of the legacy stamps would have been > snap: an as-of read
+    # would then prune ALL segments and silently drop pre-snapshot keys
+    assert min(s.created_seq for s in segs) <= snap < legacy_stamp
+    got = store.get("b", now=NOW, as_of=snap)
+    assert got is not None and got.value == b"b1"
+    # (key `a` is legitimately gone at as_of: full compact keeps only its
+    # newest version — snapshot depth is bounded by maintenance, as
+    # documented in view().)
+
+
 def test_ingest_df_bulk_load(store, spark):
     from pyspark.sql import functions as F
 
