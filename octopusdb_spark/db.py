@@ -105,8 +105,16 @@ class OctopusDB:
 
     def snapshot(self) -> int:
         """Current snapshot sequence — pass as ``as_of`` for repeatable
-        point-in-time reads (versioned-key semantics, `kv/utils/key.go:32-37`)."""
+        point-in-time reads (versioned-key semantics, `kv/utils/key.go:32-37`).
+        For pre-images that survive compaction, use ``snapshot_handle()``."""
         return self.kv.snapshot_seq()
+
+    def snapshot_handle(self):
+        """Durable snapshot handle ``(seq, manifest_version)`` — feed
+        ``seq`` to ``changes_since`` / ``as_of`` and ``manifest_version``
+        to ``changes_since(preimage_at_version=...)`` so ``old_value``
+        stays exact across later compaction."""
+        return self.kv.snapshot()
 
     def delete(self, key: str) -> None:
         self.kv.delete(key)
@@ -116,13 +124,19 @@ class OctopusDB:
         snapshot_seq: int,
         now: int | None = None,
         include_preimage: bool = False,
+        preimage_at_version: int | None = None,
     ) -> DataFrame:
         """Changefeed (CDC): current state of every key written after
         ``snapshot_seq`` (take one with ``snapshot()``), as
         (key, change, value[, old_value], version) — see
-        KVStore.changes_since for pruning and retention semantics."""
+        KVStore.changes_since for pruning and retention semantics.
+        Pass ``preimage_at_version`` (from ``snapshot_handle()``) to make
+        pre-images durable across compaction."""
         return self.kv.changes_since(
-            snapshot_seq, now=now, include_preimage=include_preimage
+            snapshot_seq,
+            now=now,
+            include_preimage=include_preimage,
+            preimage_at_version=preimage_at_version,
         )
 
     # Driver-side materialization cap for the facade iterator. The iterator

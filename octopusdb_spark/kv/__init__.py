@@ -1,3 +1,3 @@
-from octopusdb_spark.kv.store import Entry, KVStore
+from octopusdb_spark.kv.store import Entry, KVStore, Snapshot
 
-__all__ = ["Entry", "KVStore"]
+__all__ = ["Entry", "KVStore", "Snapshot"]

@@ -133,6 +133,16 @@ class Entry:
         return self
 
 
+@dataclass(frozen=True)
+class Snapshot:
+    """Durable snapshot handle from ``KVStore.snapshot()``: ``seq`` for
+    ``as_of`` reads / ``changes_since``, ``manifest_version`` for
+    time-travel resolution (``preimage_at_version`` / ``at_version``)."""
+
+    seq: int
+    manifest_version: int
+
+
 class KVStore:
     """A versioned KV table persisted as Parquet segments + manifest."""
 
@@ -513,6 +523,10 @@ class KVStore:
         )
         if hist is not None and segs is None:
             segs = hist.data_segments()
+            if as_of is not None:
+                # same created_seq prune as the live path, over the
+                # historical manifest's segment list
+                segs = [s for s in segs if s.max_seq is None or s.created_seq <= as_of]
         if as_of is not None and segs is None:
             # created_seq is a true lower bound on a segment's row seqs —
             # every exact-stats segment (max_seq stamped) is stamped with
@@ -665,6 +679,7 @@ class KVStore:
         snapshot_seq: int,
         now: int | None = None,
         include_preimage: bool = False,
+        preimage_at_version: int | None = None,
     ) -> DataFrame:
         """Changefeed (CDC): the current state of every key written after
         ``snapshot_seq`` (e.g. a value previously captured via
@@ -695,18 +710,30 @@ class KVStore:
         consumer's own expiry). Costs one extra join against the as-of
         view, which prunes to pre-snapshot segments via created_seq.
 
-        Retention caveat (standard for LSM CDC): a full ``compact()``
-        physically drops tombstones, so deletes older than the last full
-        compaction are no longer observable — consume the feed before
-        compacting, or use leveled compaction (which preserves tombstones
-        above the bottom level). The same applies to pre-images of
-        *upserts* under ANY compaction (leveled included): compaction keeps
-        only the newest version per key, so once a touched key's
-        pre-snapshot version is merged away, its ``old_value`` degrades to
-        NULL. For durable pre-images, resolve against a retained manifest
-        version captured at snapshot time (``view(at_version=...)`` time
-        travel) instead of the live manifest. ``tests/test_kv_store.py``
-        pins this contract."""
+        ``preimage_at_version`` makes pre-images DURABLE across
+        maintenance: pass the manifest version captured at snapshot time
+        (``manifest.state.version``, or the pair from ``snapshot()``) and
+        ``old_value`` is resolved through that retained manifest
+        (``view(at_version=..., as_of=...)`` time travel) instead of the
+        live one — compaction merging away a touched key's pre-snapshot
+        version no longer degrades its pre-image to NULL, because the
+        historical manifest still references the pre-compaction segment
+        files (maintenance deregisters segments, never deletes their
+        files). The remaining caveat is ``manifest.prune_versions`` /
+        ``vacuum``: physically pruning history older than the captured
+        version invalidates it — retain at least as far back as the oldest
+        open snapshot, exactly like any MVCC retention knob.
+
+        Retention caveat for the DEFAULT live resolution (standard for LSM
+        CDC): a full ``compact()`` physically drops tombstones, so deletes
+        older than the last full compaction are no longer observable —
+        consume the feed before compacting, or use leveled compaction
+        (which preserves tombstones above the bottom level). The same
+        applies to pre-images of *upserts* under ANY compaction (leveled
+        included): compaction keeps only the newest version per key, so
+        once a touched key's pre-snapshot version is merged away, its
+        ``old_value`` degrades to NULL — unless ``preimage_at_version`` is
+        supplied. ``tests/test_kv_store.py`` pins both contracts."""
         now = int(time.time()) if now is None else now
         segs = [
             s
@@ -733,9 +760,9 @@ class KVStore:
             "version",
         )
         if include_preimage:
-            pre = self.view(now=now, as_of=snapshot_seq).select(
-                "key", F.col("value").alias("old_value")
-            )
+            pre = self.view(
+                now=now, as_of=snapshot_seq, at_version=preimage_at_version
+            ).select("key", F.col("value").alias("old_value"))
             out = out.join(pre, "key", "left").select(
                 "key", "change", "value", "old_value", "version"
             )
@@ -834,6 +861,16 @@ class KVStore:
         """The sequence number capturing everything committed so far — pass
         to ``view/scan/get(as_of=...)`` for a repeatable snapshot read."""
         return self.manifest.state.next_seq - 1
+
+    def snapshot(self):
+        """Durable snapshot handle: ``(seq, manifest_version)``. ``seq``
+        feeds ``as_of`` reads and ``changes_since``; ``manifest_version``
+        feeds ``changes_since(preimage_at_version=...)`` /
+        ``view(at_version=...)`` so reads stay exact across later
+        compaction (valid until ``manifest.prune_versions`` discards the
+        version)."""
+        st = self.manifest.state
+        return Snapshot(seq=st.next_seq - 1, manifest_version=st.version)
 
     def info(self) -> dict:
         """Stats endpoint (`kv/db.go:140-142` — a stub there; real here).
