@@ -50,3 +50,34 @@ def dsum(col: Column | str, alias: str) -> Column:
 
 def dsum_sql(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    """True when a SparkSession has been stopped (its SparkContext's JVM
+    handle is gone). Used by the per-session memos below to evict entries
+    whose owning session can no longer serve cached blocks."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def session_memo_get(memo: dict, spark: SparkSession, key):
+    """Lookup in a {key: (owning_session, DataFrame)} memo of materialized
+    (localCheckpointed) frames over immutable parquet inputs. Hit only when
+    the entry's owning session IS the calling session (identity compare —
+    a strong ref, so a stopped session's id can never be recycled into a
+    stale hit). On any miss, entries owned by STOPPED sessions are evicted
+    (ADVICE r6: long-lived processes touching many tmp sf_dirs must not
+    accumulate unreclaimable checkpoint metadata)."""
+    hit = memo.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    for k in [k for k, (sess, _) in memo.items() if _session_stopped(sess)]:
+        memo.pop(k, None)
+    return None
+
+
+def session_memo_put(memo: dict, spark: SparkSession, key, df: DataFrame) -> DataFrame:
+    memo[key] = (spark, df)
+    return df

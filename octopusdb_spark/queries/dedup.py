@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from octopusdb_spark.queries.common import t
+from octopusdb_spark.queries.common import session_memo_get, session_memo_put, t
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
@@ -122,11 +122,9 @@ JACCARD_MAX_SHINGLE_DF = 64
 # One capped-shingle frame per (session, sf_dir): Jaccard, containment, and
 # cluster-keep all start from the identical frame, so the explode + df-cap
 # materializes once per gate run instead of once per caller. The inputs are
-# immutable parquet, so the memo never goes stale; it holds exactly one
-# checkpointed frame per sf_dir (bounded). The value stores the OWNING
-# session and is compared by identity — a strong ref, so a stopped
-# session's id can never be recycled into a stale-frame hit; a new session
-# simply rebuilds and replaces the entry.
+# immutable parquet, so the memo never goes stale. Lookup/eviction
+# semantics live in common.session_memo_get: identity-compared owning
+# session, stopped-session entries evicted on miss (ADVICE r6).
 _CAPPED_SHINGLES_MEMO: dict = {}
 
 
@@ -142,9 +140,9 @@ def capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a plain cache for the duration of that one materialization — df
     count and anti-join read it — then released, so nothing but the capped
     frame stays pinned in executor storage."""
-    hit = _CAPPED_SHINGLES_MEMO.get(sf_dir)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
+    hit = session_memo_get(_CAPPED_SHINGLES_MEMO, spark, sf_dir)
+    if hit is not None:
+        return hit
     sh = shingles(spark, sf_dir).cache()
     hot = (
         sh.groupBy("s")
@@ -154,8 +152,7 @@ def capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = sh.join(hot, "s", "left_anti").localCheckpoint(eager=True)
     sh.unpersist()
-    _CAPPED_SHINGLES_MEMO[sf_dir] = (spark, capped)
-    return capped
+    return session_memo_put(_CAPPED_SHINGLES_MEMO, spark, sf_dir, capped)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
