@@ -34,8 +34,11 @@ def test_headline_plans_clean(spark):
 
 def test_forced_hint_sweep_flags_sf_scaled_bases(tmp_path):
     """The source-level forced-hint audit: a hint on an SF-scaled relation
-    (customer) is flagged; hints on allow-listed fixed-size bases
-    (nation, a 1-row scalar) pass. The live package must sweep clean."""
+    (customer) is flagged; hints on package-wide fixed-size dimension names
+    (nation) pass everywhere; generic allow-listed names (`total`, `q`) are
+    scoped to the (file, name) pair where they were reviewed, so the same
+    name in a DIFFERENT file is flagged (ADVICE r6). The live package must
+    sweep clean."""
     import os
 
     from tools.plan_audit import audit_forced_hints
@@ -45,7 +48,10 @@ def test_forced_hint_sweep_flags_sf_scaled_bases(tmp_path):
     (pkg / "bad.py").write_text(
         "df = fact.join(F.broadcast(cust), fact.k == cust.k)\n"
         "ok = fact.join(F.broadcast(nation), fact.n == nation.n)\n"
-        "ok2 = fact.crossJoin(F.broadcast(total))\n"
+        # `total` and `q` are allow-listed ONLY in their reviewed files
+        # (tpch_extra.py / similarity.py) — here they must be flagged
+        "df1 = fact.crossJoin(F.broadcast(total))\n"
+        "df1b = fact.join(F.broadcast(q), fact.k == q.k)\n"
         # multi-line call (the regex-era blind spot) and a chained base
         "df2 = fact.join(F.broadcast(\n"
         "    supplier.filter(x)\n"
@@ -56,7 +62,9 @@ def test_forced_hint_sweep_flags_sf_scaled_bases(tmp_path):
     )
     flagged = audit_forced_hints(str(pkg))
     assert list(flagged) == ["fakepkg/bad.py"]
-    assert [f["base"] for f in flagged["fakepkg/bad.py"]] == ["cust", "supplier"]
+    assert sorted(f["base"] for f in flagged["fakepkg/bad.py"]) == [
+        "cust", "q", "supplier", "total"
+    ]
 
     repo_pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -88,46 +88,65 @@ ALLOWED_ROW_PYTHON = {
     "text_tokenize_udtf": "Python UDTF is the declared off-hot-path capability demo",
 }
 
-# base identifier -> why a forced F.broadcast(<base>...) hint is safe at
-# 100 TB. Everything NOT listed here is flagged: customer/supplier/part and
+# Forced F.broadcast(<base>...) hints must justify why the base is safe at
+# 100 TB. Everything NOT allow-listed is flagged: customer/supplier/part and
 # any payload-derived relation scale with SF and must be left to AQE.
-HINT_ALLOWED_BASES = {
-    # fixed-size TPC-H dimensions (25 / 5 rows at every SF)
+#
+# Two tiers (ADVICE r6: generic names were allow-listed package-wide, so an
+# SF-scaled frame bound to `q` or `total` anywhere would slip the gate):
+#  - GLOBAL: names that ARE the fixed-size TPC-H dimensions. Unambiguous in
+#    any file; rebinding `nation` to something SF-scaled would never survive
+#    review.
+#  - SCOPED: generic/short names, valid only in the (file, name) pair where
+#    the binding was reviewed. The same name in any other file is flagged.
+HINT_ALLOWED_GLOBAL = {
     "nation": "25 rows at every SF",
     "region": "5 rows at every SF",
     "n1": "nation alias (25 rows)",
     "n2": "nation alias (25 rows)",
-    "asia_nations": "nation semi-joined to one region (<=25 rows)",
-    "supp_nation": "nation projection (25 rows)",
-    "amer_nations": "nation semi-joined to one region (<=25 rows)",
+}
+
+_TPCH = "octopusdb_spark/queries/tpch_extra.py"
+_SIM = "octopusdb_spark/queries/similarity.py"
+_ANNIDX = "octopusdb_spark/functions/ann_index.py"
+HINT_ALLOWED_SCOPED = {
+    # nation subsets / projections
+    (_TPCH, "asia_nations"): "nation semi-joined to one region (<=25 rows)",
+    (_TPCH, "amer_nations"): "nation semi-joined to one region (<=25 rows)",
+    (_TPCH, "supp_nation"): "nation projection (25 rows)",
     # 1-row / K-row scalar aggregates
-    "max_w": "1-row global max",
-    "max_rev": "1-row global max",
-    "avg_bal": "1-row global avg",
-    "total": "1-row global total",
-    "cut": "1-row snapshot cutoff",
-    "target": "1-row global min",
-    "bounds": "1-row min/max pair",
-    "offsets": "one row per pack bucket (bucket totals, not docs)",
-    "axis": "gapfill axis: day-range x event types, bounded by time span",
+    (_TPCH, "max_rev"): "1-row global max",
+    (_TPCH, "avg_bal"): "1-row global avg",
+    (_TPCH, "total"): "1-row global total",
+    ("octopusdb_spark/queries/analytics_extra.py", "max_w"): "1-row global max",
+    ("octopusdb_spark/queries/kv_semantics.py", "cut"): "1-row snapshot cutoff",
+    ("octopusdb_spark/queries/scale_patterns.py", "target"): "1-row global min",
+    ("octopusdb_spark/queries/scale_patterns.py", "offsets"):
+        "one row per pack bucket (bucket totals, not docs)",
+    ("octopusdb_spark/queries/advanced.py", "axis"):
+        "gapfill axis: day-range x event types, bounded by time span",
     # ANN structures bounded by construction (K centroids / M*K codebooks /
     # N_QUERIES query rows / fixed shortlist)
-    "cent": "K centroid rows (K fixed)",
-    "cent_r": "K centroid rows (K fixed)",
-    "probes": "nprobe centroid ids per query (fixed)",
-    "codebook": "M x K codebook rows (fixed)",
-    "cb": "M x K codebook rows read from a PQ index (fixed)",
-    "lut": "ADC lookup tables for N_QUERIES queries (fixed)",
-    "q": "N_QUERIES query vectors (fixed)",
-    "qv": "N_QUERIES query vectors (fixed)",
-    "shortlist": "fixed-size ADC shortlist",
-    "cand": "bounded candidate pair set (<=O(B^2*20) ids, never the corpus)",
-    "bench": "benchmark shingle set, bounded by benchmark size",
+    (_SIM, "cent"): "K centroid rows (K fixed)",
+    (_SIM, "codebook"): "M x K codebook rows (fixed)",
+    (_SIM, "lut"): "ADC lookup tables for N_QUERIES queries (fixed)",
+    (_SIM, "q"): "N_QUERIES query vectors (fixed)",
+    (_SIM, "qv"): "N_QUERIES query vectors (fixed)",
+    (_SIM, "cand"): "bounded candidate pair set (<=O(B^2*20) ids, never the corpus)",
+    (_ANNIDX, "cent"): "K centroid rows (K fixed)",
+    (_ANNIDX, "cent_r"): "K centroid rows (K fixed)",
+    (_ANNIDX, "probes"): "nprobe centroid ids per query (fixed)",
+    (_ANNIDX, "cb"): "M x K codebook rows read from a PQ index (fixed)",
+    (_ANNIDX, "lut"): "ADC lookup tables for N_QUERIES queries (fixed)",
+    (_ANNIDX, "qv"): "N_QUERIES query vectors (fixed)",
+    ("octopusdb_spark/queries/text.py", "bench"):
+        "benchmark shingle set, bounded by benchmark size",
     # KV store sites gated on real manifest metadata before hinting
-    "vals": "kv/store.py _values_join_side: hint emitted only when manifest "
-            "value-bytes < BROADCAST_MAX_BYTES",
-    "live_ptrs": "kv/store.py gc_values: hint gated on manifest pointer-bytes "
-                 "< BROADCAST_MAX_BYTES",
+    ("octopusdb_spark/kv/store.py", "vals"):
+        "_values_join_side: hint emitted only when manifest value-bytes "
+        "< BROADCAST_MAX_BYTES",
+    ("octopusdb_spark/kv/store.py", "live_ptrs"):
+        "gc_values: hint gated on manifest pointer-bytes < BROADCAST_MAX_BYTES",
 }
 
 def _hint_base_name(expr) -> str | None:
@@ -150,11 +169,13 @@ def audit_forced_hints(pkg_root: str) -> dict:
     """Scan package sources for F.broadcast hints on non-allow-listed bases.
 
     AST-based, not regex: multi-line calls (``F.broadcast(\\n  cust\\n)``)
-    are caught and comments/docstrings cannot false-positive. Known
-    limitation, accepted as a tripwire-not-proof: the allow-list matches
-    bare variable names package-wide, so binding an SF-scaled frame to an
-    allow-listed name (e.g. ``q = lineitem``) would slip through — review
-    owns naming discipline; this gate owns the mechanical cases."""
+    are caught and comments/docstrings cannot false-positive. Generic names
+    are scoped to the (file, name) pair where the binding was reviewed
+    (HINT_ALLOWED_SCOPED); only the fixed TPC-H dimension names pass
+    package-wide (HINT_ALLOWED_GLOBAL). Remaining limitation, accepted as a
+    tripwire-not-proof: rebinding an allow-listed name to an SF-scaled frame
+    INSIDE its own reviewed file still slips through — review owns that;
+    this gate owns the mechanical cases."""
     import ast
 
     flagged = {}
@@ -178,8 +199,12 @@ def audit_forced_hints(pkg_root: str) -> dict:
                 ):
                     continue
                 base = _hint_base_name(node.args[0])
-                if base is None or base not in HINT_ALLOWED_BASES:
-                    rel = os.path.relpath(path, os.path.dirname(pkg_root))
+                rel = os.path.relpath(path, os.path.dirname(pkg_root))
+                allowed = base is not None and (
+                    base in HINT_ALLOWED_GLOBAL
+                    or (rel, base) in HINT_ALLOWED_SCOPED
+                )
+                if not allowed:
                     flagged.setdefault(rel, []).append(
                         {"line": node.lineno, "base": base or "<expr>",
                          "detail": "forced broadcast hint on relation not in "
