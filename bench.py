@@ -60,33 +60,9 @@ HEADLINE = [
 ]
 
 
-def _calibration(spark) -> dict:
-    """Fixed synthetic workload, CONSTANT across rounds — the box-drift
-    yardstick. This machine has shown ~2x uniform slowdowns under
-    sustained load (see BASELINE.md); dividing a round's query times by
-    its calibration median separates environment drift from plan
-    regressions. Deliberately registry-independent (no query code path):
-    20M md5 hashes + a 65k-group count on 32 fixed partitions, 3 runs.
-    """
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        (
-            spark.range(0, 20_000_000, 1, 32)
-            .selectExpr("substr(md5(cast(id as string)), 1, 4) AS s")
-            .groupBy("s")
-            .count()
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        runs.append(round(time.perf_counter() - t0, 3))
-    return {
-        "metric": "calibration_fixed_workload",
-        "unit": "sec",
-        "runs": runs,
-        "median": sorted(runs)[1],
-    }
+# shared with tools/maintenance_bench.py so EVERY bench context records the
+# box-drift yardstick (VERDICT r6 #6)
+from tools.calibration import calibration as _calibration
 
 
 def main() -> None:

@@ -94,7 +94,15 @@ def run(spark, sf_dir: str = SF_DIR) -> dict:
 def main() -> None:
     spark = get_spark("octopusdb-maintenance-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(run(spark)))
+    # record the box-drift yardstick in this context too (VERDICT r6 #6):
+    # a standalone maintenance run is comparable across rounds only
+    # alongside its calibration median. (bench.py embeds run() output under
+    # its own top-level calibration, so this only runs standalone.)
+    from tools.calibration import calibration
+
+    payload = run(spark)
+    payload["calibration"] = calibration(spark)
+    print(json.dumps(payload))
     spark.stop()
 
 
