@@ -813,7 +813,10 @@ class KVStore:
         ask for a different snapshot/time). Sessions nest: an inner pin
         restores the outer pin's state on exit, and a cache the outer pin
         (or the user, via ``cache_view``) built before entry survives —
-        only the cache this session itself built is dropped."""
+        if this session's different-``now`` reads displaced it, exit
+        re-registers it at its original ``now`` (lazily, so its blocks
+        re-warm on the next read) unless a write moved the manifest, which
+        would have version-invalidated the original cache anyway."""
         store = self
 
         class _PinnedSession:
@@ -823,6 +826,8 @@ class KVStore:
                     getattr(store, "_pinned_now", None),
                 )
                 self._pre_cache = store.cached_view()
+                self._pre_now = getattr(store, "_cached_now", None)
+                self._pre_version = getattr(store, "_cached_version", None)
                 store._pinned_now = int(time.time()) if now is None else int(now)
                 store._pinned = True
                 return store
@@ -836,6 +841,19 @@ class KVStore:
                 )
                 if not keep:
                     store.uncache_view()
+                    # A pre-entry cache displaced by this session's
+                    # different-now rebuild is re-registered on exit
+                    # (lazily — .cache() runs no job; blocks re-warm on
+                    # next read), so the caller's cache_view survives the
+                    # pin as documented (ADVICE r6). Skipped when the
+                    # manifest moved inside the pin: the original cache
+                    # would have been version-invalidated anyway.
+                    if (
+                        self._pre_cache is not None
+                        and cur is not self._pre_cache
+                        and store.manifest.state.version == self._pre_version
+                    ):
+                        store.cache_view(now=self._pre_now)
                 store._pinned, store._pinned_now = outer_pinned, outer_now
                 return False
 

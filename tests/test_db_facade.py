@@ -246,3 +246,27 @@ def test_pin_sessions_nest_and_respect_ttl_time(db):
         assert store._pinned and store._pinned_now == NOW
         assert db.get("a", now=NOW) == b"1"
     assert not store._pinned  # fully released
+
+
+def test_pin_restores_displaced_pre_entry_cache(db):
+    """A cache the caller built BEFORE the pin, displaced inside it by a
+    different-now rebuild, is re-registered at its original now on exit
+    (ADVICE r6) — unless a write moved the manifest, in which case the
+    original cache would have been version-invalidated anyway."""
+    db.set_batch([Entry("a", b"1")])
+    store = db.kv
+    store.cache_view(now=NOW)
+    with db.pin(now=NOW + 5):
+        assert db.get("a", now=NOW + 5) == b"1"  # displaces the NOW cache
+        assert store._cached_now == NOW + 5
+    # restored (lazily) at the caller's original now
+    assert store.cached_view() is not None and store._cached_now == NOW
+    assert db.get("a", now=NOW) == b"1"
+
+    # manifest moved inside the pin: no restore, cache fully released
+    store.cache_view(now=NOW)
+    with db.pin(now=NOW + 5):
+        assert db.get("a", now=NOW + 5) == b"1"
+        db.set("b", b"2")
+    assert store.cached_view() is None
+    assert db.get("b", now=NOW) == b"2"
