@@ -260,7 +260,12 @@ def q_kv_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tick (leveled compaction + value GC) every second batch. Every
     ingest-path behavior rides the stream: doc_id % 37 == 0 rows carry
     NULL values and become tombstones; texts >= the 1024-byte threshold
-    are value-separated and re-joined on read.
+    are value-separated and re-joined on read; TTL rides ``expires_col``
+    (the reference's expiry-at-write contract, `kv/utils/entry.go:77-80`,
+    through the batched write path `kv/db.go:224-285`) — doc_id % 23 == 0
+    rows expire BEFORE the checked read time (absent from the view),
+    doc_id % 5 == 0 rows carry a far-future TTL (present), the rest no
+    TTL.
 
     Exactly-once is ASSERTED in-query: after the stream drains, a batch id
     already recorded in the manifest is replayed via ``ingest_df`` — it
@@ -276,6 +281,11 @@ def q_kv_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .cast("binary")
         .alias("value"),
+        F.when(F.col("doc_id") % 23 == 0, F.lit(NOW - 5))
+        .when(F.col("doc_id") % 5 == 0, F.lit(NOW + 100_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("expires_at"),
     )
     run_id = uuid.uuid4().hex[:12]
     base = tempfile.mkdtemp(prefix=f"stream_kv_{run_id}_")
@@ -288,11 +298,13 @@ def q_kv_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         store = KVStore(spark, f"{base}/kv")
         stream = (
-            spark.readStream.schema("key string, value binary")
+            spark.readStream.schema("key string, value binary, expires_at long")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = ingest_stream_to_kv(stream, store, ckpt, compact_every=2)
+        q = ingest_stream_to_kv(
+            stream, store, ckpt, expires_col="expires_at", compact_every=2
+        )
         _run_bounded(q)
         before = store.view(now=NOW).count()
         # replay a committed batch id: the manifest's stream_commits gate
@@ -399,7 +411,9 @@ ORACLES = {
     "kv_stream_ingest": """
         SELECT CAST(doc_id AS VARCHAR) AS key,
                CAST(length(text) AS INT) AS value_chars
-        FROM documents WHERE doc_id % 37 != 0
+        FROM documents
+        WHERE doc_id % 37 != 0   -- tombstoned on the stream
+          AND doc_id % 23 != 0   -- stream-carried TTL expired before NOW
         ORDER BY key""",
     "q_stream_rollup": f"""
         SELECT (epoch_us(ts) // 1000000 // {ROLLUP_BUCKET_SECONDS}) * {ROLLUP_BUCKET_SECONDS} AS bucket,
