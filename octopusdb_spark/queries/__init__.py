@@ -48,6 +48,8 @@ for _m in _MODULES:
 # be inserted at the HEAD at that moment (displacing the last fill
 # entry), not next round.
 _PRIORITY = [
+    # added round 7 (head-insert at add time, per protocol below)
+    "kv_pinned_reads",         # pin() contract promoted to a driver row
     # stale since round 4 (the full list from VERDICT r6 What's-missing #1)
     "kv_prefix_scan", "kv_range_seek", "kv_tombstoned_keys",
     "kv_ttl_classes", "kv_merge_sorted_runs", "q_event_time_windows",
@@ -73,7 +75,6 @@ _PRIORITY = [
     "sim_ann_ivf_kmeans",      # memoized trained centroids
     "kv_gc_discard_stats",     # GC after created_seq stamp change
     "kv_value_separation",     # ingest path shared with TTL change
-    "kv_binary_key_scan",      # scan over restamped segments
 ]
 
 

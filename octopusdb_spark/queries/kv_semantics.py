@@ -301,7 +301,79 @@ def q_kv_binary_key_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kv_pinned_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned point-read session run FOR REAL under the correctness gate:
+    customer rows land in a KV store via the distributed ingest path, then
+    ``with store.pin(now=NOW)`` serves a repeated ``get``/``mget`` loop —
+    the reference's repeated Get against the block cache (A13,
+    `kv/lsm/cache.go:7-28`). The pin contract is ASSERTED in-query, the
+    `kv_stream_ingest` pattern: after the first read lazily builds the
+    shared cached view, a counting wrapper around ``store.view`` proves the
+    following get + 61-key mget replan NOTHING (zero view() calls — every
+    read resolves against the one cached frame), else the query throws and
+    the driver row goes red. The checked output is the mget result itself,
+    so the values that rode the cache are what the oracle hashes."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from octopusdb_spark.kv.store import KVStore
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 60)
+        .select(
+            F.concat(
+                F.lit("c"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+            ).alias("key"),
+            F.col("c_name").cast("binary").alias("value"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix=f"kv_pin_{uuid.uuid4().hex[:12]}_")
+    try:
+        store = KVStore(spark, f"{base}/kv")
+        store.ingest_df(cust, target_segments=2)
+        keys = [f"c{k:06d}" for k in range(0, 61)]  # custkeys start at 0
+        with store.pin(now=NOW) as s:
+            first = s.get(keys[0], now=NOW)  # lazily builds the shared cache
+            if first is None or s.cached_view() is None:
+                raise RuntimeError("pin cache was not built by the first read")
+            calls = 0
+            orig_view = s.view
+
+            def counting_view(*a, **kw):
+                nonlocal calls
+                calls += 1
+                return orig_view(*a, **kw)
+
+            s.view = counting_view
+            try:
+                single = s.get(keys[7], now=NOW)
+                got = s.mget(keys, now=NOW)
+            finally:
+                s.view = orig_view
+            if calls != 0:
+                raise RuntimeError(
+                    f"pinned reads replanned the view {calls}x (expected 0)"
+                )
+            if single is None or len(got) != len(keys):
+                raise RuntimeError(
+                    f"pinned reads missed keys: got {len(got)}/{len(keys)}"
+                )
+        rows = [
+            (k, bytes(e.value).decode("utf-8")) for k, e in sorted(got.items())
+        ]
+        # bounded (60 rows); concrete frame so the result outlives the store
+        return spark.createDataFrame(rows, "key string, value string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 ORACLES = {
+    "kv_pinned_reads": """
+        SELECT 'c' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
+               c_name AS value
+        FROM customer WHERE c_custkey <= 60 ORDER BY key""",
     "kv_latest_live": KV_BASE + "SELECT key, value, expires_at, version FROM live ORDER BY key",
     "kv_point_lookup": KV_BASE + "SELECT key, value, expires_at, version FROM live WHERE key = 'u0007'",
     "kv_prefix_scan": KV_BASE
@@ -388,4 +460,5 @@ QUERIES = {
     "kv_binary_key_scan": q_kv_binary_key_scan,
     "kv_changefeed": q_kv_changefeed,
     "kv_changefeed_preimage": q_kv_changefeed_preimage,
+    "kv_pinned_reads": q_kv_pinned_reads,
 }
