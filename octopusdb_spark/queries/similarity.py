@@ -481,6 +481,22 @@ def pq_train_codebooks(subvecs: DataFrame, init: DataFrame, iters: int = PQ_TRAI
     return codebook.withColumn("code", F.row_number().over(w_dense))
 
 
+def _explode_subvecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """(vec_id, norm, m, sv): the PQ subspace explode of any vector column
+    — raw embeddings and IVF residuals share this one definition."""
+    sub = lambda col, m: F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+    return df.select(
+        "vec_id",
+        "norm",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(m).alias("m"), sub(F.col(vec_col), m).alias("sv"))
+                for m in range(PQ_M)
+            ])
+        ).alias("e"),
+    ).select("vec_id", "norm", "e.m", "e.sv")
+
+
 def pq_seed_and_subvecs(emb: DataFrame):
     """Shared PQ prep for the ad-hoc ANN queries: the exploded
     (vec_id, norm, m, sv) subvector frame and the deterministic seed
@@ -489,16 +505,7 @@ def pq_seed_and_subvecs(emb: DataFrame):
     their oracle CTE chains in lockstep (the index-build analog is
     `functions/ann_index.py::_subspaces`)."""
     sub = lambda col, m: F.slice(col, m * PQ_SUB + 1, PQ_SUB)
-    subvecs = emb.select(
-        "vec_id",
-        "norm",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("sv"))
-                for m in range(PQ_M)
-            ])
-        ).alias("e"),
-    ).select("vec_id", "norm", "e.m", "e.sv")
+    subvecs = _explode_subvecs(emb, "embedding")
     seeds = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + PQ_K))
     seed_codebook = seeds.select(
         (F.col("vec_id") - 15).cast("int").alias("code"),
@@ -510,6 +517,75 @@ def pq_seed_and_subvecs(emb: DataFrame):
         ).alias("e"),
     ).select("e.m", "code", "e.cw")
     return subvecs, seed_codebook
+
+
+def _residual_of(emb_col, cent_col):
+    """v - c as array<double> — exact in both engines (float->double cast
+    then double subtraction), so residual codes hash-match cross-engine."""
+    return F.zip_with(
+        emb_col, cent_col, lambda x, y: x.cast("double") - y.cast("double")
+    )
+
+
+def trained_residual_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual PQ codebooks for IVF-PQ (m, code, cw): codewords fit the
+    RESIDUAL distribution v - c(v) against the trained coarse quantizer —
+    residuals concentrate around the origin, so the same 8-byte code
+    budget quantizes them far more finely than raw vectors (Jegou et al.,
+    the standard IVF-PQ refinement; VERDICT r6 #5). Seeds are the
+    residual subvectors of vec_id 16..16+K (the raw chain's id rule
+    applied post-subtraction); training runs the identical per-subspace
+    Lloyd discipline over the 1-in-N id sample's residuals, bit-replicated
+    in DuckDB. Memoized per (session, sf_dir) like every trained ANN
+    structure; the assignment here touches ONLY the sample + seed ids
+    (broadcast-K crossJoin + keyed rank), not the corpus."""
+    from pyspark.sql import Window
+
+    key = ("pq_codebook_residual", sf_dir)
+    hit = session_memo_get(_TRAINED_ANN_MEMO, spark, key)
+    if hit is not None:
+        return hit
+    emb = _with_norm(t(spark, sf_dir, "embeddings"))
+    cent = trained_ivf_centroids(spark, sf_dir)
+    picked = emb.filter(
+        (F.col("vec_id") % PQ_TRAIN_SAMPLE_MOD == 1)
+        | ((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + PQ_K))
+    )
+    assign_scored = picked.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "norm",
+        "embedding",
+        "ct_emb",
+        "cent_id",
+        (
+            _dot(F.col("embedding"), F.col("ct_emb"))
+            / (F.col("norm") * F.col("ct_norm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    res = (
+        assign_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "norm",
+            _residual_of(F.col("embedding"), F.col("ct_emb")).alias("rv"),
+        )
+    )
+    rsub = _explode_subvecs(res, "rv")
+    rseed = rsub.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + PQ_K)
+    ).select(
+        "m", (F.col("vec_id") - 15).cast("int").alias("code"), F.col("sv").alias("cw")
+    )
+    codebook = pq_train_codebooks(
+        rsub.filter(F.col("vec_id") % PQ_TRAIN_SAMPLE_MOD == 1).select(
+            "vec_id", "m", "sv"
+        ),
+        rseed,
+        iters=PQ_TRAIN_ITERS,
+    )
+    return session_memo_put(_TRAINED_ANN_MEMO, spark, key, codebook)
 
 
 def trained_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,23 +732,25 @@ IVFPQ_SHORTLIST = 25  # ADC shortlist within the probed lists
 
 
 def q_sim_ann_ivfpq(spark, sf_dir):
-    """Combined IVF-PQ — the production ANN composite: a trained coarse
-    quantizer (kmeans_centroids, 2 Lloyd rounds, cosine) routes each
-    vector to an inverted list; PQ codes (trained per-subspace codebooks,
-    `pq_train_codebooks`) compress every vector to 8 bytes + a norm; a
-    query probes its nprobe closest lists and ADC-scores ONLY those
-    lists' candidates (M table lookups per candidate, no float dot), then
-    the shortlist is exact-rescored. Encoding quantizes the raw vector
-    (IVF-Flat layout with PQ codes; residual encoding would subtract the
-    centroid first — same plan shape, different codebook input — left
-    raw so the oracle shares the sim_ann_pq codebook chain verbatim).
+    """Combined IVF-PQ with RESIDUAL encoding — the production ANN
+    composite (Jegou et al.): a trained coarse quantizer
+    (kmeans_centroids, 2 Lloyd rounds, cosine) routes each vector to an
+    inverted list; PQ codes quantize the RESIDUAL v - c(v) against
+    codebooks trained on residuals (`trained_residual_pq_codebook`) —
+    residuals concentrate near the origin, so 8 code bytes carry far more
+    precision than raw-vector codes. A query probes its nprobe closest
+    lists and ADC-scores ONLY those lists' candidates: approx dot(q, v) =
+    dot(q, c(v)) + sum_m lut[m][code_m] (the centroid term is one bounded
+    per-(query, probed-list) dot; the residual term is M table lookups,
+    no float dot per candidate), then the shortlist is exact-rescored.
 
     100 TB shape: corpus I/O per query batch = nprobe/K of the CODES
     table (~30x compressed), never the embeddings — the only full-width
     vector reads are the K centroids, the query batch, and the
     IVFPQ_SHORTLIST re-rank rows. Every stage is the already-audited
     bounded shape: broadcast-K assignment, banded list join, positional
-    LUT scoring, keyed rank windows."""
+    LUT scoring, keyed rank windows; the residual subtraction adds one
+    narrow zip_with projection on the candidate/sample rows only."""
     from pyspark.sql import Window
 
     emb = _with_norm(t(spark, sf_dir, "embeddings"))
@@ -692,26 +770,39 @@ def q_sim_ann_ivfpq(spark, sf_dir):
     probes = ranked.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
     ).select(F.col("vec_id").alias("query_id"), "cent_id")
-    # PQ compression: trained codebooks (the memoized frame shared with
-    # sim_ann_pq) + codes for the probed lists' candidates only
+    # PQ compression: residual-trained codebooks (memoized) + residual
+    # codes for the probed lists' candidates only
     subvecs, _ = pq_seed_and_subvecs(emb)
-    codebook = trained_pq_codebook(spark, sf_dir)
-    # probe: candidates = vectors of the probed lists only (never the corpus)
+    codebook = trained_residual_pq_codebook(spark, sf_dir)
+    # probe: candidates = vectors of the probed lists only (never the
+    # corpus). cent_id rides along: each candidate's unique assigned list
+    # keys the centroid term of its ADC score below.
     cands = (
         probes.join(assigned, "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .select("query_id", "cent_id", F.col("vec_id").alias("cand_id"))
         .distinct()
     )
     # One-shot query: only the probed lists' vectors are ever ADC-scored,
-    # so only THEY are encoded (semi-join before the encode window) —
-    # nprobe/K of the corpus. A build-once index pre-encodes everything
-    # instead (`functions/ann_index.py::build_pq`); same codes either way.
-    cand_subvecs = subvecs.join(
-        cands.select(F.col("cand_id").alias("vec_id")).distinct(),
-        "vec_id",
-        "left_semi",
+    # so only THEY are residual-encoded (semi-join before the encode
+    # window) — nprobe/K of the corpus. A build-once index pre-encodes
+    # everything instead (`functions/ann_index.py::build_pq`); same codes
+    # either way.
+    cand_res = (
+        emb.join(
+            cands.select(F.col("cand_id").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_semi",
+        )
+        .join(assigned, "vec_id")
+        .join(F.broadcast(cent), "cent_id")
+        .select(
+            "vec_id",
+            "norm",
+            _residual_of(F.col("embedding"), F.col("ct_emb")).alias("rv"),
+        )
     )
+    cand_subvecs = _explode_subvecs(cand_res, "rv")
     w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
     codes = (
         cand_subvecs.join(F.broadcast(codebook), "m")
@@ -749,17 +840,35 @@ def q_sim_ann_ivfpq(spark, sf_dir):
             ).alias("lut")
         )
     )
+    # centroid term of the residual decomposition: dot(q, c) per
+    # (query, probed list) — N_QUERIES x nprobe rows, computed once
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qc = (
+        probes.join(F.broadcast(cent), "cent_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "cent_id", _dot(F.col("q_emb"), F.col("ct_emb")).alias("qc_dot")
+        )
+    )
     scored = (
         cands.join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
         .join(F.broadcast(lut), "query_id")
+        .join(F.broadcast(qc), ["query_id", "cent_id"])
         .select(
             "query_id",
             "cand_id",
             (
-                F.aggregate(
-                    F.zip_with(F.col("codes"), F.col("lut"), lambda c, l: F.element_at(l, c)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+                (
+                    F.col("qc_dot")
+                    + F.aggregate(
+                        F.zip_with(
+                            F.col("codes"), F.col("lut"), lambda c, l: F.element_at(l, c)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
                 )
                 / (F.col("q_norm") * F.col("norm"))
             ).alias("acos"),
@@ -967,18 +1076,19 @@ def _kmeans_cte_sql(iters: int = 2, k: int = 8, dim: int = 64) -> str:
         )
     return "".join(out)
 
-def _pq_train_cte_sql(iters: int = PQ_TRAIN_ITERS) -> str:
+def _pq_train_cte_sql(iters: int = PQ_TRAIN_ITERS, src: str = "subvecs") -> str:
     """CTE chain replicating `pq_train_codebooks` exactly: codebook0 = seed
     codewords, then per iteration assign (min squared-L2, asc-code
     tie-break) and re-center (per-(m, code, dim) DECIMAL(38,12) mean), and
-    a final dense re-code. Assumes ``subvecs`` (vec_id, norm, m, sv) and
-    ``codebook0`` (m, code, cw) are already defined; emits ``codebook``.
-    Training reads the deterministic 1-in-{PQ_TRAIN_SAMPLE_MOD} sample
-    (``tsub``), matching the Spark side."""
+    a final dense re-code. Assumes ``src`` (vec_id, norm, m, sv — raw
+    ``subvecs`` or residual ``rsubvecs``) and ``codebook0`` (m, code, cw)
+    are already defined; emits ``codebook``. Training reads the
+    deterministic 1-in-{PQ_TRAIN_SAMPLE_MOD} sample (``tsub``), matching
+    the Spark side."""
     out = [
         f"""
     , tsub AS (
-      SELECT * FROM subvecs WHERE vec_id % {PQ_TRAIN_SAMPLE_MOD} = 1
+      SELECT * FROM {src} WHERE vec_id % {PQ_TRAIN_SAMPLE_MOD} = 1
     )"""
     ]
     for i in range(1, iters + 1):
@@ -1296,21 +1406,11 @@ ORACLES = {
     "sim_ann_ivfpq": _EMB_NORM_SQL
     + _kmeans_cte_sql()
     + f"""
-    , seeds AS (
-      SELECT CAST(vec_id - 15 AS INT) AS code, embedding
-      FROM embeddings WHERE vec_id >= 16 AND vec_id < {16 + PQ_K}
-    ),
-    codebook0 AS (
-      SELECT t.m, code, embedding[t.m*{PQ_SUB}+1 : t.m*{PQ_SUB}+{PQ_SUB}] AS cw
-      FROM seeds CROSS JOIN unnest(range(0, {PQ_M})) AS t(m)
-    ),
-    subvecs AS (
+    , subvecs AS (
       SELECT e.vec_id, e.norm, t.m, e.embedding[t.m*{PQ_SUB}+1 : t.m*{PQ_SUB}+{PQ_SUB}] AS sv
       FROM emb e CROSS JOIN unnest(range(0, {PQ_M})) AS t(m)
-    )"""
-    + _pq_train_cte_sql()
-    + f"""
-    , assign_scored AS (
+    ),
+    assign_scored AS (
       SELECT e.vec_id, c.cent_id,
              {_DOT_SQL.format(a="e.embedding", b="c.ct_emb")} / (e.norm * c.ct_norm) AS cos
       FROM emb e CROSS JOIN cent{KMEANS_ITERS} c
@@ -1323,8 +1423,25 @@ ORACLES = {
     ), probes AS (
       SELECT vec_id AS query_id, cent_id FROM ranked
       WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}
-    ), cands AS (
-      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+    ), res AS (
+      SELECT e.vec_id, e.norm, a.cent_id,
+             list_transform(list_zip(e.embedding, c.ct_emb),
+                            p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rv
+      FROM emb e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN cent{KMEANS_ITERS} c ON c.cent_id = a.cent_id
+    ), rsubvecs AS (
+      SELECT r.vec_id, r.norm, t.m, r.rv[t.m*{PQ_SUB}+1 : t.m*{PQ_SUB}+{PQ_SUB}] AS sv
+      FROM res r CROSS JOIN unnest(range(0, {PQ_M})) AS t(m)
+    ),
+    codebook0 AS (
+      SELECT m, CAST(vec_id - 15 AS INT) AS code, sv AS cw
+      FROM rsubvecs WHERE vec_id >= 16 AND vec_id < {16 + PQ_K}
+    )"""
+    + _pq_train_cte_sql(src="rsubvecs")
+    + f"""
+    , cands AS (
+      SELECT DISTINCT p.query_id, p.cent_id, a.vec_id AS cand_id
       FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
       WHERE a.vec_id <> p.query_id
     ), enc AS (
@@ -1332,7 +1449,7 @@ ORACLES = {
              row_number() OVER (
                PARTITION BY vec_id, m
                ORDER BY {_L2SQ_SQL.format(a="sv", b="cw")} ASC, code ASC) AS rn
-      FROM subvecs JOIN codebook USING (m)
+      FROM rsubvecs JOIN codebook USING (m)
       WHERE vec_id IN (SELECT cand_id FROM cands)
     ), codes AS (
       SELECT vec_id, list(code ORDER BY m) AS codes, min(norm) AS norm
@@ -1348,13 +1465,21 @@ ORACLES = {
     ), lut AS (
       SELECT query_id, q_norm, list(lm ORDER BY m) AS lut
       FROM lutm GROUP BY query_id, q_norm
+    ), qc AS (
+      SELECT p.query_id, p.cent_id,
+             {_DOT_SQL.format(a="q.embedding", b="c.ct_emb")} AS qc_dot
+      FROM probes p
+      JOIN emb q ON q.vec_id = p.query_id
+      JOIN cent{KMEANS_ITERS} c ON c.cent_id = p.cent_id
     ), scored AS (
       SELECT cd.query_id, cd.cand_id,
-             list_reduce(list_transform(list_zip(c.codes, l.lut), p -> p[2][p[1]]),
-                         (s, x) -> s + x) / (l.q_norm * c.norm) AS acos
+             (g.qc_dot +
+              list_reduce(list_transform(list_zip(c.codes, l.lut), p -> p[2][p[1]]),
+                          (s, x) -> s + x)) / (l.q_norm * c.norm) AS acos
       FROM cands cd
       JOIN codes c ON c.vec_id = cd.cand_id
       JOIN lut l ON l.query_id = cd.query_id
+      JOIN qc g ON g.query_id = cd.query_id AND g.cent_id = cd.cent_id
     ), shortlist AS (
       SELECT query_id, cand_id FROM (
         SELECT query_id, cand_id,

@@ -108,10 +108,14 @@ def test_ann_recall_floors(spark):
     # training must not LOSE recall vs the identical-seed untrained IVF
     assert recall["sim_ann_ivf_kmeans"] >= recall["sim_ann_ivf"], recall
     assert recall["sim_ann_pq"] >= 0.5, recall  # above the seed-codebook ~0.44
-    # IVF-PQ is recall-bounded by its coarse quantizer's probes (~0.36 here,
-    # equal to trained IVF: the exact re-rank recovers everything ADC
-    # approximates away inside the probed lists)
-    assert recall["sim_ann_ivfpq"] >= 0.3, recall
+    # IVF-PQ is recall-bounded by its coarse quantizer's probes (~0.36
+    # here). With RESIDUAL encoding (r7) the measured recall EQUALS that
+    # bound: residual ADC + shortlist-25 + exact re-rank loses nothing
+    # inside the probed lists. Pin the raised floor (raw-encoding floor
+    # was 0.3) and that it tracks the coarse bound to within one
+    # shortlist miss of margin.
+    assert recall["sim_ann_ivfpq"] >= 0.35, recall
+    assert recall["sim_ann_ivfpq"] >= recall["sim_ann_ivf_kmeans"] - 0.02, recall
 
 
 def test_quantized_cosine_tracks_exact(spark):

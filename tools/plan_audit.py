@@ -133,6 +133,7 @@ HINT_ALLOWED_SCOPED = {
     (_SIM, "q"): "N_QUERIES query vectors (fixed)",
     (_SIM, "qv"): "N_QUERIES query vectors (fixed)",
     (_SIM, "cand"): "bounded candidate pair set (<=O(B^2*20) ids, never the corpus)",
+    (_SIM, "qc"): "N_QUERIES x nprobe centroid-dot rows (fixed)",
     (_ANNIDX, "cent"): "K centroid rows (K fixed)",
     (_ANNIDX, "cent_r"): "K centroid rows (K fixed)",
     (_ANNIDX, "probes"): "nprobe centroid ids per query (fixed)",
