@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from octopusdb_spark.queries.similarity import (
     _dot,
     _l2sq,
+    _residual_of,
     _with_norm,
     kmeans_centroids,
     pq_train_codebooks,
@@ -199,6 +200,7 @@ def build_pq(
     train_iters: int = 2,
     dim: int = 64,
     train_sample_mod: int = 4,
+    residual_ivf_dir: str | None = None,
 ) -> None:
     """Materialize a product-quantization index: TRAINED per-subspace
     codebooks (deterministic seeds — the first ``n_codes`` vectors by id —
@@ -210,17 +212,52 @@ def build_pq(
     norm. The codes table is the whole on-disk corpus footprint a scoring
     scan reads — (8 codes + 1 norm) per vector instead of ``dim`` floats,
     the ~30x compression that makes exhaustive ADC scans affordable at
-    100 TB. Build cost: train_iters bounded-key aggs + one encode pass."""
+    100 TB. Build cost: train_iters bounded-key aggs + one encode pass.
+
+    ``residual_ivf_dir``: path of a `build_ivf` index — switches the index
+    to RESIDUAL encoding (the IVF-PQ composite, Jegou et al.): each vector
+    is assigned to its nearest stored centroid and v - c(v) is what gets
+    seeded, trained on, and encoded (residuals concentrate near the
+    origin, so the same code budget quantizes them far more finely); codes
+    rows additionally carry ``cent_id`` so `query_pq` can add the
+    dot(q, c) term back. Query such an index with the SAME
+    ``residual_ivf_dir``. Cost: one extra broadcast-K assignment pass +
+    a narrow zip_with — same plan family as the build's encode."""
     sub_dim = dim // n_sub
     emb = _with_norm(
         emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     )
-    subvecs = _subspaces(
-        emb.select("vec_id", "norm", "embedding"), "embedding", n_sub, sub_dim, "sv"
-    )
+    if residual_ivf_dir is not None:
+        cent = _read_centroids(emb.sparkSession, residual_ivf_dir)
+        w_a = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+        base = (
+            emb.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "norm",
+                "cent_id",
+                "embedding",
+                "ct_emb",
+                (
+                    _dot(F.col("embedding"), F.col("ct_emb"))
+                    / (F.col("norm") * F.col("ct_norm"))
+                ).alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(w_a))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id",
+                "norm",
+                "cent_id",
+                _residual_of(F.col("embedding"), F.col("ct_emb")).alias("embedding"),
+            )
+        )
+    else:
+        base = emb.select("vec_id", "norm", "embedding")
+    subvecs = _subspaces(base, "embedding", n_sub, sub_dim, "sv")
     w_seed = Window.orderBy("vec_id")
     seed_codebook = _subspaces(
-        emb.orderBy("vec_id")
+        base.orderBy("vec_id")
         .limit(n_codes)
         .select(F.row_number().over(w_seed).alias("code"), "embedding"),
         "embedding",
@@ -242,19 +279,25 @@ def build_pq(
     codebook = pq_train_codebooks(sample, seed_codebook, iters=train_iters)
     codebook.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
     cb = emb.sparkSession.read.parquet(f"{index_dir}/codebooks")
+    keep = ["vec_id", "norm"] + (
+        ["cent_id"] if residual_ivf_dir is not None else []
+    )
     w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+    aggs = [
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+        ).alias("codes"),
+        F.min("norm").alias("norm"),
+    ]
+    if residual_ivf_dir is not None:
+        aggs.append(F.min("cent_id").alias("cent_id"))  # constant per vec
     codes = (
         subvecs.join(F.broadcast(cb), "m")
-        .select("vec_id", "norm", "m", "code", _l2sq(F.col("sv"), F.col("cw")).alias("d2"))
+        .select(*keep, "m", "code", _l2sq(F.col("sv"), F.col("cw")).alias("d2"))
         .withColumn("rn", F.row_number().over(w_enc))
         .filter(F.col("rn") == 1)
         .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
-            ).alias("codes"),
-            F.min("norm").alias("norm"),
-        )
+        .agg(*aggs)
     )
     codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
 
@@ -270,6 +313,7 @@ def query_pq(
     corpus_df: DataFrame | None = None,
     corpus_id_col: str = "vec_id",
     exclude_matching_ids: bool = False,
+    residual_ivf_dir: str | None = None,
 ) -> DataFrame:
     """Answer a query batch from the prebuilt PQ index: per query, an
     M x K lookup table of subspace dot products against the stored
@@ -278,7 +322,14 @@ def query_pq(
     best per query. When ``corpus_df`` is given (the raw vectors), the
     shortlist is exact-rescored against it (the production refine step:
     corpus I/O = shortlist rows, not the scan); otherwise ADC-ranked
-    results are returned directly with the approximate cosine."""
+    results are returned directly with the approximate cosine.
+
+    ``residual_ivf_dir``: REQUIRED (same dir) when the index was built
+    with residual encoding — the ADC numerator becomes dot(q, c(v)) +
+    sum(lut): the centroid term is a bounded (queries x K) dot-product
+    frame joined by the cent_id each codes row carries. The mode is
+    cross-checked against the codes schema, so a mismatched build/query
+    pair fails fast instead of returning silently wrong scores."""
     cb = spark.read.parquet(f"{index_dir}/codebooks")
     # one metadata job for both scalars (the codebook is M*K tiny rows)
     meta = cb.agg(
@@ -314,20 +365,40 @@ def query_pq(
         )
     )
     codes = spark.read.parquet(f"{index_dir}/codes")
+    is_residual_index = "cent_id" in codes.columns
+    if is_residual_index != (residual_ivf_dir is not None):
+        raise ValueError(
+            "residual/raw mode mismatch: codes table "
+            f"{'carries' if is_residual_index else 'lacks'} cent_id but "
+            f"residual_ivf_dir={'set' if residual_ivf_dir else 'None'} — "
+            "query a residual-encoded index with the build's ivf dir"
+        )
     scored = codes.crossJoin(F.broadcast(lut))
     if exclude_matching_ids:
         scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    adc_sum = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"), lambda c, l: F.element_at(l, c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if residual_ivf_dir is not None:
+        cent = _read_centroids(spark, residual_ivf_dir)
+        qc = (
+            q.crossJoin(F.broadcast(cent))
+            .select(
+                "query_id",
+                "cent_id",
+                _dot(F.col("embedding"), F.col("ct_emb")).alias("qc_dot"),
+            )
+        )
+        scored = scored.join(F.broadcast(qc), ["query_id", "cent_id"])
+        numerator = F.col("qc_dot") + adc_sum
+    else:
+        numerator = adc_sum
     scored = scored.select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        (
-            F.aggregate(
-                F.zip_with(F.col("codes"), F.col("lut"), lambda c, l: F.element_at(l, c)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / (F.col("q_norm") * F.col("norm"))
-        ).alias("acos"),
+        (numerator / (F.col("q_norm") * F.col("norm"))).alias("acos"),
     )
     w_s = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("cand_id"))
     short = (

@@ -104,3 +104,53 @@ def test_pq_index_build_query_recall(spark, sf_dir, tmp_path):
     approx = {(r["query_id"], r["cand_id"]) for r in got}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"recall collapsed: {recall}"
+
+
+def test_pq_index_residual_encoding(spark, sf_dir, tmp_path):
+    """Residual-encoded PQ index (build_pq(residual_ivf_dir=...)): codes
+    quantize v - c(v) against an IVF index's stored centroids, queries add
+    the dot(q, c) term back. Recall must not fall below the raw-encoded
+    index's floor, and mismatched build/query modes must fail fast."""
+    import pytest
+
+    from octopusdb_spark.functions.ann_index import build_ivf, build_pq, query_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    build_ivf(emb, ivf, n_centroids=8)
+    idx = str(tmp_path / "pq_res")
+    build_pq(emb, idx, residual_ivf_dir=ivf)
+    # codes rows carry the assigned list for the query-side centroid term
+    assert "cent_id" in spark.read.parquet(f"{idx}/codes").columns
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = query_pq(
+        spark, idx, queries, top_k=5, corpus_df=emb,
+        exclude_matching_ids=True, residual_ivf_dir=ivf,
+    ).collect()
+    assert {r["query_id"] for r in got} == set(range(5))
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in q_sim_topk_cosine(spark, sf_dir).collect()
+    }
+    approx = {(r["query_id"], r["cand_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"residual recall below the raw floor: {recall}"
+
+    # ADC-only path works in residual mode too (approximate cosine)
+    adc = query_pq(
+        spark, idx, queries, top_k=5,
+        exclude_matching_ids=True, residual_ivf_dir=ivf,
+    ).collect()
+    assert {r["query_id"] for r in adc} == set(range(5))
+
+    # mode mismatches fail fast instead of scoring silently wrong
+    with pytest.raises(ValueError, match="residual/raw mode mismatch"):
+        query_pq(spark, idx, queries, top_k=5)
+    raw_idx = str(tmp_path / "pq_raw")
+    build_pq(emb, raw_idx)
+    with pytest.raises(ValueError, match="residual/raw mode mismatch"):
+        query_pq(spark, raw_idx, queries, top_k=5, residual_ivf_dir=ivf)

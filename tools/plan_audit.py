@@ -140,6 +140,7 @@ HINT_ALLOWED_SCOPED = {
     (_ANNIDX, "cb"): "M x K codebook rows read from a PQ index (fixed)",
     (_ANNIDX, "lut"): "ADC lookup tables for N_QUERIES queries (fixed)",
     (_ANNIDX, "qv"): "N_QUERIES query vectors (fixed)",
+    (_ANNIDX, "qc"): "query-batch x K centroid-dot rows (fixed)",
     ("octopusdb_spark/queries/text.py", "bench"):
         "benchmark shingle set, bounded by benchmark size",
     # KV store sites gated on real manifest metadata before hinting
