@@ -589,11 +589,12 @@ def trained_residual_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def trained_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared trained PQ codebooks (m, code, cw): seed codewords
+    """The trained RAW-vector PQ codebooks (m, code, cw): seed codewords
     refined by PQ_TRAIN_ITERS per-subspace Lloyd rounds over the 1-in-N id
-    sample — identical inputs in sim_ann_pq and sim_ann_ivfpq, so one
-    training per (session, sf_dir) serves both. Dense-recoded M*K rows
-    over a localCheckpointed frame."""
+    sample — sim_ann_pq's quantizer (sim_ann_ivfpq trains its own
+    residual codebooks, `trained_residual_pq_codebook`). Memoized per
+    (session, sf_dir); dense-recoded M*K rows over a localCheckpointed
+    frame."""
     key = ("pq_codebook", sf_dir)
     hit = session_memo_get(_TRAINED_ANN_MEMO, spark, key)
     if hit is not None:
