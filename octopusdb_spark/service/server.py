@@ -1,0 +1,188 @@
+"""Remote point-read service — the reference's query-service surface (A24)
+made real.
+
+The reference defines `service OctopusDB { rpc Get (Req) returns (Res) }`
+whose request and response are each a single JSON string
+(`proto/proto/octopuspb.proto:6-21`) — and ships NO server implementation.
+This module implements that contract Spark-side with only the standard
+library: a threaded TCP server speaking newline-delimited JSON (the
+reference's own payload encoding, minus the gRPC framing the reference
+never wired up), serving reads from a live `KVStore` through exactly the
+read path the Python API uses — manifest pruning, bloom/stats pushdown,
+and (by default) a pinned cached view so repeated point reads share one
+materialized frame instead of replanning per request (`KVStore.pin`).
+
+Protocol: one JSON object per line, one JSON reply per line.
+
+    {"op": "get",  "key": K}                  -> {"ok": true, "found": bool,
+                                                  "value": b64, "version": n,
+                                                  "expires_at": n}
+    {"op": "mget", "keys": [K...]}            -> {"ok": true, "entries": {K: {...}}}
+    {"op": "scan", "start": K?, "end": K?,
+     "prefix": K?, "limit": n?}               -> {"ok": true, "rows": [{...}]}
+    {"op": "info"}                            -> {"ok": true, "info": {...}}
+    {"op": "ping"}                            -> {"ok": true, "pong": true}
+
+Malformed input or an unknown op returns {"ok": false, "error": ...} and
+keeps the connection open; an empty line closes it.
+
+Scale honesty: every request runs Spark jobs on the driver, so this is an
+OPERATIONAL lookup endpoint (debugging, spot checks, cache warmers) — the
+same altitude as the reference's unimplemented proto, not an OLTP serving
+tier. The pinned view bounds the marginal cost of a read to one filter +
+collect over a cached frame; `scan` is capped at MAX_SCAN_ROWS so no
+request can materialize an unbounded range onto the driver.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import socket
+import socketserver
+import threading
+import time
+
+MAX_SCAN_ROWS = 1000
+
+
+def _b64(v) -> str | None:
+    return None if v is None else base64.b64encode(bytes(v)).decode("ascii")
+
+
+def _entry_payload(e) -> dict:
+    return {
+        "value": _b64(e.value),
+        "version": e.version,
+        "expires_at": e.expires_at,
+    }
+
+
+class KVService:
+    """Serve a KVStore (or an OctopusDB facade) over TCP.
+
+    ``now``: fixed TTL-evaluation time for every read the service answers
+    (a service session IS a consistent read point, same rule as
+    ``KVStore.pin``); defaults to wall-clock at ``start()``. The service
+    holds a pinned-read session for its lifetime, so concurrent and
+    repeated gets resolve against one shared cached view; writes through
+    the underlying store invalidate it via the manifest-version check and
+    the next read transparently rebuilds.
+    """
+
+    def __init__(self, db, host: str = "127.0.0.1", port: int = 0, now: int | None = None):
+        # accept the user-facing facade or the store itself
+        self.store = getattr(db, "kv", db)
+        self._host, self._port = host, port
+        self._now = now
+        self._server = None
+        self._thread = None
+        self._pin = None
+
+    # ------------------------------------------------------------- ops
+    def _op_get(self, req: dict) -> dict:
+        e = self.store.get(req["key"], now=self._now)
+        if e is None:
+            return {"ok": True, "found": False}
+        return {"ok": True, "found": True, **_entry_payload(e)}
+
+    def _op_mget(self, req: dict) -> dict:
+        keys = req.get("keys") or []
+        if not isinstance(keys, list):
+            raise ValueError("mget: 'keys' must be a list")
+        got = self.store.mget(keys, now=self._now)
+        return {"ok": True, "entries": {k: _entry_payload(e) for k, e in got.items()}}
+
+    def _op_scan(self, req: dict) -> dict:
+        limit = min(int(req.get("limit", MAX_SCAN_ROWS)), MAX_SCAN_ROWS)
+        df = self.store.scan(
+            start=req.get("start"),
+            end=req.get("end"),
+            prefix=req.get("prefix"),
+            now=self._now,
+        )
+        rows = [
+            {
+                "key": r["key"],
+                "value": _b64(r["value"]),
+                "version": r["version"],
+                "expires_at": r["expires_at"],
+            }
+            for r in df.limit(limit).collect()
+        ]
+        return {"ok": True, "rows": rows}
+
+    def _op_info(self, req: dict) -> dict:
+        return {"ok": True, "info": self.store.info()}
+
+    def _op_ping(self, req: dict) -> dict:
+        return {"ok": True, "pong": True}
+
+    def _dispatch(self, line: str) -> dict:
+        try:
+            req = json.loads(line)
+            op = req.get("op")
+            handler = getattr(self, f"_op_{op}", None)
+            if handler is None or not op or op.startswith("_"):
+                raise ValueError(f"unknown op: {op!r}")
+            return handler(req)
+        except Exception as e:  # keep the connection alive on bad requests
+            return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+
+    # ------------------------------------------------------ lifecycle
+    def start(self) -> tuple[str, int]:
+        """Bind, pin the read session, and serve in a daemon thread.
+        Returns (host, port) — port is the ephemeral one when 0 was
+        requested."""
+        if self._server is not None:
+            raise RuntimeError("service already started")
+        if self._now is None:
+            self._now = int(time.time())
+        service = self
+
+        class _Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for raw in self.rfile:
+                    line = raw.decode("utf-8").strip()
+                    if not line:
+                        break
+                    reply = service._dispatch(line)
+                    self.wfile.write((json.dumps(reply) + "\n").encode("utf-8"))
+                    self.wfile.flush()
+
+        class _Server(socketserver.ThreadingTCPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._pin = self.store.pin(now=self._now)
+        self._pin.__enter__()
+        self._server = _Server((self._host, self._port), _Handler)
+        self._host, self._port = self._server.server_address[:2]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._host, self._port
+
+    def stop(self) -> None:
+        if self._server is None:
+            return
+        self._server.shutdown()
+        self._server.server_close()
+        self._server = None
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+        if self._pin is not None:
+            self._pin.__exit__(None, None, None)
+            self._pin = None
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+        return False
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return (self._host, self._port)

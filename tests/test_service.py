@@ -1,0 +1,78 @@
+"""Remote point-read service (A24): the reference's JSON-payload Get RPC
+(`proto/proto/octopuspb.proto:6-21`, proto only — no server shipped) as a
+live TCP endpoint over the KV read path, with the pin()-shared cached view
+behind it."""
+
+from __future__ import annotations
+
+import json
+import socket
+
+from octopusdb_spark.kv.store import Entry, KVStore
+from octopusdb_spark.service import KVClient, KVService
+
+NOW = 2_000_000_000
+
+
+def test_service_get_mget_scan_info(spark, tmp_path):
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch(
+        [Entry("alpha", b"1"), Entry("beta", b"2"), Entry("gamma", b"3")]
+    )
+    store.delete("beta")
+    store.set(Entry("ttl-dead", b"x", expires_at=NOW - 5))
+
+    with KVService(store, now=NOW) as svc:
+        host, port = svc.address
+        with KVClient(host, port) as c:
+            assert c.ping()
+            got = c.get("alpha")
+            assert got["value"] == b"1" and got["version"] >= 1
+            assert c.get("beta") is None       # tombstoned
+            assert c.get("ttl-dead") is None   # expired at the service now
+            assert c.get("missing") is None
+
+            m = c.mget(["alpha", "gamma", "missing"])
+            assert set(m) == {"alpha", "gamma"}
+            assert m["gamma"]["value"] == b"3"
+
+            rows = c.scan(prefix="a")
+            assert [r["key"] for r in rows] == ["alpha"]
+            assert rows[0]["value"] == b"1"
+            assert c.scan(limit=2) and len(c.scan(limit=2)) == 2
+
+            info = c.info()
+            assert info["row_count"] >= 3
+
+        # repeated reads share the service's pinned cached view
+        assert store.cached_view() is not None
+
+        # a second concurrent client is served by the same pin
+        with KVClient(host, port) as c2:
+            assert c2.get("alpha")["value"] == b"1"
+
+    # pin released with the service
+    assert store.cached_view() is None
+
+
+def test_service_protocol_errors_keep_connection(spark, tmp_path):
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set(Entry("k", b"v"))
+    with KVService(store, now=NOW) as svc:
+        host, port = svc.address
+        sock = socket.create_connection((host, port), timeout=30)
+        rfile = sock.makefile("rb")
+        try:
+            # malformed JSON -> ok:false, connection stays usable
+            sock.sendall(b"not json\n")
+            assert json.loads(rfile.readline())["ok"] is False
+            # unknown op -> ok:false (and no private-attr dispatch)
+            sock.sendall(json.dumps({"op": "dispatch"}).encode() + b"\n")
+            assert json.loads(rfile.readline())["ok"] is False
+            # still serving real requests afterwards
+            sock.sendall(json.dumps({"op": "get", "key": "k"}).encode() + b"\n")
+            reply = json.loads(rfile.readline())
+            assert reply["ok"] and reply["found"]
+        finally:
+            rfile.close()
+            sock.close()
