@@ -28,6 +28,7 @@ from octopusdb_spark.queries.similarity import (
     _with_norm,
     kmeans_centroids,
     pq_train_codebooks,
+    rank_centroids,
 )
 
 
@@ -64,23 +65,7 @@ def build_ivf(
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     cent_r = _read_centroids(emb.sparkSession, index_dir)
     assigned = (
-        emb.crossJoin(F.broadcast(cent_r))
-        .select(
-            "vec_id",
-            "embedding",
-            "norm",
-            "cent_id",
-            (
-                _dot(F.col("embedding"), F.col("ct_emb"))
-                / (F.col("norm") * F.col("ct_norm"))
-            ).alias("cos"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-            ),
-        )
+        rank_centroids(emb, cent_r, keep=("embedding", "norm"))
         .filter(F.col("rn") == 1)
         .select("cent_id", "vec_id", "embedding", "norm")
     )
@@ -229,21 +214,8 @@ def build_pq(
     )
     if residual_ivf_dir is not None:
         cent = _read_centroids(emb.sparkSession, residual_ivf_dir)
-        w_a = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
         base = (
-            emb.crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id",
-                "norm",
-                "cent_id",
-                "embedding",
-                "ct_emb",
-                (
-                    _dot(F.col("embedding"), F.col("ct_emb"))
-                    / (F.col("norm") * F.col("ct_norm"))
-                ).alias("cos"),
-            )
-            .withColumn("rn", F.row_number().over(w_a))
+            rank_centroids(emb, cent, keep=("norm", "embedding"), with_ct=True)
             .filter(F.col("rn") == 1)
             .select(
                 "vec_id",

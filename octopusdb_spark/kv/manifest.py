@@ -41,6 +41,17 @@ class SegmentInfo:
     # old and new rows into one output. created_seq is the matching lower
     # bound (compaction carries the MIN of its sources).
     max_seq: int | None = None
+    # data-segments: True when created_seq is the segment's EXACT per-row
+    # min(seq) (measured by the writer — readback stats for ranged writes,
+    # seq0 for a direct batch). The as_of segment prune trusts ONLY
+    # exact-stamped segments. False — the default every pre-flag manifest
+    # deserializes to — marks a stamp of unknown provenance: in particular,
+    # pre-round-7 compaction outputs carried min(participants' stamps),
+    # which is a FALSE lower bound when a participant was a legacy
+    # (max_seq=None, upper-bound-stamped) segment, even though the output
+    # itself gained an exact max_seq. Such segments are conservatively
+    # scanned; the row-level seq filter keeps correctness.
+    exact_min_seq: bool = False
     # values-segments only: bytes known dead (discard-stats accounting, A17)
     discard_bytes: int = 0
     total_value_bytes: int = 0

@@ -281,8 +281,9 @@ class KVStore:
                 max_key=self._enc(max(keys)),
                 row_count=len(data_rows),
                 size_bytes=sum(len(r[1] or b"") for r in data_rows),
-                created_seq=seq0,
+                created_seq=seq0,  # exact: this batch's seqs start at seq0
                 max_seq=seq0 + len(entries) - 1,
+                exact_min_seq=True,
             )
         )
         self.manifest.commit(new_state)
@@ -525,23 +526,25 @@ class KVStore:
             segs = hist.data_segments()
             if as_of is not None:
                 # same created_seq prune as the live path, over the
-                # historical manifest's segment list
-                segs = [s for s in segs if s.max_seq is None or s.created_seq <= as_of]
+                # historical manifest's segment list — and the same
+                # exact-stamp gate: historical manifests are precisely
+                # where pre-fix stamps live on
+                segs = [s for s in segs if not s.exact_min_seq or s.created_seq <= as_of]
         if as_of is not None and segs is None:
-            # created_seq is a true lower bound on a segment's row seqs —
-            # every exact-stats segment (max_seq stamped) is stamped with
-            # its exact per-segment min(seq) at write time, including
-            # compaction outputs that merged legacy inputs — so a segment
-            # created wholly after the snapshot holds nothing visible and
+            # Prune only segments whose manifest entry MARKS the
+            # created_seq stamp as the exact per-row min(seq)
+            # (exact_min_seq, stamped by every current writer): a segment
+            # created wholly after the snapshot holds nothing visible, so
             # the as-of read scans O(pre-snapshot segments), not the store.
-            # Legacy segments themselves (max_seq is None) carry a
-            # historical UPPER-bound stamp and are conservatively scanned —
-            # the row-level seq filter below keeps correctness; only the
-            # pruning degrades.
+            # Unmarked segments — legacy upper-bound stamps AND pre-flag
+            # compaction outputs that laundered such a stamp under an
+            # exact max_seq (their manifests deserialize to the False
+            # default) — are conservatively scanned; the row-level seq
+            # filter below keeps correctness, only the pruning degrades.
             segs = [
                 s
                 for s in self.manifest.state.data_segments()
-                if s.max_seq is None or s.created_seq <= as_of
+                if not s.exact_min_seq or s.created_seq <= as_of
             ]
         base = self.raw_df(segs)
         if as_of is not None:
@@ -1034,6 +1037,7 @@ class KVStore:
                     size_bytes=int(r["bytes"] or 0),
                     created_seq=seg_created,
                     max_seq=int(r["_mxseq"]),
+                    exact_min_seq=r["_mnseq"] is not None,
                 )
             )
         if extra_stats is not None:

@@ -48,6 +48,34 @@ def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
 
 
+def rank_centroids(emb: DataFrame, cent: DataFrame, keep=(), with_ct: bool = False) -> DataFrame:
+    """THE nearest-centroid ranking rule, shared by every IVF/PQ trainer,
+    persistent index build, and one-shot ANN query: broadcast the K-row
+    centroid frame (cent_id, ct_emb, ct_norm) across the vectors
+    (vec_id, embedding, norm), cosine-score each pair with the
+    bit-identical sequential dot, and rank per vector by
+    (cos DESC, cent_id ASC) — the deterministic tie-break every DuckDB
+    oracle CTE replicates. ``rn == 1`` is the assigned list; ``rn <=
+    nprobe`` are the probe lists. ``keep`` carries extra input columns
+    through; ``with_ct`` keeps the matched centroid vector (residual
+    encoders subtract it). One definition, so a tie-break or cast change
+    can never diverge between build-time and query-time assignment."""
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        *keep,
+        "cent_id",
+        *(("ct_emb",) if with_ct else ()),
+        (
+            _dot(F.col("embedding"), F.col("ct_emb"))
+            / (F.col("norm") * F.col("ct_norm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
 def _sign_bucket_slice(col, offset: int, nbits: int) -> Column:
     """Sign bits of coordinates [offset, offset+nbits) — one LSH table key."""
     total = F.lit(0)
@@ -170,15 +198,7 @@ def q_sim_ann_ivf(spark, sf_dir):
         F.col("embedding").alias("ct_emb"),
         F.col("norm").alias("ct_norm"),
     )
-    assign_scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cent_id",
-        (_dot(F.col("embedding"), F.col("ct_emb")) / (F.col("norm") * F.col("ct_norm"))).alias(
-            "cos"
-        ),
-    )
-    w_vec = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-    ranked = assign_scored.withColumn("rn", F.row_number().over(w_vec))
+    ranked = rank_centroids(emb, cent)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probes = (
         ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
@@ -243,21 +263,7 @@ def kmeans_centroids(emb: DataFrame, init: DataFrame, iters: int = KMEANS_ITERS)
 
     cent = init
     for _ in range(iters):
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-        asg = (
-            emb.crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id",
-                "embedding",
-                "cent_id",
-                (
-                    _dot(F.col("embedding"), F.col("ct_emb"))
-                    / (F.col("norm") * F.col("ct_norm"))
-                ).alias("cos"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-        )
+        asg = rank_centroids(emb, cent, keep=("embedding",)).filter(F.col("rn") == 1)
         means = (
             asg.select("cent_id", F.posexplode("embedding").alias("dim", "x"))
             .groupBy("cent_id", "dim")
@@ -328,15 +334,7 @@ def q_sim_ann_ivf_kmeans(spark, sf_dir):
 
     emb = _with_norm(t(spark, sf_dir, "embeddings"))
     cent = trained_ivf_centroids(spark, sf_dir)
-    assign_scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cent_id",
-        (_dot(F.col("embedding"), F.col("ct_emb")) / (F.col("norm") * F.col("ct_norm"))).alias(
-            "cos"
-        ),
-    )
-    w_vec = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-    ranked = assign_scored.withColumn("rn", F.row_number().over(w_vec))
+    ranked = rank_centroids(emb, cent)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probes = ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)).select(
         F.col("vec_id").alias("query_id"), "cent_id"
@@ -551,20 +549,8 @@ def trained_residual_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % PQ_TRAIN_SAMPLE_MOD == 1)
         | ((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + PQ_K))
     )
-    assign_scored = picked.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "norm",
-        "embedding",
-        "ct_emb",
-        "cent_id",
-        (
-            _dot(F.col("embedding"), F.col("ct_emb"))
-            / (F.col("norm") * F.col("ct_norm"))
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
     res = (
-        assign_scored.withColumn("rn", F.row_number().over(w))
+        rank_centroids(picked, cent, keep=("norm", "embedding"), with_ct=True)
         .filter(F.col("rn") == 1)
         .select(
             "vec_id",
@@ -758,15 +744,7 @@ def q_sim_ann_ivfpq(spark, sf_dir):
     # coarse quantizer: trained IVF centroids — the SAME memoized frame
     # sim_ann_ivf_kmeans uses (one training per session/sf_dir)
     cent = trained_ivf_centroids(spark, sf_dir)
-    assign_scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cent_id",
-        (_dot(F.col("embedding"), F.col("ct_emb")) / (F.col("norm") * F.col("ct_norm"))).alias(
-            "cos"
-        ),
-    )
-    w_vec = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
-    ranked = assign_scored.withColumn("rn", F.row_number().over(w_vec))
+    ranked = rank_centroids(emb, cent)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probes = ranked.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)

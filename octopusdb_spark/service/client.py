@@ -2,7 +2,13 @@
 JSON-payload Get RPC (`proto/proto/octopuspb.proto:12-20`: request and
 response are each one JSON string; this client speaks the same payloads
 over a plain socket). Stdlib-only; one persistent connection, requests
-pipelined line-at-a-time."""
+line-at-a-time, lazily re-established after any transport error so a
+timed-out request's late reply can never be read as the NEXT request's
+response (the stale connection is discarded, not drained).
+
+``binary_keys=True`` targets a binary-key store: keys are base64-encoded
+in requests and decoded from replies, matching the server's wire rule.
+"""
 
 from __future__ import annotations
 
@@ -10,23 +16,65 @@ import base64
 import json
 import socket
 
+_ENTRY_FIELDS = ("value", "version", "expires_at")
+
 
 def _debase(entry: dict) -> dict:
-    out = dict(entry)
-    if out.get("value") is not None:
+    out = {f: entry.get(f) for f in _ENTRY_FIELDS}
+    if out["value"] is not None:
         out["value"] = base64.b64decode(out["value"])
     return out
 
 
 class KVClient:
-    def __init__(self, host: str, port: int, timeout: float = 60.0):
-        self._sock = socket.create_connection((host, port), timeout=timeout)
+    def __init__(self, host: str, port: int, timeout: float = 60.0,
+                 binary_keys: bool = False):
+        self._addr = (host, port)
+        self._timeout = timeout
+        self._binary = binary_keys
+        self._sock = None
+        self._rfile = None
+        self._connect()
+
+    def _connect(self) -> None:
+        self._sock = socket.create_connection(self._addr, timeout=self._timeout)
         self._rfile = self._sock.makefile("rb")
 
+    def _teardown(self) -> None:
+        try:
+            if self._rfile is not None:
+                self._rfile.close()
+        except OSError:
+            pass
+        try:
+            if self._sock is not None:
+                self._sock.close()
+        except OSError:
+            pass
+        self._rfile = self._sock = None
+
+    def _enc_key(self, k):
+        if k is None or not self._binary:
+            return k
+        return base64.b64encode(bytes(k)).decode("ascii")
+
+    def _dec_key(self, k):
+        return base64.b64decode(k) if self._binary else k
+
     def _call(self, req: dict) -> dict:
-        self._sock.sendall((json.dumps(req) + "\n").encode("utf-8"))
-        line = self._rfile.readline()
+        if self._sock is None:
+            self._connect()
+        try:
+            self._sock.sendall((json.dumps(req) + "\n").encode("utf-8"))
+            line = self._rfile.readline()
+        except Exception:
+            # Timeout or transport fault: the connection's request/reply
+            # pairing is now unknowable — drop it so the next call starts
+            # on a fresh socket instead of reading a stale reply.
+            self._teardown()
+            raise
         if not line:
+            self._teardown()
             raise ConnectionError("service closed the connection")
         reply = json.loads(line)
         if not reply.get("ok"):
@@ -36,18 +84,26 @@ class KVClient:
     def get(self, key) -> dict | None:
         """{"value": bytes|None, "version": int, "expires_at": int} or
         None when the key is absent/tombstoned/expired."""
-        reply = self._call({"op": "get", "key": key})
+        reply = self._call({"op": "get", "key": self._enc_key(key)})
         return _debase(reply) if reply["found"] else None
 
     def mget(self, keys: list) -> dict:
-        reply = self._call({"op": "mget", "keys": list(keys)})
-        return {k: _debase(e) for k, e in reply["entries"].items()}
+        reply = self._call({"op": "mget", "keys": [self._enc_key(k) for k in keys]})
+        return {self._dec_key(k): _debase(e) for k, e in reply["entries"].items()}
 
     def scan(self, start=None, end=None, prefix=None, limit: int | None = None) -> list:
-        req = {"op": "scan", "start": start, "end": end, "prefix": prefix}
+        req = {
+            "op": "scan",
+            "start": self._enc_key(start),
+            "end": self._enc_key(end),
+            "prefix": self._enc_key(prefix),
+        }
         if limit is not None:
             req["limit"] = limit
-        return [_debase(r) for r in self._call(req)["rows"]]
+        return [
+            {**_debase(r), "key": self._dec_key(r["key"])}
+            for r in self._call(req)["rows"]
+        ]
 
     def info(self) -> dict:
         return self._call({"op": "info"})["info"]
@@ -56,10 +112,7 @@ class KVClient:
         return bool(self._call({"op": "ping"}).get("pong"))
 
     def close(self) -> None:
-        try:
-            self._rfile.close()
-        finally:
-            self._sock.close()
+        self._teardown()
 
     def __enter__(self):
         return self

@@ -23,6 +23,11 @@ Protocol: one JSON object per line, one JSON reply per line.
     {"op": "info"}                            -> {"ok": true, "info": {...}}
     {"op": "ping"}                            -> {"ok": true, "pong": true}
 
+Values travel base64-encoded. Keys are JSON values for a string-key
+store; for a binary-key store (``key_type="binary"``) keys are
+base64-encoded on the wire too, in requests and replies alike
+(`KVClient(binary_keys=True)` does this transparently).
+
 Malformed input or an unknown op returns {"ok": false, "error": ...} and
 keeps the connection open; an empty line closes it.
 
@@ -57,7 +62,6 @@ def _entry_payload(e) -> dict:
         "expires_at": e.expires_at,
     }
 
-
 class KVService:
     """Serve a KVStore (or an OctopusDB facade) over TCP.
 
@@ -79,9 +83,21 @@ class KVService:
         self._thread = None
         self._pin = None
 
+    # -------------------------------------------------------- key codec
+    # JSON can't carry bytes: binary-key stores (`key_type="binary"`,
+    # the reference's opaque []byte keys) exchange keys base64-encoded
+    # on the wire, exactly like values. String-key stores pass through.
+    def _dec_key(self, k):
+        if k is None:
+            return None
+        return base64.b64decode(k) if self.store.key_type == "binary" else k
+
+    def _enc_key(self, k):
+        return _b64(k) if self.store.key_type == "binary" else k
+
     # ------------------------------------------------------------- ops
     def _op_get(self, req: dict) -> dict:
-        e = self.store.get(req["key"], now=self._now)
+        e = self.store.get(self._dec_key(req["key"]), now=self._now)
         if e is None:
             return {"ok": True, "found": False}
         return {"ok": True, "found": True, **_entry_payload(e)}
@@ -90,20 +106,23 @@ class KVService:
         keys = req.get("keys") or []
         if not isinstance(keys, list):
             raise ValueError("mget: 'keys' must be a list")
-        got = self.store.mget(keys, now=self._now)
-        return {"ok": True, "entries": {k: _entry_payload(e) for k, e in got.items()}}
+        got = self.store.mget([self._dec_key(k) for k in keys], now=self._now)
+        return {
+            "ok": True,
+            "entries": {self._enc_key(k): _entry_payload(e) for k, e in got.items()},
+        }
 
     def _op_scan(self, req: dict) -> dict:
         limit = min(int(req.get("limit", MAX_SCAN_ROWS)), MAX_SCAN_ROWS)
         df = self.store.scan(
-            start=req.get("start"),
-            end=req.get("end"),
-            prefix=req.get("prefix"),
+            start=self._dec_key(req.get("start")),
+            end=self._dec_key(req.get("end")),
+            prefix=self._dec_key(req.get("prefix")),
             now=self._now,
         )
         rows = [
             {
-                "key": r["key"],
+                "key": self._enc_key(r["key"]),
                 "value": _b64(r["value"]),
                 "version": r["version"],
                 "expires_at": r["expires_at"],
@@ -154,12 +173,27 @@ class KVService:
             daemon_threads = True
             allow_reuse_address = True
 
-        self._pin = self.store.pin(now=self._now)
-        self._pin.__enter__()
+        # Bind FIRST: a failed bind (port in use) must not leave the store
+        # in a pinned-read state nobody can unwind. Anything that fails
+        # after the pin is entered unwinds it before re-raising.
         self._server = _Server((self._host, self._port), _Handler)
-        self._host, self._port = self._server.server_address[:2]
-        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
-        self._thread.start()
+        try:
+            self._pin = self.store.pin(now=self._now)
+            self._pin.__enter__()
+            try:
+                self._host, self._port = self._server.server_address[:2]
+                self._thread = threading.Thread(
+                    target=self._server.serve_forever, daemon=True
+                )
+                self._thread.start()
+            except BaseException:
+                self._pin.__exit__(None, None, None)
+                self._pin = None
+                raise
+        except BaseException:
+            self._server.server_close()
+            self._server = None
+            raise
         return self._host, self._port
 
     def stop(self) -> None:

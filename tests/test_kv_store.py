@@ -284,25 +284,74 @@ def test_epoch_split_keeps_changefeed_tight_after_leveled_compaction(store):
 
 
 def test_as_of_scans_legacy_segments_conservatively(store):
-    """Segments without the exact-stats marker (max_seq=None) may carry a
-    legacy UPPER created_seq stamp (old compaction stamped next_seq at
-    compaction time), so the as_of prune must not trust created_seq on
-    them — they are conservatively scanned and the row-level seq filter
-    does the work."""
+    """Segments without the exact-min-seq marker may carry a legacy UPPER
+    created_seq stamp (old compaction stamped next_seq at compaction
+    time), so the as_of prune must not trust created_seq on them — they
+    are conservatively scanned and the row-level seq filter does the
+    work."""
     store.set_batch([Entry("a", b"v1"), Entry("b", b"b1")])
     snap = store.snapshot_seq()
     store.set_batch([Entry("a", b"v2")])
     store.compact(now=NOW)  # merged output holds pre-snapshot key `b`
-    # Simulate the legacy stamp on every merged segment: no max_seq marker,
+    # Simulate the legacy stamp on every merged segment: no exact marker,
     # created_seq = next_seq at compaction time (> all contained seqs).
     legacy_stamp = store.manifest.state.next_seq
     for s in store.manifest.state.data_segments():
         s.max_seq = None
+        s.exact_min_seq = False
         s.created_seq = legacy_stamp
     # b was written before the snapshot and never touched: it must survive
     # an as-of read even though its segment's created_seq lies above snap.
     got = store.get("b", now=NOW, as_of=snap)
     assert got is not None and got.value == b"b1"
+
+
+def test_as_of_does_not_trust_laundered_stamps_even_with_exact_max_seq(store):
+    """Pre-flag compaction outputs carried min(participants' created_seq)
+    under an EXACT max_seq — a stamp of unknown provenance that can lie
+    ABOVE contained row seqs when a participant was legacy. Their manifest
+    rows deserialize with exact_min_seq=False, and the as_of prune must
+    scan them (max_seq alone proves nothing about the lower bound) — on
+    the live path AND through at_version time travel, which is exactly
+    where old manifests live on (durable pre-images resolve there)."""
+    from dataclasses import asdict
+
+    from octopusdb_spark.kv.manifest import ManifestState, SegmentInfo
+
+    store.set_batch([Entry("a", b"v1"), Entry("b", b"b1")])
+    snap = store.snapshot_seq()
+    store.set_batch([Entry("a", b"v2")])
+    store.compact(now=NOW)
+    # Simulate the laundered pre-flag stamp: exact max_seq retained, but
+    # created_seq rewritten above snap and the exact marker absent — then
+    # commit so a HISTORICAL manifest version carries the laundered rows.
+    laundered = store.manifest.state.next_seq
+    segs = []
+    for s in store.manifest.state.segments:
+        d = asdict(s)
+        if s.kind == "data":
+            d["created_seq"] = laundered
+            d["exact_min_seq"] = False
+        segs.append(SegmentInfo(**d))
+    store.manifest.commit(
+        ManifestState(
+            version=store.manifest.state.version,
+            next_seq=store.manifest.state.next_seq,
+            segments=segs,
+        )
+    )
+    hist_version = store.manifest.state.version
+    # live path: pruning on the laundered stamp would drop key `b`
+    got = store.get("b", now=NOW, as_of=snap)
+    assert got is not None and got.value == b"b1"
+    # time-travel path: same row must survive through the old manifest
+    rows = {
+        r["key"]: bytes(r["value"])
+        for r in store.view(
+            now=NOW, as_of=snap, at_version=hist_version
+        ).collect()
+    }
+    assert rows.get("b") == b"b1"
 
 
 def test_compacting_legacy_segments_restamps_created_seq_exactly(store):

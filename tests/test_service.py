@@ -76,3 +76,70 @@ def test_service_protocol_errors_keep_connection(spark, tmp_path):
         finally:
             rfile.close()
             sock.close()
+
+
+def test_service_get_returns_clean_entry_shape(spark, tmp_path):
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set(Entry("k", b"v"))
+    with KVService(store, now=NOW) as svc:
+        with KVClient(*svc.address) as c:
+            got = c.get("k")
+            # protocol fields (ok/found) must not leak into the entry;
+            # get and mget return the SAME shape for the same entry
+            assert set(got) == {"value", "version", "expires_at"}
+            assert got == c.mget(["k"])["k"]
+
+
+def test_service_binary_keys(spark, tmp_path):
+    store = KVStore(spark, str(tmp_path / "kv"), key_type="binary")
+    store.set_batch(
+        [Entry(b"\x00\x01", b"a"), Entry(b"\x00\xff", b"b"), Entry(b"\x7f", b"c")]
+    )
+    with KVService(store, now=NOW) as svc:
+        with KVClient(*svc.address, binary_keys=True) as c:
+            assert c.get(b"\x00\xff")["value"] == b"b"
+            assert c.get(b"\x99") is None
+            m = c.mget([b"\x00\x01", b"\x7f", b"\x99"])
+            assert set(m) == {b"\x00\x01", b"\x7f"}
+            rows = c.scan(prefix=b"\x00")
+            assert [r["key"] for r in rows] == [b"\x00\x01", b"\x00\xff"]
+            assert rows[1]["value"] == b"b"
+
+
+def test_failed_bind_leaves_store_unpinned(spark, tmp_path):
+    import pytest
+
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set(Entry("k", b"v"))
+    with KVService(store, now=NOW) as svc:
+        taken = svc.address[1]
+        store2 = KVStore(spark, str(tmp_path / "kv2"))
+        svc2 = KVService(store2, port=taken, now=NOW)
+        with pytest.raises(OSError):
+            svc2.start()
+        # the failed start must not leave store2 pinned or cached
+        assert getattr(store2, "_pinned", False) is False
+        assert store2.cached_view() is None
+        svc2.stop()  # no-op, must not raise
+
+
+def test_client_discards_connection_after_transport_error(spark, tmp_path):
+    import pytest
+
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set(Entry("k", b"v"))
+    with KVService(store, now=NOW) as svc:
+        c = KVClient(*svc.address)
+        try:
+            assert c.get("k")["value"] == b"v"
+            # sever the transport underneath the client: the in-flight
+            # pairing is unknowable, so the client must drop the socket...
+            c._sock.shutdown(socket.SHUT_RDWR)
+            c._sock.close()
+            with pytest.raises(Exception):
+                c.get("k")
+            assert c._sock is None
+            # ...and transparently reconnect on the next call
+            assert c.get("k")["value"] == b"v"
+        finally:
+            c.close()

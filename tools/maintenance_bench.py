@@ -96,12 +96,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # record the box-drift yardstick in this context too (VERDICT r6 #6):
     # a standalone maintenance run is comparable across rounds only
-    # alongside its calibration median. (bench.py embeds run() output under
-    # its own top-level calibration, so this only runs standalone.)
+    # alongside its calibration median. Measured BEFORE the workload, the
+    # same point in the run bench.py measures at — calibrating after the
+    # heavy ingest→compact→GC cycle would sample an already-degraded box
+    # and bias the normalization the two contexts are meant to share.
+    # (bench.py embeds run() output under its own top-level calibration,
+    # so this only runs standalone.)
     from tools.calibration import calibration
 
+    cal = calibration(spark)
     payload = run(spark)
-    payload["calibration"] = calibration(spark)
+    payload["calibration"] = cal
     print(json.dumps(payload))
     spark.stop()
 
