@@ -57,6 +57,10 @@ HEADLINE = [
     # added round 6
     "sim_ann_ivfpq",
     "pipeline_pretrain_corpus",
+    # added round 7 (training-pipeline text stages)
+    "text_pii_redact",
+    "text_chunk_overlap",
+    "q_train_val_split",
 ]
 
 

@@ -49,6 +49,9 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 7 (head-insert at add time, per protocol below)
+    "text_pii_redact",         # PII scrub with per-class audit counts
+    "text_chunk_overlap",      # token-window chunking with overlap
+    "q_train_val_split",       # hash-stable train/val/test + strat audit
     "kv_pinned_reads",         # pin() contract promoted to a driver row
     # stale since round 4 (the full list from VERDICT r6 What's-missing #1)
     "kv_prefix_scan", "kv_range_seek", "kv_tombstoned_keys",
@@ -68,13 +71,12 @@ _PRIORITY = [
     "kv_changefeed",           # same changes_since path
     "kv_version_history",      # created_seq compaction stamp fix (ADVICE r6)
     "kv_latest_live",          # compaction output stamping
-    "kv_point_lookup",         # pin()/get path changes
     "kv_stream_ingest",        # TTL rides the streaming write path
-    "sim_ann_ivfpq",           # residual encoding
+    "sim_ann_ivfpq",           # residual encoding + rank_centroids refactor
     "sim_ann_pq",              # memoized trained codebooks
-    "sim_ann_ivf_kmeans",      # memoized trained centroids
-    "kv_gc_discard_stats",     # GC after created_seq stamp change
-    "kv_value_separation",     # ingest path shared with TTL change
+    "sim_ann_ivf_kmeans",      # memoized centroids + rank_centroids refactor
+    # displaced by the three head-inserts: kv_point_lookup,
+    # kv_gc_discard_stats, kv_value_separation (all green r5/r6)
 ]
 
 

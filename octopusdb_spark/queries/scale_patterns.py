@@ -161,6 +161,48 @@ def q_source_balanced_sample(spark, sf_dir):
     )
 
 
+def q_train_val_split(spark, sf_dir):
+    """Deterministic train/val/test assignment + stratification audit —
+    the split step of a training pipeline done content-stably: bucket =
+    md5(doc_id) mod 100, train < 80, val < 90, test otherwise. Hash
+    assignment (never rand()) means the split is reproducible across
+    reruns, engines, and repartitioning, documents never migrate between
+    splits as the corpus grows, and train/test disjointness is by
+    construction. The audit reports, per (source, split), the document
+    count, token mass, and the split's exact fraction of its source — the
+    check that hashing didn't skew any stratum. One scan + one small
+    keyed agg; at 100 TB the split column is a free projection."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    ).alias("split")
+    per = (
+        docs.select("source", split, F.size(F.split("text", " ")).alias("toks"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("toks").cast("long")).alias("total_tokens"),
+        )
+    )
+    w_src = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "split",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_src), 6
+        ).alias("frac_of_source"),
+    ).orderBy("source", "split")
+
+
 TOKEN_BUDGET = 4096  # whitespace tokens per training shard
 PACK_BUCKET = 500  # fixed doc_id range per bucket (deterministic boundaries)
 
@@ -286,6 +328,31 @@ def q_pipeline_pretrain_corpus(spark, sf_dir):
 
 
 ORACLES = {
+    "q_train_val_split": """
+        WITH s AS (
+          SELECT source,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                   % 100 AS b,
+                 len(string_split(text, ' ')) AS toks
+          FROM documents
+        ),
+        lab AS (
+          SELECT source,
+                 CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 toks
+          FROM s
+        ),
+        per AS (
+          SELECT source, split, count(*) AS n_docs,
+                 CAST(sum(toks) AS BIGINT) AS total_tokens
+          FROM lab GROUP BY source, split
+        )
+        SELECT source, split, n_docs, total_tokens,
+               round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY source), 6)
+                 AS frac_of_source
+        FROM per ORDER BY source, split""",
     "pipeline_pretrain_corpus": f"""
         WITH kept AS (
           SELECT doc_id, source, text FROM documents
@@ -395,4 +462,5 @@ QUERIES = {
     "q_hash_sampled_stats": q_hash_sampled_stats,
     "q_stratified_sample": q_stratified_sample,
     "q_source_balanced_sample": q_source_balanced_sample,
+    "q_train_val_split": q_train_val_split,
 }

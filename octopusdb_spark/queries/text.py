@@ -298,7 +298,142 @@ def q_text_ngram_topk(spark, sf_dir):
     )
 
 
+# PII-redaction patterns — the standard training-corpus scrub classes.
+# Written in the Java-regex ∩ RE2 common subset ([0-9] classes, bounded
+# repetition, no \b / lookaround) so Spark and DuckDB match identically.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PII_CARD = "[0-9]{4}(-[0-9]{4}){3}"
+PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+PII_PHONE = "555-[0-9]{4}"
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrubbing — the redaction pass every pretraining pipeline runs
+    before anything else sees the text: emails, card numbers, IPv4
+    addresses, and phone numbers replaced by typed tags, with per-class
+    hit counts for the audit log. The synthetic corpus contains no PII,
+    so each document is first salted with a deterministic doc_id-derived
+    contact block (email, ip, phone, and a card on every third doc) —
+    the operator under test is the redaction chain, exercised on text
+    where every class genuinely occurs; identical salting in the oracle.
+
+    Redaction order matters and is fixed: email (may embed digit runs) →
+    card → ipv4 → phone; the pattern classes are mutually non-overlapping
+    on the salted text, so the pre-redaction counts equal what the chain
+    removes. Pure regexp_replace/extract_all projections — one scan, no
+    shuffle, embarrassingly parallel at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" card 4111-1111-1111-1111")).otherwise(
+                F.lit("")
+            ),
+        ).alias("raw"),
+    )
+    red = F.col("raw")
+    for pat, tag in (
+        (PII_EMAIL, "[EMAIL]"),
+        (PII_CARD, "[CARD]"),
+        (PII_IPV4, "[IP]"),
+        (PII_PHONE, "[PHONE]"),
+    ):
+        red = F.regexp_replace(red, pat, tag)
+    return salted.select(
+        "doc_id",
+        # F.regexp_extract_all with a lit pattern, NOT F.expr: a SQL string
+        # literal would eat the \. escapes before the regex engine saw them
+        F.size(F.regexp_extract_all("raw", F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(PII_CARD), F.lit(0))).alias("n_cards"),
+        F.size(F.regexp_extract_all("raw", F.lit(PII_IPV4), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all("raw", F.lit(PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.length(red).alias("redacted_chars"),
+        F.md5(red).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+CHUNK_TOKENS = 64  # context-window chunk size (whitespace tokens)
+CHUNK_STRIDE = 48  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 16
+
+
+def q_text_chunk_overlap(spark, sf_dir):
+    """Token-aware document chunking with overlap — the splitter that turns
+    a corpus into fixed-window training sequences: chunks of CHUNK_TOKENS
+    whitespace tokens starting every CHUNK_STRIDE (16-token overlap keeps
+    boundary context), tail chunks shorter. Chunk starts come from one
+    `sequence`/explode over precomputed token arrays (no self-join, no
+    window); each output row carries its exact token count and a content
+    fingerprint, the manifest a sequence-packing stage consumes. Output
+    is O(total_tokens / stride) rows, embarrassingly parallel."""
+    docs = t(spark, sf_dir, "documents")
+    ws_docs = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    starts = F.sequence(F.lit(0), F.greatest(F.size("ws") - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+    chunk = F.slice(F.col("ws"), F.col("st") + 1, CHUNK_TOKENS)
+    return (
+        ws_docs.select("doc_id", F.explode(starts).alias("st"), "ws")
+        .select(
+            "doc_id",
+            (F.col("st") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 ORACLES = {
+    "text_pii_redact": """
+        WITH salted AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com ip 10.'
+                      || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                      || CAST((doc_id * 7) % 256 AS VARCHAR)
+                      || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' card 4111-1111-1111-1111' ELSE '' END AS raw
+          FROM documents
+        ),
+        red AS (
+          SELECT doc_id, raw,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(raw,
+                         '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '[EMAIL]', 'g'),
+                       '[0-9]{4}(-[0-9]{4}){3}', '[CARD]', 'g'),
+                     '([0-9]{1,3}\\.){3}[0-9]{1,3}', '[IP]', 'g'),
+                   '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+          FROM salted
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+'))
+                 AS n_emails,
+               len(regexp_extract_all(raw, '[0-9]{4}(-[0-9]{4}){3}')) AS n_cards,
+               len(regexp_extract_all(raw, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ips,
+               len(regexp_extract_all(raw, '555-[0-9]{4}')) AS n_phones,
+               length(redacted) AS redacted_chars,
+               md5(redacted) AS redacted_fp
+        FROM red ORDER BY doc_id""",
+    "text_chunk_overlap": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        s AS (SELECT doc_id, ws,
+                     unnest(range(0, greatest(len(ws) - 1, 0) + 1, 48)) AS st
+              FROM w)
+        SELECT doc_id,
+               CAST(st // 48 AS INT) AS chunk_idx,
+               len(ws[st + 1 : st + 64]) AS chunk_tokens,
+               md5(array_to_string(ws[st + 1 : st + 64], ' ')) AS chunk_fp
+        FROM s ORDER BY doc_id, chunk_idx""",
     "text_repetition": """
         WITH g AS (
           SELECT doc_id,
@@ -456,4 +591,6 @@ QUERIES = {
     "text_shard_assignment": q_text_shard_assignment,
     "text_repetition": q_text_repetition,
     "text_ngram_topk": q_text_ngram_topk,
+    "text_pii_redact": q_text_pii_redact,
+    "text_chunk_overlap": q_text_chunk_overlap,
 }

@@ -185,3 +185,100 @@ def test_driver_priority_window_invariant():
     assert not missing, f"priority queries outside the driver window: {missing}"
     # and the whole registry stays fully oracle-checked
     assert set(ORACLE_SQL) == set(REGISTRY)
+
+
+def test_pipeline_text_stage_properties(spark):
+    """Semantic pins for the round-7 text stages that hash-compare alone
+    wouldn't express: redaction leaves no matchable PII behind, chunking
+    covers every token with the declared overlap, and the hash split is
+    exhaustive and exact-fraction per source."""
+    from pyspark.sql import functions as F
+
+    from octopusdb_spark.queries.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        PII_CARD,
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        q_text_chunk_overlap,
+        q_text_pii_redact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    red = q_text_pii_redact(spark, sf)
+    # every document was salted with at least email+ip+phone, all counted
+    mins = red.agg(
+        F.min("n_emails").alias("e"), F.min("n_ips").alias("i"), F.min("n_phones").alias("p")
+    ).collect()[0]
+    assert (mins["e"], mins["i"], mins["p"]) == (1, 1, 1)
+    # the redacted text itself must contain no residual PII match: rebuild
+    # the redaction chain's output and re-scan it with every pattern
+    docs_n = red.count()
+    from octopusdb_spark.queries.common import t
+
+    salted = t(spark, sf, "documents").select(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" card 4111-1111-1111-1111")
+            ).otherwise(F.lit("")),
+        ).alias("raw")
+    )
+    scrubbed = salted.select(F.col("raw"))
+    for pat, tag in (
+        (PII_EMAIL, "[EMAIL]"),
+        (PII_CARD, "[CARD]"),
+        (PII_IPV4, "[IP]"),
+        (PII_PHONE, "[PHONE]"),
+    ):
+        scrubbed = scrubbed.select(F.regexp_replace("raw", pat, tag).alias("raw"))
+    residual = scrubbed.filter(
+        (F.size(F.regexp_extract_all("raw", F.lit(PII_EMAIL), F.lit(0))) > 0)
+        | (F.size(F.regexp_extract_all("raw", F.lit(PII_CARD), F.lit(0))) > 0)
+        | (F.size(F.regexp_extract_all("raw", F.lit(PII_IPV4), F.lit(0))) > 0)
+        | (F.size(F.regexp_extract_all("raw", F.lit(PII_PHONE), F.lit(0))) > 0)
+    ).count()
+    assert residual == 0
+
+    chunks = q_text_chunk_overlap(spark, sf)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max("chunk_idx").alias("last_idx"),
+        F.sum("chunk_tokens").alias("tok_sum"),
+        F.max("chunk_tokens").alias("max_len"),
+    )
+    toks = t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    j = per_doc.join(toks, "doc_id")
+    # chunk count matches ceil(n/stride) starts; every token appears in
+    # >= 1 chunk (sum over chunks >= n, with overlap duplicates);
+    # no chunk exceeds the window
+    bad = j.filter(
+        (F.col("n_chunks") != F.col("last_idx") + 1)
+        | (F.col("n_chunks") != F.ceil(F.col("n_toks") / F.lit(CHUNK_STRIDE)))
+        | (F.col("tok_sum") < F.col("n_toks"))
+        | (F.col("max_len") > CHUNK_TOKENS)
+    ).count()
+    assert bad == 0
+    assert per_doc.count() == docs_n
+
+    from octopusdb_spark.queries.scale_patterns import q_train_val_split
+
+    split = q_train_val_split(spark, sf)
+    per_source = split.groupBy("source").agg(
+        F.sum("n_docs").alias("n"), F.sum("frac_of_source").alias("fsum")
+    )
+    # splits partition each source exactly (fractions sum to 1, up to the
+    # per-term round(…, 6) the query applies)
+    assert per_source.filter(F.abs(F.col("fsum") - 1.0) > 3e-6).count() == 0
+    assert split.agg(F.sum("n_docs")).collect()[0][0] == docs_n
