@@ -49,6 +49,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 7 (head-insert at add time, per protocol below)
+    "stream_dedup_ingest",     # streaming MinHash near-dup rejection
     "text_pii_redact",         # PII scrub with per-class audit counts
     "text_chunk_overlap",      # token-window chunking with overlap
     "q_train_val_split",       # hash-stable train/val/test + strat audit
@@ -70,12 +71,11 @@ _PRIORITY = [
     "kv_changefeed_preimage",  # durable pre-images across compaction
     "kv_changefeed",           # same changes_since path
     "kv_version_history",      # created_seq compaction stamp fix (ADVICE r6)
-    "kv_latest_live",          # compaction output stamping
     "kv_stream_ingest",        # TTL rides the streaming write path
     "sim_ann_ivfpq",           # residual encoding + rank_centroids refactor
     "sim_ann_pq",              # memoized trained codebooks
     "sim_ann_ivf_kmeans",      # memoized centroids + rank_centroids refactor
-    # displaced by the three head-inserts: kv_point_lookup,
+    # displaced by the four head-inserts: kv_point_lookup, kv_latest_live,
     # kv_gc_discard_stats, kv_value_separation (all green r5/r6)
 ]
 

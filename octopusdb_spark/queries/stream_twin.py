@@ -393,7 +393,161 @@ def q_kv_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-dup rejection at ingest — the filter a continuously
+    crawled corpus runs BEFORE documents enter the store: arriving docs
+    (doc_id % 5 == 0) ride a file stream, their MinHash band signatures
+    are computed in-stream as pure per-row array expressions (shingle →
+    hash → per-band min — no streaming aggregation, so the hot path is a
+    stateless projection), and a stream-static LEFT SEMI join against the
+    static corpus's banded signature index (doc_id % 5 != 0, the batch
+    `minhash_bands` output, checkpointed once) surfaces every colliding
+    band. A doc colliding on ANY band is rejected — identical banding,
+    hashes, and constants as `dedup_minhash_lsh`, so stream and batch
+    dedup agree by construction. Checked output: per-source
+    arrivals/rejected/accepted counts (batching-independent).
+
+    100 TB shape: the stream side is map-only per micro-batch; the static
+    index is the banded LSH table (one row per (doc, band)), the join is
+    a band-bucket equi-join bounded like every LSH join here, and the
+    final count rides the tiny sink. No all-pairs anything."""
+    from octopusdb_spark.queries.dedup import (
+        _SHINGLES_SPARK,
+        MINHASH_AB,
+        MINHASH_P,
+        N_BANDS,
+        _ROWS_PER_BAND,
+        minhash_bands,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    static_bands = (
+        minhash_bands(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 != 0)
+        .localCheckpoint(eager=True)
+    )
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_ingest_dedup_{run_id}_")
+    try:
+        arrivals = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+        src = f"{base}/src"
+        arrivals.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        # per-row MinHash: same shingles, same 28-bit hash, same (a,b)
+        # chains as the batch path — array_min over a transform instead of
+        # a groupBy min, because a stream projection must stay stateless
+        sh = F.array_distinct(F.expr(_SHINGLES_SPARK))
+        hs = F.transform(
+            sh, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+        )
+        mins = [
+            F.array_min(
+                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ]
+        sigs = stream.withColumn("ws", F.split("text", " ")).select("doc_id", *mins)
+        sig_cols = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{j}").cast("string")
+                        for j in range(band * _ROWS_PER_BAND, (band + 1) * _ROWS_PER_BAND)
+                    ],
+                )
+            ).alias(f"sig{band}")
+            for band in range(N_BANDS)
+        ]
+        stack_args = ", ".join(f"{band}, sig{band}" for band in range(N_BANDS))
+        banded = sigs.select("doc_id", *sig_cols).select(
+            "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)")
+        )
+        collisions = banded.join(static_bands, ["band", "sig"], "left_semi")
+        name = f"stream_ingest_dedup_{run_id}"
+        q = (
+            collisions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_bounded(q)
+        rejected = spark.table(name).select("doc_id").distinct()
+        out = (
+            arrivals.join(rejected.withColumn("rej", F.lit(1)), "doc_id", "left")
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_arrivals"),
+                F.count("rej").alias("n_rejected"),
+                (F.count("*") - F.count("rej")).alias("n_accepted"),
+            )
+            .orderBy("source")
+        )
+        result = spark.createDataFrame(
+            out.collect(),
+            "source string, n_arrivals long, n_rejected long, n_accepted long",
+        )
+        spark.catalog.dropTempView(name)
+        return result
+    finally:
+        static_bands.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _stream_dedup_ingest_sql() -> str:
+    """Batch twin of the streaming near-dup filter: the identical shingle →
+    hash → banded-minhash chain as dedup_minhash_lsh's oracle, split into
+    arrivals (doc_id % 5 = 0) vs static, rejected = any shared band."""
+    from octopusdb_spark.queries.dedup import (
+        _ROWS_PER_BAND,
+        MINHASH_AB,
+        MINHASH_P,
+        N_BANDS,
+        SHINGLES_SQL,
+    )
+
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, %d AS band, md5(%s) AS sig FROM mins"
+        % (
+            band,
+            " || ',' || ".join(
+                f"CAST(m{j} AS VARCHAR)"
+                for j in range(band * _ROWS_PER_BAND, (band + 1) * _ROWS_PER_BAND)
+            ),
+        )
+        for band in range(N_BANDS)
+    )
+    return (
+        SHINGLES_SQL
+        + f"""
+    , hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h FROM sh
+    ),
+    mins AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    bands AS ({bands}),
+    coll AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a JOIN bands s ON a.band = s.band AND a.sig = s.sig
+      WHERE a.doc_id % 5 = 0 AND s.doc_id % 5 != 0
+    )
+    SELECT d.source,
+           count(*) AS n_arrivals,
+           count(c.doc_id) AS n_rejected,
+           count(*) - count(c.doc_id) AS n_accepted
+    FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 5 = 0
+    GROUP BY d.source ORDER BY d.source"""
+    )
+
+
 ORACLES = {
+    "stream_dedup_ingest": _stream_dedup_ingest_sql(),
     "kv_stream_enrich": """
         WITH prof AS (
           SELECT u AS user_id, length('profile-' || CAST(u AS VARCHAR)) AS value_chars
@@ -450,6 +604,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "stream_dedup_ingest": q_stream_dedup_ingest,
     "kv_stream_ingest": q_kv_stream_ingest,
     "kv_stream_enrich": q_kv_stream_enrich,
     "q_stream_sessionize": q_stream_sessionize,
