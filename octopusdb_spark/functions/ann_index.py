@@ -77,6 +77,128 @@ def build_ivf(
     )
 
 
+def append_ivf(
+    emb_df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors to the STORED
+    (frozen) coarse quantizer — the same `rank_centroids` rule as the
+    build, so build-time and append-time assignment can never diverge —
+    and append them to the inverted lists (dynamic-partition append; a
+    probe's partition pruning sees old and new rows alike). This is the
+    production lifecycle: train rarely, append continuously; the frozen
+    quantizer keeps every existing assignment valid, at the cost of
+    gradual drift until the next `build_ivf` rebuild (the standard IVF
+    trade; monitor recall and rebuild when it sags).
+
+    Ids must be new — an id-dedup pass here would be a full-corpus
+    anti-join at 100 TB; deduplicate upstream where it is one keyed hash
+    agg. Cost: one broadcast-K assignment pass + one partitioned write
+    over the BATCH, never the corpus."""
+    emb = _with_norm(
+        emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    )
+    cent = _read_centroids(emb.sparkSession, index_dir)
+    assigned = (
+        rank_centroids(emb, cent, keep=("embedding", "norm"))
+        .filter(F.col("rn") == 1)
+        .select("cent_id", "vec_id", "embedding", "norm")
+    )
+    (
+        assigned.repartition("cent_id")
+        .write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(f"{index_dir}/lists")
+    )
+
+
+def _residual_base(emb: DataFrame, residual_ivf_dir: str) -> DataFrame:
+    """(vec_id, norm, cent_id, embedding=v - c(v)) against the stored
+    coarse quantizer — the residual-mode input to PQ seeding, training,
+    and encoding. norm stays the RAW vector's norm (the ADC denominator)."""
+    cent = _read_centroids(emb.sparkSession, residual_ivf_dir)
+    return (
+        rank_centroids(emb, cent, keep=("norm", "embedding"), with_ct=True)
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "norm",
+            "cent_id",
+            _residual_of(F.col("embedding"), F.col("ct_emb")).alias("embedding"),
+        )
+    )
+
+
+def _encode_with_codebooks(subvecs: DataFrame, cb: DataFrame, residual: bool) -> DataFrame:
+    """Nearest-codeword encoding — broadcast-codebook join, per-(vec, m)
+    L2 argmin (code asc tie-break), one groupBy packing the M codes
+    positionally. ONE definition shared by the initial `build_pq` and
+    incremental `append_pq`, so the code-assignment rule can never
+    diverge between a corpus's original rows and its appended ones."""
+    keep = ["vec_id", "norm"] + (["cent_id"] if residual else [])
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+    aggs = [
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+        ).alias("codes"),
+        F.min("norm").alias("norm"),
+    ]
+    if residual:
+        aggs.append(F.min("cent_id").alias("cent_id"))  # constant per vec
+    return (
+        subvecs.join(F.broadcast(cb), "m")
+        .select(*keep, "m", "code", _l2sq(F.col("sv"), F.col("cw")).alias("d2"))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(*aggs)
+    )
+
+
+def append_pq(
+    emb_df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual_ivf_dir: str | None = None,
+) -> None:
+    """Encode NEW vectors against the STORED (frozen) codebooks and append
+    to the codes table — `append_ivf`'s twin for the PQ index: train
+    rarely, append continuously; codebooks drift from the appended
+    distribution until the next `build_pq` rebuild. Subspace geometry
+    (M, sub_dim) is read from the stored codebooks; the residual mode is
+    cross-checked against the codes schema exactly like `query_pq`, so an
+    append in the wrong mode fails fast instead of silently corrupting
+    the table with incompatible codes. Ids must be new (same contract and
+    reason as `append_ivf`). Cost: one broadcast-codebook encode pass
+    over the BATCH (+ one broadcast-K assignment in residual mode)."""
+    spark = emb_df.sparkSession
+    cb = spark.read.parquet(f"{index_dir}/codebooks")
+    meta = cb.agg(
+        F.countDistinct("m").alias("n_sub"), F.max(F.size("cw")).alias("sub_dim")
+    ).collect()[0]
+    n_sub, sub_dim = meta["n_sub"], meta["sub_dim"]
+    is_residual_index = "cent_id" in spark.read.parquet(f"{index_dir}/codes").columns
+    if is_residual_index != (residual_ivf_dir is not None):
+        raise ValueError(
+            "append/build mode mismatch: the index at "
+            f"{index_dir} was built {'WITH' if is_residual_index else 'WITHOUT'} "
+            "residual encoding; pass the matching residual_ivf_dir"
+        )
+    emb = _with_norm(
+        emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    )
+    if residual_ivf_dir is not None:
+        base = _residual_base(emb, residual_ivf_dir)
+    else:
+        base = emb.select("vec_id", "norm", "embedding")
+    subvecs = _subspaces(base, "embedding", n_sub, sub_dim, "sv")
+    codes = _encode_with_codebooks(subvecs, cb, residual=residual_ivf_dir is not None)
+    codes.write.mode("append").parquet(f"{index_dir}/codes")
+
+
 def _read_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(f"{index_dir}/centroids")
 
@@ -213,17 +335,7 @@ def build_pq(
         emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     )
     if residual_ivf_dir is not None:
-        cent = _read_centroids(emb.sparkSession, residual_ivf_dir)
-        base = (
-            rank_centroids(emb, cent, keep=("norm", "embedding"), with_ct=True)
-            .filter(F.col("rn") == 1)
-            .select(
-                "vec_id",
-                "norm",
-                "cent_id",
-                _residual_of(F.col("embedding"), F.col("ct_emb")).alias("embedding"),
-            )
-        )
+        base = _residual_base(emb, residual_ivf_dir)
     else:
         base = emb.select("vec_id", "norm", "embedding")
     subvecs = _subspaces(base, "embedding", n_sub, sub_dim, "sv")
@@ -251,26 +363,7 @@ def build_pq(
     codebook = pq_train_codebooks(sample, seed_codebook, iters=train_iters)
     codebook.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
     cb = emb.sparkSession.read.parquet(f"{index_dir}/codebooks")
-    keep = ["vec_id", "norm"] + (
-        ["cent_id"] if residual_ivf_dir is not None else []
-    )
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
-    aggs = [
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
-        ).alias("codes"),
-        F.min("norm").alias("norm"),
-    ]
-    if residual_ivf_dir is not None:
-        aggs.append(F.min("cent_id").alias("cent_id"))  # constant per vec
-    codes = (
-        subvecs.join(F.broadcast(cb), "m")
-        .select(*keep, "m", "code", _l2sq(F.col("sv"), F.col("cw")).alias("d2"))
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .groupBy("vec_id")
-        .agg(*aggs)
-    )
+    codes = _encode_with_codebooks(subvecs, cb, residual=residual_ivf_dir is not None)
     codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
 
 

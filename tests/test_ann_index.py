@@ -154,3 +154,67 @@ def test_pq_index_residual_encoding(spark, sf_dir, tmp_path):
     build_pq(emb, raw_idx)
     with pytest.raises(ValueError, match="residual/raw mode mismatch"):
         query_pq(spark, raw_idx, queries, top_k=5, residual_ivf_dir=ivf)
+
+
+def test_append_ivf_serves_new_vectors(spark, sf_dir, tmp_path):
+    from octopusdb_spark.functions.ann_index import append_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    total = emb.count()
+    cut = int(emb.agg(F.expr("percentile(vec_id, 0.75)")).collect()[0][0])
+    idx = str(tmp_path / "ivf_inc")
+    build_ivf(emb.filter(F.col("vec_id") <= cut), idx, n_centroids=8)
+    append_ivf(emb.filter(F.col("vec_id") > cut), idx)
+    # the lists now hold the whole corpus, each id exactly once
+    lists = spark.read.parquet(f"{idx}/lists")
+    assert lists.count() == total
+    assert lists.select("vec_id").distinct().count() == total
+    # an appended vector queried against the index finds ITSELF as the
+    # trivially-best match: frozen-quantizer assignment and query-side
+    # probing share rank_centroids, so its own list is always probed
+    new_q = emb.filter(F.col("vec_id") > cut).limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = query_ivf(spark, idx, new_q, top_k=1, nprobe=1).collect()
+    assert got and all(
+        r["cand_id"] == r["query_id"] and r["cosine"] == 1.0 for r in got
+    )
+
+
+def test_append_pq_serves_new_vectors(spark, sf_dir, tmp_path):
+    from octopusdb_spark.functions.ann_index import append_pq, build_ivf, build_pq, query_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    total = emb.count()
+    cut = int(emb.agg(F.expr("percentile(vec_id, 0.75)")).collect()[0][0])
+    old, new = emb.filter(F.col("vec_id") <= cut), emb.filter(F.col("vec_id") > cut)
+
+    idx = str(tmp_path / "pq_inc")
+    build_pq(old, idx)
+    append_pq(new, idx)
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == total
+    assert codes.select("vec_id").distinct().count() == total
+    # exact re-rank over the full corpus surfaces an appended vector as
+    # its own best match (ADC shortlist must contain it)
+    new_q = new.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = query_pq(spark, idx, new_q, top_k=1, corpus_df=emb).collect()
+    assert got and all(r["cand_id"] == r["query_id"] for r in got)
+
+    # residual mode: same lifecycle through the IVF-PQ composite, and a
+    # mode-mismatched append fails fast
+    import pytest
+
+    ivf = str(tmp_path / "pq_inc_ivf")
+    build_ivf(old, ivf, n_centroids=8)
+    ridx = str(tmp_path / "pq_inc_res")
+    build_pq(old, ridx, residual_ivf_dir=ivf)
+    with pytest.raises(ValueError, match="mode mismatch"):
+        append_pq(new, ridx)  # missing residual_ivf_dir
+    append_pq(new, ridx, residual_ivf_dir=ivf)
+    rcodes = spark.read.parquet(f"{ridx}/codes")
+    assert rcodes.count() == total
+    rgot = query_pq(
+        spark, ridx, new_q, top_k=1, corpus_df=emb, residual_ivf_dir=ivf
+    ).collect()
+    assert rgot and all(r["cand_id"] == r["query_id"] for r in rgot)
