@@ -195,6 +195,17 @@ class OctopusDB:
         files no retained manifest references."""
         return self.kv.prune_history(keep_versions=keep_versions)
 
+    def serve(self, host: str = "127.0.0.1", port: int = 0, now: int | None = None):
+        """Remote point-read endpoint over this store (the reference's A24
+        Get-RPC surface, `proto/proto/octopuspb.proto:6-21`):
+        ``with db.serve(port=9000) as svc: ...`` binds on entry, answers
+        get/mget/scan/info/ping as newline-JSON over TCP from the KV read
+        path under a lifetime pinned view, and unbinds + unpins on exit.
+        See `octopusdb_spark.service.KVService` for the protocol."""
+        from octopusdb_spark.service.server import KVService
+
+        return KVService(self, host=host, port=port, now=now)
+
     def clone_to(self, dest_root: str, at_version: int | None = None) -> "OctopusDB":
         """Consistent, independent backup/branch; see KVStore.clone_to."""
         cloned = self.kv.clone_to(dest_root, at_version=at_version)

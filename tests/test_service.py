@@ -143,3 +143,14 @@ def test_client_discards_connection_after_transport_error(spark, tmp_path):
             assert c.get("k")["value"] == b"v"
         finally:
             c.close()
+
+
+def test_facade_serve(spark, tmp_path):
+    from octopusdb_spark.db import OctopusDB
+
+    db = OctopusDB(spark, str(tmp_path / "db"))
+    db.set("k", b"v")
+    with db.serve(now=NOW) as svc:
+        with KVClient(*svc.address) as c:
+            assert c.get("k")["value"] == b"v"
+            assert c.info()["row_count"] >= 1
