@@ -49,6 +49,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 7 (head-insert at add time, per protocol below)
+    "kv_remote_reads",         # A24 service as a hash-checked driver row
     "stream_dedup_ingest",     # streaming MinHash near-dup rejection
     "text_pii_redact",         # PII scrub with per-class audit counts
     "text_chunk_overlap",      # token-window chunking with overlap
@@ -74,9 +75,10 @@ _PRIORITY = [
     "kv_stream_ingest",        # TTL rides the streaming write path
     "sim_ann_ivfpq",           # residual encoding + rank_centroids refactor
     "sim_ann_pq",              # memoized trained codebooks
-    "sim_ann_ivf_kmeans",      # memoized centroids + rank_centroids refactor
-    # displaced by the four head-inserts: kv_point_lookup, kv_latest_live,
-    # kv_gc_discard_stats, kv_value_separation (all green r5/r6)
+    # displaced by the five head-inserts: kv_point_lookup, kv_latest_live,
+    # kv_gc_discard_stats, kv_value_separation, sim_ann_ivf_kmeans (all
+    # green r5/r6; sim_ann_ivf_kmeans shares rank_centroids with the two
+    # ANN rows still in the window)
 ]
 
 

@@ -369,7 +369,71 @@ def q_kv_pinned_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_kv_remote_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remote point-read service (A24) run FOR REAL under the
+    correctness gate: supplier rows land in a KV store, a `KVService`
+    binds a TCP port, and every checked value then travels the full
+    remote path — newline-JSON request, server-side pinned read, base64
+    value on the wire, client decode (`service/server.py`,
+    `proto/proto/octopuspb.proto:6-21` contract). In-query assertions,
+    the `kv_pinned_reads` pattern: ping answers, a tombstoned key and a
+    TTL-expired key read as absent REMOTELY, and a prefix scan through
+    the service agrees key-for-key with the mget subset — else the query
+    throws and the driver row goes red. The checked output is the remote
+    mget result itself, so the bytes that rode the socket are what the
+    oracle hashes."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from octopusdb_spark.kv.store import Entry, KVStore
+    from octopusdb_spark.service import KVClient, KVService
+
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 40)
+        .select(
+            F.concat(
+                F.lit("s"), F.lpad(F.col("s_suppkey").cast("string"), 6, "0")
+            ).alias("key"),
+            F.col("s_name").cast("binary").alias("value"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix=f"kv_remote_{uuid.uuid4().hex[:12]}_")
+    try:
+        store = KVStore(spark, f"{base}/kv")
+        store.ingest_df(sup, target_segments=2)
+        store.delete("s000007")
+        store.set(Entry("ttlx", b"x", expires_at=NOW - 5))
+        keys = [f"s{k:06d}" for k in range(0, 41)]
+        with KVService(store, now=NOW) as svc:
+            with KVClient(*svc.address) as c:
+                if not c.ping():
+                    raise RuntimeError("service did not answer ping")
+                if c.get("s000007") is not None:
+                    raise RuntimeError("tombstoned key visible over the service")
+                if c.get("ttlx") is not None:
+                    raise RuntimeError("TTL-expired key visible over the service")
+                got = c.mget(keys)
+                scanned = {r["key"] for r in c.scan(prefix="s00000")}
+                expect_prefix = {k for k in got if k.startswith("s00000")}
+                if scanned != expect_prefix:
+                    raise RuntimeError(
+                        f"remote scan/mget disagree: {scanned ^ expect_prefix}"
+                    )
+        rows = [
+            (k, e["value"].decode("utf-8")) for k, e in sorted(got.items())
+        ]
+        return spark.createDataFrame(rows, "key string, value string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 ORACLES = {
+    "kv_remote_reads": """
+        SELECT 's' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS key,
+               s_name AS value
+        FROM supplier WHERE s_suppkey <= 40 AND s_suppkey != 7 ORDER BY key""",
     "kv_pinned_reads": """
         SELECT 'c' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
                c_name AS value
@@ -461,4 +525,5 @@ QUERIES = {
     "kv_changefeed": q_kv_changefeed,
     "kv_changefeed_preimage": q_kv_changefeed_preimage,
     "kv_pinned_reads": q_kv_pinned_reads,
+    "kv_remote_reads": q_kv_remote_reads,
 }
