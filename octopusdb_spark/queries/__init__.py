@@ -49,6 +49,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 7 (head-insert at add time, per protocol below)
+    "q2_min_cost_shape",       # completes the TPC-H 22-query shape suite
     "kv_remote_reads",         # A24 service as a hash-checked driver row
     "stream_dedup_ingest",     # streaming MinHash near-dup rejection
     "text_pii_redact",         # PII scrub with per-class audit counts
@@ -74,11 +75,11 @@ _PRIORITY = [
     "kv_version_history",      # created_seq compaction stamp fix (ADVICE r6)
     "kv_stream_ingest",        # TTL rides the streaming write path
     "sim_ann_ivfpq",           # residual encoding + rank_centroids refactor
-    "sim_ann_pq",              # memoized trained codebooks
-    # displaced by the five head-inserts: kv_point_lookup, kv_latest_live,
-    # kv_gc_discard_stats, kv_value_separation, sim_ann_ivf_kmeans (all
-    # green r5/r6; sim_ann_ivf_kmeans shares rank_centroids with the two
-    # ANN rows still in the window)
+    # displaced by the six head-inserts: kv_point_lookup, kv_latest_live,
+    # kv_gc_discard_stats, kv_value_separation, sim_ann_ivf_kmeans,
+    # sim_ann_pq (all green r5/r6; the two displaced ANN rows share
+    # rank_centroids and the trained-structure memos with sim_ann_ivfpq,
+    # which stays in the window)
 ]
 
 

@@ -25,6 +25,62 @@ from pyspark.sql import functions as F
 from octopusdb_spark.queries.common import dsum, dsum_sql, t
 
 
+def q2_min_cost_shape(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier selection. The correlated
+    MIN(ps_supplycost) subquery becomes a keyed window-min: without
+    partsupp, a (part, supplier) unit cost is derived from lineitem as
+    min(l_extendedprice / l_quantity) — the best unit price that supplier
+    ever shipped that part at (DOUBLE division, IEEE-identical across
+    engines; the min-equality filter compares a value against the min of
+    the set it belongs to, so it is exact). Scope: 'STANDARD'-type parts
+    of size < 10, suppliers of EUROPE nations. Output: the classic Q2
+    columns that exist in this schema, ordered by supplier balance with a
+    unique total tie-break, top 100.
+
+    Plan: one fact shuffle (the (part, supplier) cost agg), supplier join
+    left to AQE (SF-scaled), nation⋈region broadcast (fixed dims), one
+    keyed window-min per part — no correlated re-scan, no self-join."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    cost = (
+        li.groupBy(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    parts = part.filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    ).select("p_partkey", "p_brand", "p_size")
+    eu_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    offers = (
+        cost.join(parts, "p_partkey")
+        .join(supp, "s_suppkey")
+        .join(F.broadcast(eu_nations), supp.s_nationkey == F.col("n_nationkey"))
+    )
+    w_part = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_cost", F.min("unit_cost").over(w_part))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
 def q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: order-priority checking. EXISTS becomes a LEFT SEMI
     join with a non-equi residual (l_shipdate > o_orderdate stands in for
@@ -543,6 +599,35 @@ def q20_excess_shipping_shape(spark, sf_dir):
 
 
 ORACLES = {
+    "q2_min_cost_shape": """
+        WITH cost AS (
+          SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem GROUP BY 1, 2
+        ),
+        parts AS (
+          SELECT p_partkey, p_brand FROM part
+          WHERE p_type = 'STANDARD' AND p_size < 10
+        ),
+        eu AS (
+          SELECT n_nationkey, n_name
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ),
+        offers AS (
+          SELECT c.p_partkey, pa.p_brand, s.s_acctbal, s.s_name,
+                 e.n_name, c.unit_cost,
+                 min(c.unit_cost) OVER (PARTITION BY c.p_partkey) AS min_cost
+          FROM cost c
+          JOIN parts pa USING (p_partkey)
+          JOIN supplier s USING (s_suppkey)
+          JOIN eu e ON s.s_nationkey = e.n_nationkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               round(unit_cost, 6) AS unit_cost
+        FROM offers WHERE unit_cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""",
     "q16_supplier_cnt_shape": """
         WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
         pairs AS (
@@ -768,6 +853,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "q2_min_cost_shape": q2_min_cost_shape,
     "q16_supplier_cnt_shape": q16_supplier_cnt_shape,
     "q20_excess_shipping_shape": q20_excess_shipping_shape,
     "q8_market_share": q8_market_share,

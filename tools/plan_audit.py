@@ -113,6 +113,7 @@ HINT_ALLOWED_SCOPED = {
     # nation subsets / projections
     (_TPCH, "asia_nations"): "nation semi-joined to one region (<=25 rows)",
     (_TPCH, "amer_nations"): "nation semi-joined to one region (<=25 rows)",
+    (_TPCH, "eu_nations"): "nation joined to one region (<=25 rows)",
     (_TPCH, "supp_nation"): "nation projection (25 rows)",
     # 1-row / K-row scalar aggregates
     (_TPCH, "max_rev"): "1-row global max",
