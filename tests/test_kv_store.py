@@ -620,3 +620,79 @@ def test_values_broadcast_hint_gated_on_manifest_bytes(store):
     assert "hint" not in unhinted._jdf.queryExecution().logical().toString().lower()
     # the full read path still answers correctly through the unhinted plan
     assert store.get("b3", now=NOW).value == b"x" * 4096
+
+
+def test_kv_model_based_random_ops(spark, tmp_path):
+    """Model-based contract check: a random interleaving of batched
+    upserts, deletes, TTL writes, compaction, and value-log GC must leave
+    the live view exactly equal to a plain-dict model applying the same
+    ops — the reference's upsert-wins / delete-hides / TTL-expires /
+    maintenance-changes-nothing rules under arbitrary schedules, not just
+    the hand-picked sequences above. Few examples, many ops each: every
+    KV op is a Spark job, so breadth comes from the op mix, not the
+    example count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    KEYS = [f"k{i}" for i in range(6)]
+    BIG = "B" * 2000  # crosses the value-separation threshold
+
+    write = st.tuples(
+        st.just("set"),
+        st.sampled_from(KEYS),
+        st.sampled_from(["a", "bb", "ccc", BIG]),
+        st.sampled_from([0, NOW - 10, NOW + 1000]),  # no TTL / expired / live
+    )
+    op = st.one_of(
+        write,
+        st.tuples(st.just("del"), st.sampled_from(KEYS)),
+        st.just(("compact",)),
+        st.just(("gc",)),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(ops=st.lists(op, min_size=3, max_size=14))
+    def check(ops):
+        counter[0] += 1
+        store = KVStore(spark, str(tmp_path / f"model{counter[0]}"))
+        model: dict = {}
+        batch: list = []
+
+        def flush():
+            if batch:
+                store.set_batch(list(batch))
+                batch.clear()
+
+        for o in ops:
+            if o[0] == "set":
+                _, k, v, exp = o
+                batch.append(Entry(k, v.encode(), expires_at=exp))
+                model[k] = (v.encode(), exp)
+            elif o[0] == "del":
+                _, k = o
+                batch.append(Entry(k, None))
+                model.pop(k, None)
+            elif o[0] == "compact":
+                flush()
+                store.compact(now=NOW)
+            else:
+                flush()
+                store.gc_values(now=NOW)
+        flush()
+        live = {
+            r["key"]: bytes(r["value"])
+            for r in store.view(now=NOW).collect()
+        }
+        expect = {
+            k: v
+            for k, (v, exp) in model.items()
+            if exp == 0 or exp > NOW
+        }
+        assert live == expect, (ops, live, expect)
+
+    check()
