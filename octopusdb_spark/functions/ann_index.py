@@ -101,6 +101,7 @@ def append_ivf(
         emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     )
     cent = _read_centroids(emb.sparkSession, index_dir)
+    _check_batch_dim(emb, int(cent.select(F.size("ct_emb")).first()[0]), "append_ivf")
     assigned = (
         rank_centroids(emb, cent, keep=("embedding", "norm"))
         .filter(F.col("rn") == 1)
@@ -112,6 +113,25 @@ def append_ivf(
         .partitionBy("cent_id")
         .parquet(f"{index_dir}/lists")
     )
+
+
+def _check_batch_dim(emb: DataFrame, expected: int, op: str) -> None:
+    """Fail fast when an appended batch's vector dimension differs from the
+    index it targets: a mismatched batch would not error on its own —
+    zip_with pads with nulls, null distances sort first under asc, and an
+    arbitrary codeword/centroid gets assigned — so the corruption would be
+    SILENT. One bounded agg over the batch (never the corpus)."""
+    bad = (
+        emb.filter(F.size("embedding") != expected)
+        .select("vec_id", F.size("embedding").alias("got"))
+        .first()
+    )
+    if bad is not None:
+        raise ValueError(
+            f"{op}: batch vector dim {bad['got']} (vec_id={bad['vec_id']}) "
+            f"!= index dim {expected}; appending would silently corrupt "
+            "the index"
+        )
 
 
 def _residual_base(emb: DataFrame, residual_ivf_dir: str) -> DataFrame:
@@ -190,6 +210,7 @@ def append_pq(
     emb = _with_norm(
         emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     )
+    _check_batch_dim(emb, n_sub * sub_dim, "append_pq")
     if residual_ivf_dir is not None:
         base = _residual_base(emb, residual_ivf_dir)
     else:

@@ -307,6 +307,47 @@ PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 PII_PHONE = "555-[0-9]{4}"
 
 
+_PII_CHAIN = (
+    (PII_EMAIL, "[EMAIL]"),
+    (PII_CARD, "[CARD]"),
+    (PII_IPV4, "[IP]"),
+    (PII_PHONE, "[PHONE]"),
+)
+
+
+def pii_salt(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, raw): each document's text plus the deterministic
+    doc_id-derived contact block (email, ip, phone; card on every third
+    doc). ONE definition shared by the gated query and the no-residual-PII
+    property test, so the test always scans the chain the query ships."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" card 4111-1111-1111-1111")
+            ).otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+
+
+def pii_redact(col):
+    """The redaction chain (fixed order: email → card → ipv4 → phone)
+    applied to a string column. Same single-definition rule as pii_salt."""
+    red = F.col(col) if isinstance(col, str) else col
+    for pat, tag in _PII_CHAIN:
+        red = F.regexp_replace(red, pat, tag)
+    return red
+
+
 def q_text_pii_redact(spark, sf_dir):
     """PII scrubbing — the redaction pass every pretraining pipeline runs
     before anything else sees the text: emails, card numbers, IPv4
@@ -322,32 +363,8 @@ def q_text_pii_redact(spark, sf_dir):
     on the salted text, so the pre-redaction counts equal what the chain
     removes. Pure regexp_replace/extract_all projections — one scan, no
     shuffle, embarrassingly parallel at 100 TB."""
-    docs = t(spark, sf_dir, "documents")
-    salted = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@mail.example.com ip 10."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit(".0."),
-            ((F.col("doc_id") * 7) % 256).cast("string"),
-            F.lit(" tel 555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.when(F.col("doc_id") % 3 == 0, F.lit(" card 4111-1111-1111-1111")).otherwise(
-                F.lit("")
-            ),
-        ).alias("raw"),
-    )
-    red = F.col("raw")
-    for pat, tag in (
-        (PII_EMAIL, "[EMAIL]"),
-        (PII_CARD, "[CARD]"),
-        (PII_IPV4, "[IP]"),
-        (PII_PHONE, "[PHONE]"),
-    ):
-        red = F.regexp_replace(red, pat, tag)
+    salted = pii_salt(t(spark, sf_dir, "documents"))
+    red = pii_redact("raw")
     return salted.select(
         "doc_id",
         # F.regexp_extract_all with a lit pattern, NOT F.expr: a SQL string
@@ -373,10 +390,22 @@ def q_text_chunk_overlap(spark, sf_dir):
     `sequence`/explode over precomputed token arrays (no self-join, no
     window); each output row carries its exact token count and a content
     fingerprint, the manifest a sequence-packing stage consumes. Output
-    is O(total_tokens / stride) rows, embarrassingly parallel."""
+    is O(total_tokens / stride) rows, embarrassingly parallel.
+
+    The start sequence stops at n - overlap - 1: a start in the final
+    `overlap` positions would emit a chunk lying ENTIRELY inside its
+    predecessor's window (n mod stride in 1..overlap) — zero new tokens,
+    a pure-duplicate training sequence — so those tails are excluded by
+    construction; every token is still covered (the last surviving chunk
+    reaches the end)."""
     docs = t(spark, sf_dir, "documents")
     ws_docs = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    starts = F.sequence(F.lit(0), F.greatest(F.size("ws") - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("ws") - overlap - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
     chunk = F.slice(F.col("ws"), F.col("st") + 1, CHUNK_TOKENS)
     return (
         ws_docs.select("doc_id", F.explode(starts).alias("st"), "ws")
@@ -427,7 +456,7 @@ ORACLES = {
     "text_chunk_overlap": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         s AS (SELECT doc_id, ws,
-                     unnest(range(0, greatest(len(ws) - 1, 0) + 1, 48)) AS st
+                     unnest(range(0, greatest(len(ws) - 16 - 1, 0) + 1, 48)) AS st
               FROM w)
         SELECT doc_id,
                CAST(st // 48 AS INT) AS chunk_idx,

@@ -218,3 +218,26 @@ def test_append_pq_serves_new_vectors(spark, sf_dir, tmp_path):
         spark, ridx, new_q, top_k=1, corpus_df=emb, residual_ivf_dir=ivf
     ).collect()
     assert rgot and all(r["cand_id"] == r["query_id"] for r in rgot)
+
+
+def test_append_rejects_mismatched_vector_dim(spark, sf_dir, tmp_path):
+    """A batch whose vectors have the wrong dimension must fail fast: a
+    mismatched append would not error on its own (zip_with pads with
+    nulls and null distances sort first), so the corruption would be
+    silent garbage in the lists/codes tables."""
+    import pytest
+
+    from octopusdb_spark.functions.ann_index import append_ivf, append_pq, build_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    truncated = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+
+    idx = str(tmp_path / "ivf_dim")
+    build_ivf(emb, idx, n_centroids=8, kmeans_iters=0)
+    with pytest.raises(ValueError, match="dim"):
+        append_ivf(truncated, idx)
+
+    pidx = str(tmp_path / "pq_dim")
+    build_pq(emb, pidx)
+    with pytest.raises(ValueError, match="dim"):
+        append_pq(truncated, pidx)

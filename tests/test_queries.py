@@ -212,35 +212,16 @@ def test_pipeline_text_stage_properties(spark):
         F.min("n_emails").alias("e"), F.min("n_ips").alias("i"), F.min("n_phones").alias("p")
     ).collect()[0]
     assert (mins["e"], mins["i"], mins["p"]) == (1, 1, 1)
-    # the redacted text itself must contain no residual PII match: rebuild
-    # the redaction chain's output and re-scan it with every pattern
+    # the redacted text itself must contain no residual PII match: apply
+    # the SHARED salt + redaction builders (the exact chain the query
+    # ships) and re-scan the output with every pattern
     docs_n = red.count()
     from octopusdb_spark.queries.common import t
+    from octopusdb_spark.queries.text import pii_redact, pii_salt
 
-    salted = t(spark, sf, "documents").select(
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@mail.example.com ip 10."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit(".0."),
-            ((F.col("doc_id") * 7) % 256).cast("string"),
-            F.lit(" tel 555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.when(
-                F.col("doc_id") % 3 == 0, F.lit(" card 4111-1111-1111-1111")
-            ).otherwise(F.lit("")),
-        ).alias("raw")
+    scrubbed = pii_salt(t(spark, sf, "documents")).select(
+        pii_redact("raw").alias("raw")
     )
-    scrubbed = salted.select(F.col("raw"))
-    for pat, tag in (
-        (PII_EMAIL, "[EMAIL]"),
-        (PII_CARD, "[CARD]"),
-        (PII_IPV4, "[IP]"),
-        (PII_PHONE, "[PHONE]"),
-    ):
-        scrubbed = scrubbed.select(F.regexp_replace("raw", pat, tag).alias("raw"))
     residual = scrubbed.filter(
         (F.size(F.regexp_extract_all("raw", F.lit(PII_EMAIL), F.lit(0))) > 0)
         | (F.size(F.regexp_extract_all("raw", F.lit(PII_CARD), F.lit(0))) > 0)
@@ -250,24 +231,34 @@ def test_pipeline_text_stage_properties(spark):
     assert residual == 0
 
     chunks = q_text_chunk_overlap(spark, sf)
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
     per_doc = chunks.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),
         F.max("chunk_idx").alias("last_idx"),
         F.sum("chunk_tokens").alias("tok_sum"),
         F.max("chunk_tokens").alias("max_len"),
+        F.min(
+            F.when(F.col("chunk_idx") > 0, F.col("chunk_tokens"))
+        ).alias("min_tail_len"),
     )
     toks = t(spark, sf, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_toks")
     )
     j = per_doc.join(toks, "doc_id")
-    # chunk count matches ceil(n/stride) starts; every token appears in
-    # >= 1 chunk (sum over chunks >= n, with overlap duplicates);
-    # no chunk exceeds the window
+    # chunk count = starts 0..max(n - overlap - 1, 0) step stride; every
+    # token appears in >= 1 chunk (sum over chunks >= n, with overlap
+    # duplicates); no chunk exceeds the window; and no non-first chunk is
+    # fully contained in its predecessor (its length must exceed the
+    # overlap — a shorter tail would carry zero new tokens)
+    expected_chunks = (
+        F.floor(F.greatest(F.col("n_toks") - overlap - 1, F.lit(0)) / CHUNK_STRIDE) + 1
+    )
     bad = j.filter(
         (F.col("n_chunks") != F.col("last_idx") + 1)
-        | (F.col("n_chunks") != F.ceil(F.col("n_toks") / F.lit(CHUNK_STRIDE)))
+        | (F.col("n_chunks") != expected_chunks)
         | (F.col("tok_sum") < F.col("n_toks"))
         | (F.col("max_len") > CHUNK_TOKENS)
+        | (F.col("min_tail_len") <= overlap)
     ).count()
     assert bad == 0
     assert per_doc.count() == docs_n
