@@ -128,7 +128,7 @@ class OctopusDB:
     ) -> DataFrame:
         """Changefeed (CDC): current state of every key written after
         ``snapshot_seq`` (take one with ``snapshot()``), as
-        (key, change, value[, old_value], version) — see
+        (key, change, value, expires_at[, old_value], version) — see
         KVStore.changes_since for pruning and retention semantics.
         Pass ``preimage_at_version`` (from ``snapshot_handle()``) to make
         pre-images durable across compaction."""
@@ -138,6 +138,12 @@ class OctopusDB:
             include_preimage=include_preimage,
             preimage_at_version=preimage_at_version,
         )
+
+    def apply_changes(self, feed: DataFrame, commit_tag: tuple | None = None) -> int:
+        """Apply another store's ``changes_since`` feed to this one —
+        changefeed replication (ship + apply, idempotent per
+        ``commit_tag``); see KVStore.apply_changes."""
+        return self.kv.apply_changes(feed, commit_tag=commit_tag)
 
     # Driver-side materialization cap for the facade iterator. The iterator
     # is API parity for small working sets; Spark-native code uses scan_df.

@@ -760,6 +760,9 @@ class KVStore:
             .otherwise(F.lit("upsert"))
             .alias("change"),
             "value",
+            # carried so apply_changes replicates TTL faithfully: a live
+            # upsert with a future expiry must expire on the replica too
+            "expires_at",
             "version",
         )
         if include_preimage:
@@ -767,9 +770,47 @@ class KVStore:
                 now=now, as_of=snapshot_seq, at_version=preimage_at_version
             ).select("key", F.col("value").alias("old_value"))
             out = out.join(pre, "key", "left").select(
-                "key", "change", "value", "old_value", "version"
+                "key", "change", "value", "expires_at", "old_value", "version"
             )
         return out
+
+    def apply_changes(
+        self,
+        feed: DataFrame,
+        commit_tag: tuple[str, int] | None = None,
+        target_segments: int = 8,
+    ) -> int:
+        """Replication consumer: apply another store's ``changes_since``
+        feed to THIS store — log-shipping built on the changefeed, the
+        Spark-idiomatic stand-in for the reference's aspirational cluster
+        layer (A25 is a YAML + raft dep with an empty main,
+        `cmd/main.go:3-4`; no consensus here, just CDC ship + apply).
+        Upserts land as writes with their TTL stamps carried through,
+        deletes as tombstones; the whole feed is ONE `ingest_df` call, so
+        one atomic manifest commit makes the batch visible. Pass
+        ``commit_tag=(stream_id, batch_id)`` and at-least-once shipping
+        converges: a replayed batch is a committed no-op, exactly the
+        streaming-ingest idempotency contract. Returns rows applied.
+
+        Replica bootstrap: ``clone_to`` at the snapshot the feed starts
+        from, then apply feeds in order — the replica's live view equals
+        the primary's at every applied point (pinned by
+        `test_changefeed_replication_converges`)."""
+        return self.ingest_df(
+            feed.select(
+                "key",
+                F.when(F.col("change") == "delete", F.lit(None).cast("binary"))
+                .otherwise(F.col("value"))
+                .alias("value"),
+                F.when(F.col("change") == "delete", F.lit(0))
+                .otherwise(F.coalesce(F.col("expires_at"), F.lit(0)))
+                .cast("long")
+                .alias("expires_at"),
+            ),
+            expires_col="expires_at",
+            target_segments=target_segments,
+            commit_tag=commit_tag,
+        )
 
     def cache_view(self, now: int | None = None) -> DataFrame:
         """Pin the current live view in executor memory — the block-cache

@@ -696,3 +696,49 @@ def test_kv_model_based_random_ops(spark, tmp_path):
         assert live == expect, (ops, live, expect)
 
     check()
+
+
+def test_changefeed_replication_converges(spark, tmp_path):
+    """CDC ship + apply: bootstrap a replica with clone_to at a snapshot,
+    then apply the primary's changes_since feed — the replica's live view
+    must equal the primary's, including TTL stamps (a live upsert with a
+    future expiry must expire on the replica too) and deletes. A replayed
+    feed batch under the same commit_tag is a no-op (at-least-once
+    shipping converges)."""
+    primary = KVStore(spark, str(tmp_path / "primary"))
+    primary.set_batch(
+        [Entry("a", b"1"), Entry("b", b"2"), Entry("c", b"3"), Entry("d", b"4")]
+    )
+    handle_seq = primary.snapshot_seq()
+    replica = primary.clone_to(str(tmp_path / "replica"))
+
+    # post-snapshot traffic: overwrite, delete, fresh key, TTL'd key
+    primary.set_batch([Entry("b", b"2-new"), Entry("e", b"5")])
+    primary.delete("a")
+    primary.set_batch([Entry("f", b"soon", expires_at=NOW + 500)])
+
+    feed = primary.changes_since(handle_seq, now=NOW)
+    applied = replica.apply_changes(feed, commit_tag=("ship", 1))
+    assert applied == 4  # a, b, e, f
+
+    def live(store, now=NOW):
+        return {
+            r["key"]: (bytes(r["value"]), r["expires_at"])
+            for r in store.view(now=now).collect()
+        }
+
+    assert live(replica) == live(primary)
+    # TTL carried: f is live now, expired later — on BOTH sides
+    assert live(replica, NOW + 1000) == live(primary, NOW + 1000)
+    assert "f" not in live(replica, NOW + 1000)
+
+    # replay of the same batch is a committed no-op
+    assert replica.apply_changes(feed, commit_tag=("ship", 1)) == 0
+    assert live(replica) == live(primary)
+
+    # next shipping interval converges too
+    snap2 = primary.snapshot_seq()
+    primary.set_batch([Entry("e", b"5-new")])
+    primary.delete("c")
+    replica.apply_changes(primary.changes_since(snap2, now=NOW), commit_tag=("ship", 2))
+    assert live(replica) == live(primary)
