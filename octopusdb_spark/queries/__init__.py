@@ -49,6 +49,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 7 (head-insert at add time, per protocol below)
+    "kv_replication",          # changefeed ship+apply as a driver row
     "q2_min_cost_shape",       # completes the TPC-H 22-query shape suite
     "kv_remote_reads",         # A24 service as a hash-checked driver row
     "stream_dedup_ingest",     # streaming MinHash near-dup rejection
@@ -71,15 +72,16 @@ _PRIORITY = [
     "sim_quantized_cosine",
     # code paths touched round 7
     "kv_changefeed_preimage",  # durable pre-images across compaction
-    "kv_changefeed",           # same changes_since path
     "kv_version_history",      # created_seq compaction stamp fix (ADVICE r6)
     "kv_stream_ingest",        # TTL rides the streaming write path
     "sim_ann_ivfpq",           # residual encoding + rank_centroids refactor
-    # displaced by the six head-inserts: kv_point_lookup, kv_latest_live,
+    # displaced by the seven head-inserts: kv_point_lookup, kv_latest_live,
     # kv_gc_discard_stats, kv_value_separation, sim_ann_ivf_kmeans,
-    # sim_ann_pq (all green r5/r6; the two displaced ANN rows share
-    # rank_centroids and the trained-structure memos with sim_ann_ivfpq,
-    # which stays in the window)
+    # sim_ann_pq, kv_changefeed (all green r5/r6; the displaced ANN rows
+    # share rank_centroids and the trained-structure memos with
+    # sim_ann_ivfpq, which stays in the window; kv_changefeed's
+    # changes_since path is exercised by kv_changefeed_preimage AND the
+    # new kv_replication row)
 ]
 
 

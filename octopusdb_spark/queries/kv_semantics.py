@@ -429,7 +429,72 @@ def q_kv_remote_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_kv_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed replication run FOR REAL under the correctness gate:
+    customer rows bulk-load into a PRIMARY store, a replica bootstraps
+    via `clone_to` at a snapshot, the primary takes post-snapshot traffic
+    (overwrites, deletes, a TTL'd key), and the replica applies the
+    shipped `changes_since` feed (`apply_changes`, idempotent
+    commit_tag — the replay is ASSERTED a no-op in-query). The checked
+    output is the REPLICA's live view, so the oracle hashes exactly what
+    log-shipping reconstructed — upsert-wins, tombstones, and TTL all
+    through the ship+apply path."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from octopusdb_spark.kv.store import Entry, KVStore
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .select(
+            F.concat(
+                F.lit("r"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+            ).alias("key"),
+            F.col("c_name").cast("binary").alias("value"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix=f"kv_repl_{uuid.uuid4().hex[:12]}_")
+    try:
+        primary = KVStore(spark, f"{base}/primary")
+        primary.ingest_df(cust, target_segments=2)
+        snap = primary.snapshot_seq()
+        replica = primary.clone_to(f"{base}/replica")
+        # post-snapshot traffic: overwrite every 7th, delete every 11th,
+        # one TTL'd key that expires before the checked read time
+        primary.ingest_df(
+            cust.filter(F.expr("CAST(substring(key, 2) AS INT) % 7 = 0")).select(
+                "key", F.concat(F.lit("v2-"), F.col("value").cast("string")).cast("binary").alias("value")
+            ),
+            target_segments=1,
+        )
+        for k in range(0, 51, 11):
+            primary.delete(f"r{k:06d}")
+        primary.set(Entry("ttl-ship", b"x", expires_at=NOW - 5))
+        feed = primary.changes_since(snap, now=NOW)
+        applied = replica.apply_changes(feed, commit_tag=("gate", 1))
+        if applied == 0:
+            raise RuntimeError("replication applied nothing")
+        if replica.apply_changes(feed, commit_tag=("gate", 1)) != 0:
+            raise RuntimeError("replayed feed batch was not a no-op")
+        rows = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in replica.view(now=NOW).collect()
+        )
+        return spark.createDataFrame(rows, "key string, value string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 ORACLES = {
+    "kv_replication": """
+        SELECT 'r' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
+               CASE WHEN c_custkey % 7 = 0 THEN 'v2-' || c_name
+                    ELSE c_name END AS value
+        FROM customer
+        WHERE c_custkey <= 50 AND c_custkey % 11 != 0
+        ORDER BY key""",
     "kv_remote_reads": """
         SELECT 's' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS key,
                s_name AS value
@@ -526,4 +591,5 @@ QUERIES = {
     "kv_changefeed_preimage": q_kv_changefeed_preimage,
     "kv_pinned_reads": q_kv_pinned_reads,
     "kv_remote_reads": q_kv_remote_reads,
+    "kv_replication": q_kv_replication,
 }
