@@ -116,6 +116,12 @@ class OctopusDB:
         stays exact across later compaction."""
         return self.kv.snapshot()
 
+    def delete_range(self, start=None, end=None, prefix=None) -> int:
+        """Range tombstone (DeleteRange): one O(1) manifest commit hides
+        every key in [start, end) / under ``prefix`` as of now; see
+        KVStore.delete_range for snapshot/compaction/CDC semantics."""
+        return self.kv.delete_range(start=start, end=end, prefix=prefix)
+
     def delete(self, key: str) -> None:
         self.kv.delete(key)
 

@@ -80,6 +80,14 @@ class ManifestState:
     # numerator (amplification = compacted_bytes / live user bytes).
     # None = inherit from the previous state (same sentinel rule).
     compacted_bytes: int | None = None
+    # Range tombstones (RocksDB/Badger DeleteRange analog): each entry
+    # {"start": enc|None, "end": enc|None, "seq": int} hides every row with
+    # key in [start, end) and seq <= its stamp. Keys are stored in the
+    # manifest-comparable encoding (hex for binary stores — same as
+    # min_key/max_key). Bounded: the next full compact() applies them
+    # physically and clears the list. None = inherit (sentinel rule);
+    # [] = deliberate clear.
+    range_tombstones: list | None = None
 
     def data_segments(self) -> list:
         return [s for s in self.segments if s.kind == "data"]
@@ -129,6 +137,7 @@ class Manifest:
             segments=[SegmentInfo(**s) for s in raw["segments"]],
             stream_commits=raw.get("stream_commits", {}),
             compacted_bytes=raw.get("compacted_bytes", 0),
+            range_tombstones=raw.get("range_tombstones", []),
         )
 
     def versions(self) -> list:
@@ -248,6 +257,8 @@ class Manifest:
             new_state.stream_commits = dict(self.state.stream_commits or {})
         if new_state.compacted_bytes is None:
             new_state.compacted_bytes = self.state.compacted_bytes or 0
+        if new_state.range_tombstones is None:
+            new_state.range_tombstones = list(self.state.range_tombstones or [])
         snap = os.path.join(self.dir, f"manifest-{new_state.version}.json")
         payload = {
             "version": new_state.version,
@@ -255,6 +266,7 @@ class Manifest:
             "segments": [asdict(s) for s in new_state.segments],
             "stream_commits": new_state.stream_commits,
             "compacted_bytes": new_state.compacted_bytes,
+            "range_tombstones": new_state.range_tombstones,
         }
         # Under the lock with CURRENT verified at the base version, an
         # existing snapshot for this version can only be a dead claimant's

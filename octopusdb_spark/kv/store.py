@@ -199,6 +199,12 @@ class KVStore:
             return bytes(key).hex()
         return key
 
+    def _dec(self, enc):
+        """Inverse of ``_enc``: manifest-encoded key back to native type."""
+        if enc is None:
+            return None
+        return bytes.fromhex(enc) if self.key_type == "binary" else enc
+
     # ------------------------------------------------------------------ write
     def set(self, entry: Entry) -> None:
         self.set_batch([entry])
@@ -206,6 +212,74 @@ class KVStore:
     def delete(self, key: str) -> None:
         """Del = Set(key, nil) — kv/db.go:132-138."""
         self.set_batch([Entry(key=key, value=None)])
+
+    def delete_range(self, start=None, end=None, prefix=None) -> int:
+        """Range tombstone — the RocksDB/Badger DeleteRange analog: hide
+        every key in [start, end) (or under ``prefix``) whose version
+        predates this call. ONE manifest commit, no scan, no per-key
+        tombstones — O(1) metadata regardless of how many keys the range
+        covers, which is the whole point at 100 TB (tombstoning a
+        million-key prefix with per-key writes would itself be a job).
+
+        Semantics: the mask lives in the manifest (bounded list) and is
+        applied by every read path through ``view()`` — rows with
+        seq <= the tombstone's stamp inside the range disappear; later
+        writes into the range are unaffected. ``as_of`` snapshots taken
+        BEFORE the range delete still see the rows (the mask respects the
+        snapshot's seq horizon), and time travel reads each historical
+        manifest's own list. The next full ``compact()`` applies the mask
+        physically and clears it; ``changes_since`` surfaces covered keys
+        as per-key delete events (expanded against the snapshot view), so
+        replication converges. Returns the tombstone's seq stamp."""
+        if prefix is not None:
+            if start is not None or end is not None:
+                raise ValueError("pass either prefix or start/end, not both")
+            start = prefix
+            end = (
+                _bytes_prefix_upper_bound(prefix)
+                if self.key_type == "binary"
+                else _prefix_upper_bound(prefix)
+            )
+        if start is None and end is None:
+            raise ValueError("delete_range needs a bound (start, end, or prefix)")
+        state = self.manifest.state
+        seq = state.next_seq
+        self.manifest.commit(
+            ManifestState(
+                version=state.version,
+                next_seq=seq + 1,
+                segments=list(state.segments),
+                range_tombstones=[
+                    *(state.range_tombstones or []),
+                    {"start": self._enc(start), "end": self._enc(end), "seq": seq},
+                ],
+            )
+        )
+        return seq
+
+    def _rt_mask(self, rts: list, as_of: int | None):
+        """Filter Column hiding rows the given range tombstones cover, or
+        None when nothing applies. A tombstone hides rows with key in
+        [start, end) and seq <= its stamp; under ``as_of``, tombstones
+        stamped after the snapshot are ignored (the snapshot predates
+        them). The list is bounded (cleared by full compact), so this is
+        a literal predicate chain, not a join."""
+        conds = []
+        for rt in rts or []:
+            if as_of is not None and int(rt["seq"]) > as_of:
+                continue
+            c = F.col("seq") <= F.lit(int(rt["seq"]))
+            if rt.get("start") is not None:
+                c = c & (F.col("key") >= F.lit(self._dec(rt["start"])))
+            if rt.get("end") is not None:
+                c = c & (F.col("key") < F.lit(self._dec(rt["end"])))
+            conds.append(c)
+        if not conds:
+            return None
+        covered = conds[0]
+        for c in conds[1:]:
+            covered = covered | c
+        return ~covered
 
     def set_batch(self, entries: list) -> None:
         """One micro-batch: values-table append first, then data append, then
@@ -553,6 +627,14 @@ class KVStore:
             (F.col("value").isNotNull() | F.col("value_ptr").isNotNull())
             & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
         )
+        # range tombstones: the historical manifest's own list under time
+        # travel, the live list otherwise (see delete_range)
+        rt_mask = self._rt_mask(
+            (hist.range_tombstones if hist is not None else self.manifest.state.range_tombstones),
+            as_of,
+        )
+        if rt_mask is not None:
+            live = live.filter(rt_mask)
         vsegs = (
             hist.value_segments()
             if hist is not None
@@ -750,21 +832,52 @@ class KVStore:
             newest.join(vals, newest.value_ptr == vals.value_id, "left")
             .withColumn("value", F.coalesce(F.col("value"), F.col("big_value")))
         )
+        rts = self.manifest.state.range_tombstones or []
+        rt_mask = self._rt_mask(rts, None)
+        dead = F.col("value").isNull() | (
+            (F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(now))
+        )
+        if rt_mask is not None:
+            # a delta write that a LATER range tombstone covers is dead in
+            # the live view — its event must say so
+            dead = dead | (~rt_mask)
         out = resolved.select(
             "key",
-            F.when(
-                F.col("value").isNull()
-                | ((F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(now))),
-                F.lit("delete"),
-            )
-            .otherwise(F.lit("upsert"))
-            .alias("change"),
+            F.when(dead, F.lit("delete")).otherwise(F.lit("upsert")).alias("change"),
             "value",
             # carried so apply_changes replicates TTL faithfully: a live
             # upsert with a future expiry must expire on the replica too
             "expires_at",
             "version",
         )
+        # keys a post-snapshot range tombstone covers WITHOUT any
+        # post-snapshot per-key write: no delta row exists, so synthesize
+        # their delete events from the snapshot view (every snapshot row's
+        # seq predates the tombstone by construction). Keys the delta does
+        # touch already carry the right event above — anti-join them out.
+        rts_after = [rt for rt in rts if int(rt["seq"]) > snapshot_seq]
+        if rts_after:
+            in_range = None
+            for rt in rts_after:
+                c = F.lit(True)
+                if rt.get("start") is not None:
+                    c = c & (F.col("key") >= F.lit(self._dec(rt["start"])))
+                if rt.get("end") is not None:
+                    c = c & (F.col("key") < F.lit(self._dec(rt["end"])))
+                in_range = c if in_range is None else (in_range | c)
+            extra = (
+                self.view(now=now, as_of=snapshot_seq)
+                .filter(in_range)
+                .join(out.select("key"), "key", "left_anti")
+                .select(
+                    "key",
+                    F.lit("delete").alias("change"),
+                    F.lit(None).cast("binary").alias("value"),
+                    F.lit(0).cast("long").alias("expires_at"),
+                    "version",
+                )
+            )
+            out = out.unionByName(extra)
         if include_preimage:
             pre = self.view(
                 now=now, as_of=snapshot_seq, at_version=preimage_at_version
@@ -1292,6 +1405,12 @@ class KVStore:
             .filter(F.col("value").isNotNull() | F.col("value_ptr").isNotNull())
             .filter((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
         )
+        # apply range tombstones physically — the whole keyspace
+        # participates, so every covered version is here to drop, and the
+        # cleared list below can't orphan a mask some segment still needs
+        rt_mask = self._rt_mask(state.range_tombstones, None)
+        if rt_mask is not None:
+            merged = merged.filter(rt_mask)
         new_segs = self._write_ranged_segments(
             merged,
             self.MAX_LEVEL,
@@ -1306,6 +1425,7 @@ class KVStore:
                 segments=self._with_discard_updates(kept, drops) + new_segs,
                 compacted_bytes=(state.compacted_bytes or 0)
                 + sum(s.size_bytes for s in new_segs),
+                range_tombstones=[],  # applied above — deliberate clear
             )
         )
 

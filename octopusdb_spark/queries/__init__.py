@@ -49,6 +49,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 7 (head-insert at add time, per protocol below)
+    "kv_range_delete",         # O(1) range tombstone under the gate
     "kv_replication",          # changefeed ship+apply as a driver row
     "q2_min_cost_shape",       # completes the TPC-H 22-query shape suite
     "kv_remote_reads",         # A24 service as a hash-checked driver row
@@ -72,7 +73,9 @@ _PRIORITY = [
     "sim_quantized_cosine",
     # code paths touched round 7
     "kv_changefeed_preimage",  # durable pre-images across compaction
-    "kv_version_history",      # created_seq compaction stamp fix (ADVICE r6)
+    # (kv_version_history displaced by kv_range_delete — r6 green; the
+    # at_version path is exercised by kv_changefeed_preimage's durable
+    # pre-image resolution)
     "kv_stream_ingest",        # TTL rides the streaming write path
     "sim_ann_ivfpq",           # residual encoding + rank_centroids refactor
     # displaced by the seven head-inserts: kv_point_lookup, kv_latest_live,

@@ -487,7 +487,65 @@ def q_kv_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_kv_range_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range tombstone (DeleteRange) run FOR REAL under the correctness
+    gate: customer rows bulk-load, ONE O(1) manifest commit hides the
+    whole [d000020, d000040) span (no scan, no per-key tombstones — the
+    100 TB point of the operator), then a single key inside the range is
+    re-written and must come back (the mask is seq-bounded). In-query
+    assertions: full compaction applies the mask physically, CLEARS the
+    tombstone list, and leaves the live view bit-identical — else the
+    query throws and the driver row goes red. The checked output is the
+    post-compaction live view."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from octopusdb_spark.kv.store import Entry, KVStore
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 60)
+        .select(
+            F.concat(
+                F.lit("d"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+            ).alias("key"),
+            F.col("c_name").cast("binary").alias("value"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix=f"kv_rdel_{uuid.uuid4().hex[:12]}_")
+    try:
+        store = KVStore(spark, f"{base}/kv")
+        store.ingest_df(cust, target_segments=2)
+        store.delete_range(start="d000020", end="d000040")
+        store.set(Entry("d000025", b"reborn"))
+        before = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in store.view(now=NOW).collect()
+        )
+        store.compact(now=NOW)
+        if store.manifest.state.range_tombstones != []:
+            raise RuntimeError("full compaction did not clear the range tombstone")
+        after = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in store.view(now=NOW).collect()
+        )
+        if before != after:
+            raise RuntimeError("compaction changed the range-deleted view")
+        return spark.createDataFrame(after, "key string, value string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 ORACLES = {
+    "kv_range_delete": """
+        SELECT 'd' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
+               c_name AS value
+        FROM customer
+        WHERE c_custkey <= 60 AND (c_custkey < 20 OR c_custkey >= 40)
+        UNION ALL
+        SELECT 'd000025' AS key, 'reborn' AS value
+        ORDER BY key""",
     "kv_replication": """
         SELECT 'r' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
                CASE WHEN c_custkey % 7 = 0 THEN 'v2-' || c_name
@@ -592,4 +650,5 @@ QUERIES = {
     "kv_pinned_reads": q_kv_pinned_reads,
     "kv_remote_reads": q_kv_remote_reads,
     "kv_replication": q_kv_replication,
+    "kv_range_delete": q_kv_range_delete,
 }

@@ -742,3 +742,66 @@ def test_changefeed_replication_converges(spark, tmp_path):
     primary.delete("c")
     replica.apply_changes(primary.changes_since(snap2, now=NOW), commit_tag=("ship", 2))
     assert live(replica) == live(primary)
+
+
+def test_delete_range_semantics(store):
+    """Range tombstone (DeleteRange): one O(1) manifest commit hides every
+    covered pre-existing key; later writes into the range live; as_of
+    snapshots taken before the range delete still see the rows; full
+    compaction applies the mask physically and clears it; the changefeed
+    surfaces covered keys as delete events so replication converges."""
+    store.set_batch([Entry(f"u{i:02d}", f"v{i}".encode()) for i in range(10)])
+    store.set_batch([Entry("zz", b"outside")])
+    snap = store.snapshot_seq()
+    rt_seq = store.delete_range(start="u03", end="u08")
+    assert rt_seq > snap
+    # covered keys hidden, boundaries exact, outside untouched
+    keys = {r["key"] for r in store.view(now=NOW).collect()}
+    assert keys == {"u00", "u01", "u02", "u08", "u09", "zz"}
+    assert store.get("u05", now=NOW) is None
+    assert store.get("u08", now=NOW).value == b"v8"
+    # a later write INTO the range is visible (mask is seq-bounded)
+    store.set_batch([Entry("u04", b"reborn")])
+    assert store.get("u04", now=NOW).value == b"reborn"
+    # the snapshot taken before the range delete still sees everything
+    as_of_keys = {r["key"] for r in store.view(now=NOW, as_of=snap).collect()}
+    assert {f"u{i:02d}" for i in range(10)} <= as_of_keys
+    # changefeed: covered keys surface as deletes, the rebirth as upsert
+    feed = {r["key"]: r["change"] for r in store.changes_since(snap, now=NOW).collect()}
+    assert feed["u04"] == "upsert"
+    assert {k for k, c in feed.items() if c == "delete"} == {"u03", "u05", "u06", "u07"}
+    # full compaction applies the mask physically and clears it
+    before = sorted(
+        (r["key"], bytes(r["value"])) for r in store.view(now=NOW).collect()
+    )
+    store.compact(now=NOW)
+    assert store.manifest.state.range_tombstones == []
+    after = sorted(
+        (r["key"], bytes(r["value"])) for r in store.view(now=NOW).collect()
+    )
+    assert before == after
+    raw_keys = {r["key"] for r in store.raw_df().collect()}
+    assert raw_keys == {"u00", "u01", "u02", "u04", "u08", "u09", "zz"}
+
+
+def test_delete_range_prefix_binary_and_replication(spark, tmp_path):
+    """Prefix form on a binary-key store (hex round-trip through the
+    manifest), persistence across reopen, and ship+apply convergence:
+    the replica receives the range delete as expanded per-key events."""
+    store = KVStore(spark, str(tmp_path / "kvb"), key_type="binary")
+    store.set_batch(
+        [Entry(bytes([p, i]), bytes([i])) for p in (0x10, 0x20) for i in range(4)]
+    )
+    snap = store.snapshot_seq()
+    replica = store.clone_to(str(tmp_path / "kvb-rep"))
+    store.delete_range(prefix=bytes([0x10]))
+    live = {bytes(r["key"]) for r in store.view(now=NOW).collect()}
+    assert live == {bytes([0x20, i]) for i in range(4)}
+    # mask survives reopen (it lives in the manifest)
+    reopened = KVStore(spark, str(tmp_path / "kvb"), key_type="binary")
+    assert reopened.get(bytes([0x10, 2]), now=NOW) is None
+    assert reopened.get(bytes([0x20, 2]), now=NOW).value == bytes([2])
+    # replication: the feed expands the range into per-key deletes
+    replica.apply_changes(store.changes_since(snap, now=NOW))
+    rep_live = {bytes(r["key"]) for r in replica.view(now=NOW).collect()}
+    assert rep_live == live
