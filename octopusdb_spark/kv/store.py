@@ -242,6 +242,21 @@ class KVStore:
             )
         if start is None and end is None:
             raise ValueError("delete_range needs a bound (start, end, or prefix)")
+        # bound types must match the store's key type BEFORE the tombstone
+        # is made durable: a str bound on a binary store would persist a
+        # non-hex string that every later _dec (and thus every read AND
+        # the compaction that clears the list) chokes on — a poison pill;
+        # a bytes bound on a string store would silently mask the wrong
+        # (hex-string) range. set/scan fail fast on such misuse; the one
+        # API that commits to the manifest must too.
+        want = (bytes, bytearray) if self.key_type == "binary" else str
+        for name, bound in (("start", start), ("end", end)):
+            if bound is not None and not isinstance(bound, want):
+                raise TypeError(
+                    f"delete_range {name} bound must be "
+                    f"{'bytes' if self.key_type == 'binary' else 'str'} for a "
+                    f"{self.key_type}-key store, got {type(bound).__name__}"
+                )
         state = self.manifest.state
         seq = state.next_seq
         self.manifest.commit(
@@ -257,6 +272,17 @@ class KVStore:
         )
         return seq
 
+    def _rt_key_range(self, rt: dict):
+        """The [start, end) key condition of one range tombstone — THE
+        definition of what a tombstone covers, shared by the read mask
+        and the changefeed expansion so the two can never diverge."""
+        c = F.lit(True)
+        if rt.get("start") is not None:
+            c = c & (F.col("key") >= F.lit(self._dec(rt["start"])))
+        if rt.get("end") is not None:
+            c = c & (F.col("key") < F.lit(self._dec(rt["end"])))
+        return c
+
     def _rt_mask(self, rts: list, as_of: int | None):
         """Filter Column hiding rows the given range tombstones cover, or
         None when nothing applies. A tombstone hides rows with key in
@@ -268,12 +294,9 @@ class KVStore:
         for rt in rts or []:
             if as_of is not None and int(rt["seq"]) > as_of:
                 continue
-            c = F.col("seq") <= F.lit(int(rt["seq"]))
-            if rt.get("start") is not None:
-                c = c & (F.col("key") >= F.lit(self._dec(rt["start"])))
-            if rt.get("end") is not None:
-                c = c & (F.col("key") < F.lit(self._dec(rt["end"])))
-            conds.append(c)
+            conds.append(
+                (F.col("seq") <= F.lit(int(rt["seq"]))) & self._rt_key_range(rt)
+            )
         if not conds:
             return None
         covered = conds[0]
@@ -768,8 +791,13 @@ class KVStore:
     ) -> DataFrame:
         """Changefeed (CDC): the current state of every key written after
         ``snapshot_seq`` (e.g. a value previously captured via
-        ``snapshot_seq()``), as (key, change, value, version) where change
-        is 'upsert' or 'delete' (tombstoned or expired-by-now).
+        ``snapshot_seq()``), as (key, change, value, expires_at, version)
+        where change is 'upsert' or 'delete' (tombstoned,
+        expired-by-now, or covered by a post-snapshot range tombstone —
+        covered keys with no post-snapshot write are expanded into
+        per-key delete events stamped with the tombstone's seq, read
+        through the manifest's key-interval pruning over the deleted
+        ranges only).
 
         O(delta) while the delta is un-compacted: versions are monotonic,
         so a touched key's newest version lives in a post-snapshot segment
@@ -858,26 +886,38 @@ class KVStore:
         rts_after = [rt for rt in rts if int(rt["seq"]) > snapshot_seq]
         if rts_after:
             in_range = None
+            rt_ver = None  # the covering tombstone's seq IS the delete's version
             for rt in rts_after:
-                c = F.lit(True)
-                if rt.get("start") is not None:
-                    c = c & (F.col("key") >= F.lit(self._dec(rt["start"])))
-                if rt.get("end") is not None:
-                    c = c & (F.col("key") < F.lit(self._dec(rt["end"])))
+                c = self._rt_key_range(rt)
                 in_range = c if in_range is None else (in_range | c)
-            extra = (
-                self.view(now=now, as_of=snapshot_seq)
-                .filter(in_range)
-                .join(out.select("key"), "key", "left_anti")
-                .select(
-                    "key",
-                    F.lit("delete").alias("change"),
-                    F.lit(None).cast("binary").alias("value"),
-                    F.lit(0).cast("long").alias("expires_at"),
-                    "version",
+                v = F.when(c, F.lit(int(rt["seq"])))
+                rt_ver = v if rt_ver is None else F.greatest(rt_ver, v)
+            # manifest key-interval pruning over the tombstone bounds: the
+            # expansion reads only segments overlapping a deleted range,
+            # not the whole pre-snapshot store (prune_for_range — the same
+            # pruning scan() uses)
+            seg_ids, segs = set(), []
+            for rt in rts_after:
+                for s in self.manifest.prune_for_range(rt.get("start"), rt.get("end")):
+                    if s.segment_id not in seg_ids:
+                        seg_ids.add(s.segment_id)
+                        segs.append(s)
+            if segs:  # no overlapping segment -> nothing was covered
+                extra = (
+                    self.view(now=now, segs=segs, as_of=snapshot_seq)
+                    .filter(in_range)
+                    .join(out.select("key"), "key", "left_anti")
+                    .select(
+                        "key",
+                        F.lit("delete").alias("change"),
+                        F.lit(None).cast("binary").alias("value"),
+                        F.lit(0).cast("long").alias("expires_at"),
+                        # post-snapshot stamp, like every other event — NOT
+                        # the covered row's pre-snapshot write version
+                        rt_ver.cast("long").alias("version"),
+                    )
                 )
-            )
-            out = out.unionByName(extra)
+                out = out.unionByName(extra)
         if include_preimage:
             pre = self.view(
                 now=now, as_of=snapshot_seq, at_version=preimage_at_version
@@ -1472,6 +1512,11 @@ class KVStore:
                 segments=new_segments,
                 stream_commits=dict(state.stream_commits or {}),
                 compacted_bytes=state.compacted_bytes or 0,
+                # pending range tombstones are part of the cloned state:
+                # without them, range-deleted keys resurrect in every
+                # backup/replica bootstrapped while a tombstone is live
+                # (the sentinel would inherit the clone's EMPTY list)
+                range_tombstones=list(state.range_tombstones or []),
             )
         )
         return clone

@@ -805,3 +805,40 @@ def test_delete_range_prefix_binary_and_replication(spark, tmp_path):
     replica.apply_changes(store.changes_since(snap, now=NOW))
     rep_live = {bytes(r["key"]) for r in replica.view(now=NOW).collect()}
     assert rep_live == live
+
+
+def test_delete_range_clone_type_guard_and_event_versions(spark, tmp_path):
+    """Review fixes pinned: (1) clone_to carries pending range tombstones,
+    so a backup taken mid-tombstone does not resurrect deleted keys;
+    (2) a bound of the wrong type for the store's key type fails fast
+    BEFORE the tombstone is made durable (a str bound on a binary store
+    would poison every subsequent read with a hex-decode error);
+    (3) synthesized range-delete feed events carry the TOMBSTONE's seq
+    as their version — a post-snapshot stamp like every other event."""
+    import pytest
+
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch([Entry(f"k{i}", f"v{i}".encode()) for i in range(6)])
+    snap = store.snapshot_seq()
+    rt_seq = store.delete_range(start="k1", end="k4")
+    # (1) the clone sees the same masked view
+    clone = store.clone_to(str(tmp_path / "kv-clone"))
+    assert clone.get("k2", now=NOW) is None
+    assert clone.get("k4", now=NOW).value == b"v4"
+    # (2) wrong-type bounds fail fast on both key types
+    with pytest.raises(TypeError):
+        store.delete_range(start=b"\x00")
+    bstore = KVStore(spark, str(tmp_path / "kvb"), key_type="binary")
+    bstore.set(Entry(b"\x01", b"x"))
+    with pytest.raises(TypeError):
+        bstore.delete_range(start="k1", end="k4")
+    assert bstore.get(b"\x01", now=NOW).value == b"x"  # store not poisoned
+    # (3) expanded delete events are stamped with the tombstone's seq
+    feed = {
+        r["key"]: r for r in store.changes_since(snap, now=NOW).collect()
+    }
+    assert {k for k, r in feed.items() if r["change"] == "delete"} == {"k1", "k2", "k3"}
+    assert all(
+        feed[k]["version"] == rt_seq and feed[k]["version"] > snap
+        for k in ("k1", "k2", "k3")
+    )
