@@ -88,6 +88,14 @@ class ManifestState:
     # physically and clears the list. None = inherit (sentinel rule);
     # [] = deliberate clear.
     range_tombstones: list | None = None
+    # Tracked consumer snapshots (the RocksDB snapshot-list / Badger
+    # minReadTs analog): holder name -> held seq. Maintenance consults
+    # min(held seqs) before clearing range tombstones: a tombstone some
+    # held snapshot still needs (rt seq > min held seq — either for
+    # as-of reads at that horizon or for changefeed expansion from it)
+    # survives leveled compaction. Same sentinel rule: None = inherit
+    # from the previous state, {} = deliberate clear.
+    held_snapshots: dict | None = None
 
     def data_segments(self) -> list:
         return [s for s in self.segments if s.kind == "data"]
@@ -138,6 +146,7 @@ class Manifest:
             stream_commits=raw.get("stream_commits", {}),
             compacted_bytes=raw.get("compacted_bytes", 0),
             range_tombstones=raw.get("range_tombstones", []),
+            held_snapshots=raw.get("held_snapshots", {}),
         )
 
     def versions(self) -> list:
@@ -259,6 +268,8 @@ class Manifest:
             new_state.compacted_bytes = self.state.compacted_bytes or 0
         if new_state.range_tombstones is None:
             new_state.range_tombstones = list(self.state.range_tombstones or [])
+        if new_state.held_snapshots is None:
+            new_state.held_snapshots = dict(self.state.held_snapshots or {})
         snap = os.path.join(self.dir, f"manifest-{new_state.version}.json")
         payload = {
             "version": new_state.version,
@@ -267,6 +278,7 @@ class Manifest:
             "stream_commits": new_state.stream_commits,
             "compacted_bytes": new_state.compacted_bytes,
             "range_tombstones": new_state.range_tombstones,
+            "held_snapshots": new_state.held_snapshots,
         }
         # Under the lock with CURRENT verified at the base version, an
         # existing snapshot for this version can only be a dead claimant's

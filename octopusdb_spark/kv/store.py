@@ -50,6 +50,7 @@ shuffle local to the touched key range.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from dataclasses import dataclass, replace
 
@@ -188,6 +189,16 @@ class KVStore:
         self.key_type = key_type
         self._schema = data_schema(key_type)
         self.manifest = Manifest(root)
+        # Serializes the pinned-cache check-and-rebuild (cache_view /
+        # cached_view / uncache_view / _pinned_view): KVService handles
+        # requests on multiple ThreadingTCPServer threads, and without
+        # this two concurrent first reads (or reads racing a
+        # version-invalidating write) interleave so each rebuild
+        # displaces the last — correct via lineage recompute, but the
+        # "one shared cached frame" pin contract degrades to repeated
+        # uncached scans. RLock because cache_view calls uncache_view
+        # and _pinned_view calls both (ADVICE r7).
+        self._cache_lock = threading.RLock()
 
     def _enc(self, key):
         """Manifest-comparable form of a key. Binary keys are hex-encoded:
@@ -841,7 +852,13 @@ class KVStore:
         CDC): a full ``compact()`` physically drops tombstones, so deletes
         older than the last full compaction are no longer observable —
         consume the feed before compacting, or use leveled compaction
-        (which preserves tombstones above the bottom level). The same
+        (which preserves per-key tombstones above the bottom level).
+        Range tombstones are retired by leveled compaction too unless a
+        registered hold still needs them — a CDC consumer that resumes
+        from ``snapshot_seq`` across maintenance cycles should
+        ``hold_snapshot(name, seq)`` its resume point (and re-hold as it
+        advances): held feeds stay exact, unheld feeds may miss
+        range-delete expansions once maintenance clears the tombstone. The same
         applies to pre-images of *upserts* under ANY compaction (leveled
         included): compaction keeps only the newest version per key, so
         once a touched key's pre-snapshot version is merged away, its
@@ -895,10 +912,22 @@ class KVStore:
             # manifest key-interval pruning over the tombstone bounds: the
             # expansion reads only segments overlapping a deleted range,
             # not the whole pre-snapshot store (prune_for_range — the same
-            # pruning scan() uses)
+            # pruning scan() uses). Candidates are first gated by the same
+            # created_seq prune view() applies when it picks segments
+            # itself — this is an as-of-snapshot read, so a segment
+            # created wholly after the snapshot holds nothing visible and
+            # passing segs explicitly must not bypass that (ADVICE r7);
+            # the row-level seq filter keeps correctness either way.
+            as_of_cands = [
+                s
+                for s in self.manifest.state.data_segments()
+                if not s.exact_min_seq or s.created_seq <= snapshot_seq
+            ]
             seg_ids, segs = set(), []
             for rt in rts_after:
-                for s in self.manifest.prune_for_range(rt.get("start"), rt.get("end")):
+                for s in self.manifest.prune_for_range(
+                    rt.get("start"), rt.get("end"), as_of_cands
+                ):
                     if s.segment_id not in seg_ids:
                         seg_ids.add(s.segment_id)
                         segs.append(s)
@@ -971,30 +1000,33 @@ class KVStore:
         segment scan + dedup entirely. Spark's storage layer replaces
         W-TinyLFU (LRU eviction under memory pressure). The pin is tied to
         this manifest version; any write invalidates it."""
-        if getattr(self, "_cached_view", None) is not None:
-            self.uncache_view()
-        now = int(time.time()) if now is None else int(now)
-        df = self.view(now=now).cache()
-        self._cached_view = df
-        self._cached_version = self.manifest.state.version
-        self._cached_now = now  # TTL evaluation time baked into the cache
-        return df
+        with self._cache_lock:
+            if getattr(self, "_cached_view", None) is not None:
+                self.uncache_view()
+            now = int(time.time()) if now is None else int(now)
+            df = self.view(now=now).cache()
+            self._cached_view = df
+            self._cached_version = self.manifest.state.version
+            self._cached_now = now  # TTL evaluation time baked into the cache
+            return df
 
     def cached_view(self) -> DataFrame | None:
         """The pinned view if still valid for the current manifest version."""
-        if getattr(self, "_cached_view", None) is None:
-            return None
-        if self._cached_version != self.manifest.state.version:
-            self.uncache_view()
-            return None
-        return self._cached_view
+        with self._cache_lock:
+            if getattr(self, "_cached_view", None) is None:
+                return None
+            if self._cached_version != self.manifest.state.version:
+                self.uncache_view()
+                return None
+            return self._cached_view
 
     def uncache_view(self) -> None:
-        if getattr(self, "_cached_view", None) is not None:
-            self._cached_view.unpersist()
-            self._cached_view = None
-            self._cached_version = None
-            self._cached_now = None
+        with self._cache_lock:
+            if getattr(self, "_cached_view", None) is not None:
+                self._cached_view.unpersist()
+                self._cached_view = None
+                self._cached_version = None
+                self._cached_now = None
 
     def pin(self, now: int | None = None):
         """Pinned-read session: inside ``with store.pin(now=...):``, every
@@ -1065,12 +1097,15 @@ class KVStore:
             return None
         if now is not None and now != self._pinned_now:
             return None
-        df = self.cached_view()
-        if df is not None and self._cached_now != self._pinned_now:
-            df = None  # wrong TTL time baked in — rebuild below
-        if df is None:
-            df = self.cache_view(now=self._pinned_now)
-        return df
+        # One atomic check-and-rebuild: exactly one service thread
+        # rebuilds per manifest version; the rest reuse its frame.
+        with self._cache_lock:
+            df = self.cached_view()
+            if df is not None and self._cached_now != self._pinned_now:
+                df = None  # wrong TTL time baked in — rebuild below
+            if df is None:
+                df = self.cache_view(now=self._pinned_now)
+            return df
 
     def snapshot_seq(self) -> int:
         """The sequence number capturing everything committed so far — pass
@@ -1086,6 +1121,51 @@ class KVStore:
         version)."""
         st = self.manifest.state
         return Snapshot(seq=st.next_seq - 1, manifest_version=st.version)
+
+    def hold_snapshot(self, holder: str, seq: int | None = None) -> int:
+        """Register a named snapshot hold (the RocksDB snapshot-list /
+        Badger minReadTs analog, `kv/utils/key.go:32-37` versioned reads):
+        maintenance will not clear a range tombstone some held snapshot
+        still needs — a holder at seq S can keep calling
+        ``view/get(as_of=S)`` and ``changes_since(S)`` across leveled
+        compactions and see exact results. Defaults to the current
+        ``snapshot_seq()``. One manifest commit; re-holding the same name
+        moves its seq (a consumer advancing its checkpoint). Returns the
+        held seq. Holds are durable (they live in the manifest), so
+        release them — an abandoned hold pins tombstones forever, the
+        same trade as any MVCC retention handle."""
+        seq = self.snapshot_seq() if seq is None else int(seq)
+        state = self.manifest.state
+        self.manifest.commit(
+            ManifestState(
+                version=state.version,
+                next_seq=state.next_seq,
+                segments=list(state.segments),
+                held_snapshots={**(state.held_snapshots or {}), str(holder): seq},
+            )
+        )
+        return seq
+
+    def release_snapshot(self, holder: str) -> None:
+        """Drop a named hold; unknown names are a no-op (idempotent)."""
+        state = self.manifest.state
+        held = dict(state.held_snapshots or {})
+        if str(holder) not in held:
+            return
+        del held[str(holder)]
+        self.manifest.commit(
+            ManifestState(
+                version=state.version,
+                next_seq=state.next_seq,
+                segments=list(state.segments),
+                held_snapshots=held,
+            )
+        )
+
+    def oldest_held_seq(self) -> int | None:
+        """min over registered holds, or None when nothing is held."""
+        held = self.manifest.state.held_snapshots or {}
+        return min(held.values()) if held else None
 
     def info(self) -> dict:
         """Stats endpoint (`kv/db.go:140-142` — a stub there; real here).
@@ -1114,6 +1194,11 @@ class KVStore:
             "write_amplification": round((st.compacted_bytes or 0) / live_bytes, 3)
             if live_bytes
             else 0.0,
+            # operational visibility for the two bounded-but-growable
+            # manifest lists (ADVICE r7): every read applies one predicate
+            # per live range tombstone, and every hold pins tombstones
+            "range_tombstones": len(st.range_tombstones or []),
+            "held_snapshots": len(st.held_snapshots or {}),
         }
 
     # ------------------------------------------------------------ maintenance
@@ -1328,7 +1413,23 @@ class KVStore:
         among participants; never drops tombstones/expired here — a newer or
         older version may live in a non-participating level (the reference's
         overlap-below rule, `kv/lsm/compact.go:362-369`). Full cleanup
-        happens in compact()."""
+        happens in compact().
+
+        Range tombstones ARE retired here, retention-aware (ADVICE r7 —
+        without this, leveled-only maintenance grows the manifest list and
+        every read's predicate chain without bound): a tombstone is
+        *clearable* when no held snapshot still needs it
+        (``rt.seq <= oldest_held_seq()``; no holds = all clearable — a
+        holder at seq >= rt.seq reads with the mask active anyway, so
+        physically dropping covered rows changes nothing it can see, and
+        its ``changes_since`` delta starts above rt.seq). Clearable masks
+        are applied physically to THIS merge's output, and a tombstone is
+        dropped from the manifest once no remaining live segment can hold
+        a covered row (key-range overlap via the manifest interval index,
+        seq bound via the exact created_seq stamp) — the merge output
+        itself is known clean. Unregistered as-of readers below the
+        tombstone's seq lose covered rows exactly as under full
+        ``compact()``; hold the snapshot to keep it exact."""
         now = int(time.time()) if now is None else now
         state = self.manifest.state
         dst_level = min(src_level + 1, self.MAX_LEVEL)
@@ -1344,6 +1445,12 @@ class KVStore:
         ]
         participants = src + dst
         merged = self.latest_df(participants)
+        min_held = self.oldest_held_seq()
+        rts = state.range_tombstones or []
+        clearable = [rt for rt in rts if min_held is None or int(rt["seq"]) <= min_held]
+        rt_mask = self._rt_mask(clearable, None)
+        if rt_mask is not None:
+            merged = merged.filter(rt_mask)
         # Epoch split (manifest-metadata decision, no extra scan): when the
         # base (dst) rows dominate the delta (src) by EPOCH_SPLIT_RATIO and
         # the delta actually carries newer seqs, split the output at the
@@ -1370,6 +1477,26 @@ class KVStore:
         drops = self._dropped_ptr_bytes(participants, new_segs)
         part_ids = {s.segment_id for s in participants}
         kept = [s for s in state.segments if s.segment_id not in part_ids]
+        # Drop every clearable tombstone no remaining live segment can
+        # still hold covered rows for. new_segs are clean by construction
+        # (mask applied above), so only the kept data segments gate: a
+        # kept segment blocks the drop if its key interval overlaps the
+        # tombstone range AND it may hold rows with seq <= rt.seq (exact
+        # created_seq stamp above the tombstone proves it cannot).
+        kept_data = [s for s in kept if s.kind == "data"]
+        remaining_rts = []
+        for rt in rts:
+            if rt not in clearable:
+                remaining_rts.append(rt)
+                continue
+            blocked = any(
+                not (s.exact_min_seq and s.created_seq > int(rt["seq"]))
+                for s in self.manifest.prune_for_range(
+                    rt.get("start"), rt.get("end"), kept_data
+                )
+            )
+            if blocked:
+                remaining_rts.append(rt)
         self.manifest.commit(
             ManifestState(
                 version=state.version,
@@ -1377,6 +1504,7 @@ class KVStore:
                 segments=self._with_discard_updates(kept, drops) + new_segs,
                 compacted_bytes=(state.compacted_bytes or 0)
                 + sum(s.size_bytes for s in new_segs),
+                range_tombstones=remaining_rts,
             )
         )
 

@@ -842,3 +842,134 @@ def test_delete_range_clone_type_guard_and_event_versions(spark, tmp_path):
         feed[k]["version"] == rt_seq and feed[k]["version"] > snap
         for k in ("k1", "k2", "k3")
     )
+
+
+def test_snapshot_holds_gate_range_tombstone_retirement(store):
+    """Leveled compaction retires range tombstones retention-aware
+    (ADVICE r7): a registered hold at a seq below the tombstone keeps the
+    tombstone (and its covered rows) intact — the holder's as-of reads
+    and changefeed stay exact across maintenance — while releasing the
+    hold lets the next leveled merge apply the mask physically and drop
+    the list entry, so leveled-only maintenance no longer grows the
+    manifest list and every read's predicate chain without bound."""
+    store.set_batch([Entry(f"h{i}", f"v{i}".encode()) for i in range(8)])
+    snap = store.snapshot_seq()
+    held = store.hold_snapshot("cdc", seq=snap)
+    assert held == snap
+    rt_seq = store.delete_range(start="h2", end="h6")
+    assert store.info()["range_tombstones"] == 1
+    assert store.info()["held_snapshots"] == 1
+    # held: the merge must NOT apply or drop the tombstone
+    store.compact_level(0, now=NOW)
+    assert store.info()["range_tombstones"] == 1
+    live = {r["key"] for r in store.view(now=NOW).collect()}
+    assert live == {"h0", "h1", "h6", "h7"}
+    # the holder's snapshot still sees covered rows (physically retained)
+    as_of = {r["key"] for r in store.view(now=NOW, as_of=snap).collect()}
+    assert as_of == {f"h{i}" for i in range(8)}
+    # and its changefeed still expands the range into per-key deletes
+    feed = {r["key"]: r["change"] for r in store.changes_since(snap, now=NOW).collect()}
+    assert {k for k, c in feed.items() if c == "delete"} == {"h2", "h3", "h4", "h5"}
+    # hold survives reopen (it lives in the manifest)
+    reopened = KVStore(store.spark, store.root)
+    assert reopened.oldest_held_seq() == snap
+    # released: the next leveled merge applies the mask and drops the entry
+    store.release_snapshot("cdc")
+    store.release_snapshot("cdc")  # idempotent no-op
+    assert store.oldest_held_seq() is None
+    before = sorted((r["key"], bytes(r["value"])) for r in store.view(now=NOW).collect())
+    store.compact_level(1, now=NOW)
+    assert store.info()["range_tombstones"] == 0
+    after = sorted((r["key"], bytes(r["value"])) for r in store.view(now=NOW).collect())
+    assert before == after  # live view never changes across retirement
+    raw = {r["key"] for r in store.raw_df().collect()}
+    assert raw == {"h0", "h1", "h6", "h7"}  # covered rows physically gone
+    assert rt_seq > snap
+
+
+def test_range_tombstone_survives_merge_when_segment_blocks(store):
+    """A clearable tombstone whose covered rows may still live in a
+    NON-participating segment stays listed: compact_level(1) rewrites
+    only L1+L2, so a fresh L0 write layered over the range (older seq
+    bound unprovable? no — exact stamps prove it's NEWER) ... the real
+    blocker is an L0 segment holding pre-tombstone rows. Build exactly
+    that: range rows flushed to L0 twice, merge only one of them."""
+    # two L0 segments over the same range, then the tombstone
+    store.set_batch([Entry("b1", b"x"), Entry("b2", b"y")])
+    store.set_batch([Entry("b3", b"z")])
+    store.delete_range(start="b1", end="b9")
+    # merge L1<-L0 moves everything down; all pre-tombstone rows
+    # participate, so the tombstone clears in one pass
+    store.compact_level(0, now=NOW)
+    assert store.info()["range_tombstones"] == 0
+    assert store.view(now=NOW).count() == 0
+    # now the blocking case: pre-tombstone rows at L1, tombstone, then a
+    # compact_level over an EMPTY source level must keep the tombstone
+    # (no participants -> no rewrite -> covered rows still on disk)
+    store.set_batch([Entry("c1", b"x")])
+    store.compact_level(0, now=NOW)  # c1 now lives at L1 with exact stamps
+    store.delete_range(start="c0", end="c9")
+    store.compact_level(3, now=NOW)  # nothing at L3: no-op, returns early
+    assert store.info()["range_tombstones"] == 1
+    assert store.get("c1", now=NOW) is None
+
+
+def test_changefeed_expansion_prunes_post_snapshot_segments(store, monkeypatch):
+    """The range-tombstone expansion gates its candidate segments with the
+    same created_seq prune as the as-of read path (ADVICE r7): a segment
+    created wholly after the snapshot (exact stamps) must not be handed
+    to prune_for_range at all — only I/O, never correctness, rides on it."""
+    store.set_batch([Entry(f"p{i}", b"old") for i in range(4)])
+    store.compact_level(0, now=NOW)  # exact stamps on the pre-snapshot rows
+    snap = store.snapshot_seq()
+    store.set_batch([Entry("p9", b"post-snap")])  # post-snapshot segment
+    store.delete_range(start="p0", end="p5")
+    seen = []
+    real = store.manifest.prune_for_range
+
+    def spy(start, end, segments=None):
+        if segments is not None:
+            seen.append(list(segments))
+        return real(start, end, segments)
+
+    monkeypatch.setattr(store.manifest, "prune_for_range", spy)
+    feed = {r["key"]: r["change"] for r in store.changes_since(snap, now=NOW).collect()}
+    assert {k for k, c in feed.items() if c == "delete"} == {f"p{i}" for i in range(4)}
+    assert feed["p9"] == "upsert"
+    assert seen, "expansion should pass an explicitly gated candidate list"
+    post_snap = {
+        s.segment_id
+        for s in store.manifest.state.data_segments()
+        if s.exact_min_seq and s.created_seq > snap
+    }
+    assert post_snap, "test setup must produce a post-snapshot exact-stamped segment"
+    for segs in seen:
+        assert not ({s.segment_id for s in segs} & post_snap)
+
+
+def test_pinned_cache_is_thread_safe(store):
+    """Concurrent pinned reads race one check-and-rebuild: with the store
+    cache lock (ADVICE r7) exactly one thread builds the cached frame per
+    manifest version and every reader resolves against it correctly."""
+    import threading
+
+    store.set_batch([Entry(f"t{i}", f"v{i}".encode()) for i in range(6)])
+    results, errors = [], []
+
+    def reader(i):
+        try:
+            e = store.get(f"t{i % 6}", now=NOW)
+            results.append((i, e.value))
+        except Exception as exc:  # pragma: no cover - failure path
+            errors.append(exc)
+
+    with store.pin(now=NOW):
+        threads = [threading.Thread(target=reader, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert all(v == f"v{i % 6}".encode() for i, v in results)
+        # one shared frame survived the race
+        assert store.cached_view() is not None
