@@ -116,6 +116,16 @@ class OctopusDB:
         stays exact across later compaction."""
         return self.kv.snapshot()
 
+    def hold_snapshot(self, holder: str, seq: int | None = None) -> int:
+        """Register a named snapshot hold so maintenance keeps the range
+        tombstones (and their covered rows) this snapshot still needs —
+        the handle a CDC consumer or long-lived as-of reader registers;
+        see KVStore.hold_snapshot. Release with ``release_snapshot``."""
+        return self.kv.hold_snapshot(holder, seq=seq)
+
+    def release_snapshot(self, holder: str) -> None:
+        self.kv.release_snapshot(holder)
+
     def delete_range(self, start=None, end=None, prefix=None) -> int:
         """Range tombstone (DeleteRange): one O(1) manifest commit hides
         every key in [start, end) / under ``prefix`` as of now; see

@@ -39,52 +39,42 @@ for _m in _MODULES:
     ORACLE_SQL.update(getattr(mod, "ORACLES", {}))
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order. Round-7 rotation (VERDICT r6 "Next round #1"): lead
-# with the 38 queries whose most recent driver row is round 4 (two rounds
-# stale — the only coverage gap left), then fill with every code path
-# round 7 touches (durable pre-images, memoized ANN training, residual
-# IVF-PQ, streaming TTL, the created_seq compaction fix, pinned reads).
+# insertion order. Round-8 rotation: lead with everything added this
+# round, then the 39 queries whose most recent driver row is round 5
+# (the stalest cohort — every r4-stale query was refreshed in r7), then
+# fill with r6-stale queries on code paths round 8 touches (the
+# changefeed expansion prune, the store-wide cache lock) plus the
+# stalest remaining families.
 # PROTOCOL: a query added to the registry after this list is frozen must
 # be inserted at the HEAD at that moment (displacing the last fill
 # entry), not next round.
 _PRIORITY = [
-    # added round 7 (head-insert at add time, per protocol below)
-    "kv_range_delete",         # O(1) range tombstone under the gate
-    "kv_replication",          # changefeed ship+apply as a driver row
-    "q2_min_cost_shape",       # completes the TPC-H 22-query shape suite
-    "kv_remote_reads",         # A24 service as a hash-checked driver row
-    "stream_dedup_ingest",     # streaming MinHash near-dup rejection
-    "text_pii_redact",         # PII scrub with per-class audit counts
-    "text_chunk_overlap",      # token-window chunking with overlap
-    "q_train_val_split",       # hash-stable train/val/test + strat audit
-    "kv_pinned_reads",         # pin() contract promoted to a driver row
-    # stale since round 4 (the full list from VERDICT r6 What's-missing #1)
-    "kv_prefix_scan", "kv_range_seek", "kv_tombstoned_keys",
-    "kv_ttl_classes", "kv_merge_sorted_runs", "q_event_time_windows",
-    "q_funnel", "q_mode_event_type", "q_moving_avg", "q_cohort_retention",
-    "q1_pricing_summary", "q_top_customers_per_nation", "q_rollup_acctbal",
-    "q_set_ops", "q_scalar_functions", "q_running_totals", "q_sessionize",
-    "q_session_window", "q_avg_order_gap", "q12_ship_lag_shape",
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q14_promo_effect", "q17_small_quantity", "q19_discounted_revenue",
-    "q22_global_sales", "q_asof_join", "q_cube_orders", "q_grouping_sets",
-    "q_approx_percentile", "q_time_rollup", "q_time_gapfill", "q_semi_join",
-    "q_token_budget_packing", "text_repetition", "text_ngram_topk",
-    "sim_quantized_cosine",
-    # code paths touched round 7
-    "kv_changefeed_preimage",  # durable pre-images across compaction
-    # (kv_version_history displaced by kv_range_delete — r6 green; the
-    # at_version path is exercised by kv_changefeed_preimage's durable
-    # pre-image resolution)
-    "kv_stream_ingest",        # TTL rides the streaming write path
-    "sim_ann_ivfpq",           # residual encoding + rank_centroids refactor
-    # displaced by the seven head-inserts: kv_point_lookup, kv_latest_live,
-    # kv_gc_discard_stats, kv_value_separation, sim_ann_ivf_kmeans,
-    # sim_ann_pq, kv_changefeed (all green r5/r6; the displaced ANN rows
-    # share rank_centroids and the trained-structure memos with
-    # sim_ann_ivfpq, which stays in the window; kv_changefeed's
-    # changes_since path is exercised by kv_changefeed_preimage AND the
-    # new kv_replication row)
+    # added round 8 (head-insert at add time, per protocol)
+    "kv_snapshot_holds",       # tracked holds gate tombstone retirement
+    "text_lm_score",           # char-bigram corpus-likelihood filter
+    "q_domain_mixture",        # temperature-weighted source mixture
+    # stale since round 5 (the stalest cohort, all green there)
+    "kv_latest_live", "kv_point_lookup", "kv_gc_discard_stats",
+    "kv_binary_key_scan", "q_orders_by_month", "q_json_extract",
+    "q_pivot_event_types", "q_anti_join", "q_median_quantity",
+    "q_p95_disc", "q_string_agg", "q_correlation", "q_pandas_udf_score",
+    "q_linear_regression", "graph_degrees", "graph_pagerank",
+    "graph_adjacency", "text_stats", "text_tokenize_udtf",
+    "text_decontaminate", "text_shard_assignment", "dedup_minhash_capped",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "sim_topk_cosine", "sim_ann_bucketed",
+    "sim_ann_ivf", "sim_label_centroids", "dedup_embedding_cosine",
+    "multimodal_bytes", "multimodal_chunking", "quality_column_profile",
+    "quality_duplicate_keys", "q_stream_sessionize", "q_stream_dedup",
+    "q_stream_rollup", "q_stream_interval_join",
+    # fills: r6-stale queries on code paths round 8 touches first
+    "kv_changefeed",           # changes_since expansion prune (ADVICE r7)
+    "kv_version_history",      # at_version time travel over new manifests
+    "kv_value_separation",     # values-join path under the cache lock
+    "kv_stream_enrich",        # stream-static enrichment over the store
+    # then stalest remaining r6 families
+    "graph_triangles", "graph_components", "q9_profit_shape",
+    "q_window_family",
 ]
 
 

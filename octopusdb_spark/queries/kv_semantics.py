@@ -537,7 +537,89 @@ def q_kv_range_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_kv_snapshot_holds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracked snapshot holds run FOR REAL under the correctness gate (the
+    RocksDB snapshot-list / Badger minReadTs analog): customer rows bulk-
+    load, a named hold pins the pre-delete snapshot, a range tombstone
+    hides [h000010, h000030), one covered key is re-written, and leveled
+    compaction runs. In-query assertions, each of which reddens the
+    driver row if violated: (1) while held, the merge must RETAIN the
+    tombstone and the covered rows — the held as-of read still returns
+    every ingested key and the changefeed from the held seq still
+    expands the range into per-key deletes; (2) after release, the next
+    leveled merge applies the mask physically, drops the manifest entry,
+    and leaves the live view bit-identical. The checked output is the
+    final live view."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from octopusdb_spark.kv.store import Entry, KVStore
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .select(
+            F.concat(
+                F.lit("h"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+            ).alias("key"),
+            F.col("c_name").cast("binary").alias("value"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix=f"kv_hold_{uuid.uuid4().hex[:12]}_")
+    try:
+        store = KVStore(spark, f"{base}/kv")
+        n_keys = store.ingest_df(cust, target_segments=2)
+        snap = store.snapshot_seq()
+        store.hold_snapshot("gate-consumer", seq=snap)
+        store.delete_range(start="h000010", end="h000030")
+        store.compact_level(0, now=NOW)  # held: must not retire the mask
+        if store.info()["range_tombstones"] != 1:
+            raise RuntimeError("held range tombstone was retired by compaction")
+        held_seen = store.view(now=NOW, as_of=snap).count()
+        if held_seen != n_keys:
+            raise RuntimeError(
+                f"held as-of read lost covered rows: {held_seen} != {n_keys}"
+            )
+        feed = {
+            r["key"]: r["change"]
+            for r in store.changes_since(snap, now=NOW).collect()
+        }
+        expect_deletes = {f"h{i:06d}" for i in range(10, 30)}
+        if {k for k, c in feed.items() if c == "delete"} != expect_deletes:
+            raise RuntimeError("held changefeed lost range-delete expansions")
+        # a later write INTO the range must survive retirement (seq-bounded
+        # mask); it lands at L0 with a post-tombstone exact stamp, so it
+        # does NOT block the drop below
+        store.set(Entry("h000015", b"reborn"))
+        before = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in store.view(now=NOW).collect()
+        )
+        store.release_snapshot("gate-consumer")
+        store.compact_level(1, now=NOW)  # released: mask applies, entry drops
+        if store.info()["range_tombstones"] != 0:
+            raise RuntimeError("released range tombstone survived compaction")
+        after = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in store.view(now=NOW).collect()
+        )
+        if before != after:
+            raise RuntimeError("tombstone retirement changed the live view")
+        return spark.createDataFrame(after, "key string, value string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 ORACLES = {
+    "kv_snapshot_holds": """
+        SELECT 'h' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
+               c_name AS value
+        FROM customer
+        WHERE c_custkey <= 50 AND (c_custkey < 10 OR c_custkey >= 30)
+        UNION ALL
+        SELECT 'h000015' AS key, 'reborn' AS value
+        ORDER BY key""",
     "kv_range_delete": """
         SELECT 'd' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
                c_name AS value
@@ -651,4 +733,5 @@ QUERIES = {
     "kv_remote_reads": q_kv_remote_reads,
     "kv_replication": q_kv_replication,
     "kv_range_delete": q_kv_range_delete,
+    "kv_snapshot_holds": q_kv_snapshot_holds,
 }

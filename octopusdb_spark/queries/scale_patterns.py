@@ -327,7 +327,123 @@ def q_pipeline_pretrain_corpus(spark, sf_dir):
     )
 
 
+def q_domain_mixture(spark, sf_dir):
+    """Temperature-weighted domain mixture — the source-reweighting stage a
+    multi-domain pretraining corpus runs after filtering (the UniMax /
+    multilingual-sampling family): target mixture weight per source is
+    proportional to n^tau with tau = 0.5 (sqrt smoothing — big domains
+    are downsampled toward the tail, the tail is kept whole), a total
+    budget of 60% of the corpus is split by those weights, and membership
+    is decided by a deterministic md5 bucket so the sample is stable
+    across reruns, engines, and repartitioning.
+
+    Cross-engine exactness: the keep decision is pure integer arithmetic.
+    Weights are quantized once (round(sqrt(n) * 1e6) — IEEE sqrt is
+    correctly rounded, so both engines agree bit-for-bit), summed as
+    integers (order-independent, unlike float sums), and the per-doc test
+    ``bucket/1e6 < B*w/(W*n)`` is evaluated as the cross-multiplied
+    DECIMAL(38,0) comparison ``bucket*W*n < B*w*1e6`` — no float ever
+    decides membership. The reported rates are display-only doubles
+    computed by an identical operation chain in both engines.
+
+    Plan: one tiny groupBy (source counts), a 1-row totals broadcast, a
+    per-source rates table joined back to the fact scan (AQE broadcasts
+    it when small; no forced hint — source cardinality is data-dependent),
+    then one keyed agg for the audit. At 100 TB: two scans, two bounded
+    shuffles — the keep filter is a map-side projection."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    w = counts.withColumn(
+        "w", F.round(F.sqrt(F.col("n").cast("double")) * 1e6).cast("long")
+    )
+    tot = w.agg(
+        F.sum("w").cast("long").alias("w_tot"), F.sum("n").cast("long").alias("n_tot")
+    )
+    rates = w.join(F.broadcast(tot)).withColumn(
+        "budget", F.expr("CAST((n_tot * 6) DIV 10 AS BIGINT)")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    keep = (
+        dec(F.col("bucket")) * dec(F.col("w_tot")) * dec(F.col("n"))
+        < dec(F.col("budget")) * dec(F.col("w")) * F.lit(1000000).cast("decimal(38,0)")
+    )
+    per = (
+        docs.select("source", bucket.alias("bucket"))
+        .join(rates, "source")
+        .select(
+            "source", "n", "w", "w_tot", "budget",
+            F.when(keep, 1).otherwise(0).alias("keep"),
+        )
+        .groupBy("source", "n", "w", "w_tot", "budget")
+        .agg(F.sum("keep").cast("long").alias("kept_docs"))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return per.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(dbl("w") / dbl("w_tot"), 6).alias("mix_weight"),
+        F.round(
+            F.least(F.lit(1.0), dbl("budget") * dbl("w") / dbl("w_tot") / dbl("n")), 6
+        ).alias("keep_rate"),
+        "kept_docs",
+        F.round(dbl("kept_docs") / dbl("n"), 6).alias("achieved_rate"),
+    ).orderBy("source")
+
+
 ORACLES = {
+    "q_domain_mixture": """
+        WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        w AS (
+          SELECT source, n,
+                 CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+          FROM counts
+        ),
+        tot AS (
+          SELECT CAST(sum(w) AS BIGINT) AS w_tot, CAST(sum(n) AS BIGINT) AS n_tot
+          FROM w
+        ),
+        rates AS (
+          SELECT source, n, w, w_tot,
+                 CAST((n_tot * 6) // 10 AS BIGINT) AS budget
+          FROM w, tot
+        ),
+        d AS (
+          SELECT source,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                   % 1000000 AS bucket
+          FROM documents
+        ),
+        k AS (
+          SELECT d.source,
+                 CASE WHEN CAST(d.bucket AS DECIMAL(38,0))
+                             * CAST(r.w_tot AS DECIMAL(38,0))
+                             * CAST(r.n AS DECIMAL(38,0))
+                           < CAST(r.budget AS DECIMAL(38,0))
+                             * CAST(r.w AS DECIMAL(38,0))
+                             * CAST(1000000 AS DECIMAL(38,0))
+                      THEN 1 ELSE 0 END AS keep
+          FROM d JOIN rates r USING (source)
+        ),
+        per AS (
+          SELECT source, CAST(sum(keep) AS BIGINT) AS kept_docs
+          FROM k GROUP BY source
+        )
+        SELECT r.source,
+               r.n AS n_docs,
+               round(CAST(r.w AS DOUBLE) / CAST(r.w_tot AS DOUBLE), 6) AS mix_weight,
+               round(least(1.0, CAST(r.budget AS DOUBLE) * CAST(r.w AS DOUBLE)
+                                  / CAST(r.w_tot AS DOUBLE) / CAST(r.n AS DOUBLE)), 6)
+                 AS keep_rate,
+               p.kept_docs,
+               round(CAST(p.kept_docs AS DOUBLE) / CAST(r.n AS DOUBLE), 6)
+                 AS achieved_rate
+        FROM rates r JOIN per p USING (source)
+        ORDER BY r.source""",
     "q_train_val_split": """
         WITH s AS (
           SELECT source,
@@ -463,4 +579,5 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_source_balanced_sample": q_source_balanced_sample,
     "q_train_val_split": q_train_val_split,
+    "q_domain_mixture": q_domain_mixture,
 }

@@ -298,6 +298,77 @@ def q_text_ngram_topk(spark, sf_dir):
     )
 
 
+# Char-bigram LM model size: the scored vocabulary is the top-K bigrams by
+# corpus frequency (deterministic tie-break on the bigram itself). Bounded
+# by construction at |charset|^2 regardless of corpus size.
+LM_TOP_K = 64
+
+
+def q_text_lm_score(spark, sf_dir):
+    """Corpus-likelihood quality scoring — the perplexity-filter stage of a
+    pretraining pipeline (CCNet/RefinedWeb run a KenLM here): train a
+    character-bigram model on the corpus itself, score every document by
+    how much of its character-pair mass the model explains, and flag
+    outliers. The scoring is integer-exact by design — per-document
+    familiarity mass = sum of the model's global counts over the
+    document's bigram occurrences, and the OOV ratio counts occurrences
+    outside the top-``LM_TOP_K`` model — so both engines hash identically
+    (log-prob last-ulp drift between libm implementations would break the
+    value gate; a real KenLM scorer slots into this same plan shape).
+
+    Plan: one explode to char bigrams (embarrassingly parallel), one
+    bounded groupBy for the model (<= |charset|^2 rows by construction —
+    the broadcast is provably safe at any corpus size), one broadcast
+    join back + a doc_id-keyed agg. At 100 TB: two scans of the corpus
+    chars, one tiny shuffle, one keyed shuffle — no all-pairs anything."""
+    docs = t(spark, sf_dir, "documents")
+    txt = docs.select("doc_id", F.lower(F.col("text")).alias("txt"))
+    bigrams = F.expr(
+        """CASE WHEN length(txt) >= 2
+                THEN transform(sequence(1, length(txt) - 1),
+                               i -> substring(txt, i, 2))
+                ELSE array() END"""
+    )
+    ex = txt.select("doc_id", F.explode(bigrams).alias("b"))
+    model = (
+        ex.groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("b"))
+        .limit(LM_TOP_K)
+    )
+    per = (
+        ex.join(F.broadcast(model), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).alias("oov"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("fam"),
+        )
+    )
+    oov_ratio = F.round(F.col("oov").cast("double") / F.col("n_bigrams"), 6)
+    in_model = F.col("n_bigrams") - F.col("oov")
+    # docs with < 2 chars produce no bigram rows; restore them with zeros
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(oov_ratio, F.lit(0.0)).alias("oov_ratio"),
+            F.when(
+                F.coalesce(in_model, F.lit(0)) > 0,
+                F.round(F.col("fam").cast("double") / in_model, 6),
+            )
+            .otherwise(0.0)
+            .alias("avg_model_count"),
+            F.when(F.coalesce(oov_ratio, F.lit(0.0)) > 0.35, 1)
+            .otherwise(0)
+            .alias("low_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # PII-redaction patterns — the standard training-corpus scrub classes.
 # Written in the Java-regex ∩ RE2 common subset ([0-9] classes, bounded
 # repetition, no \b / lookaround) so Spark and DuckDB match identically.
@@ -420,6 +491,36 @@ def q_text_chunk_overlap(spark, sf_dir):
 
 
 ORACLES = {
+    "text_lm_score": """
+        WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents),
+        ex AS (
+          SELECT doc_id, substring(txt, CAST(i AS INT), 2) AS b
+          FROM d, unnest(range(1, length(txt))) AS t(i)
+        ),
+        model AS (
+          SELECT b, count(*) AS cnt FROM ex GROUP BY b
+          ORDER BY cnt DESC, b ASC LIMIT 64
+        ),
+        per AS (
+          SELECT e.doc_id,
+                 count(*) AS n_bigrams,
+                 sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS oov,
+                 sum(coalesce(m.cnt, 0)) AS fam
+          FROM ex e LEFT JOIN model m USING (b)
+          GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               coalesce(round(CAST(p.oov AS DOUBLE) / p.n_bigrams, 6), 0.0)
+                 AS oov_ratio,
+               CASE WHEN coalesce(p.n_bigrams - p.oov, 0) > 0
+                    THEN round(CAST(p.fam AS DOUBLE) / (p.n_bigrams - p.oov), 6)
+                    ELSE 0.0 END AS avg_model_count,
+               CASE WHEN coalesce(round(CAST(p.oov AS DOUBLE) / p.n_bigrams, 6),
+                                  0.0) > 0.35
+                    THEN 1 ELSE 0 END AS low_quality
+        FROM d LEFT JOIN per p USING (doc_id)
+        ORDER BY doc_id""",
     "text_pii_redact": """
         WITH salted AS (
           SELECT doc_id,
@@ -622,4 +723,5 @@ QUERIES = {
     "text_ngram_topk": q_text_ngram_topk,
     "text_pii_redact": q_text_pii_redact,
     "text_chunk_overlap": q_text_chunk_overlap,
+    "text_lm_score": q_text_lm_score,
 }

@@ -65,6 +65,7 @@ ALLOWED_CARTESIAN = {
     "q22_global_sales": "TPC-H Q22 uncorrelated scalar subquery (1-row broadcast)",
     "q_time_gapfill": "dense bucket axis x event types: days*5 rows, broadcast",
     "q_source_balanced_sample": "global-min target scalar subquery (1-row broadcast)",
+    "q_domain_mixture": "corpus-totals scalar subquery (1-row broadcast)",
     "pipeline_pretrain_corpus": "global-min sample-target scalar subquery (1-row broadcast), inherited from the q_source_balanced_sample stage",
 }
 
@@ -122,6 +123,10 @@ HINT_ALLOWED_SCOPED = {
     ("octopusdb_spark/queries/analytics_extra.py", "max_w"): "1-row global max",
     ("octopusdb_spark/queries/kv_semantics.py", "cut"): "1-row snapshot cutoff",
     ("octopusdb_spark/queries/scale_patterns.py", "target"): "1-row global min",
+    ("octopusdb_spark/queries/scale_patterns.py", "tot"):
+        "1-row corpus totals (sum of per-source counts/weights)",
+    ("octopusdb_spark/queries/text.py", "model"):
+        "char-bigram LM model: top-LM_TOP_K rows, <= |charset|^2 by construction",
     ("octopusdb_spark/queries/scale_patterns.py", "offsets"):
         "one row per pack bucket (bucket totals, not docs)",
     ("octopusdb_spark/queries/advanced.py", "axis"):
