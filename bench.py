@@ -61,6 +61,9 @@ HEADLINE = [
     "text_pii_redact",
     "text_chunk_overlap",
     "q_train_val_split",
+    # added round 8
+    "text_lm_score",
+    "q_domain_mixture",
 ]
 
 

@@ -50,6 +50,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 8 (head-insert at add time, per protocol)
+    "kv_stream_replication",   # continuous CDC shipping w/ held resume seq
     "kv_snapshot_holds",       # tracked holds gate tombstone retirement
     "text_lm_score",           # char-bigram corpus-likelihood filter
     "q_domain_mixture",        # temperature-weighted source mixture
@@ -74,7 +75,7 @@ _PRIORITY = [
     "kv_stream_enrich",        # stream-static enrichment over the store
     # then stalest remaining r6 families
     "graph_triangles", "graph_components", "q9_profit_shape",
-    "q_window_family",
+    # (q_window_family displaced by the kv_stream_replication head-insert)
 ]
 
 

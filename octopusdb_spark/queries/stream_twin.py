@@ -546,7 +546,95 @@ def _stream_dedup_ingest_sql() -> str:
     )
 
 
+def q_kv_stream_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous replication run FOR REAL — streaming ingest into a
+    primary with per-batch CDC shipping to a replica
+    (`streaming/replicate.py::stream_ingest_with_replication`), the
+    Spark-idiomatic stand-in for the reference's aspirational cluster
+    layer (A25: raft dep + empty `cmd/main.go:3-4`; here: log shipping
+    with a manifest-durable consumer checkpoint). Customer rows ride a
+    3-file stream (c_custkey % 11 == 0 rows are NULL -> in-stream
+    tombstones); each micro-batch lands in the primary and its changefeed
+    interval applies to the replica in the same foreachBatch, with the
+    replica's resume seq registered as a named HOLD on the primary.
+
+    After the stream drains, a range delete [p000010, p000025) commits on
+    the primary and a maintenance tick runs BEFORE the interval ships —
+    the hold is what keeps the tombstone alive to ship (retirement
+    before shipping would silently strand the replica). In-query
+    assertions: the replica's live view equals the primary's exactly,
+    and replaying the final shipped feed applies zero rows (idempotent
+    per commit_tag). The checked output is the replica's live view."""
+    from octopusdb_spark.kv.store import KVStore
+    from octopusdb_spark.streaming.replicate import stream_ingest_with_replication
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 60)
+        .select(
+            F.concat(
+                F.lit("p"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+            ).alias("key"),
+            F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+            .otherwise(F.col("c_name"))
+            .cast("binary")
+            .alias("value"),
+        )
+    )
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_repl_{run_id}_")
+    try:
+        src = f"{base}/src"
+        ckpt = f"{base}/ckpt"
+        cust.repartitionByRange(3, "key").write.parquet(src)
+        primary = KVStore(spark, f"{base}/primary")
+        replica = KVStore(spark, f"{base}/replica")
+        primary.hold_snapshot("replica", 0)  # replicate from genesis
+        stream = (
+            spark.readStream.schema("key string, value binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_ingest_with_replication(
+            stream, primary, replica, ckpt, holder="replica", now=NOW
+        )
+        _run_bounded(q)
+        # a range delete + maintenance BEFORE the interval ships: the
+        # resume-point hold must keep the tombstone alive to ship
+        primary.delete_range(start="p000010", end="p000025")
+        primary.maintenance_tick(now=NOW)
+        if primary.info()["range_tombstones"] != 1:
+            raise RuntimeError("held range tombstone retired before shipping")
+        resume = int(primary.manifest.state.held_snapshots["replica"])
+        feed = primary.changes_since(resume, now=NOW)
+        replica.apply_changes(feed, commit_tag=(f"{ckpt}#final", 0))
+        primary.hold_snapshot("replica", primary.snapshot_seq())
+        plive = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in primary.view(now=NOW).collect()
+        )
+        rlive = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in replica.view(now=NOW).collect()
+        )
+        if plive != rlive:
+            raise RuntimeError("replica diverged from primary after shipping")
+        if replica.apply_changes(feed, commit_tag=(f"{ckpt}#final", 0)) != 0:
+            raise RuntimeError("replayed final ship was not idempotent")
+        return spark.createDataFrame(rlive, "key string, value string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 ORACLES = {
+    "kv_stream_replication": """
+        SELECT 'p' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
+               c_name AS value
+        FROM customer
+        WHERE c_custkey <= 60
+          AND c_custkey % 11 != 0
+          AND (c_custkey < 10 OR c_custkey >= 25)
+        ORDER BY key""",
     "stream_dedup_ingest": _stream_dedup_ingest_sql(),
     "kv_stream_enrich": """
         WITH prof AS (
@@ -604,6 +692,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "kv_stream_replication": q_kv_stream_replication,
     "stream_dedup_ingest": q_stream_dedup_ingest,
     "kv_stream_ingest": q_kv_stream_ingest,
     "kv_stream_enrich": q_kv_stream_enrich,

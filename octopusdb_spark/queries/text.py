@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from octopusdb_spark.queries.common import t
+from octopusdb_spark.queries.common import session_memo_get, session_memo_put, t
 
 # Deterministic heuristic constants (same literals in both engines).
 EN_MARKERS = ("the", "a")
@@ -303,6 +303,35 @@ def q_text_ngram_topk(spark, sf_dir):
 # by construction at |charset|^2 regardless of corpus size.
 LM_TOP_K = 64
 
+# One compressed (doc_id, bigram) -> occurrences frame per (session,
+# sf_dir), localCheckpointed (the `_CAPPED_SHINGLES_MEMO` pattern with
+# stopped-session eviction): the model aggregation and the per-doc scoring
+# both read it, so the corpus chars explode exactly once per session.
+_LM_PAIRS_MEMO: dict = {}
+
+
+def _lm_doc_bigram_counts(spark, sf_dir):
+    key = ("lm_pairs", sf_dir)
+    hit = session_memo_get(_LM_PAIRS_MEMO, spark, key)
+    if hit is not None:
+        return hit
+    txt = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("txt")
+    )
+    bigrams = F.expr(
+        """CASE WHEN length(txt) >= 2
+                THEN transform(sequence(1, length(txt) - 1),
+                               i -> substring(txt, i, 2))
+                ELSE array() END"""
+    )
+    pairs = (
+        txt.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("occ"))
+        .localCheckpoint(eager=True)
+    )
+    return session_memo_put(_LM_PAIRS_MEMO, spark, key, pairs)
+
 
 def q_text_lm_score(spark, sf_dir):
     """Corpus-likelihood quality scoring — the perplexity-filter stage of a
@@ -316,33 +345,36 @@ def q_text_lm_score(spark, sf_dir):
     (log-prob last-ulp drift between libm implementations would break the
     value gate; a real KenLM scorer slots into this same plan shape).
 
-    Plan: one explode to char bigrams (embarrassingly parallel), one
-    bounded groupBy for the model (<= |charset|^2 rows by construction —
-    the broadcast is provably safe at any corpus size), one broadcast
-    join back + a doc_id-keyed agg. At 100 TB: two scans of the corpus
-    chars, one tiny shuffle, one keyed shuffle — no all-pairs anything."""
+    Plan: one explode to char bigrams (embarrassingly parallel) folded
+    immediately into a compressed (doc_id, bigram) -> occurrences frame —
+    checkpointed once per (session, sf_dir) so the model aggregation and
+    the scoring both read O(docs x per-doc-distinct-bigrams) rows, never
+    the raw char stream twice. The model is a bounded groupBy over the
+    compressed frame (<= |charset|^2 rows by construction — the broadcast
+    is provably safe at any corpus size); scoring is one broadcast join +
+    a doc_id-keyed agg with occurrence-weighted sums."""
     docs = t(spark, sf_dir, "documents")
-    txt = docs.select("doc_id", F.lower(F.col("text")).alias("txt"))
-    bigrams = F.expr(
-        """CASE WHEN length(txt) >= 2
-                THEN transform(sequence(1, length(txt) - 1),
-                               i -> substring(txt, i, 2))
-                ELSE array() END"""
-    )
-    ex = txt.select("doc_id", F.explode(bigrams).alias("b"))
+    pairs = _lm_doc_bigram_counts(spark, sf_dir)
     model = (
-        ex.groupBy("b")
-        .agg(F.count("*").alias("cnt"))
+        pairs.groupBy("b")
+        .agg(F.sum("occ").cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("b"))
         .limit(LM_TOP_K)
     )
     per = (
-        ex.join(F.broadcast(model), "b", "left")
+        pairs.join(F.broadcast(model), "b", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).alias("oov"),
-            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("fam"),
+            F.sum("occ").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("cnt").isNull(), F.col("occ")).otherwise(0))
+            .cast("long")
+            .alias("oov"),
+            F.sum(
+                F.when(F.col("cnt").isNotNull(), F.col("occ") * F.col("cnt"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("fam"),
         )
     )
     oov_ratio = F.round(F.col("oov").cast("double") / F.col("n_bigrams"), 6)
