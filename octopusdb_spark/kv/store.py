@@ -583,6 +583,39 @@ class KVStore:
         + version dedup (`kv/lsm/iterator.go:314-319,356-366`)."""
         return self._newest_of(self.raw_df(segs))
 
+    def _retained_df(self, segs: list | None = None) -> DataFrame:
+        """Rows some CURRENT read horizon can still see: the newest version
+        per key plus, for every held snapshot seq h (``hold_snapshot``),
+        the version an ``as_of=h`` read resolves — MVCC boundary-version
+        retention, the Badger minReadTs / RocksDB snapshot-aware
+        compaction rule (versioned keys, `kv/utils/key.go:32-37`).
+        Maintenance that rewrites data must preserve exactly this set.
+
+        With no holds this IS ``latest_df`` (max_by partial agg, shuffle
+        O(live keys)). With holds, one window pass ranks versions per key:
+        a row is a boundary for hold h iff its seq <= h and every
+        (version, seq)-newer row has seq > h — i.e. h falls in
+        [row.seq, min seq of newer rows)."""
+        held = sorted(
+            {int(v) for v in (self.manifest.state.held_snapshots or {}).values()}
+        )
+        if not held:
+            return self.latest_df(segs)
+        from pyspark.sql import Window
+
+        w_desc = Window.partitionBy("key").orderBy(F.desc("version"), F.desc("seq"))
+        min_prev = F.min("seq").over(
+            w_desc.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        harr = F.array(*[F.lit(int(h)).cast("long") for h in held])
+        base = self.raw_df(segs).withColumn("_mp", min_prev)
+        is_boundary = F.exists(
+            harr,
+            lambda h: (F.col("seq") <= h)
+            & (F.col("_mp").isNull() | (F.col("_mp") > h)),
+        )
+        return base.filter(F.col("_mp").isNull() | is_boundary).drop("_mp")
+
     @staticmethod
     def _newest_of(df: DataFrame) -> DataFrame:
         """max_by agg, not a row_number window: the partial-aggregation phase
@@ -1444,7 +1477,10 @@ class KVStore:
             if s.level == dst_level and not (s.max_key < lo or s.min_key > hi)
         ]
         participants = src + dst
-        merged = self.latest_df(participants)
+        # newest per key among participants PLUS held boundary versions
+        # (_retained_df): a held snapshot's as_of read survives leveled
+        # merges of the versions it resolves to, not just full compaction
+        merged = self._retained_df(participants)
         min_held = self.oldest_held_seq()
         rts = state.range_tombstones or []
         clearable = [rt for rt in rts if min_held is None or int(rt["seq"]) <= min_held]
@@ -1562,21 +1598,58 @@ class KVStore:
         """Full-keyspace compaction: one merged, deduped, range-partitioned
         bottom-level run. Tombstones + expired rows are physically dropped —
         legal exactly because the whole keyspace participates (the
-        reference's bottom-level rule, `kv/lsm/compact.go:336-370,904-909`)."""
+        reference's bottom-level rule, `kv/lsm/compact.go:336-370,904-909`).
+
+        Snapshot-aware: registered holds (``hold_snapshot``) keep their
+        boundary versions through the rewrite (``_retained_df``), so a
+        held ``as_of`` read returns the same rows after a full compaction
+        — the Badger minReadTs rule. Dead rows (tombstones / expired) are
+        dropped only when nothing older survives beneath them: dropping a
+        dead row that still shadows a retained older version would
+        resurrect that version in the live view. Range tombstones follow
+        the same retention rule as leveled compaction — clearable ones
+        (no held snapshot below their seq) apply physically and clear;
+        held ones stay listed and their covered rows stay on disk."""
         now = int(time.time()) if now is None else now
         state = self.manifest.state
         old = state.data_segments()
         if not old:
             return
-        merged = (
-            self.latest_df(old)
-            .filter(F.col("value").isNotNull() | F.col("value_ptr").isNotNull())
-            .filter((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
+        held = sorted(
+            {int(v) for v in (state.held_snapshots or {}).values()}
         )
-        # apply range tombstones physically — the whole keyspace
+        merged = self._retained_df(old)
+        dead = (F.col("value").isNull() & F.col("value_ptr").isNull()) | (
+            (F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(now))
+        )
+        if not held:
+            # retained = newest per key: a dead row has nothing beneath it
+            merged = merged.filter(~dead)
+        else:
+            # drop only dead BOTTOM suffixes per key: a dead row with no
+            # surviving older row shadows nothing at any horizon
+            from pyspark.sql import Window
+
+            w_asc = Window.partitionBy("key").orderBy("version", "seq")
+            any_alive_below = F.max(F.when(~dead, 1).otherwise(0)).over(
+                w_asc.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            merged = (
+                merged.withColumn("_al", any_alive_below)
+                .filter(F.col("_al") == 1)
+                .drop("_al")
+            )
+        min_held = held[0] if held else None
+        rts = state.range_tombstones or []
+        clearable = [
+            rt for rt in rts if min_held is None or int(rt["seq"]) <= min_held
+        ]
+        kept_rts = [rt for rt in rts if rt not in clearable]
+        # apply clearable range tombstones physically — the whole keyspace
         # participates, so every covered version is here to drop, and the
-        # cleared list below can't orphan a mask some segment still needs
-        rt_mask = self._rt_mask(state.range_tombstones, None)
+        # cleared entries can't orphan a mask some segment still needs;
+        # held tombstones keep masking at read until their holds release
+        rt_mask = self._rt_mask(clearable, None)
         if rt_mask is not None:
             merged = merged.filter(rt_mask)
         new_segs = self._write_ranged_segments(
@@ -1593,7 +1666,7 @@ class KVStore:
                 segments=self._with_discard_updates(kept, drops) + new_segs,
                 compacted_bytes=(state.compacted_bytes or 0)
                 + sum(s.size_bytes for s in new_segs),
-                range_tombstones=[],  # applied above — deliberate clear
+                range_tombstones=kept_rts,
             )
         )
 
@@ -1789,7 +1862,10 @@ class KVStore:
         # separate actions, and without the cache each would re-run the
         # whole latest_df() merge.
         live_ptrs = (
-            self.latest_df()
+            # retained (not merely newest) rows: a held snapshot's boundary
+            # version keeps its separated payload through GC, matching the
+            # data-side retention in compact/compact_level
+            self._retained_df()
             .filter(F.col("value_ptr").isNotNull())
             .filter((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now if now is not None else int(time.time()))))
             .select(F.col("value_ptr").alias("value_id"))

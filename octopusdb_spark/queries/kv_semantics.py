@@ -541,11 +541,13 @@ def q_kv_snapshot_holds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tracked snapshot holds run FOR REAL under the correctness gate (the
     RocksDB snapshot-list / Badger minReadTs analog): customer rows bulk-
     load, a named hold pins the pre-delete snapshot, a range tombstone
-    hides [h000010, h000030), one covered key is re-written, and leveled
-    compaction runs. In-query assertions, each of which reddens the
-    driver row if violated: (1) while held, the merge must RETAIN the
-    tombstone and the covered rows — the held as-of read still returns
-    every ingested key and the changefeed from the held seq still
+    hides [h000010, h000030), one covered key is re-written BEFORE the
+    merge, and leveled compaction runs. In-query assertions, each of
+    which reddens the driver row if violated: (1) while held, the merge
+    must RETAIN the tombstone, the covered rows, AND the overwritten
+    key's boundary version (snapshot-aware compaction, `_retained_df`) —
+    the held as-of read still returns every ingested key at its
+    pre-snapshot value and the changefeed from the held seq still
     expands the range into per-key deletes; (2) after release, the next
     leveled merge applies the mask physically, drops the manifest entry,
     and leaves the live view bit-identical. The checked output is the
@@ -573,6 +575,10 @@ def q_kv_snapshot_holds(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap = store.snapshot_seq()
         store.hold_snapshot("gate-consumer", seq=snap)
         store.delete_range(start="h000010", end="h000030")
+        # a covered key reborn BEFORE the merge: snapshot-aware compaction
+        # (_retained_df) must keep BOTH versions — the rebirth for the
+        # live view and the held boundary version for as_of reads
+        store.set(Entry("h000015", b"reborn"))
         store.compact_level(0, now=NOW)  # held: must not retire the mask
         if store.info()["range_tombstones"] != 1:
             raise RuntimeError("held range tombstone was retired by compaction")
@@ -581,17 +587,20 @@ def q_kv_snapshot_holds(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"held as-of read lost covered rows: {held_seen} != {n_keys}"
             )
+        held_15 = store.get("h000015", now=NOW, as_of=snap)
+        if held_15 is None or held_15.value == b"reborn":
+            raise RuntimeError(
+                "held boundary version lost: as_of read saw the rebirth"
+            )
         feed = {
             r["key"]: r["change"]
             for r in store.changes_since(snap, now=NOW).collect()
         }
-        expect_deletes = {f"h{i:06d}" for i in range(10, 30)}
+        expect_deletes = {f"h{i:06d}" for i in range(10, 30)} - {"h000015"}
         if {k for k, c in feed.items() if c == "delete"} != expect_deletes:
             raise RuntimeError("held changefeed lost range-delete expansions")
-        # a later write INTO the range must survive retirement (seq-bounded
-        # mask); it lands at L0 with a post-tombstone exact stamp, so it
-        # does NOT block the drop below
-        store.set(Entry("h000015", b"reborn"))
+        if feed.get("h000015") != "upsert":
+            raise RuntimeError("reborn key missing from the held changefeed")
         before = sorted(
             (r["key"], bytes(r["value"]).decode("utf-8"))
             for r in store.view(now=NOW).collect()

@@ -973,3 +973,78 @@ def test_pinned_cache_is_thread_safe(store):
         assert all(v == f"v{i % 6}".encode() for i, v in results)
         # one shared frame survived the race
         assert store.cached_view() is not None
+
+
+def test_holds_preserve_boundary_versions_across_compaction(store):
+    """Snapshot-aware compaction (_retained_df): a registered hold keeps
+    the version its as_of read resolves through BOTH leveled and full
+    compaction — the Badger minReadTs / RocksDB snapshot-list rule —
+    and releasing the hold lets the next full compaction reclaim it."""
+    store.set_batch([Entry("k", b"v1"), Entry("other", b"x")])
+    snap = store.snapshot_seq()
+    store.hold_snapshot("reader", seq=snap)
+    store.set_batch([Entry("k", b"v2")])
+    store.compact_level(0, now=NOW)
+    assert store.get("k", now=NOW).value == b"v2"
+    assert store.get("k", now=NOW, as_of=snap).value == b"v1"  # boundary kept
+    store.compact(now=NOW)
+    assert store.get("k", now=NOW).value == b"v2"
+    assert store.get("k", now=NOW, as_of=snap).value == b"v1"
+    store.release_snapshot("reader")
+    store.compact(now=NOW)
+    assert store.get("k", now=NOW).value == b"v2"
+    assert store.get("k", now=NOW, as_of=snap) is None  # version reclaimed
+    assert {r["key"] for r in store.raw_df().collect()} == {"k", "other"}
+
+
+def test_holds_keep_shadowing_tombstones(store):
+    """A dead row (tombstone) between two held horizons must survive full
+    compaction when an older retained version lives beneath it — dropping
+    it would resurrect that version at later horizons — while a dead
+    BOTTOM suffix (nothing retained beneath) is still reclaimed."""
+    store.set_batch([Entry("k", b"v1")])
+    h1 = store.snapshot_seq()
+    store.hold_snapshot("h1", seq=h1)
+    store.delete("k")
+    h2 = store.snapshot_seq()
+    store.hold_snapshot("h2", seq=h2)
+    store.set_batch([Entry("k", b"v3")])
+    # bottom-suffix case on a second key: only ever a tombstone
+    store.set_batch([Entry("gone", None)])
+    store.compact(now=NOW)
+    assert store.get("k", now=NOW).value == b"v3"
+    assert store.get("k", now=NOW, as_of=h1).value == b"v1"
+    assert store.get("k", now=NOW, as_of=h2) is None  # tombstone preserved
+    raw = {(r["key"], r["value"] is None) for r in store.raw_df().collect()}
+    assert ("gone", True) not in raw  # dead bottom suffix reclaimed
+    assert ("k", True) in raw  # shadowing tombstone kept
+    # release both: the next compaction collapses k to its newest version
+    store.release_snapshot("h1")
+    store.release_snapshot("h2")
+    store.compact(now=NOW)
+    assert [
+        (r["key"], bytes(r["value"])) for r in store.raw_df().collect()
+    ] == [("k", b"v3")]
+
+
+def test_holds_preserve_separated_values_through_gc(spark, tmp_path):
+    """Value-log GC liveness uses the retained set: a held boundary
+    version's separated payload survives gc_values, and the held read
+    returns the full original value."""
+    store = KVStore(spark, str(tmp_path / "kv"), value_threshold=64)
+    big1, big2 = b"a" * 4096, b"b" * 4096
+    store.set_batch([Entry("big", big1)])
+    snap = store.snapshot_seq()
+    store.hold_snapshot("reader", seq=snap)
+    store.set_batch([Entry("big", big2)])
+    store.compact(now=NOW)  # maintains discard stats; boundary retained
+    store.gc_values(discard_ratio=0.0, now=NOW)
+    assert store.get("big", now=NOW).value == big2
+    held = store.get("big", now=NOW, as_of=snap)
+    assert held is not None and held.value == big1
+    # after release, GC may reclaim the superseded payload
+    store.release_snapshot("reader")
+    store.compact(now=NOW)
+    store.gc_values(discard_ratio=0.0, now=NOW)
+    assert store.get("big", now=NOW).value == big2
+    assert store.get("big", now=NOW, as_of=snap) is None
