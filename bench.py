@@ -64,6 +64,7 @@ HEADLINE = [
     # added round 8
     "text_lm_score",
     "q_domain_mixture",
+    "text_dup_spans",
 ]
 
 

@@ -50,6 +50,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 8 (head-insert at add time, per protocol)
+    "text_dup_spans",          # cross-doc exact-substring span dedup
     "kv_stream_replication",   # continuous CDC shipping w/ held resume seq
     "kv_snapshot_holds",       # tracked holds gate tombstone retirement
     "text_lm_score",           # char-bigram corpus-likelihood filter
@@ -74,8 +75,9 @@ _PRIORITY = [
     "kv_value_separation",     # values-join path under the cache lock
     "kv_stream_enrich",        # stream-static enrichment over the store
     # then stalest remaining r6 families
-    "graph_triangles", "graph_components", "q9_profit_shape",
-    # (q_window_family displaced by the kv_stream_replication head-insert)
+    "graph_triangles", "graph_components",
+    # (q_window_family, q9_profit_shape displaced by the
+    # kv_stream_replication and text_dup_spans head-inserts)
 ]
 
 

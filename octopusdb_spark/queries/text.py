@@ -401,6 +401,67 @@ def q_text_lm_score(spark, sf_dir):
     )
 
 
+# Exact-substring span dedup: fixed window length in words. Real systems
+# (Lee et al., "Deduplicating Training Data Makes Language Models Better")
+# use suffix arrays for >= 50-token matches; the rolling fixed window is
+# the distributed approximation with the same flagging semantics.
+SPAN_WORDS = 16
+
+
+def q_text_dup_spans(spark, sf_dir):
+    """Cross-document exact-substring detection — the span-level dedup a
+    pretraining pipeline runs after document-level dedup: every 16-word
+    window (stride 1) is hashed, a span is DUPLICATED when it appears in
+    >= 2 distinct documents, and each document reports how much of its
+    span mass is shared text (boilerplate, licenses, syndicated
+    paragraphs). Intra-document repeats don't count (``text_repetition``
+    covers those); the criterion is distinct-doc frequency, exactly the
+    Lee-et-al. notion restricted to a fixed window.
+
+    Plan: one explode to hashed windows (stride 1 — O(total words) rows,
+    embarrassingly parallel), one groupBy(hash) with a distinct-doc
+    count, one shuffle join back (the duplicated-hash side is
+    data-dependent, so no forced broadcast — AQE handles it), one
+    doc-keyed agg. No all-pairs comparison anywhere: documents sharing a
+    span meet only through the hash key."""
+    docs = t(spark, sf_dir, "documents")
+    ws_docs = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    spans = F.expr(
+        f"""CASE WHEN size(ws) >= {SPAN_WORDS}
+                THEN transform(sequence(1, size(ws) - {SPAN_WORDS - 1}),
+                               i -> md5(cast(concat_ws(' ', slice(ws, i, {SPAN_WORDS}))
+                                             as binary)))
+                ELSE array() END"""
+    )
+    ex = ws_docs.select("doc_id", F.explode(spans).alias("h"))
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    per = (
+        ex.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("nd").isNotNull(), 1).otherwise(0)).alias("dup"),
+        )
+    )
+    ratio = F.round(F.col("dup").cast("double") / F.col("n_spans"), 6)
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup"), F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce(ratio, F.lit(0.0)).alias("dup_ratio"),
+            F.when(F.coalesce(ratio, F.lit(0.0)) > 0.2, 1).otherwise(0).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # PII-redaction patterns — the standard training-corpus scrub classes.
 # Written in the Java-regex ∩ RE2 common subset ([0-9] classes, bounded
 # repetition, no \b / lookaround) so Spark and DuckDB match identically.
@@ -523,6 +584,35 @@ def q_text_chunk_overlap(spark, sf_dir):
 
 
 ORACLES = {
+    "text_dup_spans": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 md5(array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 15], ' ')) AS h
+          FROM w, unnest(range(1, len(ws) - 15 + 1)) AS t(i)
+          WHERE len(ws) >= 16
+        ),
+        dup AS (
+          SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        ),
+        per AS (
+          SELECT s.doc_id, count(*) AS n_spans,
+                 sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS dup
+          FROM s LEFT JOIN dup ON s.h = dup.h
+          GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(p.dup, 0) AS BIGINT) AS dup_spans,
+               coalesce(round(CAST(p.dup AS DOUBLE) / p.n_spans, 6), 0.0)
+                 AS dup_ratio,
+               CASE WHEN coalesce(round(CAST(p.dup AS DOUBLE) / p.n_spans, 6),
+                                  0.0) > 0.2
+                    THEN 1 ELSE 0 END AS flagged
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id""",
     "text_lm_score": """
         WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents),
         ex AS (
@@ -756,4 +846,5 @@ QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_chunk_overlap": q_text_chunk_overlap,
     "text_lm_score": q_text_lm_score,
+    "text_dup_spans": q_text_dup_spans,
 }

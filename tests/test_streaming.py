@@ -330,3 +330,48 @@ def test_rollup_merge_split_invariance(spark, tmp_path):
             for r in roll.table().collect()
         }
         assert got == want, f"seed {seed}: split changed the rollup"
+
+
+def test_stream_replication_converges_and_resumes(spark, tmp_path):
+    """stream_ingest_with_replication: the replica equals the primary after
+    every shipped batch interval, the resume hold on the primary advances
+    to the shipped snapshot, and a replayed ship interval no-ops."""
+    from pyspark.sql import functions as F
+
+    from octopusdb_spark.kv.store import KVStore
+    from octopusdb_spark.streaming.replicate import stream_ingest_with_replication
+
+    NOW = 2_000_000_000
+    rows = spark.range(40).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("key"),
+        F.when(F.col("id") % 9 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("v"), F.col("id").cast("string")))
+        .cast("binary")
+        .alias("value"),
+    )
+    src = str(tmp_path / "src")
+    rows.repartitionByRange(2, "key").write.parquet(src)
+    primary = KVStore(spark, str(tmp_path / "primary"))
+    replica = KVStore(spark, str(tmp_path / "replica"))
+    primary.hold_snapshot("replica", 0)
+    stream = (
+        spark.readStream.schema("key string, value binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest_with_replication(
+        stream, primary, replica, str(tmp_path / "ckpt"), now=NOW
+    )
+    assert q.awaitTermination(300)
+    live = lambda s: sorted(  # noqa: E731
+        (r["key"], bytes(r["value"])) for r in s.view(now=NOW).collect()
+    )
+    assert live(replica) == live(primary)
+    assert len(live(primary)) == 40 - len([i for i in range(40) if i % 9 == 0])
+    # the resume hold advanced to the primary's shipped snapshot
+    assert primary.manifest.state.held_snapshots["replica"] == primary.snapshot_seq()
+    # a replayed interval applies zero rows (idempotent per commit_tag)
+    feed = primary.changes_since(0, now=NOW)
+    ckpt = str(tmp_path / "ckpt")
+    n = replica.apply_changes(feed, commit_tag=(f"{ckpt}#ship", 1))
+    assert n == 0
