@@ -616,6 +616,40 @@ class KVStore:
         )
         return base.filter(F.col("_mp").isNull() | is_boundary).drop("_mp")
 
+    def _drop_dead_rows(self, df: DataFrame, dead, held: bool) -> DataFrame:
+        """Drop dead rows (tombstones / expired / caller-scoped) from a
+        retained set. Without holds the retained set has one row per key,
+        so a dead row shadows nothing — plain filter. With holds, drop
+        only dead BOTTOM suffixes per key ((version, seq) ascending): a
+        dead row above a surviving older row must stay, or the older
+        version resurrects at horizons the dead row was shadowing."""
+        if not held:
+            return df.filter(~dead)
+        from pyspark.sql import Window
+
+        w_asc = Window.partitionBy("key").orderBy("version", "seq")
+        any_alive_below = F.max(F.when(~dead, 1).otherwise(0)).over(
+            w_asc.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            df.withColumn("_al", any_alive_below)
+            .filter(F.col("_al") == 1)
+            .drop("_al")
+        )
+
+    def _split_rts_by_retention(self, rts: list) -> tuple[list, list]:
+        """Partition range tombstones into (clearable, held): clearable =
+        no registered snapshot holds a seq below the tombstone's stamp
+        (``rt.seq <= oldest_held_seq()``; no holds = all clearable). ONE
+        definition shared by full and leveled compaction so the two
+        retirement paths can never diverge."""
+        min_held = self.oldest_held_seq()
+        clearable = [
+            rt for rt in (rts or []) if min_held is None or int(rt["seq"]) <= min_held
+        ]
+        kept = [rt for rt in (rts or []) if rt not in clearable]
+        return clearable, kept
+
     @staticmethod
     def _newest_of(df: DataFrame) -> DataFrame:
         """max_by agg, not a row_number window: the partial-aggregation phase
@@ -1481,9 +1515,8 @@ class KVStore:
         # (_retained_df): a held snapshot's as_of read survives leveled
         # merges of the versions it resolves to, not just full compaction
         merged = self._retained_df(participants)
-        min_held = self.oldest_held_seq()
         rts = state.range_tombstones or []
-        clearable = [rt for rt in rts if min_held is None or int(rt["seq"]) <= min_held]
+        clearable, _ = self._split_rts_by_retention(rts)
         rt_mask = self._rt_mask(clearable, None)
         if rt_mask is not None:
             merged = merged.filter(rt_mask)
@@ -1615,36 +1648,13 @@ class KVStore:
         old = state.data_segments()
         if not old:
             return
-        held = sorted(
-            {int(v) for v in (state.held_snapshots or {}).values()}
-        )
+        held = self.oldest_held_seq() is not None
         merged = self._retained_df(old)
         dead = (F.col("value").isNull() & F.col("value_ptr").isNull()) | (
             (F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(now))
         )
-        if not held:
-            # retained = newest per key: a dead row has nothing beneath it
-            merged = merged.filter(~dead)
-        else:
-            # drop only dead BOTTOM suffixes per key: a dead row with no
-            # surviving older row shadows nothing at any horizon
-            from pyspark.sql import Window
-
-            w_asc = Window.partitionBy("key").orderBy("version", "seq")
-            any_alive_below = F.max(F.when(~dead, 1).otherwise(0)).over(
-                w_asc.rowsBetween(Window.unboundedPreceding, 0)
-            )
-            merged = (
-                merged.withColumn("_al", any_alive_below)
-                .filter(F.col("_al") == 1)
-                .drop("_al")
-            )
-        min_held = held[0] if held else None
-        rts = state.range_tombstones or []
-        clearable = [
-            rt for rt in rts if min_held is None or int(rt["seq"]) <= min_held
-        ]
-        kept_rts = [rt for rt in rts if rt not in clearable]
+        merged = self._drop_dead_rows(merged, dead, held)
+        clearable, kept_rts = self._split_rts_by_retention(state.range_tombstones)
         # apply clearable range tombstones physically — the whole keyspace
         # participates, so every covered version is here to drop, and the
         # cleared entries can't orphan a mask some segment still needs;
@@ -1718,6 +1728,11 @@ class KVStore:
                 # backup/replica bootstrapped while a tombstone is live
                 # (the sentinel would inherit the clone's EMPTY list)
                 range_tombstones=list(state.range_tombstones or []),
+                # consumer resume-point holds too: a restored primary with
+                # an empty hold map would treat every range tombstone as
+                # clearable on its first maintenance tick and strand the
+                # CDC consumers the holds were protecting
+                held_snapshots=dict(state.held_snapshots or {}),
             )
         )
         return clone
@@ -1751,7 +1766,10 @@ class KVStore:
         in non-participating segments, so they are merged (newest among
         participants) but never dropped — the global max_by read path
         resolves them as usual. Returns the number of participant segments.
-        """
+
+        Snapshot-aware like compact/compact_level: held boundary versions
+        ride `_retained_df` through the rewrite, and in-range dead rows
+        are dropped only when nothing retained survives beneath them."""
         now = int(time.time()) if now is None else now
         state = self.manifest.state
         participants = self.manifest.prune_for_range(self._enc(start), self._enc(end))
@@ -1766,7 +1784,11 @@ class KVStore:
             (F.col("value").isNull() & F.col("value_ptr").isNull())
             | ((F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(now)))
         )
-        merged = self.latest_df(participants).filter(~(in_range & dead))
+        merged = self._drop_dead_rows(
+            self._retained_df(participants),
+            in_range & dead,
+            self.oldest_held_seq() is not None,
+        )
         new_segs = self._write_ranged_segments(
             merged,
             self.MAX_LEVEL,

@@ -407,6 +407,32 @@ def q_text_lm_score(spark, sf_dir):
 # the distributed approximation with the same flagging semantics.
 SPAN_WORDS = 16
 
+# (doc_id, span-hash) occurrence frame, checkpointed per (session, sf_dir)
+# like _LM_PAIRS_MEMO: both consumers of the explode read the materialized
+# frame instead of re-hashing the corpus.
+_SPAN_HASH_MEMO: dict = {}
+
+
+def _span_hashes(spark, sf_dir):
+    key = ("span_hashes", sf_dir)
+    hit = session_memo_get(_SPAN_HASH_MEMO, spark, key)
+    if hit is not None:
+        return hit
+    ws_docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    spans = F.expr(
+        f"""CASE WHEN size(ws) >= {SPAN_WORDS}
+                THEN transform(sequence(1, size(ws) - {SPAN_WORDS - 1}),
+                               i -> md5(cast(concat_ws(' ', slice(ws, i, {SPAN_WORDS}))
+                                             as binary)))
+                ELSE array() END"""
+    )
+    ex = ws_docs.select("doc_id", F.explode(spans).alias("h")).localCheckpoint(
+        eager=True
+    )
+    return session_memo_put(_SPAN_HASH_MEMO, spark, key, ex)
+
 
 def q_text_dup_spans(spark, sf_dir):
     """Cross-document exact-substring detection — the span-level dedup a
@@ -419,21 +445,16 @@ def q_text_dup_spans(spark, sf_dir):
     Lee-et-al. notion restricted to a fixed window.
 
     Plan: one explode to hashed windows (stride 1 — O(total words) rows,
-    embarrassingly parallel), one groupBy(hash) with a distinct-doc
-    count, one shuffle join back (the duplicated-hash side is
-    data-dependent, so no forced broadcast — AQE handles it), one
-    doc-keyed agg. No all-pairs comparison anywhere: documents sharing a
-    span meet only through the hash key."""
+    embarrassingly parallel), checkpointed once per (session, sf_dir) —
+    the frame feeds both the duplicated-hash groupBy and the join side,
+    and without the checkpoint Spark would run the split/slice/md5
+    explode twice (the `_LM_PAIRS_MEMO` lesson). Then one groupBy(hash)
+    with a distinct-doc count, one shuffle join back (the duplicated-hash
+    side is data-dependent, so no forced broadcast — AQE handles it),
+    one doc-keyed agg. No all-pairs comparison anywhere: documents
+    sharing a span meet only through the hash key."""
     docs = t(spark, sf_dir, "documents")
-    ws_docs = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    spans = F.expr(
-        f"""CASE WHEN size(ws) >= {SPAN_WORDS}
-                THEN transform(sequence(1, size(ws) - {SPAN_WORDS - 1}),
-                               i -> md5(cast(concat_ws(' ', slice(ws, i, {SPAN_WORDS}))
-                                             as binary)))
-                ELSE array() END"""
-    )
-    ex = ws_docs.select("doc_id", F.explode(spans).alias("h"))
+    ex = _span_hashes(spark, sf_dir)
     dup = (
         ex.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

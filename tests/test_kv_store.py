@@ -1048,3 +1048,26 @@ def test_holds_preserve_separated_values_through_gc(spark, tmp_path):
     store.gc_values(discard_ratio=0.0, now=NOW)
     assert store.get("big", now=NOW).value == big2
     assert store.get("big", now=NOW, as_of=snap) is None
+
+
+def test_compact_range_and_clone_respect_holds(spark, tmp_path):
+    """Review fixes pinned: (1) compact_range is snapshot-aware — a held
+    boundary version survives a hot-range rewrite; (2) clone_to carries
+    held_snapshots, so a restored primary's first maintenance tick still
+    treats held range tombstones as unclearable."""
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch([Entry("m1", b"v1"), Entry("m2", b"x")])
+    snap = store.snapshot_seq()
+    store.hold_snapshot("reader", seq=snap)
+    store.set_batch([Entry("m1", b"v2")])
+    store.compact_range(start="m0", end="m9", now=NOW)
+    assert store.get("m1", now=NOW).value == b"v2"
+    held = store.get("m1", now=NOW, as_of=snap)
+    assert held is not None and held.value == b"v1"
+    # clone carries the hold; its maintenance keeps a held range tombstone
+    store.delete_range(start="m2", end="m3")
+    clone = store.clone_to(str(tmp_path / "kv-clone"))
+    assert clone.oldest_held_seq() == snap
+    clone.compact_level(0, now=NOW)
+    assert clone.info()["range_tombstones"] == 1
+    assert clone.get("m2", now=NOW, as_of=snap).value == b"x"
