@@ -1071,3 +1071,114 @@ def test_compact_range_and_clone_respect_holds(spark, tmp_path):
     clone.compact_level(0, now=NOW)
     assert clone.info()["range_tombstones"] == 1
     assert clone.get("m2", now=NOW, as_of=snap).value == b"x"
+
+
+def test_kv_model_with_holds_and_range_deletes(spark, tmp_path):
+    """Model-based MVCC contract: a random interleaving of batched writes,
+    deletes, range deletes, snapshot hold/release, and every maintenance
+    flavor (leveled, full, GC) must leave (a) the live view equal to a
+    plain-dict model and (b) EVERY still-held snapshot's as_of view equal
+    to the model state captured when the hold was taken — the
+    snapshot-aware-compaction guarantee under arbitrary schedules, with
+    value separation in the mix so GC retention is exercised too."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    KEYS = [f"k{i}" for i in range(6)]
+    BIG = "B" * 2000  # crosses the value-separation threshold
+    HOLDERS = ["h0", "h1"]
+
+    write = st.tuples(
+        st.just("set"),
+        st.sampled_from(KEYS),
+        st.sampled_from(["a", "bb", BIG]),
+        st.sampled_from([0, NOW - 10, NOW + 1000]),
+    )
+    bounds = st.tuples(
+        st.integers(min_value=0, max_value=5), st.integers(min_value=1, max_value=6)
+    ).filter(lambda t: t[0] < t[1])
+    op = st.one_of(
+        write,
+        st.tuples(st.just("del"), st.sampled_from(KEYS)),
+        st.tuples(st.just("delrange"), bounds),
+        st.tuples(st.just("hold"), st.sampled_from(HOLDERS)),
+        st.tuples(st.just("release"), st.sampled_from(HOLDERS)),
+        st.just(("compact",)),
+        st.just(("compact_level",)),
+        st.just(("gc",)),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(ops=st.lists(op, min_size=4, max_size=14))
+    def check(ops):
+        counter[0] += 1
+        store = KVStore(spark, str(tmp_path / f"mvcc{counter[0]}"))
+        model: dict = {}
+        held: dict = {}  # holder -> (seq, model copy at hold time)
+        batch: list = []
+
+        def flush():
+            if batch:
+                store.set_batch(list(batch))
+                batch.clear()
+
+        for o in ops:
+            if o[0] == "set":
+                _, k, v, exp = o
+                batch.append(Entry(k, v.encode(), expires_at=exp))
+                model[k] = (v.encode(), exp)
+            elif o[0] == "del":
+                batch.append(Entry(o[1], None))
+                model.pop(o[1], None)
+            elif o[0] == "delrange":
+                flush()
+                lo, hi = KEYS[o[1][0]], KEYS[o[1][1] - 1] + "\x7f"
+                store.delete_range(start=lo, end=hi)
+                for k in [k for k in model if lo <= k < hi]:
+                    model.pop(k)
+            elif o[0] == "hold":
+                flush()
+                seq = store.hold_snapshot(o[1])
+                held[o[1]] = (seq, dict(model))
+            elif o[0] == "release":
+                store.release_snapshot(o[1])
+                held.pop(o[1], None)
+            elif o[0] == "compact":
+                flush()
+                store.compact(now=NOW)
+            elif o[0] == "compact_level":
+                flush()
+                store.compact_level(0, now=NOW)
+            else:
+                flush()
+                store.gc_values(discard_ratio=0.0, now=NOW)
+        flush()
+
+        def visible(m):
+            return {k: v for k, (v, exp) in m.items() if exp == 0 or exp > NOW}
+
+        live = {
+            r["key"]: bytes(r["value"]) for r in store.view(now=NOW).collect()
+        }
+        assert live == visible(model), (ops, live, visible(model))
+        for holder, (seq, snap_model) in held.items():
+            as_of = {
+                r["key"]: bytes(r["value"])
+                for r in store.view(now=NOW, as_of=seq).collect()
+            }
+            assert as_of == visible(snap_model), (ops, holder, as_of)
+        # one final full compaction must not move any held horizon
+        store.compact(now=NOW)
+        for holder, (seq, snap_model) in held.items():
+            as_of = {
+                r["key"]: bytes(r["value"])
+                for r in store.view(now=NOW, as_of=seq).collect()
+            }
+            assert as_of == visible(snap_model), (ops, holder, "post-compact", as_of)
+
+    check()
