@@ -50,6 +50,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 8 (head-insert at add time, per protocol)
+    "stream_lm_filter",        # in-stream LM scoring vs the batch model
     "text_dup_spans",          # cross-doc exact-substring span dedup
     "kv_stream_replication",   # continuous CDC shipping w/ held resume seq
     "kv_snapshot_holds",       # tracked holds gate tombstone retirement
@@ -75,9 +76,9 @@ _PRIORITY = [
     "kv_value_separation",     # values-join path under the cache lock
     "kv_stream_enrich",        # stream-static enrichment over the store
     # then stalest remaining r6 families
-    "graph_triangles", "graph_components",
-    # (q_window_family, q9_profit_shape displaced by the
-    # kv_stream_replication and text_dup_spans head-inserts)
+    "graph_triangles",
+    # (q_window_family, q9_profit_shape, graph_components displaced by the
+    # kv_stream_replication, text_dup_spans, stream_lm_filter head-inserts)
 ]
 
 

@@ -393,6 +393,93 @@ def q_kv_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online LM quality filtering at ingest — the perplexity-filter stage
+    (`text_lm_score`) run against ARRIVING documents: the char-bigram
+    model trains on the static corpus (the same compressed-pairs frame
+    the batch query reads), its 64 (bigram, count) rows collapse into a
+    bounded map literal (driver collect of a fixed-size model — the
+    production shape: a trained scorer ships to every executor), and
+    each arriving doc (doc_id % 7 == 0) is scored by ONE stateless
+    per-row expression — transform to bigrams, aggregate over the map —
+    no streaming aggregation, no state, no Python. The checked output is
+    the per-arrival score row, identical columns and constants to the
+    batch scorer, so stream and batch filtering agree by construction.
+
+    100 TB shape: the hot path is a map-only projection per micro-batch
+    with an O(|charset|^2)-bounded broadcast-equivalent literal; the sink
+    is the arrival subset."""
+    from octopusdb_spark.queries.text import LM_TOP_K, _lm_doc_bigram_counts
+
+    model_rows = (
+        _lm_doc_bigram_counts(spark, sf_dir)
+        .groupBy("b")
+        .agg(F.sum("occ").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("b"))
+        .limit(LM_TOP_K)
+        .collect()  # bounded: <= LM_TOP_K rows by construction
+    )
+    kv_pairs: list = []
+    for r in model_rows:
+        kv_pairs.extend([F.lit(r["b"]), F.lit(int(r["cnt"]))])
+    model_map = F.create_map(*kv_pairs)
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_lm_{run_id}_")
+    try:
+        arrivals = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id", "text")
+        )
+        src = f"{base}/src"
+        arrivals.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        b_arr = F.expr(
+            """CASE WHEN length(lower(text)) >= 2
+                    THEN transform(sequence(1, length(lower(text)) - 1),
+                                   i -> substring(lower(text), i, 2))
+                    ELSE array() END"""
+        )
+        n = F.size(b_arr)
+        looked = F.transform(b_arr, lambda x: F.element_at(model_map, x))
+        oov = F.size(F.filter(looked, lambda c: c.isNull()))
+        fam = F.aggregate(
+            looked, F.lit(0).cast("long"), lambda acc, c: acc + F.coalesce(c, F.lit(0))
+        )
+        in_model = n - oov
+        oov_ratio = F.round(oov.cast("double") / n, 6)
+        scored = stream.select(
+            "doc_id",
+            n.cast("long").alias("n_bigrams"),
+            F.coalesce(oov_ratio, F.lit(0.0)).alias("oov_ratio"),
+            F.when(in_model > 0, F.round(fam.cast("double") / in_model, 6))
+            .otherwise(0.0)
+            .alias("avg_model_count"),
+            F.when(F.coalesce(oov_ratio, F.lit(0.0)) > 0.35, 1)
+            .otherwise(0)
+            .alias("low_quality"),
+        )
+        name = f"stream_lm_{run_id}"
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_bounded(q)
+        rows = spark.table(name).orderBy("doc_id").collect()
+        result = spark.createDataFrame(
+            rows,
+            "doc_id long, n_bigrams long, oov_ratio double, "
+            "avg_model_count double, low_quality int",
+        )
+        spark.catalog.dropTempView(name)
+        return result
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online near-dup rejection at ingest — the filter a continuously
     crawled corpus runs BEFORE documents enter the store: arriving docs
@@ -627,6 +714,38 @@ def q_kv_stream_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "stream_lm_filter": """
+        WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents),
+        ex AS (
+          SELECT doc_id, substring(txt, CAST(i AS INT), 2) AS b
+          FROM d, unnest(range(1, length(txt))) AS t(i)
+        ),
+        model AS (
+          SELECT b, count(*) AS cnt FROM ex GROUP BY b
+          ORDER BY cnt DESC, b ASC LIMIT 64
+        ),
+        aex AS (SELECT * FROM ex WHERE doc_id % 7 = 0),
+        per AS (
+          SELECT a.doc_id,
+                 count(*) AS n_bigrams,
+                 sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS oov,
+                 sum(coalesce(m.cnt, 0)) AS fam
+          FROM aex a LEFT JOIN model m USING (b)
+          GROUP BY a.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               coalesce(round(CAST(p.oov AS DOUBLE) / p.n_bigrams, 6), 0.0)
+                 AS oov_ratio,
+               CASE WHEN coalesce(p.n_bigrams - p.oov, 0) > 0
+                    THEN round(CAST(p.fam AS DOUBLE) / (p.n_bigrams - p.oov), 6)
+                    ELSE 0.0 END AS avg_model_count,
+               CASE WHEN coalesce(round(CAST(p.oov AS DOUBLE) / p.n_bigrams, 6),
+                                  0.0) > 0.35
+                    THEN 1 ELSE 0 END AS low_quality
+        FROM d LEFT JOIN per p USING (doc_id)
+        WHERE d.doc_id % 7 = 0
+        ORDER BY d.doc_id""",
     "kv_stream_replication": """
         SELECT 'p' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
                c_name AS value
@@ -692,6 +811,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "stream_lm_filter": q_stream_lm_filter,
     "kv_stream_replication": q_kv_stream_replication,
     "stream_dedup_ingest": q_stream_dedup_ingest,
     "kv_stream_ingest": q_kv_stream_ingest,
