@@ -108,6 +108,44 @@ class KVClient:
     def info(self) -> dict:
         return self._call({"op": "info"})["info"]
 
+    # ------------------------------------------------- remote CDC consumer
+    def snapshot(self) -> int:
+        """The service store's current snapshot seq."""
+        return int(self._call({"op": "snapshot"})["seq"])
+
+    def hold(self, holder: str, seq: int | None = None) -> int:
+        """Register/advance a named snapshot hold on the remote store —
+        the consumer checkpoint that keeps range tombstones and boundary
+        versions alive until this consumer has caught up."""
+        req = {"op": "hold", "holder": holder}
+        if seq is not None:
+            req["seq"] = int(seq)
+        return int(self._call(req)["seq"])
+
+    def release(self, holder: str) -> None:
+        self._call({"op": "release", "holder": holder})
+
+    def changes(self, since: int, limit: int | None = None) -> list:
+        """Poll the changefeed from ``since`` (ordered by (version, key),
+        row count capped server-side). Each row: {"key", "change",
+        "value": bytes|None, "expires_at", "version"}."""
+        req: dict = {"op": "changes", "since": int(since)}
+        if limit is not None:
+            req["limit"] = int(limit)
+        out = []
+        for r in self._call(req)["rows"]:
+            v = r.get("value")
+            out.append(
+                {
+                    "key": self._dec_key(r["key"]),
+                    "change": r["change"],
+                    "value": None if v is None else base64.b64decode(v),
+                    "expires_at": r["expires_at"],
+                    "version": r["version"],
+                }
+            )
+        return out
+
     def ping(self) -> bool:
         return bool(self._call({"op": "ping"}).get("pong"))
 

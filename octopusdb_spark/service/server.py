@@ -134,6 +134,48 @@ class KVService:
     def _op_info(self, req: dict) -> dict:
         return {"ok": True, "info": self.store.info()}
 
+    # ------------------------------------------------- remote CDC consumer
+    # snapshot -> hold -> poll changes(since) -> re-hold(advance) ->
+    # release: the consumer-checkpoint protocol over the wire. hold and
+    # release are manifest commits; the commit invalidates the pinned
+    # cache via the version check and the next read rebuilds it.
+    def _op_snapshot(self, req: dict) -> dict:
+        return {"ok": True, "seq": self.store.snapshot_seq()}
+
+    def _op_hold(self, req: dict) -> dict:
+        seq = req.get("seq")
+        held = self.store.hold_snapshot(
+            str(req["holder"]), seq=None if seq is None else int(seq)
+        )
+        return {"ok": True, "seq": held}
+
+    def _op_release(self, req: dict) -> dict:
+        self.store.release_snapshot(str(req["holder"]))
+        return {"ok": True}
+
+    def _op_changes(self, req: dict) -> dict:
+        since = int(req["since"])
+        limit = min(int(req.get("limit", MAX_SCAN_ROWS)), MAX_SCAN_ROWS)
+        rows = (
+            self.store.changes_since(since, now=self._now)
+            .orderBy("version", "key")
+            .limit(limit)
+            .collect()
+        )
+        return {
+            "ok": True,
+            "rows": [
+                {
+                    "key": self._enc_key(r["key"]),
+                    "change": r["change"],
+                    "value": _b64(r["value"]),
+                    "expires_at": r["expires_at"],
+                    "version": r["version"],
+                }
+                for r in rows
+            ],
+        }
+
     def _op_ping(self, req: dict) -> dict:
         return {"ok": True, "pong": True}
 

@@ -154,3 +154,39 @@ def test_facade_serve(spark, tmp_path):
         with KVClient(*svc.address) as c:
             assert c.get("k")["value"] == b"v"
             assert c.info()["row_count"] >= 1
+
+
+def test_service_remote_cdc_consumer(spark, tmp_path):
+    """The consumer-checkpoint protocol over the wire: snapshot -> hold ->
+    poll changes -> advance the hold -> release. The remote hold keeps a
+    range tombstone (and its expansion) alive across primary maintenance,
+    and the polled feed mirrors changes_since exactly."""
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch([Entry(f"c{i}", f"v{i}".encode()) for i in range(6)])
+    with KVService(store, now=NOW) as svc:
+        host, port = svc.address
+        with KVClient(host, port) as c:
+            since = c.snapshot()
+            held = c.hold("remote-consumer")
+            assert held == since
+            # post-snapshot traffic through the store
+            store.set_batch([Entry("c1", b"v1-new"), Entry("c9", b"fresh")])
+            store.delete_range(start="c3", end="c5")
+            store.maintenance_tick(now=NOW)
+            assert store.info()["range_tombstones"] == 1  # held remotely
+            feed = c.changes(since)
+            by_key = {r["key"]: r for r in feed}
+            assert by_key["c1"]["change"] == "upsert"
+            assert by_key["c1"]["value"] == b"v1-new"
+            assert by_key["c9"]["change"] == "upsert"
+            assert {k for k, r in by_key.items() if r["change"] == "delete"} == {
+                "c3",
+                "c4",
+            }
+            # consumer caught up: advance the hold, then release
+            assert c.hold("remote-consumer", seq=c.snapshot()) > since
+            c.release("remote-consumer")
+            assert store.oldest_held_seq() is None
+    # released: the next leveled merge retires the tombstone
+    store.compact_level(0, now=NOW)
+    assert store.info()["range_tombstones"] == 0
