@@ -50,6 +50,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 8 (head-insert at add time, per protocol)
+    "pipeline_pretrain_v2",    # modern composed chain (LM/span/mix stages)
     "stream_lm_filter",        # in-stream LM scoring vs the batch model
     "text_dup_spans",          # cross-doc exact-substring span dedup
     "kv_stream_replication",   # continuous CDC shipping w/ held resume seq
@@ -75,10 +76,9 @@ _PRIORITY = [
     "kv_version_history",      # at_version time travel over new manifests
     "kv_value_separation",     # values-join path under the cache lock
     "kv_stream_enrich",        # stream-static enrichment over the store
-    # then stalest remaining r6 families
-    "graph_triangles",
-    # (q_window_family, q9_profit_shape, graph_components displaced by the
-    # kv_stream_replication, text_dup_spans, stream_lm_filter head-inserts)
+    # (fills q_window_family, q9_profit_shape, graph_components,
+    # graph_triangles displaced by the kv_stream_replication,
+    # text_dup_spans, stream_lm_filter, pipeline_pretrain_v2 head-inserts)
 ]
 
 

@@ -327,6 +327,147 @@ def q_pipeline_pretrain_corpus(spark, sf_dir):
     )
 
 
+def q_pipeline_pretrain_v2(spark, sf_dir):
+    """The MODERN pretraining-corpus chain as one declarative plan — LM
+    quality filter → cross-doc span-dedup filter → exact dedup →
+    temperature-weighted domain mixture → token-budget shard packing —
+    i.e. `pipeline_pretrain_corpus` upgraded with this round's operators,
+    composed without materialization barriers. The LM scores and span
+    hashes come from the SAME memoized compressed frames the standalone
+    queries read (`_LM_PAIRS_MEMO` / `_SPAN_HASH_MEMO`), so composing the
+    pipeline adds joins, not re-explodes of the corpus.
+
+    Stage shapes at 100 TB: two doc-keyed score joins (bounded model
+    broadcast + hash join), one hash-groupBy dedup shuffle, the
+    integer-exact mixture filter (map-side after a tiny rates join — the
+    rates recompute over SURVIVORS, as a real pipeline must), and the
+    bucket-keyed two-phase prefix sum. No global window over documents,
+    no collect. Output: the shard manifest a training launcher consumes."""
+    from octopusdb_spark.queries.text import (
+        LM_TOP_K,
+        _lm_doc_bigram_counts,
+        _span_hashes,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    # stage 1: LM quality filter (keep low_quality == 0, i.e. rounded
+    # OOV ratio <= 0.35 — identical rule to text_lm_score)
+    pairs = _lm_doc_bigram_counts(spark, sf_dir)
+    model = (
+        pairs.groupBy("b")
+        .agg(F.sum("occ").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("b"))
+        .limit(LM_TOP_K)
+    )
+    lm = (
+        pairs.join(F.broadcast(model), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_bi"),
+            F.sum(F.when(F.col("cnt").isNull(), F.col("occ")).otherwise(0))
+            .cast("long")
+            .alias("oov"),
+        )
+        .filter(
+            F.round(F.col("oov").cast("double") / F.col("n_bi"), 6) <= 0.35
+        )
+        .select("doc_id")
+    )
+    # stage 2: span-dedup filter (keep dup_ratio <= 0.2 — identical rule
+    # to text_dup_spans; docs with < SPAN_WORDS words have no spans and
+    # pass by construction via the left join)
+    ex = _span_hashes(spark, sf_dir)
+    dup_h = (
+        ex.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    span_stats = (
+        ex.join(dup_h, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("nd").isNotNull(), 1).otherwise(0)).alias("dup"),
+        )
+    )
+    surv0 = (
+        docs.join(lm, "doc_id", "left_semi")
+        .join(span_stats, "doc_id", "left")
+        .filter(
+            F.coalesce(
+                F.round(F.col("dup").cast("double") / F.col("n_spans"), 6),
+                F.lit(0.0),
+            )
+            <= 0.2
+        )
+        .select("doc_id", "source", "text")
+    )
+    # stage 3: exact dedup — canonical (min doc_id) per content hash
+    canon = surv0.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = surv0.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # stage 4: temperature mixture over SURVIVORS (same integer-exact
+    # membership rule as q_domain_mixture, rates from survivor counts)
+    counts = surv.groupBy("source").agg(F.count("*").alias("n"))
+    w = counts.withColumn(
+        "w", F.round(F.sqrt(F.col("n").cast("double")) * 1e6).cast("long")
+    )
+    tot = w.agg(
+        F.sum("w").cast("long").alias("w_tot"), F.sum("n").cast("long").alias("n_tot")
+    )
+    rates = w.join(F.broadcast(tot)).withColumn(
+        "budget", F.expr("CAST((n_tot * 6) DIV 10 AS BIGINT)")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    keep = (
+        dec(F.col("bucket")) * dec(F.col("w_tot")) * dec(F.col("n"))
+        < dec(F.col("budget")) * dec(F.col("w")) * F.lit(1000000).cast("decimal(38,0)")
+    )
+    mixed = (
+        surv.withColumn("bucket", bucket)
+        .join(rates, "source")
+        .filter(keep)
+        .select(
+            "doc_id",
+            (F.col("doc_id") / PACK_BUCKET).cast("long").alias("pack_bucket"),
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+        )
+    )
+    # stage 5: token-budget packing (two-phase distributed prefix sum)
+    from pyspark.sql import Window
+
+    w_in = Window.partitionBy("pack_bucket").orderBy("doc_id")
+    within = mixed.withColumn("cum_in", F.sum("toks").over(w_in))
+    bucket_totals = mixed.groupBy("pack_bucket").agg(F.sum("toks").alias("btot"))
+    w_b = Window.orderBy("pack_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.withColumn(
+        "offset", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
+    ).select("pack_bucket", "offset")
+    packed = within.join(F.broadcast(offsets), "pack_bucket").select(
+        "doc_id",
+        "toks",
+        ((F.col("offset") + F.col("cum_in") - F.col("toks")) / F.lit(TOKEN_BUDGET))
+        .cast("long")
+        .alias("shard"),
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_domain_mixture(spark, sf_dir):
     """Temperature-weighted domain mixture — the source-reweighting stage a
     multi-domain pretraining corpus runs after filtering (the UniMax /
@@ -396,6 +537,92 @@ def q_domain_mixture(spark, sf_dir):
 
 
 ORACLES = {
+    "pipeline_pretrain_v2": """
+        WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents),
+        bex AS (
+          SELECT doc_id, substring(txt, CAST(i AS INT), 2) AS b
+          FROM d, unnest(range(1, length(txt))) AS t(i)
+        ),
+        model AS (
+          SELECT b, count(*) AS cnt FROM bex GROUP BY b
+          ORDER BY cnt DESC, b ASC LIMIT 64
+        ),
+        lm AS (
+          SELECT e.doc_id
+          FROM bex e LEFT JOIN model m USING (b)
+          GROUP BY e.doc_id
+          HAVING round(CAST(sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) / count(*), 6) <= 0.35
+        ),
+        wsd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sex AS (
+          SELECT doc_id,
+                 md5(array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 15], ' ')) AS h
+          FROM wsd, unnest(range(1, len(ws) - 15 + 1)) AS t(i)
+          WHERE len(ws) >= 16
+        ),
+        duph AS (SELECT h FROM sex GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        spanstats AS (
+          SELECT s.doc_id, count(*) AS n_spans,
+                 sum(CASE WHEN duph.h IS NOT NULL THEN 1 ELSE 0 END) AS dup
+          FROM sex s LEFT JOIN duph ON s.h = duph.h
+          GROUP BY s.doc_id
+        ),
+        surv0 AS (
+          SELECT doc.doc_id, doc.source, doc.text
+          FROM documents doc
+          JOIN lm ON doc.doc_id = lm.doc_id
+          LEFT JOIN spanstats sp ON doc.doc_id = sp.doc_id
+          WHERE coalesce(round(CAST(sp.dup AS DOUBLE) / sp.n_spans, 6), 0.0) <= 0.2
+        ),
+        canon AS (SELECT min(doc_id) AS doc_id FROM surv0 GROUP BY md5(text)),
+        surv AS (
+          SELECT s.* FROM surv0 s WHERE s.doc_id IN (SELECT doc_id FROM canon)
+        ),
+        counts AS (SELECT source, count(*) AS n FROM surv GROUP BY source),
+        w AS (
+          SELECT source, n,
+                 CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+          FROM counts
+        ),
+        tot AS (
+          SELECT CAST(sum(w) AS BIGINT) AS w_tot, CAST(sum(n) AS BIGINT) AS n_tot
+          FROM w
+        ),
+        rates AS (
+          SELECT source, n, w, w_tot,
+                 CAST((n_tot * 6) // 10 AS BIGINT) AS budget
+          FROM w, tot
+        ),
+        mixbase AS (
+          SELECT s.doc_id, s.source, s.text,
+                 CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                   % 1000000 AS bucket
+          FROM surv s
+        ),
+        keptdocs AS (
+          SELECT m.doc_id, CAST(len(string_split(m.text, ' ')) AS BIGINT) AS toks
+          FROM mixbase m JOIN rates r USING (source)
+          WHERE CAST(m.bucket AS DECIMAL(38,0))
+                  * CAST(r.w_tot AS DECIMAL(38,0))
+                  * CAST(r.n AS DECIMAL(38,0))
+                < CAST(r.budget AS DECIMAL(38,0))
+                  * CAST(r.w AS DECIMAL(38,0))
+                  * CAST(1000000 AS DECIMAL(38,0))
+        ),
+        pre AS (
+          SELECT doc_id, toks,
+                 CAST(coalesce(SUM(toks) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS tokens_before
+          FROM keptdocs
+        )
+        SELECT CAST(floor(CAST(tokens_before AS DOUBLE) / 4096) AS BIGINT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS shard_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM pre GROUP BY 1 ORDER BY shard""",
     "q_domain_mixture": """
         WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         w AS (
@@ -580,4 +807,5 @@ QUERIES = {
     "q_source_balanced_sample": q_source_balanced_sample,
     "q_train_val_split": q_train_val_split,
     "q_domain_mixture": q_domain_mixture,
+    "pipeline_pretrain_v2": q_pipeline_pretrain_v2,
 }

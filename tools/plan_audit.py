@@ -66,6 +66,7 @@ ALLOWED_CARTESIAN = {
     "q_time_gapfill": "dense bucket axis x event types: days*5 rows, broadcast",
     "q_source_balanced_sample": "global-min target scalar subquery (1-row broadcast)",
     "q_domain_mixture": "corpus-totals scalar subquery (1-row broadcast)",
+    "pipeline_pretrain_v2": "survivor-totals scalar subquery (1-row broadcast), inherited from the q_domain_mixture stage",
     "pipeline_pretrain_corpus": "global-min sample-target scalar subquery (1-row broadcast), inherited from the q_source_balanced_sample stage",
 }
 
@@ -81,6 +82,7 @@ ALLOWED_SINGLE_PARTITION = {
     "sim_ann_ivfpq": "optimizer-injected runtime bloom_filter_agg under the training joins (global 1-row aggregate); every window is keyed by vec_id / (vec_id, m) / query_id",
     "q_source_balanced_sample": "SinglePartition is the global min over per-source counts (rows = source count); the sampling window is keyed by source",
     "pipeline_pretrain_corpus": "SinglePartition covers the global-min sample target (rows = source count) and the phase-2 prefix sum over BUCKET TOTALS (rows = bucket count); per-doc windows are source-/bucket-keyed",
+    "pipeline_pretrain_v2": "SinglePartition covers only the phase-2 prefix sum over BUCKET TOTALS (rows = bucket count); per-doc windows are bucket-keyed, same as pipeline_pretrain_corpus",
 }
 
 # row-at-a-time Python is banned on data paths; declared capability demos
@@ -125,6 +127,9 @@ HINT_ALLOWED_SCOPED = {
     ("octopusdb_spark/queries/scale_patterns.py", "target"): "1-row global min",
     ("octopusdb_spark/queries/scale_patterns.py", "tot"):
         "1-row corpus totals (sum of per-source counts/weights)",
+    ("octopusdb_spark/queries/scale_patterns.py", "model"):
+        "char-bigram LM model in pipeline_pretrain_v2: top-LM_TOP_K rows, "
+        "<= |charset|^2 by construction (same as text.py model)",
     ("octopusdb_spark/queries/text.py", "model"):
         "char-bigram LM model: top-LM_TOP_K rows, <= |charset|^2 by construction",
     ("octopusdb_spark/queries/scale_patterns.py", "offsets"):
