@@ -65,6 +65,7 @@ HEADLINE = [
     "text_lm_score",
     "q_domain_mixture",
     "text_dup_spans",
+    "pipeline_pretrain_v2",
 ]
 
 

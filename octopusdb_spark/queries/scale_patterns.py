@@ -294,27 +294,11 @@ def q_pipeline_pretrain_corpus(spark, sf_dir):
         .filter(F.col("rn") <= F.col("take"))
         .select(
             "doc_id",
-            (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
             F.size(F.split("text", " ")).cast("long").alias("toks"),
         )
     )
-    # stage 4: token-budget packing (two-phase distributed prefix sum)
-    w_in = Window.partitionBy("bucket").orderBy("doc_id")
-    within = sample.withColumn("cum_in", F.sum("toks").over(w_in))
-    bucket_totals = sample.groupBy("bucket").agg(F.sum("toks").alias("btot"))
-    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bucket_totals.withColumn(
-        "offset", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
-    ).select("bucket", "offset")
-    packed = within.join(F.broadcast(offsets), "bucket").select(
-        "doc_id",
-        "toks",
-        (
-            (F.col("offset") + F.col("cum_in") - F.col("toks")) / F.lit(TOKEN_BUDGET)
-        )
-        .cast("long")
-        .alias("shard"),
-    )
+    # stage 4: token-budget packing (shared two-phase prefix sum)
+    packed = token_budget_pack(sample)
     return (
         packed.groupBy("shard")
         .agg(
@@ -324,6 +308,70 @@ def q_pipeline_pretrain_corpus(spark, sf_dir):
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("shard")
+    )
+
+
+def mixture_rates(counts_df):
+    """(source, n) -> (source, n, w, w_tot, budget): quantized sqrt
+    weights (round(sqrt(n) * 1e6) — IEEE sqrt is correctly rounded, so
+    both engines agree bit-for-bit), exact integer totals, 60% budget.
+    THE mixture-rate definition, shared by `q_domain_mixture` and
+    `pipeline_pretrain_v2` so the two can never diverge."""
+    w = counts_df.withColumn(
+        "w", F.round(F.sqrt(F.col("n").cast("double")) * 1e6).cast("long")
+    )
+    tot = w.agg(
+        F.sum("w").cast("long").alias("w_tot"), F.sum("n").cast("long").alias("n_tot")
+    )
+    return w.join(F.broadcast(tot)).withColumn(
+        "budget", F.expr("CAST((n_tot * 6) DIV 10 AS BIGINT)")
+    )
+
+
+def mixture_bucket():
+    """The deterministic per-doc md5 bucket in [0, 1e6) membership tests
+    against."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+
+
+def mixture_keep_cond():
+    """keep <=> bucket/1e6 < budget*w/(w_tot*n), evaluated as the
+    cross-multiplied DECIMAL(38,0) comparison — no float ever decides
+    membership. Expects columns bucket, n, w, w_tot, budget in scope."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        dec(F.col("bucket")) * dec(F.col("w_tot")) * dec(F.col("n"))
+        < dec(F.col("budget")) * dec(F.col("w")) * F.lit(1000000).cast("decimal(38,0)")
+    )
+
+
+def token_budget_pack(df):
+    """(doc_id, toks) -> (doc_id, toks, shard): the two-phase distributed
+    prefix sum over fixed doc_id-range buckets — phase 1 is a bucket-keyed
+    window, phase 2 a window over BUCKET TOTALS only (rows = bucket
+    count), so no global per-doc window exists. Equivalent to a global
+    running sum in doc_id order (bucket index is monotone in doc_id).
+    Shared by `pipeline_pretrain_corpus` and `pipeline_pretrain_v2`."""
+    from pyspark.sql import Window
+
+    sample = df.withColumn("_pb", (F.col("doc_id") / PACK_BUCKET).cast("long"))
+    w_in = Window.partitionBy("_pb").orderBy("doc_id")
+    within = sample.withColumn("cum_in", F.sum("toks").over(w_in))
+    bucket_totals = sample.groupBy("_pb").agg(F.sum("toks").alias("btot"))
+    w_b = Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.withColumn(
+        "offset", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
+    ).select("_pb", "offset")
+    return within.join(F.broadcast(offsets), "_pb").select(
+        "doc_id",
+        "toks",
+        ((F.col("offset") + F.col("cum_in") - F.col("toks")) / F.lit(TOKEN_BUDGET))
+        .cast("long")
+        .alias("shard"),
     )
 
 
@@ -343,56 +391,28 @@ def q_pipeline_pretrain_v2(spark, sf_dir):
     rates recompute over SURVIVORS, as a real pipeline must), and the
     bucket-keyed two-phase prefix sum. No global window over documents,
     no collect. Output: the shard manifest a training launcher consumes."""
-    from octopusdb_spark.queries.text import (
-        LM_TOP_K,
-        _lm_doc_bigram_counts,
-        _span_hashes,
-    )
+    from octopusdb_spark.queries.text import lm_doc_stats, span_doc_stats
 
     docs = t(spark, sf_dir, "documents")
     # stage 1: LM quality filter (keep low_quality == 0, i.e. rounded
-    # OOV ratio <= 0.35 — identical rule to text_lm_score)
-    pairs = _lm_doc_bigram_counts(spark, sf_dir)
-    model = (
-        pairs.groupBy("b")
-        .agg(F.sum("occ").cast("long").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("b"))
-        .limit(LM_TOP_K)
-    )
-    lm = (
-        pairs.join(F.broadcast(model), "b", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("occ").cast("long").alias("n_bi"),
-            F.sum(F.when(F.col("cnt").isNull(), F.col("occ")).otherwise(0))
-            .cast("long")
-            .alias("oov"),
-        )
-        .filter(
-            F.round(F.col("oov").cast("double") / F.col("n_bi"), 6) <= 0.35
-        )
-        .select("doc_id")
-    )
+    # OOV ratio <= 0.35 — identical rule to text_lm_score, including the
+    # zero-bigram restore: a doc absent from the stats frame has nothing
+    # out-of-model and passes)
+    lm = lm_doc_stats(spark, sf_dir)
     # stage 2: span-dedup filter (keep dup_ratio <= 0.2 — identical rule
     # to text_dup_spans; docs with < SPAN_WORDS words have no spans and
     # pass by construction via the left join)
-    ex = _span_hashes(spark, sf_dir)
-    dup_h = (
-        ex.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-    )
-    span_stats = (
-        ex.join(dup_h, "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("nd").isNotNull(), 1).otherwise(0)).alias("dup"),
-        )
-    )
+    span = span_doc_stats(spark, sf_dir)
     surv0 = (
-        docs.join(lm, "doc_id", "left_semi")
-        .join(span_stats, "doc_id", "left")
+        docs.join(lm, "doc_id", "left")
+        .filter(
+            F.coalesce(
+                F.round(F.col("oov").cast("double") / F.col("n_bigrams"), 6),
+                F.lit(0.0),
+            )
+            <= 0.35
+        )
+        .join(span, "doc_id", "left")
         .filter(
             F.coalesce(
                 F.round(F.col("dup").cast("double") / F.col("n_spans"), 6),
@@ -407,55 +427,20 @@ def q_pipeline_pretrain_v2(spark, sf_dir):
         F.min("doc_id").alias("doc_id")
     )
     surv = surv0.join(canon.select("doc_id"), "doc_id", "left_semi")
-    # stage 4: temperature mixture over SURVIVORS (same integer-exact
-    # membership rule as q_domain_mixture, rates from survivor counts)
-    counts = surv.groupBy("source").agg(F.count("*").alias("n"))
-    w = counts.withColumn(
-        "w", F.round(F.sqrt(F.col("n").cast("double")) * 1e6).cast("long")
-    )
-    tot = w.agg(
-        F.sum("w").cast("long").alias("w_tot"), F.sum("n").cast("long").alias("n_tot")
-    )
-    rates = w.join(F.broadcast(tot)).withColumn(
-        "budget", F.expr("CAST((n_tot * 6) DIV 10 AS BIGINT)")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("long")
-        % 1000000
-    )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    keep = (
-        dec(F.col("bucket")) * dec(F.col("w_tot")) * dec(F.col("n"))
-        < dec(F.col("budget")) * dec(F.col("w")) * F.lit(1000000).cast("decimal(38,0)")
-    )
+    # stage 4: temperature mixture over SURVIVORS (the shared
+    # q_domain_mixture machinery, rates recomputed from survivor counts)
+    rates = mixture_rates(surv.groupBy("source").agg(F.count("*").alias("n")))
     mixed = (
-        surv.withColumn("bucket", bucket)
+        surv.withColumn("bucket", mixture_bucket())
         .join(rates, "source")
-        .filter(keep)
+        .filter(mixture_keep_cond())
         .select(
             "doc_id",
-            (F.col("doc_id") / PACK_BUCKET).cast("long").alias("pack_bucket"),
             F.size(F.split("text", " ")).cast("long").alias("toks"),
         )
     )
-    # stage 5: token-budget packing (two-phase distributed prefix sum)
-    from pyspark.sql import Window
-
-    w_in = Window.partitionBy("pack_bucket").orderBy("doc_id")
-    within = mixed.withColumn("cum_in", F.sum("toks").over(w_in))
-    bucket_totals = mixed.groupBy("pack_bucket").agg(F.sum("toks").alias("btot"))
-    w_b = Window.orderBy("pack_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bucket_totals.withColumn(
-        "offset", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
-    ).select("pack_bucket", "offset")
-    packed = within.join(F.broadcast(offsets), "pack_bucket").select(
-        "doc_id",
-        "toks",
-        ((F.col("offset") + F.col("cum_in") - F.col("toks")) / F.lit(TOKEN_BUDGET))
-        .cast("long")
-        .alias("shard"),
-    )
+    # stage 5: token-budget packing (shared two-phase prefix sum)
+    packed = token_budget_pack(mixed)
     return (
         packed.groupBy("shard")
         .agg(
@@ -493,32 +478,13 @@ def q_domain_mixture(spark, sf_dir):
     then one keyed agg for the audit. At 100 TB: two scans, two bounded
     shuffles — the keep filter is a map-side projection."""
     docs = t(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
-    w = counts.withColumn(
-        "w", F.round(F.sqrt(F.col("n").cast("double")) * 1e6).cast("long")
-    )
-    tot = w.agg(
-        F.sum("w").cast("long").alias("w_tot"), F.sum("n").cast("long").alias("n_tot")
-    )
-    rates = w.join(F.broadcast(tot)).withColumn(
-        "budget", F.expr("CAST((n_tot * 6) DIV 10 AS BIGINT)")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("long")
-        % 1000000
-    )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    keep = (
-        dec(F.col("bucket")) * dec(F.col("w_tot")) * dec(F.col("n"))
-        < dec(F.col("budget")) * dec(F.col("w")) * F.lit(1000000).cast("decimal(38,0)")
-    )
+    rates = mixture_rates(docs.groupBy("source").agg(F.count("*").alias("n")))
     per = (
-        docs.select("source", bucket.alias("bucket"))
+        docs.select("source", mixture_bucket().alias("bucket"))
         .join(rates, "source")
         .select(
             "source", "n", "w", "w_tot", "budget",
-            F.when(keep, 1).otherwise(0).alias("keep"),
+            F.when(mixture_keep_cond(), 1).otherwise(0).alias("keep"),
         )
         .groupBy("source", "n", "w", "w_tot", "budget")
         .agg(F.sum("keep").cast("long").alias("kept_docs"))
@@ -537,7 +503,7 @@ def q_domain_mixture(spark, sf_dir):
 
 
 ORACLES = {
-    "pipeline_pretrain_v2": """
+    "pipeline_pretrain_v2": f"""
         WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents),
         bex AS (
           SELECT doc_id, substring(txt, CAST(i AS INT), 2) AS b
@@ -547,12 +513,12 @@ ORACLES = {
           SELECT b, count(*) AS cnt FROM bex GROUP BY b
           ORDER BY cnt DESC, b ASC LIMIT 64
         ),
-        lm AS (
-          SELECT e.doc_id
+        lmstats AS (
+          SELECT e.doc_id,
+                 round(CAST(sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) / count(*), 6) AS oovr
           FROM bex e LEFT JOIN model m USING (b)
           GROUP BY e.doc_id
-          HAVING round(CAST(sum(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END)
-                            AS DOUBLE) / count(*), 6) <= 0.35
         ),
         wsd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         sex AS (
@@ -571,9 +537,10 @@ ORACLES = {
         surv0 AS (
           SELECT doc.doc_id, doc.source, doc.text
           FROM documents doc
-          JOIN lm ON doc.doc_id = lm.doc_id
+          LEFT JOIN lmstats l ON doc.doc_id = l.doc_id
           LEFT JOIN spanstats sp ON doc.doc_id = sp.doc_id
-          WHERE coalesce(round(CAST(sp.dup AS DOUBLE) / sp.n_spans, 6), 0.0) <= 0.2
+          WHERE coalesce(l.oovr, 0.0) <= 0.35
+            AND coalesce(round(CAST(sp.dup AS DOUBLE) / sp.n_spans, 6), 0.0) <= 0.2
         ),
         canon AS (SELECT min(doc_id) AS doc_id FROM surv0 GROUP BY md5(text)),
         surv AS (
@@ -617,7 +584,8 @@ ORACLES = {
                    AS tokens_before
           FROM keptdocs
         )
-        SELECT CAST(floor(CAST(tokens_before AS DOUBLE) / 4096) AS BIGINT) AS shard,
+        SELECT CAST(floor(CAST(tokens_before AS DOUBLE) / {TOKEN_BUDGET}) AS BIGINT)
+                 AS shard,
                count(*) AS n_docs,
                CAST(sum(toks) AS BIGINT) AS shard_tokens,
                min(doc_id) AS first_doc,

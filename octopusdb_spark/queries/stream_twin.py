@@ -409,16 +409,10 @@ def q_stream_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the hot path is a map-only projection per micro-batch
     with an O(|charset|^2)-bounded broadcast-equivalent literal; the sink
     is the arrival subset."""
-    from octopusdb_spark.queries.text import LM_TOP_K, _lm_doc_bigram_counts
+    from octopusdb_spark.queries.text import lm_model
 
-    model_rows = (
-        _lm_doc_bigram_counts(spark, sf_dir)
-        .groupBy("b")
-        .agg(F.sum("occ").cast("long").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("b"))
-        .limit(LM_TOP_K)
-        .collect()  # bounded: <= LM_TOP_K rows by construction
-    )
+    # bounded: <= LM_TOP_K rows by construction (the shared model builder)
+    model_rows = lm_model(spark, sf_dir).collect()
     kv_pairs: list = []
     for r in model_rows:
         kv_pairs.extend([F.lit(r["b"]), F.lit(int(r["cnt"]))])

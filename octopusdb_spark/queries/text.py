@@ -333,6 +333,67 @@ def _lm_doc_bigram_counts(spark, sf_dir):
     return session_memo_put(_LM_PAIRS_MEMO, spark, key, pairs)
 
 
+def lm_model(spark, sf_dir):
+    """The trained char-bigram model: top-``LM_TOP_K`` (bigram, count)
+    rows by corpus frequency, deterministic tie-break on the bigram. THE
+    definition — `text_lm_score`, `stream_lm_filter`, and
+    `pipeline_pretrain_v2` all read this one builder, so a threshold or
+    tie-break change can never diverge between them."""
+    return (
+        _lm_doc_bigram_counts(spark, sf_dir)
+        .groupBy("b")
+        .agg(F.sum("occ").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("b"))
+        .limit(LM_TOP_K)
+    )
+
+
+def lm_doc_stats(spark, sf_dir):
+    """Per-doc LM scoring aggregates (doc_id, n_bigrams, oov, fam) from
+    the compressed pairs frame joined against `lm_model` — the shared
+    core of the batch scorer and the composed pipeline's filter stage.
+    Docs with < 2 chars have no bigram rows and are ABSENT here; callers
+    restore them (zero bigrams = nothing out-of-model = keep)."""
+    pairs = _lm_doc_bigram_counts(spark, sf_dir)
+    return (
+        pairs.join(F.broadcast(lm_model(spark, sf_dir)), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("cnt").isNull(), F.col("occ")).otherwise(0))
+            .cast("long")
+            .alias("oov"),
+            F.sum(
+                F.when(F.col("cnt").isNotNull(), F.col("occ") * F.col("cnt"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("fam"),
+        )
+    )
+
+
+def span_doc_stats(spark, sf_dir):
+    """Per-doc span-duplication aggregates (doc_id, n_spans, dup) — the
+    shared core of `text_dup_spans` and the composed pipeline's span
+    filter. Docs with < SPAN_WORDS words have no span rows and are
+    ABSENT; callers restore them (no spans = nothing duplicated)."""
+    ex = _span_hashes(spark, sf_dir)
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    return (
+        ex.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("nd").isNotNull(), 1).otherwise(0)).alias("dup"),
+        )
+    )
+
+
 def q_text_lm_score(spark, sf_dir):
     """Corpus-likelihood quality scoring — the perplexity-filter stage of a
     pretraining pipeline (CCNet/RefinedWeb run a KenLM here): train a
@@ -354,29 +415,7 @@ def q_text_lm_score(spark, sf_dir):
     is provably safe at any corpus size); scoring is one broadcast join +
     a doc_id-keyed agg with occurrence-weighted sums."""
     docs = t(spark, sf_dir, "documents")
-    pairs = _lm_doc_bigram_counts(spark, sf_dir)
-    model = (
-        pairs.groupBy("b")
-        .agg(F.sum("occ").cast("long").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("b"))
-        .limit(LM_TOP_K)
-    )
-    per = (
-        pairs.join(F.broadcast(model), "b", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("occ").cast("long").alias("n_bigrams"),
-            F.sum(F.when(F.col("cnt").isNull(), F.col("occ")).otherwise(0))
-            .cast("long")
-            .alias("oov"),
-            F.sum(
-                F.when(F.col("cnt").isNotNull(), F.col("occ") * F.col("cnt"))
-                .otherwise(0)
-            )
-            .cast("long")
-            .alias("fam"),
-        )
-    )
+    per = lm_doc_stats(spark, sf_dir)
     oov_ratio = F.round(F.col("oov").cast("double") / F.col("n_bigrams"), 6)
     in_model = F.col("n_bigrams") - F.col("oov")
     # docs with < 2 chars produce no bigram rows; restore them with zeros
@@ -454,20 +493,7 @@ def q_text_dup_spans(spark, sf_dir):
     one doc-keyed agg. No all-pairs comparison anywhere: documents
     sharing a span meet only through the hash key."""
     docs = t(spark, sf_dir, "documents")
-    ex = _span_hashes(spark, sf_dir)
-    dup = (
-        ex.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-    )
-    per = (
-        ex.join(dup, "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("nd").isNotNull(), 1).otherwise(0)).alias("dup"),
-        )
-    )
+    per = span_doc_stats(spark, sf_dir)
     ratio = F.round(F.col("dup").cast("double") / F.col("n_spans"), 6)
     return (
         docs.select("doc_id")

@@ -125,26 +125,36 @@ class KVClient:
     def release(self, holder: str) -> None:
         self._call({"op": "release", "holder": holder})
 
-    def changes(self, since: int, limit: int | None = None) -> list:
-        """Poll the changefeed from ``since`` (ordered by (version, key),
-        row count capped server-side). Each row: {"key", "change",
-        "value": bytes|None, "expires_at", "version"}."""
-        req: dict = {"op": "changes", "since": int(since)}
-        if limit is not None:
-            req["limit"] = int(limit)
-        out = []
-        for r in self._call(req)["rows"]:
-            v = r.get("value")
-            out.append(
-                {
-                    "key": self._dec_key(r["key"]),
-                    "change": r["change"],
-                    "value": None if v is None else base64.b64decode(v),
-                    "expires_at": r["expires_at"],
-                    "version": r["version"],
-                }
-            )
-        return out
+    def changes(self, since: int, page_size: int | None = None) -> list:
+        """The complete changefeed from ``since``, transparently paged by
+        key (the server caps rows per request and signals ``more``; this
+        loops until the feed is exhausted, so a range delete covering
+        more keys than one page can never be silently truncated). Each
+        row: {"key", "change", "value": bytes|None, "expires_at",
+        "version"}, ordered by key."""
+        out: list = []
+        after = None
+        while True:
+            req: dict = {"op": "changes", "since": int(since)}
+            if page_size is not None:
+                req["limit"] = int(page_size)
+            if after is not None:
+                req["after_key"] = after
+            reply = self._call(req)
+            for r in reply["rows"]:
+                v = r.get("value")
+                out.append(
+                    {
+                        "key": self._dec_key(r["key"]),
+                        "change": r["change"],
+                        "value": None if v is None else base64.b64decode(v),
+                        "expires_at": r["expires_at"],
+                        "version": r["version"],
+                    }
+                )
+            if not reply.get("more"):
+                return out
+            after = reply["rows"][-1]["key"]  # wire-encoded, pass back as-is
 
     def ping(self) -> bool:
         return bool(self._call({"op": "ping"}).get("pong"))

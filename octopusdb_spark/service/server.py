@@ -22,6 +22,23 @@ Protocol: one JSON object per line, one JSON reply per line.
      "prefix": K?, "limit": n?}               -> {"ok": true, "rows": [{...}]}
     {"op": "info"}                            -> {"ok": true, "info": {...}}
     {"op": "ping"}                            -> {"ok": true, "pong": true}
+    {"op": "snapshot"}                        -> {"ok": true, "seq": n}
+    {"op": "hold", "holder": s, "seq": n?}    -> {"ok": true, "seq": n}
+    {"op": "release", "holder": s}            -> {"ok": true}
+    {"op": "changes", "since": n,
+     "after_key": K?, "limit": n?}            -> {"ok": true, "more": bool,
+                                                  "rows": [{"key": K,
+                                                  "change": "upsert"|"delete",
+                                                  "value": b64|null,
+                                                  "expires_at": n,
+                                                  "version": n}]}
+
+The CDC ops implement the consumer-checkpoint protocol (snapshot -> hold
+-> poll changes -> re-hold(advance) -> release). `changes` pages by KEY
+(rows ordered by key, capped at MAX_SCAN_ROWS per request; pass the last
+key back as ``after_key`` while ``more`` is true) — paging by version
+would lose rows because every range-tombstone expansion event shares the
+tombstone's seq. `KVClient.changes` pages transparently.
 
 Values travel base64-encoded. Keys are JSON values for a string-key
 store; for a binary-key store (``key_type="binary"``) keys are
@@ -154,16 +171,24 @@ class KVService:
         return {"ok": True}
 
     def _op_changes(self, req: dict) -> dict:
+        from pyspark.sql import functions as F
+
         since = int(req["since"])
         limit = min(int(req.get("limit", MAX_SCAN_ROWS)), MAX_SCAN_ROWS)
-        rows = (
-            self.store.changes_since(since, now=self._now)
-            .orderBy("version", "key")
-            .limit(limit)
-            .collect()
-        )
+        feed = self.store.changes_since(since, now=self._now)
+        after = req.get("after_key")
+        if after is not None:
+            # KEY paging: feed keys are unique (newest-per-key events;
+            # the expansion anti-joins the delta), so (key) is a total
+            # order — unlike version, which every expansion row of one
+            # tombstone shares
+            feed = feed.filter(F.col("key") > F.lit(self._dec_key(after)))
+        rows = feed.orderBy("key").limit(limit + 1).collect()
+        more = len(rows) > limit
+        rows = rows[:limit]
         return {
             "ok": True,
+            "more": more,
             "rows": [
                 {
                     "key": self._enc_key(r["key"]),

@@ -175,6 +175,11 @@ def test_service_remote_cdc_consumer(spark, tmp_path):
             store.maintenance_tick(now=NOW)
             assert store.info()["range_tombstones"] == 1  # held remotely
             feed = c.changes(since)
+            # key-paged fetch returns the identical complete feed even
+            # when each request is capped below the feed size (a
+            # version-paged scheme would lose expansion rows, which all
+            # share the tombstone's seq)
+            assert c.changes(since, page_size=2) == feed
             by_key = {r["key"]: r for r in feed}
             assert by_key["c1"]["change"] == "upsert"
             assert by_key["c1"]["value"] == b"v1-new"

@@ -127,11 +127,9 @@ HINT_ALLOWED_SCOPED = {
     ("octopusdb_spark/queries/scale_patterns.py", "target"): "1-row global min",
     ("octopusdb_spark/queries/scale_patterns.py", "tot"):
         "1-row corpus totals (sum of per-source counts/weights)",
-    ("octopusdb_spark/queries/scale_patterns.py", "model"):
-        "char-bigram LM model in pipeline_pretrain_v2: top-LM_TOP_K rows, "
-        "<= |charset|^2 by construction (same as text.py model)",
-    ("octopusdb_spark/queries/text.py", "model"):
-        "char-bigram LM model: top-LM_TOP_K rows, <= |charset|^2 by construction",
+    ("octopusdb_spark/queries/text.py", "lm_model"):
+        "char-bigram LM model (shared builder): top-LM_TOP_K rows, "
+        "<= |charset|^2 by construction",
     ("octopusdb_spark/queries/scale_patterns.py", "offsets"):
         "one row per pack bucket (bucket totals, not docs)",
     ("octopusdb_spark/queries/advanced.py", "axis"):
