@@ -209,8 +209,11 @@ class OctopusDB:
     def run_value_log_gc(self, discard_ratio: float = 0.5, now: int | None = None) -> list:
         return self.kv.gc_values(discard_ratio=discard_ratio, now=now)
 
-    def compact(self, now: int | None = None) -> None:
-        self.kv.compact(now=now)
+    def compact(self, now: int | None = None, drop_where=None) -> None:
+        """Full compaction; ``drop_where`` (a Column predicate) is the
+        RocksDB CompactionFilter analog — matching rows are purged unless
+        a registered snapshot hold still sees them. See KVStore.compact."""
+        self.kv.compact(now=now, drop_where=drop_where)
 
     def prune_history(self, keep_versions: int = 2) -> dict:
         """Retention sweep: bound time-travel depth and reclaim segment

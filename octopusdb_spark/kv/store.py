@@ -583,7 +583,9 @@ class KVStore:
         + version dedup (`kv/lsm/iterator.go:314-319,356-366`)."""
         return self._newest_of(self.raw_df(segs))
 
-    def _retained_df(self, segs: list | None = None) -> DataFrame:
+    def _retained_df(
+        self, segs: list | None = None, with_protected: bool = False
+    ) -> DataFrame:
         """Rows some CURRENT read horizon can still see: the newest version
         per key plus, for every held snapshot seq h (``hold_snapshot``),
         the version an ``as_of=h`` read resolves — MVCC boundary-version
@@ -595,12 +597,19 @@ class KVStore:
         O(live keys)). With holds, one window pass ranks versions per key:
         a row is a boundary for hold h iff its seq <= h and every
         (version, seq)-newer row has seq > h — i.e. h falls in
-        [row.seq, min seq of newer rows)."""
+        [row.seq, min seq of newer rows).
+
+        ``with_protected=True`` adds a boolean ``_protected`` column:
+        whether the row is VISIBLE to some held snapshot (it is the
+        candidate an ``as_of=h`` read resolves for some hold h). A
+        compaction filter must not touch protected rows — the RocksDB
+        rule that the filter is never invoked on snapshot-visible keys."""
         held = sorted(
             {int(v) for v in (self.manifest.state.held_snapshots or {}).values()}
         )
         if not held:
-            return self.latest_df(segs)
+            out = self.latest_df(segs)
+            return out.withColumn("_protected", F.lit(False)) if with_protected else out
         from pyspark.sql import Window
 
         w_desc = Window.partitionBy("key").orderBy(F.desc("version"), F.desc("seq"))
@@ -614,7 +623,10 @@ class KVStore:
             lambda h: (F.col("seq") <= h)
             & (F.col("_mp").isNull() | (F.col("_mp") > h)),
         )
-        return base.filter(F.col("_mp").isNull() | is_boundary).drop("_mp")
+        out = base.filter(F.col("_mp").isNull() | is_boundary)
+        if with_protected:
+            out = out.withColumn("_protected", is_boundary)
+        return out.drop("_mp")
 
     def _drop_dead_rows(self, df: DataFrame, dead, held: bool) -> DataFrame:
         """Drop dead rows (tombstones / expired / caller-scoped) from a
@@ -1627,7 +1639,12 @@ class KVStore:
             "value_segments_merged": merged,
         }
 
-    def compact(self, now: int | None = None, target_segments: int = 4) -> None:
+    def compact(
+        self,
+        now: int | None = None,
+        target_segments: int = 4,
+        drop_where=None,
+    ) -> None:
         """Full-keyspace compaction: one merged, deduped, range-partitioned
         bottom-level run. Tombstones + expired rows are physically dropped —
         legal exactly because the whole keyspace participates (the
@@ -1642,18 +1659,68 @@ class KVStore:
         resurrect that version in the live view. Range tombstones follow
         the same retention rule as leveled compaction — clearable ones
         (no held snapshot below their seq) apply physically and clear;
-        held ones stay listed and their covered rows stay on disk."""
+        held ones stay listed and their covered rows stay on disk.
+
+        ``drop_where``: optional Column predicate — the RocksDB
+        CompactionFilter analog: rows it matches are purged during this
+        compaction as if deleted. Semantics: (a) snapshot-protected rows
+        (visible to some registered hold) are NEVER filtered — the
+        RocksDB rule; (b) a matching row with nothing retained beneath
+        it is physically dropped; (c) a matching row that still shadows
+        a retained older version is rewritten as a TOMBSTONE (the Del it
+        implies), so the older version cannot resurrect in the live
+        view. Like RocksDB, filter drops happen outside the CDC
+        timeline: they stamp no new seq, so ``changes_since`` from a
+        pre-compaction snapshot does not emit delete events for them —
+        ship feeds before filtering, exactly the full-``compact``
+        retention caveat."""
         now = int(time.time()) if now is None else now
         state = self.manifest.state
         old = state.data_segments()
         if not old:
             return
         held = self.oldest_held_seq() is not None
-        merged = self._retained_df(old)
-        dead = (F.col("value").isNull() & F.col("value_ptr").isNull()) | (
+        merged = self._retained_df(old, with_protected=drop_where is not None)
+        dead_nat = (F.col("value").isNull() & F.col("value_ptr").isNull()) | (
             (F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(now))
         )
+        if drop_where is not None:
+            # evaluate the filter ONCE per row before any mutation: the
+            # predicate may reference value/meta columns the tombstone
+            # rewrite below changes
+            merged = merged.withColumn(
+                "_elig", drop_where & ~F.col("_protected") & ~dead_nat
+            )
+            dead = dead_nat | F.col("_elig")
+        else:
+            dead = dead_nat
         merged = self._drop_dead_rows(merged, dead, held)
+        if drop_where is not None:
+            # surviving filtered rows still shadow retained older
+            # versions — rewrite them as tombstones, never as live values
+            merged = (
+                merged.withColumn(
+                    "value",
+                    F.when(F.col("_elig"), F.lit(None).cast("binary")).otherwise(
+                        F.col("value")
+                    ),
+                )
+                .withColumn(
+                    "value_ptr",
+                    F.when(F.col("_elig"), F.lit(None).cast("string")).otherwise(
+                        F.col("value_ptr")
+                    ),
+                )
+                .withColumn(
+                    "meta",
+                    F.when(F.col("_elig"), F.lit(BIT_DELETE)).otherwise(
+                        F.col("meta")
+                    ),
+                )
+                .select(*[f.name for f in self._schema.fields])
+            )
+        elif "_protected" in merged.columns:
+            merged = merged.select(*[f.name for f in self._schema.fields])
         clearable, kept_rts = self._split_rts_by_retention(state.range_tombstones)
         # apply clearable range tombstones physically — the whole keyspace
         # participates, so every covered version is here to drop, and the

@@ -50,6 +50,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 8 (head-insert at add time, per protocol)
+    "kv_compaction_filter",    # RocksDB CompactionFilter analog
     "pipeline_pretrain_v2",    # modern composed chain (LM/span/mix stages)
     "stream_lm_filter",        # in-stream LM scoring vs the batch model
     "text_dup_spans",          # cross-doc exact-substring span dedup
@@ -75,10 +76,10 @@ _PRIORITY = [
     "kv_changefeed",           # changes_since expansion prune (ADVICE r7)
     "kv_version_history",      # at_version time travel over new manifests
     "kv_value_separation",     # values-join path under the cache lock
-    "kv_stream_enrich",        # stream-static enrichment over the store
     # (fills q_window_family, q9_profit_shape, graph_components,
-    # graph_triangles displaced by the kv_stream_replication,
-    # text_dup_spans, stream_lm_filter, pipeline_pretrain_v2 head-inserts)
+    # graph_triangles, kv_stream_enrich displaced by the
+    # kv_stream_replication, text_dup_spans, stream_lm_filter,
+    # pipeline_pretrain_v2, kv_compaction_filter head-inserts)
 ]
 
 

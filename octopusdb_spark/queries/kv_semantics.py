@@ -620,7 +620,65 @@ def q_kv_snapshot_holds(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_kv_compaction_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction filter (the RocksDB CompactionFilter analog) run FOR
+    REAL under the gate: customer rows bulk-load, then a full compaction
+    with ``drop_where`` = (key number % 4 == 0) runs TWICE. First while
+    a registered hold can see every row — the filter must touch NOTHING
+    (snapshot-protected rows are exempt, the RocksDB rule), asserted
+    in-query on the live count. Then after release — matching rows purge
+    physically, asserted on the raw segment rows (no tombstones left
+    behind: nothing retained lies beneath them). The checked output is
+    the post-purge live view."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from octopusdb_spark.kv.store import KVStore
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 60)
+        .select(
+            F.concat(
+                F.lit("f"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+            ).alias("key"),
+            F.col("c_name").cast("binary").alias("value"),
+        )
+    )
+    drop_where = F.substring(F.col("key"), 2, 6).cast("int") % 4 == 0
+    base = tempfile.mkdtemp(prefix=f"kv_cfilter_{uuid.uuid4().hex[:12]}_")
+    try:
+        store = KVStore(spark, f"{base}/kv")
+        n_keys = store.ingest_df(cust, target_segments=2)
+        snap = store.snapshot_seq()
+        store.hold_snapshot("reader", seq=snap)
+        store.compact(now=NOW, drop_where=drop_where)
+        if store.view(now=NOW).count() != n_keys:
+            raise RuntimeError("filter touched snapshot-protected rows")
+        store.release_snapshot("reader")
+        store.compact(now=NOW, drop_where=drop_where)
+        raw_matching = store.raw_df().filter(drop_where).count()
+        if raw_matching != 0:
+            raise RuntimeError(
+                f"{raw_matching} filtered rows survived physically after release"
+            )
+        live = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in store.view(now=NOW).collect()
+        )
+        return spark.createDataFrame(live, "key string, value string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 ORACLES = {
+    "kv_compaction_filter": """
+        SELECT 'f' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
+               c_name AS value
+        FROM customer
+        WHERE c_custkey <= 60 AND c_custkey % 4 != 0
+        ORDER BY key""",
     "kv_snapshot_holds": """
         SELECT 'h' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
                c_name AS value
@@ -743,4 +801,5 @@ QUERIES = {
     "kv_replication": q_kv_replication,
     "kv_range_delete": q_kv_range_delete,
     "kv_snapshot_holds": q_kv_snapshot_holds,
+    "kv_compaction_filter": q_kv_compaction_filter,
 }

@@ -1182,3 +1182,44 @@ def test_kv_model_with_holds_and_range_deletes(spark, tmp_path):
             assert as_of == visible(snap_model), (ops, holder, "post-compact", as_of)
 
     check()
+
+
+def test_compaction_filter_semantics(spark, tmp_path):
+    """compact(drop_where=...) — the RocksDB CompactionFilter analog:
+    matching rows purge physically when nothing retained lies beneath,
+    rewrite as tombstones when they shadow a retained older version, and
+    are NEVER touched while a registered hold can still see them."""
+    from pyspark.sql import functions as F
+
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch(
+        [Entry("keep1", b"x"), Entry("drop1", b"PURGE-me"), Entry("drop2", b"PURGE-2")]
+    )
+    # no holds: physical purge, no trace in raw rows
+    store.compact(now=NOW, drop_where=F.col("value").cast("string").startswith("PURGE"))
+    assert {r["key"] for r in store.view(now=NOW).collect()} == {"keep1"}
+    assert {r["key"] for r in store.raw_df().collect()} == {"keep1"}
+
+    # held: the filter must not touch rows the hold still sees
+    store.set_batch([Entry("drop3", b"PURGE-3"), Entry("keep2", b"y")])
+    snap = store.snapshot_seq()
+    store.hold_snapshot("reader", seq=snap)
+    store.compact(now=NOW, drop_where=F.col("value").cast("string").startswith("PURGE"))
+    assert store.get("drop3", now=NOW).value == b"PURGE-3"  # protected, live
+    assert store.get("drop3", now=NOW, as_of=snap).value == b"PURGE-3"
+
+    # shadowing: overwrite drop3 with a filter-matching NEWER version —
+    # the newer version is unprotected (written after the hold), so the
+    # filter tombstones it; the held boundary version survives beneath
+    store.set_batch([Entry("drop3", b"PURGE-new")])
+    store.compact(now=NOW, drop_where=F.col("value").cast("string").startswith("PURGE"))
+    assert store.get("drop3", now=NOW) is None  # live view: deleted
+    assert store.get("drop3", now=NOW, as_of=snap).value == b"PURGE-3"  # held intact
+    raw = {r["key"]: r["value"] is None for r in store.raw_df().collect()
+           if r["key"] == "drop3" and r["seq"] > snap}
+    assert raw == {"drop3": True}  # the newer version became a tombstone
+    # release: the next filtered compaction purges every trace
+    store.release_snapshot("reader")
+    store.compact(now=NOW, drop_where=F.col("value").cast("string").startswith("PURGE"))
+    assert {r["key"] for r in store.raw_df().collect()} == {"keep1", "keep2"}
+    assert store.get("drop3", now=NOW, as_of=snap) is None
