@@ -37,7 +37,12 @@ batched point reads, ``view/scan(at_version=)`` time travel over retained
 manifests with ``prune_history`` retention, ``clone_to`` consistent
 backup/branching, ``compact_range`` hot-range maintenance,
 ``maintenance_tick`` (compaction + GC cycle), binary (opaque bytes) key
-mode, and idempotent tagged ingest for exactly-once streaming.
+mode, idempotent tagged ingest for exactly-once streaming,
+``delete_range`` O(1) range tombstones, ``hold_snapshot`` tracked
+snapshot holds with snapshot-aware maintenance everywhere (the Badger
+minReadTs analog), a snapshot-safe compaction filter
+(``compact(drop_where=...)``), and changefeed replication
+(``changes_since``/``apply_changes``, batch and continuous).
 
 Scale notes (100 TB design): every operation is a declarative DataFrame plan —
 no driver-side row loops. Point reads prune segments via manifest min/max
