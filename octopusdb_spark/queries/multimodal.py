@@ -43,7 +43,50 @@ def q_multimodal_chunking(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan run under the gate: documents stand in as
+    typed media rows (doc_id % 3 == 2 -> video, duration = n_chars * 10 ms),
+    `functions/multimodal.py::frame_sample_plan` explodes each video's
+    sample timeline (every 250 ms, metadata only — no decode), and the
+    checked output is the per-media frame manifest (count, first/last ts).
+    The decode of each sampled frame rides the same mapInPandas path as
+    `extract_features`; at 100 TB the plan stage is a pure metadata
+    projection + explode, embarrassingly parallel."""
+    from octopusdb_spark.functions.multimodal import frame_sample_plan
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        (F.col("n_chars") * 10).cast("long").alias("meta_duration_ms"),
+    )
+    frames = frame_sample_plan(media, every_ms=250)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.min("frame_ts_ms").cast("long").alias("first_ts"),
+            F.max("frame_ts_ms").cast("long").alias("last_ts"),
+        )
+        .orderBy("media_id")
+    )
+
+
 ORACLES = {
+    "multimodal_frame_sample": """
+        SELECT doc_id AS media_id,
+               CAST((n_chars * 10) // 250 + 1 AS BIGINT) AS n_frames,
+               CAST(0 AS BIGINT) AS first_ts,
+               CAST(((n_chars * 10) // 250) * 250 AS BIGINT) AS last_ts
+        FROM documents
+        WHERE doc_id % 3 = 2
+        ORDER BY media_id""",
     "multimodal_bytes": """
         SELECT doc_id,
                octet_length(encode(text)) AS byte_len,
@@ -63,4 +106,5 @@ ORACLES = {
 QUERIES = {
     "multimodal_bytes": q_multimodal_bytes,
     "multimodal_chunking": q_multimodal_chunking,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
