@@ -1678,7 +1678,14 @@ class KVStore:
         timeline: they stamp no new seq, so ``changes_since`` from a
         pre-compaction snapshot does not emit delete events for them —
         ship feeds before filtering, exactly the full-``compact``
-        retention caveat."""
+        retention caveat.
+
+        The predicate sees the RESOLVED value: for value-separated rows
+        (payload in the values table, main-row ``value`` NULL) the
+        ``value`` column is substituted with the joined payload before
+        evaluation, exactly what a RocksDB filter is handed. A predicate
+        evaluating to NULL counts as not-matching (rows are never purged
+        on an unknown)."""
         now = int(time.time()) if now is None else now
         state = self.manifest.state
         old = state.data_segments()
@@ -1690,12 +1697,27 @@ class KVStore:
             (F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(now))
         )
         if drop_where is not None:
-            # evaluate the filter ONCE per row before any mutation: the
-            # predicate may reference value/meta columns the tombstone
-            # rewrite below changes
-            merged = merged.withColumn(
-                "_elig", drop_where & ~F.col("_protected") & ~dead_nat
+            # the filter sees the RESOLVED value (RocksDB hands the
+            # filter the value, not a pointer): temporarily substitute
+            # separated payloads into the value column, evaluate ONCE per
+            # row, then restore — the written rows keep their original
+            # value/value_ptr layout
+            vals = self._values_join_side(state.value_segments())
+            merged = (
+                merged.withColumn("_orig_value", F.col("value"))
+                .join(vals, F.col("value_ptr") == F.col("value_id"), "left")
+                .withColumn("value", F.coalesce(F.col("value"), F.col("big_value")))
             )
+            # NULL-evaluating predicates count as NOT matching: without
+            # the coalesce, dead = dead_nat | NULL stays NULL and both
+            # _drop_dead_rows paths would treat the row as dead —
+            # silently purging rows the filter never matched
+            merged = merged.withColumn(
+                "_elig",
+                F.coalesce(drop_where, F.lit(False))
+                & ~F.col("_protected")
+                & ~dead_nat,
+            ).withColumn("value", F.col("_orig_value"))
             dead = dead_nat | F.col("_elig")
         else:
             dead = dead_nat
@@ -1724,8 +1746,6 @@ class KVStore:
                 )
                 .select(*[f.name for f in self._schema.fields])
             )
-        elif "_protected" in merged.columns:
-            merged = merged.select(*[f.name for f in self._schema.fields])
         clearable, kept_rts = self._split_rts_by_retention(state.range_tombstones)
         # apply clearable range tombstones physically — the whole keyspace
         # participates, so every covered version is here to drop, and the

@@ -1223,3 +1223,33 @@ def test_compaction_filter_semantics(spark, tmp_path):
     store.compact(now=NOW, drop_where=F.col("value").cast("string").startswith("PURGE"))
     assert {r["key"] for r in store.raw_df().collect()} == {"keep1", "keep2"}
     assert store.get("drop3", now=NOW, as_of=snap) is None
+
+
+def test_compaction_filter_sees_separated_values_and_null_is_not_match(spark, tmp_path):
+    """Review fixes pinned: (1) drop_where sees the RESOLVED value — a
+    value-separated row whose payload matches is purged even though its
+    main-row value column is NULL; (2) a predicate evaluating to SQL NULL
+    counts as not-matching — rows are never purged on an unknown."""
+    from pyspark.sql import functions as F
+
+    store = KVStore(spark, str(tmp_path / "kv"), value_threshold=64)
+    big_purge = b"PURGE-" + b"x" * 4096  # separated payload, filter-matching
+    big_keep = b"KEEP-" + b"y" * 4096
+    store.set_batch(
+        [Entry("sep-drop", big_purge), Entry("sep-keep", big_keep), Entry("small", b"z")]
+    )
+    pred = F.col("value").cast("string").startswith("PURGE")
+    # 'small' = b"z": predicate false; separated rows: resolved payloads
+    store.compact(now=NOW, drop_where=pred)
+    live = {r["key"] for r in store.view(now=NOW).collect()}
+    assert live == {"sep-keep", "small"}
+    assert store.get("sep-keep", now=NOW).value == big_keep  # payload intact
+    # an always-NULL predicate must purge NOTHING (pre-fix it purged
+    # every row: dead = dead_nat | NULL stayed NULL and filter(~dead)
+    # kept only TRUE rows)
+    null_pred = F.when(F.length(F.col("value")) < 0, True).otherwise(
+        F.lit(None).cast("boolean")
+    )
+    before = {r["key"] for r in store.view(now=NOW).collect()}
+    store.compact(now=NOW, drop_where=null_pred)
+    assert {r["key"] for r in store.view(now=NOW).collect()} == before
