@@ -1253,3 +1253,97 @@ def test_compaction_filter_sees_separated_values_and_null_is_not_match(spark, tm
     before = {r["key"] for r in store.view(now=NOW).collect()}
     store.compact(now=NOW, drop_where=null_pred)
     assert {r["key"] for r in store.view(now=NOW).collect()} == before
+
+
+def test_kv_model_with_compaction_filter(spark, tmp_path):
+    """Model-based check of the compaction filter under holds: random
+    interleavings of writes (every value unique, some value-separated),
+    deletes, hold/release, and filtered full compactions. The model rule
+    mirrors the documented semantics exactly: a live key is purged by
+    compact(drop_where=startswith(p)) iff its current value matches p AND
+    no held snapshot can still see that exact version (unique values make
+    version identity observable) — and every held as-of view must equal
+    the model captured at hold time regardless of how many filtered
+    compactions ran since."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    KEYS = [f"k{i}" for i in range(5)]
+    HOLDERS = ["h0", "h1"]
+    PREFIXES = ["pa", "pb"]
+
+    write = st.tuples(
+        st.just("set"),
+        st.sampled_from(KEYS),
+        st.sampled_from(PREFIXES + ["zz"]),
+        st.booleans(),  # big -> value-separated
+    )
+    op = st.one_of(
+        write,
+        st.tuples(st.just("del"), st.sampled_from(KEYS)),
+        st.tuples(st.just("hold"), st.sampled_from(HOLDERS)),
+        st.tuples(st.just("release"), st.sampled_from(HOLDERS)),
+        st.tuples(st.just("cfilter"), st.sampled_from(PREFIXES)),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(ops=st.lists(op, min_size=4, max_size=12))
+    def check(ops):
+        counter[0] += 1
+        store = KVStore(spark, str(tmp_path / f"cf{counter[0]}"), value_threshold=64)
+        model: dict = {}
+        held: dict = {}
+        batch: list = []
+        wcount = [0]
+
+        def flush():
+            if batch:
+                store.set_batch(list(batch))
+                batch.clear()
+
+        for o in ops:
+            if o[0] == "set":
+                _, k, pfx, big = o
+                wcount[0] += 1
+                v = f"{pfx}-{wcount[0]}".encode() + (b"B" * 2000 if big else b"")
+                batch.append(Entry(k, v))
+                model[k] = v
+            elif o[0] == "del":
+                batch.append(Entry(o[1], None))
+                model.pop(o[1], None)
+            elif o[0] == "hold":
+                flush()
+                store.hold_snapshot(o[1])
+                held[o[1]] = dict(model)
+            elif o[0] == "release":
+                store.release_snapshot(o[1])
+                held.pop(o[1], None)
+            else:  # cfilter
+                flush()
+                pfx = o[1]
+                store.compact(
+                    now=NOW,
+                    drop_where=F.col("value").cast("string").startswith(pfx),
+                )
+                for k in list(model):
+                    protected = any(hm.get(k) == model[k] for hm in held.values())
+                    if model[k].decode().startswith(pfx) and not protected:
+                        model.pop(k)
+        flush()
+        live = {r["key"]: bytes(r["value"]) for r in store.view(now=NOW).collect()}
+        assert live == model, (ops, live, model)
+        for holder, snap_model in held.items():
+            seq = store.manifest.state.held_snapshots[holder]
+            as_of = {
+                r["key"]: bytes(r["value"])
+                for r in store.view(now=NOW, as_of=seq).collect()
+            }
+            assert as_of == snap_model, (ops, holder, as_of, snap_model)
+
+    check()
