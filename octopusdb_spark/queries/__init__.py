@@ -50,6 +50,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 8 (head-insert at add time, per protocol)
+    "graph_kcore",             # iterative peeling with convergence assert
     "multimodal_frame_sample", # frame-sampling plan under the gate
     "kv_compaction_filter",    # RocksDB CompactionFilter analog
     "pipeline_pretrain_v2",    # modern composed chain (LM/span/mix stages)
@@ -75,11 +76,11 @@ _PRIORITY = [
     "q_stream_rollup", "q_stream_interval_join",
     # fills: r6-stale queries on code paths round 8 touches first
     "kv_changefeed",           # changes_since expansion prune (ADVICE r7)
-    "kv_version_history",      # at_version time travel over new manifests
     # (fills q_window_family, q9_profit_shape, graph_components,
-    # graph_triangles, kv_stream_enrich, kv_value_separation displaced by
-    # the kv_stream_replication, text_dup_spans, stream_lm_filter,
-    # pipeline_pretrain_v2, kv_compaction_filter, multimodal_frame_sample
+    # graph_triangles, kv_stream_enrich, kv_value_separation,
+    # kv_version_history displaced by the kv_stream_replication,
+    # text_dup_spans, stream_lm_filter, pipeline_pretrain_v2,
+    # kv_compaction_filter, multimodal_frame_sample, graph_kcore
     # head-inserts)
 ]
 

@@ -359,7 +359,124 @@ ORACLES = {
     FROM edges GROUP BY src ORDER BY node""",
 }
 
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition by iterative peeling: repeatedly remove nodes
+    whose degree inside the surviving subgraph falls below k until a
+    fixpoint — the standard dense-subgraph / influence-core analytic.
+    k adapts to the data as min_degree + 5 (a 1-row scalar broadcast, so
+    the query is meaningful at every SF of the synthetic graph). Four
+    fixed peel rounds with lineage checkpoints (the graph_components
+    pattern — fixed depth keeps the oracle an unrolled CTE chain) plus an
+    IN-QUERY convergence assertion: if round 4 still peeled anything the
+    query throws and the driver row goes red rather than hashing a
+    non-fixpoint. Output: each core member with its degree inside the
+    core.
+
+    100 TB shape: each round is one node-keyed semi-join pair + one
+    degree agg over the SHRINKING survivor set — no global window, no
+    collect (k is a broadcast 1-row min)."""
+    e = edges(spark, sf_dir)
+    und = (
+        e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .union(
+            e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .filter(F.col("src") != F.col("dst"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    deg0 = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    kdf = deg0.agg((F.min("d") + F.lit(5)).alias("k"))
+    nodes = (
+        deg0.join(F.broadcast(kdf))
+        .filter(F.col("d") >= F.col("k"))
+        .select("node")
+        .localCheckpoint(eager=True)
+    )
+    prev_ckpt = nodes
+    for _ in range(3):
+        within = und.join(
+            nodes.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
+        deg = within.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("d")
+        )
+        nodes = (
+            deg.join(F.broadcast(kdf))
+            .filter(F.col("d") >= F.col("k"))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        prev_ckpt.unpersist()
+        prev_ckpt = nodes
+    # one extra peel must be a no-op, else 4 rounds did not reach the
+    # fixpoint and the "k-core" below would be a lie
+    within = und.join(
+        nodes.select(F.col("node").alias("src")), "src", "left_semi"
+    ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
+    final_deg = within.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("core_degree")
+    )
+    still = (
+        final_deg.join(F.broadcast(kdf))
+        .filter(F.col("core_degree") < F.col("k"))
+        .count()
+    )
+    if still != 0:
+        raise RuntimeError(
+            f"k-core peeling did not converge in 4 rounds ({still} under-k nodes)"
+        )
+    und.unpersist()
+    return final_deg.select("node", "core_degree").orderBy("node")
+
+
+def _kcore_sql() -> str:
+    """Unrolled 4-round peel, same k = min_degree + 5 rule."""
+    rounds = []
+    for i in range(1, 5):
+        rounds.append(
+            f"""n{i} AS (
+              SELECT node FROM {'deg0' if i == 1 else f'd{i-1}'}, kval
+              WHERE d >= k
+            ),
+            e{i} AS (
+              SELECT u.src, u.dst FROM und u
+              JOIN n{i} a ON u.src = a.node
+              JOIN n{i} b ON u.dst = b.node
+            ),
+            d{i} AS (
+              SELECT src AS node, count(*) AS d FROM e{i} GROUP BY src
+            )"""
+        )
+    joined = ",\n".join(rounds)
+    return f"""
+        WITH edges AS (
+          SELECT DISTINCT user_id AS src,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+          FROM events
+        ),
+        und AS (
+          SELECT src, dst FROM edges
+           WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
+          UNION
+          SELECT dst, src FROM edges
+           WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
+        ),
+        deg0 AS (SELECT src AS node, count(*) AS d FROM und GROUP BY src),
+        kval AS (SELECT min(d) + 5 AS k FROM deg0),
+        {joined}
+        SELECT d4.node, d4.d AS core_degree
+        FROM d4 JOIN n4 USING (node)
+        ORDER BY d4.node"""
+
+
+# _kcore_sql is defined below the ORACLES literal; register it here
+ORACLES["graph_kcore"] = _kcore_sql()
+
 QUERIES = {
+    "graph_kcore": q_graph_kcore,
     "graph_degrees": q_graph_degrees,
     "graph_mutual_follows": q_graph_mutual_follows,
     "graph_two_hop": q_graph_two_hop,

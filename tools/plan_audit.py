@@ -123,6 +123,8 @@ HINT_ALLOWED_SCOPED = {
     (_TPCH, "avg_bal"): "1-row global avg",
     (_TPCH, "total"): "1-row global total",
     ("octopusdb_spark/queries/analytics_extra.py", "max_w"): "1-row global max",
+    ("octopusdb_spark/queries/graph.py", "kdf"):
+        "1-row k threshold (global min degree + constant)",
     ("octopusdb_spark/queries/kv_semantics.py", "cut"): "1-row snapshot cutoff",
     ("octopusdb_spark/queries/scale_patterns.py", "target"): "1-row global min",
     ("octopusdb_spark/queries/scale_patterns.py", "tot"):
