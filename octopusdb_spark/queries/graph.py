@@ -376,59 +376,66 @@ def q_graph_kcore(spark, sf_dir):
     degree agg over the SHRINKING survivor set — no global window, no
     collect (k is a broadcast 1-row min)."""
     e = edges(spark, sf_dir)
+    clean = e.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).filter(F.col("src") != F.col("dst"))
     und = (
-        e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .filter(F.col("src") != F.col("dst"))
-        .union(
-            e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-            .filter(F.col("src") != F.col("dst"))
-            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        clean.union(clean.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .cache()
     )
-    deg0 = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-    kdf = deg0.agg((F.min("d") + F.lit(5)).alias("k"))
-    nodes = (
-        deg0.join(F.broadcast(kdf))
-        .filter(F.col("d") >= F.col("k"))
-        .select("node")
-        .localCheckpoint(eager=True)
-    )
-    prev_ckpt = nodes
-    for _ in range(3):
-        within = und.join(
-            nodes.select(F.col("node").alias("src")), "src", "left_semi"
-        ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
-        deg = within.groupBy(F.col("src").alias("node")).agg(
-            F.count("*").alias("d")
+    try:
+        deg0 = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+        # freeze the 1-row threshold: without the checkpoint each of its
+        # broadcast uses (initial filter, 3 rounds, still-count) re-runs
+        # the full degree aggregation just to rebuild one number
+        kdf = deg0.agg((F.min("d") + F.lit(5)).alias("k")).localCheckpoint(
+            eager=True
         )
         nodes = (
-            deg.join(F.broadcast(kdf))
+            deg0.join(F.broadcast(kdf))
             .filter(F.col("d") >= F.col("k"))
             .select("node")
             .localCheckpoint(eager=True)
         )
-        prev_ckpt.unpersist()
         prev_ckpt = nodes
-    # one extra peel must be a no-op, else 4 rounds did not reach the
-    # fixpoint and the "k-core" below would be a lie
-    within = und.join(
-        nodes.select(F.col("node").alias("src")), "src", "left_semi"
-    ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
-    final_deg = within.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("core_degree")
-    )
-    still = (
-        final_deg.join(F.broadcast(kdf))
-        .filter(F.col("core_degree") < F.col("k"))
-        .count()
-    )
-    if still != 0:
-        raise RuntimeError(
-            f"k-core peeling did not converge in 4 rounds ({still} under-k nodes)"
+        for _ in range(3):
+            within = und.join(
+                nodes.select(F.col("node").alias("src")), "src", "left_semi"
+            ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
+            deg = within.groupBy(F.col("src").alias("node")).agg(
+                F.count("*").alias("d")
+            )
+            nodes = (
+                deg.join(F.broadcast(kdf))
+                .filter(F.col("d") >= F.col("k"))
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
+            prev_ckpt.unpersist()
+            prev_ckpt = nodes
+        # one extra peel must be a no-op, else 4 rounds did not reach the
+        # fixpoint and the "k-core" below would be a lie. final_deg is
+        # checkpointed BEFORE und is released, so the returned frame (and
+        # the still-count) never recompute the peel from raw events.
+        within = und.join(
+            nodes.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
+        final_deg = within.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("core_degree")
+        ).localCheckpoint(eager=True)
+        still = (
+            final_deg.join(F.broadcast(kdf))
+            .filter(F.col("core_degree") < F.col("k"))
+            .count()
         )
-    und.unpersist()
+        if still != 0:
+            raise RuntimeError(
+                f"k-core peeling did not converge in 4 rounds ({still} under-k nodes)"
+            )
+    finally:
+        und.unpersist()  # red path must not leak the cached edge set
+    prev_ckpt.unpersist()  # final_deg is materialized; survivors frame free
     return final_deg.select("node", "core_degree").orderBy("node")
 
 
@@ -451,25 +458,26 @@ def _kcore_sql() -> str:
             )"""
         )
     joined = ",\n".join(rounds)
-    return f"""
-        WITH edges AS (
-          SELECT DISTINCT user_id AS src,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
-          FROM events
-        ),
-        und AS (
-          SELECT src, dst FROM edges
-           WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
-          UNION
-          SELECT dst, src FROM edges
-           WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
+    # composes the module's shared edge CTE (EDGES_SQL) like every other
+    # oracle here, so an edge-derivation change cannot desync this one.
+    # No trailing n4 re-join: every e4 endpoint is in n4 by construction.
+    return (
+        EDGES_SQL
+        + f"""
+        , und AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+             WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges
+             WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
+          )
         ),
         deg0 AS (SELECT src AS node, count(*) AS d FROM und GROUP BY src),
         kval AS (SELECT min(d) + 5 AS k FROM deg0),
         {joined}
-        SELECT d4.node, d4.d AS core_degree
-        FROM d4 JOIN n4 USING (node)
-        ORDER BY d4.node"""
+        SELECT node, d AS core_degree FROM d4 ORDER BY node"""
+    )
 
 
 # _kcore_sql is defined below the ORACLES literal; register it here

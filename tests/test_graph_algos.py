@@ -83,3 +83,35 @@ def test_pagerank_converges_and_matches_power_iteration(spark, sf_dir):
     assert set(got) == set(nodes)
     for v in nodes:
         assert abs(got[v] - rank[v]) < 1e-5, f"node {v}: {got[v]} vs {rank[v]}"
+
+
+def test_kcore_non_convergence_reddens(spark, monkeypatch):
+    """The in-query fixpoint assertion must raise when 4 peel rounds are
+    not enough — a crafted onion graph (pendant -> chain of nodes each
+    propped up by the previous one + 5 clique anchors) unravels one node
+    per round, so the 4-round peel cannot reach the fixpoint and the
+    query must redden rather than hash a non-core."""
+    import pytest as _pytest
+
+    import octopusdb_spark.queries.graph as g
+
+    edges = []
+    clique = list(range(100, 112))  # degree 11 >= k forever
+    for i, a in enumerate(clique):
+        for b in clique[i + 1 :]:
+            edges.append((a, b))
+    # chain: v0 pendant (makes min degree 1 -> k = 6); every other vi has
+    # degree exactly 6 (prev + next + 4 anchors; the tail gets 5 anchors),
+    # so each round's removal drops exactly the next node below k
+    chain = list(range(7))
+    for i in range(len(chain) - 1):
+        edges.append((chain[i], chain[i + 1]))
+    for v in chain[1:-1]:
+        for c in clique[:4]:
+            edges.append((v, c))
+    for c in clique[:5]:
+        edges.append((chain[-1], c))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    monkeypatch.setattr(g, "edges", lambda _spark, _sf: df)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        g.q_graph_kcore(spark, "unused")
