@@ -50,6 +50,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 8 (head-insert at add time, per protocol)
+    "q_join_skew_profile",     # pre-flight skew diagnostic for big joins
     "graph_kcore",             # iterative peeling with convergence assert
     "multimodal_frame_sample", # frame-sampling plan under the gate
     "kv_compaction_filter",    # RocksDB CompactionFilter analog
@@ -75,13 +76,12 @@ _PRIORITY = [
     "quality_duplicate_keys", "q_stream_sessionize", "q_stream_dedup",
     "q_stream_rollup", "q_stream_interval_join",
     # fills: r6-stale queries on code paths round 8 touches first
-    "kv_changefeed",           # changes_since expansion prune (ADVICE r7)
     # (fills q_window_family, q9_profit_shape, graph_components,
     # graph_triangles, kv_stream_enrich, kv_value_separation,
-    # kv_version_history displaced by the kv_stream_replication,
-    # text_dup_spans, stream_lm_filter, pipeline_pretrain_v2,
-    # kv_compaction_filter, multimodal_frame_sample, graph_kcore
-    # head-inserts)
+    # kv_version_history, kv_changefeed displaced by the
+    # kv_stream_replication, text_dup_spans, stream_lm_filter,
+    # pipeline_pretrain_v2, kv_compaction_filter, multimodal_frame_sample,
+    # graph_kcore, q_join_skew_profile head-inserts)
 ]
 
 

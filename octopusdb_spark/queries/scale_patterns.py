@@ -311,6 +311,38 @@ def q_pipeline_pretrain_corpus(spark, sf_dir):
     )
 
 
+def q_join_skew_profile(spark, sf_dir):
+    """Join-key skew profile — the pre-flight diagnostic that decides
+    whether a 100 TB join/aggregation on this key needs salting or AQE
+    skew handling: per-key row counts, the global skew ratio
+    (max key count / mean key count — >> 1 means one reducer drowns),
+    and the top-10 heaviest keys with their share of all rows. One keyed
+    agg + a 1-row stats broadcast + an ordered limit; at scale this runs
+    BEFORE the expensive join, on the key column alone (column pruning
+    keeps the scan narrow)."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        top.join(F.broadcast(stats))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(dbl("n") / dbl("total_rows"), 6).alias("share"),
+            F.round(dbl("max_n") * dbl("n_keys") / dbl("total_rows"), 6).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("user_id"))
+    )
+
+
 def mixture_rates(counts_df):
     """(source, n) -> (source, n, w, w_tot, budget): quantized sqrt
     weights (round(sqrt(n) * 1e6) — IEEE sqrt is correctly rounded, so
@@ -503,6 +535,27 @@ def q_domain_mixture(spark, sf_dir):
 
 
 ORACLES = {
+    "q_join_skew_profile": """
+        WITH c AS (
+          SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        ),
+        s AS (
+          SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(n) AS BIGINT) AS max_n
+          FROM c
+        ),
+        top AS (
+          SELECT user_id, n FROM c ORDER BY n DESC, user_id ASC LIMIT 10
+        )
+        SELECT t.user_id,
+               CAST(t.n AS BIGINT) AS n_rows,
+               round(CAST(t.n AS DOUBLE) / CAST(s.total_rows AS DOUBLE), 6)
+                 AS share,
+               round(CAST(s.max_n AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+                       / CAST(s.total_rows AS DOUBLE), 6) AS skew_ratio
+        FROM top t, s
+        ORDER BY n_rows DESC, user_id ASC""",
     "pipeline_pretrain_v2": f"""
         WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents),
         bex AS (
@@ -776,4 +829,5 @@ QUERIES = {
     "q_train_val_split": q_train_val_split,
     "q_domain_mixture": q_domain_mixture,
     "pipeline_pretrain_v2": q_pipeline_pretrain_v2,
+    "q_join_skew_profile": q_join_skew_profile,
 }

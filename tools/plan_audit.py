@@ -66,6 +66,7 @@ ALLOWED_CARTESIAN = {
     "q_time_gapfill": "dense bucket axis x event types: days*5 rows, broadcast",
     "q_source_balanced_sample": "global-min target scalar subquery (1-row broadcast)",
     "q_domain_mixture": "corpus-totals scalar subquery (1-row broadcast)",
+    "q_join_skew_profile": "key-stats scalar subquery (1-row broadcast)",
     "pipeline_pretrain_v2": "survivor-totals scalar subquery (1-row broadcast), inherited from the q_domain_mixture stage",
     "pipeline_pretrain_corpus": "global-min sample-target scalar subquery (1-row broadcast), inherited from the q_source_balanced_sample stage",
 }
@@ -129,6 +130,8 @@ HINT_ALLOWED_SCOPED = {
     ("octopusdb_spark/queries/scale_patterns.py", "target"): "1-row global min",
     ("octopusdb_spark/queries/scale_patterns.py", "tot"):
         "1-row corpus totals (sum of per-source counts/weights)",
+    ("octopusdb_spark/queries/scale_patterns.py", "stats"):
+        "1-row key statistics (total/count/max of per-key counts)",
     ("octopusdb_spark/queries/text.py", "lm_model"):
         "char-bigram LM model (shared builder): top-LM_TOP_K rows, "
         "<= |charset|^2 by construction",
