@@ -50,6 +50,7 @@ for _m in _MODULES:
 # entry), not next round.
 _PRIORITY = [
     # added round 8 (head-insert at add time, per protocol)
+    "text_langid_ngram",       # TextCat trigram-profile language ID
     "q_join_skew_profile",     # pre-flight skew diagnostic for big joins
     "graph_kcore",             # iterative peeling with convergence assert
     "multimodal_frame_sample", # frame-sampling plan under the gate
@@ -72,7 +73,10 @@ _PRIORITY = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "sim_topk_cosine", "sim_ann_bucketed",
     "sim_ann_ivf", "sim_label_centroids", "dedup_embedding_cosine",
-    "multimodal_bytes", "multimodal_chunking", "quality_column_profile",
+    # (multimodal_bytes displaced by the text_langid_ngram head-insert —
+    # the multimodal family is freshly covered by multimodal_frame_sample
+    # and multimodal_chunking this round)
+    "multimodal_chunking", "quality_column_profile",
     "quality_duplicate_keys", "q_stream_sessionize", "q_stream_dedup",
     "q_stream_rollup", "q_stream_interval_join",
     # fills: r6-stale queries on code paths round 8 touches first

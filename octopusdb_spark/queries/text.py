@@ -440,6 +440,79 @@ def q_text_lm_score(spark, sf_dir):
     )
 
 
+# TextCat profile size: per-language and per-document trigram rank lists.
+LANGID_K = 20
+
+
+def q_text_langid_ngram(spark, sf_dir):
+    """Language-ID by character-trigram profiles — the actual TextCat /
+    n-gram-profile algorithm (Cavnar & Trenkle) rather than the marker-
+    word heuristic of `text_langid`: each language's profile is its
+    top-K trigrams by frequency (rank list), each document is its own
+    top-K rank list, and the predicted language minimizes the
+    out-of-place distance (sum of |doc rank − profile rank|, missing
+    trigram = K + 1) with a deterministic tie-break. Output: the
+    (actual, predicted) confusion counts.
+
+    Plan shapes at 100 TB: one trigram explode feeding two keyed
+    rank windows (per language, per document — never global), profiles
+    are K x |languages| rows, the distance join fans each document's K
+    trigrams out by the bounded language list (broadcast) and left-joins
+    the tiny profile table; argmin is a doc-keyed window."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("txt")
+    )
+    trigrams = F.expr(
+        """CASE WHEN length(txt) >= 3
+                THEN transform(sequence(1, length(txt) - 2),
+                               i -> substring(txt, i, 3))
+                ELSE array() END"""
+    )
+    tg = docs.select("doc_id", "lang", F.explode(trigrams).alias("g"))
+    w_lang = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    prof = (
+        tg.groupBy("lang", "g")
+        .agg(F.count("*").alias("c"))
+        .withColumn("prnk", F.row_number().over(w_lang))
+        .filter(F.col("prnk") <= LANGID_K)
+        .select("lang", "g", "prnk")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    dtop = (
+        tg.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .withColumn("drnk", F.row_number().over(w_doc))
+        .filter(F.col("drnk") <= LANGID_K)
+        .select("doc_id", "g", "drnk")
+    )
+    langs = docs.select("lang").distinct()
+    dist = (
+        dtop.join(F.broadcast(langs))
+        .join(prof, ["lang", "g"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.abs(F.col("drnk") - F.coalesce(F.col("prnk"), F.lit(LANGID_K + 1))))
+            .cast("long")
+            .alias("oop")
+        )
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.asc("oop"), F.asc("lang"))
+    pred = (
+        dist.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
 # Exact-substring span dedup: fixed window length in words. Real systems
 # (Lee et al., "Deduplicating Training Data Makes Language Models Better")
 # use suffix arrays for >= 50-token matches; the rolling fixed window is
@@ -631,6 +704,43 @@ def q_text_chunk_overlap(spark, sf_dir):
 
 
 ORACLES = {
+    "text_langid_ngram": """
+        WITH d AS (SELECT doc_id, lang, lower(text) AS txt FROM documents),
+        tg AS (
+          SELECT doc_id, lang, substring(txt, CAST(i AS INT), 3) AS g
+          FROM d, unnest(range(1, length(txt) - 1)) AS t(i)
+        ),
+        prof AS (
+          SELECT lang, g,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY count(*) DESC, g ASC) AS prnk
+          FROM tg GROUP BY lang, g
+          QUALIFY prnk <= 20
+        ),
+        dtop AS (
+          SELECT doc_id, g,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY count(*) DESC, g ASC) AS drnk
+          FROM tg GROUP BY doc_id, g
+          QUALIFY drnk <= 20
+        ),
+        langs AS (SELECT DISTINCT lang FROM d),
+        dist AS (
+          SELECT t.doc_id, l.lang,
+                 CAST(sum(abs(t.drnk - coalesce(p.prnk, 21))) AS BIGINT) AS oop
+          FROM dtop t CROSS JOIN langs l
+          LEFT JOIN prof p ON p.lang = l.lang AND p.g = t.g
+          GROUP BY t.doc_id, l.lang
+        ),
+        pred AS (
+          SELECT doc_id, lang AS predicted,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY oop ASC, lang ASC) AS rn
+          FROM dist QUALIFY rn = 1
+        )
+        SELECT d.lang AS actual, pred.predicted, count(*) AS n_docs
+        FROM d JOIN pred USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_dup_spans": """
         WITH w AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -894,4 +1004,5 @@ QUERIES = {
     "text_chunk_overlap": q_text_chunk_overlap,
     "text_lm_score": q_text_lm_score,
     "text_dup_spans": q_text_dup_spans,
+    "text_langid_ngram": q_text_langid_ngram,
 }
