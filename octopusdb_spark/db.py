@@ -196,6 +196,11 @@ class OctopusDB:
         materialized iterator."""
         return self.kv.scan(**kwargs)
 
+    def approximate_sizes(self, ranges: list) -> list:
+        """Manifest-metadata range size estimates (RocksDB
+        GetApproximateSizes analog); see KVStore.approximate_sizes."""
+        return self.kv.approximate_sizes(ranges)
+
     def info(self) -> dict:
         return self.kv.info()
 

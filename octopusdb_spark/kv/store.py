@@ -1251,6 +1251,30 @@ class KVStore:
         held = self.manifest.state.held_snapshots or {}
         return min(held.values()) if held else None
 
+    def approximate_sizes(self, ranges: list) -> list:
+        """RocksDB ``GetApproximateSizes`` analog: estimated on-disk bytes
+        and rows per key range, from MANIFEST METADATA ONLY — no file is
+        opened, no job runs. Each range is ``(start, end)`` (end
+        exclusive, None = unbounded); a segment overlapping a range
+        contributes its bytes/rows scaled by nothing (whole-segment
+        attribution, the same upper-bound coarseness RocksDB's
+        include-files mode has). The operational use: size a
+        ``compact_range`` / ``delete_range`` before issuing it, or plan
+        shard splits over the keyspace."""
+        out = []
+        for start, end in ranges:
+            segs = self.manifest.prune_for_range(self._enc(start), self._enc(end))
+            out.append(
+                {
+                    "start": start,
+                    "end": end,
+                    "approx_bytes": sum(s.size_bytes for s in segs),
+                    "approx_rows": sum(s.row_count for s in segs),
+                    "segments": len(segs),
+                }
+            )
+        return out
+
     def info(self) -> dict:
         """Stats endpoint (`kv/db.go:140-142` — a stub there; real here).
         Includes per-level layout, value-log garbage accounting, and the

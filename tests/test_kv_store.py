@@ -1347,3 +1347,23 @@ def test_kv_model_with_compaction_filter(spark, tmp_path):
             assert as_of == snap_model, (ops, holder, as_of, snap_model)
 
     check()
+
+
+def test_approximate_sizes_from_manifest_metadata(store):
+    """RocksDB GetApproximateSizes analog: per-range byte/row estimates
+    from manifest metadata only — compaction tightens the estimate as
+    segments become range-disjoint, and a range outside every segment
+    interval reports zero without touching a file."""
+    store.set_batch([Entry(f"s{i:03d}", b"x" * 50) for i in range(100)])
+    store.compact(now=NOW, target_segments=4)  # range-disjoint segments
+    est = store.approximate_sizes(
+        [("s000", "s025"), ("s050", None), (None, None), ("zz", "zzz")]
+    )
+    assert est[2]["approx_rows"] == 100  # full keyspace = exact
+    assert 0 < est[0]["approx_rows"] < 100  # quarter range: a subset
+    assert 0 < est[1]["approx_rows"] < 100
+    assert est[3] == {
+        "start": "zz", "end": "zzz",
+        "approx_bytes": 0, "approx_rows": 0, "segments": 0,
+    }
+    assert all(e["approx_bytes"] > 0 for e in est[:3])
