@@ -91,19 +91,47 @@ class KVClient:
         reply = self._call({"op": "mget", "keys": [self._enc_key(k) for k in keys]})
         return {self._dec_key(k): _debase(e) for k, e in reply["entries"].items()}
 
-    def scan(self, start=None, end=None, prefix=None, limit: int | None = None) -> list:
-        req = {
+    def scan(
+        self,
+        start=None,
+        end=None,
+        prefix=None,
+        limit: int | None = None,
+        page_size: int | None = None,
+    ) -> list:
+        """Ordered range scan. With ``limit`` set, one request capped at
+        that many rows (the pre-paging contract). Without it, the FULL
+        range streams back transparently key-paged (the server caps rows
+        per request and signals ``more``) — a range wider than one page
+        is never silently truncated."""
+        base: dict = {
             "op": "scan",
             "start": self._enc_key(start),
             "end": self._enc_key(end),
             "prefix": self._enc_key(prefix),
         }
         if limit is not None:
-            req["limit"] = limit
-        return [
-            {**_debase(r), "key": self._dec_key(r["key"])}
-            for r in self._call(req)["rows"]
-        ]
+            reply = self._call({**base, "limit": limit})
+            return [
+                {**_debase(r), "key": self._dec_key(r["key"])}
+                for r in reply["rows"]
+            ]
+        out: list = []
+        after = None
+        while True:
+            req = dict(base)
+            if page_size is not None:
+                req["limit"] = page_size
+            if after is not None:
+                req["after_key"] = after
+            reply = self._call(req)
+            out.extend(
+                {**_debase(r), "key": self._dec_key(r["key"])}
+                for r in reply["rows"]
+            )
+            if not reply.get("more"):
+                return out
+            after = reply["rows"][-1]["key"]  # wire-encoded, pass back as-is
 
     def info(self) -> dict:
         return self._call({"op": "info"})["info"]

@@ -19,7 +19,9 @@ Protocol: one JSON object per line, one JSON reply per line.
                                                   "expires_at": n}
     {"op": "mget", "keys": [K...]}            -> {"ok": true, "entries": {K: {...}}}
     {"op": "scan", "start": K?, "end": K?,
-     "prefix": K?, "limit": n?}               -> {"ok": true, "rows": [{...}]}
+     "prefix": K?, "limit": n?,
+     "after_key": K?}                         -> {"ok": true, "more": bool,
+                                                  "rows": [{...}]}
     {"op": "info"}                            -> {"ok": true, "info": {...}}
     {"op": "ping"}                            -> {"ok": true, "pong": true}
     {"op": "snapshot"}                        -> {"ok": true, "seq": n}
@@ -130,6 +132,8 @@ class KVService:
         }
 
     def _op_scan(self, req: dict) -> dict:
+        from pyspark.sql import functions as F
+
         limit = min(int(req.get("limit", MAX_SCAN_ROWS)), MAX_SCAN_ROWS)
         df = self.store.scan(
             start=self._dec_key(req.get("start")),
@@ -137,6 +141,14 @@ class KVService:
             prefix=self._dec_key(req.get("prefix")),
             now=self._now,
         )
+        # key paging, same scheme as `changes`: a range wider than one
+        # page is never silently truncated — `more` signals, the client
+        # passes the last key back as after_key
+        after = req.get("after_key")
+        if after is not None:
+            df = df.filter(F.col("key") > F.lit(self._dec_key(after)))
+        raw = df.limit(limit + 1).collect()
+        more = len(raw) > limit
         rows = [
             {
                 "key": self._enc_key(r["key"]),
@@ -144,9 +156,9 @@ class KVService:
                 "version": r["version"],
                 "expires_at": r["expires_at"],
             }
-            for r in df.limit(limit).collect()
+            for r in raw[:limit]
         ]
-        return {"ok": True, "rows": rows}
+        return {"ok": True, "more": more, "rows": rows}
 
     def _op_info(self, req: dict) -> dict:
         return {"ok": True, "info": self.store.info()}

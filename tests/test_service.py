@@ -195,3 +195,19 @@ def test_service_remote_cdc_consumer(spark, tmp_path):
     # released: the next leveled merge retires the tombstone
     store.compact_level(0, now=NOW)
     assert store.info()["range_tombstones"] == 0
+
+
+def test_service_scan_pages_full_range(spark, tmp_path):
+    """A scan wider than one page streams back complete via key paging
+    (the same scheme as `changes`); an explicit limit keeps the old
+    single-request cap contract."""
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch([Entry(f"p{i:03d}", f"v{i}".encode()) for i in range(9)])
+    with KVService(store, now=NOW) as svc:
+        host, port = svc.address
+        with KVClient(host, port) as c:
+            full = c.scan(prefix="p")
+            paged = c.scan(prefix="p", page_size=2)
+            assert [r["key"] for r in full] == [f"p{i:03d}" for i in range(9)]
+            assert paged == full
+            assert len(c.scan(prefix="p", limit=3)) == 3  # old contract
