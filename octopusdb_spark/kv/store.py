@@ -1257,8 +1257,12 @@ class KVStore:
         opened, no job runs. Each range is ``(start, end)`` (end
         exclusive, None = unbounded); a segment overlapping a range
         contributes its bytes/rows scaled by nothing (whole-segment
-        attribution, the same upper-bound coarseness RocksDB's
-        include-files mode has). The operational use: size a
+        attribution, the same coarseness RocksDB's include-files mode
+        has). DATA segments only: separated payloads live in the value
+        log, which has no per-range key metadata — ``approx_bytes``
+        covers keys + inline values + pointers, and the global payload
+        mass is ``info()['value_total_bytes']`` (a range's share of it
+        is unknowable without a scan). The operational use: size a
         ``compact_range`` / ``delete_range`` before issuing it, or plan
         shard splits over the keyspace."""
         out = []

@@ -443,6 +443,35 @@ def q_text_lm_score(spark, sf_dir):
 # TextCat profile size: per-language and per-document trigram rank lists.
 LANGID_K = 20
 
+# Compressed (doc_id, lang, trigram) -> occurrences frame, checkpointed per
+# (session, sf_dir) like _LM_PAIRS_MEMO: the language profiles and the
+# per-document rank lists both derive from it, so the corpus chars explode
+# exactly once per session.
+_TRIGRAM_PAIRS_MEMO: dict = {}
+
+
+def _trigram_pairs(spark, sf_dir):
+    key = ("trigram_pairs", sf_dir)
+    hit = session_memo_get(_TRIGRAM_PAIRS_MEMO, spark, key)
+    if hit is not None:
+        return hit
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("txt")
+    )
+    trigrams = F.expr(
+        """CASE WHEN length(txt) >= 3
+                THEN transform(sequence(1, length(txt) - 2),
+                               i -> substring(txt, i, 3))
+                ELSE array() END"""
+    )
+    pairs = (
+        docs.select("doc_id", "lang", F.explode(trigrams).alias("g"))
+        .groupBy("doc_id", "lang", "g")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    return session_memo_put(_TRIGRAM_PAIRS_MEMO, spark, key, pairs)
+
 
 def q_text_langid_ngram(spark, sf_dir):
     """Language-ID by character-trigram profiles — the actual TextCat /
@@ -454,36 +483,27 @@ def q_text_langid_ngram(spark, sf_dir):
     trigram = K + 1) with a deterministic tie-break. Output: the
     (actual, predicted) confusion counts.
 
-    Plan shapes at 100 TB: one trigram explode feeding two keyed
-    rank windows (per language, per document — never global), profiles
-    are K x |languages| rows, the distance join fans each document's K
-    trigrams out by the bounded language list (broadcast) and left-joins
-    the tiny profile table; argmin is a doc-keyed window."""
-    from pyspark.sql import Window
-
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.lower(F.col("text")).alias("txt")
-    )
-    trigrams = F.expr(
-        """CASE WHEN length(txt) >= 3
-                THEN transform(sequence(1, length(txt) - 2),
-                               i -> substring(txt, i, 3))
-                ELSE array() END"""
-    )
-    tg = docs.select("doc_id", "lang", F.explode(trigrams).alias("g"))
+    Plan shapes at 100 TB: the trigram explode runs ONCE into the
+    memoized compressed (doc, lang, trigram) frame; both keyed rank
+    windows (per language, per document — never global) read it.
+    Profiles are K x |languages| rows, the distance join fans each
+    document's K trigrams out by the bounded language list (broadcast)
+    and left-joins the tiny profile table; argmin is a doc-keyed
+    window."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = _trigram_pairs(spark, sf_dir)
     w_lang = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
     prof = (
-        tg.groupBy("lang", "g")
-        .agg(F.count("*").alias("c"))
+        pairs.groupBy("lang", "g")
+        .agg(F.sum("c").alias("c"))
         .withColumn("prnk", F.row_number().over(w_lang))
         .filter(F.col("prnk") <= LANGID_K)
         .select("lang", "g", "prnk")
     )
+    # pairs is already unique per (doc_id, g): doc determines lang
     w_doc = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
     dtop = (
-        tg.groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .withColumn("drnk", F.row_number().over(w_doc))
+        pairs.withColumn("drnk", F.row_number().over(w_doc))
         .filter(F.col("drnk") <= LANGID_K)
         .select("doc_id", "g", "drnk")
     )

@@ -100,10 +100,19 @@ class KVClient:
         page_size: int | None = None,
     ) -> list:
         """Ordered range scan. With ``limit`` set, one request capped at
-        that many rows (the pre-paging contract). Without it, the FULL
-        range streams back transparently key-paged (the server caps rows
-        per request and signals ``more``) — a range wider than one page
-        is never silently truncated."""
+        that many rows against the live pinned view (the pre-paging
+        contract). Without it, the FULL range streams back transparently
+        key-paged — and SNAPSHOT-CONSISTENT: the client pins a snapshot
+        seq first and every page reads as_of that seq, so a concurrent
+        writer can never tear the stitched result (rows that never
+        coexisted). ``limit`` and ``page_size`` are mutually exclusive."""
+        if limit is not None and page_size is not None:
+            raise ValueError(
+                "pass either limit (single capped request) or page_size "
+                "(paged full range), not both"
+            )
+        if page_size is not None and page_size < 1:
+            raise ValueError(f"page_size must be >= 1, got {page_size}")
         base: dict = {
             "op": "scan",
             "start": self._enc_key(start),
@@ -116,6 +125,7 @@ class KVClient:
                 {**_debase(r), "key": self._dec_key(r["key"])}
                 for r in reply["rows"]
             ]
+        base["as_of"] = self.snapshot()  # one consistent read point
         out: list = []
         after = None
         while True:
@@ -159,7 +169,13 @@ class KVClient:
         loops until the feed is exhausted, so a range delete covering
         more keys than one page can never be silently truncated). Each
         row: {"key", "change", "value": bytes|None, "expires_at",
-        "version"}, ordered by key."""
+        "version"}, ordered by key. Pages are independent reads of the
+        live feed, not one snapshot — safe in the consumer protocol
+        because the hold advances only after a full apply, so a key that
+        slips behind the cursor mid-poll is caught by the next poll from
+        the same held seq."""
+        if page_size is not None and page_size < 1:
+            raise ValueError(f"page_size must be >= 1, got {page_size}")
         out: list = []
         after = None
         while True:

@@ -20,7 +20,7 @@ Protocol: one JSON object per line, one JSON reply per line.
     {"op": "mget", "keys": [K...]}            -> {"ok": true, "entries": {K: {...}}}
     {"op": "scan", "start": K?, "end": K?,
      "prefix": K?, "limit": n?,
-     "after_key": K?}                         -> {"ok": true, "more": bool,
+     "after_key": K?, "as_of": n?}            -> {"ok": true, "more": bool,
                                                   "rows": [{...}]}
     {"op": "info"}                            -> {"ok": true, "info": {...}}
     {"op": "ping"}                            -> {"ok": true, "pong": true}
@@ -134,17 +134,30 @@ class KVService:
     def _op_scan(self, req: dict) -> dict:
         from pyspark.sql import functions as F
 
-        limit = min(int(req.get("limit", MAX_SCAN_ROWS)), MAX_SCAN_ROWS)
+        # floor of 1: a zero/negative limit would page forever without progress
+        limit = max(1, min(int(req.get("limit", MAX_SCAN_ROWS)), MAX_SCAN_ROWS))
+        # key paging, same scheme as `changes`: a range wider than one
+        # page is never silently truncated — `more` signals, the client
+        # passes the last key back as after_key. The cursor ALSO becomes
+        # the scan's start bound so manifest min/max pruning skips every
+        # segment wholly below it (a post-filter alone would re-read all
+        # N segments on each of P pages); the strict `>` filter stays for
+        # the boundary key itself (scan start is inclusive). Optional
+        # `as_of` pins every page to one snapshot seq — the client's
+        # paged mode sends it so a concurrent writer cannot tear the
+        # stitched result.
+        after = req.get("after_key")
+        as_of = req.get("as_of")
+        start = self._dec_key(req.get("start"))
+        if after is not None:
+            start = self._dec_key(after)  # pages move forward: after >= start
         df = self.store.scan(
-            start=self._dec_key(req.get("start")),
+            start=start,
             end=self._dec_key(req.get("end")),
             prefix=self._dec_key(req.get("prefix")),
             now=self._now,
+            as_of=None if as_of is None else int(as_of),
         )
-        # key paging, same scheme as `changes`: a range wider than one
-        # page is never silently truncated — `more` signals, the client
-        # passes the last key back as after_key
-        after = req.get("after_key")
         if after is not None:
             df = df.filter(F.col("key") > F.lit(self._dec_key(after)))
         raw = df.limit(limit + 1).collect()
@@ -186,7 +199,8 @@ class KVService:
         from pyspark.sql import functions as F
 
         since = int(req["since"])
-        limit = min(int(req.get("limit", MAX_SCAN_ROWS)), MAX_SCAN_ROWS)
+        # floor of 1: a zero/negative limit would page forever without progress
+        limit = max(1, min(int(req.get("limit", MAX_SCAN_ROWS)), MAX_SCAN_ROWS))
         feed = self.store.changes_since(since, now=self._now)
         after = req.get("after_key")
         if after is not None:

@@ -1367,3 +1367,16 @@ def test_approximate_sizes_from_manifest_metadata(store):
         "approx_bytes": 0, "approx_rows": 0, "segments": 0,
     }
     assert all(e["approx_bytes"] > 0 for e in est[:3])
+
+
+def test_approximate_sizes_excludes_value_log(spark, tmp_path):
+    """Documented contract: approximate_sizes covers DATA segments only —
+    a value-separated payload's bytes live in the value log (no per-range
+    key metadata) and show up in info()['value_total_bytes'], not in the
+    range estimate."""
+    store = KVStore(spark, str(tmp_path / "kv"), value_threshold=64)
+    store.set_batch([Entry("big", b"x" * 100_000), Entry("tiny", b"y")])
+    est = store.approximate_sizes([(None, None)])[0]
+    assert est["approx_rows"] == 2
+    assert est["approx_bytes"] < 50_000  # pointer + inline, not the payload
+    assert store.info()["value_total_bytes"] >= 100_000
