@@ -270,3 +270,30 @@ def test_pin_restores_displaced_pre_entry_cache(db):
         db.set("b", b"2")
     assert store.cached_view() is None
     assert db.get("b", now=NOW) == b"2"
+
+
+def test_facade_round8_surface(spark, tmp_path):
+    """Round-8 facade passthroughs: snapshot holds, the compaction
+    filter, and manifest-metadata range sizing all work through the
+    OctopusDB API exactly like on the store."""
+    from pyspark.sql import functions as F
+
+    from octopusdb_spark.db import OctopusDB
+
+    NOW = 2_000_000_000
+    db = OctopusDB(spark, str(tmp_path / "db"))
+    for i in range(8):
+        db.set(f"r{i}", f"v{i}".encode() if i % 3 else b"PURGE-me")
+    snap = db.snapshot()
+    held = db.hold_snapshot("facade-reader", seq=snap)
+    assert held == snap
+    db.compact(now=NOW, drop_where=F.col("value").cast("string").startswith("PURGE"))
+    # held: protected rows untouched
+    assert db.get("r0", now=NOW) == b"PURGE-me"
+    est = db.approximate_sizes([(None, None)])
+    assert est[0]["approx_rows"] == 8
+    db.release_snapshot("facade-reader")
+    db.compact(now=NOW, drop_where=F.col("value").cast("string").startswith("PURGE"))
+    assert db.get("r0", now=NOW) is None
+    assert db.get("r1", now=NOW) == b"v1"
+    assert db.approximate_sizes([(None, None)])[0]["approx_rows"] == 5
