@@ -375,3 +375,47 @@ def test_stream_replication_converges_and_resumes(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     n = replica.apply_changes(feed, commit_tag=(f"{ckpt}#ship", 1))
     assert n == 0
+
+
+def test_stream_replication_carries_ttl(spark, tmp_path):
+    """expires_col rides stream_ingest_with_replication end to end: a
+    TTL'd row lands on the primary AND replicates with its stamp, so it
+    expires on both sides at the same read time."""
+    from pyspark.sql import functions as F
+
+    from octopusdb_spark.kv.store import KVStore
+    from octopusdb_spark.streaming.replicate import stream_ingest_with_replication
+
+    NOW = 2_000_000_000
+    rows = spark.range(12).select(
+        F.concat(F.lit("t"), F.lpad(F.col("id").cast("string"), 3, "0")).alias("key"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).cast("binary").alias("value"),
+        F.when(F.col("id") % 4 == 0, F.lit(NOW - 5))      # already expired
+        .when(F.col("id") % 4 == 1, F.lit(NOW + 10_000))   # live with TTL
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("expires_at"),
+    )
+    src = str(tmp_path / "src")
+    rows.coalesce(1).write.parquet(src)
+    primary = KVStore(spark, str(tmp_path / "primary"))
+    replica = KVStore(spark, str(tmp_path / "replica"))
+    primary.hold_snapshot("replica", 0)
+    stream = spark.readStream.schema(
+        "key string, value binary, expires_at long"
+    ).parquet(src)
+    q = stream_ingest_with_replication(
+        stream, primary, replica, str(tmp_path / "ckpt"),
+        expires_col="expires_at", now=NOW,
+    )
+    assert q.awaitTermination(300)
+    live = lambda s, t: {  # noqa: E731
+        r["key"]: (bytes(r["value"]), r["expires_at"])
+        for r in s.view(now=t).collect()
+    }
+    assert live(replica, NOW) == live(primary, NOW)
+    assert len(live(primary, NOW)) == 9  # % 4 == 0 rows expired before NOW
+    # the TTL stamp replicated faithfully: % 4 == 1 rows die later on BOTH
+    later = NOW + 20_000
+    assert live(replica, later) == live(primary, later)
+    assert len(live(primary, later)) == 6
