@@ -211,3 +211,19 @@ def test_service_scan_pages_full_range(spark, tmp_path):
             assert [r["key"] for r in full] == [f"p{i:03d}" for i in range(9)]
             assert paged == full
             assert len(c.scan(prefix="p", limit=3)) == 3  # old contract
+
+
+def test_service_binary_key_paged_scan(spark, tmp_path):
+    """Key paging round-trips base64-encoded binary cursors: a paged scan
+    over a binary-key store returns the identical complete ordered range
+    as the unpaged contract, including keys that aren't valid UTF-8."""
+    store = KVStore(spark, str(tmp_path / "kv"), key_type="binary")
+    keys = [bytes([0x00, i]) for i in range(7)] + [bytes([0xFE, 0xFF])]
+    store.set_batch([Entry(k, bytes([i])) for i, k in enumerate(keys)])
+    with KVService(store, now=NOW) as svc:
+        with KVClient(*svc.address, binary_keys=True) as c:
+            full = c.scan()
+            paged = c.scan(page_size=3)
+            assert paged == full
+            assert [r["key"] for r in full] == sorted(keys)
+            assert full[-1]["key"] == bytes([0xFE, 0xFF])
