@@ -227,3 +227,34 @@ def test_service_binary_key_paged_scan(spark, tmp_path):
             assert paged == full
             assert [r["key"] for r in full] == sorted(keys)
             assert full[-1]["key"] == bytes([0xFE, 0xFF])
+
+
+def test_paged_scan_is_snapshot_consistent_under_writes(spark, tmp_path):
+    """The paged scan pins a snapshot seq before page 1, so a key written
+    after paging starts — even one sorting BELOW the cursor — is invisible
+    to the stitched result (no torn reads), while a fresh scan sees it."""
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch([Entry(f"w{i:02d}", b"x") for i in range(6)])
+    with KVService(store, now=NOW) as svc:
+        with KVClient(*svc.address) as c:
+            # drive the paging loop manually so the write lands mid-scan
+            as_of = c.snapshot()
+            first = c._call(
+                {"op": "scan", "prefix": "w", "limit": 2, "as_of": as_of}
+            )
+            assert first["more"]
+            store.set_batch([Entry("w00a", b"mid"), Entry("w99", b"mid")])
+            rest = c._call(
+                {
+                    "op": "scan",
+                    "prefix": "w",
+                    "limit": 100,
+                    "as_of": as_of,
+                    "after_key": first["rows"][-1]["key"],
+                }
+            )
+            stitched = [r["key"] for r in first["rows"] + rest["rows"]]
+            assert stitched == [f"w{i:02d}" for i in range(6)]  # no mid-writes
+            # a NEW paged scan (fresh snapshot) sees both new keys
+            fresh = [r["key"] for r in c.scan(prefix="w", page_size=2)]
+            assert "w00a" in fresh and "w99" in fresh
