@@ -1,13 +1,19 @@
 """Text-analysis operators over `documents` — the LLM-data-pipeline text
 stage (driver mandate; no reference analog — SURVEY.md §2 Part B).
 
-All pure column expressions (whole-stage codegen, no UDFs): language-ID by
-stopword-ratio heuristic, quality scoring, token counting, and document
-fingerprinting. Each has an exact DuckDB oracle.
+All JVM column expressions (whole-stage codegen, no row Python): language
+ID (marker-word heuristic AND TextCat trigram profiles), quality scoring
+(rules AND char-bigram corpus-likelihood — the perplexity-filter analog),
+token counting, fingerprinting, corpus profiling, benchmark
+decontamination, shard assignment, repetition ratio, top-k n-grams, PII
+redaction, overlapping token chunking, and cross-document exact-substring
+span dedup. Each has an exact DuckDB oracle.
 
-Scale: every query is a single scan + narrow projection (+ one aggregation
-where noted); no shuffles except the final groupBys. At 100 TB these are
-embarrassingly parallel map tasks.
+Scale: simple queries are a single scan + narrow projection (+ one keyed
+aggregation); the heavier ones (LM scoring, span dedup, TextCat) fold
+their explode ONCE into a memoized compressed frame per (session, sf_dir)
+that every consumer — including the composed pretraining pipeline and the
+streaming filter — reads instead of re-exploding the corpus.
 """
 
 from __future__ import annotations
