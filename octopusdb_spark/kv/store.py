@@ -1088,9 +1088,15 @@ class KVStore:
             if getattr(self, "_cached_view", None) is not None:
                 self.uncache_view()
             now = int(time.time()) if now is None else int(now)
+            # capture the version BEFORE building the plan: a write
+            # committing between view() and the stamp would otherwise tag
+            # an old-segment-list plan with the NEW version — a stale
+            # cache no later version check can ever invalidate (found by
+            # the concurrent-clients service hammer)
+            version = self.manifest.state.version
             df = self.view(now=now).cache()
             self._cached_view = df
-            self._cached_version = self.manifest.state.version
+            self._cached_version = version
             self._cached_now = now  # TTL evaluation time baked into the cache
             return df
 

@@ -258,3 +258,38 @@ def test_paged_scan_is_snapshot_consistent_under_writes(spark, tmp_path):
             # a NEW paged scan (fresh snapshot) sees both new keys
             fresh = [r["key"] for r in c.scan(prefix="w", page_size=2)]
             assert "w00a" in fresh and "w99" in fresh
+
+
+def test_service_concurrent_clients_with_writes(spark, tmp_path):
+    """Robustness hammer: several clients issuing mixed reads while the
+    store takes writes — every reply is well-formed, no request errors,
+    and a key read after its write lands is correct (the store cache
+    lock serializes the pinned rebuild across service threads)."""
+    import threading
+
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch([Entry(f"h{i}", f"v{i}".encode()) for i in range(8)])
+    errors: list = []
+    with KVService(store, now=NOW) as svc:
+        host, port = svc.address
+
+        def reader(tid):
+            try:
+                with KVClient(host, port) as c:
+                    for i in range(4):
+                        assert c.get(f"h{(tid + i) % 8}") is not None
+                        assert len(c.scan(prefix="h", limit=4)) == 4
+                        assert c.ping()
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        threads = [threading.Thread(target=reader, args=(t,)) for t in range(4)]
+        for th in threads:
+            th.start()
+        # a write races the readers: invalidates the pinned view mid-flight
+        store.set_batch([Entry("h0", b"v0-new")])
+        for th in threads:
+            th.join()
+        assert not errors
+        with KVClient(host, port) as c:
+            assert c.get("h0")["value"] == b"v0-new"
