@@ -336,12 +336,8 @@ def test_stream_replication_converges_and_resumes(spark, tmp_path):
     """stream_ingest_with_replication: the replica equals the primary after
     every shipped batch interval, the resume hold on the primary advances
     to the shipped snapshot, and a replayed ship interval no-ops."""
-    from pyspark.sql import functions as F
-
-    from octopusdb_spark.kv.store import KVStore
     from octopusdb_spark.streaming.replicate import stream_ingest_with_replication
 
-    NOW = 2_000_000_000
     rows = spark.range(40).select(
         F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("key"),
         F.when(F.col("id") % 9 == 0, F.lit(None))
@@ -381,12 +377,8 @@ def test_stream_replication_carries_ttl(spark, tmp_path):
     """expires_col rides stream_ingest_with_replication end to end: a
     TTL'd row lands on the primary AND replicates with its stamp, so it
     expires on both sides at the same read time."""
-    from pyspark.sql import functions as F
-
-    from octopusdb_spark.kv.store import KVStore
     from octopusdb_spark.streaming.replicate import stream_ingest_with_replication
 
-    NOW = 2_000_000_000
     rows = spark.range(12).select(
         F.concat(F.lit("t"), F.lpad(F.col("id").cast("string"), 3, "0")).alias("key"),
         F.concat(F.lit("v"), F.col("id").cast("string")).cast("binary").alias("value"),
