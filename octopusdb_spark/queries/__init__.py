@@ -39,53 +39,40 @@ for _m in _MODULES:
     ORACLE_SQL.update(getattr(mod, "ORACLES", {}))
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order. Round-8 rotation: lead with everything added this
-# round, then the 39 queries whose most recent driver row is round 5
-# (the stalest cohort — every r4-stale query was refreshed in r7), then
-# fill with r6-stale queries on code paths round 8 touches (the
-# changefeed expansion prune, the store-wide cache lock) plus the
-# stalest remaining families.
+# insertion order. Round-9 rotation: the full stale cohort — every query
+# whose most recent green driver row is round 6 or older (47 at r6 plus
+# multimodal_bytes at r5, the oldest row in the repo; list computed from
+# CORRECTNESS_r01..r08) — then fills from the r7 cohort on code paths
+# round 9 touches (the snapshot-pinned remote `changes` paging, the
+# BPE-ish token counting).
 # PROTOCOL: a query added to the registry after this list is frozen must
 # be inserted at the HEAD at that moment (displacing the last fill
 # entry), not next round.
 _PRIORITY = [
-    # added round 8 (head-insert at add time, per protocol)
-    "text_langid_ngram",       # TextCat trigram-profile language ID
-    "q_join_skew_profile",     # pre-flight skew diagnostic for big joins
-    "graph_kcore",             # iterative peeling with convergence assert
-    "multimodal_frame_sample", # frame-sampling plan under the gate
-    "kv_compaction_filter",    # RocksDB CompactionFilter analog
-    "pipeline_pretrain_v2",    # modern composed chain (LM/span/mix stages)
-    "stream_lm_filter",        # in-stream LM scoring vs the batch model
-    "text_dup_spans",          # cross-doc exact-substring span dedup
-    "kv_stream_replication",   # continuous CDC shipping w/ held resume seq
-    "kv_snapshot_holds",       # tracked holds gate tombstone retirement
-    "text_lm_score",           # char-bigram corpus-likelihood filter
-    "q_domain_mixture",        # temperature-weighted source mixture
-    # stale since round 5 (the stalest cohort, all green there)
-    "kv_latest_live", "kv_point_lookup", "kv_gc_discard_stats",
-    "kv_binary_key_scan", "q_orders_by_month", "q_json_extract",
-    "q_pivot_event_types", "q_anti_join", "q_median_quantity",
-    "q_p95_disc", "q_string_agg", "q_correlation", "q_pandas_udf_score",
-    "q_linear_regression", "graph_degrees", "graph_pagerank",
-    "graph_adjacency", "text_stats", "text_tokenize_udtf",
-    "text_decontaminate", "text_shard_assignment", "dedup_minhash_capped",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_pairs", "sim_topk_cosine", "sim_ann_bucketed",
-    "sim_ann_ivf", "sim_label_centroids", "dedup_embedding_cosine",
-    # (multimodal_bytes displaced by the text_langid_ngram head-insert —
-    # the multimodal family is freshly covered by multimodal_frame_sample
-    # and multimodal_chunking this round)
-    "multimodal_chunking", "quality_column_profile",
-    "quality_duplicate_keys", "q_stream_sessionize", "q_stream_dedup",
-    "q_stream_rollup", "q_stream_interval_join",
-    # fills: r6-stale queries on code paths round 8 touches first
-    # (fills q_window_family, q9_profit_shape, graph_components,
-    # graph_triangles, kv_stream_enrich, kv_value_separation,
-    # kv_version_history, kv_changefeed displaced by the
-    # kv_stream_replication, text_dup_spans, stream_lm_filter,
-    # pipeline_pretrain_v2, kv_compaction_filter, multimodal_frame_sample,
-    # graph_kcore, q_join_skew_profile head-inserts)
+    # stale cohort (r5/r6 last-green), oldest first
+    "multimodal_bytes",        # r5 — displaced by a head-insert in r8
+    "kv_value_separation", "kv_version_history", "kv_changefeed",
+    "kv_stream_enrich",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q8_market_share",
+    "q9_profit_shape", "q10_returned_items", "q11_volume_share_shape",
+    "q13_custdist", "q15_top_supplier", "q16_supplier_cnt_shape",
+    "q18_large_volume", "q20_excess_shipping_shape", "q21_waiting_shape",
+    "q_window_family", "q_approx_distinct", "q_array_hof",
+    "q_hash_sampled_stats", "q_pandas_udaf_trimmed_mean",
+    "q_range_join_bucketed", "q_rollup_merge", "q_skew_salted_join",
+    "q_source_balanced_sample", "q_stratified_sample", "q_weighted_sample",
+    "graph_components", "graph_khop", "graph_mutual_follows",
+    "graph_triangles", "graph_two_hop",
+    "dedup_cluster_keep", "dedup_containment", "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "sim_ann_ivf_kmeans", "sim_ann_pq",
+    "text_fingerprint", "text_langid", "text_quality",
+    "text_source_profile", "text_tfidf_keywords", "text_token_count",
+    "quality_filter_reasons", "quality_pattern_scan",
+    "pipeline_pretrain_corpus",
+    # fills: r7 cohort on code paths round 9 touches
+    "kv_remote_reads",         # remote `changes`/scan paging gets as_of pins
+    "q_token_budget_packing",  # whitespace variant beside the new BPE packer
 ]
 
 
