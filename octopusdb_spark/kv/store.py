@@ -661,10 +661,13 @@ class KVStore:
         definition shared by full and leveled compaction so the two
         retirement paths can never diverge."""
         min_held = self.oldest_held_seq()
-        clearable = [
-            rt for rt in (rts or []) if min_held is None or int(rt["seq"]) <= min_held
-        ]
-        kept = [rt for rt in (rts or []) if rt not in clearable]
+        clearable: list = []
+        kept: list = []
+        for rt in rts or []:
+            if min_held is None or int(rt["seq"]) <= min_held:
+                clearable.append(rt)
+            else:
+                kept.append(rt)
         return clearable, kept
 
     @staticmethod
@@ -883,6 +886,7 @@ class KVStore:
         now: int | None = None,
         include_preimage: bool = False,
         preimage_at_version: int | None = None,
+        as_of: int | None = None,
     ) -> DataFrame:
         """Changefeed (CDC): the current state of every key written after
         ``snapshot_seq`` (e.g. a value previously captured via
@@ -947,21 +951,43 @@ class KVStore:
         included): compaction keeps only the newest version per key, so
         once a touched key's pre-snapshot version is merged away, its
         ``old_value`` degrades to NULL — unless ``preimage_at_version`` is
-        supplied. ``tests/test_kv_store.py`` pins both contracts."""
+        supplied. ``tests/test_kv_store.py`` pins both contracts.
+
+        ``as_of`` caps the feed at an UPPER snapshot seq: only changes in
+        (snapshot_seq, as_of] appear, evaluated exactly as a reader
+        pinned at ``as_of`` would see them (writes and range tombstones
+        stamped after ``as_of`` are invisible). This is what makes a
+        PAGED remote feed snapshot-consistent — every page reads the same
+        closed interval, so a key committed below the page cursor
+        mid-pagination cannot tear the stitched result
+        (``KVClient.changes`` pins its poll this way)."""
+        if as_of is not None and int(as_of) < int(snapshot_seq):
+            raise ValueError(
+                f"as_of ({as_of}) must be >= snapshot_seq ({snapshot_seq})"
+            )
         now = int(time.time()) if now is None else now
         segs = [
             s
             for s in self.manifest.state.data_segments()
-            if s.max_seq is None or s.max_seq > snapshot_seq
+            if (s.max_seq is None or s.max_seq > snapshot_seq)
+            # as-of upper bound: a segment created wholly after the pin
+            # holds nothing visible (same created_seq prune view() uses)
+            and (as_of is None or not s.exact_min_seq or s.created_seq <= as_of)
         ]
         delta = self.raw_df(segs).filter(F.col("seq") > F.lit(snapshot_seq))
+        if as_of is not None:
+            delta = delta.filter(F.col("seq") <= F.lit(int(as_of)))
         newest = self._newest_of(delta)
         vals = self._values_join_side(self.manifest.state.value_segments())
         resolved = (
             newest.join(vals, newest.value_ptr == vals.value_id, "left")
             .withColumn("value", F.coalesce(F.col("value"), F.col("big_value")))
         )
-        rts = self.manifest.state.range_tombstones or []
+        rts = [
+            rt
+            for rt in (self.manifest.state.range_tombstones or [])
+            if as_of is None or int(rt["seq"]) <= as_of
+        ]
         rt_mask = self._rt_mask(rts, None)
         dead = F.col("value").isNull() | (
             (F.col("expires_at") != 0) & (F.col("expires_at") <= F.lit(now))

@@ -163,23 +163,32 @@ class KVClient:
     def release(self, holder: str) -> None:
         self._call({"op": "release", "holder": holder})
 
-    def changes(self, since: int, page_size: int | None = None) -> list:
+    def changes(
+        self, since: int, page_size: int | None = None, as_of: int | None = None
+    ) -> list:
         """The complete changefeed from ``since``, transparently paged by
         key (the server caps rows per request and signals ``more``; this
         loops until the feed is exhausted, so a range delete covering
         more keys than one page can never be silently truncated). Each
         row: {"key", "change", "value": bytes|None, "expires_at",
-        "version"}, ordered by key. Pages are independent reads of the
-        live feed, not one snapshot — safe in the consumer protocol
-        because the hold advances only after a full apply, so a key that
-        slips behind the cursor mid-poll is caught by the next poll from
-        the same held seq."""
+        "version"}, ordered by key.
+
+        SNAPSHOT-CONSISTENT: the poll is pinned to one upper seq — the
+        passed ``as_of``, else a ``snapshot()`` taken at call time — and
+        every page reads the closed interval (since, as_of], so a write
+        landing below the page cursor mid-poll cannot tear the stitched
+        feed (it simply isn't part of this poll; the next poll from the
+        advanced checkpoint ships it). Pass the returned pin forward as
+        the next ``since`` by snapshotting explicitly:
+        ``pin = c.snapshot(); rows = c.changes(since, as_of=pin)``."""
         if page_size is not None and page_size < 1:
             raise ValueError(f"page_size must be >= 1, got {page_size}")
+        if as_of is None:
+            as_of = self.snapshot()  # one consistent read point per poll
         out: list = []
         after = None
         while True:
-            req: dict = {"op": "changes", "since": int(since)}
+            req: dict = {"op": "changes", "since": int(since), "as_of": int(as_of)}
             if page_size is not None:
                 req["limit"] = int(page_size)
             if after is not None:

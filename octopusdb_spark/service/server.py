@@ -28,7 +28,8 @@ Protocol: one JSON object per line, one JSON reply per line.
     {"op": "hold", "holder": s, "seq": n?}    -> {"ok": true, "seq": n}
     {"op": "release", "holder": s}            -> {"ok": true}
     {"op": "changes", "since": n,
-     "after_key": K?, "limit": n?}            -> {"ok": true, "more": bool,
+     "after_key": K?, "limit": n?,
+     "as_of": n?}                             -> {"ok": true, "more": bool,
                                                   "rows": [{"key": K,
                                                   "change": "upsert"|"delete",
                                                   "value": b64|null,
@@ -40,7 +41,9 @@ The CDC ops implement the consumer-checkpoint protocol (snapshot -> hold
 (rows ordered by key, capped at MAX_SCAN_ROWS per request; pass the last
 key back as ``after_key`` while ``more`` is true) — paging by version
 would lose rows because every range-tombstone expansion event shares the
-tombstone's seq. `KVClient.changes` pages transparently.
+tombstone's seq. Optional ``as_of`` pins every page of one poll to the
+closed interval (since, as_of], so a concurrent writer cannot tear the
+stitched feed. `KVClient.changes` pages transparently and always pins.
 
 Values travel base64-encoded. Keys are JSON values for a string-key
 store; for a binary-key store (``key_type="binary"``) keys are
@@ -201,7 +204,14 @@ class KVService:
         since = int(req["since"])
         # floor of 1: a zero/negative limit would page forever without progress
         limit = max(1, min(int(req.get("limit", MAX_SCAN_ROWS)), MAX_SCAN_ROWS))
-        feed = self.store.changes_since(since, now=self._now)
+        # optional upper pin: every page of one poll reads the closed
+        # interval (since, as_of] — the same snapshot-consistency scheme
+        # _op_scan uses, so a write landing mid-pagination cannot tear
+        # the stitched feed. KVClient.changes always sends it.
+        as_of = req.get("as_of")
+        feed = self.store.changes_since(
+            since, now=self._now, as_of=None if as_of is None else int(as_of)
+        )
         after = req.get("after_key")
         if after is not None:
             # KEY paging: feed keys are unique (newest-per-key events;

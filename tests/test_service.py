@@ -260,6 +260,48 @@ def test_paged_scan_is_snapshot_consistent_under_writes(spark, tmp_path):
             assert "w00a" in fresh and "w99" in fresh
 
 
+def test_paged_changes_is_snapshot_consistent_under_writes(spark, tmp_path):
+    """`changes` gets the same snapshot pin `scan` has (VERDICT r8 #3): a
+    write landing between pages — sorting BELOW the page cursor — is
+    invisible to the stitched poll, which equals the single-shot feed
+    taken at the pin; the next poll from the pin ships exactly the
+    mid-poll write (nothing lost, nothing torn)."""
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch([Entry(f"w{i:02d}", b"x") for i in range(6)])
+    with KVService(store, now=NOW) as svc:
+        with KVClient(*svc.address) as c:
+            since = c.snapshot()
+            store.set_batch([Entry(f"w{i:02d}", b"y") for i in range(6)])
+            pin = c.snapshot()
+            baseline = c.changes(since, as_of=pin)  # one pinned poll
+            # drive the paging loop manually so the write lands mid-poll
+            first = c._call(
+                {"op": "changes", "since": since, "limit": 2, "as_of": pin}
+            )
+            assert first["more"]
+            store.set_batch([Entry("w00a", b"mid"), Entry("w99", b"mid")])
+            rest = c._call(
+                {
+                    "op": "changes",
+                    "since": since,
+                    "limit": 100,
+                    "as_of": pin,
+                    "after_key": first["rows"][-1]["key"],
+                }
+            )
+            stitched = [r["key"] for r in first["rows"] + rest["rows"]]
+            assert stitched == [r["key"] for r in baseline]
+            assert stitched == [f"w{i:02d}" for i in range(6)]  # no mid-writes
+            # nothing lost: the next poll from the pin is exactly the
+            # mid-poll writes (including the one below the cursor)
+            nxt = c.changes(pin)
+            assert sorted(r["key"] for r in nxt) == ["w00a", "w99"]
+            # and the default (unpinned) call self-pins per poll
+            assert sorted(r["key"] for r in c.changes(since, page_size=2)) == sorted(
+                [f"w{i:02d}" for i in range(6)] + ["w00a", "w99"]
+            )
+
+
 def test_service_concurrent_clients_with_writes(spark, tmp_path):
     """Robustness hammer: several clients issuing mixed reads while the
     store takes writes — every reply is well-formed, no request errors,
