@@ -49,6 +49,8 @@ for _m in _MODULES:
 # be inserted at the HEAD at that moment (displacing the last fill
 # entry), not next round.
 _PRIORITY = [
+    # added round 9 (head-insert at add time, per protocol)
+    "kv_failover",             # replica promotion + re-bootstrap drill
     # stale cohort (r5/r6 last-green), oldest first
     "multimodal_bytes",        # r5 — displaced by a head-insert in r8
     "kv_value_separation", "kv_version_history", "kv_changefeed",
@@ -72,7 +74,7 @@ _PRIORITY = [
     "pipeline_pretrain_corpus",
     # fills: r7 cohort on code paths round 9 touches
     "kv_remote_reads",         # remote `changes`/scan paging gets as_of pins
-    "q_token_budget_packing",  # whitespace variant beside the new BPE packer
+    # (fill q_token_budget_packing displaced by the kv_failover head-insert)
 ]
 
 

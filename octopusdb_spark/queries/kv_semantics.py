@@ -487,6 +487,139 @@ def q_kv_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_kv_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica promotion / failover drill (the natural completion of the
+    A25 data plane; the reference ships none of this — empty
+    `cmd/main.go:3-4`): a PRIMARY takes four waves of traffic and dies
+    after wave 2 was committed but NOT shipped. The replica (bootstrapped
+    via `clone_to`, caught up through the held changefeed) PROMOTES at
+    its applied seq; a FRESH replica then bootstraps from the new primary
+    and catches up via the feed.
+
+    In-query assertions (each reddens the driver row on violation):
+      1. promoted state == dead primary's view as_of the shipped pin —
+         no committed-AND-shipped write is lost at promotion;
+      2. the dead primary's post-pin feed is EXACTLY the wave-2 tail —
+         the un-shipped interval is replayable from its durable manifest,
+         nothing more, nothing less;
+      3. re-applying the shipped batch is a committed no-op (idempotent
+         commit_tag), so crash-replayed shipping converges;
+      4. the fresh replica's caught-up view == the new primary's live
+         view (bootstrap + feed = state, the `apply_changes` contract).
+    The checked output is the FRESH replica's live view — everything the
+    oracle hashes traveled clone -> promote -> re-clone -> feed. Wave-2
+    writes are absent from it BY DESIGN: async replication loses the
+    un-shipped tail at promotion (that is the documented trade; the
+    replayable-interval assertion is what makes it recoverable)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from octopusdb_spark.kv.store import Entry, KVStore
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        # 1..60: custkey 0 exists in the testdata and is divisible by every
+        # wave modulus — exclude it so each wave's key set is the range the
+        # tail assertion and the oracle enumerate
+        .filter((F.col("c_custkey") >= 1) & (F.col("c_custkey") <= 60))
+        .select(
+            F.concat(
+                F.lit("f"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+            ).alias("key"),
+            F.col("c_name").cast("binary").alias("value"),
+            F.col("c_custkey").alias("k"),
+        )
+    )
+
+    def wave(mod: int, tag: str):
+        return cust.filter(F.col("k") % mod == 0).select(
+            "key",
+            F.concat(F.lit(tag), F.col("value").cast("string"))
+            .cast("binary")
+            .alias("value"),
+        )
+
+    base = tempfile.mkdtemp(prefix=f"kv_failover_{uuid.uuid4().hex[:12]}_")
+    try:
+        primary = KVStore(spark, f"{base}/primary")
+        primary.ingest_df(cust.select("key", "value"), target_segments=2)
+        s0 = primary.snapshot_seq()
+        replica = primary.clone_to(f"{base}/replica")
+        primary.hold_snapshot("replica", s0)
+        # wave 1 (will be shipped): overwrites, per-key deletes, a range
+        # delete — the tombstone kinds whose retention the hold protects
+        primary.ingest_df(wave(5, "w1-"), target_segments=1)
+        for k in range(13, 61, 13):
+            primary.delete(f"f{k:06d}")
+        primary.delete_range(start="f000045", end="f000048")
+        pin1 = primary.snapshot_seq()
+        feed1 = primary.changes_since(s0, now=NOW, as_of=pin1)
+        if replica.apply_changes(feed1, commit_tag=("failover", 1)) == 0:
+            raise RuntimeError("failover: shipped feed applied nothing")
+        primary.hold_snapshot("replica", pin1)
+        # wave 2: committed on the primary, NEVER shipped — the tail
+        primary.ingest_df(wave(7, "w2-"), target_segments=1)
+        primary.set(Entry("f000100", b"newkey"))
+        primary.delete("f000002")
+        # ---- primary dies here (no further writes reach it) ----
+        # (3) crash-replayed ship converges before promotion
+        if replica.apply_changes(feed1, commit_tag=("failover", 1)) != 0:
+            raise RuntimeError("failover: replayed shipped batch not a no-op")
+        # (1) promotion point: replica == primary as of the shipped pin
+        promoted_state = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in replica.view(now=NOW).collect()
+        )
+        shipped_truth = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in primary.view(now=NOW, as_of=pin1).collect()
+        )
+        if promoted_state != shipped_truth:
+            raise RuntimeError("failover: promoted replica lost a shipped write")
+        # (2) the un-shipped tail is exactly the replayable interval
+        tail = {
+            (r["key"], r["change"])
+            for r in primary.changes_since(pin1, now=NOW).collect()
+        }
+        expect_tail = {(f"f{k:06d}", "upsert") for k in range(7, 61, 7)} | {
+            ("f000100", "upsert"),
+            ("f000002", "delete"),
+        }
+        if tail != expect_tail:
+            raise RuntimeError(
+                f"failover: replayable tail mismatch: {tail ^ expect_tail}"
+            )
+        # ---- promotion: the replica is the new primary ----
+        promoted = replica
+        promoted.ingest_df(wave(9, "w3-"), target_segments=1)
+        promoted.set(Entry("f000013", b"back"))  # revive a wave-1 delete
+        s2 = promoted.snapshot_seq()
+        fresh = promoted.clone_to(f"{base}/fresh")
+        promoted.hold_snapshot("replica2", s2)
+        # wave 4: traffic the fresh replica catches up through the feed
+        promoted.ingest_df(wave(11, "w4-"), target_segments=1)
+        promoted.delete("f000001")
+        pin2 = promoted.snapshot_seq()
+        feed2 = promoted.changes_since(s2, now=NOW, as_of=pin2)
+        fresh.apply_changes(feed2, commit_tag=("failover", 2))
+        promoted.hold_snapshot("replica2", pin2)
+        # (4) bootstrap + feed = state
+        caught_up = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in fresh.view(now=NOW).collect()
+        )
+        new_primary_state = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in promoted.view(now=NOW).collect()
+        )
+        if caught_up != new_primary_state:
+            raise RuntimeError("failover: fresh replica diverges after catch-up")
+        return spark.createDataFrame(caught_up, "key string, value string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_kv_range_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range tombstone (DeleteRange) run FOR REAL under the correctness
     gate: customer rows bulk-load, ONE O(1) manifest commit hides the
@@ -702,6 +835,24 @@ ORACLES = {
         FROM customer
         WHERE c_custkey <= 50 AND c_custkey % 11 != 0
         ORDER BY key""",
+    # Final fresh-replica state after base -> wave1(shipped: %5 overwrite,
+    # %13 deletes, [45,48) range delete) -> [wave2 LOST at promotion] ->
+    # wave3 on the promoted replica (%9 overwrite, revive 13) -> wave4
+    # shipped to the fresh replica (%11 overwrite, delete 1). CASE order =
+    # reverse wave order (later wave wins); WHERE drops keys whose LAST
+    # event is a delete (1; 26/39/52; 46/47 — 45 was revived by wave 3).
+    "kv_failover": """
+        SELECT 'f' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
+               CASE WHEN c_custkey % 11 = 0 THEN 'w4-' || c_name
+                    WHEN c_custkey = 13 THEN 'back'
+                    WHEN c_custkey % 9 = 0 THEN 'w3-' || c_name
+                    WHEN c_custkey % 5 = 0 THEN 'w1-' || c_name
+                    ELSE c_name END AS value
+        FROM customer
+        WHERE c_custkey BETWEEN 2 AND 60
+          AND NOT (c_custkey % 13 = 0 AND c_custkey != 13)
+          AND c_custkey NOT IN (46, 47)
+        ORDER BY key""",
     "kv_remote_reads": """
         SELECT 's' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS key,
                s_name AS value
@@ -799,6 +950,7 @@ QUERIES = {
     "kv_pinned_reads": q_kv_pinned_reads,
     "kv_remote_reads": q_kv_remote_reads,
     "kv_replication": q_kv_replication,
+    "kv_failover": q_kv_failover,
     "kv_range_delete": q_kv_range_delete,
     "kv_snapshot_holds": q_kv_snapshot_holds,
     "kv_compaction_filter": q_kv_compaction_filter,

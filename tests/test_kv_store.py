@@ -776,6 +776,37 @@ def test_changefeed_replication_converges(spark, tmp_path):
     assert live(replica) == live(primary)
 
 
+def test_failover_promotion_durable_across_reopen(spark, tmp_path):
+    """Promotion survives a restart: the primary dies with an un-shipped
+    tail; reopening the replica's root with a FRESH KVStore handle (the
+    process that takes over) sees exactly the shipped state, takes writes
+    at seqs that don't collide, and the dead primary's durable manifest
+    still yields the replayable tail."""
+    primary = KVStore(spark, str(tmp_path / "primary"))
+    primary.set_batch([Entry("a", b"1"), Entry("b", b"2")])
+    s0 = primary.snapshot_seq()
+    primary.clone_to(str(tmp_path / "replica"))
+    primary.hold_snapshot("replica", s0)
+    primary.set_batch([Entry("b", b"2-new"), Entry("c", b"3")])  # shipped
+    pin = primary.snapshot_seq()
+    replica = KVStore(spark, str(tmp_path / "replica"))
+    replica.apply_changes(
+        primary.changes_since(s0, now=NOW, as_of=pin), commit_tag=("ship", 1)
+    )
+    primary.hold_snapshot("replica", pin)
+    primary.set_batch([Entry("d", b"tail")])  # un-shipped; primary dies
+    # the take-over process reopens the replica root cold
+    promoted = KVStore(spark, str(tmp_path / "replica"))
+    assert {
+        r["key"]: bytes(r["value"]) for r in promoted.view(now=NOW).collect()
+    } == {"a": b"1", "b": b"2-new", "c": b"3"}
+    promoted.set(Entry("e", b"post-promotion"))
+    assert promoted.get("e", now=NOW).value == b"post-promotion"
+    # the dead primary's manifest still serves the replayable tail
+    tail = primary.changes_since(pin, now=NOW).collect()
+    assert [(r["key"], r["change"]) for r in tail] == [("d", "upsert")]
+
+
 def test_delete_range_semantics(store):
     """Range tombstone (DeleteRange): one O(1) manifest commit hides every
     covered pre-existing key; later writes into the range live; as_of
