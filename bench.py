@@ -66,6 +66,8 @@ HEADLINE = [
     "q_domain_mixture",
     "text_dup_spans",
     "pipeline_pretrain_v2",
+    # added round 9
+    "q_token_budget_packing_bpe",
 ]
 
 

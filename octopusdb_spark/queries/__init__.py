@@ -51,6 +51,7 @@ for _m in _MODULES:
 _PRIORITY = [
     # added round 9 (head-insert at add time, per protocol)
     "kv_failover",             # replica promotion + re-bootstrap drill
+    "q_token_budget_packing_bpe",  # tokenizer-fidelity shard packing
     # stale cohort (r5/r6 last-green), oldest first
     "multimodal_bytes",        # r5 — displaced by a head-insert in r8
     "kv_value_separation", "kv_version_history", "kv_changefeed",
@@ -73,8 +74,8 @@ _PRIORITY = [
     "quality_filter_reasons", "quality_pattern_scan",
     "pipeline_pretrain_corpus",
     # fills: r7 cohort on code paths round 9 touches
-    "kv_remote_reads",         # remote `changes`/scan paging gets as_of pins
-    # (fill q_token_budget_packing displaced by the kv_failover head-insert)
+    # (fills q_token_budget_packing, kv_remote_reads displaced by the
+    # kv_failover / q_token_budget_packing_bpe head-inserts)
 ]
 
 

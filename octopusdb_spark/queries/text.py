@@ -28,6 +28,43 @@ EN_MARKERS = ("the", "a")
 STOPWORDS = ("the", "a", "row", "data", "value", "table")
 
 
+# ---------------------------------------------------------------- BPE-ish
+# Tokenizer-fidelity token counting (VERDICT r8 #5): a deterministic
+# subword segmentation both engines compute bit-identically, replacing the
+# whitespace proxy where packing realism matters. GPT-2-style pre-tokenizer
+# chunks (letter runs | digit runs | single punctuation char), then a
+# per-chunk subword cost: letter runs split every ~4 chars (the empirical
+# BPE chars-per-token), digit runs every ~3 (BPE vocabularies carry few
+# multi-digit merges), punctuation 1 token per char. Integer arithmetic
+# only — (L+3) div 4 / (L+2) div 3 — so the DuckDB twin hashes identically
+# (no libm, no float division). DuckDB gotcha: `~` inside a list_transform
+# lambda silently evaluates false in 1.0 — the oracle MUST use
+# regexp_matches(), never `x ~ '...'`.
+
+def bpe_token_col(col: str = "text"):
+    """Column: BPE-ish subword token count of ``col``. Whole-stage-codegen
+    higher-order function over one regex pass — no UDF, no shuffle."""
+    return F.expr(
+        f"""aggregate(
+          regexp_extract_all({col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0),
+          0L,
+          (acc, x) -> acc + CASE
+            WHEN substring(x, 1, 1) rlike '[a-zA-Z]' THEN (length(x) + 3) div 4
+            WHEN substring(x, 1, 1) rlike '[0-9]' THEN (length(x) + 2) div 3
+            ELSE 1L END)"""
+    ).cast("long")
+
+
+def bpe_token_sql(col: str = "text") -> str:
+    """The DuckDB twin of ``bpe_token_col`` (same chunks, same integer
+    costs; empty text -> 0 via coalesce, matching aggregate's seed)."""
+    return rf"""CAST(coalesce(list_sum(list_transform(
+      regexp_extract_all({col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'),
+      x -> CASE WHEN regexp_matches(x, '^[a-zA-Z]') THEN (length(x) + 3) // 4
+                WHEN regexp_matches(x, '^[0-9]') THEN (length(x) + 2) // 3
+                ELSE 1 END)), 0) AS BIGINT)"""
+
+
 def q_text_stats(spark, sf_dir):
     """Basic per-document statistics: chars, words, distinct words, mean
     word length."""

@@ -273,3 +273,27 @@ def test_pipeline_text_stage_properties(spark):
     # per-term round(…, 6) the query applies)
     assert per_source.filter(F.abs(F.col("fsum") - 1.0) > 3e-6).count() == 0
     assert split.agg(F.sum("n_docs")).collect()[0][0] == docs_n
+
+
+def test_bpe_token_counter_pinned_values(spark):
+    """The BPE-ish subword counter has exact, hand-computable semantics:
+    letter runs cost ceil(L/4), digit runs ceil(L/3), punctuation 1/char,
+    whitespace free. Pin them so a regex or cost drift can't slip through
+    the oracle unnoticed (both engines would drift together only if the
+    DuckDB twin is regenerated; this pin is engine-independent)."""
+    from octopusdb_spark.queries.text import bpe_token_col
+
+    cases = [
+        ("hello worldwide 12345 foo, bar!", 11),  # 2+3+2+1+1+1+1
+        ("a", 1),
+        ("", 0),
+        ("    ", 0),  # whitespace only
+        ("don't stop", 4),  # don(1) / '(1) / t(1) / stop(1)
+        ("1234567890", 4),  # ceil(10/3)
+        ("...", 3),  # punctuation per char
+        ("abcdefgh", 2),  # one 8-letter run
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i int, text string")
+    got = {r["i"]: r["n"] for r in df.select("i", bpe_token_col("text").alias("n")).collect()}
+    for i, (s, want) in enumerate(cases):
+        assert got[i] == want, f"{s!r}: got {got[i]}, want {want}"

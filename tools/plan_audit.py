@@ -75,6 +75,7 @@ ALLOWED_CARTESIAN = {
 # query -> reason an Exchange SinglePartition is bounded anyway
 ALLOWED_SINGLE_PARTITION = {
     "q_token_budget_packing": "phase-2 prefix sum windows over BUCKET TOTALS (rows = bucket count, not doc count); per-doc windows are bucket-keyed",
+    "q_token_budget_packing_bpe": "same two-phase prefix sum: the unpartitioned window runs over BUCKET TOTALS only; both per-doc running sums are bucket-keyed",
     "dedup_embedding_cosine": "rank window runs on 20 rows post-limit",
     "sim_topk_cosine": "rank window on <= 25 rows post-limit",
     "q_p95_disc": "per-flag count frame: one row per returnflag (3 rows)",
