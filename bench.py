@@ -68,6 +68,7 @@ HEADLINE = [
     "pipeline_pretrain_v2",
     # added round 9
     "q_token_budget_packing_bpe",
+    "text_dup_runs",
 ]
 
 

@@ -52,6 +52,7 @@ _PRIORITY = [
     # added round 9 (head-insert at add time, per protocol)
     "kv_failover",             # replica promotion + re-bootstrap drill
     "q_token_budget_packing_bpe",  # tokenizer-fidelity shard packing
+    "text_dup_runs",           # maximal shared-run span dedup (Lee et al.)
     # stale cohort (r5/r6 last-green), oldest first
     "multimodal_bytes",        # r5 — displaced by a head-insert in r8
     "kv_value_separation", "kv_version_history", "kv_changefeed",
@@ -72,10 +73,12 @@ _PRIORITY = [
     "text_fingerprint", "text_langid", "text_quality",
     "text_source_profile", "text_tfidf_keywords", "text_token_count",
     "quality_filter_reasons", "quality_pattern_scan",
-    "pipeline_pretrain_corpus",
-    # fills: r7 cohort on code paths round 9 touches
-    # (fills q_token_budget_packing, kv_remote_reads displaced by the
-    # kv_failover / q_token_budget_packing_bpe head-inserts)
+    # (fills q_token_budget_packing, kv_remote_reads and the stale
+    # pipeline_pretrain_corpus displaced by the kv_failover /
+    # q_token_budget_packing_bpe / text_dup_runs head-inserts;
+    # pipeline_pretrain_corpus chosen as the stale sacrifice because its
+    # code paths are freshly covered by the r8-green pipeline_pretrain_v2,
+    # which composes the same shared stage helpers)
 ]
 
 

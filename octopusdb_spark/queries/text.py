@@ -603,9 +603,14 @@ def _span_hashes(spark, sf_dir):
                                              as binary)))
                 ELSE array() END"""
     )
-    ex = ws_docs.select("doc_id", F.explode(spans).alias("h")).localCheckpoint(
-        eager=True
-    )
+    # posexplode: the 1-based window start rides along so run detection
+    # (`text_dup_runs`) can merge adjacent duplicated windows; the other
+    # consumers (counts, joins by h) ignore it — one memo serves all three
+    ex = ws_docs.select(
+        "doc_id", F.posexplode(spans).alias("pos0", "h")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "h"
+    ).localCheckpoint(eager=True)
     return session_memo_put(_SPAN_HASH_MEMO, spark, key, ex)
 
 
@@ -640,6 +645,66 @@ def q_text_dup_spans(spark, sf_dir):
             F.coalesce(F.col("dup"), F.lit(0)).cast("long").alias("dup_spans"),
             F.coalesce(ratio, F.lit(0.0)).alias("dup_ratio"),
             F.when(F.coalesce(ratio, F.lit(0.0)) > 0.2, 1).otherwise(0).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_text_dup_runs(spark, sf_dir):
+    """Variable-length shared-run detection (VERDICT r8 #6) — the
+    Lee-et-al. "deduplicating training data" refinement of
+    `text_dup_spans`: adjacent duplicated stride-1 windows merge into
+    MAXIMAL runs, so a 200-word syndicated paragraph reports as one
+    ~200-word run instead of ~185 fragment flags. A run of k consecutive
+    duplicated windows spans k + SPAN_WORDS - 1 words; per document the
+    query reports the run count, the LONGEST run, the duplicated-window
+    mass, and the Lee-et-al. flag (any shared run >= 50 words).
+
+    Plan: the SAME memoized (doc_id, pos, h) span frame the fixed-window
+    query reads (one corpus explode per session), one groupBy(h) for the
+    distinct-doc duplicated set, a LEFT SEMI join back (duplicated
+    windows only survive), then classic gaps-and-islands: grp = pos -
+    row_number() inside a doc_id-keyed window — the window key is
+    doc_id, so parallelism is O(docs) and no task ever sees more than
+    one document's positions. Still no all-pairs comparison: documents
+    meet only through the hash key."""
+    docs = t(spark, sf_dir, "documents")
+    ex = _span_hashes(spark, sf_dir)
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    marked = ex.join(dup.select("h"), "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.count("*").alias("n_windows"),
+            (F.max("pos") - F.min("pos") + SPAN_WORDS).alias("run_words"),
+        )
+    )
+    per = runs.groupBy("doc_id").agg(
+        F.count("*").alias("n_runs"),
+        F.max("run_words").alias("longest_run_words"),
+        F.sum("n_windows").alias("dup_windows"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_runs"), F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce(F.col("longest_run_words"), F.lit(0))
+            .cast("long")
+            .alias("longest_run_words"),
+            F.coalesce(F.col("dup_windows"), F.lit(0))
+            .cast("long")
+            .alias("dup_windows"),
+            F.when(F.coalesce(F.col("longest_run_words"), F.lit(0)) >= 50, 1)
+            .otherwise(0)
+            .alias("flagged_50"),
         )
         .orderBy("doc_id")
     )
@@ -831,6 +896,43 @@ ORACLES = {
                CASE WHEN coalesce(round(CAST(p.dup AS DOUBLE) / p.n_spans, 6),
                                   0.0) > 0.2
                     THEN 1 ELSE 0 END AS flagged
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id""",
+    "text_dup_runs": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        s AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 md5(array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 15], ' ')) AS h
+          FROM w, unnest(range(1, len(ws) - 15 + 1)) AS t(i)
+          WHERE len(ws) >= 16
+        ),
+        dup AS (
+          SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        ),
+        marked AS (
+          SELECT s.doc_id, s.pos,
+                 s.pos - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS grp
+          FROM s SEMI JOIN dup ON s.h = dup.h
+        ),
+        runs AS (
+          SELECT doc_id, grp, count(*) AS n_windows,
+                 max(pos) - min(pos) + 16 AS run_words
+          FROM marked GROUP BY doc_id, grp
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS n_runs,
+                 max(run_words) AS longest_run_words,
+                 sum(n_windows) AS dup_windows
+          FROM runs GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+               CAST(coalesce(p.longest_run_words, 0) AS BIGINT) AS longest_run_words,
+               CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+               CASE WHEN coalesce(p.longest_run_words, 0) >= 50 THEN 1 ELSE 0 END
+                 AS flagged_50
         FROM documents d LEFT JOIN per p USING (doc_id)
         ORDER BY d.doc_id""",
     "text_lm_score": """
@@ -1067,5 +1169,6 @@ QUERIES = {
     "text_chunk_overlap": q_text_chunk_overlap,
     "text_lm_score": q_text_lm_score,
     "text_dup_spans": q_text_dup_spans,
+    "text_dup_runs": q_text_dup_runs,
     "text_langid_ngram": q_text_langid_ngram,
 }
