@@ -298,12 +298,20 @@ def q_token_budget_packing_bpe(spark, sf_dir):
     shard = lambda off, cum, tok: (  # noqa: E731
         (F.col(off) + F.col(cum) - F.col(tok)) / F.lit(TOKEN_BUDGET)
     ).cast("long")
-    out = within.join(F.broadcast(offsets), "bucket").select(
-        "doc_id",
-        "toks_ws",
-        "toks_bpe",
-        shard("off_ws", "cum_ws", "toks_ws").alias("shard_ws"),
-        shard("off_bpe", "cum_bpe", "toks_bpe").alias("shard_bpe"),
+    # materialize ONCE (a 5-long-columns-per-doc frame): the eager
+    # divergence probe below and the caller's action both read the
+    # checkpointed result instead of re-running the two window passes —
+    # without this the probe would double the query's real plan cost
+    out = (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "toks_ws",
+            "toks_bpe",
+            shard("off_ws", "cum_ws", "toks_ws").alias("shard_ws"),
+            shard("off_bpe", "cum_bpe", "toks_bpe").alias("shard_bpe"),
+        )
+        .localCheckpoint(eager=True)
     )
     diverged = out.filter(F.col("shard_ws") != F.col("shard_bpe")).limit(1).count()
     if diverged == 0:

@@ -416,17 +416,25 @@ def lm_doc_stats(spark, sf_dir):
     )
 
 
+def dup_span_hashes(ex):
+    """(h, nd): span hashes appearing in >= 2 DISTINCT documents — the ONE
+    definition of "duplicated span" shared by the fixed-window stats, the
+    maximal-run query, and (through the stats) the pretrain pipeline, so
+    the criterion can never drift between them."""
+    return (
+        ex.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+
+
 def span_doc_stats(spark, sf_dir):
     """Per-doc span-duplication aggregates (doc_id, n_spans, dup) — the
     shared core of `text_dup_spans` and the composed pipeline's span
     filter. Docs with < SPAN_WORDS words have no span rows and are
     ABSENT; callers restore them (no spans = nothing duplicated)."""
     ex = _span_hashes(spark, sf_dir)
-    dup = (
-        ex.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-    )
+    dup = dup_span_hashes(ex)
     return (
         ex.join(dup, "h", "left")
         .groupBy("doc_id")
@@ -670,12 +678,7 @@ def q_text_dup_runs(spark, sf_dir):
     meet only through the hash key."""
     docs = t(spark, sf_dir, "documents")
     ex = _span_hashes(spark, sf_dir)
-    dup = (
-        ex.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-    )
-    marked = ex.join(dup.select("h"), "h", "left_semi")
+    marked = ex.join(dup_span_hashes(ex).select("h"), "h", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         marked.withColumn("grp", F.col("pos") - F.row_number().over(w))

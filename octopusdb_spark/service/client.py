@@ -19,6 +19,17 @@ import socket
 _ENTRY_FIELDS = ("value", "version", "expires_at")
 
 
+class ChangeFeed(list):
+    """One poll's change rows, carrying the snapshot seq the poll was
+    pinned to as ``.as_of``. Compares equal to a plain list of the same
+    rows. A checkpointing consumer MUST advance with ``feed.as_of`` (the
+    interval actually shipped), never with a fresh ``snapshot()`` taken
+    after the poll — writes landing in (as_of, fresh-snapshot] were not
+    part of the poll and would be skipped forever."""
+
+    as_of: int | None = None
+
+
 def _debase(entry: dict) -> dict:
     out = {f: entry.get(f) for f in _ENTRY_FIELDS}
     if out["value"] is not None:
@@ -178,14 +189,19 @@ class KVClient:
         every page reads the closed interval (since, as_of], so a write
         landing below the page cursor mid-poll cannot tear the stitched
         feed (it simply isn't part of this poll; the next poll from the
-        advanced checkpoint ships it). Pass the returned pin forward as
-        the next ``since`` by snapshotting explicitly:
-        ``pin = c.snapshot(); rows = c.changes(since, as_of=pin)``."""
+        advanced checkpoint ships it).
+
+        Returns a ``ChangeFeed`` (a list) whose ``.as_of`` is the pin the
+        poll used — ALWAYS advance a consumer checkpoint to ``feed.as_of``
+        and poll next from there. A fresh ``snapshot()`` taken after the
+        poll is NOT a safe resume point: writes in (as_of, snapshot] were
+        excluded from this poll and would be skipped forever."""
         if page_size is not None and page_size < 1:
             raise ValueError(f"page_size must be >= 1, got {page_size}")
         if as_of is None:
             as_of = self.snapshot()  # one consistent read point per poll
-        out: list = []
+        out = ChangeFeed()
+        out.as_of = int(as_of)
         after = None
         while True:
             req: dict = {"op": "changes", "since": int(since), "as_of": int(as_of)}

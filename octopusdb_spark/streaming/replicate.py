@@ -74,7 +74,10 @@ def stream_ingest_with_replication(
         )
         resume = int((primary.manifest.state.held_snapshots or {}).get(holder, 0))
         shipped_to = primary.snapshot_seq()
-        feed = primary.changes_since(resume, now=now)
+        # pin the ship to (resume, shipped_to]: the hold below advances to
+        # exactly the interval that was applied, even if another commit
+        # lands between the snapshot and the apply
+        feed = primary.changes_since(resume, now=now, as_of=shipped_to)
         replica.apply_changes(
             feed,
             commit_tag=(f"{checkpoint_dir}#ship", int(batch_id)),

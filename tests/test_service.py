@@ -296,9 +296,17 @@ def test_paged_changes_is_snapshot_consistent_under_writes(spark, tmp_path):
             # mid-poll writes (including the one below the cursor)
             nxt = c.changes(pin)
             assert sorted(r["key"] for r in nxt) == ["w00a", "w99"]
+            # the returned feed carries its pin: the default (self-pinned)
+            # path advances the checkpoint with feed.as_of — a consumer
+            # that instead took a fresh snapshot() after the poll would
+            # skip any write landing in between (the trap .as_of closes)
+            assert baseline.as_of == pin
+            poll1 = c.changes(since)
+            store.set_batch([Entry("between", b"race")])
+            assert sorted(r["key"] for r in c.changes(poll1.as_of)) == ["between"]
             # and the default (unpinned) call self-pins per poll
             assert sorted(r["key"] for r in c.changes(since, page_size=2)) == sorted(
-                [f"w{i:02d}" for i in range(6)] + ["w00a", "w99"]
+                [f"w{i:02d}" for i in range(6)] + ["w00a", "w99", "between"]
             )
 
 
