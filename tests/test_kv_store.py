@@ -175,6 +175,44 @@ def test_changes_since_as_of_upper_bound(store):
         store.changes_since(pin, now=NOW, as_of=snap)  # as_of below since
 
 
+def test_changes_since_interval_composition(store):
+    """The pinned feed is an interval algebra: shipping (s0, p1] then
+    (p1, p2] must equal shipping (s0, p2] in one poll, and both must
+    reconstruct the as-of-p2 view exactly — the property that makes a
+    consumer's incremental polls equivalent to one catch-up poll."""
+    store.set_batch([Entry(f"k{i}", b"v0") for i in range(6)])
+    s0 = store.snapshot_seq()
+    store.set_batch([Entry("k1", b"v1"), Entry("k6", b"v1")])
+    store.delete("k0")
+    p1 = store.snapshot_seq()
+    store.delete_range(start="k2", end="k4")
+    store.set_batch([Entry("k3", b"reborn")])
+    p2 = store.snapshot_seq()
+    store.set_batch([Entry("k5", b"post-pin")])  # outside every interval
+
+    def apply(model, feed_df):
+        for r in feed_df.collect():
+            if r["change"] == "delete":
+                model.pop(r["key"], None)
+            else:
+                model[r["key"]] = bytes(r["value"])
+        return model
+
+    def as_of_view(pin):
+        return {
+            r["key"]: bytes(r["value"])
+            for r in store.view(now=NOW, as_of=pin).collect()
+        }
+
+    base = as_of_view(s0)
+    two_step = apply(
+        apply(dict(base), store.changes_since(s0, now=NOW, as_of=p1)),
+        store.changes_since(p1, now=NOW, as_of=p2),
+    )
+    one_step = apply(dict(base), store.changes_since(s0, now=NOW, as_of=p2))
+    assert two_step == one_step == as_of_view(p2)
+
+
 def test_value_gc_batches_multiple_dirty_segments(store):
     """Two dirty value segments from two batches must both be rewritten in
     one GC call (the batched partitioned-rewrite path), with per-segment
