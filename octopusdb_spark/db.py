@@ -135,6 +135,20 @@ class OctopusDB:
     def delete(self, key: str) -> None:
         self.kv.delete(key)
 
+    def merge(self, key: str, operand: bytes) -> None:
+        """Write-side merge (RocksDB ``Merge``): append a delta operand
+        without a read-modify-write round trip. Open the DB with
+        ``merge_op="add"`` / ``"append"`` to have reads fold; see
+        KVStore.merge / fold_merges for semantics and maintenance."""
+        self.kv.merge(key, operand)
+
+    def merge_batch(self, items: list) -> None:
+        self.kv.merge_batch(items)
+
+    def fold_merges(self, now: int | None = None) -> int:
+        """Physically fold accumulated merge operands into full values."""
+        return self.kv.fold_merges(now=now)
+
     def changes_since(
         self,
         snapshot_seq: int,

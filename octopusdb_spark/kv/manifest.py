@@ -96,6 +96,13 @@ class ManifestState:
     # survives leveled compaction. Same sentinel rule: None = inherit
     # from the previous state, {} = deliberate clear.
     held_snapshots: dict | None = None
+    # Merge-operand presence flag (RocksDB kTypeMerge analog): True once
+    # any live segment MAY hold rows with BIT_MERGE set. Read and
+    # maintenance paths pay the operand-aware plan only while this is
+    # set, so stores that never merge keep bit-identical plans. Cleared
+    # explicitly (False) by a full compaction that verifies its output
+    # carries no operand rows. Same sentinel rule: None = inherit.
+    has_merge_operands: bool | None = None
 
     def data_segments(self) -> list:
         return [s for s in self.segments if s.kind == "data"]
@@ -147,6 +154,7 @@ class Manifest:
             compacted_bytes=raw.get("compacted_bytes", 0),
             range_tombstones=raw.get("range_tombstones", []),
             held_snapshots=raw.get("held_snapshots", {}),
+            has_merge_operands=raw.get("has_merge_operands", False),
         )
 
     def versions(self) -> list:
@@ -270,6 +278,8 @@ class Manifest:
             new_state.range_tombstones = list(self.state.range_tombstones or [])
         if new_state.held_snapshots is None:
             new_state.held_snapshots = dict(self.state.held_snapshots or {})
+        if new_state.has_merge_operands is None:
+            new_state.has_merge_operands = bool(self.state.has_merge_operands)
         snap = os.path.join(self.dir, f"manifest-{new_state.version}.json")
         payload = {
             "version": new_state.version,
@@ -279,6 +289,7 @@ class Manifest:
             "compacted_bytes": new_state.compacted_bytes,
             "range_tombstones": new_state.range_tombstones,
             "held_snapshots": new_state.held_snapshots,
+            "has_merge_operands": bool(new_state.has_merge_operands),
         }
         # Under the lock with CURRENT verified at the base version, an
         # existing snapshot for this version can only be a dead claimant's

@@ -67,6 +67,18 @@ from octopusdb_spark.kv.manifest import Manifest, ManifestState, SegmentInfo
 
 BIT_DELETE = 1  # kv/utils/const.go:25-28
 BIT_VALUE_POINTER = 2
+# Merge operand (RocksDB kTypeMerge analog; the reference's bitfield
+# kv/utils/const.go has no merge type — this is a beyond-reference
+# extension): the row is a delta to fold onto the newest full value at
+# read/maintenance time, per the store's configured merge operator.
+BIT_MERGE = 4
+
+# Store-level merge operators (the RocksDB MergeOperator registry analog).
+# "add": operands are ASCII-decimal int64 deltas; fold = base + sum(ops)
+#        (associative AND commutative — folds as a plain aggregate).
+# "append": operands are byte strings; fold = base ,op1,op2,... joined by
+#        ',' in (version, seq) order (the classic StringAppendOperator).
+MERGE_OPS = ("add", "append")
 
 def data_schema(key_type: str = "string") -> T.StructType:
     """Main-table schema. Keys are opaque bytes in the reference
@@ -132,6 +144,7 @@ class Entry:
     value: bytes | None = None
     expires_at: int = 0  # unix seconds; 0 = never
     version: int | None = None  # stamped by the store when None
+    merge: bool = False  # True = merge operand (BIT_MERGE), not a full value
 
     def with_ttl(self, seconds: int, now: int | None = None) -> "Entry":
         now = int(time.time()) if now is None else now
@@ -182,9 +195,13 @@ class KVStore:
         base_level_bytes: int = 1 << 20,  # baseLevelSize analog, scaled for tests
         level_multiplier: int = 10,  # levelSizeMultiplier (kv/option.go)
         key_type: str = "string",  # "binary" = reference's opaque []byte keys
+        merge_op: str | None = None,  # RocksDB merge_operator analog
     ):
         if key_type not in ("string", "binary"):
             raise ValueError(f"key_type must be 'string' or 'binary', got {key_type!r}")
+        if merge_op is not None and merge_op not in MERGE_OPS:
+            raise ValueError(f"merge_op must be one of {MERGE_OPS}, got {merge_op!r}")
+        self.merge_op = merge_op
         self.spark = spark
         self.root = root
         self.value_threshold = value_threshold
@@ -228,6 +245,19 @@ class KVStore:
     def delete(self, key: str) -> None:
         """Del = Set(key, nil) — kv/db.go:132-138."""
         self.set_batch([Entry(key=key, value=None)])
+
+    def merge(self, key, operand: bytes) -> None:
+        """Write-side merge (RocksDB ``Merge``): append a delta operand
+        without reading the current value. The fold happens at read time
+        (``view`` on a store opened with ``merge_op``) and physically at
+        ``fold_merges``; until then the operand is an ordinary versioned
+        row flagged BIT_MERGE. O(1) like any write — the whole point of
+        the operator is avoiding the read-modify-write round trip."""
+        self.merge_batch([(key, operand)])
+
+    def merge_batch(self, items: list) -> None:
+        """Batched merge operands: ``[(key, operand_bytes), ...]``."""
+        self.set_batch([Entry(key=k, value=v, merge=True) for k, v in items])
 
     def delete_range(self, start=None, end=None, prefix=None) -> int:
         """Range tombstone — the RocksDB/Badger DeleteRange analog: hide
@@ -338,12 +368,27 @@ class KVStore:
         ):
             vseg_id, vpath = self.manifest.new_segment_path("values")
         data_rows, value_rows = [], []
+        any_merge = False
         for i, e in enumerate(entries):
             seq = seq0 + i
             version = e.version if e.version is not None else seq
             meta = 0
             value, value_ptr = e.value, None
-            if e.value is None:
+            if getattr(e, "merge", False):
+                # operands are small deltas by construction: inline always
+                # (never value-separated), so fold paths and GC liveness
+                # need no pointer resolution for them
+                if e.value is None:
+                    raise ValueError("merge operand requires a non-null value")
+                if len(e.value) >= self.value_threshold:
+                    raise ValueError(
+                        "merge operand exceeds value_threshold "
+                        f"({len(e.value)} >= {self.value_threshold}); operands "
+                        "must stay inline — write a full value instead"
+                    )
+                meta |= BIT_MERGE
+                any_merge = True
+            elif e.value is None:
                 meta |= BIT_DELETE
             elif len(e.value) >= self.value_threshold:
                 meta |= BIT_VALUE_POINTER
@@ -356,6 +401,9 @@ class KVStore:
             version=state.version,
             next_seq=seq0 + len(entries),
             segments=list(state.segments),
+            # sentinel rule: None inherits; a batch carrying operands
+            # raises the flag durably (cleared only by a verifying compact)
+            has_merge_operands=True if any_merge else None,
         )
         if value_rows:
             vdf = self.spark.createDataFrame(value_rows, VALUES_SCHEMA)
@@ -608,13 +656,53 @@ class KVStore:
         whether the row is VISIBLE to some held snapshot (it is the
         candidate an ``as_of=h`` read resolves for some hold h). A
         compaction filter must not touch protected rows — the RocksDB
-        rule that the filter is never invoked on snapshot-visible keys."""
+        rule that the filter is never invoked on snapshot-visible keys.
+
+        MERGE OPERANDS (``has_merge_operands``, RocksDB kTypeMerge): the
+        newest-per-key collapse applies to FULL rows only — folding or
+        dropping operands here would change merged reads. Retention rule:
+        with no holds, operands strictly above their key's retained
+        newest full row survive (anything at or below it is shadowed by a
+        later full write); under holds ALL operands survive (the
+        conservative RocksDB rule — compaction never folds across a
+        snapshot boundary; ``fold_merges`` + release shrink the set).
+        Kept operands carry ``_protected = True``: a compaction filter is
+        never invoked on merge operands (RocksDB exposes that as a
+        separate FilterMergeOperand API, which v1 does not implement).
+        Stores whose manifest flag is unset take none of these branches —
+        their plans are bit-identical to the pre-merge engine."""
+        raw = self.raw_df(segs)
+        merge_aware = bool(self.manifest.state.has_merge_operands)
+        if merge_aware:
+            is_m = F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0
+            m_rows, nm = raw.filter(is_m), raw.filter(~is_m)
+        else:
+            m_rows, nm = None, raw
         held = sorted(
             {int(v) for v in (self.manifest.state.held_snapshots or {}).values()}
         )
         if not held:
-            out = self.latest_df(segs)
-            return out.withColumn("_protected", F.lit(False)) if with_protected else out
+            out = self._newest_of(nm)
+            kept_m = None
+            if merge_aware:
+                base_vs = out.select(
+                    "key",
+                    F.col("version").alias("_bv"),
+                    F.col("seq").alias("_bs"),
+                )
+                above_base = (F.col("version") > F.col("_bv")) | (
+                    (F.col("version") == F.col("_bv")) & (F.col("seq") > F.col("_bs"))
+                )
+                kept_m = (
+                    m_rows.join(base_vs, "key", "left")
+                    .filter(F.col("_bv").isNull() | above_base)
+                    .drop("_bv", "_bs")
+                )
+            if with_protected:
+                out = out.withColumn("_protected", F.lit(False))
+                if kept_m is not None:
+                    kept_m = kept_m.withColumn("_protected", F.lit(True))
+            return out if kept_m is None else out.unionByName(kept_m)
         from pyspark.sql import Window
 
         w_desc = Window.partitionBy("key").orderBy(F.desc("version"), F.desc("seq"))
@@ -622,7 +710,7 @@ class KVStore:
             w_desc.rowsBetween(Window.unboundedPreceding, -1)
         )
         harr = F.array(*[F.lit(int(h)).cast("long") for h in held])
-        base = self.raw_df(segs).withColumn("_mp", min_prev)
+        base = nm.withColumn("_mp", min_prev)
         is_boundary = F.exists(
             harr,
             lambda h: (F.col("seq") <= h)
@@ -631,7 +719,13 @@ class KVStore:
         out = base.filter(F.col("_mp").isNull() | is_boundary)
         if with_protected:
             out = out.withColumn("_protected", is_boundary)
-        return out.drop("_mp")
+        out = out.drop("_mp")
+        if merge_aware:
+            kept_m = m_rows
+            if with_protected:
+                kept_m = kept_m.withColumn("_protected", F.lit(True))
+            out = out.unionByName(kept_m)
+        return out
 
     def _drop_dead_rows(self, df: DataFrame, dead, held: bool) -> DataFrame:
         """Drop dead rows (tombstones / expired / caller-scoped) from a
@@ -744,29 +838,135 @@ class KVStore:
         base = self.raw_df(segs)
         if as_of is not None:
             base = base.filter(F.col("seq") <= as_of)
+        src_state = hist if hist is not None else self.manifest.state
+        rt_list = src_state.range_tombstones
+        vsegs = src_state.value_segments()
+        if bool(src_state.has_merge_operands):
+            is_m = F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0
+            if self.merge_op is not None:
+                # operator configured: every read folds (RocksDB Get with
+                # a merge_operator) — get/mget/scan/pin all ride this
+                return self._merged_fold(
+                    base.filter(~is_m), base.filter(is_m), rt_list, vsegs, now, as_of
+                )
+            # no operator configured: operands are INVISIBLE — reads
+            # resolve to the newest FULL value. (RocksDB returns an error
+            # here; a DataFrame can't fail per-key, so the documented
+            # contract is: open the store with merge_op to see merged
+            # data.) Stores without the manifest flag skip this filter —
+            # bit-identical plans.
+            base = base.filter(~is_m)
         live = self._newest_of(base).filter(
             (F.col("value").isNotNull() | F.col("value_ptr").isNotNull())
             & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
         )
         # range tombstones: the historical manifest's own list under time
         # travel, the live list otherwise (see delete_range)
-        rt_mask = self._rt_mask(
-            (hist.range_tombstones if hist is not None else self.manifest.state.range_tombstones),
-            as_of,
-        )
+        rt_mask = self._rt_mask(rt_list, as_of)
         if rt_mask is not None:
             live = live.filter(rt_mask)
-        vsegs = (
-            hist.value_segments()
-            if hist is not None
-            else self.manifest.state.value_segments()
-        )
         vals = self._values_join_side(vsegs)
         return (
             live.join(vals, live.value_ptr == vals.value_id, "left")
             .withColumn("value", F.coalesce(F.col("value"), F.col("big_value")))
             .filter(F.col("value").isNotNull())  # GC'd dangling pointers
             .select("key", "value", "expires_at", "version", "seq")
+        )
+
+    def _merged_fold(
+        self, nm: DataFrame, m_rows: DataFrame, rt_list, vsegs, now: int, as_of
+    ) -> DataFrame:
+        """The merge-operator read fold (RocksDB FullMergeV2 at read time):
+        per key, the newest FULL row is the base; operands strictly above
+        it fold onto it per ``self.merge_op``. A dead base (tombstone,
+        expired, range-deleted, GC-dangling) contributes the operator's
+        identity — but still SHADOWS operands at or below its (version,
+        seq). Output schema matches ``view()``.
+
+        Plan shape: one max_by agg (base), one key join + one keyed agg
+        over OPERAND rows only (bounded by un-folded operand count, not by
+        store size), one outer join — all key-partitioned; no windows, no
+        driver loops. ``fold_merges`` bounds the operand set over time."""
+        newest = self._newest_of(nm)
+        vals = self._values_join_side(vsegs)
+        newest = (
+            newest.join(vals, newest.value_ptr == vals.value_id, "left")
+            .withColumn("value", F.coalesce(F.col("value"), F.col("big_value")))
+            .select("key", "value", "expires_at", "version", "seq")
+        )
+        rt_mask = self._rt_mask(rt_list, as_of)
+        alive = F.col("value").isNotNull() & (
+            (F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now))
+        )
+        if rt_mask is not None:
+            alive = alive & rt_mask
+        base = newest.select(
+            "key",
+            F.when(alive, F.col("value")).alias("_bval"),
+            F.when(alive, F.col("expires_at")).otherwise(F.lit(0)).alias("_bexp"),
+            F.col("version").alias("_bv"),
+            F.col("seq").alias("_bs"),
+        )
+        ops = m_rows
+        if rt_mask is not None:
+            ops = ops.filter(rt_mask)
+        above_base = (F.col("version") > F.col("_bv")) | (
+            (F.col("version") == F.col("_bv")) & (F.col("seq") > F.col("_bs"))
+        )
+        ops = ops.join(base.select("key", "_bv", "_bs"), "key", "left").filter(
+            F.col("_bv").isNull() | above_base
+        )
+        if self.merge_op == "add":
+            folded = ops.groupBy("key").agg(
+                F.sum(F.col("value").cast("string").cast("long")).alias("_osum"),
+                F.max(F.struct("version", "seq")).alias("_omax"),
+            )
+            merged_value = (
+                F.coalesce(F.col("_bval").cast("string").cast("long"), F.lit(0))
+                + F.col("_osum")
+            ).cast("string").cast("binary")
+        else:  # append: ',' -joined in (version, seq) order, base first
+            folded = ops.groupBy("key").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "version",
+                                    "seq",
+                                    F.col("value").cast("string").alias("s"),
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    ",",
+                ).alias("_ojoin"),
+                F.max(F.struct("version", "seq")).alias("_omax"),
+            )
+            merged_value = F.concat_ws(
+                ",", F.col("_bval").cast("string"), F.col("_ojoin")
+            ).cast("binary")
+        has_ops = (
+            F.col("_osum").isNotNull()
+            if self.merge_op == "add"
+            else F.col("_ojoin").isNotNull()
+        )
+        return (
+            base.join(folded, "key", "full")
+            .filter(F.col("_bval").isNotNull() | has_ops)
+            .select(
+                "key",
+                F.when(has_ops, merged_value).otherwise(F.col("_bval")).alias("value"),
+                # operands never expire a key; TTL rides the newest full
+                # value only (0 = never while folded deltas are present
+                # atop a dead/absent base)
+                F.coalesce(F.col("_bexp"), F.lit(0)).alias("expires_at"),
+                F.when(has_ops, F.col("_omax.version"))
+                .otherwise(F.col("_bv"))
+                .alias("version"),
+                F.when(has_ops, F.col("_omax.seq")).otherwise(F.col("_bs")).alias("seq"),
+            )
         )
 
     def get(self, key, now: int | None = None, as_of: int | None = None):
@@ -964,6 +1164,17 @@ class KVStore:
         if as_of is not None and int(as_of) < int(snapshot_seq):
             raise ValueError(
                 f"as_of ({as_of}) must be >= snapshot_seq ({snapshot_seq})"
+            )
+        if bool(self.manifest.state.has_merge_operands):
+            # the delta's newest-per-key collapse would ship a raw merge
+            # operand as if it were the key's full value. Staged: operand
+            # shipping (change='merge' events, (key, seq) feed paging)
+            # is the next revision; until then fold + verify first.
+            raise NotImplementedError(
+                "changes_since over live merge operands is not implemented: "
+                "run fold_merges() then compact() (which verifies no operand "
+                "rows remain and clears the flag), or consume the feed "
+                "before merging"
             )
         now = int(time.time()) if now is None else now
         segs = [
@@ -1343,7 +1554,49 @@ class KVStore:
             # per live range tombstone, and every hold pins tombstones
             "range_tombstones": len(st.range_tombstones or []),
             "held_snapshots": len(st.held_snapshots or {}),
+            "has_merge_operands": bool(st.has_merge_operands),
         }
+
+    def fold_merges(
+        self,
+        now: int | None = None,
+        commit_tag: tuple | None = None,
+        target_segments: int = 2,
+    ) -> int:
+        """Physically fold accumulated merge operands into full values —
+        RocksDB's fold-during-compaction, decomposed into an ordinary
+        idempotent write: for every key currently carrying operands, the
+        MERGED value (exactly what ``view()`` folds) is written as a new
+        full version. The superseded operand rows become shadowed history
+        — the next maintenance pass trims them under the no-holds
+        retention rule, while snapshot holds keep them for as-of reads
+        exactly like superseded full versions (folding therefore never
+        crosses a snapshot boundary: held horizons keep folding their own
+        interval at read). A later full ``compact()`` verifies no operand
+        rows remain and clears the manifest flag. Returns rows written.
+
+        Plan shape: the read fold (keyed aggs over operand rows) +
+        one left-semi join restricting the write to keys that actually
+        carry operands + one ``ingest_df`` — cost tracks the un-folded
+        operand set, not the store."""
+        if self.merge_op is None:
+            raise ValueError("fold_merges requires the store opened with merge_op=")
+        if not bool(self.manifest.state.has_merge_operands):
+            return 0
+        now = int(time.time()) if now is None else now
+        m_keys = (
+            self.raw_df()
+            .filter(F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0)
+            .select("key")
+            .distinct()
+        )
+        to_fold = self.view(now=now).join(m_keys, "key", "left_semi")
+        return self.ingest_df(
+            to_fold.select("key", "value", "expires_at"),
+            expires_col="expires_at",
+            target_segments=target_segments,
+            commit_tag=commit_tag,
+        )
 
     # ------------------------------------------------------------ maintenance
     def _write_ranged_segments(
@@ -1821,6 +2074,20 @@ class KVStore:
         )
         drops = self._dropped_ptr_bytes(old, new_segs)
         kept = [s for s in state.segments if s.kind != "data"]
+        # merge-operand flag maintenance: full compaction is the ONE place
+        # the whole keyspace is rewritten, so it can verify whether any
+        # operand rows survive (they do while un-folded or hold-retained)
+        # and clear the flag when none do — restoring the bit-identical
+        # non-merge plans and re-enabling the changefeed. The probe reads
+        # only the freshly-written output.
+        merge_flag = None
+        if bool(state.has_merge_operands):
+            survivors = not (
+                self.raw_df(new_segs)
+                .filter(F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0)
+                .isEmpty()
+            )
+            merge_flag = True if survivors else False
         self.manifest.commit(
             ManifestState(
                 version=state.version,
@@ -1829,6 +2096,7 @@ class KVStore:
                 compacted_bytes=(state.compacted_bytes or 0)
                 + sum(s.size_bytes for s in new_segs),
                 range_tombstones=kept_rts,
+                has_merge_operands=merge_flag,
             )
         )
 
@@ -1867,6 +2135,7 @@ class KVStore:
             base_level_bytes=self.base_level_bytes,
             level_multiplier=self.level_multiplier,
             key_type=self.key_type,
+            merge_op=self.merge_op,
         )
         clone.manifest.commit(
             ManifestState(
@@ -1885,6 +2154,10 @@ class KVStore:
                 # clearable on its first maintenance tick and strand the
                 # CDC consumers the holds were protecting
                 held_snapshots=dict(state.held_snapshots or {}),
+                # explicit, not sentinel: the clone's fresh manifest would
+                # inherit False and its maintenance would trim operand
+                # rows as ordinary versions
+                has_merge_operands=bool(state.has_merge_operands),
             )
         )
         return clone

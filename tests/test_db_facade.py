@@ -297,3 +297,20 @@ def test_facade_round8_surface(spark, tmp_path):
     assert db.get("r0", now=NOW) is None
     assert db.get("r1", now=NOW) == b"v1"
     assert db.approximate_sizes([(None, None)])[0]["approx_rows"] == 5
+
+
+def test_facade_merge_surface(spark, tmp_path):
+    """Round-9 merge-operator surface on the facade: merge/merge_batch
+    write operands, reads fold per the configured operator, fold_merges
+    materializes, and info surfaces the operand flag."""
+    from octopusdb_spark.db import OctopusDB
+
+    db = OctopusDB(spark, str(tmp_path / "db"), merge_op="add")
+    db.set("ctr", b"1")
+    db.merge("ctr", b"41")
+    db.merge_batch([("ctr", b"-2"), ("fresh", b"5")])
+    assert db.get("ctr", now=NOW) == b"40"
+    assert db.get("fresh", now=NOW) == b"5"
+    assert db.info()["has_merge_operands"] is True
+    assert db.fold_merges(now=NOW) == 2
+    assert db.get("ctr", now=NOW) == b"40"

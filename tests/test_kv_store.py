@@ -1481,3 +1481,143 @@ def test_approximate_sizes_excludes_value_log(spark, tmp_path):
     assert est["approx_rows"] == 2
     assert est["approx_bytes"] < 50_000  # pointer + inline, not the payload
     assert store.info()["value_total_bytes"] >= 100_000
+
+
+# ---------------------------------------------------------------- merge op
+def _mstore(spark, tmp_path, op="add", **kw):
+    return KVStore(spark, str(tmp_path / "kv"), merge_op=op, **kw)
+
+
+def _live(st, now=NOW, as_of=None):
+    return {
+        r["key"]: bytes(r["value"]) for r in st.view(now=now, as_of=as_of).collect()
+    }
+
+
+def test_merge_add_fold_semantics(spark, tmp_path):
+    """RocksDB MergeOperator (add): operands fold onto the newest full
+    value; a tombstone clears operands below it; operands above a dead or
+    absent base fold from the identity; plain keys are untouched; reads
+    ride view() so get/scan see folded values."""
+    s = _mstore(spark, tmp_path)
+    s.set_batch([Entry("a", b"10"), Entry("b", b"5"), Entry("plain", b"x")])
+    s.merge("a", b"7")
+    s.merge("a", b"-2")
+    s.merge("new", b"3")
+    s.merge("b", b"1")
+    s.delete("b")
+    s.merge("b", b"100")
+    assert _live(s) == {"a": b"15", "b": b"100", "new": b"3", "plain": b"x"}
+    assert s.get("a", now=NOW).value == b"15"
+    # merged as-of reads: before the deletes/later operands
+    pre = s.snapshot_seq()
+    s.merge("a", b"1000")
+    assert _live(s)["a"] == b"1015"
+    assert _live(s, as_of=pre)["a"] == b"15"
+
+
+def test_merge_append_orders_operands(spark, tmp_path):
+    """append folds base-first then operands in (version, seq) order —
+    including a value-separated base payload, resolved before the fold."""
+    s = _mstore(spark, tmp_path, op="append", value_threshold=64)
+    big = b"B" * 100  # separated base
+    s.set_batch([Entry("log", big)])
+    s.merge("log", b"e1")
+    s.merge("log", b"e2")
+    s.merge("fresh", b"first")
+    got = _live(s)
+    assert got["log"] == big + b",e1,e2"
+    assert got["fresh"] == b"first"
+
+
+def test_merge_plain_open_hides_operands(spark, tmp_path):
+    """Without merge_op the operands are invisible (documented RocksDB-
+    without-operator analog): reads resolve to the newest FULL value."""
+    s = _mstore(spark, tmp_path)
+    s.set_batch([Entry("a", b"10")])
+    s.merge("a", b"7")
+    s.merge("only-ops", b"1")
+    plain = KVStore(spark, str(tmp_path / "kv"))
+    assert _live(plain) == {"a": b"10"}
+
+
+def test_merge_survives_maintenance_and_folds_physically(spark, tmp_path):
+    """Operand rows ride every maintenance path un-folded (the m/nm split
+    in _retained_df); fold_merges writes folded full versions; the next
+    full compact drops the shadowed operands, verifies none remain, and
+    clears the manifest flag — restoring plain-plan reads and the feed."""
+    s = _mstore(spark, tmp_path)
+    s.set_batch([Entry(f"k{i}", str(i).encode()) for i in range(8)])
+    for i in range(8):
+        s.merge(f"k{i}", b"10")
+    expect = {f"k{i}": str(i + 10).encode() for i in range(8)}
+    s.compact_level(0, now=NOW)
+    assert _live(s) == expect
+    s.compact(now=NOW)  # full compact with live operands: keeps them
+    assert s.info()["has_merge_operands"] is True
+    assert _live(s) == expect
+    assert s.fold_merges(now=NOW) == 8
+    assert _live(s) == expect
+    s.compact(now=NOW)
+    assert s.info()["has_merge_operands"] is False
+    assert _live(s) == expect
+    # feed re-enabled once verified operand-free
+    assert s.changes_since(s.snapshot_seq(), now=NOW).count() == 0
+
+
+def test_merge_holds_keep_preband_fold(spark, tmp_path):
+    """A held snapshot's as-of merged read folds ITS OWN interval after
+    maintenance: holds retain all operand rows plus the boundary base."""
+    s = _mstore(spark, tmp_path)
+    s.set_batch([Entry("c", b"100")])
+    s.merge("c", b"5")
+    h = s.hold_snapshot("reader")
+    s.merge("c", b"7")
+    s.set_batch([Entry("c", b"0")])  # full overwrite above the hold
+    s.compact(now=NOW)
+    assert _live(s)["c"] == b"0"
+    assert _live(s, as_of=h)["c"] == b"105"  # pre-hold fold intact
+    s.release_snapshot("reader")
+    s.fold_merges(now=NOW)
+    s.compact(now=NOW)
+    assert s.info()["has_merge_operands"] is False
+    assert _live(s)["c"] == b"0"
+
+
+def test_merge_guards(spark, tmp_path):
+    """Contract guards: operands must be non-null, inline-sized; the
+    changefeed refuses to run over live operands; fold_merges requires
+    the operator; clone_to carries the flag and the operator."""
+    import pytest as _pytest
+
+    s = _mstore(spark, tmp_path, value_threshold=64)
+    with _pytest.raises(ValueError):
+        s.merge_batch([("k", None)])
+    with _pytest.raises(ValueError):
+        s.merge("k", b"Z" * 64)
+    s.set_batch([Entry("k", b"1")])
+    s.merge("k", b"2")
+    with _pytest.raises(NotImplementedError):
+        s.changes_since(0, now=NOW)
+    plain = KVStore(spark, str(tmp_path / "other"))
+    with _pytest.raises(ValueError):
+        plain.fold_merges(now=NOW)
+    clone = s.clone_to(str(tmp_path / "clone"))
+    assert clone.manifest.state.has_merge_operands is True
+    assert clone.merge_op == "add"
+    assert _live(clone)["k"] == b"3"
+
+
+def test_merge_range_delete_interaction(spark, tmp_path):
+    """A range tombstone hides operands and bases it covers; operands
+    written after it fold from the identity."""
+    s = _mstore(spark, tmp_path)
+    s.set_batch([Entry("m1", b"10"), Entry("m2", b"20"), Entry("zz", b"1")])
+    s.merge("m1", b"5")
+    s.merge("m2", b"5")
+    s.delete_range(start="m1", end="m3")
+    s.merge("m2", b"8")  # above the tombstone: identity fold
+    got = _live(s)
+    assert "m1" not in got
+    assert got["m2"] == b"8"
+    assert got["zz"] == b"1"
