@@ -457,6 +457,7 @@ class KVStore:
         expires_col: str | None = None,
         target_segments: int = 8,
         commit_tag: tuple[str, int] | None = None,
+        merge_col: str | None = None,
     ) -> int:
         """Distributed bulk load — the 100 TB write path. ``set_batch``
         funnels rows through the driver (fine for the reference's 3×1000
@@ -485,6 +486,18 @@ class KVStore:
         if the manifest already records batch_id (or later) as committed for
         stream_id, the call is a no-op — the replay-safety contract for
         foreachBatch's at-least-once side effects.
+
+        ``merge_col`` names a boolean column marking MERGE-OPERAND rows
+        (``set_batch``'s ``Entry(merge=True)``, distributed): flagged rows
+        land BIT_MERGE with the same inline-only guard (non-null, under
+        ``value_threshold`` — violated rows fail the job via raise_error,
+        never silently truncate), and ingesting any raises the manifest's
+        ``has_merge_operands`` flag durably. Rows keep their stamped seq
+        order, so a caller needing per-key operand ORDER (``apply_changes``
+        replaying a feed) sorts the frame first — a globally sorted input
+        yields globally ordered seqs because monotonically_increasing_id
+        is ordered by (partition index, row position) and a range-
+        partitioned sort orders the partitions.
         """
         state = self.manifest.state
         if commit_tag is not None:
@@ -498,9 +511,42 @@ class KVStore:
             if expires_col
             else F.lit(0).cast("long")
         )
-        is_big = F.col("value").isNotNull() & (
-            F.length("value") >= F.lit(self.value_threshold)
+        is_merge = (
+            F.coalesce(F.col(merge_col).cast("boolean"), F.lit(False))
+            if merge_col
+            else F.lit(False)
         )
+        is_big = (
+            ~is_merge
+            & F.col("value").isNotNull()
+            & (F.length("value") >= F.lit(self.value_threshold))
+        )
+        meta = (
+            F.when(F.col("value").isNull(), F.lit(BIT_DELETE))
+            .when(is_big, F.lit(BIT_VALUE_POINTER))
+            .otherwise(F.lit(0))
+        )
+        if merge_col:
+            # same contract set_batch enforces per-entry: operands are
+            # non-null and inline (the fold paths never resolve pointers
+            # for them) — a violating row fails the whole job
+            bad = is_merge & (
+                F.col("value").isNull()
+                | (F.length("value") >= F.lit(self.value_threshold))
+            )
+            meta = (
+                F.when(
+                    bad,
+                    F.raise_error(
+                        F.lit(
+                            "merge operand must be non-null and inline "
+                            f"(< value_threshold {self.value_threshold})"
+                        )
+                    ).cast("int"),
+                )
+                .when(is_merge, F.lit(BIT_MERGE))
+                .otherwise(meta)
+            )
         # values segment id fixed up front so pointers can carry it
         # (ValuePtr format "{values_segment}:{seq}:{len}" — see set_batch)
         vseg_id, vpath = self.manifest.new_segment_path("values")
@@ -509,15 +555,13 @@ class KVStore:
                 F.col(key_col).cast(self.key_type).alias("key"),
                 F.col(value_col).cast("binary").alias("value"),
                 expires.alias("expires_at"),
+                *([is_merge.alias("_merge")] if merge_col else []),
             )
             .withColumn("seq", F.lit(seq0) + F.monotonically_increasing_id())
             .select(
                 "key",
                 "value",
-                F.when(F.col("value").isNull(), F.lit(BIT_DELETE))
-                .when(is_big, F.lit(BIT_VALUE_POINTER))
-                .otherwise(F.lit(0))
-                .alias("meta"),
+                meta.alias("meta"),
                 "expires_at",
                 F.col("seq").alias("version"),
                 "seq",
@@ -1091,12 +1135,26 @@ class KVStore:
         """Changefeed (CDC): the current state of every key written after
         ``snapshot_seq`` (e.g. a value previously captured via
         ``snapshot_seq()``), as (key, change, value, expires_at, version)
-        where change is 'upsert' or 'delete' (tombstoned,
+        where change is 'upsert', 'delete' (tombstoned,
         expired-by-now, or covered by a post-snapshot range tombstone —
         covered keys with no post-snapshot write are expanded into
         per-key delete events stamped with the tombstone's seq, read
         through the manifest's key-interval pruning over the deleted
-        ranges only).
+        ranges only), or 'merge' (a raw merge operand, RocksDB
+        kTypeMerge shipped as-is).
+
+        MERGE OPERANDS ship as their own events rather than folding at
+        the source: the feed stays O(interval rows), the replica keeps the
+        primary's O(1) write amplification, and a replica opened with the
+        same ``merge_op`` re-folds identically because ``apply_changes``
+        replays each key's events in feed-``version`` order (delete/upsert
+        below, surviving operands above — the exact fold boundary
+        ``_merged_fold`` uses). A key can therefore carry SEVERAL events
+        in one feed (one upsert-or-delete plus its surviving operands), so
+        per-key event ORDER matters to consumers and the remote protocol
+        pages on the (key, version) compound cursor. Operands the interval
+        itself shadows (at/below the key's newest interval full row, or
+        retired by a covering range tombstone) are not shipped.
 
         O(delta) while the delta is un-compacted: versions are monotonic,
         so a touched key's newest version lives in a post-snapshot segment
@@ -1165,16 +1223,17 @@ class KVStore:
             raise ValueError(
                 f"as_of ({as_of}) must be >= snapshot_seq ({snapshot_seq})"
             )
-        if bool(self.manifest.state.has_merge_operands):
-            # the delta's newest-per-key collapse would ship a raw merge
-            # operand as if it were the key's full value. Staged: operand
-            # shipping (change='merge' events, (key, seq) feed paging)
-            # is the next revision; until then fold + verify first.
-            raise NotImplementedError(
-                "changes_since over live merge operands is not implemented: "
-                "run fold_merges() then compact() (which verifies no operand "
-                "rows remain and clears the flag), or consume the feed "
-                "before merging"
+        merge_aware = bool(self.manifest.state.has_merge_operands)
+        if merge_aware and self.merge_op is None:
+            # the range-delete expansion below reads the as-of view; on an
+            # operand-bearing store that view only surfaces operand-built
+            # keys when the operator is configured — without it a covered
+            # operands-only key would get NO delete event and a replica
+            # that folded earlier shipped operands would diverge
+            raise ValueError(
+                "changes_since over live merge operands requires the store "
+                "to be opened with the merge_op the operands were written "
+                "under (or fold_merges() + compact() first)"
             )
         now = int(time.time()) if now is None else now
         segs = [
@@ -1188,6 +1247,14 @@ class KVStore:
         delta = self.raw_df(segs).filter(F.col("seq") > F.lit(snapshot_seq))
         if as_of is not None:
             delta = delta.filter(F.col("seq") <= F.lit(int(as_of)))
+        m_rows = None
+        if merge_aware:
+            # operands ship as their own 'merge' events below — the full
+            # events must collapse over FULL rows only, or the newest-per-
+            # key pick could ship a raw operand as if it were a full value
+            is_m = F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0
+            m_rows = delta.filter(is_m)
+            delta = delta.filter(~is_m)
         newest = self._newest_of(delta)
         vals = self._values_join_side(self.manifest.state.value_segments())
         resolved = (
@@ -1268,6 +1335,44 @@ class KVStore:
                     )
                 )
                 out = out.unionByName(extra)
+        if m_rows is not None:
+            # operand ('merge') events: every LIVE interval operand the
+            # key's newest interval FULL row does not shadow — exactly the
+            # operands _merged_fold would apply above its base, so a
+            # replica that re-folds the shipped events converges. rt_mask
+            # clears operands a covering tombstone retired (the covered
+            # key's delete event shipped above, stamped below the
+            # surviving operands, so an ordered apply replays the fold).
+            # Operands are inline by construction (set_batch guard): no
+            # pointer resolution. Versions are respected within the
+            # interval (the same (version, seq) boundary the fold uses); a
+            # PRE-snapshot full row custom-stamped above interval operands
+            # is not re-examined — the standard monotonic-version contract.
+            ops = m_rows
+            if rt_mask is not None:
+                ops = ops.filter(rt_mask)
+            shadow = newest.select(
+                "key",
+                F.col("version").alias("_bv"),
+                F.col("seq").alias("_bs"),
+            )
+            above = (F.col("version") > F.col("_bv")) | (
+                (F.col("version") == F.col("_bv")) & (F.col("seq") > F.col("_bs"))
+            )
+            mev = (
+                ops.join(shadow, "key", "left")
+                .filter(F.col("_bv").isNull() | above)
+                .select(
+                    "key",
+                    F.lit("merge").alias("change"),
+                    "value",
+                    # operands never carry TTL (merge_batch writes them
+                    # with expires_at=0)
+                    F.lit(0).cast("long").alias("expires_at"),
+                    F.col("version").cast("long").alias("version"),
+                )
+            )
+            out = out.unionByName(mev)
         if include_preimage:
             pre = self.view(
                 now=now, as_of=snapshot_seq, at_version=preimage_at_version
