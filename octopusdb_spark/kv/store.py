@@ -511,11 +511,19 @@ class KVStore:
             if expires_col
             else F.lit(0).cast("long")
         )
-        is_merge = (
+        # The operand flag is staged as '_merge' in the first select and
+        # read BACK as that alias in every later expression — the source
+        # merge_col column does not survive the first projection, so
+        # referencing F.col(merge_col) downstream is unresolvable at plan
+        # time (ADVICE r9 finding 1). Without merge_col the flag is a
+        # constant False and no '_merge' column is staged at all, keeping
+        # non-merge ingest plans bit-identical.
+        pre_merge = (
             F.coalesce(F.col(merge_col).cast("boolean"), F.lit(False))
             if merge_col
-            else F.lit(False)
+            else None
         )
+        is_merge = F.col("_merge") if merge_col else F.lit(False)
         is_big = (
             ~is_merge
             & F.col("value").isNotNull()
@@ -550,19 +558,27 @@ class KVStore:
         # values segment id fixed up front so pointers can carry it
         # (ValuePtr format "{values_segment}:{seq}:{len}" — see set_batch)
         vseg_id, vpath = self.manifest.new_segment_path("values")
+        # operands never carry TTL — the fold paths and the changefeed both
+        # hard-code expires_at=0 for them, so the invariant is enforced by
+        # construction here rather than trusted to callers (ADVICE r9)
+        expires_out = (
+            F.when(is_merge, F.lit(0)).otherwise(F.col("expires_at")).cast("long")
+            if merge_col
+            else F.col("expires_at")
+        )
         staged_rows = (
             df.select(
                 F.col(key_col).cast(self.key_type).alias("key"),
                 F.col(value_col).cast("binary").alias("value"),
                 expires.alias("expires_at"),
-                *([is_merge.alias("_merge")] if merge_col else []),
+                *([pre_merge.alias("_merge")] if merge_col else []),
             )
             .withColumn("seq", F.lit(seq0) + F.monotonically_increasing_id())
             .select(
                 "key",
                 "value",
                 meta.alias("meta"),
-                "expires_at",
+                expires_out.alias("expires_at"),
                 F.col("seq").alias("version"),
                 "seq",
                 F.when(
@@ -601,25 +617,39 @@ class KVStore:
             # byte lengths parsed from the ptr string — the values column is
             # already nulled here): no separate totals scan
             ptr_len = F.split(F.col("value_ptr"), ":").getItem(2).cast("long")
+            extra = {
+                "vcnt": F.count("value_ptr"),
+                "vbytes": F.sum(ptr_len),
+            }
+            if merge_col:
+                # operand rows must raise the manifest flag durably (the
+                # sentinel rule set_batch follows) — folded into the ranged
+                # write's own stats job, no extra scan (ADVICE r9 finding 2)
+                extra["mcnt"] = F.sum(
+                    (F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0).cast("long")
+                )
             new_data_segs, bucket_stats = self._write_ranged_segments(
                 data,
                 level=0,
                 target_segments=target_segments,
-                extra_stats={
-                    "vcnt": F.count("value_ptr"),
-                    "vbytes": F.sum(ptr_len),
-                },
+                extra_stats=extra,
             )
             total_cnt = sum(r["cnt"] for r in bucket_stats)
             if not total_cnt:
                 return 0
             vcnt = sum(r["vcnt"] for r in bucket_stats)
             vbytes = sum(int(r["vbytes"] or 0) for r in bucket_stats)
+            any_merge = bool(merge_col) and any(
+                int(r["mcnt"] or 0) > 0 for r in bucket_stats
+            )
             new_state = ManifestState(
                 version=state.version,
                 next_seq=int(max(r["_mxseq"] for r in bucket_stats)) + 1,
                 segments=list(state.segments),
                 stream_commits=dict(state.stream_commits or {}),
+                # sentinel rule: None inherits; any ingested operand raises
+                # the flag durably (cleared only by a verifying compact)
+                has_merge_operands=True if any_merge else None,
             )
             if commit_tag is not None:
                 new_state.stream_commits[commit_tag[0]] = int(commit_tag[1])
@@ -1400,10 +1430,24 @@ class KVStore:
         converges: a replayed batch is a committed no-op, exactly the
         streaming-ingest idempotency contract. Returns rows applied.
 
+        MERGE events ('merge', emitted by an operand-bearing primary) land
+        as BIT_MERGE operand rows via ``ingest_df(merge_col=...)``, so a
+        replica opened with the same ``merge_op`` re-folds identically.
+        Per-key event ORDER is reproduced by sorting the feed by
+        (key, version, operand-last) before ingest: ``ingest_df``
+        re-stamps versions from input order (monotonically_increasing_id
+        over a range-partitioned total sort), so the base event — whose
+        feed version is below its surviving operands' by the fold-boundary
+        contract — lands below them on the replica too. The operand-last
+        tiebreak covers a custom-stamped full row sharing an operand's
+        version.
+
         Replica bootstrap: ``clone_to`` at the snapshot the feed starts
         from, then apply feeds in order — the replica's live view equals
         the primary's at every applied point (pinned by
-        `test_changefeed_replication_converges`)."""
+        `test_changefeed_replication_converges` and the merge-store
+        convergence tests)."""
+        is_merge = F.col("change") == "merge"
         return self.ingest_df(
             feed.select(
                 "key",
@@ -1414,10 +1458,13 @@ class KVStore:
                 .otherwise(F.coalesce(F.col("expires_at"), F.lit(0)))
                 .cast("long")
                 .alias("expires_at"),
-            ),
+                is_merge.alias("_is_merge"),
+                "version",
+            ).orderBy("key", "version", F.col("_is_merge").cast("int")),
             expires_col="expires_at",
             target_segments=target_segments,
             commit_tag=commit_tag,
+            merge_col="_is_merge",
         )
 
     def cache_view(self, now: int | None = None) -> DataFrame:

@@ -177,12 +177,15 @@ class KVClient:
     def changes(
         self, since: int, page_size: int | None = None, as_of: int | None = None
     ) -> list:
-        """The complete changefeed from ``since``, transparently paged by
-        key (the server caps rows per request and signals ``more``; this
-        loops until the feed is exhausted, so a range delete covering
-        more keys than one page can never be silently truncated). Each
+        """The complete changefeed from ``since``, transparently paged on
+        the (key, version, change) compound cursor (the server caps rows
+        per request and signals ``more``; this loops until the feed is
+        exhausted, so a range delete covering more keys than one page can
+        never be silently truncated, and a merge-store key carrying
+        several events — one upsert/delete plus its surviving operands —
+        can never lose the events a page boundary cuts through). Each
         row: {"key", "change", "value": bytes|None, "expires_at",
-        "version"}, ordered by key.
+        "version"}, ordered by (key, version).
 
         SNAPSHOT-CONSISTENT: the poll is pinned to one upper seq — the
         passed ``as_of``, else a ``snapshot()`` taken at call time — and
@@ -202,13 +205,18 @@ class KVClient:
             as_of = self.snapshot()  # one consistent read point per poll
         out = ChangeFeed()
         out.as_of = int(as_of)
-        after = None
+        after = None  # (key, version, change) compound cursor — a merge
+        # store ships several events per key, so bare-key paging would
+        # skip a boundary key's remaining events (server pages on the
+        # same triple)
         while True:
             req: dict = {"op": "changes", "since": int(since), "as_of": int(as_of)}
             if page_size is not None:
                 req["limit"] = int(page_size)
             if after is not None:
-                req["after_key"] = after
+                req["after_key"] = after[0]
+                req["after_version"] = after[1]
+                req["after_change"] = after[2]
             reply = self._call(req)
             for r in reply["rows"]:
                 v = r.get("value")
@@ -223,7 +231,8 @@ class KVClient:
                 )
             if not reply.get("more"):
                 return out
-            after = reply["rows"][-1]["key"]  # wire-encoded, pass back as-is
+            last = reply["rows"][-1]  # key stays wire-encoded, pass back as-is
+            after = (last["key"], last["version"], last["change"])
 
     def ping(self) -> bool:
         return bool(self._call({"op": "ping"}).get("pong"))

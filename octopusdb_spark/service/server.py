@@ -214,12 +214,34 @@ class KVService:
         )
         after = req.get("after_key")
         if after is not None:
-            # KEY paging: feed keys are unique (newest-per-key events;
-            # the expansion anti-joins the delta), so (key) is a total
-            # order — unlike version, which every expansion row of one
-            # tombstone shares
-            feed = feed.filter(F.col("key") > F.lit(self._dec_key(after)))
-        rows = feed.orderBy("key").limit(limit + 1).collect()
+            # COMPOUND (key, version, change) paging: a merge-store feed
+            # carries SEVERAL events per key (one upsert/delete + N
+            # surviving operands), so bare-key paging would silently skip
+            # a boundary key's remaining events when a page cut mid-key.
+            # (key, version) orders them (operand versions are unique seq
+            # stamps; the full event sits below its operands), and the
+            # change tiebreak covers a custom-stamped full row sharing an
+            # operand's version. Legacy clients sending only after_key get
+            # the old key-cursor semantics (correct for non-merge feeds,
+            # where keys ARE unique: newest-per-key events, expansion
+            # anti-joined).
+            ak = F.lit(self._dec_key(after))
+            av = req.get("after_version")
+            if av is None:
+                feed = feed.filter(F.col("key") > ak)
+            else:
+                same_key = F.col("key") == ak
+                same_v = F.col("version") == F.lit(int(av))
+                cond = (F.col("key") > ak) | (
+                    same_key & (F.col("version") > F.lit(int(av)))
+                )
+                ac = req.get("after_change")
+                if ac is not None:
+                    cond = cond | (
+                        same_key & same_v & (F.col("change") > F.lit(str(ac)))
+                    )
+                feed = feed.filter(cond)
+        rows = feed.orderBy("key", "version", "change").limit(limit + 1).collect()
         more = len(rows) > limit
         rows = rows[:limit]
         return {
