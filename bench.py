@@ -69,6 +69,8 @@ HEADLINE = [
     # added round 9
     "q_token_budget_packing_bpe",
     "text_dup_runs",
+    # added round 10 (merge-operator write/fold/maintenance cycle)
+    "kv_merge_operator",
 ]
 
 

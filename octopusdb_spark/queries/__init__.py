@@ -39,46 +39,46 @@ for _m in _MODULES:
     ORACLE_SQL.update(getattr(mod, "ORACLES", {}))
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order. Round-9 rotation: the full stale cohort — every query
-# whose most recent green driver row is round 6 or older (47 at r6 plus
-# multimodal_bytes at r5, the oldest row in the repo; list computed from
-# CORRECTNESS_r01..r08) — then fills from the r7 cohort on code paths
-# round 9 touches (the snapshot-pinned remote `changes` paging, the
-# BPE-ish token counting).
+# insertion order. Round-10 rotation: after the r8/r9 sweeps the only
+# freshness debt is the r7-last-green cohort (50 names) plus
+# pipeline_pretrain_corpus (r6, the oldest row) — 51 candidates computed
+# from CORRECTNESS_r01..r09 for 49 slots behind the kv_merge_operator
+# head-insert. Two sacrifices, chosen where another fresh row exercises
+# the identical code path: kv_merge_sorted_runs (same plan and oracle
+# SQL as the r8-green kv_latest_live, both ride kv_live/_newest) and
+# q_token_budget_packing (whitespace counter; the r9-green
+# q_token_budget_packing_bpe runs BOTH counters through the same shared
+# prefix-sum packing windows).
 # PROTOCOL: a query added to the registry after this list is frozen must
 # be inserted at the HEAD at that moment (displacing the last fill
 # entry), not next round.
 _PRIORITY = [
-    # added round 9 (head-insert at add time, per protocol)
-    "kv_failover",             # replica promotion + re-bootstrap drill
-    "q_token_budget_packing_bpe",  # tokenizer-fidelity shard packing
-    "text_dup_runs",           # maximal shared-run span dedup (Lee et al.)
-    # stale cohort (r5/r6 last-green), oldest first
-    "multimodal_bytes",        # r5 — displaced by a head-insert in r8
-    "kv_value_separation", "kv_version_history", "kv_changefeed",
-    "kv_stream_enrich",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q8_market_share",
-    "q9_profit_shape", "q10_returned_items", "q11_volume_share_shape",
-    "q13_custdist", "q15_top_supplier", "q16_supplier_cnt_shape",
-    "q18_large_volume", "q20_excess_shipping_shape", "q21_waiting_shape",
-    "q_window_family", "q_approx_distinct", "q_array_hof",
-    "q_hash_sampled_stats", "q_pandas_udaf_trimmed_mean",
-    "q_range_join_bucketed", "q_rollup_merge", "q_skew_salted_join",
-    "q_source_balanced_sample", "q_stratified_sample", "q_weighted_sample",
-    "graph_components", "graph_khop", "graph_mutual_follows",
-    "graph_triangles", "graph_two_hop",
-    "dedup_cluster_keep", "dedup_containment", "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "sim_ann_ivf_kmeans", "sim_ann_pq",
-    "text_fingerprint", "text_langid", "text_quality",
-    "text_source_profile", "text_tfidf_keywords", "text_token_count",
-    "quality_filter_reasons", "quality_pattern_scan",
-    # (fills q_token_budget_packing, kv_remote_reads and the stale
-    # pipeline_pretrain_corpus displaced by the kv_failover /
-    # q_token_budget_packing_bpe / text_dup_runs head-inserts;
-    # pipeline_pretrain_corpus chosen as the stale sacrifice because its
-    # code paths are freshly covered by the r8-green pipeline_pretrain_v2,
-    # which composes the same shared stage helpers)
+    # added round 10 (head-insert at add time, per protocol): the merge
+    # operator promoted to a hash-checked row now that its CDC half
+    # shipped (pytest-first-then-promote)
+    "kv_merge_operator",
+    # r6-stale (oldest row in the repo)
+    "pipeline_pretrain_corpus",
+    # r7-stale cohort
+    "kv_changefeed_preimage", "kv_pinned_reads", "kv_prefix_scan",
+    "kv_range_delete", "kv_range_seek", "kv_remote_reads",
+    "kv_replication", "kv_stream_ingest", "kv_tombstoned_keys",
+    "kv_ttl_classes",
+    "q1_pricing_summary", "q2_min_cost_shape", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q12_ship_lag_shape",
+    "q14_promo_effect", "q17_small_quantity", "q19_discounted_revenue",
+    "q22_global_sales",
+    "q_approx_percentile", "q_asof_join", "q_avg_order_gap",
+    "q_cohort_retention", "q_cube_orders", "q_event_time_windows",
+    "q_funnel", "q_grouping_sets", "q_mode_event_type", "q_moving_avg",
+    "q_rollup_acctbal", "q_running_totals", "q_scalar_functions",
+    "q_semi_join", "q_session_window", "q_sessionize", "q_set_ops",
+    "q_time_gapfill", "q_time_rollup", "q_top_customers_per_nation",
+    "q_train_val_split",
+    "sim_ann_ivfpq", "sim_quantized_cosine",
+    "stream_dedup_ingest",
+    "text_chunk_overlap", "text_ngram_topk", "text_pii_redact",
+    "text_repetition",
 ]
 
 

@@ -620,6 +620,83 @@ def q_kv_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_kv_merge_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge operator (beyond-reference; the RocksDB MergeOperator /
+    kTypeMerge analog) run FOR REAL under the correctness gate:
+    per-customer counters take a full base value, a tombstone wave, a
+    DISTRIBUTED bulk operand load (`ingest_df(merge_col=)` — one
+    BIT_MERGE delta per order, O(1) write amplification, no
+    read-modify-write), and a write-side `merge_batch` wave; every read
+    folds (`view` with merge_op='add', RocksDB FullMergeV2 at read time).
+    In-query assertions, each of which reddens the driver row:
+      1. the bulk operand ingest raises the manifest flag durably;
+      2. `fold_merges()` over live operands writes folded full versions
+         and the verifying full `compact()` CLEARS the flag;
+      3. the physically-folded post-compaction view is bit-identical to
+         the fold-on-read view it replaced.
+    Tombstoned bases contribute the operator's identity — operands above
+    a delete fold from zero; a tombstoned key with no operands stays
+    absent. The checked output is the POST-compaction view: every byte
+    the oracle hashes traveled write-side operands -> read fold ->
+    physical fold -> compaction."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from octopusdb_spark.kv.store import Entry, KVStore
+
+    bases = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 40)
+        .select(
+            F.concat(
+                F.lit("m"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+            ).alias("key"),
+            (F.col("c_custkey") * 1000).cast("string").cast("binary").alias("value"),
+        )
+    )
+    ops = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 40)
+        .select(
+            F.concat(
+                F.lit("m"), F.lpad(F.col("o_custkey").cast("string"), 6, "0")
+            ).alias("key"),
+            (F.col("o_orderkey") % 100).cast("string").cast("binary").alias("value"),
+            F.lit(True).alias("is_op"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix=f"kv_mergeop_{uuid.uuid4().hex[:12]}_")
+    try:
+        store = KVStore(spark, f"{base}/kv", merge_op="add")
+        store.ingest_df(bases, target_segments=2)
+        # tombstone wave BELOW the operands: these bases fold as identity
+        store.set_batch([Entry(f"m{k:06d}", None) for k in range(10, 41, 10)])
+        store.ingest_df(ops, merge_col="is_op", target_segments=2)
+        if store.info()["has_merge_operands"] is not True:
+            raise RuntimeError("bulk operand ingest did not raise the manifest flag")
+        # write-side operand wave through the point API
+        store.merge_batch([(f"m{k:06d}", b"5") for k in range(7, 41, 7)])
+        on_read = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in store.view(now=NOW).collect()
+        )
+        if store.fold_merges(now=NOW) == 0:
+            raise RuntimeError("fold_merges folded nothing over live operands")
+        store.compact(now=NOW)
+        if store.info()["has_merge_operands"] is not False:
+            raise RuntimeError("verifying compact did not clear the merge flag")
+        folded = sorted(
+            (r["key"], bytes(r["value"]).decode("utf-8"))
+            for r in store.view(now=NOW).collect()
+        )
+        if folded != on_read:
+            raise RuntimeError("physical fold diverged from the read-time fold")
+        return spark.createDataFrame(folded, "key string, value string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_kv_range_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range tombstone (DeleteRange) run FOR REAL under the correctness
     gate: customer rows bulk-load, ONE O(1) manifest commit hides the
@@ -853,6 +930,29 @@ ORACLES = {
           AND NOT (c_custkey % 13 = 0 AND c_custkey != 13)
           AND c_custkey NOT IN (46, 47)
         ORDER BY key""",
+    # base (custkey*1000; identity when the tombstone wave killed it) +
+    # one operand per order (o_orderkey % 100) + the write-side wave (+5
+    # for every 7th customer). Keys whose last full event is the delete
+    # and which carry no operands at all stay absent.
+    "kv_merge_operator": """
+        WITH ops AS (
+          SELECT o_custkey AS ck, SUM(o_orderkey % 100) AS osum
+          FROM orders WHERE o_custkey <= 40 GROUP BY 1
+        )
+        SELECT 'm' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
+               CAST((CASE WHEN c_custkey % 10 = 0 AND c_custkey > 0 THEN 0
+                          ELSE c_custkey * 1000 END)
+                    + COALESCE(osum, 0)
+                    + (CASE WHEN c_custkey % 7 = 0 AND c_custkey > 0
+                            THEN 5 ELSE 0 END)
+                 AS VARCHAR) AS value
+        FROM customer LEFT JOIN ops ON ops.ck = c_custkey
+        WHERE c_custkey <= 40
+          -- the testdata's custkeys start at 0, which the engine-side
+          -- tombstone (10..40 step 10) and merge (7..35 step 7) waves
+          -- do not touch; key m000000 keeps its base
+          AND NOT (c_custkey % 10 = 0 AND c_custkey > 0 AND osum IS NULL)
+        ORDER BY key""",
     "kv_remote_reads": """
         SELECT 's' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS key,
                s_name AS value
@@ -951,6 +1051,7 @@ QUERIES = {
     "kv_remote_reads": q_kv_remote_reads,
     "kv_replication": q_kv_replication,
     "kv_failover": q_kv_failover,
+    "kv_merge_operator": q_kv_merge_operator,
     "kv_range_delete": q_kv_range_delete,
     "kv_snapshot_holds": q_kv_snapshot_holds,
     "kv_compaction_filter": q_kv_compaction_filter,
