@@ -2114,6 +2114,7 @@ class KVStore:
         now: int | None = None,
         target_segments: int = 4,
         drop_where=None,
+        filter_merge_operands: bool = False,
     ) -> None:
         """Full-keyspace compaction: one merged, deduped, range-partitioned
         bottom-level run. Tombstones + expired rows are physically dropped —
@@ -2150,7 +2151,21 @@ class KVStore:
         ``value`` column is substituted with the joined payload before
         evaluation, exactly what a RocksDB filter is handed. A predicate
         evaluating to NULL counts as not-matching (rows are never purged
-        on an unknown)."""
+        on an unknown).
+
+        ``filter_merge_operands``: by default merge operands are EXEMPT
+        from ``drop_where`` (the RocksDB default — a filter that does not
+        implement FilterMergeOperand is never handed operands, because
+        dropping one silently changes every future fold). Pass True to
+        opt in (the FilterMergeOperand analog): matching operand rows are
+        purged — a clean drop, no tombstone rewrite, since an operand
+        never shadows an older version; removing it only removes its
+        delta from the fold chain. The snapshot rule still dominates:
+        while ANY hold is registered, every operand is retained AND
+        exempt (folding, and therefore filtering, never crosses a
+        snapshot boundary — release holds first). A compact that purges
+        the last live operands clears the manifest flag via the standard
+        verifying probe."""
         now = int(time.time()) if now is None else now
         state = self.manifest.state
         old = state.data_segments()
@@ -2177,11 +2192,18 @@ class KVStore:
             # the coalesce, dead = dead_nat | NULL stays NULL and both
             # _drop_dead_rows paths would treat the row as dead —
             # silently purging rows the filter never matched
+            exempt = F.col("_protected")
+            if filter_merge_operands and not held:
+                # FilterMergeOperand opt-in: operands lose the blanket
+                # exemption ONLY when no snapshot is registered (under
+                # holds all operands are hold-retained and _protected
+                # stays authoritative — filtering never crosses a
+                # snapshot boundary)
+                is_op = F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0
+                exempt = exempt & ~is_op
             merged = merged.withColumn(
                 "_elig",
-                F.coalesce(drop_where, F.lit(False))
-                & ~F.col("_protected")
-                & ~dead_nat,
+                F.coalesce(drop_where, F.lit(False)) & ~exempt & ~dead_nat,
             ).withColumn("value", F.col("_orig_value"))
             dead = dead_nat | F.col("_elig")
         else:

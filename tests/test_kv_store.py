@@ -1635,6 +1635,49 @@ def test_merge_range_delete_interaction(spark, tmp_path):
     assert got["zz"] == b"1"
 
 
+def test_merge_operand_compaction_filter(spark, tmp_path):
+    """FilterMergeOperand (RocksDB operand-filter analog): by DEFAULT
+    drop_where never sees operands (the blanket exemption — a filter
+    that drops operands silently changes every future fold); with
+    filter_merge_operands=True matching operands are purged cleanly (no
+    tombstone rewrite — an operand shadows nothing); under a registered
+    hold ALL operands stay exempt regardless (the snapshot rule), and
+    after release the next opted-in compact purges them."""
+    from pyspark.sql import functions as F
+
+    s = _mstore(spark, tmp_path)
+    s.set_batch([Entry("a", b"100"), Entry("b", b"200")])
+    s.merge("a", b"7")   # the "bad" operand the filter targets
+    s.merge("a", b"3")
+    s.merge("b", b"7")
+    bad = F.col("value") == F.lit(b"7")
+    # default: blanket exemption — folds unchanged, operands survive
+    s.compact(now=NOW, drop_where=bad)
+    assert _live(s) == {"a": b"110", "b": b"207"}
+    assert s.info()["has_merge_operands"] is True
+    # opted in: matching operands purged, fold loses exactly their deltas
+    s.compact(now=NOW, drop_where=bad, filter_merge_operands=True)
+    assert _live(s) == {"a": b"103", "b": b"200"}
+    # b's only operand is gone; a still carries b"3" so the flag stands
+    assert s.info()["has_merge_operands"] is True
+    # snapshot rule: a hold exempts ALL operands even when opted in
+    s.merge("b", b"7")
+    h = s.hold_snapshot("reader")
+    s.compact(now=NOW, drop_where=bad, filter_merge_operands=True)
+    assert _live(s) == {"a": b"103", "b": b"207"}
+    assert _live(s, as_of=h)["b"] == b"207"  # held fold intact
+    s.release_snapshot("reader")
+    s.compact(now=NOW, drop_where=bad, filter_merge_operands=True)
+    assert _live(s) == {"a": b"103", "b": b"200"}
+    # purge the last remaining operand: the verifying probe clears the flag
+    s.compact(
+        now=NOW, drop_where=F.col("value") == F.lit(b"3"),
+        filter_merge_operands=True,
+    )
+    assert _live(s) == {"a": b"100", "b": b"200"}
+    assert s.info()["has_merge_operands"] is False
+
+
 def test_merge_changefeed_replication_converges(spark, tmp_path):
     """The judge's r9 divergence repro, pinned fixed: a replica opened
     with the same merge_op and applying the primary's feed reads the SAME
