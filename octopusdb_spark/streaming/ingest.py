@@ -28,6 +28,7 @@ def ingest_stream_to_kv(
     expires_col: str | None = None,
     target_segments: int = 2,
     compact_every: int = 4,
+    merge_col: str | None = None,
 ):
     """Run a streaming DataFrame into the KV store: each micro-batch is one
     atomic segment-append + manifest commit (single-writer discipline
@@ -50,6 +51,15 @@ def ingest_stream_to_kv(
     stats-driven value GC, the reference compacter + GC tickers
     (`kv/lsm/compact.go:65-85`, `kv/vlog_gc.go:17-46`) — so both L0 and
     value-log garbage stay bounded on a long-lived stream.
+
+    ``merge_col`` names a boolean column marking merge-operand rows: the
+    streaming counter-increment path (RocksDB ``Merge`` at ingest) — a
+    flagged row appends a delta operand instead of a full value, O(1) per
+    event with no read-modify-write in the hot loop; reads on a store
+    opened with ``merge_op`` fold them, and ``maintenance_tick`` on a
+    merge-opened store bounds the operand set via ``fold_merges``-style
+    compaction retention. Within a micro-batch, per-key order follows row
+    order exactly as in ``ingest_df``.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -59,12 +69,15 @@ def ingest_stream_to_kv(
         ]
         if expires_col is not None:
             cols.append(F.col(expires_col).cast("long").alias("expires_at"))
+        if merge_col is not None:
+            cols.append(F.col(merge_col).cast("boolean").alias("_merge_flag"))
         rows = batch_df.select(*cols)
         n = store.ingest_df(
             rows,
             expires_col="expires_at" if expires_col is not None else None,
             target_segments=target_segments,
             commit_tag=(checkpoint_dir, int(batch_id)),
+            merge_col="_merge_flag" if merge_col is not None else None,
         )
         # run the tick on its cadence even for empty/replayed batches: a
         # no-op tick costs only manifest metadata checks, while skipping a

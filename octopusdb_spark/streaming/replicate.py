@@ -43,6 +43,7 @@ def stream_ingest_with_replication(
     target_segments: int = 2,
     maintenance_every: int | None = None,
     now: int | None = None,
+    merge_col: str | None = None,
 ):
     """Run a streaming DataFrame into ``primary`` and ship each committed
     interval to ``replica`` in the same micro-batch. The shipper's resume
@@ -66,11 +67,17 @@ def stream_ingest_with_replication(
         ]
         if expires_col is not None:
             cols.append(F.col(expires_col).cast("long").alias("expires_at"))
+        if merge_col is not None:
+            # streamed merge operands (see ingest_stream_to_kv): the ship
+            # below carries them as 'merge' events and apply_changes
+            # re-lands them as operands — end-to-end streaming counters
+            cols.append(F.col(merge_col).cast("boolean").alias("_merge_flag"))
         primary.ingest_df(
             batch_df.select(*cols),
             expires_col="expires_at" if expires_col is not None else None,
             target_segments=target_segments,
             commit_tag=(checkpoint_dir, int(batch_id)),
+            merge_col="_merge_flag" if merge_col is not None else None,
         )
         resume = int((primary.manifest.state.held_snapshots or {}).get(holder, 0))
         shipped_to = primary.snapshot_seq()

@@ -34,6 +34,48 @@ def test_stream_ingest_to_kv(spark, tmp_path):
     assert store.get("k007", now=NOW).value == b"updated"
 
 
+def test_stream_ingest_merge_operands(spark, tmp_path):
+    """Streaming counter increments (RocksDB Merge at ingest): flagged
+    rows append delta operands — no read-modify-write in the hot loop —
+    and reads on the merge-opened store fold them over the streamed base
+    values. Exercises ingest_df(merge_col=) through foreachBatch incl.
+    the durable manifest-flag raise from a stream."""
+    from octopusdb_spark.kv import Entry
+
+    store = KVStore(spark, str(tmp_path / "kv"), merge_op="add")
+    # bases land FIRST via the batch path (their seqs sit below every
+    # streamed row's); the stream then carries operands for these keys
+    # plus full values for DISJOINT keys — intra-batch order across
+    # parquet splits is not contractual, and "add" is commutative, so
+    # the expected fold is order-insensitive by construction
+    store.set_batch([Entry(f"c{i:02d}", b"100") for i in range(10)])
+    src = str(tmp_path / "src")
+    rows = [(f"c{i % 10:02d}", "7", True) for i in range(30)] + [
+        (f"full{i}", "55", False) for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows, "key string, value string, is_op boolean"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "key string, value string, is_op boolean"
+    ).parquet(src)
+    q = ingest_stream_to_kv(
+        stream, store, str(tmp_path / "ckpt"), merge_col="is_op"
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert store.info()["has_merge_operands"] is True
+    got = {
+        r["key"]: bytes(r["value"]) for r in store.view(now=NOW).collect()
+    }
+    expect = {f"c{i:02d}": b"121" for i in range(10)}  # 100 + 3×7
+    expect.update({f"full{i}": b"55" for i in range(3)})
+    assert got == expect
+    # post-stream write-side merge keeps folding on top
+    store.merge("c03", b"9")
+    assert store.get("c03", now=NOW).value == b"130"
+
+
 def test_windowed_event_counts_plan(spark, tmp_path):
     # validate the streaming agg end-to-end with availableNow over files
     src = str(tmp_path / "evsrc")
@@ -371,6 +413,51 @@ def test_stream_replication_converges_and_resumes(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     n = replica.apply_changes(feed, commit_tag=(f"{ckpt}#ship", 1))
     assert n == 0
+
+
+def test_stream_replication_merge_operands(spark, tmp_path):
+    """Continuous replication of a MERGE store: streamed operand batches
+    ship per micro-batch as 'merge' events and the replica re-folds
+    identically — the full streaming-counter pipeline (ingest -> CDC ship
+    -> operand apply) trailing by at most one batch. Bases land below the
+    stream via the batch path; operands are commutative so intra-batch
+    order never matters."""
+    from octopusdb_spark.kv import Entry
+    from octopusdb_spark.streaming.replicate import stream_ingest_with_replication
+
+    primary = KVStore(spark, str(tmp_path / "primary"), merge_op="add")
+    replica = KVStore(spark, str(tmp_path / "replica"), merge_op="add")
+    primary.hold_snapshot("replica", 0)
+    primary.set_batch([Entry(f"m{i}", b"1000") for i in range(4)])
+    rows = [(f"m{i % 4}", "3", True) for i in range(16)] + [
+        ("full", "77", False)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "key string, value string, is_op boolean"
+    ).repartitionByRange(2, "key").write.parquet(src)
+    stream = (
+        spark.readStream.schema("key string, value string, is_op boolean")
+        .option("maxFilesPerTrigger", 1)   # several ship intervals
+        .parquet(src)
+    )
+    q = stream_ingest_with_replication(
+        stream, primary, replica, str(tmp_path / "ckpt"),
+        merge_col="is_op", now=NOW,
+    )
+    assert q.awaitTermination(300)
+    live = lambda s: sorted(  # noqa: E731
+        (r["key"], bytes(r["value"])) for r in s.view(now=NOW).collect()
+    )
+    assert live(replica) == live(primary)
+    got = dict(live(primary))
+    assert got["full"] == b"77"
+    # 4 keys x 4 operands x +3 over base 1000
+    assert {k: v for k, v in got.items() if k.startswith("m")} == {
+        f"m{i}": b"1012" for i in range(4)
+    }
+    # replica's manifest flag raised through the shipped feed
+    assert replica.info()["has_merge_operands"] is True
 
 
 def test_stream_replication_carries_ttl(spark, tmp_path):
