@@ -1182,7 +1182,7 @@ class KVStore:
         ``_merged_fold`` uses). A key can therefore carry SEVERAL events
         in one feed (one upsert-or-delete plus its surviving operands), so
         per-key event ORDER matters to consumers and the remote protocol
-        pages on the (key, version) compound cursor. Operands the interval
+        pages on the (key, version, change) compound cursor. Operands the interval
         itself shadows (at/below the key's newest interval full row, or
         retired by a covering range tombstone) are not shipped.
 

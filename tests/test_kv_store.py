@@ -1635,6 +1635,97 @@ def test_merge_range_delete_interaction(spark, tmp_path):
     assert got["zz"] == b"1"
 
 
+def test_merge_changefeed_preimage_folds(spark, tmp_path):
+    """include_preimage on a merge store: old_value is the FOLDED as-of
+    value (what a reader at the snapshot actually saw), for upsert and
+    merge events alike."""
+    s = _mstore(spark, tmp_path)
+    s.set(Entry("a", b"10"))
+    s.merge("a", b"5")
+    s.set(Entry("b", b"1"))
+    snap = s.snapshot_seq()
+    s.merge("a", b"7")
+    s.set(Entry("b", b"2"))
+    feed = {
+        (r["key"], r["change"]): r
+        for r in s.changes_since(snap, now=NOW, include_preimage=True).collect()
+    }
+    assert bytes(feed[("a", "merge")]["old_value"]) == b"15"  # folded pre-image
+    assert bytes(feed[("a", "merge")]["value"]) == b"7"
+    assert bytes(feed[("b", "upsert")]["old_value"]) == b"1"
+
+
+def test_merge_randomized_ops_match_model(spark, tmp_path):
+    """Model-based merge-operator check: a random interleaving of sets,
+    deletes, range deletes, merges, folds, and compactions must always
+    read back like the 'add' recurrence val[k] = (val[k] or 0) + d —
+    on the PRIMARY, and on a REPLICA consuming the held changefeed at
+    every checkpoint (ship intervals are pinned by a hold, exactly the
+    replicator's protocol, so maintenance can never retire events the
+    un-shipped interval still needs)."""
+    import random
+
+    rng = random.Random(7)
+    p = _mstore(spark, tmp_path)
+    r = KVStore(spark, str(tmp_path / "replica"), merge_op="add")
+    p.hold_snapshot("replica", 0)
+    val: dict = {}
+
+    def apply_ops(n):
+        for _ in range(n):
+            k = f"k{rng.randrange(12):02d}"
+            op = rng.random()
+            if op < 0.15:
+                p.delete(k)
+                val[k] = None
+            elif op < 0.25:
+                lo = rng.randrange(10)
+                a, b = f"k{lo:02d}", f"k{lo + 3:02d}"
+                p.delete_range(start=a, end=b)
+                for kk in list(val):
+                    if a <= kk < b:
+                        val[kk] = None
+            elif op < 0.45:
+                v = rng.randrange(1000)
+                p.set(Entry(k, str(v).encode()))
+                val[k] = v
+            else:
+                d = rng.randrange(-50, 50)
+                p.merge(k, str(d).encode())
+                val[k] = (val.get(k) or 0) + d
+
+    def ship_and_check(tag, i):
+        resume = int(p.manifest.state.held_snapshots["replica"])
+        snap = p.snapshot_seq()
+        r.apply_changes(
+            p.changes_since(resume, now=NOW, as_of=snap),
+            commit_tag=("mship", i),
+        )
+        p.hold_snapshot("replica", snap)
+        live = {
+            k: str(v).encode() for k, v in val.items() if v is not None
+        }
+        assert _live(p) == live, f"primary divergence after {tag}"
+        assert _live(r) == live, f"replica divergence after {tag}"
+
+    maint = [
+        lambda: p.compact_level(0, now=NOW),
+        lambda: p.compact(now=NOW),
+        lambda: p.fold_merges(now=NOW),
+        lambda: None,
+    ]
+    for i in range(5):
+        apply_ops(12)
+        maint[i % len(maint)]()
+        ship_and_check(f"round {i}", i)
+    # cold reopen of both sides: manifests are the durable truth
+    p2 = _mstore(spark, tmp_path)
+    r2 = KVStore(spark, str(tmp_path / "replica"), merge_op="add")
+    live = {k: str(v).encode() for k, v in val.items() if v is not None}
+    assert _live(p2) == live
+    assert _live(r2) == live
+
+
 def test_merge_operand_compaction_filter(spark, tmp_path):
     """FilterMergeOperand (RocksDB operand-filter analog): by DEFAULT
     drop_where never sees operands (the blanket exemption — a filter
