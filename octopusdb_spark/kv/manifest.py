@@ -103,6 +103,15 @@ class ManifestState:
     # explicitly (False) by a full compaction that verifies its output
     # carries no operand rows. Same sentinel rule: None = inherit.
     has_merge_operands: bool | None = None
+    # Writer epoch (fencing token — the Raft-term / HBase-WAL-fencing
+    # analog): a monotonically increasing generation number for the
+    # replication role this store plays. ``KVStore.promote()`` bumps it
+    # past the deposed primary's; replication consumers refuse feeds
+    # stamped with an OLDER epoch (a deposed primary that kept writing —
+    # split brain) and adopt newer ones (following a promoted leader).
+    # Durable in the manifest so fencing survives handle restarts.
+    # Same sentinel rule: None = inherit from the previous state.
+    writer_epoch: int | None = None
 
     def data_segments(self) -> list:
         return [s for s in self.segments if s.kind == "data"]
@@ -155,6 +164,7 @@ class Manifest:
             range_tombstones=raw.get("range_tombstones", []),
             held_snapshots=raw.get("held_snapshots", {}),
             has_merge_operands=raw.get("has_merge_operands", False),
+            writer_epoch=raw.get("writer_epoch", 0),
         )
 
     def versions(self) -> list:
@@ -280,6 +290,8 @@ class Manifest:
             new_state.held_snapshots = dict(self.state.held_snapshots or {})
         if new_state.has_merge_operands is None:
             new_state.has_merge_operands = bool(self.state.has_merge_operands)
+        if new_state.writer_epoch is None:
+            new_state.writer_epoch = int(self.state.writer_epoch or 0)
         snap = os.path.join(self.dir, f"manifest-{new_state.version}.json")
         payload = {
             "version": new_state.version,
@@ -290,6 +302,7 @@ class Manifest:
             "range_tombstones": new_state.range_tombstones,
             "held_snapshots": new_state.held_snapshots,
             "has_merge_operands": bool(new_state.has_merge_operands),
+            "writer_epoch": int(new_state.writer_epoch),
         }
         # Under the lock with CURRENT verified at the base version, an
         # existing snapshot for this version can only be a dead claimant's

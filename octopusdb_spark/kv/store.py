@@ -152,6 +152,14 @@ class Entry:
         return self
 
 
+class StaleWriterError(RuntimeError):
+    """A replication feed arrived from a DEPOSED writer generation: the
+    feed's ``source_epoch`` is below this store's durable ``writer_epoch``
+    watermark (raised by ``promote()`` on failover or adopted from a newer
+    leader's feed). Refusing it is what prevents split-brain divergence —
+    the deposed primary's post-promotion writes must never land."""
+
+
 @dataclass(frozen=True)
 class Snapshot:
     """Durable snapshot handle from ``KVStore.snapshot()``: ``seq`` for
@@ -1417,6 +1425,7 @@ class KVStore:
         feed: DataFrame,
         commit_tag: tuple[str, int] | None = None,
         target_segments: int = 8,
+        source_epoch: int | None = None,
     ) -> int:
         """Replication consumer: apply another store's ``changes_since``
         feed to THIS store — log-shipping built on the changefeed, the
@@ -1446,7 +1455,26 @@ class KVStore:
         from, then apply feeds in order — the replica's live view equals
         the primary's at every applied point (pinned by
         `test_changefeed_replication_converges` and the merge-store
-        convergence tests)."""
+        convergence tests).
+
+        FENCING: pass ``source_epoch`` (the shipping store's
+        ``writer_epoch`` — carried by the remote protocol and the
+        streaming replicator) and split brain is refused: a feed stamped
+        below this store's durable epoch watermark raises
+        ``StaleWriterError`` (a deposed primary kept writing after a
+        ``promote()``), while a NEWER stamp is durably adopted BEFORE the
+        data lands (crash between the two commits leaves the fence raised
+        and the batch unapplied — at-least-once shipping redelivers).
+        ``None`` preserves the unfenced single-writer contract."""
+        if source_epoch is not None:
+            if int(source_epoch) < self.writer_epoch:
+                raise StaleWriterError(
+                    f"feed from deposed writer epoch {int(source_epoch)} "
+                    f"(this store has seen epoch {self.writer_epoch}); a "
+                    "promoted primary fenced this source — re-bootstrap it "
+                    "as a replica instead of shipping its writes"
+                )
+            self._adopt_epoch(int(source_epoch))
         is_merge = F.col("change") == "merge"
         return self.ingest_df(
             feed.select(
@@ -1646,6 +1674,51 @@ class KVStore:
         held = self.manifest.state.held_snapshots or {}
         return min(held.values()) if held else None
 
+    @property
+    def writer_epoch(self) -> int:
+        """Fencing token for the replication role (Raft-term analog): the
+        generation stamped on every feed this store ships. Bumped by
+        ``promote()``; consumers refuse older stamps (``apply_changes``)."""
+        return int(self.manifest.state.writer_epoch or 0)
+
+    def promote(self, past_epoch: int | None = None) -> int:
+        """Promote this store to primary after a failover: bump the durable
+        writer epoch past the deposed primary's (defaults to past our own —
+        a replica bootstrapped via ``clone_to`` inherited the primary's
+        epoch, so +1 already fences it). One manifest commit; returns the
+        new epoch. This is the FENCING half of consensus (the part that
+        protects data): a deposed primary that keeps serving feeds is
+        refused by every consumer that has seen the new epoch. LEADER
+        ELECTION (deciding who calls promote) stays out of scope, matching
+        the reference's empty cluster layer (`cmd/main.go:3-4`)."""
+        new_epoch = max(self.writer_epoch, int(past_epoch or 0)) + 1
+        state = self.manifest.state
+        self.manifest.commit(
+            ManifestState(
+                version=state.version,
+                next_seq=state.next_seq,
+                segments=list(state.segments),
+                writer_epoch=new_epoch,
+            )
+        )
+        return new_epoch
+
+    def _adopt_epoch(self, source_epoch: int) -> None:
+        """Follow a newer leader: durably raise our epoch watermark so a
+        later feed from any OLDER generation is refused. No-op when the
+        source is not ahead."""
+        if int(source_epoch) <= self.writer_epoch:
+            return
+        state = self.manifest.state
+        self.manifest.commit(
+            ManifestState(
+                version=state.version,
+                next_seq=state.next_seq,
+                segments=list(state.segments),
+                writer_epoch=int(source_epoch),
+            )
+        )
+
     def approximate_sizes(self, ranges: list) -> list:
         """RocksDB ``GetApproximateSizes`` analog: estimated on-disk bytes
         and rows per key range, from MANIFEST METADATA ONLY — no file is
@@ -1707,6 +1780,7 @@ class KVStore:
             "range_tombstones": len(st.range_tombstones or []),
             "held_snapshots": len(st.held_snapshots or {}),
             "has_merge_operands": bool(st.has_merge_operands),
+            "writer_epoch": int(st.writer_epoch or 0),
         }
 
     def fold_merges(
@@ -2332,6 +2406,10 @@ class KVStore:
                 # inherit False and its maintenance would trim operand
                 # rows as ordinary versions
                 has_merge_operands=bool(state.has_merge_operands),
+                # the epoch is part of the replicated state: a replica
+                # bootstrapped at epoch E must refuse feeds below E, and
+                # promote() fences relative to the inherited value
+                writer_epoch=int(state.writer_epoch or 0),
             )
         )
         return clone

@@ -505,7 +505,12 @@ def q_kv_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. re-applying the shipped batch is a committed no-op (idempotent
          commit_tag), so crash-replayed shipping converges;
       4. the fresh replica's caught-up view == the new primary's live
-         view (bootstrap + feed = state, the `apply_changes` contract).
+         view (bootstrap + feed = state, the `apply_changes` contract);
+      5. FENCING (round 10): promotion bumps the durable writer epoch,
+         and the dead primary's feed — shipped with its stale epoch — is
+         REFUSED by both the promoted store and the fenced fresh replica
+         (StaleWriterError), with zero rows applied: split brain cannot
+         land.
     The checked output is the FRESH replica's live view — everything the
     oracle hashes traveled clone -> promote -> re-clone -> feed. Wave-2
     writes are absent from it BY DESIGN: async replication loses the
@@ -592,6 +597,10 @@ def q_kv_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         # ---- promotion: the replica is the new primary ----
         promoted = replica
+        # (5a) fence the deposed generation: epoch bumps past the dead
+        # primary's (inherited at clone time), durably
+        if promoted.promote() <= primary.writer_epoch:
+            raise RuntimeError("failover: promotion did not advance the epoch")
         promoted.ingest_df(wave(9, "w3-"), target_segments=1)
         promoted.set(Entry("f000013", b"back"))  # revive a wave-1 delete
         s2 = promoted.snapshot_seq()
@@ -602,8 +611,26 @@ def q_kv_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
         promoted.delete("f000001")
         pin2 = promoted.snapshot_seq()
         feed2 = promoted.changes_since(s2, now=NOW, as_of=pin2)
-        fresh.apply_changes(feed2, commit_tag=("failover", 2))
+        # fenced ship: the fresh replica adopts the promoted epoch here
+        fresh.apply_changes(
+            feed2, commit_tag=("failover", 2), source_epoch=promoted.writer_epoch
+        )
         promoted.hold_snapshot("replica2", pin2)
+        # (5b) split brain refused: the dead primary's durable tail, shipped
+        # under its stale epoch, must not land on either fenced store
+        from octopusdb_spark.kv.store import StaleWriterError
+
+        dead_feed = primary.changes_since(pin1, now=NOW)
+        for fenced in (promoted, fresh):
+            try:
+                fenced.apply_changes(
+                    dead_feed,
+                    commit_tag=("failover", 99),
+                    source_epoch=primary.writer_epoch,
+                )
+                raise RuntimeError("failover: deposed primary's feed was applied")
+            except StaleWriterError:
+                pass
         # (4) bootstrap + feed = state
         caught_up = sorted(
             (r["key"], bytes(r["value"]).decode("utf-8"))

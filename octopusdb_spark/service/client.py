@@ -25,9 +25,16 @@ class ChangeFeed(list):
     rows. A checkpointing consumer MUST advance with ``feed.as_of`` (the
     interval actually shipped), never with a fresh ``snapshot()`` taken
     after the poll — writes landing in (as_of, fresh-snapshot] were not
-    part of the poll and would be skipped forever."""
+    part of the poll and would be skipped forever.
+
+    ``.epoch`` is the serving store's writer generation (fencing stamp):
+    pass it to ``KVStore.apply_changes(source_epoch=feed.epoch)`` so a
+    feed polled from a deposed primary is refused instead of applied.
+    When the source promotes MID-poll the highest stamp seen wins (the
+    poll is still as_of-pinned, so its rows predate the promotion)."""
 
     as_of: int | None = None
+    epoch: int | None = None
 
 
 def _debase(entry: dict) -> dict:
@@ -218,6 +225,9 @@ class KVClient:
                 req["after_version"] = after[1]
                 req["after_change"] = after[2]
             reply = self._call(req)
+            ep = reply.get("epoch")
+            if ep is not None:
+                out.epoch = max(int(ep), out.epoch or 0)
             for r in reply["rows"]:
                 v = r.get("value")
                 out.append(

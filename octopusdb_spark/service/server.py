@@ -30,6 +30,7 @@ Protocol: one JSON object per line, one JSON reply per line.
     {"op": "changes", "since": n,
      "after_key": K?, "limit": n?,
      "as_of": n?}                             -> {"ok": true, "more": bool,
+                                                  "epoch": n,
                                                   "rows": [{"key": K,
                                                   "change": "upsert"|"delete",
                                                   "value": b64|null,
@@ -247,6 +248,10 @@ class KVService:
         return {
             "ok": True,
             "more": more,
+            # fencing stamp: the serving store's writer generation, so a
+            # remote consumer can pass it to apply_changes(source_epoch=)
+            # and refuse feeds from a deposed primary
+            "epoch": self.store.writer_epoch,
             "rows": [
                 {
                     "key": self._enc_key(r["key"]),

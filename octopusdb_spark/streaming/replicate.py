@@ -89,6 +89,10 @@ def stream_ingest_with_replication(
             feed,
             commit_tag=(f"{checkpoint_dir}#ship", int(batch_id)),
             target_segments=target_segments,
+            # fenced shipping: a replica that was promoted (or followed a
+            # newer leader) refuses this deposed primary's batches instead
+            # of diverging — StaleWriterError fails the streaming query
+            source_epoch=primary.writer_epoch,
         )
         # advance the resume point only after the apply committed: a crash
         # between apply and advance re-ships an interval the replica no-ops

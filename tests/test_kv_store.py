@@ -845,6 +845,85 @@ def test_failover_promotion_durable_across_reopen(spark, tmp_path):
     assert [(r["key"], r["change"]) for r in tail] == [("d", "upsert")]
 
 
+def test_epoch_fencing_refuses_deposed_primary(spark, tmp_path):
+    """Writer-epoch fencing (the Raft-term analog, the data-protecting
+    half of consensus): after a replica promotes, a feed shipped from the
+    deposed primary under its stale epoch raises StaleWriterError and
+    lands NOTHING — no rows, no manifest commit. Unfenced legacy calls
+    (source_epoch=None) keep the old single-writer contract."""
+    from octopusdb_spark.kv.store import StaleWriterError
+
+    primary = KVStore(spark, str(tmp_path / "primary"))
+    primary.set_batch([Entry("a", b"1"), Entry("b", b"2")])
+    s0 = primary.snapshot_seq()
+    replica = primary.clone_to(str(tmp_path / "replica"))
+    assert replica.writer_epoch == primary.writer_epoch == 0
+    # primary dies with an un-shipped tail; replica promotes
+    primary.set_batch([Entry("c", b"split-brain")])
+    assert replica.promote() == 1
+    before_view = {r["key"] for r in replica.view(now=NOW).collect()}
+    before_version = replica.manifest.state.version
+    feed = primary.changes_since(s0, now=NOW)
+    with pytest.raises(StaleWriterError):
+        replica.apply_changes(feed, source_epoch=primary.writer_epoch)
+    assert {r["key"] for r in replica.view(now=NOW).collect()} == before_view
+    assert replica.manifest.state.version == before_version
+    # an equal-epoch feed from the CURRENT generation applies fine
+    peer = replica.clone_to(str(tmp_path / "peer"))
+    s1 = peer.snapshot_seq()
+    peer.set_batch([Entry("d", b"4")])
+    assert (
+        replica.apply_changes(
+            peer.changes_since(s1, now=NOW), source_epoch=peer.writer_epoch
+        )
+        == 1
+    )
+    # unfenced legacy path is unchanged (caller opted out of fencing)
+    assert replica.apply_changes(feed) > 0
+
+
+def test_epoch_adoption_propagates_fence(spark, tmp_path):
+    """A downstream consumer following a NEWER leader durably adopts its
+    epoch BEFORE the batch lands, so later feeds from any older
+    generation are refused — the fence propagates down replication
+    chains and survives handle restarts."""
+    from octopusdb_spark.kv.store import StaleWriterError
+
+    primary = KVStore(spark, str(tmp_path / "primary"))
+    primary.set_batch([Entry("a", b"1")])
+    s0 = primary.snapshot_seq()
+    leader = primary.clone_to(str(tmp_path / "leader"))
+    consumer = primary.clone_to(str(tmp_path / "consumer"))
+    assert leader.promote(past_epoch=primary.writer_epoch) == 1
+    leader.set_batch([Entry("b", b"2")])
+    consumer.apply_changes(
+        leader.changes_since(s0, now=NOW), source_epoch=leader.writer_epoch
+    )
+    assert consumer.writer_epoch == 1  # adopted
+    # durable: a cold reopen still carries the adopted fence
+    reopened = KVStore(spark, str(tmp_path / "consumer"))
+    assert reopened.writer_epoch == 1
+    primary.set_batch([Entry("z", b"stale")])
+    with pytest.raises(StaleWriterError):
+        reopened.apply_changes(
+            primary.changes_since(s0, now=NOW), source_epoch=primary.writer_epoch
+        )
+
+
+def test_promote_is_monotonic_and_durable(spark, tmp_path):
+    """promote() always advances past both our own epoch and a supplied
+    deposed epoch; the value survives reopen and rides clone_to."""
+    store = KVStore(spark, str(tmp_path / "s"))
+    store.set(Entry("a", b"1"))
+    assert store.promote() == 1
+    assert store.promote() == 2
+    assert store.promote(past_epoch=10) == 11
+    assert KVStore(spark, str(tmp_path / "s")).writer_epoch == 11
+    clone = store.clone_to(str(tmp_path / "clone"))
+    assert clone.writer_epoch == 11
+    assert store.info()["writer_epoch"] == 11
+
+
 def test_delete_range_semantics(store):
     """Range tombstone (DeleteRange): one O(1) manifest commit hides every
     covered pre-existing key; later writes into the range live; as_of

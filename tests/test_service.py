@@ -361,6 +361,41 @@ def test_service_paged_changes_merge_store(spark, tmp_path):
             }
 
 
+def test_service_feed_carries_writer_epoch(spark, tmp_path):
+    """The remote feed is fencing-aware: every changes reply stamps the
+    serving store's writer_epoch and KVClient surfaces it as
+    ChangeFeed.epoch, so a remote consumer can pass it straight to
+    apply_changes(source_epoch=) and refuse a deposed primary. A
+    promotion between polls is visible on the next poll."""
+    from octopusdb_spark.kv.store import StaleWriterError
+
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch([Entry("a", b"1"), Entry("b", b"2")])
+    with KVService(store, now=NOW) as svc:
+        with KVClient(*svc.address) as c:
+            feed = c.changes(0, page_size=1)
+            assert feed.epoch == 0
+            assert store.promote() == 1
+            assert c.changes(0).epoch == 1
+            assert c.info()["writer_epoch"] == 1
+    # a consumer that already followed a NEWER leader refuses this feed
+    consumer = KVStore(spark, str(tmp_path / "consumer"))
+    consumer.promote(past_epoch=5)
+    import pytest
+
+    with pytest.raises(StaleWriterError):
+        consumer.apply_changes(
+            spark.createDataFrame(
+                [
+                    (r["key"], r["change"], r["value"], r["expires_at"], r["version"])
+                    for r in feed
+                ],
+                "key string, change string, value binary, expires_at long, version long",
+            ),
+            source_epoch=feed.epoch,
+        )
+
+
 def test_service_concurrent_clients_with_writes(spark, tmp_path):
     """Robustness hammer: several clients issuing mixed reads while the
     store takes writes — every reply is well-formed, no request errors,
