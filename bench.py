@@ -69,8 +69,10 @@ HEADLINE = [
     # added round 9
     "q_token_budget_packing_bpe",
     "text_dup_runs",
-    # added round 10 (merge-operator write/fold/maintenance cycle)
+    # added round 10 (merge-operator write/fold/maintenance cycle; column
+    # families create/load/drop/purge cycle)
     "kv_merge_operator",
+    "kv_column_families",
 ]
 
 

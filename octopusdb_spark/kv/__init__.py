@@ -1,3 +1,4 @@
-from octopusdb_spark.kv.store import Entry, KVStore, Snapshot
+from octopusdb_spark.kv.column_family import ColumnFamily
+from octopusdb_spark.kv.store import Entry, KVStore, Snapshot, StaleWriterError
 
-__all__ = ["Entry", "KVStore", "Snapshot"]
+__all__ = ["ColumnFamily", "Entry", "KVStore", "Snapshot", "StaleWriterError"]

@@ -1,0 +1,180 @@
+"""Column-family handle: a namespaced keyspace inside one ``KVStore``.
+
+RocksDB-CF semantics over the store's flat key range (the reference is a
+single-keyspace KV, `kv/db.go:19-26` — this is a beyond-reference
+extension): a family's keys are encoded under the reserved
+``\\x02<name>\\x1f`` prefix, so each family is one CONTIGUOUS key range in
+the shared segment files. Everything heavy is therefore shared and already
+tested — flush, leveled compaction, value separation, bloom pruning, CDC
+shipping, clone/branch — while per-family operations stay cheap:
+
+- per-CF scans are ordinary pruned range scans (manifest min/max interval
+  search hits only the family's segments);
+- ``KVStore.drop_cf`` is ONE manifest commit (catalog remove + one range
+  tombstone over the prefix) — O(1) regardless of the family's row count,
+  exactly the ``delete_range`` scale story;
+- recreate-after-drop yields an empty family (old rows sit at/below the
+  drop tombstone's seq stamp, new writes land above it).
+
+Handles re-check the catalog on every operation, so a handle held across
+a ``drop_cf`` fails fast instead of writing into a dropped range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from octopusdb_spark.kv.store import Entry
+
+
+class ColumnFamily:
+    """Namespace-scoped facade over a ``KVStore`` (see module docstring).
+    Obtained via ``KVStore.create_cf`` / ``KVStore.cf``; not constructed
+    directly."""
+
+    def __init__(self, store, name: str):
+        self.store = store
+        self.name = str(name)
+        self._prefix = store._cf_prefix(self.name)
+
+    # -- key codec -----------------------------------------------------------
+    def _check(self) -> None:
+        if self.name not in (self.store.manifest.state.column_families or {}):
+            raise ValueError(
+                f"column family {self.name!r} was dropped (stale handle)"
+            )
+
+    def _k(self, key):
+        if self.store.key_type == "binary":
+            return self._prefix + bytes(key)
+        return self._prefix + key
+
+    def _strip(self, key):
+        return key[len(self._prefix):]
+
+    def _strip_col(self):
+        # substring is 1-indexed and works on BOTH string and binary columns
+        return F.expr(f"substring(key, {len(self._prefix) + 1})").alias("key")
+
+    # -- writes (all delegate to the shared store write path) ----------------
+    def set(self, entry: Entry) -> None:
+        self.set_batch([entry])
+
+    def delete(self, key) -> None:
+        self.set_batch([Entry(key, None)])
+
+    def merge(self, key, operand: bytes) -> None:
+        self.set_batch([Entry(key, operand, merge=True)])
+
+    def set_batch(self, entries: list) -> None:
+        self._check()
+        self.store.set_batch(
+            [
+                Entry(
+                    key=self._k(e.key),
+                    value=e.value,
+                    expires_at=e.expires_at,
+                    version=e.version,
+                    merge=e.merge,
+                )
+                for e in entries
+            ]
+        )
+
+    def ingest_df(self, df: DataFrame, key_col: str = "key", **kwargs) -> int:
+        """Bulk load into this family: the ``key_col`` column is prefixed
+        in-plan (one concat in whole-stage codegen) and the frame rides the
+        store's distributed ranged ingest untouched — same write
+        amplification, same manifest commit."""
+        self._check()
+        lit = (
+            F.lit(bytes(self._prefix))
+            if self.store.key_type == "binary"
+            else F.lit(self._prefix)
+        )
+        out = df.withColumn(key_col, F.concat(lit, F.col(key_col)))
+        return self.store.ingest_df(out, key_col=key_col, **kwargs)
+
+    def delete_range(self, start=None, end=None, prefix=None) -> int:
+        """Range tombstone WITHIN the family (bounds in user key space)."""
+        self._check()
+        if prefix is not None:
+            if start is not None or end is not None:
+                raise ValueError("pass either prefix or start/end, not both")
+            # the encoded prefix's upper bound is computed by the store's
+            # delete_range itself (increment-with-carry on the full key)
+            return self.store.delete_range(prefix=self._k(prefix))
+        if start is None and end is None:
+            # the whole family: exactly drop_cf's tombstone, minus the
+            # catalog edit (the family stays usable)
+            return self.store.delete_range(prefix=self._prefix)
+        lo = self._k(start) if start is not None else self._prefix
+        hi = self._k(end) if end is not None else self._range_end()
+        return self.store.delete_range(start=lo, end=hi)
+
+    def _range_end(self):
+        from octopusdb_spark.kv.store import (
+            _bytes_prefix_upper_bound,
+            _prefix_upper_bound,
+        )
+
+        return (
+            _bytes_prefix_upper_bound(self._prefix)
+            if self.store.key_type == "binary"
+            else _prefix_upper_bound(self._prefix)
+        )
+
+    # -- reads ----------------------------------------------------------------
+    def get(self, key, now: int | None = None, as_of: int | None = None):
+        self._check()
+        e = self.store.get(self._k(key), now=now, as_of=as_of, cf=self.name)
+        if e is None:
+            return None
+        return Entry(
+            key=self._strip(e.key),
+            value=e.value,
+            expires_at=e.expires_at,
+            version=e.version,
+        )
+
+    def mget(self, keys: list, now: int | None = None, as_of: int | None = None) -> dict:
+        self._check()
+        got = self.store.mget(
+            [self._k(k) for k in keys], now=now, as_of=as_of, cf=self.name
+        )
+        return {self._strip(k): e for k, e in got.items()}
+
+    def view(
+        self, now: int | None = None, as_of: int | None = None
+    ) -> DataFrame:
+        """The family's live view with USER keys (prefix stripped)."""
+        self._check()
+        return self.store.view(now=now, as_of=as_of, cf=self.name).select(
+            self._strip_col(), "value", "expires_at", "version", "seq"
+        )
+
+    def scan(
+        self,
+        prefix=None,
+        start=None,
+        end=None,
+        asc: bool = True,
+        now: int | None = None,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Ordered range scan within the family (bounds in user key space);
+        manifest pruning sees the full encoded bounds, so only the
+        family's segments are read."""
+        self._check()
+        kw: dict = {"now": now, "as_of": as_of, "cf": self.name, "asc": asc}
+        if prefix is not None:
+            df = self.store.scan(prefix=self._k(prefix), **kw)
+        else:
+            lo = self._k(start) if start is not None else self._prefix
+            hi = self._k(end) if end is not None else self._range_end()
+            df = self.store.scan(start=lo, end=hi, **kw)
+        order = F.col("key").asc() if asc else F.col("key").desc()
+        return df.select(
+            self._strip_col(), "value", "expires_at", "version", "seq"
+        ).orderBy(order)

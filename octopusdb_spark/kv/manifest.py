@@ -112,6 +112,15 @@ class ManifestState:
     # Durable in the manifest so fencing survives handle restarts.
     # Same sentinel rule: None = inherit from the previous state.
     writer_epoch: int | None = None
+    # Column-family catalog (RocksDB CF analog): name -> created_seq.
+    # CF rows live in the SAME segment files under a reserved key prefix
+    # (\x02<name>\x1f), so flush/compaction/replication are shared;
+    # dropping a CF is ONE commit (catalog remove + a range tombstone
+    # over its prefix — O(1) regardless of row count). Stores that never
+    # create a CF keep bit-identical read plans: the default-namespace
+    # filter is gated on this catalog being non-empty. Same sentinel
+    # rule: None = inherit, {} = deliberate clear.
+    column_families: dict | None = None
 
     def data_segments(self) -> list:
         return [s for s in self.segments if s.kind == "data"]
@@ -165,6 +174,7 @@ class Manifest:
             held_snapshots=raw.get("held_snapshots", {}),
             has_merge_operands=raw.get("has_merge_operands", False),
             writer_epoch=raw.get("writer_epoch", 0),
+            column_families=raw.get("column_families", {}),
         )
 
     def versions(self) -> list:
@@ -292,6 +302,8 @@ class Manifest:
             new_state.has_merge_operands = bool(self.state.has_merge_operands)
         if new_state.writer_epoch is None:
             new_state.writer_epoch = int(self.state.writer_epoch or 0)
+        if new_state.column_families is None:
+            new_state.column_families = dict(self.state.column_families or {})
         snap = os.path.join(self.dir, f"manifest-{new_state.version}.json")
         payload = {
             "version": new_state.version,
@@ -303,6 +315,7 @@ class Manifest:
             "held_snapshots": new_state.held_snapshots,
             "has_merge_operands": bool(new_state.has_merge_operands),
             "writer_epoch": int(new_state.writer_epoch),
+            "column_families": new_state.column_families,
         }
         # Under the lock with CURRENT verified at the base version, an
         # existing snapshot for this version can only be a dead claimant's

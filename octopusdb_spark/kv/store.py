@@ -55,6 +55,7 @@ shuffle local to the touched key range.
 from __future__ import annotations
 
 import os
+import re
 import threading
 import time
 from dataclasses import dataclass, replace
@@ -79,6 +80,19 @@ BIT_MERGE = 4
 # "append": operands are byte strings; fold = base ,op1,op2,... joined by
 #        ',' in (version, seq) order (the classic StringAppendOperator).
 MERGE_OPS = ("add", "append")
+
+# Column-family key encoding (RocksDB CF analog, beyond-reference — the
+# reference is a single-keyspace KV, kv/db.go:19-26): a CF row's key is
+# \x02<name>\x1f<user key>, default-namespace keys MUST NOT start with
+# \x02 (the one reserved byte; validated on CF names, documented for raw
+# keys). Names can't contain the \x1f separator, so prefixes are
+# prefix-free across families and each CF is one contiguous key range —
+# which is what makes drop_cf a single range tombstone and per-CF scans
+# ordinary pruned range scans.
+CF_RESERVED = "\x02"
+CF_SEP = "\x1f"
+CF_ALL = "*"  # view(cf=CF_ALL): no namespace filter (internal readers)
+_CF_NAME_RE = re.compile(r"[A-Za-z0-9_.\-]{1,64}")
 
 def data_schema(key_type: str = "string") -> T.StructType:
     """Main-table schema. Keys are opaque bytes in the reference
@@ -870,6 +884,7 @@ class KVStore:
         segs: list | None = None,
         as_of: int | None = None,
         at_version: int | None = None,
+        cf: str | None = None,
     ) -> DataFrame:
         """The live view: newest version, tombstones hidden, TTL applied,
         big values re-joined (`kv/db.go:89-130` read path as one plan).
@@ -888,7 +903,16 @@ class KVStore:
         travel): every committed manifest is retained on disk and
         maintenance only deregisters segments — their files survive — so
         any prior table state reopens exactly, including its own values
-        segments."""
+        segments.
+
+        ``cf`` scopes the NAMESPACE (column families, see ``create_cf``):
+        ``None`` = the default namespace — CF rows (reserved ``\\x02``
+        key prefix) are excluded, with the predicate gated on the catalog
+        being non-empty so CF-free stores keep bit-identical plans;
+        a CF name = only that family's rows (keys stay ENCODED — the
+        ``ColumnFamily`` handle strips them); ``CF_ALL`` = every row
+        (internal: changefeed expansion, pre-images, fold_merges,
+        maintenance must see all namespaces)."""
         now = int(time.time()) if now is None else now
         hist = (
             self.manifest.load_version(at_version) if at_version is not None else None
@@ -921,6 +945,12 @@ class KVStore:
         if as_of is not None:
             base = base.filter(F.col("seq") <= as_of)
         src_state = hist if hist is not None else self.manifest.state
+        ns = self._ns_predicate(cf, src_state)
+        if ns is not None:
+            # applied BEFORE newest-wins/fold: namespaces are disjoint key
+            # ranges, so pre-aggregation filtering is both correct and the
+            # cheap place (rows drop before the shuffle)
+            base = base.filter(ns)
         rt_list = src_state.range_tombstones
         vsegs = src_state.value_segments()
         if bool(src_state.has_merge_operands):
@@ -1051,12 +1081,20 @@ class KVStore:
             )
         )
 
-    def get(self, key, now: int | None = None, as_of: int | None = None):
+    def get(
+        self,
+        key,
+        now: int | None = None,
+        as_of: int | None = None,
+        cf: str | None = None,
+    ):
         """Point read with manifest min/max pruning (SST interval search,
         `kv/lsm/level_handler.go:45-64`) + Parquet bloom/stats pushdown.
         Inside a ``pin()`` session the read hits the shared cached view
-        (no replanning, no segment scan)."""
-        pinned = self._pinned_view(now, as_of)
+        (no replanning, no segment scan). ``cf`` scopes the namespace
+        (the key must already be ENCODED — ``ColumnFamily.get`` does
+        this); CF reads bypass the default-namespace pinned cache."""
+        pinned = self._pinned_view(now, as_of) if cf is None else None
         if pinned is not None:
             rows = pinned.filter(F.col("key") == key).limit(1).collect()
             if not rows:
@@ -1068,7 +1106,7 @@ class KVStore:
         if not segs:
             return None
         rows = (
-            self.view(now=now, segs=segs, as_of=as_of)
+            self.view(now=now, segs=segs, as_of=as_of, cf=cf)
             .filter(F.col("key") == key)
             .limit(1)
             .collect()
@@ -1081,15 +1119,21 @@ class KVStore:
         key_out = bytes(r["key"]) if self.key_type == "binary" else r["key"]
         return Entry(key=key_out, value=bytes(r["value"]), expires_at=r["expires_at"], version=r["version"])
 
-    def mget(self, keys: list, now: int | None = None, as_of: int | None = None) -> dict:
+    def mget(
+        self,
+        keys: list,
+        now: int | None = None,
+        as_of: int | None = None,
+        cf: str | None = None,
+    ) -> dict:
         """Batched point read: one job for N keys instead of N jobs. Segments
         are pruned to the union of per-key candidate sets, then a single
         IN-filtered view scan resolves every key — the pattern a caller
         looping ``get`` actually wants. Returns {key: Entry} for found keys
-        (missing/tombstoned/expired keys are absent)."""
+        (missing/tombstoned/expired keys are absent). ``cf`` as in ``get``."""
         if not keys:
             return {}
-        pinned = self._pinned_view(now, as_of)
+        pinned = self._pinned_view(now, as_of) if cf is None else None
         if pinned is not None:
             rows = pinned.filter(F.col("key").isin(list(keys))).collect()
         else:
@@ -1102,7 +1146,7 @@ class KVStore:
             if not segs:
                 return {}
             rows = (
-                self.view(now=now, segs=segs, as_of=as_of)
+                self.view(now=now, segs=segs, as_of=as_of, cf=cf)
                 .filter(F.col("key").isin(list(keys)))
                 .collect()
             )
@@ -1126,6 +1170,7 @@ class KVStore:
         now: int | None = None,
         as_of: int | None = None,
         at_version: int | None = None,
+        cf: str | None = None,
     ) -> DataFrame:
         """Ordered range scan — NewIterator (`kv/iterator.go:19-79`). Prefix
         and bounds reach the Parquet scan as pushed filters; ordering is a
@@ -1147,7 +1192,7 @@ class KVStore:
             else None
         )
         segs = self.manifest.prune_for_range(self._enc(lo), self._enc(hi), hist_segs)
-        df = self.view(now=now, segs=segs, as_of=as_of, at_version=at_version)
+        df = self.view(now=now, segs=segs, as_of=as_of, at_version=at_version, cf=cf)
         if prefix is not None:
             if self.key_type == "binary":
                 # range form — equivalent to startswith for byte keys
@@ -1359,7 +1404,9 @@ class KVStore:
                         segs.append(s)
             if segs:  # no overlapping segment -> nothing was covered
                 extra = (
-                    self.view(now=now, segs=segs, as_of=snapshot_seq)
+                    # CF_ALL: a drop_cf tombstone covers CF-namespaced keys,
+                    # and their delete events must ship for replicas to purge
+                    self.view(now=now, segs=segs, as_of=snapshot_seq, cf=CF_ALL)
                     .filter(in_range)
                     .join(out.select("key"), "key", "left_anti")
                     .select(
@@ -1413,7 +1460,8 @@ class KVStore:
             out = out.unionByName(mev)
         if include_preimage:
             pre = self.view(
-                now=now, as_of=snapshot_seq, at_version=preimage_at_version
+                now=now, as_of=snapshot_seq, at_version=preimage_at_version,
+                cf=CF_ALL,  # pre-images for CF rows on the feed too
             ).select("key", F.col("value").alias("old_value"))
             out = out.join(pre, "key", "left").select(
                 "key", "change", "value", "expires_at", "old_value", "version"
@@ -1719,6 +1767,113 @@ class KVStore:
             )
         )
 
+    # -- column families (RocksDB CF analog; beyond-reference) ---------------
+    def _cf_prefix(self, name: str):
+        p = CF_RESERVED + str(name) + CF_SEP
+        return p.encode("ascii") if self.key_type == "binary" else p
+
+    def _ns_predicate(self, cf: str | None, src_state):
+        """Namespace filter Column for ``view``: None when nothing applies
+        (CF-free store, or cf=CF_ALL) so plans stay bit-identical."""
+        if cf == CF_ALL:
+            return None
+        if cf is None:
+            if not (src_state.column_families or {}):
+                return None
+            if self.key_type == "binary":
+                return F.expr("substring(key, 1, 1)") != F.lit(
+                    CF_RESERVED.encode("ascii")
+                )
+            return ~F.col("key").startswith(CF_RESERVED)
+        p = self._cf_prefix(cf)
+        if self.key_type == "binary":
+            hi = _bytes_prefix_upper_bound(p)
+            cond = F.col("key") >= F.lit(bytes(p))
+            return cond & (F.col("key") < F.lit(hi)) if hi is not None else cond
+        return F.col("key").startswith(p)
+
+    def create_cf(self, name: str, exist_ok: bool = False):
+        """Create a column family (RocksDB ``CreateColumnFamily``; the
+        reference is single-keyspace, so this is a beyond-reference
+        extension): an isolated key namespace INSIDE this store — same
+        segment files, same flush/compaction/replication/maintenance, its
+        keys encoded under the reserved ``\\x02<name>\\x1f`` prefix so the
+        family is one contiguous key range (per-CF scans prune like any
+        range scan; per-CF drop is one range tombstone). One manifest
+        commit registers it durably. Returns a ``ColumnFamily`` handle."""
+        name = str(name)
+        if not _CF_NAME_RE.fullmatch(name):
+            raise ValueError(
+                f"invalid column-family name {name!r} (need [A-Za-z0-9_.-], "
+                "1-64 chars — names are embedded in keys)"
+            )
+        cfs = dict(self.manifest.state.column_families or {})
+        if name in cfs:
+            if exist_ok:
+                return self.cf(name)
+            raise ValueError(f"column family {name!r} already exists")
+        state = self.manifest.state
+        cfs[name] = int(state.next_seq)
+        self.manifest.commit(
+            ManifestState(
+                version=state.version,
+                next_seq=state.next_seq,
+                segments=list(state.segments),
+                column_families=cfs,
+            )
+        )
+        return self.cf(name)
+
+    def cf(self, name: str):
+        """Handle for an existing column family; raises on unknown names
+        (including dropped ones — handles re-check the catalog per op, so
+        a stale handle can't write into a dropped family's key range)."""
+        from octopusdb_spark.kv.column_family import ColumnFamily
+
+        if str(name) not in (self.manifest.state.column_families or {}):
+            raise ValueError(f"unknown column family {name!r}")
+        return ColumnFamily(self, str(name))
+
+    def list_cfs(self) -> list:
+        """Registered column-family names, sorted."""
+        return sorted(self.manifest.state.column_families or {})
+
+    def drop_cf(self, name: str) -> int:
+        """Drop a column family — O(1) regardless of its row count, in ONE
+        atomic manifest commit: the catalog entry is removed and a range
+        tombstone over the family's entire prefix range hides every row
+        (exactly ``delete_range`` semantics — the next full ``compact()``
+        purges physically; holds protect snapshot readers). Recreating the
+        name later yields an EMPTY family: old rows sit at/below the
+        tombstone's seq, new writes land above it (RocksDB drop+recreate
+        semantics). Returns the tombstone's seq stamp."""
+        name = str(name)
+        state = self.manifest.state
+        cfs = dict(state.column_families or {})
+        if name not in cfs:
+            raise ValueError(f"unknown column family {name!r}")
+        del cfs[name]
+        start = self._cf_prefix(name)
+        end = (
+            _bytes_prefix_upper_bound(start)
+            if self.key_type == "binary"
+            else _prefix_upper_bound(start)
+        )
+        seq = state.next_seq
+        self.manifest.commit(
+            ManifestState(
+                version=state.version,
+                next_seq=seq + 1,
+                segments=list(state.segments),
+                range_tombstones=[
+                    *(state.range_tombstones or []),
+                    {"start": self._enc(start), "end": self._enc(end), "seq": seq},
+                ],
+                column_families=cfs,
+            )
+        )
+        return seq
+
     def approximate_sizes(self, ranges: list) -> list:
         """RocksDB ``GetApproximateSizes`` analog: estimated on-disk bytes
         and rows per key range, from MANIFEST METADATA ONLY — no file is
@@ -1781,6 +1936,7 @@ class KVStore:
             "held_snapshots": len(st.held_snapshots or {}),
             "has_merge_operands": bool(st.has_merge_operands),
             "writer_epoch": int(st.writer_epoch or 0),
+            "column_families": sorted(st.column_families or {}),
         }
 
     def fold_merges(
@@ -1816,7 +1972,7 @@ class KVStore:
             .select("key")
             .distinct()
         )
-        to_fold = self.view(now=now).join(m_keys, "key", "left_semi")
+        to_fold = self.view(now=now, cf=CF_ALL).join(m_keys, "key", "left_semi")
         return self.ingest_df(
             to_fold.select("key", "value", "expires_at"),
             expires_col="expires_at",
@@ -2410,6 +2566,9 @@ class KVStore:
                 # bootstrapped at epoch E must refuse feeds below E, and
                 # promote() fences relative to the inherited value
                 writer_epoch=int(state.writer_epoch or 0),
+                # CF catalog is table metadata: a clone must serve the same
+                # families (and keep filtering its default namespace)
+                column_families=dict(state.column_families or {}),
             )
         )
         return clone

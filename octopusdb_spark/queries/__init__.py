@@ -53,9 +53,13 @@ for _m in _MODULES:
 # be inserted at the HEAD at that moment (displacing the last fill
 # entry), not next round.
 _PRIORITY = [
-    # added round 10 (head-insert at add time, per protocol): the merge
-    # operator promoted to a hash-checked row now that its CDC half
-    # shipped (pytest-first-then-promote)
+    # added round 10 (head-insert at add time, per protocol): column
+    # families (create/read/drop/recreate/purge, pytest-first-then-
+    # promote), then the merge operator promoted once its CDC half
+    # shipped. The extra head-insert displaced the then-last fill entry
+    # (text_repetition, r7-stale; its code path stays pinned by pytest
+    # and prior green rounds).
+    "kv_column_families",
     "kv_merge_operator",
     # r6-stale (oldest row in the repo)
     "pipeline_pretrain_corpus",
@@ -78,7 +82,6 @@ _PRIORITY = [
     "sim_ann_ivfpq", "sim_quantized_cosine",
     "stream_dedup_ingest",
     "text_chunk_overlap", "text_ngram_topk", "text_pii_redact",
-    "text_repetition",
 ]
 
 

@@ -724,6 +724,107 @@ def q_kv_merge_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_kv_column_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column families (beyond-reference; RocksDB CF analog) run FOR REAL
+    under the correctness gate: three families share one store's segment
+    files — `cust` takes a bulk load plus an overwrite wave, `supp` a bulk
+    load plus per-key deletes, `tmp` a bulk load that is then DROPPED in
+    one O(1) manifest commit (catalog remove + one range tombstone; no
+    scan). The default namespace holds nation rows that must never mix
+    with any family. In-query assertions (each reddens the driver row):
+      1. the drop is exactly ONE manifest commit;
+      2. a recreated `tmp` is EMPTY (old rows sit below the drop
+         tombstone — RocksDB drop+recreate semantics);
+      3. a stale handle for the dropped family fails fast;
+      4. a verifying full `compact()` purges the tombstone physically and
+         every surviving view is bit-identical to its pre-compaction self.
+    The checked output is the POST-compaction union of all live
+    namespaces, so every hashed byte traveled CF-encoded keys ->
+    namespace-filtered reads -> O(1) drop -> physical purge."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from octopusdb_spark.kv.store import Entry, KVStore
+
+    nat = t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.lpad(F.col("n_nationkey").cast("string"), 4, "0")).alias("key"),
+        F.col("n_name").cast("binary").alias("value"),
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") >= 1) & (F.col("c_custkey") <= 80))
+        .select(
+            F.concat(F.lit("c"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")).alias("key"),
+            F.col("c_name").cast("binary").alias("value"),
+            F.col("c_custkey").alias("k"),
+        )
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .filter((F.col("s_suppkey") >= 1) & (F.col("s_suppkey") <= 40))
+        .select(
+            F.concat(F.lit("s"), F.lpad(F.col("s_suppkey").cast("string"), 6, "0")).alias("key"),
+            F.col("s_name").cast("binary").alias("value"),
+        )
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50).select(
+        F.concat(F.lit("p"), F.lpad(F.col("p_partkey").cast("string"), 6, "0")).alias("key"),
+        F.col("p_name").cast("binary").alias("value"),
+    )
+    base = tempfile.mkdtemp(prefix=f"kv_cf_{uuid.uuid4().hex[:12]}_")
+    try:
+        store = KVStore(spark, f"{base}/kv")
+        store.ingest_df(nat, target_segments=1)
+        cf_cust = store.create_cf("cust")
+        cf_supp = store.create_cf("supp")
+        cf_tmp = store.create_cf("tmp")
+        cf_cust.ingest_df(cust.select("key", "value"), target_segments=2)
+        cf_supp.ingest_df(supp, target_segments=1)
+        cf_tmp.ingest_df(part, target_segments=1)
+        # overwrite wave in cust (every 7th), delete wave in supp (every 11th)
+        cf_cust.ingest_df(
+            cust.filter(F.col("k") % 7 == 0).select(
+                "key",
+                F.concat(F.lit("v2-"), F.col("value").cast("string"))
+                .cast("binary")
+                .alias("value"),
+            ),
+            target_segments=1,
+        )
+        for k in range(11, 41, 11):
+            cf_supp.delete(f"s{k:06d}")
+        v0 = store.manifest.state.version
+        store.drop_cf("tmp")
+        if store.manifest.state.version != v0 + 1:
+            raise RuntimeError("cf: drop was not a single manifest commit")
+        try:
+            cf_tmp.get("p000001", now=NOW)
+            raise RuntimeError("cf: stale dropped handle served a read")
+        except ValueError:
+            pass
+        if store.create_cf("tmp").view(now=NOW).count() != 0:
+            raise RuntimeError("cf: recreated family is not empty")
+        def union_live() -> list:
+            out = []
+            for ns, h in (("default", store), ("cust", cf_cust), ("supp", cf_supp)):
+                out.extend(
+                    (ns, r["key"], bytes(r["value"]).decode("utf-8"))
+                    for r in h.view(now=NOW).collect()
+                )
+            return sorted(out)
+        before = union_live()
+        store.compact(now=NOW)  # physical purge of the drop tombstone
+        if store.info()["range_tombstones"] != 0:
+            raise RuntimeError("cf: compact left the drop tombstone live")
+        after = union_live()
+        if after != before:
+            raise RuntimeError("cf: physical purge changed a surviving view")
+        return spark.createDataFrame(after, "ns string, key string, value string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_kv_range_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range tombstone (DeleteRange) run FOR REAL under the correctness
     gate: customer rows bulk-load, ONE O(1) manifest commit hides the
@@ -957,6 +1058,29 @@ ORACLES = {
           AND NOT (c_custkey % 13 = 0 AND c_custkey != 13)
           AND c_custkey NOT IN (46, 47)
         ORDER BY key""",
+    # three namespaces in one store: default = nations; cust = customers
+    # 1..80 with every 7th overwritten; supp = suppliers 1..40 with every
+    # 11th deleted; the dropped tmp family (parts <= 50) contributes
+    # NOTHING — the O(1) drop + recreate-empty + physical purge are
+    # asserted in-query
+    "kv_column_families": """
+        SELECT 'default' AS ns,
+               'n' || lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS key,
+               n_name AS value
+        FROM nation
+        UNION ALL
+        SELECT 'cust' AS ns,
+               'c' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key,
+               CASE WHEN c_custkey % 7 = 0 THEN 'v2-' || c_name
+                    ELSE c_name END AS value
+        FROM customer WHERE c_custkey BETWEEN 1 AND 80
+        UNION ALL
+        SELECT 'supp' AS ns,
+               's' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS key,
+               s_name AS value
+        FROM supplier
+        WHERE s_suppkey BETWEEN 1 AND 40 AND s_suppkey % 11 != 0
+        ORDER BY ns, key""",
     # base (custkey*1000; identity when the tombstone wave killed it) +
     # one operand per order (o_orderkey % 100) + the write-side wave (+5
     # for every 7th customer). Keys whose last full event is the delete
@@ -1079,6 +1203,7 @@ QUERIES = {
     "kv_replication": q_kv_replication,
     "kv_failover": q_kv_failover,
     "kv_merge_operator": q_kv_merge_operator,
+    "kv_column_families": q_kv_column_families,
     "kv_range_delete": q_kv_range_delete,
     "kv_snapshot_holds": q_kv_snapshot_holds,
     "kv_compaction_filter": q_kv_compaction_filter,

@@ -1,0 +1,230 @@
+"""Column families: namespaced keyspaces inside one KVStore.
+
+RocksDB-CF semantics composed from the store's own primitives (reserved
+key prefix + catalog + range tombstones), so flush/compaction/CDC/clone
+are shared. The reference is single-keyspace (`kv/db.go:19-26`); this is
+a beyond-reference extension like the merge operator.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from octopusdb_spark.kv import Entry, KVStore
+from octopusdb_spark.kv.store import CF_RESERVED
+
+NOW = 1_700_000_000
+
+
+def _live(handle, now=NOW):
+    return {
+        r["key"]: bytes(r["value"]) for r in handle.view(now=now).collect()
+    }
+
+
+def test_cf_namespaces_are_isolated(spark, tmp_path):
+    """CF rows never leak into the default namespace or into each other;
+    point reads, mget, and scans stay family-scoped with USER keys."""
+    s = KVStore(spark, str(tmp_path / "kv"))
+    s.set_batch([Entry("k1", b"default1"), Entry("k2", b"default2")])
+    users = s.create_cf("users")
+    posts = s.create_cf("posts")
+    users.set_batch([Entry("k1", b"alice"), Entry("u2", b"bob")])
+    posts.set_batch([Entry("k1", b"hello")])
+    # same user key "k1" resolves independently in all three namespaces
+    assert s.get("k1", now=NOW).value == b"default1"
+    assert users.get("k1", now=NOW).value == b"alice"
+    assert posts.get("k1", now=NOW).value == b"hello"
+    assert _live(s) == {"k1": b"default1", "k2": b"default2"}
+    assert _live(users) == {"k1": b"alice", "u2": b"bob"}
+    got = users.mget(["k1", "u2", "missing"], now=NOW)
+    assert {k: bytes(e.value) for k, e in got.items()} == {
+        "k1": b"alice",
+        "u2": b"bob",
+    }
+    rows = users.scan(now=NOW).collect()
+    assert [r["key"] for r in rows] == ["k1", "u2"]
+    # scan bounds are user-space and stay inside the family
+    assert [r["key"] for r in users.scan(start="u", now=NOW).collect()] == ["u2"]
+    assert [r["key"] for r in users.scan(end="l", now=NOW).collect()] == ["k1"]
+    assert [r["key"] for r in users.scan(prefix="u", now=NOW).collect()] == ["u2"]
+
+
+def test_cf_catalog_create_drop_recreate(spark, tmp_path):
+    """create/drop are single manifest commits; drop is O(1) (catalog
+    remove + ONE range tombstone, no scan); recreation yields an EMPTY
+    family and old rows never resurrect — even after compaction purges
+    the tombstone physically."""
+    s = KVStore(spark, str(tmp_path / "kv"))
+    s.set(Entry("base", b"x"))
+    with pytest.raises(ValueError):
+        s.create_cf("bad name")  # embedded space
+    with pytest.raises(ValueError):
+        s.cf("nope")
+    cfh = s.create_cf("events")
+    assert s.list_cfs() == ["events"]
+    with pytest.raises(ValueError):
+        s.create_cf("events")
+    assert s.create_cf("events", exist_ok=True).name == "events"
+    cfh.set_batch([Entry(f"e{i}", str(i).encode()) for i in range(20)])
+    v0 = s.manifest.state.version
+    s.drop_cf("events")
+    assert s.manifest.state.version == v0 + 1  # ONE commit
+    assert s.info()["range_tombstones"] == 1  # the O(1) mechanism
+    assert s.list_cfs() == []
+    with pytest.raises(ValueError):
+        s.drop_cf("events")
+    # stale handle fails fast on every op
+    for op in (
+        lambda: cfh.get("e1", now=NOW),
+        lambda: cfh.set(Entry("e1", b"z")),
+        lambda: cfh.view(now=NOW),
+        lambda: cfh.delete_range(prefix="e"),
+    ):
+        with pytest.raises(ValueError, match="dropped"):
+            op()
+    # recreate: empty, and new writes don't revive old rows
+    cf2 = s.create_cf("events")
+    assert _live(cf2) == {}
+    cf2.set(Entry("e1", b"new"))
+    assert _live(cf2) == {"e1": b"new"}
+    # physical purge clears the tombstone; nothing resurrects
+    s.compact(now=NOW)
+    assert s.info()["range_tombstones"] == 0
+    assert _live(cf2) == {"e1": b"new"}
+    assert _live(s) == {"base": b"x"}
+
+
+def test_cf_binary_key_store(spark, tmp_path):
+    """Binary-key stores namespace the same way (prefix bytes + the
+    manifest's hex encoding)."""
+    s = KVStore(spark, str(tmp_path / "kv"), key_type="binary")
+    s.set(Entry(b"\x00raw", b"default"))
+    blobs = s.create_cf("blobs")
+    blobs.set_batch([Entry(b"\x00\x01", b"a"), Entry(b"\xff", b"b")])
+    assert blobs.get(b"\x00\x01", now=NOW).value == b"a"
+    assert _live(s) == {b"\x00raw": b"default"}
+    assert {bytes(r["key"]): bytes(r["value"]) for r in blobs.view(now=NOW).collect()} == {
+        b"\x00\x01": b"a",
+        b"\xff": b"b",
+    }
+    assert [bytes(r["key"]) for r in blobs.scan(start=b"\x01", now=NOW).collect()] == [b"\xff"]
+    s.drop_cf("blobs")
+    assert _live(s) == {b"\x00raw": b"default"}
+    s.compact(now=NOW)
+    assert s.create_cf("blobs").view(now=NOW).count() == 0
+
+
+def test_cf_ttl_delete_range_and_bulk_ingest(spark, tmp_path):
+    """TTL, in-family range deletes, and distributed ingest_df all ride
+    the shared machinery."""
+    s = KVStore(spark, str(tmp_path / "kv"))
+    cf = s.create_cf("docs")
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", f"v{i}".encode()) for i in range(50)], "key string, value binary"
+    )
+    assert cf.ingest_df(df, target_segments=2) == 50
+    assert cf.view(now=NOW).count() == 50
+    cf.set(Entry("ttl", b"soon", expires_at=NOW + 10))
+    assert cf.get("ttl", now=NOW).value == b"soon"
+    assert cf.get("ttl", now=NOW + 11) is None
+    # in-family range delete: user-space bounds, other rows untouched
+    cf.delete_range(start="d010", end="d020")
+    live = _live(cf)
+    assert "d009" in live and "d020" in live
+    assert not any(f"d{i:03d}" in live for i in range(10, 20))
+    # prefix form
+    cf.delete_range(prefix="d04")
+    live = _live(cf)
+    assert not any(k.startswith("d04") for k in live)
+    assert "d039" in live
+    # whole-family clear keeps the family registered
+    cf.delete_range()
+    assert _live(cf) == {}
+    assert s.list_cfs() == ["docs"]
+
+
+def test_cf_merge_operands(spark, tmp_path):
+    """Merge operands fold inside a family; the fold is namespace-scoped
+    because keys are namespace-encoded."""
+    s = KVStore(spark, str(tmp_path / "kv"), merge_op="add")
+    cnt = s.create_cf("counters")
+    s.set(Entry("c", b"1000"))  # default-ns key with the same user name
+    cnt.set(Entry("c", b"10"))
+    cnt.merge("c", b"5")
+    cnt.merge("c", b"7")
+    assert cnt.get("c", now=NOW).value == b"22"
+    assert s.get("c", now=NOW).value == b"1000"
+    assert s.fold_merges(now=NOW) > 0
+    s.compact(now=NOW)
+    assert cnt.get("c", now=NOW).value == b"22"
+    assert s.get("c", now=NOW).value == b"1000"
+
+
+def test_cf_replication_ships_families_and_drops(spark, tmp_path):
+    """CDC carries CF rows transparently (keys ship encoded), and a
+    drop_cf's range tombstone expands into per-key deletes on the feed,
+    so a replica's data converges; the catalog itself is table metadata
+    and rides clone_to."""
+    p = KVStore(spark, str(tmp_path / "primary"))
+    p.set(Entry("base", b"b"))
+    users = p.create_cf("users")
+    tmp = p.create_cf("tmp")
+    users.set_batch([Entry("u1", b"alice")])
+    tmp.set_batch([Entry("t1", b"x"), Entry("t2", b"y")])
+    s0 = p.snapshot_seq()
+    replica = p.clone_to(str(tmp_path / "replica"))
+    assert replica.list_cfs() == ["tmp", "users"]
+    assert _live(replica.cf("users")) == {"u1": b"alice"}
+    # post-snapshot: new CF write + a whole-family drop
+    users.set(Entry("u2", b"bob"))
+    p.drop_cf("tmp")
+    replica.apply_changes(
+        p.changes_since(s0, now=NOW), source_epoch=p.writer_epoch
+    )
+    assert _live(replica.cf("users")) == {"u1": b"alice", "u2": b"bob"}
+    # the drop's expansion deleted the tmp rows on the replica even though
+    # the replica's catalog still lists the family (catalog = control
+    # plane; mirror it explicitly)
+    assert _live(replica.cf("tmp")) == {}
+    replica.drop_cf("tmp")
+    assert replica.list_cfs() == ["users"]
+    assert _live(replica) == _live(p) == {"base": b"b"}
+
+
+def test_cf_free_store_plans_unchanged(spark, tmp_path):
+    """The default-namespace filter is gated on the catalog: a store that
+    never created a CF gets NO namespace predicate (bit-identical plans),
+    and a raw key starting with the reserved byte is the documented
+    exclusion once families exist."""
+    s = KVStore(spark, str(tmp_path / "kv"))
+    assert s._ns_predicate(None, s.manifest.state) is None
+    plan_before = s.view(now=NOW)._jdf.queryExecution().optimizedPlan().toString()
+    s.create_cf("cf1")
+    assert s._ns_predicate(None, s.manifest.state) is not None
+    plan_after = s.view(now=NOW)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_before != plan_after  # the gate actually flips
+    # reserved-byte raw key is excluded from the default namespace now
+    s.set(Entry(CF_RESERVED + "sneaky", b"x"))
+    assert CF_RESERVED + "sneaky" not in _live(s)
+
+
+def test_cf_snapshot_reads_and_time_travel(spark, tmp_path):
+    """as_of reads inside a family respect the snapshot horizon, including
+    reading THROUGH a later drop (holds/time-travel semantics are the
+    store's own)."""
+    s = KVStore(spark, str(tmp_path / "kv"))
+    cf = s.create_cf("audit")
+    cf.set(Entry("a", b"v1"))
+    snap = s.snapshot_seq()
+    cf.set(Entry("a", b"v2"))
+    assert cf.get("a", now=NOW).value == b"v2"
+    assert cf.get("a", now=NOW, as_of=snap).value == b"v1"
+    s.drop_cf("audit")
+    # a pre-drop snapshot still sees the family's rows (the tombstone is
+    # stamped after the snapshot) — via the raw store view, since the
+    # handle is gone
+    assert any(
+        r["key"].endswith("a") and bytes(r["value"]) == b"v1"
+        for r in s.view(now=NOW, as_of=snap, cf="audit").collect()
+    )
