@@ -149,6 +149,37 @@ class OctopusDB:
         """Physically fold accumulated merge operands into full values."""
         return self.kv.fold_merges(now=now)
 
+    # -- column families (RocksDB CF analog) ---------------------------------
+    def create_cf(self, name: str, exist_ok: bool = False):
+        """Create a column family — an isolated key namespace sharing this
+        store's segments/compaction/CDC; see KVStore.create_cf. Returns a
+        ``ColumnFamily`` handle (set/get/mget/scan/view/merge/TTL/
+        ingest_df/delete_range in user key space)."""
+        return self.kv.create_cf(name, exist_ok=exist_ok)
+
+    def cf(self, name: str):
+        """Handle for an existing column family."""
+        return self.kv.cf(name)
+
+    def drop_cf(self, name: str) -> int:
+        """Drop a family in ONE O(1) manifest commit; see KVStore.drop_cf."""
+        return self.kv.drop_cf(name)
+
+    def list_cfs(self) -> list:
+        return self.kv.list_cfs()
+
+    # -- failover fencing -----------------------------------------------------
+    @property
+    def writer_epoch(self) -> int:
+        """Durable fencing token (Raft-term analog); see KVStore."""
+        return self.kv.writer_epoch
+
+    def promote(self, past_epoch: int | None = None) -> int:
+        """Promote this store to primary after failover: bump the durable
+        writer epoch so consumers refuse the deposed generation's feeds;
+        see KVStore.promote."""
+        return self.kv.promote(past_epoch=past_epoch)
+
     def changes_since(
         self,
         snapshot_seq: int,
@@ -169,11 +200,20 @@ class OctopusDB:
             preimage_at_version=preimage_at_version,
         )
 
-    def apply_changes(self, feed: DataFrame, commit_tag: tuple | None = None) -> int:
+    def apply_changes(
+        self,
+        feed: DataFrame,
+        commit_tag: tuple | None = None,
+        source_epoch: int | None = None,
+    ) -> int:
         """Apply another store's ``changes_since`` feed to this one —
         changefeed replication (ship + apply, idempotent per
-        ``commit_tag``); see KVStore.apply_changes."""
-        return self.kv.apply_changes(feed, commit_tag=commit_tag)
+        ``commit_tag``). Pass ``source_epoch`` (the shipper's
+        ``writer_epoch``) for split-brain fencing; see
+        KVStore.apply_changes."""
+        return self.kv.apply_changes(
+            feed, commit_tag=commit_tag, source_epoch=source_epoch
+        )
 
     # Driver-side materialization cap for the facade iterator. The iterator
     # is API parity for small working sets; Spark-native code uses scan_df.
@@ -250,9 +290,18 @@ class OctopusDB:
 
         return KVService(self, host=host, port=port, now=now)
 
-    def clone_to(self, dest_root: str, at_version: int | None = None) -> "OctopusDB":
-        """Consistent, independent backup/branch; see KVStore.clone_to."""
-        cloned = self.kv.clone_to(dest_root, at_version=at_version)
+    def clone_to(
+        self,
+        dest_root: str,
+        at_version: int | None = None,
+        hardlink: bool = False,
+    ) -> "OctopusDB":
+        """Consistent, independent backup/branch; ``hardlink=True`` is the
+        RocksDB Checkpoint mode (near-O(1), same filesystem); see
+        KVStore.clone_to."""
+        cloned = self.kv.clone_to(
+            dest_root, at_version=at_version, hardlink=hardlink
+        )
         out = OctopusDB.__new__(OctopusDB)
         out.spark, out.kv, out._closed = self.spark, cloned, False
         return out

@@ -2504,15 +2504,38 @@ class KVStore:
             )
         )
 
-    def clone_to(self, dest_root: str, at_version: int | None = None) -> "KVStore":
+    def clone_to(
+        self,
+        dest_root: str,
+        at_version: int | None = None,
+        hardlink: bool = False,
+    ) -> "KVStore":
         """Portable snapshot: copy one committed manifest version and
         exactly the segment files it references into ``dest_root`` — a
         consistent, independent backup/branch of the store (writes to
         either side never affect the other). Defaults to the current
         version; pass ``at_version`` to branch from a historical state.
         Copy cost is proportional to live segment bytes of that version
-        only, not to history."""
+        only, not to history.
+
+        ``hardlink=True`` is the RocksDB ``Checkpoint`` mode: segment
+        files are hard-linked instead of copied — a near-O(1) consistent
+        snapshot regardless of data size. Safe BECAUSE segments are
+        immutable (writers create new files; maintenance only
+        deregisters, and ``prune_versions`` unlinking a shared file just
+        drops one name — the clone's inode survives). Same-filesystem
+        only; a cross-device link error falls back to copying that file."""
         import shutil
+
+        def _place(src: str, dst: str) -> None:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if hardlink:
+                try:
+                    os.link(src, dst)
+                    return
+                except OSError:  # EXDEV / FS without hardlinks: degrade
+                    pass
+            shutil.copy2(src, dst)
 
         state = (
             self.manifest.load_version(at_version)
@@ -2526,10 +2549,17 @@ class KVStore:
             dest_path = os.path.join(dest_root, "segments", rel)
             if not os.path.exists(dest_path):
                 if os.path.isdir(s.path):
-                    shutil.copytree(s.path, dest_path)
+                    for dirpath, _, files in os.walk(s.path):
+                        for fname in files:
+                            src = os.path.join(dirpath, fname)
+                            _place(
+                                src,
+                                os.path.join(
+                                    dest_path, os.path.relpath(src, s.path)
+                                ),
+                            )
                 else:
-                    os.makedirs(os.path.dirname(dest_path), exist_ok=True)
-                    shutil.copy2(s.path, dest_path)
+                    _place(s.path, dest_path)
             new_segments.append(replace(s, path=dest_path))
         clone = KVStore(
             self.spark,

@@ -144,6 +144,35 @@ def test_facade_mget_and_clone(spark, tmp_path):
     assert backup.get("x", now=NOW) == b"1"
 
 
+def test_facade_cf_fencing_and_checkpoint(spark, tmp_path):
+    """The round-10 surfaces ride the facade too: column families,
+    writer-epoch fencing, and the hardlink checkpoint mode."""
+    from octopusdb_spark.db import OctopusDB
+    from octopusdb_spark.kv import StaleWriterError
+
+    db = OctopusDB(spark, str(tmp_path / "f10"))
+    db.set("raw", b"default")
+    users = db.create_cf("users")
+    users.set(Entry("u1", b"alice"))
+    assert db.list_cfs() == ["users"]
+    assert db.cf("users").get("u1", now=NOW).value == b"alice"
+    assert db.get("raw", now=NOW) == b"default"
+    # hardlink checkpoint before the drop
+    ckpt = db.clone_to(str(tmp_path / "f10-ckpt"), hardlink=True)
+    assert ckpt.cf("users").get("u1", now=NOW).value == b"alice"
+    db.drop_cf("users")
+    assert db.list_cfs() == []
+    assert ckpt.list_cfs() == ["users"]  # checkpoint keeps its snapshot
+    # fencing: the checkpoint promotes; the original's feed is refused
+    assert ckpt.promote() == 1
+    assert ckpt.writer_epoch == 1
+    db.set("late", b"split-brain")
+    with pytest.raises(StaleWriterError):
+        ckpt.apply_changes(
+            db.changes_since(0, now=NOW), source_epoch=db.writer_epoch
+        )
+
+
 def test_facade_time_travel_and_retention(spark, tmp_path):
     from octopusdb_spark.db import OctopusDB
 

@@ -845,6 +845,43 @@ def test_failover_promotion_durable_across_reopen(spark, tmp_path):
     assert [(r["key"], r["change"]) for r in tail] == [("d", "upsert")]
 
 
+def test_hardlink_checkpoint_clone(spark, tmp_path):
+    """clone_to(hardlink=True) — the RocksDB Checkpoint mode: segment
+    files are hard-linked (same inode, near-O(1)), the clone is fully
+    independent (immutable segments; source writes, maintenance, and
+    history pruning never disturb it)."""
+    import os
+
+    src = KVStore(spark, str(tmp_path / "src"))
+    src.set_batch([Entry(f"k{i}", f"v{i}".encode()) for i in range(10)])
+    clone = src.clone_to(str(tmp_path / "ckpt"), hardlink=True)
+
+    def files(root):
+        out = []
+        for dirpath, _, names in os.walk(os.path.join(root, "segments")):
+            out.extend(os.path.join(dirpath, n) for n in names)
+        return out
+
+    src_inodes = {os.path.basename(p): os.stat(p).st_ino for p in files(str(tmp_path / "src"))}
+    linked = [
+        p for p in files(str(tmp_path / "ckpt"))
+        if src_inodes.get(os.path.basename(p)) == os.stat(p).st_ino
+    ]
+    assert linked, "no segment file was hard-linked"
+
+    def live(store):
+        return {r["key"]: bytes(r["value"]) for r in store.view(now=NOW).collect()}
+
+    want = live(src)
+    assert live(clone) == want
+    # source keeps writing, compacts, and prunes history — the checkpoint
+    # still reads its snapshot exactly (inodes survive the unlink)
+    src.set_batch([Entry("k1", b"changed"), Entry("new", b"x")])
+    src.compact(now=NOW)
+    src.prune_history(keep_versions=1)
+    assert live(clone) == want
+
+
 def test_epoch_fencing_refuses_deposed_primary(spark, tmp_path):
     """Writer-epoch fencing (the Raft-term analog, the data-protecting
     half of consensus): after a replica promotes, a feed shipped from the
