@@ -29,6 +29,7 @@ def ingest_stream_to_kv(
     target_segments: int = 2,
     compact_every: int = 4,
     merge_col: str | None = None,
+    cf: str | None = None,
 ):
     """Run a streaming DataFrame into the KV store: each micro-batch is one
     atomic segment-append + manifest commit (single-writer discipline
@@ -60,6 +61,13 @@ def ingest_stream_to_kv(
     merge-opened store bounds the operand set via ``fold_merges``-style
     compaction retention. Within a micro-batch, per-key order follows row
     order exactly as in ``ingest_df``.
+
+    ``cf`` routes the whole stream into one column family: keys are
+    namespace-prefixed in-plan per micro-batch (one codegen concat), the
+    rest of the write path — value separation, tombstones, TTL, merge
+    operands, idempotent commits, maintenance — is identical. The family
+    must exist; the per-batch catalog check fails the query fast if it
+    was dropped mid-stream.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -72,7 +80,8 @@ def ingest_stream_to_kv(
         if merge_col is not None:
             cols.append(F.col(merge_col).cast("boolean").alias("_merge_flag"))
         rows = batch_df.select(*cols)
-        n = store.ingest_df(
+        writer = store if cf is None else store.cf(cf)
+        n = writer.ingest_df(
             rows,
             expires_col="expires_at" if expires_col is not None else None,
             target_segments=target_segments,

@@ -209,6 +209,73 @@ def test_cf_free_store_plans_unchanged(spark, tmp_path):
     assert CF_RESERVED + "sneaky" not in _live(s)
 
 
+def test_cf_model_based_random_ops(spark, tmp_path):
+    """Model-based contract check across namespaces: random interleavings
+    of default-ns and per-CF writes/deletes, in-family range deletes,
+    whole-family drops (+ recreates), and full compaction must leave
+    EVERY namespace's live view equal to a per-namespace dict model —
+    isolation, O(1) drop, recreate-empty, and maintenance-changes-nothing
+    under arbitrary schedules, not just the hand-picked flows above."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    FAMS = ["f1", "f2"]
+    NS = ["default", *FAMS]
+    KEYS = [f"k{i}" for i in range(4)]
+
+    op = st.one_of(
+        st.tuples(
+            st.just("set"),
+            st.sampled_from(NS),
+            st.sampled_from(KEYS),
+            st.sampled_from(["a", "bb", "ccc"]),
+        ),
+        st.tuples(st.just("del"), st.sampled_from(NS), st.sampled_from(KEYS)),
+        st.tuples(st.just("rdel"), st.sampled_from(FAMS), st.sampled_from(KEYS)),
+        st.tuples(st.just("drop"), st.sampled_from(FAMS)),
+        st.just(("compact",)),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(ops=st.lists(op, min_size=4, max_size=12))
+    def check(ops):
+        counter[0] += 1
+        store = KVStore(spark, str(tmp_path / f"cfmodel{counter[0]}"))
+        handles = {"default": store}
+        for f in FAMS:
+            handles[f] = store.create_cf(f)
+        model = {ns: {} for ns in NS}
+        for o in ops:
+            if o[0] == "set":
+                _, ns, k, v = o
+                handles[ns].set(Entry(k, v.encode()))
+                model[ns][k] = v.encode()
+            elif o[0] == "del":
+                _, ns, k = o
+                handles[ns].delete(k)
+                model[ns].pop(k, None)
+            elif o[0] == "rdel":
+                _, ns, k = o  # in-family range delete [k, end)
+                handles[ns].delete_range(start=k)
+                model[ns] = {mk: mv for mk, mv in model[ns].items() if mk < k}
+            elif o[0] == "drop":
+                _, ns = o
+                store.drop_cf(ns)
+                handles[ns] = store.create_cf(ns)  # recreate: empty
+                model[ns] = {}
+            else:
+                store.compact(now=NOW)
+        for ns in NS:
+            assert _live(handles[ns]) == model[ns], (ops, ns)
+
+    check()
+
+
 def test_cf_snapshot_reads_and_time_travel(spark, tmp_path):
     """as_of reads inside a family respect the snapshot horizon, including
     reading THROUGH a later drop (holds/time-travel semantics are the

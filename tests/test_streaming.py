@@ -34,6 +34,44 @@ def test_stream_ingest_to_kv(spark, tmp_path):
     assert store.get("k007", now=NOW).value == b"updated"
 
 
+def test_stream_ingest_into_column_family(spark, tmp_path):
+    """ingest_stream_to_kv(cf=...): the stream lands inside one family —
+    namespace-prefixed per micro-batch — without touching the default
+    namespace or sibling families; TTL rides along."""
+    from octopusdb_spark.kv import Entry
+
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set(Entry("raw", b"default"))
+    events = store.create_cf("events")
+    other = store.create_cf("other")
+    other.set(Entry("o1", b"sibling"))
+    src = str(tmp_path / "src")
+    rows = [(f"e{i:03d}", f"v{i}", 0) for i in range(20)] + [
+        ("gone", "x", NOW - 5)
+    ]
+    spark.createDataFrame(
+        rows, "key string, value string, expires long"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "key string, value string, expires long"
+    ).parquet(src)
+    q = ingest_stream_to_kv(
+        stream,
+        store,
+        str(tmp_path / "ckpt"),
+        expires_col="expires",
+        cf="events",
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert events.view(now=NOW).count() == 20  # TTL'd row already expired
+    assert events.get("e007", now=NOW).value == b"v7"
+    assert events.get("gone", now=NOW) is None
+    assert store.get("raw", now=NOW).value == b"default"
+    assert store.view(now=NOW).count() == 1
+    assert {r["key"] for r in other.view(now=NOW).collect()} == {"o1"}
+
+
 def test_stream_ingest_merge_operands(spark, tmp_path):
     """Streaming counter increments (RocksDB Merge at ingest): flagged
     rows append delta operands — no read-modify-write in the hot loop —
