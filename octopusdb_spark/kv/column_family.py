@@ -165,15 +165,19 @@ class ColumnFamily:
     ) -> DataFrame:
         """Ordered range scan within the family (bounds in user key space);
         manifest pruning sees the full encoded bounds, so only the
-        family's segments are read."""
+        family's segments are read. ``prefix`` composes with ``start``
+        exactly like the store's scan (a pager advances ``start`` inside
+        a prefix); without a prefix, missing bounds default to the
+        family's edges so the scan can never leak into a sibling range."""
         self._check()
         kw: dict = {"now": now, "as_of": as_of, "cf": self.name, "asc": asc}
-        if prefix is not None:
-            df = self.store.scan(prefix=self._k(prefix), **kw)
-        else:
-            lo = self._k(start) if start is not None else self._prefix
-            hi = self._k(end) if end is not None else self._range_end()
-            df = self.store.scan(start=lo, end=hi, **kw)
+        p = self._k(prefix) if prefix is not None else None
+        lo = self._k(start) if start is not None else None
+        hi = self._k(end) if end is not None else None
+        if p is None:
+            lo = lo if lo is not None else self._prefix
+            hi = hi if hi is not None else self._range_end()
+        df = self.store.scan(prefix=p, start=lo, end=hi, **kw)
         order = F.col("key").asc() if asc else F.col("key").desc()
         return df.select(
             self._strip_col(), "value", "expires_at", "version", "seq"

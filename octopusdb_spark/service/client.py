@@ -99,14 +99,21 @@ class KVClient:
             raise RuntimeError(f"service error: {reply.get('error')}")
         return reply
 
-    def get(self, key) -> dict | None:
+    def get(self, key, cf: str | None = None) -> dict | None:
         """{"value": bytes|None, "version": int, "expires_at": int} or
-        None when the key is absent/tombstoned/expired."""
-        reply = self._call({"op": "get", "key": self._enc_key(key)})
+        None when the key is absent/tombstoned/expired. ``cf`` scopes the
+        read to a column family (keys in user space both ways)."""
+        req: dict = {"op": "get", "key": self._enc_key(key)}
+        if cf is not None:
+            req["cf"] = cf
+        reply = self._call(req)
         return _debase(reply) if reply["found"] else None
 
-    def mget(self, keys: list) -> dict:
-        reply = self._call({"op": "mget", "keys": [self._enc_key(k) for k in keys]})
+    def mget(self, keys: list, cf: str | None = None) -> dict:
+        req: dict = {"op": "mget", "keys": [self._enc_key(k) for k in keys]}
+        if cf is not None:
+            req["cf"] = cf
+        reply = self._call(req)
         return {self._dec_key(k): _debase(e) for k, e in reply["entries"].items()}
 
     def scan(
@@ -116,6 +123,7 @@ class KVClient:
         prefix=None,
         limit: int | None = None,
         page_size: int | None = None,
+        cf: str | None = None,
     ) -> list:
         """Ordered range scan. With ``limit`` set, one request capped at
         that many rows against the live pinned view (the pre-paging
@@ -137,6 +145,8 @@ class KVClient:
             "end": self._enc_key(end),
             "prefix": self._enc_key(prefix),
         }
+        if cf is not None:
+            base["cf"] = cf
         if limit is not None:
             reply = self._call({**base, "limit": limit})
             return [

@@ -14,14 +14,18 @@ materialized frame instead of replanning per request (`KVStore.pin`).
 
 Protocol: one JSON object per line, one JSON reply per line.
 
-    {"op": "get",  "key": K}                  -> {"ok": true, "found": bool,
+    {"op": "get",  "key": K, "cf": s?}        -> {"ok": true, "found": bool,
                                                   "value": b64, "version": n,
                                                   "expires_at": n}
-    {"op": "mget", "keys": [K...]}            -> {"ok": true, "entries": {K: {...}}}
+    {"op": "mget", "keys": [K...], "cf": s?}  -> {"ok": true, "entries": {K: {...}}}
     {"op": "scan", "start": K?, "end": K?,
-     "prefix": K?, "limit": n?,
+     "prefix": K?, "limit": n?, "cf": s?,
      "after_key": K?, "as_of": n?}            -> {"ok": true, "more": bool,
                                                   "rows": [{...}]}
+
+``cf`` scopes a read to a column family (keys travel in USER space; the
+server prefixes/strips). Unknown or dropped families return an error
+reply — the handle re-checks the catalog per request.
     {"op": "info"}                            -> {"ok": true, "info": {...}}
     {"op": "ping"}                            -> {"ok": true, "pong": true}
     {"op": "snapshot"}                        -> {"ok": true, "seq": n}
@@ -119,8 +123,16 @@ class KVService:
         return _b64(k) if self.store.key_type == "binary" else k
 
     # ------------------------------------------------------------- ops
+    def _reader(self, req: dict):
+        """The read target: the store (default namespace), or a
+        column-family handle when the request carries ``cf``. The handle
+        re-checks the catalog per request, so a dropped family turns into
+        an error reply instead of silently empty reads."""
+        name = req.get("cf")
+        return self.store if name is None else self.store.cf(str(name))
+
     def _op_get(self, req: dict) -> dict:
-        e = self.store.get(self._dec_key(req["key"]), now=self._now)
+        e = self._reader(req).get(self._dec_key(req["key"]), now=self._now)
         if e is None:
             return {"ok": True, "found": False}
         return {"ok": True, "found": True, **_entry_payload(e)}
@@ -129,7 +141,9 @@ class KVService:
         keys = req.get("keys") or []
         if not isinstance(keys, list):
             raise ValueError("mget: 'keys' must be a list")
-        got = self.store.mget([self._dec_key(k) for k in keys], now=self._now)
+        got = self._reader(req).mget(
+            [self._dec_key(k) for k in keys], now=self._now
+        )
         return {
             "ok": True,
             "entries": {self._enc_key(k): _entry_payload(e) for k, e in got.items()},
@@ -155,7 +169,7 @@ class KVService:
         start = self._dec_key(req.get("start"))
         if after is not None:
             start = self._dec_key(after)  # pages move forward: after >= start
-        df = self.store.scan(
+        df = self._reader(req).scan(
             start=start,
             end=self._dec_key(req.get("end")),
             prefix=self._dec_key(req.get("prefix")),

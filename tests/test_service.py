@@ -361,6 +361,39 @@ def test_service_paged_changes_merge_store(spark, tmp_path):
             }
 
 
+def test_service_cf_scoped_reads(spark, tmp_path):
+    """Remote reads scoped to a column family: get/mget/scan accept
+    ``cf`` with keys in user space both ways; namespaces stay isolated
+    over the wire; a dropped family turns into an error reply, not
+    silently-empty reads."""
+    import pytest
+
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set(Entry("k1", b"default"))
+    users = store.create_cf("users")
+    users.set_batch([Entry("k1", b"alice"), Entry("u2", b"bob"), Entry("u3", b"eve")])
+    with KVService(store, now=NOW) as svc:
+        with KVClient(*svc.address) as c:
+            assert c.get("k1")["value"] == b"default"
+            assert c.get("k1", cf="users")["value"] == b"alice"
+            assert c.get("u2") is None  # default namespace: no leak
+            got = c.mget(["k1", "u2", "zz"], cf="users")
+            assert {k: e["value"] for k, e in got.items()} == {
+                "k1": b"alice",
+                "u2": b"bob",
+            }
+            rows = c.scan(cf="users", page_size=2)  # paged, in-family
+            assert [r["key"] for r in rows] == ["k1", "u2", "u3"]
+            assert [r["key"] for r in c.scan(prefix="u", cf="users", page_size=1)] == [
+                "u2",
+                "u3",
+            ]
+            assert [r["key"] for r in c.scan(page_size=2)] == ["k1"]
+            store.drop_cf("users")
+            with pytest.raises(RuntimeError, match="unknown column family"):
+                c.get("k1", cf="users")
+
+
 def test_service_feed_carries_writer_epoch(spark, tmp_path):
     """The remote feed is fencing-aware: every changes reply stamps the
     serving store's writer_epoch and KVClient surfaces it as
