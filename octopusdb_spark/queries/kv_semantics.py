@@ -792,8 +792,9 @@ def q_kv_column_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             target_segments=1,
         )
-        for k in range(11, 41, 11):
-            cf_supp.delete(f"s{k:06d}")
+        cf_supp.set_batch(
+            [Entry(f"s{k:06d}", None) for k in range(11, 41, 11)]
+        )  # one commit for the whole delete wave
         v0 = store.manifest.state.version
         store.drop_cf("tmp")
         if store.manifest.state.version != v0 + 1:
@@ -806,13 +807,19 @@ def q_kv_column_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         if store.create_cf("tmp").view(now=NOW).count() != 0:
             raise RuntimeError("cf: recreated family is not empty")
         def union_live() -> list:
-            out = []
+            # ONE collect over a union of the three namespace views — the
+            # namespaces are disjoint key ranges in the same segments, so
+            # Spark runs this as one job instead of three
+            u = None
             for ns, h in (("default", store), ("cust", cf_cust), ("supp", cf_supp)):
-                out.extend(
-                    (ns, r["key"], bytes(r["value"]).decode("utf-8"))
-                    for r in h.view(now=NOW).collect()
+                part = h.view(now=NOW).select(
+                    F.lit(ns).alias("ns"), "key", "value"
                 )
-            return sorted(out)
+                u = part if u is None else u.unionByName(part)
+            return sorted(
+                (r["ns"], r["key"], bytes(r["value"]).decode("utf-8"))
+                for r in u.collect()
+            )
         before = union_live()
         store.compact(now=NOW)  # physical purge of the drop tombstone
         if store.info()["range_tombstones"] != 0:
