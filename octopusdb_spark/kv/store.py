@@ -1214,6 +1214,7 @@ class KVStore:
         include_preimage: bool = False,
         preimage_at_version: int | None = None,
         as_of: int | None = None,
+        cf: str | None = None,
     ) -> DataFrame:
         """Changefeed (CDC): the current state of every key written after
         ``snapshot_seq`` (e.g. a value previously captured via
@@ -1301,7 +1302,13 @@ class KVStore:
         PAGED remote feed snapshot-consistent — every page reads the same
         closed interval, so a key committed below the page cursor
         mid-pagination cannot tear the stitched result
-        (``KVClient.changes`` pins its poll this way)."""
+        (``KVClient.changes`` pins its poll this way).
+
+        ``cf`` scopes the feed to ONE column family's key range —
+        per-family/per-tenant replication ships only that family's
+        interval (keys stay encoded; a consumer with the same family
+        registered converges for it). Default ``None`` = the full feed
+        across all namespaces."""
         if as_of is not None and int(as_of) < int(snapshot_seq):
             raise ValueError(
                 f"as_of ({as_of}) must be >= snapshot_seq ({snapshot_seq})"
@@ -1466,6 +1473,17 @@ class KVStore:
             out = out.join(pre, "key", "left").select(
                 "key", "change", "value", "expires_at", "old_value", "version"
             )
+        if cf is not None:
+            # scope the feed to one namespace: per-family/per-tenant
+            # replication ships only that family's interval. Keys stay
+            # ENCODED (the feed is store-to-store transport — a replica
+            # with the same family registered converges for it); the
+            # filter is the family's contiguous key range, applied last
+            # so delete expansions and 'merge' events scope identically.
+            # (cf=None stays the FULL feed — all namespaces, unchanged.)
+            ns = self._ns_predicate(cf, self.manifest.state)
+            if ns is not None:
+                out = out.filter(ns)
         return out
 
     def apply_changes(

@@ -192,7 +192,11 @@ class KVClient:
         self._call({"op": "release", "holder": holder})
 
     def changes(
-        self, since: int, page_size: int | None = None, as_of: int | None = None
+        self,
+        since: int,
+        page_size: int | None = None,
+        as_of: int | None = None,
+        cf: str | None = None,
     ) -> list:
         """The complete changefeed from ``since``, transparently paged on
         the (key, version, change) compound cursor (the server caps rows
@@ -228,6 +232,8 @@ class KVClient:
         # same triple)
         while True:
             req: dict = {"op": "changes", "since": int(since), "as_of": int(as_of)}
+            if cf is not None:
+                req["cf"] = cf  # family-scoped feed; keys ship ENCODED
             if page_size is not None:
                 req["limit"] = int(page_size)
             if after is not None:

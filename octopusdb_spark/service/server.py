@@ -224,8 +224,12 @@ class KVService:
         # _op_scan uses, so a write landing mid-pagination cannot tear
         # the stitched feed. KVClient.changes always sends it.
         as_of = req.get("as_of")
+        cfname = req.get("cf")
         feed = self.store.changes_since(
-            since, now=self._now, as_of=None if as_of is None else int(as_of)
+            since,
+            now=self._now,
+            as_of=None if as_of is None else int(as_of),
+            cf=None if cfname is None else str(cfname),
         )
         after = req.get("after_key")
         if after is not None:

@@ -209,6 +209,49 @@ def test_cf_free_store_plans_unchanged(spark, tmp_path):
     assert CF_RESERVED + "sneaky" not in _live(s)
 
 
+def test_cf_scoped_changefeed(spark, tmp_path):
+    """changes_since(cf=...): per-family replication — the scoped feed
+    carries exactly the family's interval (upserts, deletes, and a
+    drop's expansion events; sibling and default-namespace traffic
+    excluded), and a replica applying only that feed converges for the
+    family while receiving nothing else."""
+    p = KVStore(spark, str(tmp_path / "primary"))
+    p.set(Entry("base", b"b0"))
+    users = p.create_cf("users")
+    logs = p.create_cf("logs")
+    users.set_batch([Entry("u1", b"a1"), Entry("u2", b"b1")])
+    logs.set(Entry("l1", b"x"))
+    s0 = p.snapshot_seq()
+    replica = p.clone_to(str(tmp_path / "replica"))
+    # post-snapshot: traffic in every namespace + an in-family range delete
+    p.set(Entry("base", b"b1"))
+    users.set_batch([Entry("u1", b"a2"), Entry("u3", b"c1")])
+    users.delete("u2")
+    logs.set(Entry("l2", b"y"))
+    feed = p.changes_since(s0, now=NOW, cf="users")
+    rows = feed.collect()
+    assert all(r["key"].startswith("\x02users\x1f") for r in rows)
+    assert {(r["key"].split("\x1f")[1], r["change"]) for r in rows} == {
+        ("u1", "upsert"),
+        ("u3", "upsert"),
+        ("u2", "delete"),
+    }
+    replica.apply_changes(feed, source_epoch=p.writer_epoch)
+    assert _live(replica.cf("users")) == _live(p.cf("users"))
+    # nothing else moved on the replica
+    assert _live(replica) == {"base": b"b0"}
+    assert _live(replica.cf("logs")) == {"l1": b"x"}
+    # a drop's expansion events scope to the dropped family's range
+    s1 = p.snapshot_seq()
+    p.set(Entry("base", b"b2"))
+    p.drop_cf("logs")
+    drop_feed = p.changes_since(s1, now=NOW, cf="logs").collect()
+    assert {(r["key"].split("\x1f")[1], r["change"]) for r in drop_feed} == {
+        ("l1", "delete"),
+        ("l2", "delete"),
+    }
+
+
 def test_cf_model_based_random_ops(spark, tmp_path):
     """Model-based contract check across namespaces: random interleavings
     of default-ns and per-CF writes/deletes, in-family range deletes,

@@ -389,6 +389,12 @@ def test_service_cf_scoped_reads(spark, tmp_path):
                 "u3",
             ]
             assert [r["key"] for r in c.scan(page_size=2)] == ["k1"]
+            # family-scoped remote feed: only users events, keys encoded
+            feed = c.changes(0, cf="users", page_size=2)
+            assert {r["key"] for r in feed} == {
+                f"\x02users\x1f{k}" for k in ("k1", "u2", "u3")
+            }
+            assert len(c.changes(0)) == 4  # unscoped: default row too
             store.drop_cf("users")
             with pytest.raises(RuntimeError, match="unknown column family"):
                 c.get("k1", cf="users")
