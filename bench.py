@@ -70,9 +70,10 @@ HEADLINE = [
     "q_token_budget_packing_bpe",
     "text_dup_runs",
     # added round 10 (merge-operator write/fold/maintenance cycle; column
-    # families create/load/drop/purge cycle)
+    # families create/load/drop/purge cycle; SemDeDup semantic dedup)
     "kv_merge_operator",
     "kv_column_families",
+    "dedup_semantic",
 ]
 
 

@@ -906,6 +906,72 @@ def q_sim_label_centroids(spark, sf_dir):
     )
 
 
+# SemDeDup threshold (Abbas et al. 2023, arXiv:2303.09540 — cluster the
+# corpus, then dedup ONLY within clusters). Production thresholds sit near
+# 0.95 on real text embeddings; this synthetic corpus is near-orthogonal
+# (max pairwise cosine ~0.5), so the gate's threshold is calibrated to
+# exercise a non-trivial drop set while keeping the semantics identical.
+SEMDEDUP_THRESH = 0.33
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """Semantic (embedding-space) dedup, SemDeDup-style: assign every
+    vector to its nearest TRAINED k-means centroid (the same memoized
+    coarse quantizer `sim_ann_ivf_kmeans` probes — train once, reuse
+    everywhere), then mark as 'drop' any vector that has a LOWER-id
+    cluster-mate with cosine >= SEMDEDUP_THRESH (keep-lowest-id is the
+    deterministic stand-in for the paper's keep-farthest-from-centroid;
+    the drop SET is identical for transitively-closed groups). Output is
+    the full per-vector audit (vec_id, cent_id, action).
+
+    Scale shape — the whole point of SemDeDup vs all-pairs: the pairwise
+    cosine join is keyed on cent_id, so pair count is sum(|cluster|^2),
+    bounded by the cluster granularity (at 100 TB raise K so clusters stay
+    ~1e4 vectors; training cost amortizes via functions/ann_index.py). No
+    corpus broadcast — the only broadcast is the K-row centroid frame;
+    qualifying pairs collapse to a DISTINCT dropped-id set before the
+    audit join, so no pair survives past its cluster's local check."""
+    emb = _with_norm(t(spark, sf_dir, "embeddings"))
+    cent = trained_ivf_centroids(spark, sf_dir)
+    assigned = (
+        rank_centroids(emb, cent, keep=("embedding", "norm"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "embedding", "norm")
+    )
+    lo = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("lo_id"),
+        F.col("embedding").alias("lo_emb"),
+        F.col("norm").alias("lo_norm"),
+    )
+    dropped = (
+        assigned.join(lo, "cent_id")
+        .filter(
+            (F.col("lo_id") < F.col("vec_id"))
+            & (
+                _dot(F.col("embedding"), F.col("lo_emb"))
+                / (F.col("norm") * F.col("lo_norm"))
+                >= F.lit(SEMDEDUP_THRESH)
+            )
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("_d", F.lit(1)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cent_id",
+            F.when(F.col("_d").isNotNull(), F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir, n_blocks: int = 4):
     """Embedding-cosine near-duplicate detection: the 20 closest pairs in
     the corpus, ranked. (This corpus is near-orthogonal — max cosine ~0.51 —
@@ -1232,6 +1298,34 @@ ORACLES = {
     )
     SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
     FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
+    # SemDeDup: same trained centroids as sim_ann_ivf_kmeans, assignment
+    # rank 1, within-cluster pairwise cosine vs the calibrated threshold,
+    # drop = exists a lower-id cluster-mate at/above it
+    "dedup_semantic": _EMB_NORM_SQL
+    + _kmeans_cte_sql()
+    + f"""
+    , assign_scored AS (
+      SELECT e.vec_id, c.cent_id,
+             {_DOT_SQL.format(a="e.embedding", b="c.ct_emb")} / (e.norm * c.ct_norm) AS cos
+      FROM emb e CROSS JOIN cent{KMEANS_ITERS} c
+    ), assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+        FROM assign_scored) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a
+      JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      JOIN emb ea ON ea.vec_id = a.vec_id
+      JOIN emb eb ON eb.vec_id = b.vec_id
+      WHERE {_DOT_SQL.format(a="ea.embedding", b="eb.embedding")} / (ea.norm * eb.norm)
+            >= {SEMDEDUP_THRESH}
+    )
+    SELECT s.vec_id, s.cent_id,
+           CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+    FROM assigned s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+    ORDER BY s.vec_id""",
     "dedup_embedding_cosine": _EMB_NORM_SQL
     + f"""
     , pairs AS (
@@ -1495,5 +1589,6 @@ QUERIES = {
     "sim_ann_pq": q_sim_ann_pq,
     "sim_ann_ivfpq": q_sim_ann_ivfpq,
     "sim_label_centroids": q_sim_label_centroids,
+    "dedup_semantic": q_dedup_semantic,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }

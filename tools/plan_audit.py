@@ -60,6 +60,7 @@ ALLOWED_CARTESIAN = {
     "kv_changefeed": "snapshot-cutoff scalar subquery (1-row broadcast)",
     "kv_changefeed_preimage": "snapshot-cutoff scalar subquery (1-row broadcast), shared with kv_changefeed",
     "sim_ann_ivf_kmeans": "broadcast NLJ against the fixed K-centroid table per Lloyd round (K tiny), same as sim_ann_ivf",
+    "dedup_semantic": "broadcast NLJ against the fixed K-centroid table (assignment step, K tiny); the within-cluster pair join is a cent_id equi-join",
     "sim_ann_pq": "broadcast NLJ against the 5-query ADC lookup tables (the PQ compressed scan; corpus side reads only codes+norm)",
     "sim_ann_ivfpq": "broadcast NLJ against the fixed K-centroid table per Lloyd round (K tiny), same as sim_ann_ivf_kmeans; ADC runs as an equi-join on cand_id/query_id",
     "q22_global_sales": "TPC-H Q22 uncorrelated scalar subquery (1-row broadcast)",
