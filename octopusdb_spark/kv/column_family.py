@@ -125,6 +125,29 @@ class ColumnFamily:
             else _prefix_upper_bound(self._prefix)
         )
 
+    # -- maintenance / stats ---------------------------------------------------
+    def compact(self, now: int | None = None, target_segments: int = 4) -> int:
+        """Range-restricted compaction over ONLY this family's key range
+        (RocksDB per-CF CompactRange): the family's segments merge into
+        sorted bottom-level runs; sibling namespaces' cold data is not
+        rewritten. Returns segments rewritten (see KVStore.compact_range)."""
+        self._check()
+        return self.store.compact_range(
+            start=self._prefix,
+            end=self._range_end(),
+            now=now,
+            target_segments=target_segments,
+        )
+
+    def approximate_size(self) -> dict:
+        """Manifest-metadata size estimate for this family's key range —
+        RocksDB GetApproximateSizes scoped to the CF; zero I/O, zero jobs.
+        Coarse by the same whole-segment attribution as the store call
+        (families sharing a segment both count it until compaction
+        range-splits them apart)."""
+        self._check()
+        return self.store.approximate_sizes([(self._prefix, self._range_end())])[0]
+
     # -- reads ----------------------------------------------------------------
     def get(self, key, now: int | None = None, as_of: int | None = None):
         self._check()

@@ -1308,7 +1308,13 @@ class KVStore:
         per-family/per-tenant replication ships only that family's
         interval (keys stay encoded; a consumer with the same family
         registered converges for it). Default ``None`` = the full feed
-        across all namespaces."""
+        across all namespaces. CONSUMER CONTRACT for feeds that carry CF
+        rows: bootstrap replicas via ``clone_to`` (the catalog rides it)
+        or ``create_cf`` the same families before applying — on a store
+        whose catalog is EMPTY the default-namespace filter is gated off,
+        so applied CF rows would surface as raw ``\\x02``-prefixed keys
+        (the same degenerate-open trade as reading a merge store without
+        its ``merge_op``)."""
         if as_of is not None and int(as_of) < int(snapshot_seq):
             raise ValueError(
                 f"as_of ({as_of}) must be >= snapshot_seq ({snapshot_seq})"

@@ -209,6 +209,29 @@ def test_cf_free_store_plans_unchanged(spark, tmp_path):
     assert CF_RESERVED + "sneaky" not in _live(s)
 
 
+def test_cf_compact_and_approximate_size(spark, tmp_path):
+    """Per-CF maintenance: ColumnFamily.compact() rewrites ONLY the
+    family's range (per-CF CompactRange), and approximate_size() reads
+    manifest metadata only."""
+    s = KVStore(spark, str(tmp_path / "kv"))
+    s.set(Entry("raw", b"x"))
+    a = s.create_cf("a")
+    b = s.create_cf("b")
+    a.set_batch([Entry(f"k{i}", b"1") for i in range(30)])
+    a.set_batch([Entry(f"k{i}", b"2") for i in range(30)])  # superseded versions
+    b.set(Entry("other", b"y"))
+    est = a.approximate_size()
+    assert est["approx_rows"] >= 30
+    before = {x.segment_id for x in s.manifest.state.data_segments()}
+    assert a.compact(now=NOW) > 0
+    assert _live(a) == {f"k{i}": b"2" for i in range(30)}
+    assert _live(b) == {"other": b"y"}
+    assert _live(s) == {"raw": b"x"}
+    # b's single-row segment was outside the compacted range: untouched
+    after = {x.segment_id for x in s.manifest.state.data_segments()}
+    assert any(seg in after for seg in before)  # cold segments survive
+
+
 def test_cf_scoped_changefeed(spark, tmp_path):
     """changes_since(cf=...): per-family replication — the scoped feed
     carries exactly the family's interval (upserts, deletes, and a
