@@ -947,6 +947,79 @@ def test_epoch_adoption_propagates_fence(spark, tmp_path):
         )
 
 
+def test_epoch_fencing_model_random_schedules(spark, tmp_path):
+    """Model-based fencing contract: a random interleaving of primary
+    writes, promotions, and fenced ships between a primary and two
+    consumers must satisfy, at every step: (a) epochs only ever increase
+    on every store; (b) a ship from a source whose epoch is BELOW the
+    consumer's watermark always raises and changes nothing; (c) an
+    accepted ship leaves the consumer's view equal to the source's as-of
+    the shipped pin. Randomness covers orderings the scenario tests
+    hand-pick."""
+    import random
+
+    from octopusdb_spark.kv.store import StaleWriterError
+
+    rng = random.Random(20260815)
+    for case in range(3):
+        root = tmp_path / f"fence{case}"
+        primary = KVStore(spark, str(root / "p"))
+        primary.set_batch([Entry("seed", b"0")])
+        consumers = []
+        for i in range(2):
+            c = primary.clone_to(str(root / f"c{i}"))
+            consumers.append({"store": c, "since": primary.snapshot_seq()})
+        epochs = {id(primary): 0, **{id(c["store"]): 0 for c in consumers}}
+        n = 0
+        for step in range(10):
+            op = rng.choice(["write", "promote_consumer", "ship", "ship", "stale_ship"])
+            if op == "write":
+                n += 1
+                primary.set_batch([Entry(f"k{n}", f"v{n}".encode())])
+            elif op == "promote_consumer":
+                c = rng.choice(consumers)["store"]
+                before = c.writer_epoch
+                assert c.promote() == before + 1  # (a) monotonic
+            elif op == "ship":
+                c = rng.choice(consumers)
+                pin = primary.snapshot_seq()
+                feed = primary.changes_since(c["since"], now=NOW, as_of=pin)
+                if primary.writer_epoch < c["store"].writer_epoch:
+                    with pytest.raises(StaleWriterError):  # (b)
+                        c["store"].apply_changes(
+                            feed, source_epoch=primary.writer_epoch
+                        )
+                else:
+                    c["store"].apply_changes(feed, source_epoch=primary.writer_epoch)
+                    c["since"] = pin
+                    got = {
+                        r["key"]: bytes(r["value"])
+                        for r in c["store"].view(now=NOW).collect()
+                    }
+                    want = {
+                        r["key"]: bytes(r["value"])
+                        for r in primary.view(now=NOW, as_of=pin).collect()
+                    }
+                    assert got == want  # (c) convergence at the pin
+            else:  # stale_ship: a source fenced below the consumer
+                c = rng.choice(consumers)
+                fenced_src = c["store"]
+                other = [x for x in consumers if x is not c][0]["store"]
+                other.promote(past_epoch=fenced_src.writer_epoch)
+                view_before = {
+                    r["key"] for r in other.view(now=NOW).collect()
+                }
+                with pytest.raises(StaleWriterError):
+                    other.apply_changes(
+                        fenced_src.changes_since(0, now=NOW),
+                        source_epoch=fenced_src.writer_epoch,
+                    )
+                assert {r["key"] for r in other.view(now=NOW).collect()} == view_before
+            for s in [primary] + [c["store"] for c in consumers]:
+                assert s.writer_epoch >= epochs[id(s)]  # (a) never regresses
+                epochs[id(s)] = s.writer_epoch
+
+
 def test_promote_is_monotonic_and_durable(spark, tmp_path):
     """promote() always advances past both our own epoch and a supplied
     deposed epoch; the value survives reopen and rides clone_to."""
