@@ -53,13 +53,15 @@ for _m in _MODULES:
 # be inserted at the HEAD at that moment (displacing the last fill
 # entry), not next round.
 _PRIORITY = [
-    # added round 10 (head-inserts at add time, per protocol): SemDeDup
-    # semantic dedup (rides the memoized trained quantizer), column
-    # families (create/read/drop/recreate/purge, pytest-first-then-
-    # promote), and the merge operator promoted once its CDC half
-    # shipped. Each insert displaced the then-last fill entry
-    # (text_repetition, then text_pii_redact — both r7-stale; their code
-    # paths stay pinned by pytest and prior green rounds).
+    # added round 10 (head-inserts at add time, per protocol): the
+    # streaming SemDeDup filter, batch SemDeDup semantic dedup (both ride
+    # the memoized trained quantizer), column families (create/read/drop/
+    # recreate/purge, pytest-first-then-promote), and the merge operator
+    # promoted once its CDC half shipped. Each insert displaced the
+    # then-last fill entry (text_repetition, text_pii_redact,
+    # text_ngram_topk — all r7-stale; their code paths stay pinned by
+    # pytest and prior green rounds).
+    "stream_semantic_filter",
     "dedup_semantic",
     "kv_column_families",
     "kv_merge_operator",
@@ -83,7 +85,7 @@ _PRIORITY = [
     "q_train_val_split",
     "sim_ann_ivfpq", "sim_quantized_cosine",
     "stream_dedup_ingest",
-    "text_chunk_overlap", "text_ngram_topk",
+    "text_chunk_overlap",
 ]
 
 

@@ -577,6 +577,169 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_semantic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online SEMANTIC near-dup rejection at ingest — `dedup_semantic`'s
+    SemDeDup rule run as a stream filter, the embedding-space sibling of
+    `stream_dedup_ingest`: arriving vectors (vec_id % 5 == 0) ride a file
+    stream; each is assigned to its nearest TRAINED centroid as a pure
+    per-row expression (the K-row quantizer collapses to literal arrays —
+    K*dim doubles — so the hot path stays a STATELESS projection: no
+    streaming aggregation, no state store), then a stream-static LEFT
+    SEMI join against the static corpus (vec_id % 5 != 0, same
+    assignment, checkpointed once) rejects any arrival with a
+    cluster-mate at cosine >= SEMDEDUP_THRESH. Same centroids, same
+    sequential-order dot, same threshold as the batch query, so stream
+    and batch semantic dedup agree by construction. Checked output:
+    per-label arrivals/rejected/accepted counts (batching-independent).
+
+    100 TB shape: assignment is map-only per micro-batch (the quantizer
+    is a broadcast-sized literal by design — that is what a COARSE
+    quantizer is for); the semi join is cent_id-keyed against the static
+    index, so candidate pairs are bounded by cluster granularity exactly
+    like the batch path. No all-pairs, no stream state."""
+    from octopusdb_spark.queries.similarity import (
+        SEMDEDUP_THRESH,
+        _dot,
+        _with_norm,
+        rank_centroids,
+        trained_ivf_centroids,
+    )
+
+    emb = _with_norm(t(spark, sf_dir, "embeddings"))
+    cent = trained_ivf_centroids(spark, sf_dir)
+    static_idx = (
+        rank_centroids(emb, cent, keep=("embedding", "norm"))
+        .filter((F.col("rn") == 1) & (F.col("vec_id") % 5 != 0))
+        .select(
+            F.col("cent_id").alias("s_cent"),
+            F.col("embedding").alias("s_emb"),
+            F.col("norm").alias("s_norm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # K rows -> driver literals: the stateless in-stream quantizer. Sorted
+    # by cent_id so array_position's first-occurrence rule reproduces the
+    # batch tie-break (cos DESC, cent_id ASC) bit-for-bit.
+    crows = sorted(cent.collect(), key=lambda r: r["cent_id"])
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_semfilter_{run_id}_")
+    try:
+        arrivals = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+        src = f"{base}/src"
+        arrivals.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            t(spark, sf_dir, "embeddings").select("vec_id", "embedding").schema
+        ).parquet(src)
+        norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        coss = F.array(
+            *[
+                _dot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in r["ct_emb"]]),
+                )
+                / (F.col("norm") * F.lit(float(r["ct_norm"])))
+                for r in crows
+            ]
+        )
+        cent_ids = F.array(*[F.lit(int(r["cent_id"])) for r in crows])
+        assigned = (
+            stream.withColumn("norm", norm)
+            .withColumn("coss", coss)
+            .withColumn(
+                "cent_id",
+                F.element_at(cent_ids, F.array_position(F.col("coss"), F.array_max("coss")).cast("int")),
+            )
+            .select("vec_id", "cent_id", "embedding", "norm")
+        )
+        sim = _dot(F.col("embedding"), F.col("s_emb")) / (F.col("norm") * F.col("s_norm"))
+        collisions = assigned.join(
+            static_idx,
+            (F.col("cent_id") == F.col("s_cent")) & (sim >= F.lit(SEMDEDUP_THRESH)),
+            "left_semi",
+        )
+        name = f"stream_semfilter_{run_id}"
+        q = (
+            collisions.select("vec_id").writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_bounded(q)
+        rejected = spark.table(name).select("vec_id").distinct()
+        out = (
+            arrivals.join(rejected.withColumn("rej", F.lit(1)), "vec_id", "left")
+            .join(emb.select("vec_id", "label"), "vec_id")
+            .groupBy("label")
+            .agg(
+                F.count("*").alias("n_arrivals"),
+                F.count("rej").alias("n_rejected"),
+                (F.count("*") - F.count("rej")).alias("n_accepted"),
+            )
+            .orderBy("label")
+        )
+        result = spark.createDataFrame(
+            out.collect(),
+            "label int, n_arrivals long, n_rejected long, n_accepted long",
+        )
+        spark.catalog.dropTempView(name)
+        return result
+    finally:
+        static_idx.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _stream_semantic_filter_sql() -> str:
+    """DuckDB twin of `q_stream_semantic_filter`: the SQL-replicated Lloyd
+    training + assignment from `dedup_semantic`'s oracle, arrivals split
+    by the streaming mod rule, rejection = exists a static cluster-mate
+    at/above the threshold, counts by label."""
+    from octopusdb_spark.queries.similarity import (
+        _DOT_SQL,
+        _EMB_NORM_SQL,
+        _kmeans_cte_sql,
+        KMEANS_ITERS,
+        SEMDEDUP_THRESH,
+    )
+
+    return (
+        _EMB_NORM_SQL
+        + _kmeans_cte_sql()
+        + f"""
+    , assign_scored AS (
+      SELECT e.vec_id, c.cent_id,
+             {_DOT_SQL.format(a="e.embedding", b="c.ct_emb")} / (e.norm * c.ct_norm) AS cos
+      FROM emb e CROSS JOIN cent{KMEANS_ITERS} c
+    ), assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+        FROM assign_scored) WHERE rn = 1
+    ), arrivals AS (
+      SELECT vec_id, cent_id FROM assigned WHERE vec_id % 5 = 0
+    ), statics AS (
+      SELECT vec_id, cent_id FROM assigned WHERE vec_id % 5 != 0
+    ), rejected AS (
+      SELECT DISTINCT r.vec_id
+      FROM arrivals r
+      JOIN statics s ON s.cent_id = r.cent_id
+      JOIN emb ea ON ea.vec_id = r.vec_id
+      JOIN emb es ON es.vec_id = s.vec_id
+      WHERE {_DOT_SQL.format(a="ea.embedding", b="es.embedding")} / (ea.norm * es.norm)
+            >= {SEMDEDUP_THRESH}
+    )
+    SELECT e.label,
+           count(*) AS n_arrivals,
+           count(j.vec_id) AS n_rejected,
+           count(*) - count(j.vec_id) AS n_accepted
+    FROM arrivals r
+    JOIN emb e ON e.vec_id = r.vec_id
+    LEFT JOIN rejected j ON j.vec_id = r.vec_id
+    GROUP BY e.label
+    ORDER BY e.label"""
+    )
+
+
 def _stream_dedup_ingest_sql() -> str:
     """Batch twin of the streaming near-dup filter: the identical shingle →
     hash → banded-minhash chain as dedup_minhash_lsh's oracle, split into
@@ -749,6 +912,7 @@ ORACLES = {
           AND (c_custkey < 10 OR c_custkey >= 25)
         ORDER BY key""",
     "stream_dedup_ingest": _stream_dedup_ingest_sql(),
+    "stream_semantic_filter": _stream_semantic_filter_sql(),
     "kv_stream_enrich": """
         WITH prof AS (
           SELECT u AS user_id, length('profile-' || CAST(u AS VARCHAR)) AS value_chars
@@ -808,6 +972,7 @@ QUERIES = {
     "stream_lm_filter": q_stream_lm_filter,
     "kv_stream_replication": q_kv_stream_replication,
     "stream_dedup_ingest": q_stream_dedup_ingest,
+    "stream_semantic_filter": q_stream_semantic_filter,
     "kv_stream_ingest": q_kv_stream_ingest,
     "kv_stream_enrich": q_kv_stream_enrich,
     "q_stream_sessionize": q_stream_sessionize,
