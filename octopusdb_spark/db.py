@@ -225,6 +225,7 @@ class OctopusDB:
         asc: bool = True,
         now: int | None = None,
         max_rows: int | None = None,
+        cf: str | None = None,
     ) -> Iterator:
         """Materialized ordered iterator over the live view.
 
@@ -232,9 +233,11 @@ class OctopusDB:
         not ``collect``) and materialization stops at ``max_rows`` (default
         ``ITERATOR_MAX_ROWS``) — a careless iterator over a huge store
         raises instead of OOM-ing the driver. Use ``scan_df`` for
-        cluster-scale scans."""
+        cluster-scale scans. ``cf`` iterates one column family in user
+        key space (RocksDB NewIterator(cf_handle))."""
         cap = self.ITERATOR_MAX_ROWS if max_rows is None else max_rows
-        df = self.kv.scan(prefix=prefix, asc=asc, now=now)
+        src = self.kv if cf is None else self.kv.cf(cf)
+        df = src.scan(prefix=prefix, asc=asc, now=now)
         rows = []
         for r in df.toLocalIterator(prefetchPartitions=True):
             if len(rows) >= cap:

@@ -125,6 +125,12 @@ class ColumnFamily:
             else _prefix_upper_bound(self._prefix)
         )
 
+    def changes_since(self, snapshot_seq: int, **kwargs) -> DataFrame:
+        """This family's scoped changefeed (keys stay ENCODED for
+        store-to-store transport); see KVStore.changes_since(cf=)."""
+        self._check()
+        return self.store.changes_since(snapshot_seq, cf=self.name, **kwargs)
+
     # -- maintenance / stats ---------------------------------------------------
     def compact(self, now: int | None = None, target_segments: int = 4) -> int:
         """Range-restricted compaction over ONLY this family's key range

@@ -171,6 +171,11 @@ def test_facade_cf_fencing_and_checkpoint(spark, tmp_path):
         ckpt.apply_changes(
             db.changes_since(0, now=NOW), source_epoch=db.writer_epoch
         )
+    # CF iterator in user key space; CF-scoped feed via the handle
+    it = ckpt.new_iterator(cf="users", now=NOW)
+    assert it.valid() and it.item().key == "u1"
+    feed = ckpt.cf("users").changes_since(0, now=NOW).collect()
+    assert [r["key"] for r in feed] == ["\x02users\x1fu1"]
 
 
 def test_facade_time_travel_and_retention(spark, tmp_path):
