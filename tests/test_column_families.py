@@ -342,6 +342,72 @@ def test_cf_model_based_random_ops(spark, tmp_path):
     check()
 
 
+def test_cf_merge_replication_model(spark, tmp_path):
+    """Cross-feature model check: random interleavings of default-ns and
+    in-family writes, MERGE OPERANDS, deletes, a family drop+recreate,
+    and maintenance — with every round's interval SHIPPED (fenced) to a
+    merge-opened replica — must leave BOTH namespaces of the replica
+    equal to per-namespace counter models. This pins the exact
+    interaction surface the features share: apply-side fold-boundary
+    ordering with namespaced keys, drop expansion riding the feed, and
+    catalog mirroring."""
+    import random
+
+    rng = random.Random(101)
+    for case in range(2):
+        root = tmp_path / f"m{case}"
+        p = KVStore(spark, str(root / "p"), merge_op="add")
+        p.set(Entry("seed", b"1"))
+        fam = p.create_cf("ctr")
+        r = p.clone_to(str(root / "r"))
+        since = p.snapshot_seq()
+        model = {"default": {"seed": 1}, "ctr": {}}
+        keys = [f"k{i}" for i in range(4)]
+
+        def handle(ns):
+            return p if ns == "default" else fam
+
+        for rnd in range(4):
+            for _ in range(rng.randint(2, 5)):
+                ns = rng.choice(["default", "ctr"])
+                k = rng.choice(keys)
+                op = rng.choice(["set", "merge", "merge", "del"])
+                if op == "set":
+                    v = rng.randint(0, 99)
+                    handle(ns).set(Entry(k, str(v).encode()))
+                    model[ns][k] = v
+                elif op == "merge":
+                    d = rng.randint(1, 9)
+                    handle(ns).merge(k, str(d).encode())
+                    model[ns][k] = model[ns].get(k, 0) + d
+                else:
+                    handle(ns).delete(k)
+                    model[ns].pop(k, None)
+            if rnd == 2:
+                p.drop_cf("ctr")
+                fam = p.create_cf("ctr")
+                model["ctr"] = {}
+            if rng.random() < 0.5:
+                p.maintenance_tick(now=NOW)
+            pin = p.snapshot_seq()
+            r.apply_changes(
+                p.changes_since(since, now=NOW, as_of=pin),
+                commit_tag=("model", rnd),
+                source_epoch=p.writer_epoch,
+            )
+            since = pin
+            if rnd == 2:
+                r.drop_cf("ctr")  # mirror the control-plane op
+                r.create_cf("ctr")
+            want_default = {
+                k: str(v).encode() for k, v in model["default"].items()
+            }
+            want_ctr = {k: str(v).encode() for k, v in model["ctr"].items()}
+            assert _live(r) == want_default, (case, rnd)
+            assert _live(r.cf("ctr")) == want_ctr, (case, rnd)
+            assert _live(p) == want_default and _live(p.cf("ctr")) == want_ctr
+
+
 def test_cf_snapshot_reads_and_time_travel(spark, tmp_path):
     """as_of reads inside a family respect the snapshot horizon, including
     reading THROUGH a later drop (holds/time-travel semantics are the
