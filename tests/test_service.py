@@ -104,6 +104,26 @@ def test_service_binary_keys(spark, tmp_path):
             rows = c.scan(prefix=b"\x00")
             assert [r["key"] for r in rows] == [b"\x00\x01", b"\x00\xff"]
             assert rows[1]["value"] == b"b"
+    # CF-scoped remote reads on a binary-key store: the family prefix is
+    # bytes, user keys travel base64 both ways, siblings stay isolated
+    blobs = store.create_cf("blobs")
+    blobs.set_batch([Entry(b"\x00\x01", b"cfval"), Entry(b"\x10", b"other")])
+    with KVService(store, now=NOW) as svc:
+        with KVClient(*svc.address, binary_keys=True) as c:
+            assert c.get(b"\x00\x01")["value"] == b"a"  # default ns
+            assert c.get(b"\x00\x01", cf="blobs")["value"] == b"cfval"
+            m = c.mget([b"\x00\x01", b"\x10", b"\x99"], cf="blobs")
+            assert {k: e["value"] for k, e in m.items()} == {
+                b"\x00\x01": b"cfval",
+                b"\x10": b"other",
+            }
+            assert [r["key"] for r in c.scan(cf="blobs", page_size=1)] == [
+                b"\x00\x01",
+                b"\x10",
+            ]
+            assert [r["key"] for r in c.scan(prefix=b"\x00", cf="blobs")] == [
+                b"\x00\x01"
+            ]
 
 
 def test_failed_bind_leaves_store_unpinned(spark, tmp_path):
