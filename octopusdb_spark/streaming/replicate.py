@@ -44,6 +44,7 @@ def stream_ingest_with_replication(
     maintenance_every: int | None = None,
     now: int | None = None,
     merge_col: str | None = None,
+    cf: str | None = None,
 ):
     """Run a streaming DataFrame into ``primary`` and ship each committed
     interval to ``replica`` in the same micro-batch. The shipper's resume
@@ -58,7 +59,12 @@ def stream_ingest_with_replication(
     per (checkpoint#ship, batch_id); (3) the hold advances to the shipped
     snapshot; (4) optionally a primary ``maintenance_tick`` every
     ``maintenance_every`` batches — safe at any cadence because the hold
-    guarantees un-shipped range tombstones survive it."""
+    guarantees un-shipped range tombstones survive it.
+
+    ``cf`` routes the ingest into one column family (as in
+    ``ingest_stream_to_kv``); the ship stays the FULL feed, so the
+    replica mirrors every namespace — bootstrap it via ``clone_to`` (the
+    catalog rides along) per the ``changes_since`` consumer contract."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         cols = [
@@ -72,7 +78,8 @@ def stream_ingest_with_replication(
             # below carries them as 'merge' events and apply_changes
             # re-lands them as operands — end-to-end streaming counters
             cols.append(F.col(merge_col).cast("boolean").alias("_merge_flag"))
-        primary.ingest_df(
+        writer = primary if cf is None else primary.cf(cf)
+        writer.ingest_df(
             batch_df.select(*cols),
             expires_col="expires_at" if expires_col is not None else None,
             target_segments=target_segments,

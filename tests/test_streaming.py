@@ -453,6 +453,48 @@ def test_stream_replication_converges_and_resumes(spark, tmp_path):
     assert n == 0
 
 
+def test_stream_replication_into_column_family(spark, tmp_path):
+    """stream_ingest_with_replication(cf=...): streamed rows land inside
+    one family on the primary and the continuous ship mirrors them to a
+    clone-bootstrapped replica (catalog rides the clone), leaving the
+    default namespace untouched on both sides."""
+    from octopusdb_spark.kv import Entry
+    from octopusdb_spark.streaming.replicate import stream_ingest_with_replication
+
+    primary = KVStore(spark, str(tmp_path / "primary"))
+    primary.set_batch([Entry("raw", b"default")])
+    primary.create_cf("events")
+    replica = primary.clone_to(str(tmp_path / "replica"))
+    primary.hold_snapshot("replica", primary.snapshot_seq())
+    rows = spark.range(20).select(
+        F.concat(F.lit("e"), F.lpad(F.col("id").cast("string"), 3, "0")).alias("key"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).cast("binary").alias("value"),
+    )
+    src = str(tmp_path / "src")
+    rows.repartitionByRange(2, "key").write.parquet(src)
+    stream = (
+        spark.readStream.schema("key string, value binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest_with_replication(
+        stream, primary, replica, str(tmp_path / "ckpt"), now=NOW, cf="events"
+    )
+    assert q.awaitTermination(300)
+
+    def fam(store):
+        return {
+            r["key"]: bytes(r["value"])
+            for r in store.cf("events").view(now=NOW).collect()
+        }
+
+    assert fam(replica) == fam(primary)
+    assert len(fam(primary)) == 20
+    assert {
+        r["key"]: bytes(r["value"]) for r in replica.view(now=NOW).collect()
+    } == {"raw": b"default"}
+
+
 def test_stream_replication_merge_operands(spark, tmp_path):
     """Continuous replication of a MERGE store: streamed operand batches
     ship per micro-batch as 'merge' events and the replica re-folds
