@@ -310,6 +310,7 @@ class OctopusDB:
         return out
 
     def close(self) -> None:
+        self.kv.close()  # releases the directory lock share
         self._closed = True
 
     # -------------------------------------------------- graph-over-KV layer

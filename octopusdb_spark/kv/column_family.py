@@ -79,7 +79,8 @@ class ColumnFamily:
                     merge=e.merge,
                 )
                 for e in entries
-            ]
+            ],
+            _allow_reserved=True,  # keys are deliberately \x02-encoded here
         )
 
     def ingest_df(self, df: DataFrame, key_col: str = "key", **kwargs) -> int:
@@ -94,7 +95,9 @@ class ColumnFamily:
             else F.lit(self._prefix)
         )
         out = df.withColumn(key_col, F.concat(lit, F.col(key_col)))
-        return self.store.ingest_df(out, key_col=key_col, **kwargs)
+        return self.store.ingest_df(
+            out, key_col=key_col, _allow_reserved=True, **kwargs
+        )
 
     def delete_range(self, start=None, end=None, prefix=None) -> int:
         """Range tombstone WITHIN the family (bounds in user key space)."""
@@ -207,7 +210,10 @@ class ColumnFamily:
             lo = lo if lo is not None else self._prefix
             hi = hi if hi is not None else self._range_end()
         df = self.store.scan(prefix=p, start=lo, end=hi, **kw)
-        order = F.col("key").asc() if asc else F.col("key").desc()
+        # NO trailing orderBy (ADVICE r10): store.scan already returns rows
+        # ordered by the encoded key, and stripping the fixed-length shared
+        # prefix (a narrow projection) preserves that order — re-sorting
+        # here would pay a redundant global sort/shuffle per CF scan.
         return df.select(
             self._strip_col(), "value", "expires_at", "version", "seq"
-        ).orderBy(order)
+        )

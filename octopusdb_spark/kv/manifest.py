@@ -118,9 +118,19 @@ class ManifestState:
     # dropping a CF is ONE commit (catalog remove + a range tombstone
     # over its prefix — O(1) regardless of row count). Stores that never
     # create a CF keep bit-identical read plans: the default-namespace
-    # filter is gated on this catalog being non-empty. Same sentinel
-    # rule: None = inherit, {} = deliberate clear.
+    # filter is gated on this catalog (plus the sticky flag below) being
+    # non-empty. Same sentinel rule: None = inherit, {} = deliberate clear.
     column_families: dict | None = None
+    # STICKY companion to the catalog (ADVICE r10): True once any CF was
+    # ever created, cleared only by a full compaction that VERIFIES no
+    # reserved-prefix rows survive (the has_merge_operands pattern). The
+    # default-namespace filter gates on ``catalog non-empty OR this flag``:
+    # gating on the live catalog alone let an ``as_of`` read pinned before
+    # the LAST drop_cf surface the dropped family's raw \x02 rows in the
+    # default namespace (the drop's range tombstone has seq > as_of, so
+    # _rt_mask rightly skips it — the namespace filter must still apply).
+    # Same sentinel rule: None = inherit.
+    column_families_ever: bool | None = None
 
     def data_segments(self) -> list:
         return [s for s in self.segments if s.kind == "data"]
@@ -131,6 +141,15 @@ class ManifestState:
 
 class ManifestConflictError(RuntimeError):
     """Another writer committed since this handle loaded its state."""
+
+
+class EpochFencedError(RuntimeError):
+    """The commit's ``expected_max_epoch`` fence failed: the durable
+    ``writer_epoch`` advanced past the feed's source epoch between the
+    caller's check and this commit (a racing ``promote()``). The fence is
+    verified INSIDE the commit's critical section, so fencing and data
+    land atomically — a deposed primary's batch can never slip in after
+    the epoch check (ADVICE r10)."""
 
 
 class Manifest:
@@ -175,6 +194,7 @@ class Manifest:
             has_merge_operands=raw.get("has_merge_operands", False),
             writer_epoch=raw.get("writer_epoch", 0),
             column_families=raw.get("column_families", {}),
+            column_families_ever=raw.get("column_families_ever", False),
         )
 
     def versions(self) -> list:
@@ -242,9 +262,18 @@ class Manifest:
             "kept_versions": sorted(keep),
         }
 
-    def commit(self, new_state: ManifestState) -> None:
+    def commit(
+        self, new_state: ManifestState, expected_max_epoch: int | None = None
+    ) -> None:
         """Write snapshot then atomically swap CURRENT (os.replace is atomic
         on POSIX) — the analog of manifest AddChanges + rewrite.
+
+        ``expected_max_epoch``: optional fencing assertion, verified under
+        the commit lock AFTER the version check — if the authoritative
+        state's ``writer_epoch`` exceeds it, the commit raises
+        ``EpochFencedError`` and nothing lands. Replication consumers pass
+        the feed's source epoch so the epoch check and the data commit are
+        one atomic step (no check-then-act window for a racing promote).
 
         Enforces the single-writer discipline (`kv/db.go:224-285` has one
         doWrites goroutine) with an OS-level ``flock`` on ``_manifest/LOCK``
@@ -272,11 +301,13 @@ class Manifest:
                     "another writer is in flight (commit lock held); retry "
                     "after it finishes or open a fresh KVStore handle"
                 ) from None
-            self._commit_locked(new_state)
+            self._commit_locked(new_state, expected_max_epoch)
         finally:
             os.close(lock_fd)  # releases the flock
 
-    def _commit_locked(self, new_state: ManifestState) -> None:
+    def _commit_locked(
+        self, new_state: ManifestState, expected_max_epoch: int | None = None
+    ) -> None:
         cur = self._current_path()
         if os.path.exists(cur):
             with open(cur) as f:
@@ -286,6 +317,19 @@ class Manifest:
                     f"manifest moved underneath this writer (disk v{disk_version}, "
                     f"base v{self.state.version}); open a fresh KVStore handle"
                 )
+        # With CURRENT verified at the base version under the lock,
+        # self.state IS the durable state — the fence check here is atomic
+        # with the data landing (see EpochFencedError).
+        if (
+            expected_max_epoch is not None
+            and int(self.state.writer_epoch or 0) > int(expected_max_epoch)
+        ):
+            raise EpochFencedError(
+                f"writer_epoch advanced to {int(self.state.writer_epoch or 0)} "
+                f"past the feed's source epoch {int(expected_max_epoch)} while "
+                "this batch was staging (a promote() raced it); the batch is "
+                "refused — re-bootstrap the source as a replica"
+            )
         new_state.version = self.state.version + 1
         # None = the writer didn't touch the field: carry bookkeeping forward
         # through commits that rebuild the state from scratch. An explicit
@@ -304,6 +348,8 @@ class Manifest:
             new_state.writer_epoch = int(self.state.writer_epoch or 0)
         if new_state.column_families is None:
             new_state.column_families = dict(self.state.column_families or {})
+        if new_state.column_families_ever is None:
+            new_state.column_families_ever = bool(self.state.column_families_ever)
         snap = os.path.join(self.dir, f"manifest-{new_state.version}.json")
         payload = {
             "version": new_state.version,
@@ -316,6 +362,7 @@ class Manifest:
             "has_merge_operands": bool(new_state.has_merge_operands),
             "writer_epoch": int(new_state.writer_epoch),
             "column_families": new_state.column_families,
+            "column_families_ever": bool(new_state.column_families_ever),
         }
         # Under the lock with CURRENT verified at the base version, an
         # existing snapshot for this version can only be a dead claimant's

@@ -54,6 +54,7 @@ shuffle local to the touched key range.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import threading
@@ -64,7 +65,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from octopusdb_spark.kv.manifest import Manifest, ManifestState, SegmentInfo
+from octopusdb_spark.kv.manifest import (
+    EpochFencedError,
+    Manifest,
+    ManifestState,
+    SegmentInfo,
+)
 
 BIT_DELETE = 1  # kv/utils/const.go:25-28
 BIT_VALUE_POINTER = 2
@@ -166,6 +172,32 @@ class Entry:
         return self
 
 
+class StoreLockedError(RuntimeError):
+    """The store directory is locked by another LIVE process. The
+    reference leaves its directory lock as a TODO (`kv/db.go:43`
+    ``// todo 目录锁``); here it is real: opening a KVStore stamps a
+    pid lock file, a second open from a different live process raises,
+    and a dead owner's lock is taken over (stale-lock recovery)."""
+
+
+# Same-process handles share a store's directory lock (the single-writer
+# discipline is per-process; Manifest.commit's flock serializes racing
+# commits within it). Refcounted so the lock file is removed only when the
+# LAST handle to a root closes.
+_DIR_LOCK_REFS: dict = {}
+_DIR_LOCK_MU = threading.Lock()
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
 class StaleWriterError(RuntimeError):
     """A replication feed arrived from a DEPOSED writer generation: the
     feed's ``source_epoch`` is below this store's durable ``writer_epoch``
@@ -233,6 +265,7 @@ class KVStore:
         self.key_type = key_type
         self._schema = data_schema(key_type)
         self.manifest = Manifest(root)
+        self._acquire_dir_lock()
         # Serializes the pinned-cache check-and-rebuild (cache_view /
         # cached_view / uncache_view / _pinned_view): KVService handles
         # requests on multiple ThreadingTCPServer threads, and without
@@ -243,6 +276,63 @@ class KVStore:
         # uncached scans. RLock because cache_view calls uncache_view
         # and _pinned_view calls both (ADVICE r7).
         self._cache_lock = threading.RLock()
+
+    # -------------------------------------------------------- directory lock
+    def _dir_lock_path(self) -> str:
+        return os.path.join(self.manifest.dir, "DBLOCK")
+
+    def _acquire_dir_lock(self) -> None:
+        """Single-live-writer directory lock (closes the reference's own
+        TODO, `kv/db.go:43`): stamp a pid lock file at open; raise
+        ``StoreLockedError`` if a DIFFERENT live process holds it; take
+        over a dead owner's stale lock. Same-process handles share the
+        lock refcounted — the repo's single-writer discipline is
+        per-process, and Manifest.commit's flock already serializes any
+        racing commit inside it."""
+        path = self._dir_lock_path()
+        my_pid = os.getpid()
+        with _DIR_LOCK_MU:
+            if os.path.exists(path):
+                owner = None
+                try:
+                    with open(path) as f:
+                        owner = int(json.loads(f.read()).get("pid"))
+                except (ValueError, TypeError, OSError, json.JSONDecodeError):
+                    owner = None  # unparseable = stale; take over
+                if owner is not None and owner != my_pid and _pid_alive(owner):
+                    raise StoreLockedError(
+                        f"store {self.root!r} is locked by live process "
+                        f"{owner} (lock file {path}); close that handle "
+                        "first — single-writer discipline is enforced at "
+                        "open, not just at commit"
+                    )
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"pid": my_pid, "opened_at": int(time.time())}, f)
+            os.replace(tmp, path)
+            _DIR_LOCK_REFS[self.root] = _DIR_LOCK_REFS.get(self.root, 0) + 1
+            self._holds_dir_lock = True
+
+    def close(self) -> None:
+        """Release this handle's share of the directory lock; the lock
+        file is removed when the last same-process handle closes.
+        Idempotent."""
+        with _DIR_LOCK_MU:
+            if not getattr(self, "_holds_dir_lock", False):
+                return
+            self._holds_dir_lock = False
+            n = _DIR_LOCK_REFS.get(self.root, 0) - 1
+            if n > 0:
+                _DIR_LOCK_REFS[self.root] = n
+                return
+            _DIR_LOCK_REFS.pop(self.root, None)
+            path = self._dir_lock_path()
+            try:
+                with open(path) as f:
+                    if int(json.loads(f.read()).get("pid")) == os.getpid():
+                        os.remove(path)
+            except (ValueError, TypeError, OSError, json.JSONDecodeError):
+                pass
 
     def _enc(self, key):
         """Manifest-comparable form of a key. Binary keys are hex-encoded:
@@ -372,12 +462,32 @@ class KVStore:
             covered = covered | c
         return ~covered
 
-    def set_batch(self, entries: list) -> None:
+    def _check_reserved_keys(self, keys) -> None:
+        """Default-namespace writes must not alias into the CF key space:
+        a raw key leading with the reserved \\x02 byte would be visible via
+        (and deleted by dropping) an existing family, or vanish from
+        default-namespace reads once any CF exists (ADVICE r10). Driver-side
+        check — enforced where user-controlled keys enter the store."""
+        lead = CF_RESERVED.encode("ascii") if self.key_type == "binary" else CF_RESERVED
+        for k in keys:
+            if k is not None and k[:1] == lead:
+                raise ValueError(
+                    f"key {k!r} starts with the reserved column-family prefix "
+                    "byte \\x02 — write it through a ColumnFamily handle "
+                    "instead (default-namespace keys must not lead with \\x02)"
+                )
+
+    def set_batch(self, entries: list, _allow_reserved: bool = False) -> None:
         """One micro-batch: values-table append first, then data append, then
         a single manifest commit covering both (vlog-then-LSM ordering of
-        kv/db.go:288-324 with manifest atomicity)."""
+        kv/db.go:288-324 with manifest atomicity).
+
+        ``_allow_reserved`` (internal): ColumnFamily handles pass True —
+        their keys are deliberately \\x02-prefix-encoded."""
         if not entries:
             return
+        if not _allow_reserved:
+            self._check_reserved_keys(e.key for e in entries)
         state = self.manifest.state
         seq0 = state.next_seq
         # Pointer format mirrors the reference ValuePtr (Fid, Offset, Len):
@@ -480,6 +590,8 @@ class KVStore:
         target_segments: int = 8,
         commit_tag: tuple[str, int] | None = None,
         merge_col: str | None = None,
+        _allow_reserved: bool = False,
+        expected_max_epoch: int | None = None,
     ) -> int:
         """Distributed bulk load — the 100 TB write path. ``set_batch``
         funnels rows through the driver (fine for the reference's 3×1000
@@ -520,6 +632,16 @@ class KVStore:
         yields globally ordered seqs because monotonically_increasing_id
         is ordered by (partition index, row position) and a range-
         partitioned sort orders the partitions.
+
+        ``_allow_reserved`` (internal): default-namespace loads reject keys
+        leading with the reserved \\x02 CF prefix via an in-plan guard (a
+        violating row fails the job — see ``_check_reserved_keys``);
+        ColumnFamily.ingest_df / apply_changes / fold_merges pass True
+        because their keys are legitimately CF-encoded.
+
+        ``expected_max_epoch``: forwarded to the manifest commit — the
+        commit itself verifies the durable ``writer_epoch`` has not
+        advanced past it (atomic fencing; see Manifest.commit).
         """
         state = self.manifest.state
         if commit_tag is not None:
@@ -588,9 +710,29 @@ class KVStore:
             if merge_col
             else F.col("expires_at")
         )
+        cast_key = F.col(key_col).cast(self.key_type)
+        if not _allow_reserved:
+            # in-plan reserved-prefix guard (driver can't see distributed
+            # keys): a default-namespace key leading with \x02 would alias
+            # into the CF key space — fail the job, never silently land
+            lead = (
+                F.lit(CF_RESERVED.encode("ascii"))
+                if self.key_type == "binary"
+                else F.lit(CF_RESERVED)
+            )
+            cast_key = F.when(
+                F.substring(cast_key, 1, 1) == lead,
+                F.raise_error(
+                    F.lit(
+                        "default-namespace key leads with the reserved \\x02 "
+                        "column-family prefix — load it through a "
+                        "ColumnFamily handle instead"
+                    )
+                ).cast(self.key_type),
+            ).otherwise(cast_key)
         staged_rows = (
             df.select(
-                F.col(key_col).cast(self.key_type).alias("key"),
+                cast_key.alias("key"),
                 F.col(value_col).cast("binary").alias("value"),
                 expires.alias("expires_at"),
                 *([pre_merge.alias("_merge")] if merge_col else []),
@@ -697,7 +839,7 @@ class KVStore:
                 )
 
             new_state.segments.extend(new_data_segs)
-            self.manifest.commit(new_state)
+            self.manifest.commit(new_state, expected_max_epoch=expected_max_epoch)
             return int(total_cnt)
         finally:
             # Both table writes have landed (or failed) by now, so the frozen
@@ -1548,24 +1690,35 @@ class KVStore:
                 )
             self._adopt_epoch(int(source_epoch))
         is_merge = F.col("change") == "merge"
-        return self.ingest_df(
-            feed.select(
-                "key",
-                F.when(F.col("change") == "delete", F.lit(None).cast("binary"))
-                .otherwise(F.col("value"))
-                .alias("value"),
-                F.when(F.col("change") == "delete", F.lit(0))
-                .otherwise(F.coalesce(F.col("expires_at"), F.lit(0)))
-                .cast("long")
-                .alias("expires_at"),
-                is_merge.alias("_is_merge"),
-                "version",
-            ).orderBy("key", "version", F.col("_is_merge").cast("int")),
-            expires_col="expires_at",
-            target_segments=target_segments,
-            commit_tag=commit_tag,
-            merge_col="_is_merge",
-        )
+        try:
+            return self.ingest_df(
+                feed.select(
+                    "key",
+                    F.when(F.col("change") == "delete", F.lit(None).cast("binary"))
+                    .otherwise(F.col("value"))
+                    .alias("value"),
+                    F.when(F.col("change") == "delete", F.lit(0))
+                    .otherwise(F.coalesce(F.col("expires_at"), F.lit(0)))
+                    .cast("long")
+                    .alias("expires_at"),
+                    is_merge.alias("_is_merge"),
+                    "version",
+                ).orderBy("key", "version", F.col("_is_merge").cast("int")),
+                expires_col="expires_at",
+                target_segments=target_segments,
+                commit_tag=commit_tag,
+                merge_col="_is_merge",
+                # feeds legitimately carry CF-encoded (\x02-prefixed) keys
+                _allow_reserved=True,
+                # the fence is RE-verified inside the data commit itself
+                # (ADVICE r10): check-then-act closed — a promote() racing
+                # between the check above and the commit aborts the batch
+                expected_max_epoch=(
+                    int(source_epoch) if source_epoch is not None else None
+                ),
+            )
+        except EpochFencedError as e:
+            raise StaleWriterError(str(e)) from e
 
     def cache_view(self, now: int | None = None) -> DataFrame:
         """Pin the current live view in executor memory — the block-cache
@@ -1802,7 +1955,16 @@ class KVStore:
         if cf == CF_ALL:
             return None
         if cf is None:
-            if not (src_state.column_families or {}):
+            # STICKY gate (ADVICE r10): once any CF ever existed, the
+            # default-namespace filter stays on even after the last
+            # drop_cf — an as_of read pinned before that drop skips the
+            # drop's range tombstone (seq > as_of, correctly), so without
+            # the sticky flag the dropped family's raw \x02 rows would
+            # surface in the default namespace. Cleared only by a full
+            # compaction that verifies no reserved-prefix rows survive.
+            if not (src_state.column_families or {}) and not bool(
+                getattr(src_state, "column_families_ever", False)
+            ):
                 return None
             if self.key_type == "binary":
                 return F.expr("substring(key, 1, 1)") != F.lit(
@@ -1844,6 +2006,10 @@ class KVStore:
                 next_seq=state.next_seq,
                 segments=list(state.segments),
                 column_families=cfs,
+                # sticky: keeps the default-namespace filter correct for
+                # as_of reads even after the last drop_cf (see
+                # _ns_predicate); cleared only by a verifying compact()
+                column_families_ever=True,
             )
         )
         return self.cf(name)
@@ -2002,6 +2168,7 @@ class KVStore:
             expires_col="expires_at",
             target_segments=target_segments,
             commit_tag=commit_tag,
+            _allow_reserved=True,  # CF_ALL fold: keys may be CF-encoded
         )
 
     # ------------------------------------------------------------ maintenance
@@ -2516,6 +2683,22 @@ class KVStore:
                 .isEmpty()
             )
             merge_flag = True if survivors else False
+        # column_families_ever flag maintenance (the same verifying-probe
+        # contract as has_merge_operands): with the catalog empty, the
+        # full rewrite can verify no reserved-prefix rows survive. Zero
+        # extra jobs — \x02 sorts below every user key, so the freshly
+        # recorded global min_key already answers it.
+        cfs_ever_flag = None
+        if bool(getattr(state, "column_families_ever", False)) and not (
+            state.column_families or {}
+        ):
+            resv = (
+                CF_RESERVED.encode("ascii").hex()
+                if self.key_type == "binary"
+                else CF_RESERVED
+            )
+            mins = [s.min_key for s in new_segs if s.min_key is not None]
+            cfs_ever_flag = bool(mins) and min(mins).startswith(resv)
         self.manifest.commit(
             ManifestState(
                 version=state.version,
@@ -2525,6 +2708,7 @@ class KVStore:
                 + sum(s.size_bytes for s in new_segs),
                 range_tombstones=kept_rts,
                 has_merge_operands=merge_flag,
+                column_families_ever=cfs_ever_flag,
             )
         )
 
@@ -2621,8 +2805,13 @@ class KVStore:
                 # promote() fences relative to the inherited value
                 writer_epoch=int(state.writer_epoch or 0),
                 # CF catalog is table metadata: a clone must serve the same
-                # families (and keep filtering its default namespace)
+                # families (and keep filtering its default namespace) —
+                # including the sticky ever-flag, or a clone taken after
+                # the last drop_cf would resurface \x02 rows on as_of reads
                 column_families=dict(state.column_families or {}),
+                column_families_ever=bool(
+                    getattr(state, "column_families_ever", False)
+                ),
             )
         )
         return clone

@@ -194,9 +194,9 @@ def test_cf_replication_ships_families_and_drops(spark, tmp_path):
 
 def test_cf_free_store_plans_unchanged(spark, tmp_path):
     """The default-namespace filter is gated on the catalog: a store that
-    never created a CF gets NO namespace predicate (bit-identical plans),
-    and a raw key starting with the reserved byte is the documented
-    exclusion once families exist."""
+    never created a CF gets NO namespace predicate (bit-identical plans).
+    Raw keys leading with the reserved byte are REJECTED at the write
+    (ADVICE r10) — they can never alias into a family's range."""
     s = KVStore(spark, str(tmp_path / "kv"))
     assert s._ns_predicate(None, s.manifest.state) is None
     plan_before = s.view(now=NOW)._jdf.queryExecution().optimizedPlan().toString()
@@ -204,9 +204,18 @@ def test_cf_free_store_plans_unchanged(spark, tmp_path):
     assert s._ns_predicate(None, s.manifest.state) is not None
     plan_after = s.view(now=NOW)._jdf.queryExecution().optimizedPlan().toString()
     assert plan_before != plan_after  # the gate actually flips
-    # reserved-byte raw key is excluded from the default namespace now
-    s.set(Entry(CF_RESERVED + "sneaky", b"x"))
+    # reserved-byte raw key is rejected driver-side — even before any CF
+    # exists the \x02 prefix is reserved (it would vanish/alias later)
+    with pytest.raises(ValueError, match="reserved"):
+        s.set(Entry(CF_RESERVED + "sneaky", b"x"))
     assert CF_RESERVED + "sneaky" not in _live(s)
+    # the distributed path enforces the same in-plan (raise_error fails
+    # the job rather than silently landing the row)
+    bad = spark.createDataFrame(
+        [(CF_RESERVED + "bulk", b"x")], "key string, value binary"
+    )
+    with pytest.raises(Exception, match="reserved|ColumnFamily"):
+        s.ingest_df(bad, target_segments=1)
 
 
 def test_cf_compact_and_approximate_size(spark, tmp_path):
@@ -427,3 +436,109 @@ def test_cf_snapshot_reads_and_time_travel(spark, tmp_path):
         r["key"].endswith("a") and bytes(r["value"]) == b"v1"
         for r in s.view(now=NOW, as_of=snap, cf="audit").collect()
     )
+
+
+def test_asof_after_last_cf_drop_keeps_namespace_filter(spark, tmp_path):
+    """ADVICE r10 (medium): the default-namespace filter must stay on for
+    as_of reads pinned BEFORE the last drop_cf — the drop's range
+    tombstone has seq > as_of (correctly skipped by _rt_mask), so without
+    the STICKY column_families_ever gate the dropped family's raw \\x02
+    rows would surface in the default namespace once the catalog empties."""
+    s = KVStore(spark, str(tmp_path / "kv"))
+    s.set(Entry("base", b"x"))
+    cfh = s.create_cf("only")
+    cfh.set_batch([Entry("a", b"1"), Entry("b", b"2")])
+    snap = s.snapshot_seq()  # pinned before the drop
+    s.drop_cf("only")
+    assert not (s.manifest.state.column_families or {})  # catalog now empty
+    # live default read: only the base key (unchanged behavior)
+    assert _live(s) == {"base": b"x"}
+    # the as_of read at the pre-drop snapshot: the CF rows are visible
+    # via the CF scope / CF_ALL, but must NOT leak into the default ns
+    default_keys = {
+        r["key"] for r in s.view(now=NOW, as_of=snap).collect()
+    }
+    assert default_keys == {"base"}
+    all_keys = {
+        r["key"] for r in s.view(now=NOW, as_of=snap, cf="*").collect()
+    }
+    assert len(all_keys) == 3  # base + the two (encoded) family rows
+    # a clone taken post-drop carries the sticky flag
+    clone = s.clone_to(str(tmp_path / "clone"))
+    assert {
+        r["key"] for r in clone.view(now=NOW, as_of=snap).collect()
+    } == {"base"}
+    # a full compaction (no holds) purges the rows and VERIFIES the
+    # output is reserved-prefix-free, clearing the sticky flag — the
+    # CF-free bit-identical plan is restored
+    s.compact(now=NOW)
+    assert not bool(s.manifest.state.column_families_ever)
+    assert s._ns_predicate(None, s.manifest.state) is None
+
+
+def test_directory_lock_second_live_writer_and_stale_takeover(spark, tmp_path):
+    """Directory lock on open (reference's own TODO, kv/db.go:43):
+    a lock stamped by a DIFFERENT live pid refuses the open; a dead
+    owner's stale lock is taken over; same-process handles share it."""
+    import json as _json
+    import os as _os
+
+    from octopusdb_spark.kv.store import StoreLockedError
+
+    root = str(tmp_path / "kv")
+    s = KVStore(spark, root)
+    s.set(Entry("k", b"v"))
+    # same-process second handle: allowed (refcounted share)
+    s2 = KVStore(spark, root)
+    s2.close()
+    s.close()
+    lock = _os.path.join(root, "_manifest", "DBLOCK")
+    assert not _os.path.exists(lock)  # last close removed it
+    # simulate another LIVE process holding the lock (pid 1 is always
+    # alive; os.kill(1, 0) raises PermissionError => alive)
+    with open(lock, "w") as f:
+        _json.dump({"pid": 1, "opened_at": 0}, f)
+    with pytest.raises(StoreLockedError):
+        KVStore(spark, root)
+    # stale lock (dead pid): taken over silently
+    with open(lock, "w") as f:
+        _json.dump({"pid": 2**22 + 1234567 % 1000, "opened_at": 0}, f)
+    s3 = KVStore(spark, root)
+    assert s3.get("k", now=NOW).value == b"v"
+    s3.close()
+
+
+def test_apply_changes_fencing_is_atomic_with_commit(spark, tmp_path):
+    """ADVICE r10 (low): the epoch fence is re-verified INSIDE the manifest
+    commit that lands the batch — a promote() racing between
+    apply_changes' driver-side check and the data commit aborts the batch
+    (EpochFencedError surfaces as StaleWriterError; nothing lands)."""
+    from octopusdb_spark.kv.manifest import EpochFencedError
+    from octopusdb_spark.kv.store import StaleWriterError
+
+    primary = KVStore(spark, str(tmp_path / "p"))
+    primary.set_batch([Entry("k1", b"v1"), Entry("k2", b"v2")])
+    snap0 = 0
+    replica = primary.clone_to(str(tmp_path / "r"))
+    feed = primary.changes_since(snap0)
+    src_epoch = primary.writer_epoch
+    # direct manifest-level check: the commit fence refuses when the
+    # durable epoch moved past the expected max
+    replica.promote()  # replica epoch now > src_epoch
+    with pytest.raises(StaleWriterError):
+        replica.apply_changes(feed, source_epoch=src_epoch)
+    # and the low-level primitive raises EpochFencedError on its own
+    st = replica.manifest.state
+    from octopusdb_spark.kv.manifest import ManifestState
+
+    with pytest.raises(EpochFencedError):
+        replica.manifest.commit(
+            ManifestState(
+                version=st.version,
+                next_seq=st.next_seq,
+                segments=list(st.segments),
+            ),
+            expected_max_epoch=src_epoch,
+        )
+    # nothing landed on the replica beyond the bootstrap clone
+    assert _live(replica) == {"k1": b"v1", "k2": b"v2"}
