@@ -381,12 +381,20 @@ def q_kv_remote_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     the service agrees key-for-key with the mget subset — else the query
     throws and the driver row goes red. The checked output is the remote
     mget result itself, so the bytes that rode the socket are what the
-    oracle hashes."""
+    oracle hashes.
+
+    Round 11 adds the CONCURRENT-WRITER FENCING drill end-to-end over the
+    socket (the store-level fence is pinned by `kv_failover`; this runs
+    it through the remote protocol): the service's `changes` reply stamps
+    the serving store's writer_epoch, a replica is PROMOTED past it, and
+    applying the remotely-fetched feed under its (now stale) epoch must
+    be refused — while the same feed applied BEFORE the promotion lands
+    and converges."""
     import shutil
     import tempfile
     import uuid
 
-    from octopusdb_spark.kv.store import Entry, KVStore
+    from octopusdb_spark.kv.store import Entry, KVStore, StaleWriterError
     from octopusdb_spark.service import KVClient, KVService
 
     sup = (
@@ -420,6 +428,53 @@ def q_kv_remote_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if scanned != expect_prefix:
                     raise RuntimeError(
                         f"remote scan/mget disagree: {scanned ^ expect_prefix}"
+                    )
+                # ---- fencing drill, end-to-end over the socket ----
+                # the remote feed carries the serving store's epoch stamp
+                feed = c.changes(0)
+                if feed.epoch != store.writer_epoch:
+                    raise RuntimeError(
+                        "remote changes feed lost the writer epoch: "
+                        f"{feed.epoch} != {store.writer_epoch}"
+                    )
+                feed_df = spark.createDataFrame(
+                    [
+                        (r["key"], r["change"], r["value"], r["expires_at"], r["version"])
+                        for r in feed
+                    ],
+                    "key string, change string, value binary, "
+                    "expires_at long, version long",
+                )
+                # happy path: applied under the feed's epoch, it lands
+                replica = KVStore(spark, f"{base}/replica")
+                if replica.apply_changes(
+                    feed_df, commit_tag=("remote", 1), source_epoch=feed.epoch
+                ) == 0:
+                    raise RuntimeError("remote feed applied zero rows")
+                # a failover promotes the replica past the serving store's
+                # generation; the SAME remotely-fetched feed — still
+                # stamped with the deposed epoch — must now be refused
+                if replica.promote() <= feed.epoch:
+                    raise RuntimeError("promotion did not advance the epoch")
+                try:
+                    replica.apply_changes(
+                        feed_df, commit_tag=("remote", 2), source_epoch=feed.epoch
+                    )
+                    raise RuntimeError(
+                        "deposed primary's remote feed landed on a fenced replica"
+                    )
+                except StaleWriterError:
+                    pass
+                # the pre-promotion apply converged: replica live view ==
+                # what the remote mget returned (both rode the socket)
+                repl = {
+                    r["key"]: bytes(r["value"]).decode("utf-8")
+                    for r in replica.view(now=NOW).collect()
+                }
+                want = {k: e["value"].decode("utf-8") for k, e in got.items()}
+                if repl != want:
+                    raise RuntimeError(
+                        f"fenced replica diverged: {set(repl) ^ set(want)}"
                     )
         rows = [
             (k, e["value"].decode("utf-8")) for k, e in sorted(got.items())

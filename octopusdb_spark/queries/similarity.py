@@ -243,6 +243,18 @@ def q_sim_ann_ivf(spark, sf_dir):
 
 
 KMEANS_ITERS = 2
+# Probe budget for the TRAINED IVF variants (sim_ann_ivf_kmeans /
+# sim_ann_ivfpq) — the production recall floor (VERDICT r10 #3). The
+# synthetic embeddings are near-uniform (no cluster structure), so IVF
+# recall at test scale tracks the probed corpus fraction almost linearly:
+# with K=8 lists, nprobe=2 reads ~25% of the corpus (recall ~0.36) and
+# nprobe=6 reads ~75% (recall 0.84-0.92 measured at sf0.001/sf0.01).
+# On a REAL corpus with cluster structure the same recall costs far
+# fewer probes — K scales ~sqrt(N) and nprobe tunes recall-vs-I/O; the
+# trade is documented in docs/SCALE.md. The untrained sim_ann_ivf keeps
+# nprobe=2: it is the teaching baseline the trained variant is measured
+# against (same seeds, same probe flow).
+N_PROBE_TRAINED = 6
 
 
 def kmeans_centroids(emb: DataFrame, init: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
@@ -328,17 +340,18 @@ def q_sim_ann_ivf_kmeans(spark, sf_dir):
     (vec_id 8..15) refined by 2 deterministic Lloyd iterations before the
     inverted lists are built — the production IVF lifecycle (train coarse
     quantizer, assign, probe) with every step oracle-checkable. Probe flow
-    is identical to sim_ann_ivf: nprobe=2 lists per query, exact re-score
-    of candidates only."""
+    is identical to sim_ann_ivf but at the production probe budget
+    (N_PROBE_TRAINED lists per query; recall floor 0.8 pinned in tests),
+    exact re-score of candidates only."""
     from pyspark.sql import Window
 
     emb = _with_norm(t(spark, sf_dir, "embeddings"))
     cent = trained_ivf_centroids(spark, sf_dir)
     ranked = rank_centroids(emb, cent)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
-    probes = ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)).select(
-        F.col("vec_id").alias("query_id"), "cent_id"
-    )
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE_TRAINED)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
     cands = (
         probes.join(assigned, "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -715,7 +728,14 @@ def q_sim_ann_pq(spark, sf_dir):
     )
 
 
-IVFPQ_SHORTLIST = 25  # ADC shortlist within the probed lists
+# ADC shortlist within the probed lists. Sized WITH the probe budget: at
+# N_PROBE_TRAINED=6 the probed pool is ~6/8 of the corpus, and a 25-row
+# shortlist let ADC approximation error prune true neighbors before the
+# exact re-rank (measured recall 0.52 at sf0.01); 50 lifts it to 0.68
+# against the 0.92 coarse bound (the residual ADC ranking costs the
+# rest — the standard IVF-PQ compression trade). At scale this is 50
+# full-width vector reads per query — still the bounded re-rank shape.
+IVFPQ_SHORTLIST = 50
 
 
 def q_sim_ann_ivfpq(spark, sf_dir):
@@ -747,7 +767,7 @@ def q_sim_ann_ivfpq(spark, sf_dir):
     ranked = rank_centroids(emb, cent)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     probes = ranked.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE_TRAINED)
     ).select(F.col("vec_id").alias("query_id"), "cent_id")
     # PQ compression: residual-trained codebooks (memoized) + residual
     # codes for the probed lists' candidates only
@@ -1390,7 +1410,7 @@ ORACLES = {
       SELECT vec_id, cent_id FROM ranked WHERE rn = 1
     ), probes AS (
       SELECT vec_id AS query_id, cent_id FROM ranked
-      WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}
+      WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE_TRAINED}
     ), cands AS (
       SELECT DISTINCT p.query_id, a.vec_id AS cand_id
       FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
@@ -1495,7 +1515,7 @@ ORACLES = {
       SELECT vec_id, cent_id FROM ranked WHERE rn = 1
     ), probes AS (
       SELECT vec_id AS query_id, cent_id FROM ranked
-      WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}
+      WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE_TRAINED}
     ), res AS (
       SELECT e.vec_id, e.norm, a.cent_id,
              list_transform(list_zip(e.embedding, c.ct_emb),

@@ -88,11 +88,14 @@ def test_topk_rank_bounds(spark, sf_dir):
 
 def test_ann_recall_floors(spark):
     """ANN variants must actually find neighbors: recall vs the exact top-k
-    at sf0.01 (deterministic corpus). Multi-table LSH ~0.56, IVF nprobe=2/8
-    ~0.24, trained-IVF ~0.36 (2 Lloyd rounds lift the same seeds from
-    0.24), trained-PQ shortlist-50 + exact re-rank ~0.60 (up from ~0.44
-    with seed codebooks — the 0.5 floor pins that training actually helps);
-    floors leave margin for testdata regeneration."""
+    at sf0.01 (deterministic corpus). Multi-table LSH ~0.56, untrained IVF
+    nprobe=2/8 ~0.24 (the teaching baseline). The TRAINED variants run at
+    the production probe budget (N_PROBE_TRAINED=6 — VERDICT r10 #3):
+    the synthetic corpus is near-uniform so recall tracks probed fraction;
+    measured trained-IVF 0.92 and IVF-PQ tracking the coarse bound at
+    sf0.01. Production floors: ivf_kmeans >= 0.8, ivfpq >= 0.6 (the
+    K/nprobe -> recall trade is documented in docs/SCALE.md); floors
+    leave margin for testdata regeneration."""
     sf = "/root/testdata/sf0.01"
     exact = {(r["query_id"], r["cand_id"]) for r in REGISTRY["sim_topk_cosine"](spark, sf).collect()}
     recall = {}
@@ -104,18 +107,19 @@ def test_ann_recall_floors(spark):
         recall[name] = len(exact & approx) / len(exact)
     assert recall["sim_ann_bucketed"] >= 0.4, recall
     assert recall["sim_ann_ivf"] >= 0.15, recall
-    assert recall["sim_ann_ivf_kmeans"] >= 0.3, recall
-    # training must not LOSE recall vs the identical-seed untrained IVF
+    assert recall["sim_ann_ivf_kmeans"] >= 0.8, recall
+    # training + the production probe budget must beat the untrained
+    # nprobe=2 baseline decisively
     assert recall["sim_ann_ivf_kmeans"] >= recall["sim_ann_ivf"], recall
     assert recall["sim_ann_pq"] >= 0.5, recall  # above the seed-codebook ~0.44
-    # IVF-PQ is recall-bounded by its coarse quantizer's probes (~0.36
-    # here). With RESIDUAL encoding (r7) the measured recall EQUALS that
-    # bound: residual ADC + shortlist-25 + exact re-rank loses nothing
-    # inside the probed lists. Pin the raised floor (raw-encoding floor
-    # was 0.3) and that it tracks the coarse bound to within one
-    # shortlist miss of margin.
-    assert recall["sim_ann_ivfpq"] >= 0.35, recall
-    assert recall["sim_ann_ivfpq"] >= recall["sim_ann_ivf_kmeans"] - 0.02, recall
+    # IVF-PQ is recall-bounded by its coarse quantizer's probes (~0.92 at
+    # nprobe=6). RESIDUAL encoding + shortlist-50 + exact re-rank measures
+    # 0.68 — the gap to the bound is the ADC compression trade. The 0.6
+    # production floor proves the compressed path finds most true
+    # neighbors; the tracking assertion pins that compression never
+    # collapses recall far below the coarse bound.
+    assert recall["sim_ann_ivfpq"] >= 0.6, recall
+    assert recall["sim_ann_ivfpq"] >= recall["sim_ann_ivf_kmeans"] - 0.35, recall
 
 
 def test_quantized_cosine_tracks_exact(spark):
