@@ -1,19 +1,26 @@
 """Multimodal decode / feature-extract pipeline plumbing.
 
 Images/audio/video ride through the engine as opaque ``binary`` columns with
-typed metadata. The decode step itself needs codec libraries that are not in
-this container, so the codec boundary is STUBBED (deterministic fake,
-clearly marked) — everything Spark-side is real and tested: schema contract,
-Arrow batch shape, ``mapInPandas`` partition-parallel processing, and the
-select/filter pushdown around it.
+typed metadata. Three honest container formats are decoded FOR REAL in pure
+Python/NumPy (no codec libraries needed): WAV (RIFF PCM — header walk +
+int16 sample moments), PPM (P6 — header tokens + RGB pixel moments), and
+BMP (BITMAPINFOHEADER 24-bpp uncompressed — bottom-up padded rows + pixel
+moments). Compressed formats (PNG/JPEG/MP3/MP4...) still hit the clearly
+marked stub: entropy coding needs codec libraries this container lacks, so
+those payloads get deterministic byte-level fallback features instead —
+the boundary is explicit in the ``decoded`` output column.
 
-At scale: decode runs inside executors over Arrow record batches (one Python
-worker per core, zero driver involvement); payload columns are only read in
-the partitions that survive metadata pushdown.
+Everything Spark-side is real and tested either way: schema contract, Arrow
+batch shape, ``mapInPandas`` partition-parallel processing, and the
+select/filter pushdown around it. At scale: decode runs inside executors
+over Arrow record batches (one Python worker per core, zero driver
+involvement); payload columns are only read in the partitions that survive
+metadata pushdown.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,23 +46,213 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("byte_len", T.LongType(), False),
         T.StructField("feat_mean", T.DoubleType(), False),
         T.StructField("feat_dim", T.IntegerType(), False),
+        # real-decode outputs (r11): container recognized + parsed
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("container", T.StringType(), True),  # wav|ppm|bmp
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("feat_rms", T.DoubleType(), True),
     ]
 )
+
+
+# ---------------------------------------------------------------- encoders
+# Deterministic container writers — the library surface for materializing
+# media blobs (and what the oracle-checked round-trip query feeds the
+# decoders with). Pure std-lib struct packing.
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV (RIFF) from an iterable of int samples."""
+    import array
+
+    data = array.array("h", samples).tobytes()  # little-endian int16
+    n = len(data)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    hdr += b"data" + struct.pack("<I", n)
+    return hdr + data
+
+
+def encode_ppm(pixels: bytes, width: int, height: int) -> bytes:
+    """Binary PPM (P6, maxval 255); ``pixels`` is width*height*3 RGB bytes."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Uncompressed 24-bpp BMP; rows written bottom-up with 4-byte padding
+    (the on-disk BMP contract). ``pixels`` is width*height*3 bytes, row 0
+    first (top-down logical order)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    row = width * 3
+    stride = (row + 3) // 4 * 4
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        body += pixels[r * row : (r + 1) * row]
+        body += b"\x00" * (stride - row)
+    img_size = stride * height
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + img_size, 0, 0, off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 0, 0, 0, 0)
+    return hdr + bytes(body)
+
+
+# ---------------------------------------------------------------- decoders
+# Each returns a stats dict or raises ValueError on a malformed container
+# (callers fall back to the stub path — never crash the batch on one row).
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse RIFF/WAVE: walk chunks to 'fmt ' (PCM only) and 'data'; return
+    exact integer sample moments (int64-accumulated, so the mean/rms are
+    bit-reproducible across engines)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})")
+            fmt = (channels, rate)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    channels, rate = fmt
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+    n = max(len(samples), 1)
+    s1 = int(samples.sum())
+    s2 = int((samples * samples).sum())
+    return {
+        "container": "wav",
+        "width": None,
+        "height": None,
+        "n_samples": len(samples) // channels,
+        "sample_rate": rate,
+        "channels": channels,
+        "mean": s1 / n,
+        "rms": (s2 / n) ** 0.5,
+    }
+
+
+def _pixel_stats(pixels: bytes) -> tuple:
+    import numpy as np
+
+    px = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+    n = max(len(px), 1)
+    return int(px.sum()) / n, (int((px * px).sum()) / n) ** 0.5
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse binary PPM (P6): whitespace/comment-tolerant header tokens,
+    then width*height*3 RGB bytes."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":  # comment line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(payload[start:pos])
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM (maxval={maxval})")
+    need = w * h * 3
+    pixels = payload[pos : pos + need]
+    if len(pixels) != need:
+        raise ValueError("truncated PPM pixel data")
+    mean, rms = _pixel_stats(pixels)
+    return {
+        "container": "ppm", "width": w, "height": h, "n_samples": None,
+        "sample_rate": None, "channels": 3, "mean": mean, "rms": rms,
+    }
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse uncompressed 24-bpp BMP: header fields, then bottom-up rows
+    with 4-byte stride padding stripped."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hsize, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp, comp = struct.unpack_from("<H", payload, 28)[0], struct.unpack_from("<I", payload, 30)[0]
+    if hsize < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    height = abs(h)
+    row = w * 3
+    stride = (row + 3) // 4 * 4
+    if off + stride * height > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    pixels = bytearray()
+    for r in range(height):
+        base = off + r * stride
+        pixels += payload[base : base + row]  # strip the stride padding
+    mean, rms = _pixel_stats(bytes(pixels))
+    return {
+        "container": "bmp", "width": w, "height": height, "n_samples": None,
+        "sample_rate": None, "channels": 3, "mean": mean, "rms": rms,
+    }
+
+
+_MAGIC_DECODERS = (
+    (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", decode_wav),
+    (lambda p: p[:2] == b"P6", decode_ppm),
+    (lambda p: p[:2] == b"BM", decode_bmp),
+)
+
+
+def decode_media(payload: bytes) -> dict | None:
+    """Dispatch on the container magic; None when no real decoder applies
+    (unknown magic OR a recognized-but-malformed container — the row falls
+    back to stub features rather than failing the batch)."""
+    for sniff, dec in _MAGIC_DECODERS:
+        if sniff(payload):
+            try:
+                return dec(payload)
+            except (ValueError, struct.error):
+                return None
+    return None
 
 
 def extract_features(media_df: DataFrame) -> DataFrame:
     """Partition-parallel feature extraction via mapInPandas: Arrow batches
     in, Arrow batches out — the canonical multimodal pipeline shape.
 
-    The decode stub is nested so cloudpickle ships it by value — executors
-    don't need this package on their PYTHONPATH (library-consumer safe).
-    """
+    WAV/PPM/BMP payloads are decoded FOR REAL (sample/pixel moments,
+    dimensions, sample rate — ``decoded=True``); anything else gets the
+    deterministic byte-level stub features (``decoded=False``) that stand
+    in for codec-library formats. Decoders are module-level but the repo
+    root rides executor PYTHONPATH in local mode; for cluster deploys ship
+    the package (the stub-era nested-function trick no longer fits — three
+    real parsers belong in the library surface, not a closure)."""
 
-    def decode_stub(payload: bytes, media_type: str) -> list:
-        """STUB: stands in for a real codec (PIL/librosa/ffmpeg not in this
-        container). Deterministic fake features: byte-level moments. Replace
-        with a real decoder when the libs exist; the Spark plumbing around
-        it does not change."""
+    def stub_features(payload: bytes, media_type: str) -> list:
+        """STUB for codec-library formats (PNG/JPEG/MP3/MP4...): entropy
+        coding needs libs this container lacks. Deterministic byte-level
+        moments; replace with a real decoder when the libs exist."""
         if media_type not in ("image", "audio", "video"):
             raise NotImplementedError(f"unknown media type: {media_type}")
         n = max(len(payload), 1)
@@ -63,18 +260,42 @@ def extract_features(media_df: DataFrame) -> DataFrame:
         return [float(mean), float(n % 251), float(payload[0] if payload else 0)]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {f.name: [] for f in FEATURE_SCHEMA.fields}
         for pdf in it:
-            feats = [
-                decode_stub(bytes(p), mt)
-                for p, mt in zip(pdf["payload"], pdf["media_type"])
-            ]
+            for f in FEATURE_SCHEMA.fields:
+                out[f.name] = []
+            for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
+                p = bytes(p)
+                dec = decode_media(p)
+                out["media_id"].append(mid)
+                out["media_type"].append(mt)
+                out["byte_len"].append(len(p))
+                if dec is not None:
+                    out["feat_mean"].append(dec["mean"])
+                    out["feat_dim"].append(dec["channels"])
+                    out["decoded"].append(True)
+                    out["container"].append(dec["container"])
+                    out["width"].append(dec["width"])
+                    out["height"].append(dec["height"])
+                    out["n_samples"].append(dec["n_samples"])
+                    out["sample_rate"].append(dec["sample_rate"])
+                    out["feat_rms"].append(dec["rms"])
+                else:
+                    feats = stub_features(p, mt)
+                    out["feat_mean"].append(feats[0])
+                    out["feat_dim"].append(len(feats))
+                    out["decoded"].append(False)
+                    out["container"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_samples"].append(None)
+                    out["sample_rate"].append(None)
+                    out["feat_rms"].append(None)
+            nullable_int = ("width", "height", "n_samples", "sample_rate")
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": [len(bytes(p)) for p in pdf["payload"]],
-                    "feat_mean": [f[0] for f in feats],
-                    "feat_dim": [len(f) for f in feats],
+                    k: pd.array(v, dtype="Int64") if k in nullable_int else v
+                    for k, v in out.items()
                 }
             )
 

@@ -39,53 +39,63 @@ for _m in _MODULES:
     ORACLE_SQL.update(getattr(mod, "ORACLES", {}))
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order. Round-10 rotation: after the r8/r9 sweeps the only
-# freshness debt is the r7-last-green cohort (50 names) plus
-# pipeline_pretrain_corpus (r6, the oldest row) — 51 candidates computed
-# from CORRECTNESS_r01..r09 for 49 slots behind the kv_merge_operator
-# head-insert. Two sacrifices, chosen where another fresh row exercises
-# the identical code path: kv_merge_sorted_runs (same plan and oracle
-# SQL as the r8-green kv_latest_live, both ride kv_live/_newest) and
-# q_token_budget_packing (whitespace counter; the r9-green
-# q_token_budget_packing_bpe runs BOTH counters through the same shared
-# prefix-sum packing windows).
+# insertion order. Round-11 rotation (VERDICT r10 #1): the freshness
+# ledger after r10 is 5 names last green r7 and 50 last green r8. Head =
+# this round's additions/changes (multimodal_decode is NEW; the other
+# three CHANGED this round — kv_remote_reads gained the socket fencing
+# drill, sim_ann_ivf_kmeans / sim_ann_ivfpq moved to N_PROBE_TRAINED=6 —
+# so their green rows must be re-earned), then the 5 r7-stale names,
+# then 41 of the 50 r8-stale names. Nine r8 sacrifices, each chosen
+# where a FRESH row (in-window or r9/r10-green) exercises the same code
+# path; they lead the r12 window by protocol:
+#   kv_latest_live        — same plan+oracle as in-window kv_merge_sorted_runs
+#   kv_point_lookup       — get/mget path pinned by r10-green kv_pinned_reads
+#   sim_ann_ivf           — rank_centroids+probe flow inside in-window
+#                           sim_ann_ivf_kmeans; also pytest recall floors
+#   sim_topk_cosine       — the exact _dot baseline re-ranks inside both
+#                           in-window trained ANN rows + recall-floor test
+#   dedup_simhash         — signature path is a strict subset of in-window
+#                           dedup_simhash_pairs
+#   pipeline_pretrain_v2  — shares stage helpers with r10-green
+#                           pipeline_pretrain_corpus
+#   q_p95_disc            — keyed-window rank, machinery of r10-green
+#                           q_moving_avg/q_running_totals
+#   q_median_quantity     — same keyed-window rank family
+#   q_orders_by_month     — date-bucketed dsum agg, shape of r10-green
+#                           q_time_rollup
 # PROTOCOL: a query added to the registry after this list is frozen must
 # be inserted at the HEAD at that moment (displacing the last fill
 # entry), not next round.
 _PRIORITY = [
-    # added round 10 (head-inserts at add time, per protocol): the
-    # streaming SemDeDup filter, batch SemDeDup semantic dedup (both ride
-    # the memoized trained quantizer), column families (create/read/drop/
-    # recreate/purge, pytest-first-then-promote), and the merge operator
-    # promoted once its CDC half shipped. Each insert displaced the
-    # then-last fill entry (text_repetition, text_pii_redact,
-    # text_ngram_topk — all r7-stale; their code paths stay pinned by
-    # pytest and prior green rounds).
-    "stream_semantic_filter",
-    "dedup_semantic",
-    "kv_column_families",
-    "kv_merge_operator",
-    # r6-stale (oldest row in the repo)
-    "pipeline_pretrain_corpus",
-    # r7-stale cohort
-    "kv_changefeed_preimage", "kv_pinned_reads", "kv_prefix_scan",
-    "kv_range_delete", "kv_range_seek", "kv_remote_reads",
-    "kv_replication", "kv_stream_ingest", "kv_tombstoned_keys",
-    "kv_ttl_classes",
-    "q1_pricing_summary", "q2_min_cost_shape", "q4_order_priority",
-    "q6_forecast_revenue", "q7_volume_shipping", "q12_ship_lag_shape",
-    "q14_promo_effect", "q17_small_quantity", "q19_discounted_revenue",
-    "q22_global_sales",
-    "q_approx_percentile", "q_asof_join", "q_avg_order_gap",
-    "q_cohort_retention", "q_cube_orders", "q_event_time_windows",
-    "q_funnel", "q_grouping_sets", "q_mode_event_type", "q_moving_avg",
-    "q_rollup_acctbal", "q_running_totals", "q_scalar_functions",
-    "q_semi_join", "q_session_window", "q_sessionize", "q_set_ops",
-    "q_time_gapfill", "q_time_rollup", "q_top_customers_per_nation",
-    "q_train_val_split",
-    "sim_ann_ivfpq", "sim_quantized_cosine",
-    "stream_dedup_ingest",
-    "text_chunk_overlap",
+    # round-11 additions / changed queries (head-inserted per protocol)
+    "multimodal_decode",
+    "kv_remote_reads",
+    "sim_ann_ivf_kmeans",
+    "sim_ann_ivfpq",
+    # r7-stale cohort (oldest rows in the ledger)
+    "kv_merge_sorted_runs",
+    "q_token_budget_packing",
+    "text_ngram_topk",
+    "text_pii_redact",
+    "text_repetition",
+    # r8-stale cohort (41 of 50; the 9 sacrifices documented above)
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_capped",
+    "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "graph_adjacency", "graph_degrees", "graph_kcore", "graph_pagerank",
+    "kv_binary_key_scan", "kv_compaction_filter", "kv_gc_discard_stats",
+    "kv_snapshot_holds", "kv_stream_replication",
+    "multimodal_chunking", "multimodal_frame_sample",
+    "q_anti_join", "q_correlation", "q_domain_mixture",
+    "q_join_skew_profile", "q_json_extract", "q_linear_regression",
+    "q_pandas_udf_score", "q_pivot_event_types",
+    "q_stream_dedup", "q_stream_interval_join", "q_stream_rollup",
+    "q_stream_sessionize", "q_string_agg",
+    "quality_column_profile", "quality_duplicate_keys",
+    "sim_ann_bucketed", "sim_label_centroids",
+    "stream_lm_filter",
+    "text_decontaminate", "text_dup_spans", "text_langid_ngram",
+    "text_lm_score", "text_shard_assignment", "text_stats",
+    "text_tokenize_udtf",
 ]
 
 

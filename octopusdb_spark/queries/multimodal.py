@@ -2,14 +2,19 @@
 with typed metadata (driver mandate; no reference analog).
 
 The driver testdata has no binary columns, so the payloads are derived
-deterministically (utf-8 bytes of `documents.text`) — what matters and what
-is tested is the Spark-side plumbing: binary schema, byte-level functions,
-batch-shaped Pandas processing (see octopusdb_spark/functions/multimodal.py
-for the mapInPandas decode pipeline with the stubbed codec).
+deterministically (utf-8 bytes of `documents.text`). Since r11 the decode
+step is REAL for three honest containers — WAV PCM, PPM, BMP are encoded
+from the text bytes and parsed back by the pure-Python decoders in
+`functions/multimodal.py` (`multimodal_decode` hash-checks the recovered
+sample/pixel moments against a DuckDB arithmetic oracle). Compressed
+formats stay behind the documented stub.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import functions as F
 
 from octopusdb_spark.queries.common import t
@@ -78,7 +83,125 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL media decode round-trip under the correctness gate (VERDICT
+    r10 #4): each document's text bytes are packed into an honest
+    container — WAV 16-bit PCM (doc_id%3=0: one sample per byte,
+    s=(b-128)*256, 8 kHz mono), binary PPM (doc_id%3=1: 16-wide RGB) or
+    24-bpp BMP (doc_id%3=2: 7-wide RGB, exercising the 4-byte row-stride
+    padding) — then `extract_features` PARSES the container back (header
+    walk, chunk/stride handling) and emits exact integer-accumulated
+    sample/pixel moments. The oracle recomputes the same moments from the
+    text bytes arithmetically, so a decoder that misreads a header, loses
+    padding bytes, or truncates samples hash-mismatches. Both encode and
+    decode run executor-side over Arrow batches (mapInPandas) — zero
+    driver involvement, the 100 TB shape."""
+    from octopusdb_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        extract_features,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+
+    def make_media(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                kind = int(did) % 3
+                if kind == 0:
+                    payload, mt = encode_wav((x - 128) * 256 for x in b), "audio"
+                elif kind == 1:
+                    w, h = 16, len(b) // 48
+                    payload, mt = encode_ppm(b[: w * h * 3], w, h), "image"
+                else:
+                    w, h = 7, len(b) // 21
+                    payload, mt = encode_bmp(b[: w * h * 3], w, h), "image"
+                rows["media_id"].append(int(did))
+                rows["media_type"].append(mt)
+                rows["payload"].append(payload)
+                rows["meta_width"].append(None)
+                rows["meta_height"].append(None)
+                rows["meta_duration_ms"].append(None)
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64")
+                    if k in ("meta_width", "meta_height", "meta_duration_ms")
+                    else v
+                    for k, v in rows.items()
+                }
+            )
+
+    feats = extract_features(docs.mapInPandas(make_media, MEDIA_SCHEMA))
+    return feats.select(
+        "media_id",
+        "container",
+        "decoded",
+        "width",
+        "height",
+        "n_samples",
+        "sample_rate",
+        F.round("feat_mean", 6).alias("mean_r6"),
+        F.round("feat_rms", 6).alias("rms_r6"),
+    ).orderBy("media_id")
+
+
 ORACLES = {
+    # arithmetic replication of encode+decode: byte values via ascii() on
+    # the (all-ASCII) text, exact integer sums, one double division + sqrt
+    "multimodal_decode": """
+    WITH src AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id < 60
+    ),
+    b AS (
+      SELECT s.doc_id, s.n, t.i,
+             ascii(substr(s.text, CAST(t.i AS INT), 1)) AS v
+      FROM src s CROSS JOIN range(1, 600) t(i)
+      WHERE t.i <= s.n
+    ),
+    aud AS (
+      SELECT doc_id, n AS n_samples,
+             sum((v - 128) * 256) AS s1,
+             sum(CAST((v - 128) * 256 AS BIGINT) * ((v - 128) * 256)) AS s2
+      FROM b WHERE doc_id % 3 = 0 GROUP BY doc_id, n
+    ),
+    img AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 1 THEN 16 ELSE 7 END AS w,
+             CASE WHEN doc_id % 3 = 1 THEN n // 48 ELSE n // 21 END AS h
+      FROM src WHERE doc_id % 3 <> 0
+    ),
+    imgstats AS (
+      SELECT i2.doc_id, i2.w, i2.h, i2.w * i2.h * 3 AS need,
+             sum(b.v) AS s1, sum(b.v * b.v) AS s2
+      FROM img i2 JOIN b ON b.doc_id = i2.doc_id AND b.i <= i2.w * i2.h * 3
+      GROUP BY i2.doc_id, i2.w, i2.h
+    )
+    SELECT doc_id AS media_id, 'wav' AS container, TRUE AS decoded,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           round(s1 / CAST(n_samples AS DOUBLE), 6) AS mean_r6,
+           round(sqrt(s2 / CAST(n_samples AS DOUBLE)), 6) AS rms_r6
+    FROM aud
+    UNION ALL
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 1 THEN 'ppm' ELSE 'bmp' END AS container,
+           TRUE AS decoded,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
+           round(s1 / CAST(need AS DOUBLE), 6) AS mean_r6,
+           round(sqrt(s2 / CAST(need AS DOUBLE)), 6) AS rms_r6
+    FROM imgstats
+    ORDER BY media_id""",
     "multimodal_frame_sample": """
         SELECT doc_id AS media_id,
                CAST((n_chars * 10) // 250 + 1 AS BIGINT) AS n_frames,
@@ -107,4 +230,5 @@ QUERIES = {
     "multimodal_bytes": q_multimodal_bytes,
     "multimodal_chunking": q_multimodal_chunking,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_decode": q_multimodal_decode,
 }

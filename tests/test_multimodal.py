@@ -53,3 +53,63 @@ def test_frame_sample_plan(media_df):
     # only the video row (id=3, 1000ms) → ts 0,250,500,750,1000
     assert sorted(r["frame_ts_ms"] for r in frames) == [0, 250, 500, 750, 1000]
     assert {r["media_id"] for r in frames} == {3}
+
+
+def test_real_decoders_round_trip(spark):
+    """r11: WAV/PPM/BMP are decoded FOR REAL — encode from known samples/
+    pixels, parse back through extract_features, and check the recovered
+    dimensions and exact integer-accumulated moments. BMP exercises the
+    4-byte row-stride padding (width 7 -> 21-byte rows, 24-byte stride)."""
+    import math
+
+    from octopusdb_spark.functions.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    samples = [(b - 128) * 256 for b in b"hello pcm world" * 10]
+    pixels = bytes(range(256)) * 3  # 768 bytes
+    rows = [
+        (1, "audio", encode_wav(samples, 8000), None, None, None),
+        (2, "image", encode_ppm(pixels[: 16 * 16 * 3], 16, 16), None, None, None),
+        (3, "image", encode_bmp(pixels[: 7 * 8 * 3], 7, 8), None, None, None),
+        (4, "image", b"\x89PNG\r\n" + b"x" * 100, None, None, None),  # stub path
+    ]
+    out = {r["media_id"]: r for r in extract_features(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    wav = out[1]
+    assert wav["decoded"] and wav["container"] == "wav"
+    assert wav["n_samples"] == len(samples) and wav["sample_rate"] == 8000
+    assert abs(wav["feat_mean"] - sum(samples) / len(samples)) < 1e-9
+    assert abs(
+        wav["feat_rms"] - math.sqrt(sum(s * s for s in samples) / len(samples))
+    ) < 1e-6
+    ppm = out[2]
+    assert ppm["decoded"] and ppm["container"] == "ppm"
+    assert (ppm["width"], ppm["height"]) == (16, 16)
+    exp = pixels[: 16 * 16 * 3]
+    assert abs(ppm["feat_mean"] - sum(exp) / len(exp)) < 1e-9
+    bmp = out[3]
+    assert bmp["decoded"] and bmp["container"] == "bmp"
+    assert (bmp["width"], bmp["height"]) == (7, 8)
+    exp = pixels[: 7 * 8 * 3]
+    # stride padding correctly stripped: moments match the pixel bytes
+    assert abs(bmp["feat_mean"] - sum(exp) / len(exp)) < 1e-9
+    assert abs(
+        bmp["feat_rms"] - math.sqrt(sum(b * b for b in exp) / len(exp))
+    ) < 1e-6
+    # compressed format: falls to the documented stub, never crashes
+    assert not out[4]["decoded"] and out[4]["container"] is None
+
+
+def test_malformed_containers_fall_back(spark):
+    """A recognized-but-corrupt container (bad RIFF tag, truncated PPM,
+    non-24bpp BMP) must fall back to stub features, not fail the batch."""
+    rows = [
+        (1, "audio", b"RIFF" + b"y" * 1000, None, None, None),  # no WAVE tag
+        (2, "image", b"P6\n10 10\n255\nxx", None, None, None),  # truncated
+        (3, "image", b"BM" + b"\x00" * 100, None, None, None),  # bad header
+    ]
+    out = extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert len(out) == 3 and all(not r["decoded"] for r in out)
