@@ -78,6 +78,8 @@ def run(spark, sf_dir: str = SF_DIR) -> dict:
         live = store.view(now=NOW).count()
         timings["post_compact_full_scan"] = round(time.perf_counter() - t0, 3)
 
+        deep = _deep_compaction(spark, d, li)
+
         return {
             "metric": "kv_maintenance_wall_clock",
             "value": round(sum(timings.values()), 3),
@@ -87,8 +89,84 @@ def run(spark, sf_dir: str = SF_DIR) -> dict:
             "live_keys": live,
             "compaction_rounds": rounds,
             "segments": store.info(),
+            "deep_compaction": deep,
             "sf_dir": sf_dir,
         }
+
+
+def _deep_compaction(spark, d: str, li) -> dict:
+    """Multi-LEVEL leveled-compaction scenario (VERDICT r10 #5): the main
+    cycle's store ends at L1 with write-amp 1.0 (one L0->L1 round; its L1
+    stays under the 1 MB base target because values are separated), so the
+    leveled SCORING path (A11) never runs deep there. This store is tuned
+    so it must: small level targets (64 KiB base x4 multiplier), inline
+    values (data segments carry the bytes that drive Ln scores), and three
+    overwrite waves with auto_compact after each — the running-system
+    cadence. The run is the A11 story the reference sizes for
+    (`kv/lsm/compact.go:626-751`): L0 fills by count, L1+ cascade by
+    size/target, and rewrites of rewrites push write-amplification past
+    1. Returns timings + the final level layout and measured write-amp;
+    bench.py embeds it so the per-round artifact records both."""
+    sub = li.filter(F.pmod(F.xxhash64("key"), F.lit(8)) == 0)
+    store = KVStore(
+        spark,
+        os.path.join(d, "kv_deep"),
+        value_threshold=1 << 20,  # inline: level scores see the payload bytes
+        level0_trigger=2,
+        base_level_bytes=64 << 10,
+        level_multiplier=4,
+    )
+    timings: dict[str, float] = {}
+    rounds = 0
+    levels_traversed: set = set()
+    score_trace: list = []  # (src_level, score) per compaction decision
+    t_all = time.perf_counter()
+    for wave in range(3):
+        t0 = time.perf_counter()
+        store.ingest_df(
+            sub.withColumn(
+                "value",
+                F.concat(F.col("value").cast("string"), F.lit(f";w{wave}")).cast("binary"),
+            ),
+            target_segments=4,
+        )
+        levels_traversed.update(store.info()["levels"])  # L0 resident pre-compact
+        # auto_compact unrolled so the trace records every scoring decision
+        # and every intermediate level the cascade lands on (L1 is
+        # transient — it fills and immediately re-scores over target)
+        for _ in range(8):
+            pris = [(l, s) for l, s in store.compaction_priorities() if s >= 1.0]
+            if not pris:
+                break
+            score_trace.append([pris[0][0], round(pris[0][1], 2)])
+            store.compact_level(pris[0][0], now=NOW)
+            rounds += 1
+            levels_traversed.update(store.info()["levels"])
+        timings[f"wave_{wave}_ingest_compact"] = round(time.perf_counter() - t0, 3)
+    # one final delta left UN-compacted: the LSM steady state is fresh L0
+    # runs coexisting with the deep base — the layout reads ship against
+    store.ingest_df(
+        sub.limit(2000).withColumn(
+            "value", F.concat(F.col("value").cast("string"), F.lit(";tip")).cast("binary")
+        ),
+        target_segments=1,
+    )
+    info = store.info()
+    out = {
+        "wall_clock": round(time.perf_counter() - t_all, 3),
+        "phases": timings,
+        "compaction_rounds": rounds,
+        "levels": info["levels"],
+        "levels_traversed": sorted(levels_traversed),
+        "score_trace": score_trace,
+        "levels_detail": info["levels_detail"],
+        "write_amplification": info["write_amplification"],
+    }
+    # the scenario's contract: the scoring path actually ran deep (the
+    # cascade traversed L0 -> L1 -> L2) and rewrites cost real write-amp
+    if max(levels_traversed, default=0) < 2 or info["write_amplification"] <= 1.0:
+        out["warning"] = "deep-compaction scenario did not reach depth"
+    return out
 
 
 def main() -> None:
