@@ -426,7 +426,13 @@ def test_randomized_binary_key_ops_match_model(spark, tmp_path):
     rng = random.Random(1234)
     store = KVStore(spark, str(tmp_path / "rbk"), value_threshold=256, key_type="binary")
     model: dict = {}
-    keyspace = [bytes([rng.randrange(256), rng.randrange(256)]) for _ in range(30)]
+    # leading byte skips 0x02: the CF prefix is RESERVED in the default
+    # namespace since r11 (set_batch rejects it — pinned by the CF tests)
+    keyspace = [
+        bytes([next(b for b in iter(lambda: rng.randrange(256), None) if b != 2),
+               rng.randrange(256)])
+        for _ in range(30)
+    ]
 
     def apply_batch(n):
         batch = []
