@@ -74,6 +74,8 @@ HEADLINE = [
     "kv_merge_operator",
     "kv_column_families",
     "dedup_semantic",
+    # added round 11 (real WAV/PPM/BMP encode+decode round trip)
+    "multimodal_decode",
 ]
 
 
