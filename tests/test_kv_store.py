@@ -2080,3 +2080,40 @@ def test_merge_replication_across_promotion(spark, tmp_path):
     assert [(t["key"], t["change"], bytes(t["value"])) for t in tail] == [
         ("cnt", "merge", b"100")
     ]
+
+
+def test_leveled_cascade_reaches_depth_with_write_amp(spark, tmp_path):
+    """r11 (VERDICT #5 twin of the bench scenario): with small level
+    targets, overwrite waves cascade L0 -> L1 -> L2 through the SCORING
+    path (L0 by count, Ln by size/target), write amplification exceeds 1,
+    and the live view stays invariant through the whole cascade."""
+    s = KVStore(
+        spark,
+        str(tmp_path / "deep"),
+        level0_trigger=2,
+        base_level_bytes=2 << 10,  # 2 KiB base target -> L1 overflows fast
+        level_multiplier=4,
+    )
+    levels_seen: set = set()
+    score_levels: set = set()
+    for wave in range(3):
+        s.set_batch(
+            [Entry(f"k{i:03d}", f"w{wave}-{'x' * 40}-{i}".encode()) for i in range(120)]
+        )
+        s.set_batch(
+            [Entry(f"k{i:03d}", f"w{wave}b-{'y' * 40}-{i}".encode()) for i in range(120)]
+        )
+        for _ in range(8):  # auto_compact unrolled to observe the cascade
+            pris = [(l, sc) for l, sc in s.compaction_priorities() if sc >= 1.0]
+            if not pris:
+                break
+            score_levels.add(pris[0][0])
+            s.compact_level(pris[0][0], now=NOW)
+            levels_seen.update(s.info()["levels"])
+    assert max(levels_seen) >= 2, levels_seen  # the cascade ran deep
+    assert {0, 1} <= score_levels, score_levels  # both scoring rules fired
+    info = s.info()
+    assert info["write_amplification"] > 1.0, info
+    # invariance: newest wave's values are what reads resolve
+    assert s.get("k007", now=NOW).value == b"w2b-" + b"y" * 40 + b"-7"
+    s.close()
