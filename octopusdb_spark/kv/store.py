@@ -2127,6 +2127,11 @@ class KVStore:
             "has_merge_operands": bool(st.has_merge_operands),
             "writer_epoch": int(st.writer_epoch or 0),
             "column_families": sorted(st.column_families or {}),
+            # sticky namespace gate (r11): True while any reserved-prefix
+            # rows may exist — mirrors has_merge_operands' lifecycle
+            "column_families_ever": bool(
+                getattr(st, "column_families_ever", False)
+            ),
         }
 
     def fold_merges(
