@@ -84,6 +84,117 @@ def encode_ppm(pixels: bytes, width: int, height: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: bytes, width: int, height: int) -> bytes:
+    """8-bit RGB non-interlaced PNG (color type 2, filter 0 per scanline)
+    — pure stdlib: zlib DEFLATE + crc32. ``pixels`` is width*height*3
+    bytes, row 0 first."""
+    import zlib
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = width * 3
+    raw = b"".join(
+        b"\x00" + pixels[r * row : (r + 1) * row] for r in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse 8-bit RGB/RGBA non-interlaced PNG FOR REAL: chunk walk, zlib
+    inflate, and full scanline unfiltering (all five filter types — None/
+    Sub/Up/Average/Paeth), then pixel moments. Entropy coding is zlib,
+    which the std lib ships — so unlike JPEG this needs no codec
+    library. Palette/interlaced/16-bit stay unsupported (ValueError →
+    stub fallback)."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctyp not in (2, 6) or comp != 0 or filt != 0 or inter != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={ctyp}, interlace={inter})"
+                )
+            ch = 3 if ctyp == 2 else 4
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, data = arr[:, 0], arr[:, 1:].astype(np.int64)
+    out = np.zeros_like(data)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f, line = int(filters[r]), data[r].copy()
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the running left neighbor
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                if f == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif f == 3:
+                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif f == 4:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter {f}")
+        out[r] = cur
+        prev = cur
+    px = out.reshape(-1)
+    n = max(len(px), 1)
+    return {
+        "container": "png", "width": int(w), "height": int(h),
+        "n_samples": None, "sample_rate": None, "channels": ch,
+        "mean": int(px.sum()) / n,
+        "rms": (int((px * px).sum()) / n) ** 0.5,
+    }
+
+
 def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
     """Uncompressed 24-bpp BMP; rows written bottom-up with 4-byte padding
     (the on-disk BMP contract). ``pixels`` is width*height*3 bytes, row 0
@@ -221,6 +332,7 @@ _MAGIC_DECODERS = (
     (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", decode_wav),
     (lambda p: p[:2] == b"P6", decode_ppm),
     (lambda p: p[:2] == b"BM", decode_bmp),
+    (lambda p: p[:8] == PNG_SIG, decode_png),
 )
 
 

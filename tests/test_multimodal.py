@@ -64,6 +64,7 @@ def test_real_decoders_round_trip(spark):
 
     from octopusdb_spark.functions.multimodal import (
         encode_bmp,
+        encode_png,
         encode_ppm,
         encode_wav,
     )
@@ -74,7 +75,9 @@ def test_real_decoders_round_trip(spark):
         (1, "audio", encode_wav(samples, 8000), None, None, None),
         (2, "image", encode_ppm(pixels[: 16 * 16 * 3], 16, 16), None, None, None),
         (3, "image", encode_bmp(pixels[: 7 * 8 * 3], 7, 8), None, None, None),
-        (4, "image", b"\x89PNG\r\n" + b"x" * 100, None, None, None),  # stub path
+        # truncated PNG signature (6 of 8 bytes): must hit the stub path
+        (4, "image", b"\x89PNG\r\n" + b"x" * 100, None, None, None),
+        (5, "image", encode_png(pixels[: 16 * 12 * 3], 16, 12), None, None, None),
     ]
     out = {r["media_id"]: r for r in extract_features(
         spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
@@ -99,8 +102,14 @@ def test_real_decoders_round_trip(spark):
     assert abs(
         bmp["feat_rms"] - math.sqrt(sum(b * b for b in exp) / len(exp))
     ) < 1e-6
-    # compressed format: falls to the documented stub, never crashes
+    # unrecognized magic: falls to the documented stub, never crashes
     assert not out[4]["decoded"] and out[4]["container"] is None
+    # PNG: REAL entropy-coded decode (zlib inflate + scanline unfilter)
+    png = out[5]
+    assert png["decoded"] and png["container"] == "png"
+    assert (png["width"], png["height"]) == (16, 12)
+    exp = pixels[: 16 * 12 * 3]
+    assert abs(png["feat_mean"] - sum(exp) / len(exp)) < 1e-9
 
 
 def test_malformed_containers_fall_back(spark):
