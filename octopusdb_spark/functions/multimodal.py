@@ -235,16 +235,20 @@ def decode_wav(payload: bytes) -> dict:
             if len(body) < 16:
                 raise ValueError("truncated fmt chunk")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
                 raise ValueError(f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})")
-            fmt = (channels, rate)
+            fmt = (channels, rate, bits)
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    channels, rate = fmt
-    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+    channels, rate, bits = fmt
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+    else:
+        # 8-bit PCM is UNSIGNED (0..255), centered at 128 by convention
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
     n = max(len(samples), 1)
     s1 = int(samples.sum())
     s2 = int((samples * samples).sum())

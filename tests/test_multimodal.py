@@ -122,3 +122,25 @@ def test_malformed_containers_fall_back(spark):
     ]
     out = extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
     assert len(out) == 3 and all(not r["decoded"] for r in out)
+
+
+def test_wav_8bit_stereo_decode(spark):
+    """8-bit UNSIGNED PCM (centered at 128) and multi-channel interleave
+    decode correctly; frames = samples / channels."""
+    import math
+    import struct
+
+    u8 = bytes((i * 13) % 256 for i in range(200))
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(u8)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 32000, 2, 8)
+    payload = hdr + b"data" + struct.pack("<I", len(u8)) + u8
+    out = extract_features(
+        spark.createDataFrame([(1, "audio", payload, None, None, None)], MEDIA_SCHEMA)
+    ).collect()[0]
+    centered = [v - 128 for v in u8]
+    assert out["decoded"] and out["container"] == "wav"
+    assert out["sample_rate"] == 16000 and out["n_samples"] == 100
+    assert abs(out["feat_mean"] - sum(centered) / len(centered)) < 1e-9
+    assert abs(
+        out["feat_rms"] - math.sqrt(sum(s * s for s in centered) / len(centered))
+    ) < 1e-6
