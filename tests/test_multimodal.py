@@ -144,3 +144,41 @@ def test_wav_8bit_stereo_decode(spark):
     assert abs(
         out["feat_rms"] - math.sqrt(sum(s * s for s in centered) / len(centered))
     ) < 1e-6
+
+
+def test_extract_features_runs_as_a_stream(spark, tmp_path):
+    """The decode stage is a stateless mapInPandas, so the SAME
+    extract_features runs unchanged under Structured Streaming — the
+    decode-and-validate-at-ingest pipeline shape. A bounded file stream
+    of real containers decodes to the same rows the batch path produces."""
+    from octopusdb_spark.functions.multimodal import encode_png, encode_wav
+
+    samples = [(b - 128) * 256 for b in b"stream pcm" * 8]
+    pixels = bytes((i * 3) % 256 for i in range(16 * 4 * 3))
+    rows = [
+        (1, "audio", encode_wav(samples, 8000), None, None, None),
+        (2, "image", encode_png(pixels, 16, 4), None, None, None),
+        (3, "image", b"\xff\xd8\xff\xe0jpeg-ish" + b"q" * 50, None, None, None),
+    ]
+    src = str(tmp_path / "media_src")
+    spark.createDataFrame(rows, MEDIA_SCHEMA).write.parquet(src)
+    batch_rows = sorted(
+        map(tuple, extract_features(spark.read.parquet(src)).collect())
+    )
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src)
+    q = (
+        extract_features(stream)
+        .writeStream.format("memory")
+        .queryName("media_feats")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(
+        map(tuple, spark.sql("select * from media_feats").collect())
+    )
+    assert stream_rows == batch_rows
+    by_id = {r[0]: r for r in stream_rows}
+    # containers decoded in-stream; the jpeg-ish row hit the stub
+    assert by_id[1][6] == "wav" and by_id[2][6] == "png" and by_id[3][6] is None
