@@ -174,6 +174,11 @@ class KVClient:
     def info(self) -> dict:
         return self._call({"op": "info"})["info"]
 
+    def stats(self) -> dict:
+        """Service-side request counters, rate-limiter drops, and the
+        bounded slow-query log (never rate-limited itself)."""
+        return self._call({"op": "stats"})
+
     # ------------------------------------------------- remote CDC consumer
     def snapshot(self) -> int:
         """The service store's current snapshot seq."""

@@ -101,7 +101,15 @@ class KVService:
     the next read transparently rebuilds.
     """
 
-    def __init__(self, db, host: str = "127.0.0.1", port: int = 0, now: int | None = None):
+    def __init__(
+        self,
+        db,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        now: int | None = None,
+        rate_limit: float | None = None,
+        slow_query_ms: int | None = None,
+    ):
         # accept the user-facing facade or the store itself
         self.store = getattr(db, "kv", db)
         self._host, self._port = host, port
@@ -109,6 +117,46 @@ class KVService:
         self._server = None
         self._thread = None
         self._pin = None
+        # The reference's cluster config carries rate-limit and slow-query
+        # knobs with no implementation behind them
+        # (`internal/conf/conf.go:11-54`, `configs/master.yml`). Real here:
+        # ``rate_limit`` = requests/second, enforced by a global token
+        # bucket (a limited request gets an error reply, the connection
+        # survives — the 429 analog); ``slow_query_ms`` = threshold above
+        # which a request is recorded in the bounded slow-query log, read
+        # back via the ``stats`` op. ping/stats are exempt from the
+        # limiter so health checks and diagnostics stay reachable.
+        self._rate_limit = None if rate_limit is None else float(rate_limit)
+        self._slow_ms = None if slow_query_ms is None else int(slow_query_ms)
+        self._bucket = self._rate_limit or 0.0
+        self._bucket_ts = time.monotonic()
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_rate_limited = 0
+        self._slow_log: list = []  # bounded at 128 newest
+
+    def _acquire_token(self) -> bool:
+        if self._rate_limit is None:
+            return True
+        with self._stats_lock:
+            now = time.monotonic()
+            self._bucket = min(
+                self._rate_limit,
+                self._bucket + (now - self._bucket_ts) * self._rate_limit,
+            )
+            self._bucket_ts = now
+            if self._bucket >= 1.0:
+                self._bucket -= 1.0
+                return True
+            return False
+
+    def _record(self, op: str, elapsed_ms: float) -> None:
+        with self._stats_lock:
+            self._n_requests += 1
+            if self._slow_ms is not None and elapsed_ms >= self._slow_ms:
+                self._slow_log.append({"op": op, "ms": round(elapsed_ms, 3)})
+                if len(self._slow_log) > 128:
+                    del self._slow_log[: len(self._slow_log) - 128]
 
     # -------------------------------------------------------- key codec
     # JSON can't carry bytes: binary-key stores (`key_type="binary"`,
@@ -285,16 +333,45 @@ class KVService:
     def _op_ping(self, req: dict) -> dict:
         return {"ok": True, "pong": True}
 
+    def _op_stats(self, req: dict) -> dict:
+        """Service-side observability: request/ratelimit counters + the
+        bounded slow-query log (the reference's slow-query-threshold knob,
+        implemented)."""
+        with self._stats_lock:
+            return {
+                "ok": True,
+                "requests": self._n_requests,
+                "rate_limited": self._n_rate_limited,
+                "slow_queries": list(self._slow_log),
+                "rate_limit": self._rate_limit,
+                "slow_query_ms": self._slow_ms,
+            }
+
+    _UNTHROTTLED = frozenset({"ping", "stats"})
+
     def _dispatch(self, line: str) -> dict:
+        t0 = time.perf_counter()
+        op = None
         try:
             req = json.loads(line)
             op = req.get("op")
             handler = getattr(self, f"_op_{op}", None)
             if handler is None or not op or op.startswith("_"):
                 raise ValueError(f"unknown op: {op!r}")
+            if op not in self._UNTHROTTLED and not self._acquire_token():
+                with self._stats_lock:
+                    self._n_rate_limited += 1
+                return {
+                    "ok": False,
+                    "error": "RateLimited: request rate above the "
+                    f"configured {self._rate_limit}/s — retry later",
+                    "rate_limited": True,
+                }
             return handler(req)
         except Exception as e:  # keep the connection alive on bad requests
             return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        finally:
+            self._record(str(op), (time.perf_counter() - t0) * 1000.0)
 
     # ------------------------------------------------------ lifecycle
     def start(self) -> tuple[str, int]:

@@ -488,3 +488,43 @@ def test_service_concurrent_clients_with_writes(spark, tmp_path):
         assert not errors
         with KVClient(host, port) as c:
             assert c.get("h0")["value"] == b"v0-new"
+
+
+def test_service_rate_limit_and_slow_query_log(spark, tmp_path):
+    """The reference's config-only rate-limit / slow-query knobs
+    (`internal/conf/conf.go:11-54`) implemented for real: a token bucket
+    rejects excess requests with an error reply (connection survives),
+    and requests over the threshold land in the bounded slow-query log,
+    both visible through the unthrottled `stats` op."""
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch([Entry(f"k{i}", str(i).encode()) for i in range(5)])
+
+    with KVService(store, now=NOW, rate_limit=3, slow_query_ms=0) as svc:
+        with KVClient(*svc.address) as c:
+            ok, limited = 0, 0
+            for _ in range(12):  # burst far above 3/s
+                try:
+                    c.get("k1")
+                    ok += 1
+                except RuntimeError as e:
+                    assert "RateLimited" in str(e)
+                    limited += 1
+            assert limited > 0 and ok >= 1  # bucket allowed a burst, then refused
+            # the connection survived every rejection
+            assert c.ping()
+            st = c.stats()
+            assert st["rate_limited"] == limited
+            assert st["requests"] >= ok + limited
+            # slow_query_ms=0: every timed op is "slow" — the log is
+            # populated and bounded, and records real op names
+            assert st["slow_queries"] and len(st["slow_queries"]) <= 128
+            assert {q["op"] for q in st["slow_queries"]} >= {"get"}
+
+    # unthrottled service records requests but never rate-limits
+    with KVService(store, now=NOW) as svc2:
+        with KVClient(*svc2.address) as c2:
+            for _ in range(5):
+                c2.get("k2")
+            st = c2.stats()
+            assert st["rate_limited"] == 0 and st["rate_limit"] is None
+            assert st["slow_queries"] == []  # no threshold set
