@@ -182,3 +182,42 @@ def test_extract_features_runs_as_a_stream(spark, tmp_path):
     by_id = {r[0]: r for r in stream_rows}
     # containers decoded in-stream; the jpeg-ish row hit the stub
     assert by_id[1][6] == "wav" and by_id[2][6] == "png" and by_id[3][6] is None
+
+
+def test_codec_round_trip_property():
+    """Property test (no Spark needed): random pixels/samples round-trip
+    through every encoder/decoder pair with exact integer moments, across
+    widths that do and don't hit BMP stride padding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from octopusdb_spark.functions.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=7),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(w, h, seed):
+        import random
+
+        rng = random.Random(seed)
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        exp_mean = sum(pixels) / len(pixels)
+        for enc in (encode_ppm, encode_bmp, encode_png):
+            d = decode_media(enc(pixels, w, h))
+            assert d is not None and (d["width"], d["height"]) == (w, h), enc
+            assert abs(d["mean"] - exp_mean) < 1e-9, enc
+        samples = [rng.randrange(-32768, 32768) for _ in range(w * h)]
+        d = decode_media(encode_wav(samples, 8000))
+        assert d["n_samples"] == len(samples)
+        assert abs(d["mean"] - sum(samples) / len(samples)) < 1e-9
+
+    check()
