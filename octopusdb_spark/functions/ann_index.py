@@ -113,6 +113,14 @@ def append_ivf(
         .partitionBy("cent_id")
         .parquet(f"{index_dir}/lists")
     )
+    # Invalidate the session's cached file listing for the lists path: a
+    # reader that already planned a query over this index (Spark's
+    # InMemoryFileIndex caches per-path file status) would otherwise keep
+    # seeing the PRE-append file set and silently miss every appended
+    # vector. The writer owns the invalidation — callers shouldn't know
+    # Spark caches listings. (Caught by the sim_ann_persistent oracle:
+    # post-append top-k matched the pre-append answer.)
+    emb.sparkSession.catalog.refreshByPath(f"{index_dir}/lists")
 
 
 def _check_batch_dim(emb: DataFrame, expected: int, op: str) -> None:
@@ -218,6 +226,8 @@ def append_pq(
     subvecs = _subspaces(base, "embedding", n_sub, sub_dim, "sv")
     codes = _encode_with_codebooks(subvecs, cb, residual=residual_ivf_dir is not None)
     codes.write.mode("append").parquet(f"{index_dir}/codes")
+    # same listing-cache invalidation as append_ivf (see note there)
+    spark.catalog.refreshByPath(f"{index_dir}/codes")
 
 
 def _read_centroids(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -67,7 +67,11 @@ for _m in _MODULES:
 # be inserted at the HEAD at that moment (displacing the last fill
 # entry), not next round.
 _PRIORITY = [
-    # round-11 additions / changed queries (head-inserted per protocol)
+    # round-11 additions / changed queries (head-inserted per protocol;
+    # sim_ann_persistent's mid-round insert displaced the then-last fill
+    # entry text_tokenize_udtf — r8-green, still within the 3-round bound
+    # at r11 close; it LEADS the r12 window with the other deferrals)
+    "sim_ann_persistent",
     "multimodal_decode",
     "kv_remote_reads",
     "sim_ann_ivf_kmeans",
@@ -95,7 +99,6 @@ _PRIORITY = [
     "stream_lm_filter",
     "text_decontaminate", "text_dup_spans", "text_langid_ngram",
     "text_lm_score", "text_shard_assignment", "text_stats",
-    "text_tokenize_udtf",
 ]
 
 

@@ -909,6 +909,68 @@ def q_sim_ann_ivfpq(spark, sf_dir):
     )
 
 
+def q_sim_ann_persistent(spark, sf_dir):
+    """The persistent-index LIFECYCLE run under the correctness gate
+    (promoting `functions/ann_index.py` from pytest-only coverage):
+    build_ivf materializes a raw-seed coarse quantizer + inverted lists
+    partitioned by centroid from a BASE corpus split (vec_id % 5 != 3),
+    query_ivf answers the standard query batch against the index
+    (partition-pruned probes, exclude_matching_ids), append_ivf lands the
+    held-out split against the FROZEN quantizer, and the same batch is
+    re-queried. The checked output is the pre-append and post-append
+    top-k stacked under a `phase` column, so the oracle pins that (a) the
+    frozen-quantizer assignment matches build-time assignment exactly and
+    (b) appended vectors become findable without touching existing rows.
+    The quantizer is raw-seed (kmeans_iters=0) so the DuckDB oracle needs
+    no Lloyd CTE — the TRAINED path is already gated by
+    sim_ann_ivf_kmeans; what THIS row adds is the persistence mechanics."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from octopusdb_spark.functions.ann_index import append_ivf, build_ivf, query_ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(F.col("vec_id") % 5 == 3)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    d = tempfile.mkdtemp(prefix=f"ann_idx_{uuid.uuid4().hex[:12]}_")
+    try:
+        build_ivf(base, d, n_centroids=8, kmeans_iters=0)
+        # Each phase is MATERIALIZED before the index mutates: a lazy
+        # union of two reads of the SAME path collapses to one scan under
+        # Catalyst's relation dedup, so both branches would see one file
+        # listing (whichever analysis won) — the phases must be snapshots,
+        # and a top-k answer is bounded rows by construction.
+        pre = [
+            ("pre", r["query_id"], r["cand_id"], r["rank"], r["cosine"])
+            for r in query_ivf(
+                spark, d, queries, top_k=TOP_K, nprobe=N_PROBE,
+                exclude_matching_ids=True,
+            ).collect()
+        ]
+        append_ivf(batch, d)
+        post = [
+            ("post", r["query_id"], r["cand_id"], r["rank"], r["cosine"])
+            for r in query_ivf(
+                spark, d, queries, top_k=TOP_K, nprobe=N_PROBE,
+                exclude_matching_ids=True,
+            ).collect()
+        ]
+        # the append must change answers somewhere, else the lifecycle
+        # proved nothing — redden the row rather than pass vacuously
+        if {t[1:] for t in pre} == {t[1:] for t in post}:
+            raise RuntimeError("append_ivf changed no top-k answer")
+        return spark.createDataFrame(
+            pre + post,
+            "phase string, query_id long, cand_id long, rank int, cosine double",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_sim_label_centroids(spark, sf_dir):
     """Per-label centroid norms + sizes — the clustering-summary aggregate
     (decimal accumulation per dimension would be 64 columns; instead this
@@ -1592,6 +1654,64 @@ ORACLES = {
     )
     SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
     FROM final WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
+    # persistent-index lifecycle: raw-seed quantizer over the base split,
+    # frozen-quantizer assignment for the appended split, nprobe probes,
+    # exact re-score — phase 'pre' = base-only lists, 'post' = after append
+    "sim_ann_persistent": _EMB_NORM_SQL
+    + f"""
+    , base AS (SELECT * FROM emb WHERE vec_id % 5 <> 3),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cent_id,
+             embedding AS ct_emb, norm AS ct_norm
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)
+    ),
+    asg AS (  -- one assignment rule for build AND append (frozen quantizer)
+      SELECT vec_id, cent_id,
+             CASE WHEN vec_id % 5 = 3 THEN 'post' ELSE 'both' END AS member
+      FROM (
+        SELECT e.vec_id, c.cent_id, e.vec_id % 5 AS m5,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_DOT_SQL.format(a="e.embedding", b="c.ct_emb")}
+                          / (e.norm * c.ct_norm) DESC, c.cent_id ASC) AS rn
+        FROM emb e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT q.vec_id AS query_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_DOT_SQL.format(a="q.embedding", b="c.ct_emb")}
+                          / (q.norm * c.ct_norm) DESC, c.cent_id ASC) AS rn
+        FROM emb q CROSS JOIN cent c WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {N_PROBE}
+    ),
+    phases AS (SELECT 'pre' AS phase UNION ALL SELECT 'post'),
+    cands AS (
+      SELECT DISTINCT ph.phase, p.query_id, a.vec_id AS cand_id
+      FROM phases ph
+      JOIN probes p ON TRUE
+      JOIN asg a ON a.cent_id = p.cent_id
+      WHERE a.vec_id <> p.query_id
+        AND (a.member = 'both' OR ph.phase = 'post')
+    ),
+    scored AS (
+      SELECT cd.phase, cd.query_id, cd.cand_id,
+             {_DOT_SQL.format(a="q.embedding", b="x.embedding")} / (q.norm * x.norm) AS cos
+      FROM cands cd
+      JOIN emb q ON q.vec_id = cd.query_id
+      JOIN emb x ON x.vec_id = cd.cand_id
+    ),
+    final AS (
+      SELECT phase, query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY phase, query_id
+                                ORDER BY cos DESC, cand_id ASC) AS rank
+      FROM scored
+    )
+    SELECT phase, query_id, cand_id, CAST(rank AS INT) AS rank,
+           round(cos, 6) AS cosine
+    FROM final WHERE rank <= {TOP_K} ORDER BY phase, query_id, rank""",
     "sim_label_centroids": _EMB_NORM_SQL
     + """
     SELECT label, count(*) AS n_vectors,
@@ -1608,6 +1728,7 @@ QUERIES = {
     "sim_ann_ivf_kmeans": q_sim_ann_ivf_kmeans,
     "sim_ann_pq": q_sim_ann_pq,
     "sim_ann_ivfpq": q_sim_ann_ivfpq,
+    "sim_ann_persistent": q_sim_ann_persistent,
     "sim_label_centroids": q_sim_label_centroids,
     "dedup_semantic": q_dedup_semantic,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
