@@ -74,8 +74,10 @@ HEADLINE = [
     "kv_merge_operator",
     "kv_column_families",
     "dedup_semantic",
-    # added round 11 (real WAV/PPM/BMP encode+decode round trip)
+    # added round 11 (real WAV/PPM/BMP/PNG encode+decode round trip;
+    # persistent IVF index build/query/append/re-query lifecycle)
     "multimodal_decode",
+    "sim_ann_persistent",
 ]
 
 
