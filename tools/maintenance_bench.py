@@ -79,6 +79,7 @@ def run(spark, sf_dir: str = SF_DIR) -> dict:
         timings["post_compact_full_scan"] = round(time.perf_counter() - t0, 3)
 
         deep = _deep_compaction(spark, d, li)
+        store.close()  # release the directory-lock share (hygiene)
 
         return {
             "metric": "kv_maintenance_wall_clock",
@@ -152,6 +153,7 @@ def _deep_compaction(spark, d: str, li) -> dict:
         target_segments=1,
     )
     info = store.info()
+    store.close()
     out = {
         "wall_clock": round(time.perf_counter() - t_all, 3),
         "phases": timings,
