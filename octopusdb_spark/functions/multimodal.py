@@ -144,6 +144,8 @@ def decode_png(payload: bytes) -> dict:
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={ctyp}, interlace={inter})"
                 )
+            if w <= 0 or h <= 0:  # same rule as PPM/BMP — no empty images
+                raise ValueError(f"invalid PNG dimensions ({w}x{h})")
             ch = 3 if ctyp == 2 else 4
         elif ctype == b"IDAT":
             idat += body
@@ -152,9 +154,14 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + clen  # len + type + body + crc
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # BOUNDED inflate: the expected scanline size is known from IHDR, so a
+    # zip-bomb IDAT (KBs inflating to GBs) is cut off at expected+1 bytes
+    # and rejected instead of materializing in executor memory
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or (dec.unconsumed_tail or not dec.eof):
         raise ValueError("PNG scanline data size mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters, data = arr[:, 0], arr[:, 1:].astype(np.int64)
@@ -343,12 +350,17 @@ _MAGIC_DECODERS = (
 def decode_media(payload: bytes) -> dict | None:
     """Dispatch on the container magic; None when no real decoder applies
     (unknown magic OR a recognized-but-malformed container — the row falls
-    back to stub features rather than failing the batch)."""
+    back to stub features rather than failing the batch). The catch list
+    covers every parse-failure class the decoders raise: ValueError
+    (header/dimension/size checks), struct.error (truncated fixed
+    fields), zlib.error (corrupt PNG DEFLATE stream)."""
+    import zlib
+
     for sniff, dec in _MAGIC_DECODERS:
         if sniff(payload):
             try:
                 return dec(payload)
-            except (ValueError, struct.error):
+            except (ValueError, struct.error, zlib.error):
                 return None
     return None
 

@@ -286,31 +286,51 @@ class KVStore:
         TODO, `kv/db.go:43`): stamp a pid lock file at open; raise
         ``StoreLockedError`` if a DIFFERENT live process holds it; take
         over a dead owner's stale lock. Same-process handles share the
-        lock refcounted — the repo's single-writer discipline is
+        lock refcounted (keyed by the REAL path, so path spellings can't
+        split the count) — the repo's single-writer discipline is
         per-process, and Manifest.commit's flock already serializes any
-        racing commit inside it."""
+        racing commit inside it.
+
+        Cross-process atomicity: the stamp is created O_CREAT|O_EXCL, so
+        two openers racing for a missing/stale lock can't both win — the
+        EXCL loser re-reads the file, sees a LIVE foreign owner, and
+        raises; a stale owner is unlinked and the acquisition retried."""
         path = self._dir_lock_path()
         my_pid = os.getpid()
+        key = os.path.realpath(self.root)
         with _DIR_LOCK_MU:
-            if os.path.exists(path):
-                owner = None
+            for _ in range(8):
                 try:
-                    with open(path) as f:
-                        owner = int(json.loads(f.read()).get("pid"))
-                except (ValueError, TypeError, OSError, json.JSONDecodeError):
-                    owner = None  # unparseable = stale; take over
-                if owner is not None and owner != my_pid and _pid_alive(owner):
-                    raise StoreLockedError(
-                        f"store {self.root!r} is locked by live process "
-                        f"{owner} (lock file {path}); close that handle "
-                        "first — single-writer discipline is enforced at "
-                        "open, not just at commit"
-                    )
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"pid": my_pid, "opened_at": int(time.time())}, f)
-            os.replace(tmp, path)
-            _DIR_LOCK_REFS[self.root] = _DIR_LOCK_REFS.get(self.root, 0) + 1
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+                    with os.fdopen(fd, "w") as f:
+                        json.dump({"pid": my_pid, "opened_at": int(time.time())}, f)
+                    break
+                except FileExistsError:
+                    owner = None
+                    try:
+                        with open(path) as f:
+                            owner = int(json.loads(f.read()).get("pid"))
+                    except (ValueError, TypeError, OSError, json.JSONDecodeError):
+                        owner = None  # unparseable = stale; take over
+                    if owner == my_pid:
+                        break  # our own stamp (another same-process handle)
+                    if owner is not None and _pid_alive(owner):
+                        raise StoreLockedError(
+                            f"store {self.root!r} is locked by live process "
+                            f"{owner} (lock file {path}); close that handle "
+                            "first — single-writer discipline is enforced at "
+                            "open, not just at commit"
+                        )
+                    try:  # stale/dead owner: clear and retry the EXCL create
+                        os.unlink(path)
+                    except FileNotFoundError:
+                        pass
+            else:
+                raise StoreLockedError(
+                    f"could not acquire the directory lock for {self.root!r} "
+                    "(persistent contention on the lock file)"
+                )
+            _DIR_LOCK_REFS[key] = _DIR_LOCK_REFS.get(key, 0) + 1
             self._holds_dir_lock = True
 
     def close(self) -> None:
@@ -321,11 +341,12 @@ class KVStore:
             if not getattr(self, "_holds_dir_lock", False):
                 return
             self._holds_dir_lock = False
-            n = _DIR_LOCK_REFS.get(self.root, 0) - 1
+            key = os.path.realpath(self.root)
+            n = _DIR_LOCK_REFS.get(key, 0) - 1
             if n > 0:
-                _DIR_LOCK_REFS[self.root] = n
+                _DIR_LOCK_REFS[key] = n
                 return
-            _DIR_LOCK_REFS.pop(self.root, None)
+            _DIR_LOCK_REFS.pop(key, None)
             path = self._dir_lock_path()
             try:
                 with open(path) as f:
@@ -2690,20 +2711,38 @@ class KVStore:
             merge_flag = True if survivors else False
         # column_families_ever flag maintenance (the same verifying-probe
         # contract as has_merge_operands): with the catalog empty, the
-        # full rewrite can verify no reserved-prefix rows survive. Zero
-        # extra jobs — \x02 sorts below every user key, so the freshly
-        # recorded global min_key already answers it.
+        # full rewrite can verify no reserved-prefix rows survive. The
+        # manifest interval check is free but only SUFFICIENT for clearing
+        # when no output segment's [min,max] intersects the reserved range
+        # [\x02, \x03) — a global-min shortcut would be unsound, since
+        # default-namespace keys may legally sort BELOW \x02 (\x00/\x01
+        # leading bytes). When some segment does intersect (e.g. a held
+        # snapshot retained dropped-CF rows through the rewrite), one
+        # filter+isEmpty probe over the fresh output decides exactly.
         cfs_ever_flag = None
         if bool(getattr(state, "column_families_ever", False)) and not (
             state.column_families or {}
         ):
-            resv = (
-                CF_RESERVED.encode("ascii").hex()
-                if self.key_type == "binary"
-                else CF_RESERVED
-            )
-            mins = [s.min_key for s in new_segs if s.min_key is not None]
-            cfs_ever_flag = bool(mins) and min(mins).startswith(resv)
+            if self.key_type == "binary":
+                resv_lo, resv_hi = b"\x02".hex(), b"\x03".hex()
+                resv_pred = F.expr("substring(key, 1, 1)") == F.lit(
+                    CF_RESERVED.encode("ascii")
+                )
+            else:
+                resv_lo, resv_hi = CF_RESERVED, "\x03"
+                resv_pred = F.col("key").startswith(CF_RESERVED)
+            overlapping = [
+                s
+                for s in new_segs
+                if s.min_key is None
+                or s.max_key is None
+                or not (s.max_key < resv_lo or s.min_key >= resv_hi)
+            ]
+            if not overlapping:
+                cfs_ever_flag = False
+            else:
+                survivors = not self.raw_df(overlapping).filter(resv_pred).isEmpty()
+                cfs_ever_flag = True if survivors else False
         self.manifest.commit(
             ManifestState(
                 version=state.version,

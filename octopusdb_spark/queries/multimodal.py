@@ -107,9 +107,16 @@ def q_multimodal_decode(spark, sf_dir):
         extract_features,
     )
 
+    # byte-length guard, mirrored EXACTLY in the oracle's WHERE clause:
+    # < 48 bytes would make the image heights zero (the encoders reject
+    # that), and the oracle's byte-index range is finite — the guard keeps
+    # both engines on the same doc set under any testdata regeneration
     docs = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 60)
+        .filter(
+            (F.col("doc_id") < 60)
+            & F.octet_length(F.col("text")).between(48, 599)
+        )
         .select("doc_id", "text")
     )
 
@@ -165,7 +172,8 @@ ORACLES = {
     "multimodal_decode": """
     WITH src AS (
       SELECT doc_id, text, octet_length(encode(text)) AS n
-      FROM documents WHERE doc_id < 60
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
     ),
     b AS (
       SELECT s.doc_id, s.n, t.i,

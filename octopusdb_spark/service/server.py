@@ -140,8 +140,12 @@ class KVService:
             return True
         with self._stats_lock:
             now = time.monotonic()
+            # burst capacity floors at one whole token: a fractional
+            # rate_limit (< 1 req/s) must still accumulate to a full token
+            # over 1/rate seconds — capping at rate_limit alone would
+            # starve such configs forever
             self._bucket = min(
-                self._rate_limit,
+                max(self._rate_limit, 1.0),
                 self._bucket + (now - self._bucket_ts) * self._rate_limit,
             )
             self._bucket_ts = now

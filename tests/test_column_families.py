@@ -542,3 +542,48 @@ def test_apply_changes_fencing_is_atomic_with_commit(spark, tmp_path):
         )
     # nothing landed on the replica beyond the bootstrap clone
     assert _live(replica) == {"k1": b"v1", "k2": b"v2"}
+
+
+def test_cf_flag_survives_hold_and_sub_reserved_keys(spark, tmp_path):
+    """Review r11 finding: the ever-flag clearing probe must stay correct
+    when (a) default keys sort BELOW \\x02 (binary \\x00/\\x01 leads are
+    legal) and (b) a held snapshot retains dropped-CF rows through the
+    full compaction — the flag must stay SET until the rows are really
+    gone, else the held as_of read leaks raw \\x02 rows."""
+    s = KVStore(spark, str(tmp_path / "kv"), key_type="binary")
+    s.set(Entry(b"\x00low", b"sorts-below-reserved"))
+    s.set(Entry(b"zz", b"high"))
+    cfh = s.create_cf("fam")
+    cfh.set_batch([Entry(b"a", b"1")])
+    snap = s.snapshot_seq()
+    s.hold_snapshot("reader", snap)
+    s.drop_cf("fam")
+    s.compact(now=NOW)  # hold retains the dropped rows -> flag must stay
+    assert bool(s.manifest.state.column_families_ever)
+    keys = {bytes(r["key"]) for r in s.view(now=NOW, as_of=snap).collect()}
+    assert keys == {b"\x00low", b"zz"}  # no \x02 leak into the default ns
+    # release the hold: now the verifying compact may really clear it
+    s.release_snapshot("reader")
+    s.compact(now=NOW)
+    assert not bool(s.manifest.state.column_families_ever)
+    assert {bytes(r["key"]) for r in s.view(now=NOW).collect()} == {
+        b"\x00low",
+        b"zz",
+    }
+    s.close()
+
+
+def test_directory_lock_realpath_spellings_share_refcount(spark, tmp_path):
+    """Two same-process handles via different path spellings of ONE
+    directory share the refcount: closing one must not delete the live
+    lock out from under the other."""
+    import os as _os
+
+    root = str(tmp_path / "kv")
+    a = KVStore(spark, root)
+    b = KVStore(spark, root + _os.sep)  # trailing-slash spelling
+    lock = _os.path.join(root, "_manifest", "DBLOCK")
+    b.close()
+    assert _os.path.exists(lock)  # a still holds it
+    a.close()
+    assert not _os.path.exists(lock)
