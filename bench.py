@@ -75,9 +75,11 @@ HEADLINE = [
     "kv_column_families",
     "dedup_semantic",
     # added round 11 (real WAV/PPM/BMP/PNG encode+decode round trip;
-    # persistent IVF index build/query/append/re-query lifecycle)
+    # persistent IVF index build/query/append/re-query lifecycle; real Y4M
+    # video decode + per-frame sampling)
     "multimodal_decode",
     "sim_ann_persistent",
+    "multimodal_video_frames",
 ]
 
 

@@ -1,14 +1,18 @@
 """Multimodal decode / feature-extract pipeline plumbing.
 
 Images/audio/video ride through the engine as opaque ``binary`` columns with
-typed metadata. Three honest container formats are decoded FOR REAL in pure
+typed metadata. Five honest container formats are decoded FOR REAL in pure
 Python/NumPy (no codec libraries needed): WAV (RIFF PCM — header walk +
-int16 sample moments), PPM (P6 — header tokens + RGB pixel moments), and
-BMP (BITMAPINFOHEADER 24-bpp uncompressed — bottom-up padded rows + pixel
-moments). Compressed formats (PNG/JPEG/MP3/MP4...) still hit the clearly
-marked stub: entropy coding needs codec libraries this container lacks, so
-those payloads get deterministic byte-level fallback features instead —
-the boundary is explicit in the ``decoded`` output column.
+int sample moments), PPM (P6 — header tokens + RGB pixel moments), BMP
+(BITMAPINFOHEADER 24-bpp uncompressed — bottom-up padded rows + pixel
+moments), PNG (8-bit RGB/RGBA non-interlaced — std-lib zlib inflate + full
+five-filter scanline unfiltering), and Y4M (YUV4MPEG2 uncompressed video —
+header tokens + FRAME walk over raw planar frames, which also powers REAL
+per-frame sampling via ``sample_frame_features``). Codec-library formats
+(JPEG/MP3/MP4...) still hit the clearly marked stub: their entropy coding
+needs libraries this container lacks, so those payloads get deterministic
+byte-level fallback features instead — the boundary is explicit in the
+``decoded`` output column.
 
 Everything Spark-side is real and tested either way: schema contract, Arrow
 batch shape, ``mapInPandas`` partition-parallel processing, and the
@@ -48,7 +52,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feat_dim", T.IntegerType(), False),
         # real-decode outputs (r11): container recognized + parsed
         T.StructField("decoded", T.BooleanType(), False),
-        T.StructField("container", T.StringType(), True),  # wav|ppm|bmp
+        T.StructField("container", T.StringType(), True),  # wav|ppm|bmp|png|y4m
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_samples", T.LongType(), True),
@@ -339,11 +343,119 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+Y4M_SIG = b"YUV4MPEG2"
+
+
+def encode_y4m(
+    frames, width: int, height: int, fps_num: int = 25, fps_den: int = 1,
+    colorspace: str = "444",
+) -> bytes:
+    """YUV4MPEG2 stream from an iterable of raw planar frames. ``444``
+    frames are width*height*3 bytes (full Y, U, V planes); ``420`` frames
+    are width*height*3/2 (even dimensions required); ``mono`` frames are
+    width*height. Pure byte concatenation — the container has no entropy
+    coding at all, which is what makes it an honest no-codec video format."""
+    fsz = _y4m_frame_size(width, height, colorspace)
+    hdr = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n" % (
+        width, height, fps_num, fps_den, colorspace.encode("ascii"),
+    )
+    out = bytearray(hdr)
+    for f in frames:
+        f = bytes(f)
+        if len(f) != fsz:
+            raise ValueError(f"frame must be {fsz} bytes (C{colorspace} {width}x{height})")
+        out += b"FRAME\n" + f
+    return bytes(out)
+
+
+def _y4m_frame_size(width: int, height: int, colorspace: str) -> int:
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid Y4M dimensions ({width}x{height})")
+    if colorspace.startswith("444"):
+        return width * height * 3
+    if colorspace.startswith("420"):
+        if width % 2 or height % 2:
+            raise ValueError("4:2:0 chroma subsampling requires even dimensions")
+        return width * height + 2 * (width // 2) * (height // 2)
+    if colorspace == "mono":
+        return width * height
+    raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+
+
+def _y4m_parse(payload: bytes):
+    """Shared Y4M walk: parse the stream header, then yield each frame's
+    raw plane bytes. Returns ((w, h, fps_num, fps_den, channels), frames)
+    where ``frames`` is a generator — callers that only need the header
+    never materialize the stream."""
+    nl = payload.find(b"\n")
+    if not payload.startswith(Y4M_SIG) or nl < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    num, den, cs = 25, 1, "444"
+    for tok in payload[len(Y4M_SIG):nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            a, b = val.split(b":", 1)
+            num, den = int(a), int(b)
+        elif tag == b"C":
+            cs = val.decode("ascii", "replace")
+    if w is None or h is None:
+        raise ValueError("missing Y4M dimensions")
+    if num <= 0 or den <= 0:
+        raise ValueError(f"invalid Y4M frame rate {num}:{den}")
+    fsz = _y4m_frame_size(w, h, cs)
+    ch = 1 if cs == "mono" else 3
+
+    def frames():
+        pos = nl + 1
+        while pos < len(payload):
+            fnl = payload.find(b"\n", pos)
+            if payload[pos : pos + 5] != b"FRAME" or fnl < 0:
+                raise ValueError("bad Y4M FRAME marker")
+            data = payload[fnl + 1 : fnl + 1 + fsz]
+            if len(data) != fsz:
+                raise ValueError("truncated Y4M frame")
+            yield data
+            pos = fnl + 1 + fsz
+
+    return (w, h, num, den, ch), frames()
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """Parse YUV4MPEG2 FOR REAL: header tokens (W/H/F/C), then the FRAME
+    walk over raw planar data; exact integer plane-byte moments across the
+    whole stream. ``n_samples`` reports the frame count and ``sample_rate``
+    the integral fps (None for non-integral rates)."""
+    import numpy as np
+
+    (w, h, num, den, ch), frames = _y4m_parse(payload)
+    s1 = s2 = n = 0
+    n_frames = 0
+    for data in frames:
+        px = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        s1 += int(px.sum())
+        s2 += int((px * px).sum())
+        n += len(px)
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("Y4M stream with no frames")
+    return {
+        "container": "y4m", "width": w, "height": h,
+        "n_samples": n_frames, "sample_rate": num // den if num % den == 0 else None,
+        "channels": ch, "mean": s1 / n, "rms": (s2 / n) ** 0.5,
+    }
+
+
 _MAGIC_DECODERS = (
     (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", decode_wav),
     (lambda p: p[:2] == b"P6", decode_ppm),
     (lambda p: p[:2] == b"BM", decode_bmp),
     (lambda p: p[:8] == PNG_SIG, decode_png),
+    (lambda p: p[: len(Y4M_SIG)] == Y4M_SIG, decode_y4m),
 )
 
 
@@ -369,16 +481,16 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     """Partition-parallel feature extraction via mapInPandas: Arrow batches
     in, Arrow batches out — the canonical multimodal pipeline shape.
 
-    WAV/PPM/BMP payloads are decoded FOR REAL (sample/pixel moments,
-    dimensions, sample rate — ``decoded=True``); anything else gets the
-    deterministic byte-level stub features (``decoded=False``) that stand
-    in for codec-library formats. Decoders are module-level but the repo
+    WAV/PPM/BMP/PNG/Y4M payloads are decoded FOR REAL (sample/pixel/frame
+    moments, dimensions, sample/frame rate — ``decoded=True``); anything
+    else gets the deterministic byte-level stub features (``decoded=False``)
+    that stand in for codec-library formats. Decoders are module-level but the repo
     root rides executor PYTHONPATH in local mode; for cluster deploys ship
     the package (the stub-era nested-function trick no longer fits — three
     real parsers belong in the library surface, not a closure)."""
 
     def stub_features(payload: bytes, media_type: str) -> list:
-        """STUB for codec-library formats (PNG/JPEG/MP3/MP4...): entropy
+        """STUB for codec-library formats (JPEG/MP3/MP4...): their entropy
         coding needs libs this container lacks. Deterministic byte-level
         moments; replace with a real decoder when the libs exist."""
         if media_type not in ("image", "audio", "video"):
@@ -451,3 +563,62 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms")
     )
+
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_mean", T.DoubleType(), False),
+        T.StructField("frame_rms", T.DoubleType(), False),
+    ]
+)
+
+
+def sample_frame_features(media_df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling (r11): decode each Y4M payload
+    executor-side, keep every ``every_n``-th frame (idx 0, n, 2n, ...), and
+    emit exact integer-accumulated pixel moments per sampled frame. One
+    output row per sampled frame — the explode happens INSIDE the Arrow
+    batch, so the per-frame rows stream out without the whole video ever
+    becoming a single downstream row. ``frame_ts_ms`` is floor(idx * 1000 *
+    fps_den / fps_num), exact for the integral rates the encoders write.
+
+    Rows whose payload is not a decodable Y4M stream are skipped — the
+    metadata-only `frame_sample_plan` covers codec-library formats. At
+    100 TB this is the canonical shape: payload bytes stay in executor
+    Arrow batches, the driver never sees a frame."""
+    import numpy as np
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in FRAME_FEATURE_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    (_, _, num, den, _), frames = _y4m_parse(bytes(p))
+                    rows = []  # buffered so a torn frame mid-stream drops
+                    # the whole video rather than emit a partial timeline
+                    for idx, data in enumerate(frames):
+                        if idx % every_n:
+                            continue
+                        px = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                        n = len(px)
+                        rows.append(
+                            (
+                                int(mid), idx, idx * 1000 * den // num,
+                                int(px.sum()) / n,
+                                (int((px * px).sum()) / n) ** 0.5,
+                            )
+                        )
+                except (ValueError, struct.error):
+                    continue  # not a Y4M stream / malformed — skip the row
+                for r in rows:
+                    for col, v in zip(FRAME_FEATURE_SCHEMA.fieldNames(), r):
+                        out[col].append(v)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(batches, FRAME_FEATURE_SCHEMA)

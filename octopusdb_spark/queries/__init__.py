@@ -71,6 +71,10 @@ _PRIORITY = [
     # sim_ann_persistent's mid-round insert displaced the then-last fill
     # entry text_tokenize_udtf — r8-green, still within the 3-round bound
     # at r11 close; it LEADS the r12 window with the other deferrals)
+    # (second mid-round insert: multimodal_video_frames — REAL Y4M video
+    # frame sampling — displaced the then-last fill entry text_stats,
+    # r8-green, exactly at the 3-round bound at r11 close; it leads r12)
+    "multimodal_video_frames",
     "sim_ann_persistent",
     "multimodal_decode",
     "kv_remote_reads",
@@ -98,7 +102,7 @@ _PRIORITY = [
     "sim_ann_bucketed", "sim_label_centroids",
     "stream_lm_filter",
     "text_decontaminate", "text_dup_spans", "text_langid_ngram",
-    "text_lm_score", "text_shard_assignment", "text_stats",
+    "text_lm_score", "text_shard_assignment",
 ]
 
 

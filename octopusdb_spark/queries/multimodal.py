@@ -3,11 +3,12 @@ with typed metadata (driver mandate; no reference analog).
 
 The driver testdata has no binary columns, so the payloads are derived
 deterministically (utf-8 bytes of `documents.text`). Since r11 the decode
-step is REAL for three honest containers — WAV PCM, PPM, BMP are encoded
-from the text bytes and parsed back by the pure-Python decoders in
-`functions/multimodal.py` (`multimodal_decode` hash-checks the recovered
-sample/pixel moments against a DuckDB arithmetic oracle). Compressed
-formats stay behind the documented stub.
+step is REAL for five honest containers — WAV PCM, PPM, BMP, PNG, and Y4M
+video are encoded from the text bytes and parsed back by the pure-Python
+decoders in `functions/multimodal.py` (`multimodal_decode` hash-checks the
+recovered sample/pixel moments, `multimodal_video_frames` the per-sampled-
+frame moments and timestamps, against DuckDB arithmetic oracles).
+Codec-library formats stay behind the documented stub.
 """
 
 from __future__ import annotations
@@ -166,6 +167,70 @@ def q_multimodal_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_multimodal_video_frames(spark, sf_dir):
+    """REAL video decode + frame sampling under the gate (extends the r11
+    decode story to the video class): each document's text bytes are packed
+    into a YUV4MPEG2 stream — 4x4 C444 at 25 fps, so every 48 bytes become
+    one raw planar frame — then `sample_frame_features` PARSES the stream
+    back executor-side (header tokens, FRAME walk) and emits every 2nd
+    frame's exact integer-accumulated pixel moments with its timestamp
+    (idx * 40 ms at 25 fps). The oracle recomputes the same per-frame
+    moments from the text bytes arithmetically, so a decoder that misreads
+    the header, loses a FRAME marker, drifts a frame boundary, or
+    mis-times a sample hash-mismatches. Both encode and decode run
+    executor-side over Arrow batches (mapInPandas); the per-frame explode
+    happens INSIDE the batch — the 100 TB shape for video pipelines."""
+    from octopusdb_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_y4m,
+        sample_frame_features,
+    )
+
+    # same doc-set guard as multimodal_decode, mirrored in the oracle:
+    # >= 48 bytes guarantees at least one complete 4x4 C444 frame and the
+    # oracle's byte-index range is finite
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 60)
+            & F.octet_length(F.col("text")).between(48, 599)
+        )
+        .select("doc_id", "text")
+    )
+
+    def make_video(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                frames = [b[f * 48 : (f + 1) * 48] for f in range(len(b) // 48)]
+                rows["media_id"].append(int(did))
+                rows["media_type"].append("video")
+                rows["payload"].append(encode_y4m(frames, 4, 4, 25, 1))
+                rows["meta_width"].append(None)
+                rows["meta_height"].append(None)
+                rows["meta_duration_ms"].append(None)
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64")
+                    if k in ("meta_width", "meta_height", "meta_duration_ms")
+                    else v
+                    for k, v in rows.items()
+                }
+            )
+
+    frames = sample_frame_features(
+        docs.mapInPandas(make_video, MEDIA_SCHEMA), every_n=2
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.round("frame_mean", 6).alias("mean_r6"),
+        F.round("frame_rms", 6).alias("rms_r6"),
+    ).orderBy("media_id", "frame_idx")
+
+
 ORACLES = {
     # arithmetic replication of encode+decode: byte values via ascii() on
     # the (all-ASCII) text, exact integer sums, one double division + sqrt
@@ -217,6 +282,31 @@ ORACLES = {
            round(sqrt(s2 / CAST(need AS DOUBLE)), 6) AS rms_r6
     FROM imgstats
     ORDER BY media_id""",
+    # arithmetic replication of the Y4M encode + per-frame decode: frame f
+    # covers text bytes [f*48+1 .. f*48+48] (1-based), sampled frames are
+    # the even indices, ts = f * 40 ms at 25 fps — exact integer sums, one
+    # double division + sqrt per frame
+    "multimodal_video_frames": """
+    WITH src AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    b AS (
+      SELECT s.doc_id, s.n,
+             CAST((t.i - 1) // 48 AS INT) AS frame_idx,
+             ascii(substr(s.text, CAST(t.i AS INT), 1)) AS v
+      FROM src s CROSS JOIN range(1, 600) t(i)
+      WHERE t.i <= (s.n // 48) * 48
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(frame_idx * 40 AS BIGINT) AS frame_ts_ms,
+           round(sum(v) / 48.0, 6) AS mean_r6,
+           round(sqrt(sum(v * v) / 48.0), 6) AS rms_r6
+    FROM b
+    WHERE frame_idx % 2 = 0
+    GROUP BY doc_id, frame_idx
+    ORDER BY media_id, frame_idx""",
     "multimodal_frame_sample": """
         SELECT doc_id AS media_id,
                CAST((n_chars * 10) // 250 + 1 AS BIGINT) AS n_frames,
@@ -246,4 +336,5 @@ QUERIES = {
     "multimodal_chunking": q_multimodal_chunking,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_video_frames": q_multimodal_video_frames,
 }

@@ -128,7 +128,10 @@ class KVService:
         # limiter so health checks and diagnostics stay reachable.
         self._rate_limit = None if rate_limit is None else float(rate_limit)
         self._slow_ms = None if slow_query_ms is None else int(slow_query_ms)
-        self._bucket = self._rate_limit or 0.0
+        # the bucket starts FULL (capacity = max(rate, 1)), so a fractional
+        # rate_limit (< 1 req/s) serves its first request immediately
+        # instead of rejecting everything for the first 1/rate seconds
+        self._bucket = max(self._rate_limit, 1.0) if self._rate_limit else 0.0
         self._bucket_ts = time.monotonic()
         self._stats_lock = threading.Lock()
         self._n_requests = 0

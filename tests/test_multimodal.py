@@ -184,6 +184,115 @@ def test_extract_features_runs_as_a_stream(spark, tmp_path):
     assert by_id[1][6] == "wav" and by_id[2][6] == "png" and by_id[3][6] is None
 
 
+def test_y4m_round_trip(spark):
+    """Y4M video is decoded FOR REAL: whole-stream moments + frame count +
+    fps via extract_features, and per-frame moments with exact 40 ms
+    timestamps (25 fps) + every-Nth sampling via sample_frame_features."""
+    import math
+
+    from octopusdb_spark.functions.multimodal import (
+        encode_y4m,
+        sample_frame_features,
+    )
+
+    frames = [
+        bytes(((i * 7 + f * 31) % 256) for i in range(4 * 4 * 3)) for f in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(1, "video", encode_y4m(frames, 4, 4, 25, 1), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    feat = extract_features(df).collect()[0]
+    assert feat["decoded"] and feat["container"] == "y4m"
+    assert (feat["width"], feat["height"]) == (4, 4)
+    assert feat["n_samples"] == 5 and feat["sample_rate"] == 25
+    allb = b"".join(frames)
+    assert abs(feat["feat_mean"] - sum(allb) / len(allb)) < 1e-9
+
+    out = sorted(
+        sample_frame_features(df, every_n=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [(r["frame_idx"], r["frame_ts_ms"]) for r in out] == [
+        (0, 0), (2, 80), (4, 160),
+    ]
+    for r in out:
+        fb = frames[r["frame_idx"]]
+        assert abs(r["frame_mean"] - sum(fb) / len(fb)) < 1e-9
+        assert abs(
+            r["frame_rms"] - math.sqrt(sum(b * b for b in fb) / len(fb))
+        ) < 1e-6
+
+
+def test_y4m_colorspaces_and_malformed(spark):
+    """C420 (half-res chroma planes) and mono frame sizes parse; NTSC
+    30000:1001 reports no integral fps; a torn frame or a bad FRAME marker
+    falls back to the stub (extract_features) or drops the whole video
+    (sample_frame_features) without failing the batch."""
+    from octopusdb_spark.functions.multimodal import (
+        decode_media,
+        encode_y4m,
+        sample_frame_features,
+    )
+
+    f420 = bytes(range(4 * 4 + 2 * 2 * 2))  # Y 16 + U 4 + V 4
+    d = decode_media(encode_y4m([f420], 4, 4, 30, 1, colorspace="420"))
+    assert d["container"] == "y4m" and d["n_samples"] == 1 and d["sample_rate"] == 30
+    d = decode_media(encode_y4m([bytes(range(12))], 4, 3, 30000, 1001, colorspace="mono"))
+    assert d["channels"] == 1 and d["sample_rate"] is None
+
+    good = encode_y4m([bytes(48), bytes(range(48))], 4, 4)
+    torn = good[:-10]  # truncated second frame
+    bad_marker = good.replace(b"FRAME\n", b"FRAMX\n")
+    rows = [
+        (1, "video", good, None, None, None),
+        (2, "video", torn, None, None, None),
+        (3, "video", bad_marker, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert feats[1]["decoded"]
+    assert not feats[2]["decoded"] and not feats[3]["decoded"]
+    sampled = sample_frame_features(df).collect()
+    assert {r["media_id"] for r in sampled} == {1}
+    assert len(sampled) == 2  # every_n=1: both frames of the good video
+
+
+def test_png_zip_bomb_and_corrupt_deflate_fall_back(spark):
+    """A zip-bomb IDAT (KBs inflating far past the IHDR-derived scanline
+    size) is rejected by the bounded inflate, and a corrupt DEFLATE stream
+    (zlib.error) falls back to the stub — neither fails the batch."""
+    import struct
+    import zlib
+
+    from octopusdb_spark.functions.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_media,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # 2x2 RGB: 14 raw bytes
+    bomb = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + _png_chunk(b"IEND", b"")
+    )
+    corrupt = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"not-a-deflate-stream")
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_media(bomb) is None
+    assert decode_media(corrupt) is None
+    rows = [
+        (1, "image", bomb, None, None, None),
+        (2, "image", corrupt, None, None, None),
+    ]
+    out = extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert len(out) == 2 and all(not r["decoded"] for r in out)
+
+
 def test_codec_round_trip_property():
     """Property test (no Spark needed): random pixels/samples round-trip
     through every encoder/decoder pair with exact integer moments, across
@@ -197,6 +306,7 @@ def test_codec_round_trip_property():
         encode_png,
         encode_ppm,
         encode_wav,
+        encode_y4m,
     )
 
     @settings(max_examples=25, deadline=None)
@@ -219,5 +329,14 @@ def test_codec_round_trip_property():
         d = decode_media(encode_wav(samples, 8000))
         assert d["n_samples"] == len(samples)
         assert abs(d["mean"] - sum(samples) / len(samples)) < 1e-9
+        n_frames = 1 + seed % 4
+        frames = [
+            bytes(rng.randrange(256) for _ in range(w * h * 3))
+            for _ in range(n_frames)
+        ]
+        d = decode_media(encode_y4m(frames, w, h, 25, 1))
+        assert (d["width"], d["height"], d["n_samples"]) == (w, h, n_frames)
+        allb = b"".join(frames)
+        assert abs(d["mean"] - sum(allb) / len(allb)) < 1e-9
 
     check()

@@ -520,6 +520,25 @@ def test_service_rate_limit_and_slow_query_log(spark, tmp_path):
             assert st["slow_queries"] and len(st["slow_queries"]) <= 128
             assert {q["op"] for q in st["slow_queries"]} >= {"get"}
 
+    # fractional rate (< 1 req/s): the bucket starts FULL at its floored
+    # capacity of one token — the first request succeeds immediately, the
+    # second is limited, and tokens re-accumulate over 1/rate seconds
+    # (simulated by rewinding the bucket clock; no sleeps)
+    # 0.02/s = 50s per token: slow enough that two back-to-back requests
+    # can't straddle a real refill even on a loaded box
+    with KVService(store, now=NOW, rate_limit=0.02) as svc3:
+        with KVClient(*svc3.address) as c3:
+            c3.get("k1")  # served from the initially-full bucket
+            try:
+                c3.get("k1")
+                raise AssertionError("second request should be rate-limited")
+            except RuntimeError as e:
+                assert "RateLimited" in str(e)
+            svc3._bucket_ts -= 60.0  # 60s at 0.02/s accumulates one token
+            c3.get("k1")  # served again — fractional rates don't starve
+            st = c3.stats()
+            assert st["rate_limited"] == 1 and st["rate_limit"] == 0.02
+
     # unthrottled service records requests but never rate-limits
     with KVService(store, now=NOW) as svc2:
         with KVClient(*svc2.address) as c2:
