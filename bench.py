@@ -80,6 +80,7 @@ HEADLINE = [
     "multimodal_decode",
     "sim_ann_persistent",
     "multimodal_video_frames",
+    "source_warc_ingest",
 ]
 
 

@@ -71,9 +71,12 @@ _PRIORITY = [
     # sim_ann_persistent's mid-round insert displaced the then-last fill
     # entry text_tokenize_udtf — r8-green, still within the 3-round bound
     # at r11 close; it LEADS the r12 window with the other deferrals)
-    # (second mid-round insert: multimodal_video_frames — REAL Y4M video
-    # frame sampling — displaced the then-last fill entry text_stats,
-    # r8-green, exactly at the 3-round bound at r11 close; it leads r12)
+    # (second/third mid-round inserts: multimodal_video_frames — REAL Y4M
+    # video frame sampling — displaced the then-last fill entry text_stats;
+    # source_warc_ingest — WARC/.warc.gz crawl-archive source round trip —
+    # displaced text_shard_assignment; both displaced rows are r8-green,
+    # exactly at the 3-round bound at r11 close, and lead r12)
+    "source_warc_ingest",
     "multimodal_video_frames",
     "sim_ann_persistent",
     "multimodal_decode",
@@ -102,7 +105,7 @@ _PRIORITY = [
     "sim_ann_bucketed", "sim_label_centroids",
     "stream_lm_filter",
     "text_decontaminate", "text_dup_spans", "text_langid_ngram",
-    "text_lm_score", "text_shard_assignment",
+    "text_lm_score",
 ]
 
 

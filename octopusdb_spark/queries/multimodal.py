@@ -231,7 +231,70 @@ def q_multimodal_video_frames(spark, sf_dir):
     ).orderBy("media_id", "frame_idx")
 
 
+def q_source_warc_ingest(spark, sf_dir):
+    """WARC crawl-archive ingest round trip under the gate (Part-B source
+    surface, `sources/warc.py`): documents are packed into WARC/1.0
+    segments executor-side — 16 records per segment via applyInPandas, odd
+    segments written in the per-record-gzip .warc.gz layout crawl archives
+    ship — then `read_warc` parses the segments back in parallel
+    (mapInPandas record walk; gzip members chained with std-lib zlib) and
+    the checked output recovers each record's URI-embedded doc_id, its
+    Content-Length framing, and a content digest. A parser that drifts a
+    record boundary, mis-frames a body, drops a gzip member, or mangles
+    content bytes hash-mismatches. At 100 TB the segments come from
+    binaryFile (one crawl file per row) and this exact plan shape holds:
+    per-segment parallelism, per-record explode inside the Arrow batch."""
+    from octopusdb_spark.sources.warc import encode_warc, read_warc
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select(
+            "doc_id", "text", F.floor(F.col("doc_id") / 16).alias("segment")
+        )
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        seg = int(pdf["segment"].iloc[0])
+        recs = [
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": f"doc:{int(did)}",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                },
+                text.encode("utf-8"),
+            )
+            for did, text in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {
+                "source_id": [seg],
+                "payload": [encode_warc(recs, gzip_per_record=bool(seg % 2))],
+            }
+        )
+
+    blobs = docs.groupBy("segment").applyInPandas(
+        build, "source_id long, payload binary"
+    )
+    recs = read_warc(blobs)
+    return recs.select(
+        F.split(F.col("target_uri"), ":").getItem(1).cast("long").alias("doc_id"),
+        "warc_type",
+        F.length("content").cast("long").alias("content_len"),
+        F.md5("content").alias("digest"),
+    ).orderBy("doc_id")
+
+
 ORACLES = {
+    # the WARC framing is deterministic, so the oracle is the source rows
+    # themselves: URI-embedded id, byte length, content digest
+    "source_warc_ingest": """
+        SELECT doc_id, 'response' AS warc_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+               md5(text) AS digest
+        FROM documents WHERE doc_id < 120 ORDER BY doc_id""",
     # arithmetic replication of encode+decode: byte values via ascii() on
     # the (all-ASCII) text, exact integer sums, one double division + sqrt
     "multimodal_decode": """
@@ -337,4 +400,5 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_video_frames": q_multimodal_video_frames,
+    "source_warc_ingest": q_source_warc_ingest,
 }

@@ -1,3 +1,4 @@
 from octopusdb_spark.sources.io import read_table, write_table
+from octopusdb_spark.sources.warc import encode_warc, parse_warc, read_warc
 
-__all__ = ["read_table", "write_table"]
+__all__ = ["read_table", "write_table", "encode_warc", "parse_warc", "read_warc"]

@@ -1,0 +1,159 @@
+"""WARC source — the web-archive container (ISO 28500) that large crawl
+corpora (Common Crawl) actually ship, i.e. the canonical 100 TB input of an
+LLM pretraining pipeline.
+
+Pure std-lib implementation of both layouts:
+
+- plain ``.warc``: concatenated ``WARC/1.0`` records — a CRLF header block,
+  ``Content-Length``-framed body, and a blank-line record separator. The
+  framing is length-based, so bodies containing header-like bytes round-trip
+  exactly (no delimiter scanning inside content).
+- ``.warc.gz``: one gzip MEMBER per record, concatenated — the layout crawl
+  archives use so a reader can split work on member boundaries without
+  decompressing the whole file. Parsed with ``zlib.decompressobj(wbits=31)``
+  chained over ``unused_data`` (std-lib gzip framing, no codec libraries).
+
+``read_warc`` turns a DataFrame of WARC blobs into one row per record via
+``mapInPandas``: parsing runs executor-side over Arrow batches, one Python
+worker per core, zero driver involvement. At 100 TB the blobs come straight
+from ``binaryFile`` (see `sources/io.py::read_media_dir` for the on-ramp
+shape): one crawl segment file per row, segments parsed in parallel; the
+per-record explode happens INSIDE the batch, so a multi-GB segment streams
+out as records without ever becoming one downstream row.
+
+The reference speaks only its own on-disk formats (`kv/file/sstable.go`,
+`kv/file/wal.go`); this module is part of the Part-B source surface the
+driver mandate adds for training-data pipelines.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+CRLF = b"\r\n"
+_GZ_MAGIC = b"\x1f\x8b"
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("source_id", T.LongType(), False),
+        T.StructField("record_idx", T.IntegerType(), False),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def encode_warc_record(content: bytes, headers: dict | None = None) -> bytes:
+    """One WARC/1.0 record: named headers + Content-Length framing + the
+    blank-line record separator. Header insertion order is preserved;
+    Content-Length is always computed from ``content``."""
+    lines = [b"WARC/1.0"]
+    for k, v in (headers or {}).items():
+        if k.lower() == "content-length":
+            continue  # framing is ours to compute
+        lines.append(f"{k}: {v}".encode())
+    lines.append(b"Content-Length: %d" % len(content))
+    return CRLF.join(lines) + CRLF + CRLF + content + CRLF + CRLF
+
+
+def encode_warc(records, gzip_per_record: bool = False) -> bytes:
+    """Concatenate ``(headers, content)`` pairs into one WARC stream;
+    ``gzip_per_record=True`` writes the .warc.gz layout (each record its
+    own gzip member, the splittable crawl-archive convention)."""
+    import gzip
+
+    out = bytearray()
+    for headers, content in records:
+        rec = encode_warc_record(content, headers)
+        out += gzip.compress(rec, 6) if gzip_per_record else rec
+    return bytes(out)
+
+
+def _parse_plain(payload: bytes):
+    pos = 0
+    while pos < len(payload):
+        # tolerate inter-record padding (extra CRLFs)
+        while payload[pos : pos + 2] == CRLF:
+            pos += 2
+        if pos >= len(payload):
+            return
+        end = payload.find(CRLF + CRLF, pos)
+        if end < 0:
+            raise ValueError("truncated WARC header block")
+        head = payload[pos:end].split(CRLF)
+        if not head[0].startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line {head[0][:20]!r}")
+        headers: dict = {}
+        for line in head[1:]:
+            k, sep, v = line.partition(b": ")
+            if not sep:
+                raise ValueError(f"malformed WARC header line {line[:40]!r}")
+            headers[k.decode("ascii", "replace").lower()] = v.decode(
+                "utf-8", "replace"
+            )
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("missing/invalid Content-Length") from None
+        body_at = end + 4
+        content = payload[body_at : body_at + clen]
+        if len(content) != clen:
+            raise ValueError("truncated WARC record body")
+        yield headers, content
+        pos = body_at + clen
+
+
+def parse_warc(payload: bytes):
+    """Yield ``(headers, content)`` per record; headers are lower-cased
+    name -> value. Dispatches on the gzip magic: a .warc.gz stream is
+    decompressed member-by-member (``unused_data`` chaining), each member
+    holding its records. Malformed framing raises ValueError."""
+    if payload[:2] == _GZ_MAGIC:
+        rest = bytes(payload)
+        while rest:
+            dec = zlib.decompressobj(wbits=31)
+            try:
+                member = dec.decompress(rest)
+                member += dec.flush()
+            except zlib.error as e:
+                raise ValueError(f"corrupt gzip member: {e}") from None
+            if not dec.eof:
+                raise ValueError("truncated gzip member")
+            yield from _parse_plain(member)
+            rest = dec.unused_data
+    else:
+        yield from _parse_plain(payload)
+
+
+def read_warc(
+    blobs: DataFrame, id_col: str = "source_id", payload_col: str = "payload"
+) -> DataFrame:
+    """One row per WARC record from a DataFrame of WARC blobs (plain or
+    .warc.gz, sniffed per blob). Parsing is a stateless mapInPandas —
+    embarrassingly parallel, streams under Structured Streaming unchanged.
+    A malformed blob fails its task loudly (a crawl segment that doesn't
+    parse is an ingest error, not a row to silently drop)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in WARC_RECORD_SCHEMA.fields}
+            for sid, blob in zip(pdf[id_col], pdf[payload_col]):
+                for idx, (headers, content) in enumerate(parse_warc(bytes(blob))):
+                    out["source_id"].append(int(sid))
+                    out["record_idx"].append(idx)
+                    out["warc_type"].append(headers.get("warc-type"))
+                    out["target_uri"].append(headers.get("warc-target-uri"))
+                    out["warc_date"].append(headers.get("warc-date"))
+                    out["content"].append(content)
+            yield pd.DataFrame(out)
+
+    return blobs.select(id_col, payload_col).mapInPandas(
+        batches, WARC_RECORD_SCHEMA
+    )

@@ -124,3 +124,77 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_warc_round_trip_plain_and_gz():
+    """WARC/1.0 framing (no Spark needed): Content-Length framing means a
+    body containing header-like bytes (CRLF CRLF, 'WARC/1.0') round-trips
+    exactly; the .warc.gz layout (one gzip member per record) parses via
+    member chaining."""
+    from octopusdb_spark.sources.warc import encode_warc, parse_warc
+
+    tricky = b"body with \r\n\r\n and WARC/1.0\r\nContent-Length: 7\r\n inside"
+    recs = [
+        ({"WARC-Type": "response", "WARC-Target-URI": "doc:1"}, tricky),
+        ({"WARC-Type": "response", "WARC-Target-URI": "doc:2"}, b""),
+        ({"WARC-Type": "metadata", "WARC-Target-URI": "doc:3"}, bytes(range(256))),
+    ]
+    for gz in (False, True):
+        got = list(parse_warc(encode_warc(recs, gzip_per_record=gz)))
+        assert [h["warc-target-uri"] for h, _ in got] == ["doc:1", "doc:2", "doc:3"]
+        assert [c for _, c in got] == [tricky, b"", bytes(range(256))]
+        assert got[2][0]["warc-type"] == "metadata"
+
+
+def test_warc_malformed_raises():
+    """Truncated bodies/headers and corrupt gzip members raise ValueError —
+    a crawl segment that doesn't parse is an ingest error, never a silent
+    drop."""
+    import pytest
+
+    from octopusdb_spark.sources.warc import encode_warc, parse_warc
+
+    good = encode_warc([({"WARC-Type": "response"}, b"0123456789")])
+    with pytest.raises(ValueError, match="truncated WARC record body"):
+        list(parse_warc(good[:-14]))  # cut into the body
+    with pytest.raises(ValueError, match="bad WARC version line"):
+        list(parse_warc(b"HTTP/1.1 200 OK\r\n\r\n"))
+    with pytest.raises(ValueError, match="missing/invalid Content-Length"):
+        list(parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"))
+    gz = encode_warc([({"WARC-Type": "response"}, b"abc")], gzip_per_record=True)
+    with pytest.raises(ValueError, match="gzip member"):
+        list(parse_warc(gz[:-5]))  # truncated member
+
+
+def test_read_warc_spark_parallel(spark):
+    """read_warc explodes records executor-side: two blobs (one plain, one
+    .warc.gz) become one row per record with framing-derived columns."""
+    from octopusdb_spark.sources.warc import encode_warc, read_warc
+
+    def seg(ids, gz):
+        return encode_warc(
+            [
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": f"doc:{i}",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                    },
+                    f"content-{i}".encode(),
+                )
+                for i in ids
+            ],
+            gzip_per_record=gz,
+        )
+
+    blobs = spark.createDataFrame(
+        [(0, seg([1, 2], False)), (1, seg([3], True))],
+        "source_id long, payload binary",
+    )
+    rows = sorted(read_warc(blobs).collect(), key=lambda r: r["target_uri"])
+    assert [r["target_uri"] for r in rows] == ["doc:1", "doc:2", "doc:3"]
+    assert [bytes(r["content"]) for r in rows] == [
+        b"content-1", b"content-2", b"content-3",
+    ]
+    assert [r["record_idx"] for r in rows] == [0, 1, 0]
+    assert all(r["warc_date"] == "2026-01-01T00:00:00Z" for r in rows)
