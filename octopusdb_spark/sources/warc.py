@@ -132,18 +132,61 @@ def parse_warc(payload: bytes):
         yield from _parse_plain(payload)
 
 
+HTTP_RECORD_SCHEMA = T.StructType(
+    list(WARC_RECORD_SCHEMA.fields)
+    + [
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("http_content_type", T.StringType(), True),
+        T.StructField("http_body", T.BinaryType(), True),
+    ]
+)
+
+
+def parse_http_response(content: bytes):
+    """Split a WARC response record's HTTP payload into (status, headers,
+    body) — crawl archives store the raw HTTP exchange, so extracting the
+    document body is the stage right after record parsing. Headers are
+    lower-cased name -> value. Returns None when the content is not an
+    HTTP response message (e.g. a WET/metadata record's bare text)."""
+    if not content.startswith(b"HTTP/"):
+        return None
+    sep = content.find(CRLF + CRLF)
+    if sep < 0:
+        return None
+    head = content[:sep].split(CRLF)
+    parts = head[0].split(None, 2)
+    if len(parts) < 2 or not parts[1].isdigit():
+        return None
+    headers: dict = {}
+    for line in head[1:]:
+        k, s, v = line.partition(b":")
+        if s:
+            headers[k.strip().decode("ascii", "replace").lower()] = (
+                v.strip().decode("utf-8", "replace")
+            )
+    return int(parts[1]), headers, content[sep + 4 :]
+
+
 def read_warc(
-    blobs: DataFrame, id_col: str = "source_id", payload_col: str = "payload"
+    blobs: DataFrame,
+    id_col: str = "source_id",
+    payload_col: str = "payload",
+    http: bool = False,
 ) -> DataFrame:
     """One row per WARC record from a DataFrame of WARC blobs (plain or
     .warc.gz, sniffed per blob). Parsing is a stateless mapInPandas —
     embarrassingly parallel, streams under Structured Streaming unchanged.
     A malformed blob fails its task loudly (a crawl segment that doesn't
-    parse is an ingest error, not a row to silently drop)."""
+    parse is an ingest error, not a row to silently drop).
+
+    ``http=True`` additionally splits each record's HTTP response message
+    (status, Content-Type, body) into nullable columns — null where the
+    content isn't an HTTP message (the raw content column is always kept)."""
+    schema = HTTP_RECORD_SCHEMA if http else WARC_RECORD_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out: dict[str, list] = {f.name: [] for f in WARC_RECORD_SCHEMA.fields}
+            out: dict[str, list] = {f.name: [] for f in schema.fields}
             for sid, blob in zip(pdf[id_col], pdf[payload_col]):
                 for idx, (headers, content) in enumerate(parse_warc(bytes(blob))):
                     out["source_id"].append(int(sid))
@@ -152,8 +195,19 @@ def read_warc(
                     out["target_uri"].append(headers.get("warc-target-uri"))
                     out["warc_date"].append(headers.get("warc-date"))
                     out["content"].append(content)
+                    if http:
+                        resp = parse_http_response(content)
+                        if resp is None:
+                            out["http_status"].append(None)
+                            out["http_content_type"].append(None)
+                            out["http_body"].append(None)
+                        else:
+                            status, hh, body = resp
+                            out["http_status"].append(status)
+                            out["http_content_type"].append(hh.get("content-type"))
+                            out["http_body"].append(body)
+            if http:
+                out["http_status"] = pd.array(out["http_status"], dtype="Int32")
             yield pd.DataFrame(out)
 
-    return blobs.select(id_col, payload_col).mapInPandas(
-        batches, WARC_RECORD_SCHEMA
-    )
+    return blobs.select(id_col, payload_col).mapInPandas(batches, schema)

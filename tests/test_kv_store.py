@@ -279,6 +279,50 @@ def test_reopen_recovers_from_manifest(store, spark):
     assert reopened.manifest.state.next_seq == store.manifest.state.next_seq
 
 
+def test_reopen_after_torn_commit(store, spark):
+    """Crash-consistency: a writer that died MID-commit — next-version
+    snapshot written (even torn/garbage), CURRENT.tmp staged, but the
+    atomic CURRENT swap never executed — must be invisible on reopen
+    (reads serve the last committed version) and the leftover claim must
+    be reclaimed by the next commit instead of wedging the store."""
+    import json
+    import os
+
+    store.set_batch([Entry("durable", b"v1")])
+    store.close()
+
+    mdir = os.path.join(store.root, "_manifest")
+    with open(os.path.join(mdir, "CURRENT")) as f:
+        committed = int(f.read().strip())
+    # the dead writer's leftovers: a torn snapshot for version v+1 and a
+    # staged-but-never-swapped CURRENT.tmp pointing at it
+    with open(os.path.join(mdir, f"manifest-{committed + 1}.json"), "w") as f:
+        f.write('{"version": ')  # torn mid-json
+    with open(os.path.join(mdir, "CURRENT.tmp"), "w") as f:
+        f.write(str(committed + 1))
+
+    reopened = KVStore(spark, store.root)
+    try:
+        # reads serve the committed version; the torn claim is invisible
+        assert reopened.manifest.state.version == committed
+        assert reopened.get("durable", now=NOW).value == b"v1"
+        # the next commit reclaims the dead claimant's snapshot file
+        reopened.set_batch([Entry("after", b"v2")])
+        assert reopened.manifest.state.version == committed + 1
+        assert reopened.get("after", now=NOW).value == b"v2"
+        assert reopened.get("durable", now=NOW).value == b"v1"
+        with open(os.path.join(mdir, f"manifest-{committed + 1}.json")) as f:
+            assert json.load(f)["version"] == committed + 1  # real snapshot now
+        # and a fresh handle agrees end-to-end
+        third = KVStore(spark, store.root)
+        try:
+            assert third.get("after", now=NOW).value == b"v2"
+        finally:
+            third.close()
+    finally:
+        reopened.close()
+
+
 def test_as_of_snapshot_reads(store):
     store.set_batch([Entry("a", b"v1"), Entry("b", b"b1")])
     snap = store.snapshot_seq()

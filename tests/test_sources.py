@@ -198,3 +198,34 @@ def test_read_warc_spark_parallel(spark):
     ]
     assert [r["record_idx"] for r in rows] == [0, 1, 0]
     assert all(r["warc_date"] == "2026-01-01T00:00:00Z" for r in rows)
+
+
+def test_read_warc_http_split(spark):
+    """http=True splits each record's HTTP response message into status /
+    Content-Type / body columns; non-HTTP content yields nulls while the
+    raw content column is always preserved."""
+    from octopusdb_spark.sources.warc import encode_warc, read_warc
+
+    body = b"<html>hi \r\n\r\n there</html>"
+    http_resp = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Server: x\r\n\r\n" + body
+    )
+    recs = [
+        ({"WARC-Type": "response", "WARC-Target-URI": "u:1"}, http_resp),
+        ({"WARC-Type": "conversion", "WARC-Target-URI": "u:2"}, b"bare wet text"),
+    ]
+    blobs = spark.createDataFrame(
+        [(0, encode_warc(recs, gzip_per_record=True))],
+        "source_id long, payload binary",
+    )
+    rows = {r["target_uri"]: r for r in read_warc(blobs, http=True).collect()}
+    r1 = rows["u:1"]
+    assert r1["http_status"] == 200
+    assert r1["http_content_type"] == "text/html; charset=utf-8"
+    assert bytes(r1["http_body"]) == body
+    assert bytes(r1["content"]) == http_resp  # raw content kept
+    r2 = rows["u:2"]
+    assert r2["http_status"] is None and r2["http_body"] is None
+    assert bytes(r2["content"]) == b"bare wet text"
