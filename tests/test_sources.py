@@ -229,3 +229,42 @@ def test_read_warc_http_split(spark):
     r2 = rows["u:2"]
     assert r2["http_status"] is None and r2["http_body"] is None
     assert bytes(r2["content"]) == b"bare wet text"
+
+
+def test_read_warc_runs_as_a_stream(spark, tmp_path):
+    """read_warc is a stateless mapInPandas, so the SAME operator runs
+    unchanged under Structured Streaming — the continuous crawl-ingest
+    shape. A bounded file stream of WARC segments explodes to the same
+    records the batch path produces."""
+    from octopusdb_spark.sources.warc import encode_warc, read_warc
+
+    def seg(ids, gz):
+        return encode_warc(
+            [
+                ({"WARC-Type": "response", "WARC-Target-URI": f"doc:{i}"},
+                 f"payload-{i}".encode())
+                for i in ids
+            ],
+            gzip_per_record=gz,
+        )
+
+    src = str(tmp_path / "warc_src")
+    spark.createDataFrame(
+        [(0, seg([1, 2], False)), (1, seg([3, 4], True))],
+        "source_id long, payload binary",
+    ).write.parquet(src)
+    batch_rows = sorted(map(tuple, read_warc(spark.read.parquet(src)).collect()))
+    stream = spark.readStream.schema("source_id long, payload binary").parquet(src)
+    q = (
+        read_warc(stream)
+        .writeStream.format("memory")
+        .queryName("warc_records")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(
+        map(tuple, spark.sql("select * from warc_records").collect())
+    )
+    assert stream_rows == batch_rows and len(stream_rows) == 4
