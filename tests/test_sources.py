@@ -268,3 +268,31 @@ def test_read_warc_runs_as_a_stream(spark, tmp_path):
         map(tuple, spark.sql("select * from warc_records").collect())
     )
     assert stream_rows == batch_rows and len(stream_rows) == 4
+
+
+def test_warc_round_trip_property():
+    """Property test (no Spark needed): arbitrary binary bodies — including
+    CRLF runs and header-like prefixes — round-trip through both layouts
+    because framing is length-based, never delimiter-scanned."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from octopusdb_spark.sources.warc import encode_warc, parse_warc
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        bodies=st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=6),
+        gz=st.booleans(),
+    )
+    def check(bodies, gz):
+        recs = [
+            ({"WARC-Type": "response", "WARC-Target-URI": f"u:{i}"}, b)
+            for i, b in enumerate(bodies)
+        ]
+        got = list(parse_warc(encode_warc(recs, gzip_per_record=gz)))
+        assert [c for _, c in got] == bodies
+        assert [h["warc-target-uri"] for h, _ in got] == [
+            f"u:{i}" for i in range(len(bodies))
+        ]
+
+    check()
