@@ -371,9 +371,11 @@ def encode_y4m(
 def _y4m_frame_size(width: int, height: int, colorspace: str) -> int:
     if width <= 0 or height <= 0:
         raise ValueError(f"invalid Y4M dimensions ({width}x{height})")
-    if colorspace.startswith("444"):
+    if colorspace == "444alpha":  # 4 full planes — NOT the 3-plane C444
+        return width * height * 4
+    if colorspace == "444":
         return width * height * 3
-    if colorspace.startswith("420"):
+    if colorspace.startswith("420"):  # 420jpeg/420mpeg2/420paldv: same size
         if width % 2 or height % 2:
             raise ValueError("4:2:0 chroma subsampling requires even dimensions")
         return width * height + 2 * (width // 2) * (height // 2)
@@ -408,7 +410,7 @@ def _y4m_parse(payload: bytes):
     if num <= 0 or den <= 0:
         raise ValueError(f"invalid Y4M frame rate {num}:{den}")
     fsz = _y4m_frame_size(w, h, cs)
-    ch = 1 if cs == "mono" else 3
+    ch = 1 if cs == "mono" else (4 if cs == "444alpha" else 3)
 
     def frames():
         pos = nl + 1
@@ -486,7 +488,7 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     else gets the deterministic byte-level stub features (``decoded=False``)
     that stand in for codec-library formats. Decoders are module-level but the repo
     root rides executor PYTHONPATH in local mode; for cluster deploys ship
-    the package (the stub-era nested-function trick no longer fits — three
+    the package (the stub-era nested-function trick no longer fits — five
     real parsers belong in the library surface, not a closure)."""
 
     def stub_features(payload: bytes, media_type: str) -> list:

@@ -58,7 +58,13 @@ def encode_warc_record(content: bytes, headers: dict | None = None) -> bytes:
     for k, v in (headers or {}).items():
         if k.lower() == "content-length":
             continue  # framing is ours to compute
-        lines.append(f"{k}: {v}".encode())
+        line = f"{k}: {v}"
+        if "\r" in line or "\n" in line:
+            # an injected CRLF would silently split into bogus header
+            # lines (or terminate the block before the framing line) —
+            # reject loudly instead of corrupting the record
+            raise ValueError(f"CR/LF in WARC header {k!r}")
+        lines.append(line.encode())
     lines.append(b"Content-Length: %d" % len(content))
     return CRLF.join(lines) + CRLF + CRLF + content + CRLF + CRLF
 
@@ -72,7 +78,9 @@ def encode_warc(records, gzip_per_record: bool = False) -> bytes:
     out = bytearray()
     for headers, content in records:
         rec = encode_warc_record(content, headers)
-        out += gzip.compress(rec, 6) if gzip_per_record else rec
+        # mtime=0 keeps encoded bytes deterministic (stage retries and
+        # speculative duplicates must produce identical blobs)
+        out += gzip.compress(rec, 6, mtime=0) if gzip_per_record else rec
     return bytes(out)
 
 
@@ -92,11 +100,13 @@ def _parse_plain(payload: bytes):
             raise ValueError(f"bad WARC version line {head[0][:20]!r}")
         headers: dict = {}
         for line in head[1:]:
-            k, sep, v = line.partition(b": ")
+            # ISO 28500 grammar is name ':' [value] with OPTIONAL whitespace
+            # — 'Content-Length:1234' (no space) is a valid archive
+            k, sep, v = line.partition(b":")
             if not sep:
                 raise ValueError(f"malformed WARC header line {line[:40]!r}")
-            headers[k.decode("ascii", "replace").lower()] = v.decode(
-                "utf-8", "replace"
+            headers[k.strip().decode("ascii", "replace").lower()] = (
+                v.strip().decode("utf-8", "replace")
             )
         try:
             clen = int(headers["content-length"])
@@ -110,24 +120,33 @@ def _parse_plain(payload: bytes):
         pos = body_at + clen
 
 
+_GZ_CHUNK = 1 << 20
+
+
 def parse_warc(payload: bytes):
     """Yield ``(headers, content)`` per record; headers are lower-cased
     name -> value. Dispatches on the gzip magic: a .warc.gz stream is
-    decompressed member-by-member (``unused_data`` chaining), each member
-    holding its records. Malformed framing raises ValueError."""
+    decompressed member-by-member, feeding bounded chunks off a
+    memoryview (linear in segment size — a suffix-copy-per-member loop
+    would be quadratic over the ~1e5 members of a real crawl segment).
+    Malformed framing raises ValueError."""
     if payload[:2] == _GZ_MAGIC:
-        rest = bytes(payload)
-        while rest:
+        view = memoryview(payload)
+        pos = 0
+        while pos < len(view):
             dec = zlib.decompressobj(wbits=31)
+            member = bytearray()
             try:
-                member = dec.decompress(rest)
-                member += dec.flush()
+                while not dec.eof and pos < len(view):
+                    chunk = view[pos : pos + _GZ_CHUNK]
+                    pos += len(chunk)
+                    member += dec.decompress(chunk)
             except zlib.error as e:
                 raise ValueError(f"corrupt gzip member: {e}") from None
             if not dec.eof:
                 raise ValueError("truncated gzip member")
-            yield from _parse_plain(member)
-            rest = dec.unused_data
+            pos -= len(dec.unused_data)  # rewind to the next member's start
+            yield from _parse_plain(bytes(member))
     else:
         yield from _parse_plain(payload)
 
@@ -185,9 +204,12 @@ def read_warc(
     schema = HTTP_RECORD_SCHEMA if http else WARC_RECORD_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one output DataFrame PER BLOB: peak worker memory is bounded by
+        # one decompressed segment, not every segment in the Arrow batch —
+        # the property the module docstring promises for multi-GB segments
         for pdf in it:
-            out: dict[str, list] = {f.name: [] for f in schema.fields}
             for sid, blob in zip(pdf[id_col], pdf[payload_col]):
+                out: dict[str, list] = {f.name: [] for f in schema.fields}
                 for idx, (headers, content) in enumerate(parse_warc(bytes(blob))):
                     out["source_id"].append(int(sid))
                     out["record_idx"].append(idx)
@@ -206,8 +228,10 @@ def read_warc(
                             out["http_status"].append(status)
                             out["http_content_type"].append(hh.get("content-type"))
                             out["http_body"].append(body)
-            if http:
-                out["http_status"] = pd.array(out["http_status"], dtype="Int32")
-            yield pd.DataFrame(out)
+                if not out["source_id"]:
+                    continue  # empty segment: skip the empty Arrow batch
+                if http:
+                    out["http_status"] = pd.array(out["http_status"], dtype="Int32")
+                yield pd.DataFrame(out)
 
     return blobs.select(id_col, payload_col).mapInPandas(batches, schema)

@@ -340,3 +340,14 @@ def test_codec_round_trip_property():
         assert abs(d["mean"] - sum(allb) / len(allb)) < 1e-9
 
     check()
+
+
+def test_y4m_444alpha_frame_size():
+    """C444alpha is a FOUR-plane format (Y,U,V,A full-res) — review fix:
+    the 3-plane prefix match must not capture it."""
+    from octopusdb_spark.functions.multimodal import decode_media, encode_y4m
+
+    frame = bytes(range(4 * 3 * 4))  # 4x3, 4 planes
+    d = decode_media(encode_y4m([frame, frame], 4, 3, colorspace="444alpha"))
+    assert d is not None and d["channels"] == 4 and d["n_samples"] == 2
+    assert abs(d["mean"] - sum(frame) / len(frame)) < 1e-9

@@ -296,3 +296,37 @@ def test_warc_round_trip_property():
         ]
 
     check()
+
+
+def test_warc_review_hardening():
+    """Review fixes pinned: spec-valid 'Name:value' headers (no space)
+    parse; CR/LF injection into header values is rejected at encode time;
+    .warc.gz bytes are deterministic (mtime=0); a many-member stream
+    parses through the bounded-chunk member walk."""
+    import pytest
+
+    from octopusdb_spark.sources.warc import (
+        encode_warc,
+        encode_warc_record,
+        parse_warc,
+    )
+
+    # ISO 28500 allows optional whitespace around the header value
+    raw = (
+        b"WARC/1.0\r\nWARC-Type:response\r\nContent-Length:5\r\n\r\n"
+        b"01234\r\n\r\n"
+    )
+    ((h, c),) = list(parse_warc(raw))
+    assert h["warc-type"] == "response" and c == b"01234"
+
+    with pytest.raises(ValueError, match="CR/LF in WARC header"):
+        encode_warc_record(b"x", {"WARC-Target-URI": "a\r\nX: y"})
+
+    recs = [({"WARC-Type": "response"}, b"same bytes")]
+    assert encode_warc(recs, gzip_per_record=True) == encode_warc(
+        recs, gzip_per_record=True
+    )
+
+    many = [({"WARC-Target-URI": f"u:{i}"}, f"b{i}".encode()) for i in range(1000)]
+    got = list(parse_warc(encode_warc(many, gzip_per_record=True)))
+    assert len(got) == 1000 and got[999][1] == b"b999"
