@@ -71,11 +71,14 @@ _PRIORITY = [
     # sim_ann_persistent's mid-round insert displaced the then-last fill
     # entry text_tokenize_udtf — r8-green, still within the 3-round bound
     # at r11 close; it LEADS the r12 window with the other deferrals)
-    # (second/third mid-round inserts: multimodal_video_frames — REAL Y4M
-    # video frame sampling — displaced the then-last fill entry text_stats;
-    # source_warc_ingest — WARC/.warc.gz crawl-archive source round trip —
-    # displaced text_shard_assignment; both displaced rows are r8-green,
-    # exactly at the 3-round bound at r11 close, and lead r12)
+    # (mid-round inserts, newest first, each displacing the then-last fill
+    # entry per protocol: stream_warc_ingest — the WARC parse as a real
+    # bounded stream — displaced text_lm_score; source_warc_ingest —
+    # WARC/.warc.gz crawl-archive source round trip — displaced
+    # text_shard_assignment; multimodal_video_frames — REAL Y4M video
+    # frame sampling — displaced text_stats. All displaced rows are
+    # r8-green, exactly at the 3-round bound at r11 close, and lead r12)
+    "stream_warc_ingest",
     "source_warc_ingest",
     "multimodal_video_frames",
     "sim_ann_persistent",
@@ -105,7 +108,6 @@ _PRIORITY = [
     "sim_ann_bucketed", "sim_label_centroids",
     "stream_lm_filter",
     "text_decontaminate", "text_dup_spans", "text_langid_ngram",
-    "text_lm_score",
 ]
 
 

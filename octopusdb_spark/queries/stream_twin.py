@@ -790,6 +790,89 @@ def _stream_dedup_ingest_sql() -> str:
     )
 
 
+def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous crawl ingest — the WARC source (`sources/warc.py`) run
+    as a REAL bounded stream under the gate: documents are packed into
+    WARC segments in batch (16 records each, odd segments in the
+    per-record-gzip .warc.gz layout — the same builder as the batch row
+    `source_warc_ingest`), the segment files arrive as a file stream, and
+    `read_warc` — a stateless mapInPandas, the SAME operator as batch —
+    explodes each arriving segment into records whose URI-embedded ids,
+    Content-Length framing, and content digests the oracle hash-checks.
+    No state store, no watermark: parsing is per-segment pure, so
+    stream ingest and batch ingest agree row-for-row by construction.
+
+    100 TB shape: the production pipeline tails a crawl bucket with this
+    exact plan — file-arrival parallelism across segments, per-record
+    explode inside the Arrow batch, one output row per record."""
+    from octopusdb_spark.sources.warc import encode_warc, read_warc
+
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_warc_{run_id}_")
+    try:
+        docs = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 120)
+            .select(
+                "doc_id", "text", F.floor(F.col("doc_id") / 16).alias("segment")
+            )
+        )
+
+        def build(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values("doc_id")
+            seg = int(pdf["segment"].iloc[0])
+            recs = [
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": f"doc:{int(did)}",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                    },
+                    text.encode("utf-8"),
+                )
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            return pd.DataFrame(
+                {
+                    "source_id": [seg],
+                    "payload": [encode_warc(recs, gzip_per_record=bool(seg % 2))],
+                }
+            )
+
+        src = f"{base}/src"
+        docs.groupBy("segment").applyInPandas(
+            build, "source_id long, payload binary"
+        ).write.parquet(src)
+        stream = spark.readStream.schema("source_id long, payload binary").parquet(
+            src
+        )
+        records = read_warc(stream).select(
+            F.split(F.col("target_uri"), ":").getItem(1).cast("long").alias("doc_id"),
+            "warc_type",
+            F.length("content").cast("long").alias("content_len"),
+            F.md5("content").alias("digest"),
+        )
+        name = f"stream_warc_{run_id}"
+        q = (
+            records.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_bounded(q)
+        rows = spark.table(name).orderBy("doc_id").collect()
+        result = spark.createDataFrame(
+            rows, "doc_id long, warc_type string, content_len long, digest string"
+        )
+        spark.catalog.dropTempView(name)
+        return result
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_kv_stream_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous replication run FOR REAL — streaming ingest into a
     primary with per-batch CDC shipping to a replica
@@ -871,6 +954,13 @@ def q_kv_stream_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    # identical to the batch row source_warc_ingest: the stream twin runs
+    # the SAME parser over the SAME segments, so the oracle is shared
+    "stream_warc_ingest": """
+        SELECT doc_id, 'response' AS warc_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+               md5(text) AS digest
+        FROM documents WHERE doc_id < 120 ORDER BY doc_id""",
     "stream_lm_filter": """
         WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents),
         ex AS (
@@ -969,6 +1059,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "stream_warc_ingest": q_stream_warc_ingest,
     "stream_lm_filter": q_stream_lm_filter,
     "kv_stream_replication": q_kv_stream_replication,
     "stream_dedup_ingest": q_stream_dedup_ingest,
