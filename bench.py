@@ -81,6 +81,7 @@ HEADLINE = [
     "sim_ann_persistent",
     "multimodal_video_frames",
     "source_warc_ingest",
+    "multimodal_resize",
 ]
 
 

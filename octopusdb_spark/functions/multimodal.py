@@ -123,13 +123,9 @@ def encode_png(pixels: bytes, width: int, height: int) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> dict:
-    """Parse 8-bit RGB/RGBA non-interlaced PNG FOR REAL: chunk walk, zlib
-    inflate, and full scanline unfiltering (all five filter types — None/
-    Sub/Up/Average/Paeth), then pixel moments. Entropy coding is zlib,
-    which the std lib ships — so unlike JPEG this needs no codec
-    library. Palette/interlaced/16-bit stay unsupported (ValueError →
-    stub fallback)."""
+def _png_pixels(payload: bytes) -> tuple:
+    """PNG chunk walk + bounded inflate + scanline unfilter ->
+    (width, height, channels, top-down pixel bytes)."""
     import zlib
 
     import numpy as np
@@ -196,13 +192,22 @@ def decode_png(payload: bytes) -> dict:
                     raise ValueError(f"unknown PNG filter {f}")
         out[r] = cur
         prev = cur
-    px = out.reshape(-1)
-    n = max(len(px), 1)
+    return int(w), int(h), ch, out.astype("uint8").tobytes()
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse 8-bit RGB/RGBA non-interlaced PNG FOR REAL: chunk walk, zlib
+    inflate, and full scanline unfiltering (all five filter types — None/
+    Sub/Up/Average/Paeth), then pixel moments. Entropy coding is zlib,
+    which the std lib ships — so unlike JPEG this needs no codec
+    library. Palette/interlaced/16-bit stay unsupported (ValueError →
+    stub fallback)."""
+    w, h, ch, pixels = _png_pixels(payload)
+    mean, rms = _pixel_stats(pixels)
     return {
-        "container": "png", "width": int(w), "height": int(h),
+        "container": "png", "width": w, "height": h,
         "n_samples": None, "sample_rate": None, "channels": ch,
-        "mean": int(px.sum()) / n,
-        "rms": (int((px * px).sum()) / n) ** 0.5,
+        "mean": mean, "rms": rms,
     }
 
 
@@ -283,9 +288,8 @@ def _pixel_stats(pixels: bytes) -> tuple:
     return int(px.sum()) / n, (int((px * px).sum()) / n) ** 0.5
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Parse binary PPM (P6): whitespace/comment-tolerant header tokens,
-    then width*height*3 RGB bytes."""
+def _ppm_pixels(payload: bytes) -> tuple:
+    """P6 header walk -> (width, height, RGB bytes)."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM")
     pos, tokens = 2, []
@@ -310,6 +314,13 @@ def decode_ppm(payload: bytes) -> dict:
     pixels = payload[pos : pos + need]
     if len(pixels) != need:
         raise ValueError("truncated PPM pixel data")
+    return w, h, pixels
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse binary PPM (P6): whitespace/comment-tolerant header tokens,
+    then width*height*3 RGB bytes."""
+    w, h, pixels = _ppm_pixels(payload)
     mean, rms = _pixel_stats(pixels)
     return {
         "container": "ppm", "width": w, "height": h, "n_samples": None,
@@ -317,9 +328,11 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """Parse uncompressed 24-bpp BMP: header fields, then bottom-up rows
-    with 4-byte stride padding stripped."""
+def _bmp_pixels(payload: bytes) -> tuple:
+    """BMP header walk -> (width, height, LOGICAL top-down RGB bytes with
+    stride padding stripped). Positive-height files store rows bottom-up,
+    so they are reversed here — moments are order-blind, but the resize
+    path needs logical row order for its index mapping to be meaningful."""
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("not a BMP")
     (off,) = struct.unpack_from("<I", payload, 10)
@@ -332,11 +345,19 @@ def decode_bmp(payload: bytes) -> dict:
     stride = (row + 3) // 4 * 4
     if off + stride * height > len(payload):
         raise ValueError("truncated BMP pixel data")
-    pixels = bytearray()
-    for r in range(height):
-        base = off + r * stride
-        pixels += payload[base : base + row]  # strip the stride padding
-    mean, rms = _pixel_stats(bytes(pixels))
+    file_rows = [
+        payload[off + r * stride : off + r * stride + row] for r in range(height)
+    ]
+    if h > 0:
+        file_rows.reverse()  # bottom-up on disk -> logical top-down
+    return w, height, b"".join(file_rows)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse uncompressed 24-bpp BMP: header fields, then bottom-up rows
+    with 4-byte stride padding stripped."""
+    w, height, pixels = _bmp_pixels(payload)
+    mean, rms = _pixel_stats(pixels)
     return {
         "container": "bmp", "width": w, "height": height, "n_samples": None,
         "sample_rate": None, "channels": 3, "mean": mean, "rms": rms,
@@ -386,9 +407,9 @@ def _y4m_frame_size(width: int, height: int, colorspace: str) -> int:
 
 def _y4m_parse(payload: bytes):
     """Shared Y4M walk: parse the stream header, then yield each frame's
-    raw plane bytes. Returns ((w, h, fps_num, fps_den, channels), frames)
-    where ``frames`` is a generator — callers that only need the header
-    never materialize the stream."""
+    raw plane bytes. Returns ((w, h, fps_num, fps_den, channels,
+    colorspace), frames) where ``frames`` is a generator — callers that
+    only need the header never materialize the stream."""
     nl = payload.find(b"\n")
     if not payload.startswith(Y4M_SIG) or nl < 0:
         raise ValueError("not a YUV4MPEG2 stream")
@@ -424,7 +445,7 @@ def _y4m_parse(payload: bytes):
             yield data
             pos = fnl + 1 + fsz
 
-    return (w, h, num, den, ch), frames()
+    return (w, h, num, den, ch, cs), frames()
 
 
 def decode_y4m(payload: bytes) -> dict:
@@ -434,7 +455,7 @@ def decode_y4m(payload: bytes) -> dict:
     the integral fps (None for non-integral rates)."""
     import numpy as np
 
-    (w, h, num, den, ch), frames = _y4m_parse(payload)
+    (w, h, num, den, ch, _cs), frames = _y4m_parse(payload)
     s1 = s2 = n = 0
     n_frames = 0
     for data in frames:
@@ -545,12 +566,94 @@ def extract_features(media_df: DataFrame) -> DataFrame:
 
 
 def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: records the intended transform in metadata; payload
-    passes through untouched (no codec in container). The schema contract
-    and lazy-plan shape are the real, tested parts."""
+    """STUB resize for codec-library formats: records the intended
+    transform in metadata; payload passes through untouched. For the
+    decodable containers use ``resize_media`` — the REAL resample."""
     return media_df.withColumn("meta_width", F.lit(width)).withColumn(
         "meta_height", F.lit(height)
     )
+
+
+def _nn_resize(pixels: bytes, sw: int, sh: int, dw: int, dh: int, ch: int) -> bytes:
+    """Nearest-neighbor resample: destination pixel (r, c) copies source
+    pixel (r*sh//dh, c*sw//dw) — the floor index mapping, exactly
+    replicable in SQL for the oracle."""
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(sh, sw, ch)
+    ri = (np.arange(dh) * sh) // dh
+    ci = (np.arange(dw) * sw) // dw
+    return a[ri][:, ci, :].tobytes()
+
+
+def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize (r11 — replaces the stub for every decodable container):
+    PPM, 24-bpp BMP, and 8-bit RGB PNG payloads are decoded to pixels,
+    nearest-neighbor-resampled to width x height, and re-encoded into the
+    SAME container; C444 Y4M video is resampled frame by frame (each of
+    the three full-resolution planes independently) and re-encoded at its
+    original frame rate. RGBA PNG, other Y4M colorspaces, audio, and
+    codec-library formats pass through unchanged with the intended
+    transform recorded in metadata (the documented stub behavior).
+
+    Runs as a stateless mapInPandas over Arrow batches — per-task memory
+    is one batch of payloads plus one decoded image/frame; at 100 TB the
+    resample is embarrassingly parallel and streams under Structured
+    Streaming unchanged, exactly like ``extract_features``."""
+    if width < 1 or height < 1:
+        raise ValueError("resize target must be at least 1x1")
+
+    def _resize_one(p: bytes) -> bytes | None:
+        if p[:2] == b"P6":
+            sw, sh, px = _ppm_pixels(p)
+            return encode_ppm(_nn_resize(px, sw, sh, width, height, 3), width, height)
+        if p[:2] == b"BM":
+            sw, sh, px = _bmp_pixels(p)
+            return encode_bmp(_nn_resize(px, sw, sh, width, height, 3), width, height)
+        if p[:8] == PNG_SIG:
+            sw, sh, ch, px = _png_pixels(p)
+            if ch != 3:
+                return None  # RGBA: the encoder is RGB-only — pass through
+            return encode_png(_nn_resize(px, sw, sh, width, height, 3), width, height)
+        if p[: len(Y4M_SIG)] == Y4M_SIG:
+            (sw, sh, num, den, _, cs), frames = _y4m_parse(p)
+            if cs != "444":
+                return None  # subsampled chroma: plane dims differ — pass through
+            plane = sw * sh
+            out_frames = []
+            for f in frames:
+                out_frames.append(
+                    b"".join(
+                        _nn_resize(
+                            f[k * plane : (k + 1) * plane], sw, sh, width, height, 1
+                        )
+                        for k in range(3)
+                    )
+                )
+            if not out_frames:
+                return None
+            return encode_y4m(out_frames, width, height, num, den, "444")
+        return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            payloads = []
+            for p in pdf["payload"]:
+                p = bytes(p)
+                try:
+                    resized = _resize_one(p)
+                except (ValueError, struct.error, zlib.error):
+                    resized = None  # malformed container: pass through
+                payloads.append(resized if resized is not None else p)
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            pdf["meta_width"] = pd.array([width] * len(pdf), dtype="Int32")
+            pdf["meta_height"] = pd.array([height] * len(pdf), dtype="Int32")
+            yield pdf
+
+    return media_df.mapInPandas(batches, media_df.schema)
 
 
 def frame_sample_plan(media_df: DataFrame, every_ms: int) -> DataFrame:
@@ -601,7 +704,7 @@ def sample_frame_features(media_df: DataFrame, every_n: int = 1) -> DataFrame:
             out: dict[str, list] = {f.name: [] for f in FRAME_FEATURE_SCHEMA.fields}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    (_, _, num, den, _), frames = _y4m_parse(bytes(p))
+                    (_, _, num, den, _, _), frames = _y4m_parse(bytes(p))
                     rows = []  # buffered so a torn frame mid-stream drops
                     # the whole video rather than emit a partial timeline
                     for idx, data in enumerate(frames):

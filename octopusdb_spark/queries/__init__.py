@@ -77,7 +77,11 @@ _PRIORITY = [
     # WARC/.warc.gz crawl-archive source round trip — displaced
     # text_shard_assignment; multimodal_video_frames — REAL Y4M video
     # frame sampling — displaced text_stats. All displaced rows are
-    # r8-green, exactly at the 3-round bound at r11 close, and lead r12)
+    # r8-green, exactly at the 3-round bound at r11 close, and lead r12.
+    # multimodal_resize — REAL nearest-neighbor resample, closing the
+    # last stubbed multimodal verb — displaced text_langid_ngram, same
+    # r8-at-bound cohort.)
+    "multimodal_resize",
     "stream_warc_ingest",
     "source_warc_ingest",
     "multimodal_video_frames",
@@ -107,7 +111,7 @@ _PRIORITY = [
     "quality_column_profile", "quality_duplicate_keys",
     "sim_ann_bucketed", "sim_label_centroids",
     "stream_lm_filter",
-    "text_decontaminate", "text_dup_spans", "text_langid_ngram",
+    "text_decontaminate", "text_dup_spans",
 ]
 
 

@@ -231,6 +231,80 @@ def q_multimodal_video_frames(spark, sf_dir):
     ).orderBy("media_id", "frame_idx")
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """REAL resize under the gate (closes the last stubbed multimodal
+    verb): each document's text bytes become a PPM (doc_id%3=0, 16-wide),
+    BMP (doc_id%3=1, 7-wide — stride padding in play on BOTH encode
+    passes) or PNG (doc_id%3=2, 16-wide, entropy-coded) image;
+    `resize_media` decodes the container, nearest-neighbor-resamples to
+    6x4, and RE-ENCODES into the same container; `extract_features` then
+    parses the resized container back. The oracle replicates the floor
+    index mapping arithmetically — destination pixel (r, c) channel k is
+    source byte (r*h_src//4 * w_src + c*w_src//6)*3 + k — so a resampler
+    that flips rows (BMP bottom-up!), drifts an index, or re-encodes with
+    wrong framing hash-mismatches. Decode -> resample -> encode ->
+    re-decode all run executor-side over Arrow batches."""
+    from octopusdb_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        extract_features,
+        resize_media,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 60)
+            & F.octet_length(F.col("text")).between(48, 599)
+        )
+        .select("doc_id", "text")
+    )
+
+    def make_media(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                kind = int(did) % 3
+                if kind == 0:
+                    w, h = 16, len(b) // 48
+                    payload = encode_ppm(b[: w * h * 3], w, h)
+                elif kind == 1:
+                    w, h = 7, len(b) // 21
+                    payload = encode_bmp(b[: w * h * 3], w, h)
+                else:
+                    w, h = 16, len(b) // 48
+                    payload = encode_png(b[: w * h * 3], w, h)
+                rows["media_id"].append(int(did))
+                rows["media_type"].append("image")
+                rows["payload"].append(payload)
+                rows["meta_width"].append(None)
+                rows["meta_height"].append(None)
+                rows["meta_duration_ms"].append(None)
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64")
+                    if k in ("meta_width", "meta_height", "meta_duration_ms")
+                    else v
+                    for k, v in rows.items()
+                }
+            )
+
+    media = docs.mapInPandas(make_media, MEDIA_SCHEMA)
+    feats = extract_features(resize_media(media, 6, 4))
+    return feats.select(
+        "media_id",
+        "container",
+        "decoded",
+        "width",
+        "height",
+        F.round("feat_mean", 6).alias("mean_r6"),
+        F.round("feat_rms", 6).alias("rms_r6"),
+    ).orderBy("media_id")
+
+
 def q_source_warc_ingest(spark, sf_dir):
     """WARC crawl-archive ingest round trip under the gate (Part-B source
     surface, `sources/warc.py`): documents are packed into WARC/1.0
@@ -288,6 +362,39 @@ def q_source_warc_ingest(spark, sf_dir):
 
 
 ORACLES = {
+    # arithmetic replication of decode -> nearest-neighbor resample ->
+    # re-encode -> re-decode: destination pixel (r,c) channel k reads the
+    # source byte at (r*hs//4 * ws + c*ws//6)*3 + k (0-based), exact
+    # integer sums over the 72 resampled bytes per image
+    "multimodal_resize": """
+    WITH src AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    dims AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 3 = 1 THEN 7 ELSE 16 END AS ws,
+             CASE WHEN doc_id % 3 = 1 THEN n // 21 ELSE n // 48 END AS hs,
+             CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                  ELSE 'png' END AS container
+      FROM src
+    ),
+    px AS (
+      SELECT d.doc_id, d.container,
+             ascii(substr(d.text,
+               CAST(((r.r * d.hs) // 4) * d.ws * 3
+                    + ((c.c * d.ws) // 6) * 3 + ch.ch + 1 AS INT), 1)) AS v
+      FROM dims d
+      CROSS JOIN range(0, 4) r(r)
+      CROSS JOIN range(0, 6) c(c)
+      CROSS JOIN range(0, 3) ch(ch)
+    )
+    SELECT doc_id AS media_id, container, TRUE AS decoded,
+           CAST(6 AS INT) AS width, CAST(4 AS INT) AS height,
+           round(sum(v) / 72.0, 6) AS mean_r6,
+           round(sqrt(sum(v * v) / 72.0), 6) AS rms_r6
+    FROM px GROUP BY doc_id, container ORDER BY media_id""",
     # the WARC framing is deterministic, so the oracle is the source rows
     # themselves: URI-embedded id, byte length, content digest
     "source_warc_ingest": """
@@ -400,5 +507,6 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_video_frames": q_multimodal_video_frames,
+    "multimodal_resize": q_multimodal_resize,
     "source_warc_ingest": q_source_warc_ingest,
 }

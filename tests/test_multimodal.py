@@ -351,3 +351,111 @@ def test_y4m_444alpha_frame_size():
     d = decode_media(encode_y4m([frame, frame], 4, 3, colorspace="444alpha"))
     assert d is not None and d["channels"] == 4 and d["n_samples"] == 2
     assert abs(d["mean"] - sum(frame) / len(frame)) < 1e-9
+
+
+def test_resize_media_real(spark):
+    """resize_media resamples FOR REAL: decode -> nearest-neighbor ->
+    re-encode in the same container, verified against a NumPy reference
+    for PPM/BMP/PNG (down- and up-scale) and per-frame for C444 Y4M;
+    RGBA PNG and unknown formats pass through unchanged."""
+    import numpy as np
+
+    from octopusdb_spark.functions.multimodal import (
+        _bmp_pixels,
+        _png_pixels,
+        _ppm_pixels,
+        _y4m_parse,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        encode_y4m,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(11)
+    sw, sh = 10, 6
+    px = rng.integers(0, 256, sw * sh * 3, dtype=np.uint8).tobytes()
+
+    def ref(dw, dh):
+        a = np.frombuffer(px, dtype=np.uint8).reshape(sh, sw, 3)
+        ri = (np.arange(dh) * sh) // dh
+        ci = (np.arange(dw) * sw) // dw
+        return a[ri][:, ci, :].tobytes()
+
+    frames = [
+        rng.integers(0, 256, sw * sh * 3, dtype=np.uint8).tobytes()
+        for _ in range(2)
+    ]
+    rows = [
+        (1, "image", encode_ppm(px, sw, sh), None, None, None),
+        (2, "image", encode_bmp(px, sw, sh), None, None, None),
+        (3, "image", encode_png(px, sw, sh), None, None, None),
+        (4, "video", encode_y4m(frames, sw, sh, 25, 1), None, None, None),
+        (5, "image", b"\xff\xd8\xff\xe0jpeg-ish" + b"q" * 50, None, None, None),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in resize_media(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), 4, 3
+        ).collect()
+    }
+    assert all(
+        (r["meta_width"], r["meta_height"]) == (4, 3) for r in out.values()
+    )
+    assert _ppm_pixels(bytes(out[1]["payload"])) == (4, 3, ref(4, 3))
+    assert _bmp_pixels(bytes(out[2]["payload"])) == (4, 3, ref(4, 3))
+    assert _png_pixels(bytes(out[3]["payload"])) == (4, 3, 3, ref(4, 3))
+    (w, h, num, den, ch, cs), fr = _y4m_parse(bytes(out[4]["payload"]))
+    assert (w, h, num, den, cs) == (4, 3, 25, 1, "444")
+    got_frames = list(fr)
+    for src, got in zip(frames, got_frames):
+        for k in range(3):  # each full-res plane resampled independently
+            a = np.frombuffer(src, dtype=np.uint8)[
+                k * sw * sh : (k + 1) * sw * sh
+            ].reshape(sh, sw)
+            ri = (np.arange(3) * sh) // 3
+            ci = (np.arange(4) * sw) // 4
+            assert got[k * 12 : (k + 1) * 12] == a[ri][:, ci].tobytes()
+    assert bytes(out[5]["payload"]) == rows[4][2]  # unknown: passthrough
+
+    # UPSCALE: 3x2 -> 9x4 repeats source pixels per the floor mapping
+    small = bytes(range(3 * 2 * 3))
+    up = {
+        r["media_id"]: r
+        for r in resize_media(
+            spark.createDataFrame(
+                [(1, "image", encode_ppm(small, 3, 2), None, None, None)],
+                MEDIA_SCHEMA,
+            ),
+            9,
+            4,
+        ).collect()
+    }
+    a = np.frombuffer(small, dtype=np.uint8).reshape(2, 3, 3)
+    ri = (np.arange(4) * 2) // 4
+    ci = (np.arange(9) * 3) // 9
+    assert _ppm_pixels(bytes(up[1]["payload"])) == (9, 4, a[ri][:, ci, :].tobytes())
+
+    # RGBA PNG passes through (the encoder is RGB-only)
+    rgba_raw = rng.integers(0, 256, 4 * 2 * 4, dtype=np.uint8).tobytes()
+    import struct as _struct
+    import zlib as _zlib
+
+    from octopusdb_spark.functions.multimodal import PNG_SIG, _png_chunk
+
+    ihdr = _struct.pack(">IIBBBBB", 4, 2, 8, 6, 0, 0, 0)  # color type 6 = RGBA
+    scan = b"".join(b"\x00" + rgba_raw[r * 16 : (r + 1) * 16] for r in range(2))
+    rgba_png = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    out2 = resize_media(
+        spark.createDataFrame(
+            [(9, "image", rgba_png, None, None, None)], MEDIA_SCHEMA
+        ),
+        2,
+        1,
+    ).collect()[0]
+    assert bytes(out2["payload"]) == rgba_png
