@@ -82,6 +82,7 @@ HEADLINE = [
     "multimodal_video_frames",
     "source_warc_ingest",
     "multimodal_resize",
+    "multimodal_resample",
 ]
 
 

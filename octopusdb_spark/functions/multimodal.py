@@ -67,15 +67,17 @@ FEATURE_SCHEMA = T.StructType(
 # media blobs (and what the oracle-checked round-trip query feeds the
 # decoders with). Pure std-lib struct packing.
 
-def encode_wav(samples, sample_rate: int = 8000) -> bytes:
-    """Mono 16-bit PCM WAV (RIFF) from an iterable of int samples."""
+def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """16-bit PCM WAV (RIFF) from an iterable of int samples (interleaved
+    when ``channels`` > 1)."""
     import array
 
     data = array.array("h", samples).tobytes()  # little-endian int16
     n = len(data)
+    block = 2 * channels
     hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
     hdr += b"fmt " + struct.pack(
-        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        "<IHHIIHH", 16, 1, channels, sample_rate, sample_rate * block, block, 16
     )
     hdr += b"data" + struct.pack("<I", n)
     return hdr + data
@@ -572,6 +574,73 @@ def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
     return media_df.withColumn("meta_width", F.lit(width)).withColumn(
         "meta_height", F.lit(height)
     )
+
+
+def resample_audio(media_df: DataFrame, sample_rate: int) -> DataFrame:
+    """REAL sample-rate conversion for 16-bit PCM WAV payloads (the audio
+    analog of ``resize_media``): nearest-neighbor frame pick — with
+    n_out = n_in * dst_rate // src_rate output frames, output frame i
+    copies input frame i * n_in // n_out (the same floor index mapping the
+    image path uses, exactly replicable in SQL) — then re-encoded as PCM
+    WAV at the target rate with channels preserved (interleaved frames
+    move as units). 8-bit / non-WAV payloads pass through unchanged (the
+    documented stub boundary). Stateless mapInPandas, exactly like the
+    other media transforms."""
+    import numpy as np
+
+    if sample_rate < 1:
+        raise ValueError("target sample_rate must be >= 1")
+
+    def _resample_one(p: bytes) -> bytes | None:
+        if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(p):
+            cid = p[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", p, pos + 4)
+            body = p[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt ":
+                if len(body) < 16:
+                    raise ValueError("truncated fmt chunk")
+                audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", body, 0
+                )
+                if audio_fmt != 1 or bits != 16 or channels < 1:
+                    return None  # only 16-bit PCM is re-encodable here
+                fmt = (channels, rate)
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        channels, src_rate = fmt
+        frames = np.frombuffer(
+            data[: len(data) // (2 * channels) * (2 * channels)], dtype="<i2"
+        ).reshape(-1, channels)
+        n_in = len(frames)
+        n_out = max(1, (n_in * sample_rate) // src_rate) if n_in else 0
+        if n_in == 0:
+            return None
+        idx = (np.arange(n_out) * n_in) // n_out
+        return encode_wav(
+            frames[idx].reshape(-1).tolist(), sample_rate, channels
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for p in pdf["payload"]:
+                p = bytes(p)
+                try:
+                    out = _resample_one(p)
+                except (ValueError, struct.error):
+                    out = None  # malformed container: pass through
+                payloads.append(out if out is not None else p)
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return media_df.mapInPandas(batches, media_df.schema)
 
 
 def _nn_resize(pixels: bytes, sw: int, sh: int, dw: int, dh: int, ch: int) -> bytes:

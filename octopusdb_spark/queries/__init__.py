@@ -79,8 +79,10 @@ _PRIORITY = [
     # frame sampling — displaced text_stats. All displaced rows are
     # r8-green, exactly at the 3-round bound at r11 close, and lead r12.
     # multimodal_resize — REAL nearest-neighbor resample, closing the
-    # last stubbed multimodal verb — displaced text_langid_ngram, same
-    # r8-at-bound cohort.)
+    # last stubbed multimodal verb — displaced text_langid_ngram;
+    # multimodal_resample — REAL WAV sample-rate conversion — displaced
+    # text_dup_spans; same r8-at-bound cohort.)
+    "multimodal_resample",
     "multimodal_resize",
     "stream_warc_ingest",
     "source_warc_ingest",
@@ -111,7 +113,7 @@ _PRIORITY = [
     "quality_column_profile", "quality_duplicate_keys",
     "sim_ann_bucketed", "sim_label_centroids",
     "stream_lm_filter",
-    "text_decontaminate", "text_dup_spans",
+    "text_decontaminate",
 ]
 
 

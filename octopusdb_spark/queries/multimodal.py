@@ -305,6 +305,66 @@ def q_multimodal_resize(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_multimodal_resample(spark, sf_dir):
+    """REAL audio resample under the gate (the audio analog of
+    `multimodal_resize`): each document's text bytes become a mono 16-bit
+    PCM WAV at 8 kHz (one sample per byte, s=(b-128)*256);
+    `resample_audio` downsamples to 3 kHz with the nearest-neighbor frame
+    pick (n_out = 3n/8 frames, output frame i copies input frame
+    i*n_in//n_out) and RE-ENCODES as PCM WAV at the new rate;
+    `extract_features` parses the resampled container back. The oracle
+    replicates the index mapping arithmetically, so a resampler that
+    drifts an index, mis-frames the new data chunk, or writes the wrong
+    rate hash-mismatches. All executor-side over Arrow batches."""
+    from octopusdb_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        extract_features,
+        resample_audio,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 60)
+            & F.octet_length(F.col("text")).between(48, 599)
+        )
+        .select("doc_id", "text")
+    )
+
+    def make_media(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                rows["media_id"].append(int(did))
+                rows["media_type"].append("audio")
+                rows["payload"].append(encode_wav(((x - 128) * 256 for x in b), 8000))
+                rows["meta_width"].append(None)
+                rows["meta_height"].append(None)
+                rows["meta_duration_ms"].append(None)
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64")
+                    if k in ("meta_width", "meta_height", "meta_duration_ms")
+                    else v
+                    for k, v in rows.items()
+                }
+            )
+
+    media = docs.mapInPandas(make_media, MEDIA_SCHEMA)
+    feats = extract_features(resample_audio(media, 3000))
+    return feats.select(
+        "media_id",
+        "container",
+        "decoded",
+        "n_samples",
+        "sample_rate",
+        F.round("feat_mean", 6).alias("mean_r6"),
+        F.round("feat_rms", 6).alias("rms_r6"),
+    ).orderBy("media_id")
+
+
 def q_source_warc_ingest(spark, sf_dir):
     """WARC crawl-archive ingest round trip under the gate (Part-B source
     surface, `sources/warc.py`): documents are packed into WARC/1.0
@@ -395,6 +455,29 @@ ORACLES = {
            round(sum(v) / 72.0, 6) AS mean_r6,
            round(sqrt(sum(v * v) / 72.0), 6) AS rms_r6
     FROM px GROUP BY doc_id, container ORDER BY media_id""",
+    # arithmetic replication of the audio resample: n_out = 3n/8 output
+    # samples, output sample i reads source byte (i*n)//n_out + 1 and
+    # scales (v-128)*256 — exact integer sums, one division + sqrt
+    "multimodal_resample": """
+    WITH src AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n,
+             (octet_length(encode(text)) * 3) // 8 AS n_out
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    smp AS (
+      SELECT s.doc_id, s.n_out,
+             (ascii(substr(s.text,
+                CAST((t.i * s.n) // s.n_out + 1 AS INT), 1)) - 128) * 256 AS v
+      FROM src s CROSS JOIN range(0, 250) t(i)
+      WHERE t.i < s.n_out
+    )
+    SELECT doc_id AS media_id, 'wav' AS container, TRUE AS decoded,
+           CAST(n_out AS BIGINT) AS n_samples, CAST(3000 AS INT) AS sample_rate,
+           round(sum(v) / CAST(n_out AS DOUBLE), 6) AS mean_r6,
+           round(sqrt(sum(CAST(v AS BIGINT) * v) / CAST(n_out AS DOUBLE)), 6)
+             AS rms_r6
+    FROM smp GROUP BY doc_id, n_out ORDER BY media_id""",
     # the WARC framing is deterministic, so the oracle is the source rows
     # themselves: URI-embedded id, byte length, content digest
     "source_warc_ingest": """
@@ -508,5 +591,6 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_video_frames": q_multimodal_video_frames,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_resample": q_multimodal_resample,
     "source_warc_ingest": q_source_warc_ingest,
 }

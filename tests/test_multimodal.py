@@ -459,3 +459,66 @@ def test_resize_media_real(spark):
         1,
     ).collect()[0]
     assert bytes(out2["payload"]) == rgba_png
+
+
+def test_resample_audio_real(spark):
+    """resample_audio converts PCM WAV sample rates FOR REAL: mono down-
+    and up-sampling match the NumPy floor-mapping reference; stereo frames
+    move as units (no channel interleave drift); 8-bit and non-WAV
+    payloads pass through unchanged."""
+    import numpy as np
+    import struct as _struct
+
+    from octopusdb_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_audio,
+    )
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, 160, dtype=np.int64).tolist()
+    stereo_frames = rng.integers(-32768, 32768, (50, 2), dtype=np.int64)
+    u8 = bytes((i * 13) % 256 for i in range(64))
+    hdr8 = b"RIFF" + _struct.pack("<I", 36 + len(u8)) + b"WAVE"
+    hdr8 += b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+    wav8 = hdr8 + b"data" + _struct.pack("<I", len(u8)) + u8
+    rows = [
+        (1, "audio", encode_wav(mono, 8000), None, None, None),
+        (2, "audio", encode_wav(stereo_frames.reshape(-1).tolist(), 8000, 2),
+         None, None, None),
+        (3, "audio", wav8, None, None, None),
+        (4, "image", b"P6\n1 1\n255\nabc", None, None, None),
+    ]
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resample_audio(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), 3000
+        ).collect()
+    }
+
+    def ref(frames, dst, src):
+        n_in = len(frames)
+        n_out = max(1, (n_in * dst) // src)
+        idx = (np.arange(n_out) * n_in) // n_out
+        return frames[idx]
+
+    d1 = decode_wav(out[1])
+    exp1 = ref(np.array(mono), 3000, 8000)
+    assert d1["sample_rate"] == 3000 and d1["n_samples"] == len(exp1)
+    assert abs(d1["mean"] - exp1.mean()) < 1e-9
+    d2 = decode_wav(out[2])
+    exp2 = ref(stereo_frames, 3000, 8000)
+    assert d2["sample_rate"] == 3000 and d2["channels"] == 2
+    assert d2["n_samples"] == len(exp2)
+    assert abs(d2["mean"] - exp2.reshape(-1).mean()) < 1e-9
+    assert out[3] == wav8  # 8-bit: passthrough
+    assert out[4] == b"P6\n1 1\n255\nabc"  # non-WAV: passthrough
+
+    # upsample 8k -> 12k repeats frames per the floor mapping
+    up = resample_audio(
+        spark.createDataFrame([rows[0]], MEDIA_SCHEMA), 12000
+    ).collect()[0]
+    du = decode_wav(bytes(up["payload"]))
+    expu = ref(np.array(mono), 12000, 8000)
+    assert du["sample_rate"] == 12000 and du["n_samples"] == len(expu)
+    assert abs(du["mean"] - expu.mean()) < 1e-9
