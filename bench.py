@@ -83,6 +83,7 @@ HEADLINE = [
     "source_warc_ingest",
     "multimodal_resize",
     "multimodal_resample",
+    "q_countmin_sketch",
 ]
 
 

@@ -81,7 +81,10 @@ _PRIORITY = [
     # multimodal_resize — REAL nearest-neighbor resample, closing the
     # last stubbed multimodal verb — displaced text_langid_ngram;
     # multimodal_resample — REAL WAV sample-rate conversion — displaced
-    # text_dup_spans; same r8-at-bound cohort.)
+    # text_dup_spans; q_countmin_sketch — the reference's TinyLFU cmsketch
+    # as a distributed operator, exact-value oracle — displaced
+    # text_decontaminate; same r8-at-bound cohort.)
+    "q_countmin_sketch",
     "multimodal_resample",
     "multimodal_resize",
     "stream_warc_ingest",
@@ -113,7 +116,6 @@ _PRIORITY = [
     "quality_column_profile", "quality_duplicate_keys",
     "sim_ann_bucketed", "sim_label_centroids",
     "stream_lm_filter",
-    "text_decontaminate",
 ]
 
 

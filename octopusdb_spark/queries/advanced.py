@@ -376,6 +376,73 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+CM_DEPTH, CM_WIDTH = 4, 1024
+
+
+def _cm_bucket(tok, d):
+    """Count-min bucket for (token, depth): three hex chars of
+    md5(token + '#' + depth) interpreted as an integer, mod the sketch
+    width. Defined purely in md5 + string arithmetic so DuckDB computes
+    the IDENTICAL bucket — the whole sketch is exact-value checkable,
+    not just bound-asserted."""
+    hx = F.substring(F.md5(F.concat(tok, F.lit("#"), d.cast("string"))), 6, 3)
+
+    def hv(i):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
+
+    return (hv(1) * 256 + hv(2) * 16 + hv(3)) % CM_WIDTH
+
+
+def q_countmin_sketch(spark, sf_dir):
+    """Count-min sketch heavy hitters — the reference's TinyLFU admission
+    sketch (`kv/utils/cache/cmsketch.go`) promoted from a cache-internal
+    frequency estimator to a first-class distributed operator: token
+    frequencies over the whole corpus are summarized into a FIXED-SIZE
+    d x w counter table (4 x 1024 rows regardless of corpus size — one
+    groupBy, mergeable partials, the one-pass 100 TB shape), and the
+    exact top-15 tokens are then estimated from the sketch alone
+    (min over d depths of the bucket counters, the CM estimate).
+
+    The bucket hash is md5-derived string arithmetic both engines share,
+    so the oracle rebuilds the IDENTICAL sketch and the row is
+    exact-value checked end-to-end: estimates, and the CM guarantee
+    est >= exact, are hashed — not reduced to a within-bound boolean
+    (contrast q_approx_distinct, where the HLL sketch is engine-internal).
+    At 100 TB the sketch relation is 4096 rows no matter the data, so the
+    estimate join broadcasts a constant-size table."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    top = counts.orderBy(F.desc("exact_cnt"), "tok").limit(15)
+
+    depths = F.array(*[F.lit(i) for i in range(CM_DEPTH)])
+    sketch = (
+        toks.select("tok", F.explode(depths).alias("d"))
+        .select(F.col("d"), _cm_bucket(F.col("tok"), F.col("d")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = top.select(
+        "tok", "exact_cnt", F.explode(depths).alias("d")
+    ).withColumn("bucket", _cm_bucket(F.col("tok"), F.col("d")))
+    return (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_est"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt")).alias("overestimate"),
+            (F.col("cm_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+        )
+        .orderBy("tok")
+    )
+
+
 def q_approx_percentile(spark, sf_dir):
     """Approximate percentiles (the mergeable KLL-style sketch behind
     ``approx_percentile``) validated against exact rank-based quantiles —
@@ -728,6 +795,42 @@ ORACLES = {
         GROUP BY 1, 2 ORDER BY bucket, grp""",
     # the oracle pins the exact counts and asserts the HLL++ estimate landed
     # within 5% — the accuracy bound is the checked value, not the sketch
+    # exact-value replication of the count-min sketch: same md5-derived
+    # bucket hash, same d x w counter table, same min-over-depths estimate
+    "q_countmin_sketch": """
+        WITH toks AS (
+          SELECT t.tok FROM documents,
+               unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+          WHERE length(t.tok) > 0
+        ),
+        counts AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok),
+        top AS (SELECT * FROM counts ORDER BY exact_cnt DESC, tok LIMIT 15),
+        expanded AS (
+          SELECT x.tok, d.d,
+                 ((strpos('0123456789abcdef',
+                          substr(md5(x.tok || '#' || CAST(d.d AS VARCHAR)), 6, 1)) - 1) * 256
+                + (strpos('0123456789abcdef',
+                          substr(md5(x.tok || '#' || CAST(d.d AS VARCHAR)), 7, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                          substr(md5(x.tok || '#' || CAST(d.d AS VARCHAR)), 8, 1)) - 1)
+                 ) % 1024 AS bucket
+          FROM toks x CROSS JOIN range(0, 4) d(d)
+        ),
+        sketch AS (
+          SELECT d, bucket, count(*) AS cnt FROM expanded GROUP BY d, bucket
+        ),
+        probes AS (
+          SELECT t.tok, t.exact_cnt, e.d, e.bucket
+          FROM top t JOIN (SELECT DISTINCT tok, d, bucket FROM expanded) e
+            ON e.tok = t.tok
+        )
+        SELECT p.tok,
+               CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+               CAST(min(s.cnt) AS BIGINT) AS cm_est,
+               CAST(min(s.cnt) - p.exact_cnt AS BIGINT) AS overestimate,
+               min(s.cnt) >= p.exact_cnt AS never_undercounts
+        FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+        GROUP BY p.tok, p.exact_cnt ORDER BY p.tok""",
     "q_approx_distinct": """
         SELECT event_type,
                count(DISTINCT user_id) AS exact_users,
@@ -767,6 +870,7 @@ QUERIES = {
     "q_correlation": q_correlation,
     "q_pandas_udf_score": q_pandas_udf_score,
     "q_approx_distinct": q_approx_distinct,  # oracle checks the 5% HLL bound
+    "q_countmin_sketch": q_countmin_sketch,  # exact-value sketch replication
     "q_approx_percentile": q_approx_percentile,  # oracle checks the 5% sketch bound
     "q_rollup_merge": q_rollup_merge,
     "q_linear_regression": q_linear_regression,
