@@ -83,7 +83,10 @@ _PRIORITY = [
     # multimodal_resample — REAL WAV sample-rate conversion — displaced
     # text_dup_spans; q_countmin_sketch — the reference's TinyLFU cmsketch
     # as a distributed operator, exact-value oracle — displaced
-    # text_decontaminate; same r8-at-bound cohort.)
+    # text_decontaminate; quality_distribution_drift — chi-square +
+    # total-variation drift audit between corpus slices — displaced
+    # stream_lm_filter; same r8-at-bound cohort.)
+    "quality_distribution_drift",
     "q_countmin_sketch",
     "multimodal_resample",
     "multimodal_resize",
@@ -115,7 +118,6 @@ _PRIORITY = [
     "q_stream_sessionize", "q_string_agg",
     "quality_column_profile", "quality_duplicate_keys",
     "sim_ann_bucketed", "sim_label_centroids",
-    "stream_lm_filter",
 ]
 
 

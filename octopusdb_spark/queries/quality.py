@@ -109,7 +109,100 @@ def q_quality_filter_reasons(spark, sf_dir):
         .orderBy("doc_id")
     )
 
+def q_quality_distribution_drift(spark, sf_dir):
+    """Distribution drift between two corpus slices — the audit a pipeline
+    runs before mixing a NEW data batch into an existing training corpus
+    (has the token distribution shifted?). The even-doc_id slice plays the
+    reference corpus, the odd slice the incoming batch; per source-label
+    token histograms are compared with two standard drift statistics over
+    the top-20 reference tokens:
+
+    - chi-square contribution: (o_new - e)^2 / e with e the count the new
+      slice WOULD have at the reference rate (scaled by slice totals) —
+      pure rational arithmetic, bit-exact across engines;
+    - total-variation contribution: |p_new - p_ref| / 2 over the token's
+      probability masses.
+
+    One scan + two small keyed aggs; the 20-row drift report is the
+    fixed-size output. At 100 TB both histograms are mergeable partial
+    aggregations, and the report stays 20 rows."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % 2 == 0).alias("is_ref"),
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    hist = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("ref_cnt"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("new_cnt"),
+    )
+    totals = toks.groupBy().agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("ref_total"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("new_total"),
+    )
+    top = hist.orderBy(F.desc("ref_cnt"), "tok").limit(20)
+    # expected count at the reference rate; spelled with the same operation
+    # order as the oracle SQL so the doubles are bit-identical (integer
+    # product first — exact in int64 — then ONE double division)
+    e = (F.col("ref_cnt") * F.col("new_total")) / F.col("ref_total")
+    d = F.col("new_cnt") - e
+    return (
+        top.crossJoin(F.broadcast(totals))  # 1-row totals frame
+        .select(
+            "tok",
+            "ref_cnt",
+            "new_cnt",
+            F.round(d * d / e, 6).alias("chi2_r6"),
+            F.round(
+                F.abs(
+                    F.col("new_cnt") / F.col("new_total")
+                    - F.col("ref_cnt") / F.col("ref_total")
+                )
+                / 2,
+                6,
+            ).alias("tv_r6"),
+        )
+        .orderBy("tok")
+    )
+
+
 ORACLES = {
+    # same rational arithmetic on both engines: histogram per slice, top-20
+    # reference tokens, chi-square + total-variation contributions
+    "quality_distribution_drift": """
+        WITH toks AS (
+          SELECT doc_id % 2 = 0 AS is_ref, t.tok
+          FROM documents,
+               unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+          WHERE length(t.tok) > 0
+        ),
+        hist AS (
+          SELECT tok,
+                 count(*) FILTER (WHERE is_ref) AS ref_cnt,
+                 count(*) FILTER (WHERE NOT is_ref) AS new_cnt
+          FROM toks GROUP BY tok
+        ),
+        totals AS (
+          SELECT count(*) FILTER (WHERE is_ref) AS ref_total,
+                 count(*) FILTER (WHERE NOT is_ref) AS new_total
+          FROM toks
+        ),
+        top AS (SELECT * FROM hist ORDER BY ref_cnt DESC, tok LIMIT 20),
+        stats AS (
+          SELECT tok, ref_cnt, new_cnt,
+                 (ref_cnt * new_total) / CAST(ref_total AS DOUBLE) AS e,
+                 ref_total, new_total
+          FROM top CROSS JOIN totals
+        )
+        SELECT tok,
+               CAST(ref_cnt AS BIGINT) AS ref_cnt,
+               CAST(new_cnt AS BIGINT) AS new_cnt,
+               round((new_cnt - e) * (new_cnt - e) / e, 6) AS chi2_r6,
+               round(abs(new_cnt / CAST(new_total AS DOUBLE)
+                         - ref_cnt / CAST(ref_total AS DOUBLE)) / 2, 6) AS tv_r6
+        FROM stats ORDER BY tok""",
     "quality_filter_reasons": """
         WITH r AS (
           SELECT doc_id,
@@ -174,4 +267,5 @@ QUERIES = {
     "quality_duplicate_keys": q_quality_duplicate_keys,
     "quality_pattern_scan": q_quality_pattern_scan,
     "quality_filter_reasons": q_quality_filter_reasons,
+    "quality_distribution_drift": q_quality_distribution_drift,
 }

@@ -68,6 +68,7 @@ ALLOWED_CARTESIAN = {
     "q_source_balanced_sample": "global-min target scalar subquery (1-row broadcast)",
     "q_domain_mixture": "corpus-totals scalar subquery (1-row broadcast)",
     "q_join_skew_profile": "key-stats scalar subquery (1-row broadcast)",
+    "quality_distribution_drift": "corpus-totals scalar subquery (1-row broadcast) joined to the 20-row drift report",
     "text_langid_ngram": "doc-profile x language-list fan-out (|languages| rows, bounded by the label vocabulary)",
     "pipeline_pretrain_v2": "survivor-totals scalar subquery (1-row broadcast), inherited from the q_domain_mixture stage",
     "pipeline_pretrain_corpus": "global-min sample-target scalar subquery (1-row broadcast), inherited from the q_source_balanced_sample stage",
@@ -135,6 +136,8 @@ HINT_ALLOWED_SCOPED = {
         "1-row corpus totals (sum of per-source counts/weights)",
     ("octopusdb_spark/queries/scale_patterns.py", "stats"):
         "1-row key statistics (total/count/max of per-key counts)",
+    ("octopusdb_spark/queries/quality.py", "totals"):
+        "1-row global token totals (count per slice)",
     ("octopusdb_spark/queries/text.py", "langs"):
         "distinct language labels (bounded by the label vocabulary, ~5 rows)",
     ("octopusdb_spark/queries/text.py", "lm_model"):
