@@ -186,6 +186,25 @@ def parse_http_response(content: bytes):
     return int(parts[1]), headers, content[sep + 4 :]
 
 
+def read_warc_dir(
+    spark, path: str, glob: str | None = None, http: bool = False
+) -> DataFrame:
+    """The production on-ramp: a directory of .warc / .warc.gz segment
+    files (Spark's binaryFile source — listing-time pruning via
+    pathGlobFilter, one row per file) exploded to one row per record.
+    ``source_id`` is the stable path hash, mirroring `read_media_dir`."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    blobs = reader.load(path).select(
+        F.xxhash64("path").alias("source_id"),
+        F.col("content").alias("payload"),
+    )
+    return read_warc(blobs, http=http)
+
+
 def read_warc(
     blobs: DataFrame,
     id_col: str = "source_id",

@@ -330,3 +330,23 @@ def test_warc_review_hardening():
     many = [({"WARC-Target-URI": f"u:{i}"}, f"b{i}".encode()) for i in range(1000)]
     got = list(parse_warc(encode_warc(many, gzip_per_record=True)))
     assert len(got) == 1000 and got[999][1] == b"b999"
+
+
+def test_read_warc_dir_binary_ingest(spark, tmp_path):
+    """read_warc_dir: raw .warc/.warc.gz files on disk -> one row per
+    record via the binaryFile on-ramp, with pathGlobFilter pruning."""
+    from octopusdb_spark.sources.warc import encode_warc, read_warc_dir
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg0.warc").write_bytes(
+        encode_warc([({"WARC-Target-URI": "u:1"}, b"one")])
+    )
+    (d / "seg1.warc.gz").write_bytes(
+        encode_warc([({"WARC-Target-URI": "u:2"}, b"two")], gzip_per_record=True)
+    )
+    (d / "ignore.txt").write_bytes(b"not a segment")
+    rows = read_warc_dir(spark, str(d), glob="*.warc*").collect()
+    assert sorted(r["target_uri"] for r in rows) == ["u:1", "u:2"]
+    assert {bytes(r["content"]) for r in rows} == {b"one", b"two"}
+    assert len({r["source_id"] for r in rows}) == 2  # stable per-file ids
