@@ -379,18 +379,27 @@ def q_approx_distinct(spark, sf_dir):
 CM_DEPTH, CM_WIDTH = 4, 1024
 
 
-def _cm_bucket(tok, d):
-    """Count-min bucket for (token, depth): three hex chars of
-    md5(token + '#' + depth) interpreted as an integer, mod the sketch
-    width. Defined purely in md5 + string arithmetic so DuckDB computes
-    the IDENTICAL bucket — the whole sketch is exact-value checkable,
-    not just bound-asserted."""
-    hx = F.substring(F.md5(F.concat(tok, F.lit("#"), d.cast("string"))), 6, 3)
+def _cm_buckets(hx):
+    """The four depth buckets from ONE md5 digest: depth d reads the
+    3-hex-char slice at position 1+8d (disjoint slices of the same digest
+    = four independent hashes, one md5 per token instead of four),
+    interpreted as an integer mod the sketch width. Pure string
+    arithmetic so DuckDB computes the IDENTICAL buckets — the whole
+    sketch is exact-value checkable, not just bound-asserted. ``hx``
+    must be a materialized column (a prior select), or Catalyst would
+    inline the md5 into all 12 subexpressions."""
 
-    def hv(i):
-        return F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
+    def hv(pos):
+        return F.instr(
+            F.lit("0123456789abcdef"), F.substring(hx, pos, 1)
+        ) - 1
 
-    return (hv(1) * 256 + hv(2) * 16 + hv(3)) % CM_WIDTH
+    return F.array(
+        *[
+            (hv(1 + 8 * d) * 256 + hv(2 + 8 * d) * 16 + hv(3 + 8 * d)) % CM_WIDTH
+            for d in range(CM_DEPTH)
+        ]
+    )
 
 
 def q_countmin_sketch(spark, sf_dir):
@@ -403,9 +412,11 @@ def q_countmin_sketch(spark, sf_dir):
     exact top-15 tokens are then estimated from the sketch alone
     (min over d depths of the bucket counters, the CM estimate).
 
-    The bucket hash is md5-derived string arithmetic both engines share,
-    so the oracle rebuilds the IDENTICAL sketch and the row is
-    exact-value checked end-to-end: estimates, and the CM guarantee
+    The bucket hashes are md5-derived string arithmetic both engines
+    share — ONE md5 per token, with the four depths reading four disjoint
+    3-hex-char slices of the digest (four independent hashes for one hash
+    evaluation) — so the oracle rebuilds the IDENTICAL sketch and the row
+    is exact-value checked end-to-end: estimates, and the CM guarantee
     est >= exact, are hashed — not reduced to a within-bound boolean
     (contrast q_approx_distinct, where the HLL sketch is engine-internal).
     At 100 TB the sketch relation is 4096 rows no matter the data, so the
@@ -418,16 +429,20 @@ def q_countmin_sketch(spark, sf_dir):
     counts = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
     top = counts.orderBy(F.desc("exact_cnt"), "tok").limit(15)
 
-    depths = F.array(*[F.lit(i) for i in range(CM_DEPTH)])
     sketch = (
-        toks.select("tok", F.explode(depths).alias("d"))
-        .select(F.col("d"), _cm_bucket(F.col("tok"), F.col("d")).alias("bucket"))
+        toks.select(F.md5("tok").alias("hx"))
+        .select(F.posexplode(_cm_buckets(F.col("hx"))).alias("d", "bucket"))
         .groupBy("d", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
-    probes = top.select(
-        "tok", "exact_cnt", F.explode(depths).alias("d")
-    ).withColumn("bucket", _cm_bucket(F.col("tok"), F.col("d")))
+    probes = (
+        top.select("tok", "exact_cnt", F.md5("tok").alias("hx"))
+        .select(
+            "tok",
+            "exact_cnt",
+            F.posexplode(_cm_buckets(F.col("hx"))).alias("d", "bucket"),
+        )
+    )
     return (
         probes.join(sketch, ["d", "bucket"])
         .groupBy("tok", "exact_cnt")
@@ -808,11 +823,11 @@ ORACLES = {
         expanded AS (
           SELECT x.tok, d.d,
                  ((strpos('0123456789abcdef',
-                          substr(md5(x.tok || '#' || CAST(d.d AS VARCHAR)), 6, 1)) - 1) * 256
+                          substr(md5(x.tok), CAST(1 + 8 * d.d AS INT), 1)) - 1) * 256
                 + (strpos('0123456789abcdef',
-                          substr(md5(x.tok || '#' || CAST(d.d AS VARCHAR)), 7, 1)) - 1) * 16
+                          substr(md5(x.tok), CAST(2 + 8 * d.d AS INT), 1)) - 1) * 16
                 + (strpos('0123456789abcdef',
-                          substr(md5(x.tok || '#' || CAST(d.d AS VARCHAR)), 8, 1)) - 1)
+                          substr(md5(x.tok), CAST(3 + 8 * d.d AS INT), 1)) - 1)
                  ) % 1024 AS bucket
           FROM toks x CROSS JOIN range(0, 4) d(d)
         ),
