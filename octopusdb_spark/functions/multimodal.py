@@ -236,12 +236,11 @@ def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
 # Each returns a stats dict or raises ValueError on a malformed container
 # (callers fall back to the stub path — never crash the batch on one row).
 
-def decode_wav(payload: bytes) -> dict:
-    """Parse RIFF/WAVE: walk chunks to 'fmt ' (PCM only) and 'data'; return
-    exact integer sample moments (int64-accumulated, so the mean/rms are
-    bit-reproducible across engines)."""
-    import numpy as np
-
+def _wav_chunks(payload: bytes) -> tuple:
+    """Shared RIFF/WAVE chunk walk -> ((channels, rate, bits), data bytes).
+    PCM only; word-aligned chunks; raises ValueError on anything the
+    decoders can't represent (including rate < 1 — a zero rate would
+    divide-by-zero every downstream duration/resample computation)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos, fmt, data = 12, None, None
@@ -253,15 +252,26 @@ def decode_wav(payload: bytes) -> dict:
             if len(body) < 16:
                 raise ValueError("truncated fmt chunk")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
-            if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
-                raise ValueError(f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})")
+            if audio_fmt != 1 or bits not in (8, 16) or channels < 1 or rate < 1:
+                raise ValueError(
+                    f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits}, rate={rate})"
+                )
             fmt = (channels, rate, bits)
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    channels, rate, bits = fmt
+    return fmt, data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse RIFF/WAVE: walk chunks to 'fmt ' (PCM only) and 'data'; return
+    exact integer sample moments (int64-accumulated, so the mean/rms are
+    bit-reproducible across engines)."""
+    import numpy as np
+
+    (channels, rate, bits), data = _wav_chunks(payload)
     if bits == 16:
         samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
     else:
@@ -594,26 +604,9 @@ def resample_audio(media_df: DataFrame, sample_rate: int) -> DataFrame:
     def _resample_one(p: bytes) -> bytes | None:
         if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
             return None
-        pos, fmt, data = 12, None, None
-        while pos + 8 <= len(p):
-            cid = p[pos : pos + 4]
-            (clen,) = struct.unpack_from("<I", p, pos + 4)
-            body = p[pos + 8 : pos + 8 + clen]
-            if cid == b"fmt ":
-                if len(body) < 16:
-                    raise ValueError("truncated fmt chunk")
-                audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
-                    "<HHIIHH", body, 0
-                )
-                if audio_fmt != 1 or bits != 16 or channels < 1:
-                    return None  # only 16-bit PCM is re-encodable here
-                fmt = (channels, rate)
-            elif cid == b"data":
-                data = body
-            pos += 8 + clen + (clen & 1)
-        if fmt is None or data is None:
-            raise ValueError("missing fmt/data chunk")
-        channels, src_rate = fmt
+        (channels, src_rate, bits), data = _wav_chunks(p)
+        if bits != 16:
+            return None  # only 16-bit PCM is re-encodable here
         frames = np.frombuffer(
             data[: len(data) // (2 * channels) * (2 * channels)], dtype="<i2"
         ).reshape(-1, channels)

@@ -45,9 +45,12 @@ for _m in _MODULES:
 # three CHANGED this round — kv_remote_reads gained the socket fencing
 # drill, sim_ann_ivf_kmeans / sim_ann_ivfpq moved to N_PROBE_TRAINED=6 —
 # so their green rows must be re-earned), then the 5 r7-stale names,
-# then 41 of the 50 r8-stale names. Nine r8 sacrifices, each chosen
-# where a FRESH row (in-window or r9/r10-green) exercises the same code
-# path; they lead the r12 window by protocol:
+# then the remaining r8-stale fill (originally 41 of 50; each mid-round
+# head-insert documented below displaced the then-last fill entry, so
+# the list now ends with 33). Nine r8 sacrifices were chosen up front,
+# each where a FRESH row (in-window or r9/r10-green) exercises the same
+# code path; they lead the r12 window by protocol together with the
+# eight later displacements:
 #   kv_latest_live        — same plan+oracle as in-window kv_merge_sorted_runs
 #   kv_point_lookup       — get/mget path pinned by r10-green kv_pinned_reads
 #   sim_ann_ivf           — rank_centroids+probe flow inside in-window

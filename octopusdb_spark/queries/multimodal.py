@@ -84,6 +84,50 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def _doc_media(spark, sf_dir, payload_fn):
+    """Shared builder for every media gate row: the guarded doc set
+    (doc_id < 60, 48..599 text bytes — the byte-length guard is mirrored
+    EXACTLY in each oracle's WHERE clause: < 48 bytes would make image
+    heights zero and the oracles' byte-index ranges are finite, so the
+    guard keeps both engines on the same doc set under any testdata
+    regeneration) packed into containers executor-side by
+    ``payload_fn(doc_id, utf8_bytes) -> (payload, media_type)``. Defining
+    the selection predicate and the MEDIA_SCHEMA row assembly ONCE keeps
+    the four rows' oracles tied to a single doc-set definition."""
+    from octopusdb_spark.functions.multimodal import MEDIA_SCHEMA
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 60)
+            & F.octet_length(F.col("text")).between(48, 599)
+        )
+        .select("doc_id", "text")
+    )
+
+    def make_media(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                payload, mt = payload_fn(int(did), text.encode("utf-8"))
+                rows["media_id"].append(int(did))
+                rows["media_type"].append(mt)
+                rows["payload"].append(payload)
+                rows["meta_width"].append(None)
+                rows["meta_height"].append(None)
+                rows["meta_duration_ms"].append(None)
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64")
+                    if k in ("meta_width", "meta_height", "meta_duration_ms")
+                    else v
+                    for k, v in rows.items()
+                }
+            )
+
+    return docs.mapInPandas(make_media, MEDIA_SCHEMA)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode round-trip under the correctness gate (VERDICT
     r10 #4): each document's text bytes are packed into an honest
@@ -100,7 +144,6 @@ def q_multimodal_decode(spark, sf_dir):
     hash-mismatches. Both encode and decode run executor-side over Arrow
     batches (mapInPandas) — zero driver involvement, the 100 TB shape."""
     from octopusdb_spark.functions.multimodal import (
-        MEDIA_SCHEMA,
         encode_bmp,
         encode_png,
         encode_ppm,
@@ -108,52 +151,20 @@ def q_multimodal_decode(spark, sf_dir):
         extract_features,
     )
 
-    # byte-length guard, mirrored EXACTLY in the oracle's WHERE clause:
-    # < 48 bytes would make the image heights zero (the encoders reject
-    # that), and the oracle's byte-index range is finite — the guard keeps
-    # both engines on the same doc set under any testdata regeneration
-    docs = (
-        t(spark, sf_dir, "documents")
-        .filter(
-            (F.col("doc_id") < 60)
-            & F.octet_length(F.col("text")).between(48, 599)
-        )
-        .select("doc_id", "text")
-    )
+    def payload_fn(did, b):
+        kind = did % 4
+        if kind == 0:
+            return encode_wav((x - 128) * 256 for x in b), "audio"
+        if kind == 1:
+            w, h = 16, len(b) // 48
+            return encode_ppm(b[: w * h * 3], w, h), "image"
+        if kind == 2:
+            w, h = 7, len(b) // 21
+            return encode_bmp(b[: w * h * 3], w, h), "image"
+        w, h = 16, len(b) // 48
+        return encode_png(b[: w * h * 3], w, h), "image"
 
-    def make_media(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict = {f.name: [] for f in MEDIA_SCHEMA.fields}
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = text.encode("utf-8")
-                kind = int(did) % 4
-                if kind == 0:
-                    payload, mt = encode_wav((x - 128) * 256 for x in b), "audio"
-                elif kind == 1:
-                    w, h = 16, len(b) // 48
-                    payload, mt = encode_ppm(b[: w * h * 3], w, h), "image"
-                elif kind == 2:
-                    w, h = 7, len(b) // 21
-                    payload, mt = encode_bmp(b[: w * h * 3], w, h), "image"
-                else:
-                    w, h = 16, len(b) // 48
-                    payload, mt = encode_png(b[: w * h * 3], w, h), "image"
-                rows["media_id"].append(int(did))
-                rows["media_type"].append(mt)
-                rows["payload"].append(payload)
-                rows["meta_width"].append(None)
-                rows["meta_height"].append(None)
-                rows["meta_duration_ms"].append(None)
-            yield pd.DataFrame(
-                {
-                    k: pd.array(v, dtype="Int64")
-                    if k in ("meta_width", "meta_height", "meta_duration_ms")
-                    else v
-                    for k, v in rows.items()
-                }
-            )
-
-    feats = extract_features(docs.mapInPandas(make_media, MEDIA_SCHEMA))
+    feats = extract_features(_doc_media(spark, sf_dir, payload_fn))
     return feats.select(
         "media_id",
         "container",
@@ -181,46 +192,18 @@ def q_multimodal_video_frames(spark, sf_dir):
     executor-side over Arrow batches (mapInPandas); the per-frame explode
     happens INSIDE the batch — the 100 TB shape for video pipelines."""
     from octopusdb_spark.functions.multimodal import (
-        MEDIA_SCHEMA,
         encode_y4m,
         sample_frame_features,
     )
 
-    # same doc-set guard as multimodal_decode, mirrored in the oracle:
-    # >= 48 bytes guarantees at least one complete 4x4 C444 frame and the
-    # oracle's byte-index range is finite
-    docs = (
-        t(spark, sf_dir, "documents")
-        .filter(
-            (F.col("doc_id") < 60)
-            & F.octet_length(F.col("text")).between(48, 599)
-        )
-        .select("doc_id", "text")
-    )
-
-    def make_video(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict = {f.name: [] for f in MEDIA_SCHEMA.fields}
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = text.encode("utf-8")
-                frames = [b[f * 48 : (f + 1) * 48] for f in range(len(b) // 48)]
-                rows["media_id"].append(int(did))
-                rows["media_type"].append("video")
-                rows["payload"].append(encode_y4m(frames, 4, 4, 25, 1))
-                rows["meta_width"].append(None)
-                rows["meta_height"].append(None)
-                rows["meta_duration_ms"].append(None)
-            yield pd.DataFrame(
-                {
-                    k: pd.array(v, dtype="Int64")
-                    if k in ("meta_width", "meta_height", "meta_duration_ms")
-                    else v
-                    for k, v in rows.items()
-                }
-            )
+    # shared doc-set guard (see _doc_media): >= 48 bytes guarantees at
+    # least one complete 4x4 C444 frame
+    def payload_fn(did, b):
+        frames = [b[f * 48 : (f + 1) * 48] for f in range(len(b) // 48)]
+        return encode_y4m(frames, 4, 4, 25, 1), "video"
 
     frames = sample_frame_features(
-        docs.mapInPandas(make_video, MEDIA_SCHEMA), every_n=2
+        _doc_media(spark, sf_dir, payload_fn), every_n=2
     )
     return frames.select(
         "media_id",
@@ -245,7 +228,6 @@ def q_multimodal_resize(spark, sf_dir):
     wrong framing hash-mismatches. Decode -> resample -> encode ->
     re-decode all run executor-side over Arrow batches."""
     from octopusdb_spark.functions.multimodal import (
-        MEDIA_SCHEMA,
         encode_bmp,
         encode_png,
         encode_ppm,
@@ -253,46 +235,18 @@ def q_multimodal_resize(spark, sf_dir):
         resize_media,
     )
 
-    docs = (
-        t(spark, sf_dir, "documents")
-        .filter(
-            (F.col("doc_id") < 60)
-            & F.octet_length(F.col("text")).between(48, 599)
-        )
-        .select("doc_id", "text")
-    )
+    def payload_fn(did, b):
+        kind = did % 3
+        if kind == 0:
+            w, h = 16, len(b) // 48
+            return encode_ppm(b[: w * h * 3], w, h), "image"
+        if kind == 1:
+            w, h = 7, len(b) // 21
+            return encode_bmp(b[: w * h * 3], w, h), "image"
+        w, h = 16, len(b) // 48
+        return encode_png(b[: w * h * 3], w, h), "image"
 
-    def make_media(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict = {f.name: [] for f in MEDIA_SCHEMA.fields}
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = text.encode("utf-8")
-                kind = int(did) % 3
-                if kind == 0:
-                    w, h = 16, len(b) // 48
-                    payload = encode_ppm(b[: w * h * 3], w, h)
-                elif kind == 1:
-                    w, h = 7, len(b) // 21
-                    payload = encode_bmp(b[: w * h * 3], w, h)
-                else:
-                    w, h = 16, len(b) // 48
-                    payload = encode_png(b[: w * h * 3], w, h)
-                rows["media_id"].append(int(did))
-                rows["media_type"].append("image")
-                rows["payload"].append(payload)
-                rows["meta_width"].append(None)
-                rows["meta_height"].append(None)
-                rows["meta_duration_ms"].append(None)
-            yield pd.DataFrame(
-                {
-                    k: pd.array(v, dtype="Int64")
-                    if k in ("meta_width", "meta_height", "meta_duration_ms")
-                    else v
-                    for k, v in rows.items()
-                }
-            )
-
-    media = docs.mapInPandas(make_media, MEDIA_SCHEMA)
+    media = _doc_media(spark, sf_dir, payload_fn)
     feats = extract_features(resize_media(media, 6, 4))
     return feats.select(
         "media_id",
@@ -317,42 +271,15 @@ def q_multimodal_resample(spark, sf_dir):
     drifts an index, mis-frames the new data chunk, or writes the wrong
     rate hash-mismatches. All executor-side over Arrow batches."""
     from octopusdb_spark.functions.multimodal import (
-        MEDIA_SCHEMA,
         encode_wav,
         extract_features,
         resample_audio,
     )
 
-    docs = (
-        t(spark, sf_dir, "documents")
-        .filter(
-            (F.col("doc_id") < 60)
-            & F.octet_length(F.col("text")).between(48, 599)
-        )
-        .select("doc_id", "text")
-    )
+    def payload_fn(did, b):
+        return encode_wav(((x - 128) * 256 for x in b), 8000), "audio"
 
-    def make_media(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict = {f.name: [] for f in MEDIA_SCHEMA.fields}
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = text.encode("utf-8")
-                rows["media_id"].append(int(did))
-                rows["media_type"].append("audio")
-                rows["payload"].append(encode_wav(((x - 128) * 256 for x in b), 8000))
-                rows["meta_width"].append(None)
-                rows["meta_height"].append(None)
-                rows["meta_duration_ms"].append(None)
-            yield pd.DataFrame(
-                {
-                    k: pd.array(v, dtype="Int64")
-                    if k in ("meta_width", "meta_height", "meta_duration_ms")
-                    else v
-                    for k, v in rows.items()
-                }
-            )
-
-    media = docs.mapInPandas(make_media, MEDIA_SCHEMA)
+    media = _doc_media(spark, sf_dir, payload_fn)
     feats = extract_features(resample_audio(media, 3000))
     return feats.select(
         "media_id",
@@ -365,20 +292,16 @@ def q_multimodal_resample(spark, sf_dir):
     ).orderBy("media_id")
 
 
-def q_source_warc_ingest(spark, sf_dir):
-    """WARC crawl-archive ingest round trip under the gate (Part-B source
-    surface, `sources/warc.py`): documents are packed into WARC/1.0
-    segments executor-side — 16 records per segment via applyInPandas, odd
-    segments written in the per-record-gzip .warc.gz layout crawl archives
-    ship — then `read_warc` parses the segments back in parallel
-    (mapInPandas record walk; gzip members chained with std-lib zlib) and
-    the checked output recovers each record's URI-embedded doc_id, its
-    Content-Length framing, and a content digest. A parser that drifts a
-    record boundary, mis-frames a body, drops a gzip member, or mangles
-    content bytes hash-mismatches. At 100 TB the segments come from
-    binaryFile (one crawl file per row) and this exact plan shape holds:
-    per-segment parallelism, per-record explode inside the Arrow batch."""
-    from octopusdb_spark.sources.warc import encode_warc, read_warc
+def warc_document_segments(spark, sf_dir):
+    """Shared WARC segment builder for the batch row (`source_warc_ingest`)
+    and its stream twin (`stream_warc_ingest`): documents (doc_id < 120)
+    packed 16 records per segment via applyInPandas, odd segments written
+    in the per-record-gzip .warc.gz layout crawl archives ship. The two
+    rows share ONE oracle, and that 'stream and batch agree by
+    construction' guarantee rests on them packing IDENTICAL segments —
+    defining the builder once makes the invariant structural instead of
+    copy-paste discipline."""
+    from octopusdb_spark.sources.warc import encode_warc
 
     docs = (
         t(spark, sf_dir, "documents")
@@ -409,16 +332,39 @@ def q_source_warc_ingest(spark, sf_dir):
             }
         )
 
-    blobs = docs.groupBy("segment").applyInPandas(
+    return docs.groupBy("segment").applyInPandas(
         build, "source_id long, payload binary"
     )
-    recs = read_warc(blobs)
-    return recs.select(
+
+
+def warc_record_report(records):
+    """Shared checked-output projection for both WARC rows: URI-embedded
+    doc_id, Content-Length framing, content digest."""
+    return records.select(
         F.split(F.col("target_uri"), ":").getItem(1).cast("long").alias("doc_id"),
         "warc_type",
         F.length("content").cast("long").alias("content_len"),
         F.md5("content").alias("digest"),
-    ).orderBy("doc_id")
+    )
+
+
+def q_source_warc_ingest(spark, sf_dir):
+    """WARC crawl-archive ingest round trip under the gate (Part-B source
+    surface, `sources/warc.py`): documents are packed into WARC/1.0
+    segments executor-side (`warc_document_segments` — 16 records per
+    segment, odd segments per-record-gzip), then `read_warc` parses the
+    segments back in parallel (mapInPandas record walk; gzip members
+    chained with std-lib zlib) and the checked output recovers each
+    record's URI-embedded doc_id, its Content-Length framing, and a
+    content digest. A parser that drifts a record boundary, mis-frames a
+    body, drops a gzip member, or mangles content bytes hash-mismatches.
+    At 100 TB the segments come from binaryFile (one crawl file per row)
+    and this exact plan shape holds: per-segment parallelism, per-record
+    explode inside the Arrow batch."""
+    from octopusdb_spark.sources.warc import read_warc
+
+    blobs = warc_document_segments(spark, sf_dir)
+    return warc_record_report(read_warc(blobs)).orderBy("doc_id")
 
 
 ORACLES = {

@@ -805,55 +805,23 @@ def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the production pipeline tails a crawl bucket with this
     exact plan — file-arrival parallelism across segments, per-record
     explode inside the Arrow batch, one output row per record."""
-    from octopusdb_spark.sources.warc import encode_warc, read_warc
+    from octopusdb_spark.queries.multimodal import (
+        warc_document_segments,
+        warc_record_report,
+    )
+    from octopusdb_spark.sources.warc import read_warc
 
     run_id = uuid.uuid4().hex[:12]
     base = tempfile.mkdtemp(prefix=f"stream_warc_{run_id}_")
     try:
-        docs = (
-            t(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 120)
-            .select(
-                "doc_id", "text", F.floor(F.col("doc_id") / 16).alias("segment")
-            )
-        )
-
-        def build(pdf):
-            import pandas as pd
-
-            pdf = pdf.sort_values("doc_id")
-            seg = int(pdf["segment"].iloc[0])
-            recs = [
-                (
-                    {
-                        "WARC-Type": "response",
-                        "WARC-Target-URI": f"doc:{int(did)}",
-                        "WARC-Date": "2026-01-01T00:00:00Z",
-                    },
-                    text.encode("utf-8"),
-                )
-                for did, text in zip(pdf["doc_id"], pdf["text"])
-            ]
-            return pd.DataFrame(
-                {
-                    "source_id": [seg],
-                    "payload": [encode_warc(recs, gzip_per_record=bool(seg % 2))],
-                }
-            )
-
         src = f"{base}/src"
-        docs.groupBy("segment").applyInPandas(
-            build, "source_id long, payload binary"
-        ).write.parquet(src)
+        # the SAME segment builder as the batch row — the shared oracle's
+        # agree-by-construction guarantee is structural, not copy-paste
+        warc_document_segments(spark, sf_dir).write.parquet(src)
         stream = spark.readStream.schema("source_id long, payload binary").parquet(
             src
         )
-        records = read_warc(stream).select(
-            F.split(F.col("target_uri"), ":").getItem(1).cast("long").alias("doc_id"),
-            "warc_type",
-            F.length("content").cast("long").alias("content_len"),
-            F.md5("content").alias("digest"),
-        )
+        records = warc_record_report(read_warc(stream))
         name = f"stream_warc_{run_id}"
         q = (
             records.writeStream.format("memory")

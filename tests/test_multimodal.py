@@ -522,3 +522,22 @@ def test_resample_audio_real(spark):
     expu = ref(np.array(mono), 12000, 8000)
     assert du["sample_rate"] == 12000 and du["n_samples"] == len(expu)
     assert abs(du["mean"] - expu.mean()) < 1e-9
+
+
+def test_wav_zero_rate_falls_back(spark):
+    """Review fix: a WAV declaring sample rate 0 must hit the stub path
+    (extract_features) / pass through (resample_audio), not divide by
+    zero in the task."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.multimodal import resample_audio
+
+    body = b"\x01\x00" * 10
+    hdr = b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)  # rate 0
+    wav0 = hdr + b"data" + _struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([(1, "audio", wav0, None, None, None)], MEDIA_SCHEMA)
+    feat = extract_features(df).collect()[0]
+    assert not feat["decoded"]  # unsupported encoding -> stub
+    out = resample_audio(df, 3000).collect()[0]
+    assert bytes(out["payload"]) == wav0  # passthrough, no crash

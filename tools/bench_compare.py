@@ -31,11 +31,22 @@ def _salvage_tail(tail: str) -> dict:
     brace-match the calibration object, which survives whole."""
     import re
 
+    # bound the pair scan to the queries dict: start AFTER '"queries"' when
+    # that survived the cut, stop at the '"sf":' marker — otherwise fields
+    # like the top-level "value" total or the calibration medians would be
+    # salvaged as phantom queries
+    start = tail.find('"queries"')
     cut = tail.find('"sf":')
-    region = tail[:cut] if cut >= 0 else tail
+    if start < 0 and cut < 0:
+        return {"queries": {}, "salvaged_from_tail": True,
+                "salvage_note": "no queries/sf markers in tail"}
+    region = tail[start if start >= 0 else 0 : cut if cut >= 0 else len(tail)]
+    not_queries = {"queries", "value", "sf", "n", "rc", "cpus", "median",
+                   "shuffle_median", "metric", "unit"}
     queries = {
         name: float(sec)
         for name, sec in re.findall(r'"([A-Za-z0-9_]+)": ([0-9]+(?:\.[0-9]+)?)', region)
+        if name not in not_queries
     }
     out: dict = {"queries": queries, "salvaged_from_tail": True}
     cal = tail.find('"calibration":')
@@ -86,11 +97,22 @@ def calib(d: dict) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    band = 1.25
-    for a in sys.argv[1:]:
-        if a.startswith("--band"):
-            band = float(a.split("=", 1)[1]) if "=" in a else band
+    argv = sys.argv[1:]
+    band, args, i = 1.25, [], 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--band":
+            i += 1
+            if i >= len(argv):
+                raise SystemExit("--band needs a value")
+            band = float(argv[i])
+        elif a.startswith("--band="):
+            band = float(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a}\n{__doc__}")
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         raise SystemExit(__doc__)
     a, b = load(args[0]), load(args[1])
