@@ -84,6 +84,7 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_resample",
     "q_countmin_sketch",
+    "text_unicode_nfc",
 ]
 
 

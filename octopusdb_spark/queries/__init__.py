@@ -88,7 +88,10 @@ _PRIORITY = [
     # as a distributed operator, exact-value oracle — displaced
     # text_decontaminate; quality_distribution_drift — chi-square +
     # total-variation drift audit between corpus slices — displaced
-    # stream_lm_filter; same r8-at-bound cohort.)
+    # stream_lm_filter; text_unicode_nfc — NFC normalization, pandas UDF
+    # vs DuckDB's utf8proc — displaced sim_label_centroids; same
+    # r8-at-bound cohort.)
+    "text_unicode_nfc",
     "quality_distribution_drift",
     "q_countmin_sketch",
     "multimodal_resample",
@@ -120,7 +123,7 @@ _PRIORITY = [
     "q_stream_dedup", "q_stream_interval_join", "q_stream_rollup",
     "q_stream_sessionize", "q_string_agg",
     "quality_column_profile", "quality_duplicate_keys",
-    "sim_ann_bucketed", "sim_label_centroids",
+    "sim_ann_bucketed",
 ]
 
 

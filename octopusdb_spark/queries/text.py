@@ -18,6 +18,7 @@ streaming filter — reads instead of re-exploding the corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -834,7 +835,64 @@ def q_text_chunk_overlap(spark, sf_dir):
     )
 
 
+# combining sequences appended to every document so NFC has real work on
+# the (all-ASCII) testdata: e+COMBINING ACUTE, A+COMBINING RING (both
+# compose), and a precomposed é (already NFC — must pass through). The
+# oracle builds the IDENTICAL suffix with chr() codepoints.
+_NFC_SUFFIX = " e\u0301 A\u030a \u00e9"
+
+
+def q_text_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization — the text-cleaning stage every
+    multilingual pipeline runs before tokenization/dedup (combining
+    sequences and their precomposed forms must hash identically or every
+    downstream fingerprint splits). Spark has no JVM-side NFC, so this is
+    a vectorized pandas UDF over Arrow batches (`unicodedata.normalize` —
+    the documented Python boundary, same shape as the other pandas
+    stages); DuckDB normalizes with its built-in `nfc_normalize`, making
+    the row exact-value checked: character counts before/after, a
+    changed flag, and the md5 of the normalized text all hash-compare.
+    Composition is forced by appending combining sequences to each
+    (ASCII) document; the precomposed character in the suffix must
+    survive unchanged."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(col: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return col.map(lambda s: unicodedata.normalize("NFC", s))
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("dirty")
+    )
+    out = docs.select("doc_id", "dirty", nfc(F.col("dirty")).alias("norm"))
+    return out.select(
+        "doc_id",
+        F.length("dirty").cast("long").alias("n_before"),
+        F.length("norm").cast("long").alias("n_after"),
+        (F.col("dirty") != F.col("norm")).alias("changed"),
+        F.md5(F.col("norm")).alias("digest"),
+    ).orderBy("doc_id")
+
+
 ORACLES = {
+    # identical suffix via chr() codepoints; DuckDB's utf8proc NFC is the
+    # independent implementation the pandas UDF is checked against
+    "text_unicode_nfc": """
+        WITH d AS (
+          SELECT doc_id,
+                 text || ' e' || chr(769) || ' A' || chr(778) || ' ' || chr(233)
+                   AS dirty
+          FROM documents
+        ),
+        n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS norm FROM d)
+        SELECT doc_id,
+               CAST(length(dirty) AS BIGINT) AS n_before,
+               CAST(length(norm) AS BIGINT) AS n_after,
+               dirty <> norm AS changed,
+               md5(norm) AS digest
+        FROM n ORDER BY doc_id""",
     "text_langid_ngram": """
         WITH d AS (SELECT doc_id, lang, lower(text) AS txt FROM documents),
         tg AS (
@@ -1174,4 +1232,5 @@ QUERIES = {
     "text_dup_spans": q_text_dup_spans,
     "text_dup_runs": q_text_dup_runs,
     "text_langid_ngram": q_text_langid_ngram,
+    "text_unicode_nfc": q_text_unicode_nfc,
 }
