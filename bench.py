@@ -85,6 +85,7 @@ HEADLINE = [
     "multimodal_resample",
     "q_countmin_sketch",
     "text_unicode_nfc",
+    "graph_shortest_paths",
 ]
 
 

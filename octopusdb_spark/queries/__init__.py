@@ -90,7 +90,9 @@ _PRIORITY = [
     # total-variation drift audit between corpus slices — displaced
     # stream_lm_filter; text_unicode_nfc — NFC normalization, pandas UDF
     # vs DuckDB's utf8proc — displaced sim_label_centroids; same
-    # r8-at-bound cohort.)
+    # r8-at-bound cohort. graph_shortest_paths — GraphX-library parity,
+    # landmark BFS — displaced sim_ann_bucketed, same cohort.)
+    "graph_shortest_paths",
     "text_unicode_nfc",
     "quality_distribution_drift",
     "q_countmin_sketch",
@@ -123,7 +125,6 @@ _PRIORITY = [
     "q_stream_dedup", "q_stream_interval_join", "q_stream_rollup",
     "q_stream_sessionize", "q_string_agg",
     "quality_column_profile", "quality_duplicate_keys",
-    "sim_ann_bucketed",
 ]
 
 

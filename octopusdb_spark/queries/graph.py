@@ -256,6 +256,88 @@ def q_graph_khop(spark, sf_dir):
     return dist.orderBy("node")
 
 
+SP_LANDMARKS = [0, 1, 2]
+SP_MAX_HOPS = 4
+
+
+def q_graph_shortest_paths(spark, sf_dir):
+    """GraphX-library parity: ShortestPaths to landmark vertices — hop
+    distance from every vertex to each landmark FOLLOWING edge direction,
+    computed as one multi-source labeled BFS over REVERSED edges (state =
+    (node, landmark, dist); all landmarks expand in the same loop, so the
+    per-hop cost is one join + one anti-join regardless of landmark
+    count). Fixed 4-hop horizon keeps the oracle a bounded recursive CTE;
+    output is the GraphX shape pivoted to one column per landmark (null =
+    unreachable within the horizon), rows = vertices whose landmark map
+    is non-empty. Same frontier/localCheckpoint discipline as graph_khop:
+    per-hop shuffle is bounded by the frontier, not the graph."""
+    e = edges(spark, sf_dir).cache()
+    dist = spark.createDataFrame(
+        [(lm, lm, 0) for lm in SP_LANDMARKS], "node long, lm long, dist int"
+    )
+    frontier = dist
+    initial = dist
+    for hop in range(1, SP_MAX_HOPS + 1):
+        reached = (
+            frontier.join(e, frontier.node == e.dst)
+            .select(F.col("src").alias("node"), "lm", F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        new_nodes = reached.join(
+            dist, ["node", "lm"], "left_anti"
+        ).localCheckpoint(eager=True)
+        prev_dist, prev_frontier = dist, frontier
+        dist = dist.unionByName(new_nodes).localCheckpoint(eager=True)
+        if prev_dist is not initial:
+            prev_dist.unpersist()
+        if prev_frontier is not initial and prev_frontier is not prev_dist:
+            prev_frontier.unpersist()
+        frontier = new_nodes
+    frontier.unpersist()
+    e.unpersist()
+    aggs = [
+        F.min(F.when(F.col("lm") == lm, F.col("dist"))).alias(f"d{lm}")
+        for lm in SP_LANDMARKS
+    ]
+    return (
+        dist.groupBy("node")
+        .agg(*aggs, F.count("*").alias("n_reachable"))
+        .orderBy("node")
+    )
+
+
+def _shortest_paths_sql() -> str:
+    """Per-landmark bounded recursive CTE over reversed edges, unioned and
+    pivoted exactly like the Spark aggregation."""
+    parts = []
+    for lm in SP_LANDMARKS:
+        parts.append(f"""
+sp{lm} AS (
+  WITH RECURSIVE w(node, dist) AS (
+    SELECT CAST({lm} AS BIGINT) AS node, 0 AS dist
+    UNION ALL
+    SELECT e.src, w.dist + 1 FROM w JOIN edges e ON e.dst = w.node
+    WHERE w.dist < {SP_MAX_HOPS}
+  )
+  SELECT node, min(dist) AS dist FROM w GROUP BY node
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT {lm} AS lm, node, dist FROM sp{lm}" for lm in SP_LANDMARKS
+    )
+    cols = ", ".join(
+        f"CAST(min(CASE WHEN lm = {lm} THEN dist END) AS INT) AS d{lm}"
+        for lm in SP_LANDMARKS
+    )
+    return (
+        EDGES_SQL
+        + ", "
+        + ",".join(parts)
+        + f"""
+SELECT node, {cols}, count(*) AS n_reachable
+FROM ({union}) GROUP BY node ORDER BY node"""
+    )
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 
@@ -482,6 +564,7 @@ def _kcore_sql() -> str:
 
 # _kcore_sql is defined below the ORACLES literal; register it here
 ORACLES["graph_kcore"] = _kcore_sql()
+ORACLES["graph_shortest_paths"] = _shortest_paths_sql()
 
 QUERIES = {
     "graph_kcore": q_graph_kcore,
@@ -493,4 +576,5 @@ QUERIES = {
     "graph_components": q_graph_components,
     "graph_adjacency": q_graph_adjacency,
     "graph_khop": q_graph_khop,
+    "graph_shortest_paths": q_graph_shortest_paths,
 }
