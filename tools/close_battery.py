@@ -1,0 +1,108 @@
+"""One-command closing battery: the checks every round must end green.
+
+Usage: python tools/close_battery.py [--skip-oracle] [--skip-bench]
+
+Runs, in order, and prints one JSON line with each result:
+  1. staleness_check        — rotation-ledger invariant (fast, pure python)
+  2. plan audit             — anti-pattern sweep over the whole registry
+  3. driver-window oracle   — the FIRST 50 registry rows vs DuckDB at
+                              sf0.01 (the composition the driver will
+                              actually check)
+  4. bench at sf0.01        — smoke that bench.py emits its JSON line
+                              (use the real sf0.1 run separately for
+                              recorded numbers)
+
+Exit code 1 if any stage fails. pytest is intentionally NOT run here —
+it takes ~25 minutes and should run (often in the background) on its
+own; this battery is the fast-feedback remainder.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cmd: list, timeout: int) -> tuple:
+    r = subprocess.run(
+        cmd, cwd=ROOT, capture_output=True, text=True, timeout=timeout
+    )
+    return r.returncode, (r.stdout + r.stderr).strip().splitlines()
+
+
+def main() -> None:
+    skip_oracle = "--skip-oracle" in sys.argv
+    skip_bench = "--skip-bench" in sys.argv
+    out: dict = {}
+    ok = True
+
+    rc, lines = run([sys.executable, "tools/staleness_check.py"], 300)
+    out["staleness"] = json.loads(lines[-1]) if rc == 0 and lines else {"rc": rc}
+    ok &= rc == 0
+
+    rc, lines = run([sys.executable, "tools/plan_audit.py"], 1800)
+    # the JSON line can precede trailing Spark progress-bar stderr — scan
+    # backwards for the audit line instead of trusting the last line
+    audit = None
+    for ln in reversed(lines):
+        ln = ln.strip()
+        if ln.startswith("{") and "queries_audited" in ln:
+            try:
+                audit = json.loads(ln)
+                break
+            except json.JSONDecodeError:
+                continue
+    if audit is None:
+        audit, rc = {"unparseable": (lines[-1] if lines else "")[-200:]}, rc or 1
+    out["plan_audit"] = audit
+    ok &= rc == 0 and not audit.get("flagged") and not audit.get(
+        "forced_hints_flagged"
+    )
+
+    if not skip_oracle:
+        sys.path.insert(0, ROOT)
+        from octopusdb_spark.queries import REGISTRY
+
+        names = list(REGISTRY)[:50]
+        rc, lines = run(
+            [sys.executable, "tools/oracle_check.py", *names], 3000
+        )
+        summary = next(
+            (ln for ln in reversed(lines) if "pass," in ln), "no summary"
+        )
+        out["window_oracle"] = {"rc": rc, "summary": summary}
+        ok &= rc == 0 and " 0 fail" in summary
+
+    if not skip_bench:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
+            SPARK_GRAFT_SKIP_MAINTENANCE="1",
+        )
+        r = subprocess.run(
+            [sys.executable, "bench.py"], cwd=ROOT, capture_output=True,
+            text=True, timeout=1800, env=env,
+        )
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+        try:
+            b = json.loads(line)
+            out["bench_smoke"] = {
+                "rc": r.returncode, "queries": len(b.get("queries", {})),
+                "total_sec": b.get("value"),
+            }
+            ok &= r.returncode == 0 and len(b.get("queries", {})) > 0
+        except json.JSONDecodeError:
+            out["bench_smoke"] = {"rc": r.returncode, "unparseable": line[-200:]}
+            ok = False
+
+    out["ok"] = ok
+    print(json.dumps(out))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
