@@ -1,14 +1,16 @@
 """Multimodal decode / feature-extract pipeline plumbing.
 
 Images/audio/video ride through the engine as opaque ``binary`` columns with
-typed metadata. Five honest container formats are decoded FOR REAL in pure
+typed metadata. Six honest container formats are decoded FOR REAL in pure
 Python/NumPy (no codec libraries needed): WAV (RIFF PCM — header walk +
 int sample moments), PPM (P6 — header tokens + RGB pixel moments), BMP
 (BITMAPINFOHEADER 24-bpp uncompressed — bottom-up padded rows + pixel
 moments), PNG (8-bit RGB/RGBA non-interlaced — std-lib zlib inflate + full
 five-filter scanline unfiltering), and Y4M (YUV4MPEG2 uncompressed video —
 header tokens + FRAME walk over raw planar frames, which also powers REAL
-per-frame sampling via ``sample_frame_features``). Codec-library formats
+per-frame sampling via ``sample_frame_features``), and GIF87a/89a (the
+second entropy codec — real variable-width LZW with CLEAR/END, KwKwK, and
+dictionary reset — palette-mapped to RGB moments). Codec-library formats
 (JPEG/MP3/MP4...) still hit the clearly marked stub: their entropy coding
 needs libraries this container lacks, so those payloads get deterministic
 byte-level fallback features instead — the boundary is explicit in the
@@ -485,7 +487,205 @@ def decode_y4m(payload: bytes) -> dict:
     }
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    CLEAR emitted first, dictionary capped at 4095 (emit CLEAR and reset
+    when full), END terminates. Classic textbook LZW, LSB-first bit
+    packing."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code, width):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    emit(clear, width)
+    prefix: tuple = ()
+    for idx in indices:
+        cand = prefix + (idx,)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        if next_code <= 4095:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # dictionary full: reset
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code, width = end + 1, min_code_size + 1
+        prefix = (idx,)
+    if prefix:
+        emit(table[prefix], width)
+    emit(end, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int, max_pixels: int) -> list:
+    """Inverse of `_lzw_compress`; bounded by ``max_pixels`` so a crafted
+    stream can't balloon executor memory (the PNG zip-bomb rule)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table: list = [(i,) for i in range(clear)] + [(), ()]
+    width = min_code_size + 1
+    out: list = []
+    prev: tuple | None = None
+    acc = n_bits = pos = 0
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                # real-world writers may omit the END code and rely on the
+                # sub-block terminator; return what decoded — the caller's
+                # pixel-count check rejects genuinely truncated streams
+                return out
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # the KwKwK case
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        out.extend(entry)
+        if len(out) > max_pixels:
+            raise ValueError("GIF LZW output exceeds declared image size")
+        prev = entry
+
+
+def encode_gif(pixels: bytes, width: int, height: int) -> bytes:
+    """GIF87a with a 256-entry grayscale global palette: each pixel byte
+    is its own color index (r=g=b=index), LZW-compressed for real.
+    ``pixels`` is width*height GRAY bytes (GIF is an indexed format — the
+    encoder side of the 6th honest container)."""
+    if width <= 0 or height <= 0 or len(pixels) != width * height:
+        raise ValueError("pixels must be width*height gray bytes")
+    hdr = b"GIF87a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_compress(pixels, 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return hdr + palette + img + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Parse GIF87a/89a FOR REAL — the second entropy-coded container
+    after PNG, and a different codec family (LZW vs DEFLATE), all pure
+    Python: logical screen descriptor, global/local color table,
+    extension-block skipping, sub-block reassembly, variable-width LZW
+    with CLEAR/END and the KwKwK case, palette mapping, then exact RGB
+    pixel moments. Interlaced images stay unsupported (ValueError ->
+    stub fallback)."""
+    import numpy as np
+
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            raise ValueError("GIF with no image data")
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        if w <= 0 or h <= 0:
+            raise ValueError(f"invalid GIF dimensions ({w}x{h})")
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        palette = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            palette = payload[pos : pos + 3 * n]
+            if len(palette) != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image with no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image block")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"invalid GIF LZW code size {min_code}")
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("truncated GIF sub-block")
+            lzw += chunk
+            pos += 1 + ln
+        indices = _lzw_decompress(bytes(lzw), min_code, w * h)
+        if len(indices) != w * h:
+            raise ValueError("GIF pixel count mismatch")
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        idx = np.array(indices, dtype=np.int64)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("GIF index outside the color table")
+        px = pal[idx].reshape(-1).astype(np.int64)
+        n = len(px)
+        return {
+            "container": "gif", "width": int(w), "height": int(h),
+            "n_samples": None, "sample_rate": None, "channels": 3,
+            "mean": int(px.sum()) / n, "rms": (int((px * px).sum()) / n) ** 0.5,
+        }
+    raise ValueError("GIF with no image data")
+
+
 _MAGIC_DECODERS = (
+    (lambda p: p[:6] in GIF_SIGS, decode_gif),
     (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", decode_wav),
     (lambda p: p[:2] == b"P6", decode_ppm),
     (lambda p: p[:2] == b"BM", decode_bmp),

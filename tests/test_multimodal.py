@@ -541,3 +541,67 @@ def test_wav_zero_rate_falls_back(spark):
     assert not feat["decoded"]  # unsupported encoding -> stub
     out = resample_audio(df, 3000).collect()[0]
     assert bytes(out["payload"]) == wav0  # passthrough, no crash
+
+
+def test_gif_lzw_decode_real(spark):
+    """GIF (entropy codec #2 — LZW vs PNG's DEFLATE) decodes FOR REAL:
+    encoder round trip through extract_features, a real-world GIF89a (the
+    canonical 1x1 tracking pixel, which omits the END code and carries a
+    graphic-control extension), and malformed fallbacks."""
+    import base64
+
+    from octopusdb_spark.functions.multimodal import encode_gif
+
+    px = bytes((i * 31) % 256 for i in range(16 * 9))
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    rows = [
+        (1, "image", encode_gif(px, 16, 9), None, None, None),
+        (2, "image", tiny, None, None, None),
+        (3, "image", encode_gif(px, 16, 9)[:-12], None, None, None),  # torn
+    ]
+    out = {
+        r["media_id"]: r
+        for r in extract_features(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    g = out[1]
+    assert g["decoded"] and g["container"] == "gif"
+    assert (g["width"], g["height"]) == (16, 9)
+    exp = [b for v in px for b in (v, v, v)]  # grayscale palette -> RGB
+    assert abs(g["feat_mean"] - sum(exp) / len(exp)) < 1e-9
+    t = out[2]
+    assert t["decoded"] and (t["width"], t["height"]) == (1, 1)
+    assert t["feat_mean"] == 0.0  # single black pixel
+    assert not out[3]["decoded"]  # truncated LZW -> stub, not a crash
+
+
+def test_gif_lzw_property():
+    """Property test (no Spark): random index streams round-trip through
+    the LZW pair across code sizes, including dictionary-reset lengths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from octopusdb_spark.functions.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        min_code=st.integers(min_value=2, max_value=8),
+        seed=st.integers(min_value=0, max_value=2**31),
+        n=st.integers(min_value=1, max_value=3000),
+    )
+    def check(min_code, seed, n):
+        import random
+
+        rng = random.Random(seed)
+        alphabet = 1 << min_code
+        data = [rng.randrange(alphabet) for _ in range(n)]
+        got = _lzw_decompress(_lzw_compress(data, min_code), min_code, n)
+        assert got == data
+
+    check()
