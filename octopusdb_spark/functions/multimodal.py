@@ -6,7 +6,7 @@ Python/NumPy (no codec libraries needed): WAV (RIFF PCM — header walk +
 int sample moments), PPM (P6 — header tokens + RGB pixel moments), BMP
 (BITMAPINFOHEADER 24-bpp uncompressed — bottom-up padded rows + pixel
 moments), PNG (8-bit RGB/RGBA non-interlaced — std-lib zlib inflate + full
-five-filter scanline unfiltering), and Y4M (YUV4MPEG2 uncompressed video —
+five-filter scanline unfiltering), Y4M (YUV4MPEG2 uncompressed video —
 header tokens + FRAME walk over raw planar frames, which also powers REAL
 per-frame sampling via ``sample_frame_features``), and GIF87a/89a (the
 second entropy codec — real variable-width LZW with CLEAR/END, KwKwK, and
@@ -54,7 +54,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feat_dim", T.IntegerType(), False),
         # real-decode outputs (r11): container recognized + parsed
         T.StructField("decoded", T.BooleanType(), False),
-        T.StructField("container", T.StringType(), True),  # wav|ppm|bmp|png|y4m
+        T.StructField("container", T.StringType(), True),  # wav|ppm|bmp|png|y4m|gif
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_samples", T.LongType(), True),
