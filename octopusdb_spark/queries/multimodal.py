@@ -131,11 +131,13 @@ def _doc_media(spark, sf_dir, payload_fn):
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode round-trip under the correctness gate (VERDICT
     r10 #4): each document's text bytes are packed into an honest
-    container — WAV 16-bit PCM (doc_id%4=0: one sample per byte,
-    s=(b-128)*256, 8 kHz mono), binary PPM (doc_id%4=1: 16-wide RGB),
-    24-bpp BMP (doc_id%4=2: 7-wide RGB, exercising the 4-byte row-stride
-    padding) or 8-bit RGB PNG (doc_id%4=3: zlib DEFLATE + scanline
-    filters — REAL entropy-coded decode via the std lib) — then
+    container — WAV 16-bit PCM (doc_id%5=0: one sample per byte,
+    s=(b-128)*256, 8 kHz mono), binary PPM (doc_id%5=1: 16-wide RGB),
+    24-bpp BMP (doc_id%5=2: 7-wide RGB, exercising the 4-byte row-stride
+    padding), 8-bit RGB PNG (doc_id%5=3: zlib DEFLATE + scanline
+    filters — REAL entropy-coded decode via the std lib) or GIF87a
+    (doc_id%5=4: 8-wide indexed grayscale through the REAL variable-width
+    LZW decoder — the second entropy codec) — then
     `extract_features` PARSES the container back (header walk,
     chunk/stride/inflate+unfilter handling) and emits exact
     integer-accumulated sample/pixel moments. The oracle recomputes the
@@ -145,6 +147,7 @@ def q_multimodal_decode(spark, sf_dir):
     batches (mapInPandas) — zero driver involvement, the 100 TB shape."""
     from octopusdb_spark.functions.multimodal import (
         encode_bmp,
+        encode_gif,
         encode_png,
         encode_ppm,
         encode_wav,
@@ -152,7 +155,7 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
     def payload_fn(did, b):
-        kind = did % 4
+        kind = did % 5
         if kind == 0:
             return encode_wav((x - 128) * 256 for x in b), "audio"
         if kind == 1:
@@ -161,8 +164,12 @@ def q_multimodal_decode(spark, sf_dir):
         if kind == 2:
             w, h = 7, len(b) // 21
             return encode_bmp(b[: w * h * 3], w, h), "image"
-        w, h = 16, len(b) // 48
-        return encode_png(b[: w * h * 3], w, h), "image"
+        if kind == 3:
+            w, h = 16, len(b) // 48
+            return encode_png(b[: w * h * 3], w, h), "image"
+        # GIF is indexed: one GRAY byte per pixel through the real LZW path
+        w, h = 8, len(b) // 8
+        return encode_gif(b[: w * h], w, h), "image"
 
     feats = extract_features(_doc_media(spark, sf_dir, payload_fn))
     return feats.select(
@@ -449,19 +456,28 @@ ORACLES = {
       SELECT doc_id, n AS n_samples,
              sum((v - 128) * 256) AS s1,
              sum(CAST((v - 128) * 256 AS BIGINT) * ((v - 128) * 256)) AS s2
-      FROM b WHERE doc_id % 4 = 0 GROUP BY doc_id, n
+      FROM b WHERE doc_id % 5 = 0 GROUP BY doc_id, n
     ),
     img AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 4 = 2 THEN 7 ELSE 16 END AS w,
-             CASE WHEN doc_id % 4 = 2 THEN n // 21 ELSE n // 48 END AS h
-      FROM src WHERE doc_id % 4 <> 0
+             CASE WHEN doc_id % 5 = 2 THEN 7 ELSE 16 END AS w,
+             CASE WHEN doc_id % 5 = 2 THEN n // 21 ELSE n // 48 END AS h
+      FROM src WHERE doc_id % 5 IN (1, 2, 3)
     ),
     imgstats AS (
       SELECT i2.doc_id, i2.w, i2.h, i2.w * i2.h * 3 AS need,
              sum(b.v) AS s1, sum(b.v * b.v) AS s2
       FROM img i2 JOIN b ON b.doc_id = i2.doc_id AND b.i <= i2.w * i2.h * 3
       GROUP BY i2.doc_id, i2.w, i2.h
+    ),
+    -- GIF: 8-wide indexed grayscale — each text byte is one pixel index
+    -- mapped to (v,v,v), so the RGB moments equal the byte moments
+    gifstats AS (
+      SELECT s.doc_id, s.n // 8 AS h, (s.n // 8) * 8 AS need,
+             sum(b.v) AS s1, sum(b.v * b.v) AS s2
+      FROM src s JOIN b ON b.doc_id = s.doc_id AND b.i <= (s.n // 8) * 8
+      WHERE s.doc_id % 5 = 4
+      GROUP BY s.doc_id, s.n
     )
     SELECT doc_id AS media_id, 'wav' AS container, TRUE AS decoded,
            CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
@@ -472,7 +488,7 @@ ORACLES = {
     FROM aud
     UNION ALL
     SELECT doc_id AS media_id,
-           CASE doc_id % 4 WHEN 1 THEN 'ppm' WHEN 2 THEN 'bmp'
+           CASE doc_id % 5 WHEN 1 THEN 'ppm' WHEN 2 THEN 'bmp'
                 ELSE 'png' END AS container,
            TRUE AS decoded,
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -480,6 +496,13 @@ ORACLES = {
            round(s1 / CAST(need AS DOUBLE), 6) AS mean_r6,
            round(sqrt(s2 / CAST(need AS DOUBLE)), 6) AS rms_r6
     FROM imgstats
+    UNION ALL
+    SELECT doc_id AS media_id, 'gif' AS container, TRUE AS decoded,
+           CAST(8 AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
+           round(s1 / CAST(need AS DOUBLE), 6) AS mean_r6,
+           round(sqrt(s2 / CAST(need AS DOUBLE)), 6) AS rms_r6
+    FROM gifstats
     ORDER BY media_id""",
     # arithmetic replication of the Y4M encode + per-frame decode: frame f
     # covers text bytes [f*48+1 .. f*48+48] (1-based), sampled frames are
