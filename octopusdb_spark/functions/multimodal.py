@@ -566,6 +566,8 @@ def _lzw_decompress(data: bytes, min_code_size: int, max_pixels: int) -> list:
         if code == end:
             return out
         if prev is None:
+            if code >= len(table):  # bounds-check: ValueError, not IndexError
+                raise ValueError(f"invalid GIF LZW code {code}")
             entry = table[code]
         elif code < len(table):
             entry = table[code]

@@ -605,3 +605,31 @@ def test_gif_lzw_property():
         assert got == data
 
     check()
+
+
+def test_gif_out_of_range_code_falls_back(spark):
+    """Review fix: an LZW code outside the table right after CLEAR must
+    raise ValueError (stub fallback), not IndexError (task crash)."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.multimodal import decode_media
+
+    hdr = b"GIF87a" + _struct.pack("<HHBBB", 2, 2, 0xF7, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    img = b"\x2c" + _struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    acc, nb, out = 0, 0, bytearray()
+    for code in (256, 300):  # CLEAR, then an out-of-range code
+        acc |= code << nb
+        nb += 9
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        out.append(acc & 0xFF)
+    crafted = hdr + palette + img + bytes([8, len(out)]) + bytes(out) + b"\x00\x3b"
+    assert decode_media(crafted) is None
+    feats = extract_features(
+        spark.createDataFrame([(1, "image", crafted, None, None, None)], MEDIA_SCHEMA)
+    ).collect()
+    assert len(feats) == 1 and not feats[0]["decoded"]

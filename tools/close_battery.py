@@ -41,8 +41,18 @@ def main() -> None:
     ok = True
 
     rc, lines = run([sys.executable, "tools/staleness_check.py"], 300)
-    out["staleness"] = json.loads(lines[-1]) if rc == 0 and lines else {"rc": rc}
-    ok &= rc == 0
+    # same defense as the plan-audit stage: stderr (warnings from the
+    # pyspark import chain) can trail the JSON line — scan backwards
+    stale = next(
+        (
+            json.loads(ln)
+            for ln in reversed(lines)
+            if ln.strip().startswith("{") and '"violations"' in ln
+        ),
+        {"rc": rc},
+    )
+    out["staleness"] = stale
+    ok &= rc == 0 and not stale.get("violations")
 
     rc, lines = run([sys.executable, "tools/plan_audit.py"], 1800)
     # the JSON line can precede trailing Spark progress-bar stderr — scan
