@@ -612,7 +612,9 @@ def decode_gif(payload: bytes) -> dict:
     extension-block skipping, sub-block reassembly, variable-width LZW
     with CLEAR/END and the KwKwK case, palette mapping, then exact RGB
     pixel moments. Interlaced images stay unsupported (ValueError ->
-    stub fallback)."""
+    stub fallback). Animated/multi-image GIFs: FIRST frame only — the
+    returned dims/moments describe the first image descriptor and any
+    later frames are ignored (the common thumbnailer convention)."""
     import numpy as np
 
     if payload[:6] not in GIF_SIGS:
@@ -718,13 +720,14 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     """Partition-parallel feature extraction via mapInPandas: Arrow batches
     in, Arrow batches out — the canonical multimodal pipeline shape.
 
-    WAV/PPM/BMP/PNG/Y4M payloads are decoded FOR REAL (sample/pixel/frame
-    moments, dimensions, sample/frame rate — ``decoded=True``); anything
-    else gets the deterministic byte-level stub features (``decoded=False``)
-    that stand in for codec-library formats. Decoders are module-level but the repo
-    root rides executor PYTHONPATH in local mode; for cluster deploys ship
-    the package (the stub-era nested-function trick no longer fits — five
-    real parsers belong in the library surface, not a closure)."""
+    WAV/PPM/BMP/PNG/GIF/Y4M payloads are decoded FOR REAL (sample/pixel/
+    frame moments, dimensions, sample/frame rate — ``decoded=True``);
+    anything else gets the deterministic byte-level stub features
+    (``decoded=False``) that stand in for codec-library formats. Decoders
+    are module-level but the repo root rides executor PYTHONPATH in local
+    mode; for cluster deploys ship the package (the stub-era
+    nested-function trick no longer fits — six real parsers belong in the
+    library surface, not a closure)."""
 
     def stub_features(payload: bytes, media_type: str) -> list:
         """STUB for codec-library formats (JPEG/MP3/MP4...): their entropy

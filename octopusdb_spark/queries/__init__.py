@@ -39,92 +39,47 @@ for _m in _MODULES:
     ORACLE_SQL.update(getattr(mod, "ORACLES", {}))
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order. Round-11 rotation (VERDICT r10 #1): the freshness
-# ledger after r10 is 5 names last green r7 and 50 last green r8. Head =
-# this round's additions/changes (multimodal_decode is NEW; the other
-# three CHANGED this round — kv_remote_reads gained the socket fencing
-# drill, sim_ann_ivf_kmeans / sim_ann_ivfpq moved to N_PROBE_TRAINED=6 —
-# so their green rows must be re-earned), then the 5 r7-stale names,
-# then the remaining r8-stale fill (originally 41 of 50; each mid-round
-# head-insert documented below displaced the then-last fill entry, so
-# the list now ends with 33). Nine r8 sacrifices were chosen up front,
-# each where a FRESH row (in-window or r9/r10-green) exercises the same
-# code path; they lead the r12 window by protocol together with the
-# eight later displacements:
-#   kv_latest_live        — same plan+oracle as in-window kv_merge_sorted_runs
-#   kv_point_lookup       — get/mget path pinned by r10-green kv_pinned_reads
-#   sim_ann_ivf           — rank_centroids+probe flow inside in-window
-#                           sim_ann_ivf_kmeans; also pytest recall floors
-#   sim_topk_cosine       — the exact _dot baseline re-ranks inside both
-#                           in-window trained ANN rows + recall-floor test
-#   dedup_simhash         — signature path is a strict subset of in-window
-#                           dedup_simhash_pairs
-#   pipeline_pretrain_v2  — shares stage helpers with r10-green
-#                           pipeline_pretrain_corpus
-#   q_p95_disc            — keyed-window rank, machinery of r10-green
-#                           q_moving_avg/q_running_totals
-#   q_median_quantity     — same keyed-window rank family
-#   q_orders_by_month     — date-bucketed dsum agg, shape of r10-green
-#                           q_time_rollup
+# insertion order. Round-12 rotation (VERDICT r11 #1): the lifetime
+# ledger after r11 is 19 names last green r8 (already AT the 3-round
+# staleness bound — tools/staleness_check.py fails unless they lead this
+# window), 49 last green r9, 48 r10, 50 r11. Head = the 19 r8-stale
+# names, then 31 fill from the r9 cohort (the next-oldest; the 18 r9
+# names left out of this window go ahead of the r10 cohort in the r13
+# rotation, which the staleness tool will enforce then). No sacrifices
+# this round — every at-bound name is in the window.
 # PROTOCOL: a query added to the registry after this list is frozen must
 # be inserted at the HEAD at that moment (displacing the last fill
-# entry), not next round.
+# entry), not next round. Displaced entries here are r9-green — one
+# round of slack before their bound, so displacement is safe this round.
 _PRIORITY = [
-    # round-11 additions / changed queries (head-inserted per protocol;
-    # sim_ann_persistent's mid-round insert displaced the then-last fill
-    # entry text_tokenize_udtf — r8-green, still within the 3-round bound
-    # at r11 close; it LEADS the r12 window with the other deferrals)
-    # (mid-round inserts, newest first, each displacing the then-last fill
-    # entry per protocol: stream_warc_ingest — the WARC parse as a real
-    # bounded stream — displaced text_lm_score; source_warc_ingest —
-    # WARC/.warc.gz crawl-archive source round trip — displaced
-    # text_shard_assignment; multimodal_video_frames — REAL Y4M video
-    # frame sampling — displaced text_stats. All displaced rows are
-    # r8-green, exactly at the 3-round bound at r11 close, and lead r12.
-    # multimodal_resize — REAL nearest-neighbor resample, closing the
-    # last stubbed multimodal verb — displaced text_langid_ngram;
-    # multimodal_resample — REAL WAV sample-rate conversion — displaced
-    # text_dup_spans; q_countmin_sketch — the reference's TinyLFU cmsketch
-    # as a distributed operator, exact-value oracle — displaced
-    # text_decontaminate; quality_distribution_drift — chi-square +
-    # total-variation drift audit between corpus slices — displaced
-    # stream_lm_filter; text_unicode_nfc — NFC normalization, pandas UDF
-    # vs DuckDB's utf8proc — displaced sim_label_centroids; same
-    # r8-at-bound cohort. graph_shortest_paths — GraphX-library parity,
-    # landmark BFS — displaced sim_ann_bucketed, same cohort.)
-    "graph_shortest_paths",
-    "text_unicode_nfc",
-    "quality_distribution_drift",
-    "q_countmin_sketch",
-    "multimodal_resample",
-    "multimodal_resize",
-    "stream_warc_ingest",
-    "source_warc_ingest",
-    "multimodal_video_frames",
-    "sim_ann_persistent",
-    "multimodal_decode",
-    "kv_remote_reads",
-    "sim_ann_ivf_kmeans",
-    "sim_ann_ivfpq",
-    # r7-stale cohort (oldest rows in the ledger)
-    "kv_merge_sorted_runs",
-    "q_token_budget_packing",
-    "text_ngram_topk",
-    "text_pii_redact",
-    "text_repetition",
-    # r8-stale cohort (41 of 50; the 9 sacrifices documented above)
-    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_capped",
-    "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "graph_adjacency", "graph_degrees", "graph_kcore", "graph_pagerank",
-    "kv_binary_key_scan", "kv_compaction_filter", "kv_gc_discard_stats",
-    "kv_snapshot_holds", "kv_stream_replication",
-    "multimodal_chunking", "multimodal_frame_sample",
-    "q_anti_join", "q_correlation", "q_domain_mixture",
-    "q_join_skew_profile", "q_json_extract", "q_linear_regression",
-    "q_pandas_udf_score", "q_pivot_event_types",
-    "q_stream_dedup", "q_stream_interval_join", "q_stream_rollup",
-    "q_stream_sessionize", "q_string_agg",
-    "quality_column_profile", "quality_duplicate_keys",
+    # (mid-round inserts, newest first, each displacing the then-last
+    # fill entry per protocol — see the r12 insert log appended below.)
+    # r8-stale cohort (the full 19 — the entire remaining gap between
+    # pytest-green and oracle-green; all at the bound)
+    "kv_latest_live", "kv_point_lookup",
+    "q_orders_by_month", "q_median_quantity", "q_p95_disc",
+    "pipeline_pretrain_v2",
+    "text_stats", "text_tokenize_udtf", "text_decontaminate",
+    "text_shard_assignment", "text_lm_score", "text_dup_spans",
+    "text_langid_ngram",
+    "dedup_simhash",
+    "sim_topk_cosine", "sim_ann_bucketed", "sim_ann_ivf",
+    "sim_label_centroids",
+    "stream_lm_filter",
+    # r9 fill (31 of 49, oldest-first policy; the other 18 lead r13)
+    "kv_version_history", "kv_value_separation", "kv_changefeed",
+    "kv_failover",
+    "q18_large_volume", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q16_supplier_cnt_shape", "q20_excess_shipping_shape",
+    "q8_market_share", "q9_profit_shape", "q11_volume_share_shape",
+    "q13_custdist", "q15_top_supplier", "q21_waiting_shape",
+    "q10_returned_items",
+    "q_approx_distinct", "q_rollup_merge", "q_pandas_udaf_trimmed_mean",
+    "q_window_family", "q_weighted_sample", "q_array_hof",
+    "q_token_budget_packing_bpe", "q_range_join_bucketed",
+    "q_skew_salted_join", "q_hash_sampled_stats", "q_stratified_sample",
+    "q_source_balanced_sample",
+    "graph_mutual_follows", "graph_two_hop", "graph_triangles",
 ]
 
 

@@ -385,9 +385,11 @@ def _cm_buckets(hx):
     = four independent hashes, one md5 per token instead of four),
     interpreted as an integer mod the sketch width. Pure string
     arithmetic so DuckDB computes the IDENTICAL buckets — the whole
-    sketch is exact-value checkable, not just bound-asserted. ``hx``
-    must be a materialized column (a prior select), or Catalyst would
-    inline the md5 into all 12 subexpressions."""
+    sketch is exact-value checkable, not just bound-asserted. Catalyst's
+    CollapseProject DOES inline ``hx`` into all 12 subexpressions
+    (a prior select doesn't stop it); what keeps this one-md5-per-token
+    at runtime is codegen common-subexpression elimination over the
+    identical md5 calls, so the prior select is for readability only."""
 
     def hv(pos):
         return F.instr(

@@ -58,6 +58,12 @@ def encode_warc_record(content: bytes, headers: dict | None = None) -> bytes:
     for k, v in (headers or {}).items():
         if k.lower() == "content-length":
             continue  # framing is ours to compute
+        if ":" in k or any(c.isspace() for c in k):
+            # a ':' (or whitespace) in the NAME would re-parse with a
+            # different name/value split — same silent-corruption class
+            # as an injected CRLF, same loud rejection (WARC field names
+            # are token characters only)
+            raise ValueError(f"invalid WARC header name {k!r}")
         line = f"{k}: {v}"
         if "\r" in line or "\n" in line:
             # an injected CRLF would silently split into bogus header
