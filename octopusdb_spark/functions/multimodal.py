@@ -1,17 +1,19 @@
 """Multimodal decode / feature-extract pipeline plumbing.
 
 Images/audio/video ride through the engine as opaque ``binary`` columns with
-typed metadata. Six honest container formats are decoded FOR REAL in pure
+typed metadata. Seven honest container formats are decoded FOR REAL in pure
 Python/NumPy (no codec libraries needed): WAV (RIFF PCM — header walk +
 int sample moments), PPM (P6 — header tokens + RGB pixel moments), BMP
 (BITMAPINFOHEADER 24-bpp uncompressed — bottom-up padded rows + pixel
 moments), PNG (8-bit RGB/RGBA non-interlaced — std-lib zlib inflate + full
 five-filter scanline unfiltering), Y4M (YUV4MPEG2 uncompressed video —
 header tokens + FRAME walk over raw planar frames, which also powers REAL
-per-frame sampling via ``sample_frame_features``), and GIF87a/89a (the
-second entropy codec — real variable-width LZW with CLEAR/END, KwKwK, and
-dictionary reset — palette-mapped to RGB moments). Codec-library formats
-(JPEG/MP3/MP4...) still hit the clearly marked stub: their entropy coding
+per-frame sampling via ``sample_frame_features``), GIF87a/89a (the second
+entropy codec — real variable-width LZW with CLEAR/END, KwKwK, and
+dictionary reset — palette-mapped to RGB moments), and baseline JPEG (the
+third entropy-codec family — canonical Huffman decode, DC prediction, AC
+run-length, dequantize + exact 2D IDCT). Remaining codec-library formats
+(MP3/MP4/H.264...) still hit the clearly marked stub: their entropy coding
 needs libraries this container lacks, so those payloads get deterministic
 byte-level fallback features instead — the boundary is explicit in the
 ``decoded`` output column.
@@ -54,7 +56,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feat_dim", T.IntegerType(), False),
         # real-decode outputs (r11): container recognized + parsed
         T.StructField("decoded", T.BooleanType(), False),
-        T.StructField("container", T.StringType(), True),  # wav|ppm|bmp|png|y4m|gif
+        T.StructField("container", T.StringType(), True),  # wav|ppm|bmp|png|gif|jpeg|y4m
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_samples", T.LongType(), True),
@@ -688,7 +690,393 @@ def decode_gif(payload: bytes) -> dict:
     raise ValueError("GIF with no image data")
 
 
+# ------------------------------------------------------------------ JPEG
+# Baseline JFIF grayscale — the THIRD entropy-codec family (Huffman +
+# DCT) after DEFLATE (PNG) and LZW (GIF), pure Python/NumPy, and the
+# format a real crawl corpus (the WARC source's own domain) actually
+# contains. Spec constants (Annex K luminance quantization table,
+# zig-zag order, marker layout) are public ITU T.81 data. Scope:
+# 8-bit baseline sequential, one component, no restart intervals —
+# progressive/multi-component/subsampled streams raise ValueError and
+# fall back to the stub (the same explicit boundary the other decoders
+# use for their unsupported corners).
+
+JPEG_SOI = b"\xff\xd8"
+
+# ITU T.81 Annex K.1 luminance quantization table (row-major). Q[0][0]
+# = 16 is what makes the oracle lane's DC arithmetic exact: a constant
+# 8x8 block of value v decodes to 2*floor((v-127)/2) + 128 (see
+# decode_jpeg's docstring), pure integer arithmetic DuckDB replicates.
+_JPEG_QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _zigzag_order() -> list:
+    """Row-major index of the k-th zig-zag coefficient (T.81 figure 5)."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]
+        order.extend(r * 8 + c for r, c in diag)
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+# Canonical Huffman tables emitted in DHT and shared by encode/decode:
+# DC = the 12 size categories, all 4-bit codes (Kraft 12/16 < 1, no
+# all-ones code); AC = EOB + (run 0..15 x size 1..10) + ZRL, all 8-bit
+# codes (162/256 < 1). Any complete prefix code is a valid baseline
+# table — the decoder reads whatever DHT declares, so these simple
+# tables keep the ENCODER trivial without constraining the decoder.
+_DC_VALUES = list(range(12))
+_AC_VALUES = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+
+
+def _dct_mat():
+    """Orthonormal 8-point DCT-II matrix M: S = M @ block @ M.T,
+    block = M.T @ S @ M."""
+    import numpy as np
+
+    k = np.arange(8.0)
+    m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with the 0xFF00 byte-stuffing rule; flush
+    pads the tail with 1-bits (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    """DC/AC size category: bit length of |v| (0 for 0)."""
+    return abs(v).bit_length()
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(pixels: bytes, width: int, height: int) -> bytes:
+    """Baseline JFIF grayscale from ``width*height`` GRAY bytes: real
+    2D DCT per 8x8 block (edge-replicated padding), Annex-K luminance
+    quantization with floor(S/q + 0.5) rounding (the +1e-9 nudge pins
+    the exact-integer boundary the constant-block oracle lane sits on
+    against DCT float noise), zig-zag run-length, Huffman entropy
+    coding with byte stuffing."""
+    import numpy as np
+
+    if width <= 0 or height <= 0 or len(pixels) != width * height:
+        raise ValueError("pixels must be width*height gray bytes")
+    img = (
+        np.frombuffer(pixels, np.uint8)
+        .reshape(height, width)
+        .astype(np.float64)
+    )
+    hp, wp = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+    img = np.pad(img, ((0, hp - height), (0, wp - width)), mode="edge")
+    m = _dct_mat()
+    q = np.array(_JPEG_QTABLE, np.float64).reshape(8, 8)
+    dc_code = {v: (v, 4) for v in _DC_VALUES}
+    ac_code = {v: (i, 8) for i, v in enumerate(_AC_VALUES)}
+    bits = _JpegBitWriter()
+    prev_dc = 0
+    zz = np.array(_ZIGZAG)
+    for by in range(0, hp, 8):
+        for bx in range(0, wp, 8):
+            s = m @ (img[by : by + 8, bx : bx + 8] - 128.0) @ m.T
+            sq = np.floor(s / q + 0.5 + 1e-9).astype(np.int64)
+            coef = sq.reshape(-1)[zz]
+            diff = int(coef[0]) - prev_dc
+            prev_dc = int(coef[0])
+            cat = _jpeg_category(diff)
+            if cat > 11:
+                raise ValueError("DC difference out of baseline range")
+            bits.put(*dc_code[cat])
+            if cat:
+                bits.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            for v in (int(x) for x in coef[1:]):
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bits.put(*ac_code[0xF0])  # ZRL
+                    run -= 16
+                size = _jpeg_category(v)
+                if size > 10:
+                    raise ValueError("AC coefficient out of baseline range")
+                bits.put(*ac_code[(run << 4) | size])
+                bits.put(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                bits.put(*ac_code[0x00])  # EOB
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = b"\x00" + bytes(_JPEG_QTABLE[i] for i in _ZIGZAG)  # stored zig-zagged
+    sof = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    dht = (
+        b"\x00" + bytes(12 if n == 4 else 0 for n in range(1, 17))
+        + bytes(_DC_VALUES)
+        + b"\x10" + bytes(162 if n == 8 else 0 for n in range(1, 17))
+        + bytes(_AC_VALUES)
+    )
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    return (
+        JPEG_SOI
+        + _seg(0xE0, app0)
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bits.flush()
+        + b"\xff\xd9"
+    )
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at any real
+    marker (EOI ends the scan; RSTn is the documented unsupported
+    corner)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy segment")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG marker in scan")
+                nxt = self.data[self.pos]
+                self.pos += 1
+                if nxt == 0x00:
+                    pass  # stuffed data byte
+                elif nxt == 0xD9:
+                    raise ValueError("JPEG scan data exhausted at EOI")
+                else:
+                    raise ValueError(
+                        f"unsupported JPEG in-scan marker 0xff{nxt:02x}"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.12: map ``size`` raw bits back to the signed coefficient."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+_JPEG_MAX_PIXELS = 1 << 24  # decode bound: the PNG zip-bomb rule
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Parse baseline JFIF FOR REAL — marker walk (DQT/DHT/SOF0/SOS,
+    APPn/COM skipped), canonical Huffman decode from the DHT counts,
+    DC prediction + EXTEND, AC run-length with ZRL/EOB, dequantize,
+    inverse zig-zag, exact 2D IDCT, level shift, clamp — then gray
+    pixel moments over the declared (unpadded) geometry. Unsupported
+    corners raise ValueError -> stub fallback: progressive/arithmetic/
+    hierarchical frames, multi-component scans, 16-bit quant tables,
+    restart intervals. A constant 8x8 block of source value v decodes
+    to exactly 2*floor((v-127)/2) + 128 under the Annex-K table
+    (q00=16): DC = 8*(v-128), quantizes to floor((v-127)/2), and the
+    IDCT of a DC-only block is flat at dequant/8 — the pure-arithmetic
+    contract the oracle lane checks in SQL."""
+    import numpy as np
+
+    if payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG")
+    qtables: dict = {}
+    htables: dict = {}
+    dims = None
+    pos = 2
+    scan = None
+    while scan is None:
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG before SOS")
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xFF:  # fill byte
+            pos -= 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        if marker == 0xD9:
+            raise ValueError("JPEG ended before scan data")
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment length")
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seglen
+        if marker == 0xDB:
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant table unsupported")
+                if at + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT")
+                tbl = np.zeros(64, np.float64)
+                tbl[_ZIGZAG] = np.frombuffer(body[at + 1 : at + 65], np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                at += 65
+        elif marker == 0xC4:
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0x0F
+                counts = body[at + 1 : at + 17]
+                if len(counts) != 16:
+                    raise ValueError("truncated JPEG DHT")
+                nvals = sum(counts)
+                vals = body[at + 17 : at + 17 + nvals]
+                if len(vals) != nvals:
+                    raise ValueError("truncated JPEG DHT values")
+                table: dict = {}
+                code, vi = 0, 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        table[(ln, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                htables[(tc, th)] = table
+                at += 17 + nvals
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise ValueError("non-8-bit JPEG unsupported")
+            h, w, ncomp = struct.unpack_from(">HHB", body, 1)
+            if ncomp != 1:
+                raise ValueError("multi-component JPEG unsupported")
+            if body[7] != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            if w <= 0 or h <= 0 or w * h > _JPEG_MAX_PIXELS:
+                raise ValueError("JPEG dimensions outside decode bound")
+            dims = (w, h, body[8])  # + the component's quant table id
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xDD:
+            if struct.unpack(">H", body)[0] != 0:
+                raise ValueError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:
+            if dims is None:
+                raise ValueError("JPEG SOS before SOF")
+            if body[0] != 1:
+                raise ValueError("multi-component JPEG scan unsupported")
+            scan = (body[2] >> 4, body[2] & 0x0F)  # DC/AC table ids
+    w, h, tq = dims
+    if tq not in qtables:
+        raise ValueError("JPEG scan references a missing quant table")
+    dc_tbl = htables.get((0, scan[0]))
+    ac_tbl = htables.get((1, scan[1]))
+    if dc_tbl is None or ac_tbl is None:
+        raise ValueError("JPEG scan references a missing Huffman table")
+    q = qtables[tq]
+    m = _dct_mat()
+    reader = _JpegBitReader(payload, pos)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    img = np.empty((bh * 8, bw * 8), np.float64)
+    inv_zz = np.array(_ZIGZAG)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            coef = np.zeros(64, np.float64)
+            cat = _huff_decode(reader, dc_tbl)
+            if cat:
+                pred += _extend(reader.bits(cat), cat)
+            coef[0] = pred
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"invalid JPEG AC symbol 0x{sym:02x}")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                coef[k] = _extend(reader.bits(size), size)
+                k += 1
+            full = np.zeros(64, np.float64)
+            full[inv_zz] = coef
+            block = m.T @ (full.reshape(8, 8) * q) @ m + 128.0
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    px = np.clip(np.round(img[:h, :w]), 0, 255).astype(np.int64).reshape(-1)
+    n = len(px)
+    return {
+        "container": "jpeg", "width": int(w), "height": int(h),
+        "n_samples": None, "sample_rate": None, "channels": 1,
+        "mean": int(px.sum()) / n, "rms": (int((px * px).sum()) / n) ** 0.5,
+    }
+
+
 _MAGIC_DECODERS = (
+    (lambda p: p[:2] == JPEG_SOI, decode_jpeg),
     (lambda p: p[:6] in GIF_SIGS, decode_gif),
     (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", decode_wav),
     (lambda p: p[:2] == b"P6", decode_ppm),
@@ -720,17 +1108,17 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     """Partition-parallel feature extraction via mapInPandas: Arrow batches
     in, Arrow batches out — the canonical multimodal pipeline shape.
 
-    WAV/PPM/BMP/PNG/GIF/Y4M payloads are decoded FOR REAL (sample/pixel/
-    frame moments, dimensions, sample/frame rate — ``decoded=True``);
+    WAV/PPM/BMP/PNG/GIF/JPEG/Y4M payloads are decoded FOR REAL (sample/
+    pixel/frame moments, dimensions, sample/frame rate — ``decoded=True``);
     anything else gets the deterministic byte-level stub features
     (``decoded=False``) that stand in for codec-library formats. Decoders
     are module-level but the repo root rides executor PYTHONPATH in local
     mode; for cluster deploys ship the package (the stub-era
-    nested-function trick no longer fits — six real parsers belong in the
-    library surface, not a closure)."""
+    nested-function trick no longer fits — seven real parsers belong in
+    the library surface, not a closure)."""
 
     def stub_features(payload: bytes, media_type: str) -> list:
-        """STUB for codec-library formats (JPEG/MP3/MP4...): their entropy
+        """STUB for codec-library formats (MP3/MP4/H.264...): their entropy
         coding needs libs this container lacks. Deterministic byte-level
         moments; replace with a real decoder when the libs exist."""
         if media_type not in ("image", "audio", "video"):

@@ -53,7 +53,11 @@ for _m in _MODULES:
 # round of slack before their bound, so displacement is safe this round.
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
-    # fill entry per protocol — see the r12 insert log appended below.)
+    # fill entry per protocol. r12 insert log: multimodal_decode CHANGED
+    # — gained the baseline-JPEG lane (doc_id%6=5, the third entropy
+    # codec), so its r11 green must be re-earned; displaced
+    # graph_triangles, r9-green with slack until r13.)
+    "multimodal_decode",
     # r8-stale cohort (the full 19 — the entire remaining gap between
     # pytest-green and oracle-green; all at the bound)
     "kv_latest_live", "kv_point_lookup",
@@ -79,7 +83,7 @@ _PRIORITY = [
     "q_token_budget_packing_bpe", "q_range_join_bucketed",
     "q_skew_salted_join", "q_hash_sampled_stats", "q_stratified_sample",
     "q_source_balanced_sample",
-    "graph_mutual_follows", "graph_two_hop", "graph_triangles",
+    "graph_mutual_follows", "graph_two_hop",
 ]
 
 

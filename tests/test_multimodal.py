@@ -633,3 +633,119 @@ def test_gif_out_of_range_code_falls_back(spark):
         spark.createDataFrame([(1, "image", crafted, None, None, None)], MEDIA_SCHEMA)
     ).collect()
     assert len(feats) == 1 and not feats[0]["decoded"]
+
+
+def test_jpeg_decode_real(spark):
+    """JPEG (entropy codec #3 — Huffman + DCT vs DEFLATE/LZW) decodes FOR
+    REAL through extract_features: a constant-block image has the exact
+    arithmetic moments the gate oracle predicts, a torn payload and a
+    progressive frame fall back to the stub."""
+    import numpy as np
+
+    from octopusdb_spark.functions.multimodal import encode_jpeg
+
+    vals = np.array([[10, 200], [77, 140], [255, 0]], np.uint8)
+    img = np.kron(vals, np.ones((8, 8), np.uint8))
+    jp = encode_jpeg(img.tobytes(), 16, 24)
+    progressive = jp.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    rows = [
+        (1, "image", jp, None, None, None),
+        (2, "image", jp[: len(jp) // 2], None, None, None),
+        (3, "image", progressive, None, None, None),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in extract_features(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    g = out[1]
+    assert g["decoded"] and g["container"] == "jpeg"
+    assert (g["width"], g["height"]) == (16, 24)
+    # the oracle lane's contract: block value v -> clamp(2*floor((v-127)/2)+128)
+    exp = np.clip(2 * ((vals.astype(np.int64) - 127) // 2) + 128, 0, 255)
+    assert abs(g["feat_mean"] - exp.mean()) < 1e-9
+    assert not out[2]["decoded"] and not out[3]["decoded"]
+
+
+def test_jpeg_round_trip_property():
+    """Property test (no Spark): random images of odd geometry round-trip
+    through encode_jpeg/decode_jpeg with the right dims and a mean within
+    the Annex-K quantization error envelope; constant-block images are
+    EXACT (the correctness-gate contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from octopusdb_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=21),
+        h=st.integers(min_value=1, max_value=19),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(w, h, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        d = decode_jpeg(encode_jpeg(img.tobytes(), w, h))
+        assert (d["width"], d["height"]) == (w, h)
+        # noise is the quantizer's worst case; the mean still tracks the
+        # source because DC error per block is bounded by q00/2 / 8 = 1
+        assert abs(d["mean"] - img.mean()) < 8.0
+
+        blocks = rng.integers(0, 256, size=(3, 2)).astype(np.uint8)
+        cimg = np.kron(blocks, np.ones((8, 8), np.uint8))
+        d2 = decode_jpeg(encode_jpeg(cimg.tobytes(), 16, 24))
+        exp = np.clip(2 * ((blocks.astype(np.int64) - 127) // 2) + 128, 0, 255)
+        assert abs(d2["mean"] - exp.mean()) < 1e-12
+        assert abs(d2["rms"] - np.sqrt((exp.astype(np.float64) ** 2).mean())) < 1e-12
+
+    check()
+
+
+def test_jpeg_unsupported_corners_fall_back():
+    """Unsupported JPEG corners raise ValueError -> decode_media None
+    (stub fallback), never a task crash: restart intervals, multi-
+    component frames, 16-bit quant tables, dimensions past the decode
+    bound, in-scan RST markers."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.multimodal import (
+        decode_jpeg,
+        decode_media,
+        encode_jpeg,
+    )
+
+    jp = encode_jpeg(bytes(64), 8, 8)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    with_dri = jp[:2] + seg(0xDD, _struct.pack(">H", 4)) + jp[2:]
+    assert decode_media(with_dri) is None
+    # DRI of zero is fine (no restarts declared)
+    ok_dri = jp[:2] + seg(0xDD, _struct.pack(">H", 0)) + jp[2:]
+    assert decode_media(ok_dri) is not None
+
+    sof_at = jp.find(b"\xff\xc0")
+    three_comp = bytearray(jp)
+    three_comp[sof_at + 9] = 3  # component count inside SOF0
+    assert decode_media(bytes(three_comp)) is None
+
+    dqt_at = jp.find(b"\xff\xdb")
+    wide_q = bytearray(jp)
+    wide_q[dqt_at + 4] = 0x10  # Pq=1: 16-bit table
+    assert decode_media(bytes(wide_q)) is None
+
+    big = bytearray(jp)
+    _struct.pack_into(">HH", big, sof_at + 5, 60000, 60000)
+    assert decode_media(bytes(big)) is None
+
+    import pytest as _pytest
+
+    scan_start = jp.find(b"\xff\xda")
+    rst_in_scan = jp[: scan_start + 10] + b"\xff\xd0" + jp[scan_start + 10 :]
+    with _pytest.raises(ValueError):
+        decode_jpeg(rst_in_scan)
