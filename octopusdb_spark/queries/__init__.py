@@ -56,7 +56,10 @@ _PRIORITY = [
     # fill entry per protocol. r12 insert log: multimodal_decode CHANGED
     # — gained the baseline-JPEG lane (doc_id%6=5, the third entropy
     # codec), so its r11 green must be re-earned; displaced
-    # graph_triangles, r9-green with slack until r13.)
+    # graph_triangles, r9-green with slack until r13. graph_scc NEW —
+    # converged FW-BW-Trim strongly connected components, closing the
+    # GraphX-library gap — displaced graph_two_hop, same r9 cohort.)
+    "graph_scc",
     "multimodal_decode",
     # r8-stale cohort (the full 19 — the entire remaining gap between
     # pytest-green and oracle-green; all at the bound)
@@ -83,7 +86,7 @@ _PRIORITY = [
     "q_token_budget_packing_bpe", "q_range_join_bucketed",
     "q_skew_salted_join", "q_hash_sampled_stats", "q_stratified_sample",
     "q_source_balanced_sample",
-    "graph_mutual_follows", "graph_two_hop",
+    "graph_mutual_follows",
 ]
 
 

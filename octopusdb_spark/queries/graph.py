@@ -306,6 +306,176 @@ def q_graph_shortest_paths(spark, sf_dir):
     )
 
 
+def q_graph_scc(spark, sf_dir):
+    """Strongly connected components — the last classic GraphX-library
+    member (CC/k-core/k-hop/pagerank/shortest-paths already exist), run
+    to CONVERGENCE so the result is the exact mathematical SCC labeling
+    (label = min node id of each component), not a bounded variant.
+
+    Algorithm: FW-BW-Trim coloring (Fleischer et al. divide-and-conquer
+    as iterated on Pregel-like systems):
+
+      1. TRIM — peel nodes lacking an in- or out-edge in the live
+         subgraph (provably trivial SCCs); repeat until none. A DAG
+         dissolves here in <= diameter rounds.
+      2. COLOR — forward min-label propagation to fixpoint: color(v) =
+         min live node that reaches v. Frontier-driven (only changed
+         labels propagate), so per-hop shuffle is bounded by the
+         frontier, not the graph.
+      3. MARK — from each color root (color(c) == c, which is the
+         min id of its SCC), walk REVERSED edges restricted to
+         same-colored endpoints: the marked set is exactly SCC(c).
+         Assign, peel, repeat from 1 on the residual.
+
+    Every step is an edge-keyed join/agg — no all-pairs products, the
+    100 TB shape (the ORACLE brute-forces a transitive closure instead,
+    which only needs to hold at oracle scale). Rounds needed = SCC-DAG
+    peel depth; a 64-round cap turns pathological inputs into a loud
+    error instead of a silent wrong answer. Same localCheckpoint
+    discipline as graph_components: each loop body re-reads its own
+    output, so lineage is truncated every round."""
+    e0 = edges(spark, sf_dir).filter(F.col("dst").isNotNull())
+    nodes = (
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    live_nodes = nodes.localCheckpoint(eager=True)
+    live_edges = (
+        e0.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    )
+    assigned = spark.createDataFrame([], "node long, scc long")
+    for _round in range(64):
+        # -- trim trivial SCCs (no in- or no out-edge in the live graph)
+        while True:
+            cyclic = (
+                live_edges.select("src")
+                .intersect(live_edges.select(F.col("dst").alias("src")))
+                .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=True)
+            )
+            trivial = live_nodes.join(cyclic, "node", "left_anti")
+            if trivial.isEmpty():
+                break
+            assigned = assigned.unionByName(
+                trivial.select("node", F.col("node").alias("scc"))
+            ).localCheckpoint(eager=True)
+            live_nodes = cyclic
+            live_edges = (
+                live_edges.join(cyclic, live_edges.src == cyclic.node, "left_semi")
+                .join(cyclic, live_edges.dst == cyclic.node, "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        if live_nodes.isEmpty():
+            break
+        # -- color: forward min-label propagation to fixpoint
+        colors = live_nodes.select("node", F.col("node").alias("color"))
+        frontier = colors
+        while True:
+            candidate = (
+                frontier.join(live_edges, frontier.node == live_edges.src)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("color").alias("cand"))
+            )
+            improved = (
+                colors.join(candidate, "node")
+                .filter(F.col("cand") < F.col("color"))
+                .select("node", F.col("cand").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            if improved.isEmpty():
+                break
+            colors = (
+                colors.join(improved.select("node"), "node", "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+        # -- mark: backward walk from color roots over same-colored edges
+        same = (
+            live_edges.join(
+                colors.select(F.col("node").alias("src"), F.col("color").alias("c_src")),
+                "src",
+            )
+            .join(
+                colors.select(F.col("node").alias("dst"), F.col("color").alias("c_dst")),
+                "dst",
+            )
+            .filter(F.col("c_src") == F.col("c_dst"))
+            # renamed so later joins against `marked` (also colors-derived)
+            # can never hit a same-attribute self-join ambiguity
+            .select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+            .localCheckpoint(eager=True)
+        )
+        marked = colors.filter(F.col("node") == F.col("color")).localCheckpoint(
+            eager=True
+        )
+        mfrontier = marked
+        while True:
+            # dst marked with root c and the edge is same-colored => src is
+            # in SCC(c) too, and shares the frontier row's color
+            reached = (
+                mfrontier.join(same, mfrontier.node == same.m_dst)
+                .select(F.col("m_src").alias("node"), "color")
+                .distinct()
+            )
+            new_marks = reached.join(marked, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if new_marks.isEmpty():
+                break
+            marked = marked.unionByName(new_marks).localCheckpoint(eager=True)
+            mfrontier = new_marks
+        assigned = assigned.unionByName(
+            marked.select("node", F.col("color").alias("scc"))
+        ).localCheckpoint(eager=True)
+        live_nodes = live_nodes.join(marked, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        live_edges = (
+            live_edges.join(marked, live_edges.src == marked.node, "left_anti")
+            .join(marked, live_edges.dst == marked.node, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if live_nodes.isEmpty():
+            break
+    else:
+        raise RuntimeError("graph_scc did not converge within 64 peel rounds")
+    return assigned.orderBy("node")
+
+
+def _scc_sql() -> str:
+    """Brute-force oracle: recursive-CTE transitive closure (UNION
+    dedup handles cycles), mutual pairs, then label = min mutually
+    reachable node. Only needs to hold at oracle scale — the Spark side
+    never materializes reachability pairs."""
+    return (
+        EDGES_SQL
+        + """
+, e2 AS (SELECT src, dst FROM edges WHERE dst IS NOT NULL),
+nodes AS (
+  SELECT DISTINCT n AS node FROM (
+    SELECT src AS n FROM e2 UNION ALL SELECT dst FROM e2
+  )
+),
+r AS (
+  WITH RECURSIVE walk(a, b) AS (
+    SELECT src, dst FROM e2
+    UNION
+    SELECT w.a, e.dst FROM walk w JOIN e2 e ON e.src = w.b
+  )
+  SELECT a, b FROM walk
+),
+m AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc
+FROM nodes n LEFT JOIN m ON m.v = n.node
+GROUP BY n.node ORDER BY n.node"""
+    )
+
+
 def _shortest_paths_sql() -> str:
     """Per-landmark bounded recursive CTE over reversed edges, unioned and
     pivoted exactly like the Spark aggregation."""
@@ -565,8 +735,10 @@ def _kcore_sql() -> str:
 # _kcore_sql is defined below the ORACLES literal; register it here
 ORACLES["graph_kcore"] = _kcore_sql()
 ORACLES["graph_shortest_paths"] = _shortest_paths_sql()
+ORACLES["graph_scc"] = _scc_sql()
 
 QUERIES = {
+    "graph_scc": q_graph_scc,
     "graph_kcore": q_graph_kcore,
     "graph_degrees": q_graph_degrees,
     "graph_mutual_follows": q_graph_mutual_follows,

@@ -115,3 +115,88 @@ def test_kcore_non_convergence_reddens(spark, monkeypatch):
     monkeypatch.setattr(g, "edges", lambda _spark, _sf: df)
     with _pytest.raises(RuntimeError, match="did not converge"):
         g.q_graph_kcore(spark, "unused")
+
+
+def test_scc_matches_tarjan(spark, monkeypatch):
+    """graph_scc (converged FW-BW-Trim coloring) must equal the exact
+    SCC labeling (min node id per component) computed by an independent
+    iterative Tarjan over a crafted graph that exercises every branch:
+    two cycles joined by a one-way bridge (same weak component, distinct
+    SCCs), a 2-cycle reachable only through another SCC (multi-round
+    peel), a pure DAG tail (trim path), a self-loop, and an isolated
+    feeder node."""
+    import octopusdb_spark.queries.graph as g
+
+    raw = [
+        (1, 2), (2, 3), (3, 1),          # 3-cycle {1,2,3}
+        (3, 10), (10, 11), (11, 10),     # bridge into 2-cycle {10,11}
+        (11, 40), (40, 41), (41, 40),    # second 2-cycle behind the first
+        (20, 1),                         # feeder: trivial SCC {20}
+        (30, 30),                        # self-loop: trivial SCC {30}
+        (50, 51), (51, 52),              # DAG chain: all trivial
+        (52, 40),                        # DAG tail rejoining a cycle
+    ]
+
+    def tarjan(edge_list):
+        adj: dict = {}
+        nodes = set()
+        for a, b in edge_list:
+            adj.setdefault(a, []).append(b)
+            nodes.update((a, b))
+        index: dict = {}
+        low: dict = {}
+        on: set = set()
+        stack: list = []
+        label: dict = {}
+        counter = [0]
+
+        def strongconnect(v):
+            # iterative Tarjan (explicit work stack)
+            work = [(v, 0)]
+            while work:
+                node, pi = work.pop()
+                if pi == 0:
+                    index[node] = low[node] = counter[0]
+                    counter[0] += 1
+                    stack.append(node)
+                    on.add(node)
+                recurse = False
+                succs = adj.get(node, [])
+                for i in range(pi, len(succs)):
+                    w = succs[i]
+                    if w not in index:
+                        work.append((node, i + 1))
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    if w in on:
+                        low[node] = min(low[node], index[w])
+                if recurse:
+                    continue
+                if low[node] == index[node]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        comp.append(w)
+                        if w == node:
+                            break
+                    m = min(comp)
+                    for w in comp:
+                        label[w] = m
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[node])
+
+        for v in sorted(nodes):
+            if v not in index:
+                strongconnect(v)
+        return label
+
+    expected = tarjan(raw)
+    df = spark.createDataFrame(raw, "src long, dst long")
+    monkeypatch.setattr(g, "edges", lambda _spark, _sf: df)
+    got = {r["node"]: r["scc"] for r in g.q_graph_scc(spark, "unused").collect()}
+    assert got == expected
+    # sanity on the fixture itself: the two 2-cycles stayed separate SCCs
+    assert expected[10] == 10 and expected[40] == 40 and expected[52] == 52
