@@ -58,7 +58,11 @@ _PRIORITY = [
     # codec), so its r11 green must be re-earned; displaced
     # graph_triangles, r9-green with slack until r13. graph_scc NEW —
     # converged FW-BW-Trim strongly connected components, closing the
-    # GraphX-library gap — displaced graph_two_hop, same r9 cohort.)
+    # GraphX-library gap — displaced graph_two_hop, same r9 cohort.
+    # text_dup_suffix NEW — suffix-grade maximal shared substrings via
+    # per-pair diagonal seed-and-extend — displaced graph_mutual_follows,
+    # same r9 cohort.)
+    "text_dup_suffix",
     "graph_scc",
     "multimodal_decode",
     # r8-stale cohort (the full 19 — the entire remaining gap between
@@ -86,7 +90,6 @@ _PRIORITY = [
     "q_token_budget_packing_bpe", "q_range_join_bucketed",
     "q_skew_salted_join", "q_hash_sampled_stats", "q_stratified_sample",
     "q_source_balanced_sample",
-    "graph_mutual_follows",
 ]
 
 

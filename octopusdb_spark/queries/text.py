@@ -714,6 +714,106 @@ def q_text_dup_runs(spark, sf_dir):
     )
 
 
+# Suffix-grade substring dedup (VERDICT r11 #4): seed-and-extend along
+# pair diagonals. A duplicated substring of >= L tokens contains L-W+1
+# consecutive duplicated W-token seed windows at the SAME alignment
+# offset between the SAME two documents — so merging seed matches per
+# (doc_a, doc_b, pos_a - pos_b) diagonal recovers every maximal shared
+# substring exactly (what a suffix array's LCP walk reports), at
+# arbitrary word alignment, without building the suffix array. The df
+# cap bounds every hash bucket's pair fan-out at cap^2 (the
+# dedup_ngram_jaccard hot-shingle rule), so pair cost never approaches
+# O(n^2) at corpus scale.
+SUFFIX_SEED_WORDS = 8
+SUFFIX_FLAG_TOKENS = 50  # the Lee-et-al. duplicate-span threshold
+SUFFIX_DF_CAP = 64
+
+
+def q_text_dup_suffix(spark, sf_dir):
+    """Maximal cross-document shared substrings — the production
+    substring-dedup operator `text_dup_spans`/`text_dup_runs`
+    approximate. Those two mark windows that are duplicated ANYWHERE
+    and merge them per document, so a merged run may be a patchwork of
+    matches against different documents; this query merges seed windows
+    per (doc pair, diagonal), so every reported run is one contiguous
+    substring shared verbatim with one specific other document — the
+    suffix-array notion of a maximal duplicate, found by seed-and-extend
+    instead of suffix sorting.
+
+    Per document: how many (partner, diagonal) maximal runs it shares (a
+    substring shared with k partners counts k times — it must be removed
+    from k places), the longest such run in tokens, and the Lee-et-al.
+    >= 50-token flag.
+
+    Plan: one explode to hashed 8-word seed windows (O(total words)
+    rows), one groupBy(h) with the [2, cap] df filter, one semi-join
+    back, one hash-keyed self-join (bucket fan-out <= cap^2), then
+    gaps-and-islands per (da, db, diag) window — the window key includes
+    both doc ids, so no task sees more than one pair's positions. No
+    all-pairs comparison: documents meet only through seed hashes."""
+    docs = t(spark, sf_dir, "documents")
+    w = SUFFIX_SEED_WORDS
+    ws_docs = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    seeds_expr = F.expr(
+        f"""CASE WHEN size(ws) >= {w}
+                THEN transform(sequence(1, size(ws) - {w - 1}),
+                               i -> md5(cast(concat_ws(' ', slice(ws, i, {w}))
+                                             as binary)))
+                ELSE array() END"""
+    )
+    # the explode feeds both the df count and both self-join sides:
+    # checkpoint once (the _SPAN_HASH_MEMO lesson, single-consumer form)
+    ex = (
+        ws_docs.select("doc_id", F.posexplode(seeds_expr).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        .localCheckpoint(eager=True)
+    )
+    ok = (
+        ex.groupBy("h")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("cnt") <= SUFFIX_DF_CAP))
+        .select("h")
+    )
+    surv = ex.join(ok, "h", "left_semi")
+    a = surv.select("h", F.col("doc_id").alias("da"), F.col("pos").alias("pa"))
+    b = surv.select("h", F.col("doc_id").alias("db"), F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    pw = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = (
+        pairs.withColumn("grp", F.col("pa") - F.row_number().over(pw))
+        .groupBy("da", "db", "diag", "grp")
+        .agg((F.max("pa") - F.min("pa") + w).alias("run_tokens"))
+    )
+    both = runs.select(F.col("da").alias("doc_id"), "run_tokens").unionByName(
+        runs.select(F.col("db").alias("doc_id"), "run_tokens")
+    )
+    per = both.groupBy("doc_id").agg(
+        F.count("*").alias("n_pair_runs"),
+        F.max("run_tokens").alias("longest_run_tokens"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pair_runs", F.lit(0)).cast("long").alias("n_pair_runs"),
+            F.coalesce("longest_run_tokens", F.lit(0))
+            .cast("long")
+            .alias("longest_run_tokens"),
+            F.when(
+                F.coalesce("longest_run_tokens", F.lit(0)) >= SUFFIX_FLAG_TOKENS, 1
+            )
+            .otherwise(0)
+            .alias("flagged_50"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # PII-redaction patterns — the standard training-corpus scrub classes.
 # Written in the Java-regex ∩ RE2 common subset ([0-9] classes, bounded
 # repetition, no \b / lookaround) so Spark and DuckDB match identically.
@@ -996,6 +1096,55 @@ ORACLES = {
                  AS flagged_50
         FROM documents d LEFT JOIN per p USING (doc_id)
         ORDER BY d.doc_id""",
+    # seed-and-extend mirror: same 8-word md5 seeds, same [2, cap] df
+    # filter, same (da, db, diag) gaps-and-islands merge
+    "text_dup_suffix": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        s AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 md5(array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 7], ' ')) AS h
+          FROM w, unnest(range(1, len(ws) - 7 + 1)) AS t(i)
+          WHERE len(ws) >= 8
+        ),
+        ok AS (
+          SELECT h FROM s GROUP BY h
+          HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 64
+        ),
+        surv AS (SELECT s.* FROM s SEMI JOIN ok ON s.h = ok.h),
+        pairs AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+                 a.pos - b.pos AS diag
+          FROM surv a JOIN surv b ON a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        grped AS (
+          SELECT da, db, diag, pa,
+                 pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa)
+                   AS grp
+          FROM pairs
+        ),
+        runs AS (
+          SELECT da, db, diag, grp, max(pa) - min(pa) + 8 AS run_tokens
+          FROM grped GROUP BY da, db, diag, grp
+        ),
+        sides AS (
+          SELECT da AS doc_id, run_tokens FROM runs
+          UNION ALL
+          SELECT db AS doc_id, run_tokens FROM runs
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS n_pair_runs,
+                 max(run_tokens) AS longest
+          FROM sides GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_pair_runs, 0) AS BIGINT) AS n_pair_runs,
+               CAST(coalesce(p.longest, 0) AS BIGINT) AS longest_run_tokens,
+               CASE WHEN coalesce(p.longest, 0) >= 50 THEN 1 ELSE 0 END
+                 AS flagged_50
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id""",
     "text_lm_score": """
         WITH d AS (SELECT doc_id, lower(text) AS txt FROM documents),
         ex AS (
@@ -1231,6 +1380,7 @@ QUERIES = {
     "text_lm_score": q_text_lm_score,
     "text_dup_spans": q_text_dup_spans,
     "text_dup_runs": q_text_dup_runs,
+    "text_dup_suffix": q_text_dup_suffix,
     "text_langid_ngram": q_text_langid_ngram,
     "text_unicode_nfc": q_text_unicode_nfc,
 }

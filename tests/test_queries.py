@@ -301,3 +301,32 @@ def test_bpe_token_counter_pinned_values(spark):
     got = {r["i"]: r["n"] for r in df.select("i", bpe_token_col("text").alias("n")).collect()}
     for i, (s, want) in enumerate(cases):
         assert got[i] == want, f"{s!r}: got {got[i]}, want {want}"
+
+
+def test_dup_suffix_seed_and_extend(spark, tmp_path):
+    """text_dup_suffix must merge seed matches per (pair, diagonal) into
+    ONE maximal run per shared substring — a 60-word paragraph shared at
+    DIFFERENT offsets reports as a single 60-token run for both docs
+    (flagged at the Lee-et-al. 50-token threshold), a 10-word phrase
+    shared with a different partner stays its own unflagged run, and a
+    doc's run count is per-(partner, diagonal), not per-seed."""
+    from octopusdb_spark.queries.text import q_text_dup_suffix
+
+    shared60 = " ".join(f"s{i:03d}" for i in range(60))
+    phrase10 = " ".join(f"p{i:02d}" for i in range(10))
+    docs = [
+        (1, f"a1 a2 a3 a4 a5 {shared60} {phrase10}", 78),
+        (2, f"b1 b2 b3 b4 b5 b6 b7 b8 b9 {shared60} c1 c2", 71),
+        (3, f"d1 d2 d3 {phrase10} e1 e2 e3 e4", 17),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r for r in q_text_dup_suffix(spark, sf).collect()}
+    assert got[1]["n_pair_runs"] == 2  # one run vs doc2, one vs doc3
+    assert got[1]["longest_run_tokens"] == 60 and got[1]["flagged_50"] == 1
+    assert got[2]["n_pair_runs"] == 1
+    assert got[2]["longest_run_tokens"] == 60 and got[2]["flagged_50"] == 1
+    assert got[3]["n_pair_runs"] == 1
+    assert got[3]["longest_run_tokens"] == 10 and got[3]["flagged_50"] == 0
