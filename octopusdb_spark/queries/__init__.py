@@ -61,7 +61,10 @@ _PRIORITY = [
     # GraphX-library gap — displaced graph_two_hop, same r9 cohort.
     # text_dup_suffix NEW — suffix-grade maximal shared substrings via
     # per-pair diagonal seed-and-extend — displaced graph_mutual_follows,
-    # same r9 cohort.)
+    # same r9 cohort. source_warc_cdx NEW — CDX-indexed WARC random
+    # access with arithmetically-checked offsets — displaced
+    # q_source_balanced_sample, same r9 cohort.)
+    "source_warc_cdx",
     "text_dup_suffix",
     "graph_scc",
     "multimodal_decode",
@@ -89,7 +92,6 @@ _PRIORITY = [
     "q_window_family", "q_weighted_sample", "q_array_hof",
     "q_token_budget_packing_bpe", "q_range_join_bucketed",
     "q_skew_salted_join", "q_hash_sampled_stats", "q_stratified_sample",
-    "q_source_balanced_sample",
 ]
 
 

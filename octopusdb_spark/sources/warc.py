@@ -90,6 +90,110 @@ def encode_warc(records, gzip_per_record: bool = False) -> bytes:
     return bytes(out)
 
 
+def encode_warc_indexed(records, gzip_per_record: bool = False):
+    """`encode_warc` plus the CDX essentials: returns ``(warc_bytes,
+    index)`` where ``index[i] = (offset, length)`` of record i — byte
+    positions MEASURED while writing, not recomputed, so the index is
+    ground truth for whatever the framing produces. For ``.warc.gz`` the
+    offsets/lengths address whole gzip members, the standard CDX
+    random-access contract (a reader seeks to a member boundary and
+    inflates exactly one record)."""
+    import gzip
+
+    out = bytearray()
+    index = []
+    for headers, content in records:
+        rec = encode_warc_record(content, headers)
+        blob = gzip.compress(rec, 6, mtime=0) if gzip_per_record else rec
+        index.append((len(out), len(blob)))
+        out += blob
+    return bytes(out), index
+
+
+def read_warc_slice(blob: bytes, offset: int, length: int):
+    """Parse exactly ONE record from a CDX-addressed byte range (plain or
+    a single gzip member, sniffed). A range that frames anything other
+    than one whole record — truncated, mid-record, or spanning members —
+    raises ValueError: a stale index is an ingest error, not a row to
+    silently mangle."""
+    chunk = bytes(blob[offset : offset + length])
+    if len(chunk) != length:
+        raise ValueError("CDX range exceeds segment size")
+    if chunk[:2] == _GZ_MAGIC:
+        dec = zlib.decompressobj(wbits=31)
+        try:
+            chunk = dec.decompress(chunk)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member at CDX offset: {e}") from None
+        if not dec.eof or dec.unused_data:
+            raise ValueError("CDX range does not frame one gzip member")
+    recs = list(_parse_plain(chunk))
+    if len(recs) != 1:
+        raise ValueError("CDX range does not frame exactly one record")
+    return recs[0]
+
+
+CDX_SLICE_SCHEMA = T.StructType(
+    [
+        T.StructField("source_id", T.LongType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def read_warc_cdx(
+    segments: DataFrame,
+    cdx: DataFrame,
+    id_col: str = "source_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """CDX-driven random access — the 100 TB read shape for targeted
+    re-crawls: instead of scanning whole segments (`read_warc`), the
+    (pre-filtered, tiny) CDX selection decides everything.
+
+    ``cdx`` rows are (id_col, uri, offset, length). The per-segment hit
+    lists are aggregated first, then INNER-joined to the segment blobs:
+    a segment with no selected record is pruned before its payload
+    column is ever materialized (with a parquet/object-store on-ramp the
+    payload read never happens at all; at scale the aggregated selection
+    is small and AQE broadcasts it). Each surviving segment is loaded
+    once and all of its addressed ranges are sliced and parsed in one
+    mapInPandas pass — total parse cost O(selected records), not
+    O(archive). With ranged-GET storage the same plan pushes the
+    (offset, length) pairs down to the store instead of slicing a
+    loaded blob."""
+    from pyspark.sql import functions as F
+
+    hits = cdx.groupBy(id_col).agg(
+        F.collect_list(F.struct("uri", "offset", "length")).alias("hits")
+    )
+    pruned = segments.join(hits, id_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for sid, blob, hh in zip(pdf[id_col], pdf[payload_col], pdf["hits"]):
+                out: dict[str, list] = {f.name: [] for f in CDX_SLICE_SCHEMA.fields}
+                for h in hh:
+                    off, ln = int(h["offset"]), int(h["length"])
+                    headers, content = read_warc_slice(bytes(blob), off, ln)
+                    out["source_id"].append(int(sid))
+                    out["offset"].append(off)
+                    out["length"].append(ln)
+                    out["warc_type"].append(headers.get("warc-type"))
+                    out["target_uri"].append(headers.get("warc-target-uri"))
+                    out["warc_date"].append(headers.get("warc-date"))
+                    out["content"].append(content)
+                if out["source_id"]:
+                    yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(batches, CDX_SLICE_SCHEMA)
+
+
 def _parse_plain(payload: bytes):
     pos = 0
     while pos < len(payload):

@@ -350,3 +350,71 @@ def test_read_warc_dir_binary_ingest(spark, tmp_path):
     assert sorted(r["target_uri"] for r in rows) == ["u:1", "u:2"]
     assert {bytes(r["content"]) for r in rows} == {b"one", b"two"}
     assert len({r["source_id"] for r in rows}) == 2  # stable per-file ids
+
+
+def test_warc_cdx_random_access(spark):
+    """CDX-addressed reads: gzip-MEMBER offsets (the layout the gate row
+    can't SQL-check) recover exactly the selected records; segments with
+    no hit are pruned from the output; a stale index (wrong offset, or a
+    range spanning two members) raises instead of mangling a record."""
+    import pytest as _pytest
+
+    from octopusdb_spark.sources.warc import (
+        encode_warc_indexed,
+        read_warc_cdx,
+        read_warc_slice,
+    )
+
+    def seg_records(seg):
+        return [
+            (
+                {"WARC-Type": "response", "WARC-Target-URI": f"doc:{seg * 10 + i}"},
+                f"body-{seg}-{i}".encode() * (i + 1),
+            )
+            for i in range(4)
+        ]
+
+    payloads, indexes = {}, {}
+    for seg in (0, 1, 2):
+        payloads[seg], indexes[seg] = encode_warc_indexed(
+            seg_records(seg), gzip_per_record=True
+        )
+
+    # single-member slice round-trips through the gzip path
+    off, ln = indexes[1][2]
+    headers, content = read_warc_slice(payloads[1], off, ln)
+    assert headers["warc-target-uri"] == "doc:12"
+    assert content == b"body-1-2" * 3
+
+    segments = spark.createDataFrame(
+        [(s, payloads[s]) for s in payloads], "source_id long, payload binary"
+    )
+    # select two records from segment 0, one from segment 2, none from 1
+    sel = [(0, "doc:1", *indexes[0][1]), (0, "doc:3", *indexes[0][3]),
+           (2, "doc:22", *indexes[2][2])]
+    cdx = spark.createDataFrame(
+        sel, "source_id long, uri string, offset long, length long"
+    )
+    rows = read_warc_cdx(segments, cdx).collect()
+    got = {(r["source_id"], r["target_uri"]) for r in rows}
+    assert got == {(0, "doc:1"), (0, "doc:3"), (2, "doc:22")}
+    assert all(r["content"].startswith(b"body-") for r in rows)
+    assert {r["source_id"] for r in rows} == {0, 2}  # segment 1 pruned
+
+    # stale index: offset into the middle of a member
+    with _pytest.raises(ValueError):
+        read_warc_slice(payloads[0], indexes[0][1][0] + 3, indexes[0][1][1])
+    # range spanning two members
+    o0, l0 = indexes[0][0]
+    o1, l1 = indexes[0][1]
+    with _pytest.raises(ValueError):
+        read_warc_slice(payloads[0], o0, l0 + l1)
+    # plain-framing slice that frames two records
+    plain, pidx = encode_warc_indexed(seg_records(0))
+    po0, pl0 = pidx[0]
+    _po1, pl1 = pidx[1]
+    with _pytest.raises(ValueError):
+        read_warc_slice(plain, po0, pl0 + pl1)
+    # and the happy plain path
+    h2, c2 = read_warc_slice(plain, *pidx[3])
+    assert h2["warc-target-uri"] == "doc:3" and c2 == b"body-0-3" * 4
