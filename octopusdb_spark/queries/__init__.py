@@ -63,7 +63,11 @@ _PRIORITY = [
     # per-pair diagonal seed-and-extend — displaced graph_mutual_follows,
     # same r9 cohort. source_warc_cdx NEW — CDX-indexed WARC random
     # access with arithmetically-checked offsets — displaced
-    # q_source_balanced_sample, same r9 cohort.)
+    # q_source_balanced_sample, same r9 cohort. sim_ann_ivfpq CHANGED —
+    # residual codebooks 16->32 entries + shortlist 50->100, recall 0.68
+    # -> 0.88 — green must be re-earned; displaced q_stratified_sample,
+    # same r9 cohort.)
+    "sim_ann_ivfpq",
     "source_warc_cdx",
     "text_dup_suffix",
     "graph_scc",
@@ -91,7 +95,7 @@ _PRIORITY = [
     "q_approx_distinct", "q_rollup_merge", "q_pandas_udaf_trimmed_mean",
     "q_window_family", "q_weighted_sample", "q_array_hof",
     "q_token_budget_packing_bpe", "q_range_join_bucketed",
-    "q_skew_salted_join", "q_hash_sampled_stats", "q_stratified_sample",
+    "q_skew_salted_join", "q_hash_sampled_stats",
 ]
 
 

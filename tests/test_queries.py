@@ -113,13 +113,13 @@ def test_ann_recall_floors(spark):
     assert recall["sim_ann_ivf_kmeans"] >= recall["sim_ann_ivf"], recall
     assert recall["sim_ann_pq"] >= 0.5, recall  # above the seed-codebook ~0.44
     # IVF-PQ is recall-bounded by its coarse quantizer's probes (~0.92 at
-    # nprobe=6). RESIDUAL encoding + shortlist-50 + exact re-rank measures
-    # 0.68 — the gap to the bound is the ADC compression trade. The 0.6
-    # production floor proves the compressed path finds most true
-    # neighbors; the tracking assertion pins that compression never
-    # collapses recall far below the coarse bound.
-    assert recall["sim_ann_ivfpq"] >= 0.6, recall
-    assert recall["sim_ann_ivfpq"] >= recall["sim_ann_ivf_kmeans"] - 0.35, recall
+    # nprobe=6). RESIDUAL encoding with the 32-entry codebooks +
+    # shortlist-100 + exact re-rank measures 0.88 (VERDICT r11 #5: was
+    # 0.68 at K=16/SL=50) — nearly saturating the coarse bound. The 0.75
+    # production floor leaves regeneration margin; the tracking assertion
+    # pins that ADC compression stays within a whisker of the bound.
+    assert recall["sim_ann_ivfpq"] >= 0.75, recall
+    assert recall["sim_ann_ivfpq"] >= recall["sim_ann_ivf_kmeans"] - 0.15, recall
 
 
 def test_quantized_cosine_tracks_exact(spark):
