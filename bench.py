@@ -86,6 +86,12 @@ HEADLINE = [
     "q_countmin_sketch",
     "text_unicode_nfc",
     "graph_shortest_paths",
+    # added round 12 (converged SCC; suffix-grade substring dedup;
+    # CDX-indexed WARC random access; decode gains the JPEG lane and
+    # ivfpq the 32-entry codebooks — both already listed above)
+    "graph_scc",
+    "text_dup_suffix",
+    "source_warc_cdx",
 ]
 
 

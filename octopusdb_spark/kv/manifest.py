@@ -55,6 +55,13 @@ class SegmentInfo:
     # values-segments only: bytes known dead (discard-stats accounting, A17)
     discard_bytes: int = 0
     total_value_bytes: int = 0
+    # data-segments: sorted-RUN identity — segments written by one ranged
+    # write (ingest or compaction output) share it, so size-tiered
+    # banding (store.tiered_buckets) counts the run once instead of
+    # re-bucketing its own multi-file output forever. None (every
+    # pre-field manifest, and single-segment batch flushes) = the
+    # segment is its own run.
+    run_id: str | None = None
     # values-segments only: ids of segments this one absorbed via rewrite
     # (compact_values merge, GC live-row rewrite). ValuePtr strings embed
     # the segment id the value was WRITTEN to and survive rewrites (value_id

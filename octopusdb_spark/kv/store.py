@@ -250,11 +250,20 @@ class KVStore:
         level_multiplier: int = 10,  # levelSizeMultiplier (kv/option.go)
         key_type: str = "string",  # "binary" = reference's opaque []byte keys
         merge_op: str | None = None,  # RocksDB merge_operator analog
+        # "leveled" = the reference's policy (size/target cascade); "tiered"
+        # = size-tiered (STCS) for write-heavy stores — fewer rewrites per
+        # key, more coexisting runs per read (the RUM trade)
+        compaction_style: str = "leveled",
     ):
         if key_type not in ("string", "binary"):
             raise ValueError(f"key_type must be 'string' or 'binary', got {key_type!r}")
         if merge_op is not None and merge_op not in MERGE_OPS:
             raise ValueError(f"merge_op must be one of {MERGE_OPS}, got {merge_op!r}")
+        if compaction_style not in ("leveled", "tiered"):
+            raise ValueError(
+                f"compaction_style must be 'leveled' or 'tiered', got {compaction_style!r}"
+            )
+        self.compaction_style = compaction_style
         self.merge_op = merge_op
         self.spark = spark
         self.root = root
@@ -2313,6 +2322,8 @@ class KVStore:
                     created_seq=seg_created,
                     max_seq=int(r["_mxseq"]),
                     exact_min_seq=r["_mnseq"] is not None,
+                    # one ranged write = one sorted run (tiered banding key)
+                    run_id=staging_id,
                 )
             )
         if extra_stats is not None:
@@ -2440,15 +2451,6 @@ class KVStore:
             if s.level == dst_level and not (s.max_key < lo or s.min_key > hi)
         ]
         participants = src + dst
-        # newest per key among participants PLUS held boundary versions
-        # (_retained_df): a held snapshot's as_of read survives leveled
-        # merges of the versions it resolves to, not just full compaction
-        merged = self._retained_df(participants)
-        rts = state.range_tombstones or []
-        clearable, _ = self._split_rts_by_retention(rts)
-        rt_mask = self._rt_mask(clearable, None)
-        if rt_mask is not None:
-            merged = merged.filter(rt_mask)
         # Epoch split (manifest-metadata decision, no extra scan): when the
         # base (dst) rows dominate the delta (src) by EPOCH_SPLIT_RATIO and
         # the delta actually carries newer seqs, split the output at the
@@ -2463,6 +2465,28 @@ class KVStore:
             src_rows = sum(s.row_count for s in src)
             if src_newer and dst_rows >= self.EPOCH_SPLIT_RATIO * max(src_rows, 1):
                 cut = base_max
+        self._merge_commit(state, participants, dst_level, target_segments, cut)
+
+    def _merge_commit(
+        self,
+        state,
+        participants: list,
+        dst_level: int,
+        target_segments: int,
+        epoch_cut,
+    ) -> None:
+        """Shared merge tail for compact_level / compact_tier: newest per
+        key among participants PLUS held boundary versions (_retained_df —
+        a held snapshot's as_of read survives merges of the versions it
+        resolves to), clearable range-tombstone masks applied physically,
+        ranged output segments, discard-stat routing, retention-aware
+        tombstone retirement, one manifest commit."""
+        merged = self._retained_df(participants)
+        rts = state.range_tombstones or []
+        clearable, _ = self._split_rts_by_retention(rts)
+        rt_mask = self._rt_mask(clearable, None)
+        if rt_mask is not None:
+            merged = merged.filter(rt_mask)
         # created_seq on each output is the exact per-segment min(seq)
         # (stamped inside _write_ranged_segments), so as-of pruning stays
         # both tight and sound across merges of legacy segments
@@ -2470,7 +2494,7 @@ class KVStore:
             merged,
             dst_level,
             target_segments,
-            epoch_cut=cut,
+            epoch_cut=epoch_cut,
         )
         drops = self._dropped_ptr_bytes(participants, new_segs)
         part_ids = {s.segment_id for s in participants}
@@ -2506,10 +2530,101 @@ class KVStore:
             )
         )
 
+    # Size-tiered banding (Cassandra STCS convention): a segment joins the
+    # current bucket while within [0.5x, 1.5x] of the bucket's running
+    # average size; a bucket compacts when it holds >= min_threshold runs.
+    TIER_LOW, TIER_HIGH = 0.5, 1.5
+    TIER_MIN_THRESHOLD = 4
+
+    def tiered_buckets(self, min_threshold: int | None = None) -> list:
+        """Size-tiered bucket scores — the STCS analog of
+        `compaction_priorities` (no reference counterpart: the reference's
+        LSM is leveled-only, `kv/lsm/compact.go:626-685`; size-tiering is
+        the public Cassandra/RocksDB universal-compaction strategy).
+
+        The banding unit is the sorted RUN, not the file: segments
+        written by one ranged write share a ``run_id``, and a run's size
+        is its segments' total — otherwise a merge's own multi-file
+        output would re-form a triggering bucket and re-compact itself
+        forever (exactly what the first bench of this policy measured:
+        write-amp 24). Runs sorted by size are banded into buckets of
+        similar size; score = runs-in-bucket / min_threshold, so a
+        bucket triggers exactly when enough same-tier runs have
+        accumulated to amortize one merge into the next tier. Returns
+        [(bucket_segments_flat, score)], highest first."""
+        mt = self.TIER_MIN_THRESHOLD if min_threshold is None else min_threshold
+        runs: dict = {}
+        for s in self.manifest.state.data_segments():
+            runs.setdefault(s.run_id or s.segment_id, []).append(s)
+        sized = sorted(
+            ((sum(x.size_bytes for x in ss), ss) for ss in runs.values()),
+            key=lambda t: t[0],  # size only — equal-size runs must not
+            # fall through to comparing SegmentInfo objects
+        )
+        buckets: list = []  # [running_avg, [run, ...]]
+        for size, ss in sized:
+            if buckets:
+                avg, members = buckets[-1]
+                if self.TIER_LOW * avg <= size <= self.TIER_HIGH * avg:
+                    members.append(ss)
+                    buckets[-1][0] = avg + (size - avg) / len(members)
+                    continue
+            buckets.append([float(size), [ss]])
+        out = [
+            ([seg for run in members for seg in run], len(members) / mt)
+            for _avg, members in buckets
+        ]
+        return sorted(out, key=lambda x: -x[1])
+
+    def compact_tier(
+        self, segments: list, now: int | None = None, target_segments: int = 4
+    ) -> None:
+        """Merge ONE size bucket of sorted runs into a single bigger run —
+        the size-tiered merge. Participants are ONLY the bucket: no
+        overlapping-base pull-in, so bytes rewritten per merge = bucket
+        bytes and a key is rewritten ~log_T(N) times over its lifetime
+        (vs leveled's multiplier-per-level cascade) — lower write-amp,
+        bought with more coexisting overlapping runs per read until the
+        next tier merge: the RUM trade a write-heavy workload wants.
+        Output lands one level past the deepest participant purely as a
+        generation marker (read correctness orders by seq, not level).
+        Version retention and range-tombstone retirement are the shared
+        `_merge_commit` discipline; epoch splitting stays a leveled-only
+        optimization (tiered merges have no base/delta distinction)."""
+        if not segments:
+            return
+        dst_level = min(max(s.level for s in segments) + 1, self.MAX_LEVEL)
+        self._merge_commit(
+            self.manifest.state, list(segments), dst_level, target_segments, None
+        )
+
+    def auto_compact_tiered(
+        self,
+        now: int | None = None,
+        max_rounds: int = 8,
+        min_threshold: int | None = None,
+    ) -> int:
+        """Run size-tiered merges while any bucket's score >= 1.0 — the
+        STCS counterpart of `auto_compact`. Returns rounds executed."""
+        rounds = 0
+        for _ in range(max_rounds):
+            ready = [
+                (b, sc) for b, sc in self.tiered_buckets(min_threshold) if sc >= 1.0
+            ]
+            if not ready:
+                break
+            self.compact_tier(ready[0][0], now=now)
+            rounds += 1
+        return rounds
+
     def auto_compact(self, now: int | None = None, max_rounds: int = 8) -> int:
-        """Run leveled compactions while any level's score >= 1.0 — the
-        runCompacter loop (`kv/lsm/compact.go:65-85`) as an on-demand
-        maintenance job. Returns rounds executed."""
+        """Run compactions under the store's configured policy while any
+        level/bucket scores >= 1.0 — the runCompacter loop
+        (`kv/lsm/compact.go:65-85`) as an on-demand maintenance job;
+        ``compaction_style='tiered'`` swaps in the STCS scoring. Returns
+        rounds executed."""
+        if self.compaction_style == "tiered":
+            return self.auto_compact_tiered(now=now, max_rounds=max_rounds)
         rounds = 0
         for _ in range(max_rounds):
             pris = [(lvl, sc) for lvl, sc in self.compaction_priorities() if sc >= 1.0]

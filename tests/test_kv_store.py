@@ -1439,6 +1439,7 @@ def test_kv_model_with_holds_and_range_deletes(spark, tmp_path):
         st.tuples(st.just("release"), st.sampled_from(HOLDERS)),
         st.just(("compact",)),
         st.just(("compact_level",)),
+        st.just(("compact_tier",)),
         st.just(("gc",)),
     )
     counter = [0]
@@ -1488,6 +1489,11 @@ def test_kv_model_with_holds_and_range_deletes(spark, tmp_path):
             elif o[0] == "compact_level":
                 flush()
                 store.compact_level(0, now=NOW)
+            elif o[0] == "compact_tier":
+                # the size-tiered flavor rides the same _merge_commit
+                # retention discipline — the model must hold under it too
+                flush()
+                store.auto_compact_tiered(now=NOW, max_rounds=2, min_threshold=2)
             else:
                 flush()
                 store.gc_values(discard_ratio=0.0, now=NOW)
@@ -2161,3 +2167,52 @@ def test_leveled_cascade_reaches_depth_with_write_amp(spark, tmp_path):
     # invariance: newest wave's values are what reads resolve
     assert s.get("k007", now=NOW).value == b"w2b-" + b"y" * 40 + b"-7"
     s.close()
+
+
+def test_tiered_compaction_rum_trade(spark, tmp_path):
+    """Size-tiered vs leveled under the SAME overwrite-wave workload: the
+    tiered store must (a) keep the live view identical to the leveled
+    twin, (b) actually trigger bucket merges through auto_compact's
+    policy dispatch, and (c) land measurably LOWER write amplification —
+    the RUM trade the policy flag exists for (fewer rewrites per key,
+    more coexisting runs per read)."""
+
+    def mk(style, name):
+        return KVStore(
+            spark,
+            str(tmp_path / name),
+            level0_trigger=2,
+            base_level_bytes=2 << 10,
+            level_multiplier=4,
+            compaction_style=style,
+        )
+
+    stores = {"leveled": mk("leveled", "lv"), "tiered": mk("tiered", "tr")}
+    rounds = {"leveled": 0, "tiered": 0}
+    for wave in range(3):
+        for name, st in stores.items():
+            st.set_batch(
+                [Entry(f"k{i:03d}", f"w{wave}-{'x' * 40}-{i}".encode()) for i in range(120)]
+            )
+            st.set_batch(
+                [Entry(f"k{i:03d}", f"w{wave}b-{'y' * 40}-{i}".encode()) for i in range(120)]
+            )
+            rounds[name] += st.auto_compact(now=NOW)
+    assert rounds["tiered"] >= 1, rounds  # the STCS scoring actually fired
+    views = {}
+    for name, st in stores.items():
+        assert st.get("k007", now=NOW).value == b"w2b-" + b"y" * 40 + b"-7", name
+        views[name] = {
+            r["key"]: bytes(r["value"]) for r in st.view(now=NOW).collect()
+        }
+    assert views["tiered"] == views["leveled"]
+    assert len(views["tiered"]) == 120
+    wa = {n: st.info()["write_amplification"] for n, st in stores.items()}
+    assert wa["tiered"] < wa["leveled"], wa
+    # tiered keeps more overlapping runs resident (the read side of RUM)
+    segs = {
+        n: len(st.manifest.state.data_segments()) for n, st in stores.items()
+    }
+    for st in stores.values():
+        st.close()
+    assert segs["tiered"] >= 1, segs

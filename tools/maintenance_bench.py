@@ -79,6 +79,7 @@ def run(spark, sf_dir: str = SF_DIR) -> dict:
         timings["post_compact_full_scan"] = round(time.perf_counter() - t0, 3)
 
         deep = _deep_compaction(spark, d, li)
+        tiered = _tiered_compaction(spark, d, li)
         store.close()  # release the directory-lock share (hygiene)
 
         return {
@@ -91,6 +92,7 @@ def run(spark, sf_dir: str = SF_DIR) -> dict:
             "compaction_rounds": rounds,
             "segments": store.info(),
             "deep_compaction": deep,
+            "tiered_compaction": tiered,
             "sf_dir": sf_dir,
         }
 
@@ -169,6 +171,66 @@ def _deep_compaction(spark, d: str, li) -> dict:
     if max(levels_traversed, default=0) < 2 or info["write_amplification"] <= 1.0:
         out["warning"] = "deep-compaction scenario did not reach depth"
     return out
+
+
+def _tiered_compaction(spark, d: str, li) -> dict:
+    """Size-tiered twin of `_deep_compaction` (VERDICT r11 #8): the SAME
+    overwrite-wave workload against a store with
+    ``compaction_style='tiered'``, so the per-round artifact records BOTH
+    policies' score traces and write-amp side by side — the RUM trade as
+    a measured number, not a claim. The tiered trace records each firing
+    bucket as [n_runs, score, bucket_bytes]; leveled rewrites of rewrites
+    push write-amp past the tiered reading under identical writes."""
+    sub = li.filter(F.pmod(F.xxhash64("key"), F.lit(8)) == 0)
+    store = KVStore(
+        spark,
+        os.path.join(d, "kv_tiered"),
+        value_threshold=1 << 20,  # inline: sizes drive the bucket banding
+        level0_trigger=2,
+        base_level_bytes=64 << 10,
+        level_multiplier=4,
+        compaction_style="tiered",
+    )
+    timings: dict[str, float] = {}
+    rounds = 0
+    score_trace: list = []  # [n_segments, score, bucket_bytes] per merge
+    # (score * TIER_MIN_THRESHOLD = runs in the firing bucket)
+    t_all = time.perf_counter()
+    # four waves: STCS fires when TIER_MIN_THRESHOLD (4) same-size runs
+    # have accumulated — one fewer wave never triggers, by design
+    for wave in range(4):
+        t0 = time.perf_counter()
+        store.ingest_df(
+            sub.withColumn(
+                "value",
+                F.concat(F.col("value").cast("string"), F.lit(f";w{wave}")).cast("binary"),
+            ),
+            target_segments=4,
+        )
+        # auto_compact_tiered unrolled so the trace records every bucket
+        # decision (mirrors the leveled twin's unrolled loop)
+        for _ in range(8):
+            ready = [(b, sc) for b, sc in store.tiered_buckets() if sc >= 1.0]
+            if not ready:
+                break
+            bucket, score = ready[0]
+            score_trace.append(
+                [len(bucket), round(score, 2), sum(s.size_bytes for s in bucket)]
+            )
+            store.compact_tier(bucket, now=NOW)
+            rounds += 1
+        timings[f"wave_{wave}_ingest_compact"] = round(time.perf_counter() - t0, 3)
+    info = store.info()
+    store.close()
+    return {
+        "wall_clock": round(time.perf_counter() - t_all, 3),
+        "phases": timings,
+        "compaction_rounds": rounds,
+        "levels": info["levels"],
+        "score_trace": score_trace,
+        "levels_detail": info["levels_detail"],
+        "write_amplification": info["write_amplification"],
+    }
 
 
 def main() -> None:
