@@ -92,6 +92,7 @@ HEADLINE = [
     "graph_scc",
     "text_dup_suffix",
     "source_warc_cdx",
+    "graph_lpa",
 ]
 
 

@@ -66,7 +66,10 @@ _PRIORITY = [
     # q_source_balanced_sample, same r9 cohort. sim_ann_ivfpq CHANGED —
     # residual codebooks 16->32 entries + shortlist 50->100, recall 0.68
     # -> 0.88 — green must be re-earned; displaced q_stratified_sample,
-    # same r9 cohort.)
+    # same r9 cohort. graph_lpa NEW — synchronous deterministic label
+    # propagation, the final GraphX-library member — displaced
+    # q_hash_sampled_stats, same r9 cohort.)
+    "graph_lpa",
     "sim_ann_ivfpq",
     "source_warc_cdx",
     "text_dup_suffix",
@@ -95,7 +98,7 @@ _PRIORITY = [
     "q_approx_distinct", "q_rollup_merge", "q_pandas_udaf_trimmed_mean",
     "q_window_family", "q_weighted_sample", "q_array_hof",
     "q_token_budget_packing_bpe", "q_range_join_bucketed",
-    "q_skew_salted_join", "q_hash_sampled_stats",
+    "q_skew_salted_join",
 ]
 
 

@@ -444,6 +444,97 @@ def q_graph_scc(spark, sf_dir):
     return assigned.orderBy("node")
 
 
+LPA_ROUNDS = 4
+
+
+def q_graph_lpa(spark, sf_dir):
+    """Label-propagation community detection — the last GraphX-library
+    member without an analog (SCC landed this round; CC/k-core/k-hop/
+    pagerank/shortest-paths already exist). SYNCHRONOUS variant with a
+    deterministic tie-break: each round every node adopts the most
+    frequent label among its (undirected) neighbors, ties broken by the
+    smallest label — so unlike the asynchronous coin-flip LPA of the
+    original paper, the result is exactly reproducible and the oracle
+    can unroll the rounds as CTEs (the `graph_components` discipline).
+    Fixed LPA_ROUNDS like the components query: full convergence loops
+    exist in the library; fixed depth keeps the oracle expressible.
+
+    Plan per round: one neighbor-label join + one (node, label) count
+    agg + one node-keyed rank window (parallelism O(nodes), no task sees
+    more than one node's label histogram) + one left join back —
+    Pregel-as-joins, same shape as pagerank/CC; localCheckpoint each
+    round truncates the doubling lineage."""
+    e = edges(spark, sf_dir)
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()  # loop-invariant, joined every iteration
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("n2").orderBy(F.desc("c"), F.asc("label"))
+    prev_ckpt = None
+    for _ in range(LPA_ROUNDS):
+        freq = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy(F.col("src").alias("n2"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        pick = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n2", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, labels.node == F.col("n2"), "left")
+            .select(
+                "node",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = labels
+    und.unpersist()
+    return labels.orderBy("node")
+
+
+def _lpa_sql() -> str:
+    """Unrolled synchronous LPA rounds, mirroring the Spark loop term for
+    term (count agg + (DESC count, ASC label) rank window)."""
+    sql = EDGES_SQL + """
+, und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+  )
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)
+"""
+    for i in range(LPA_ROUNDS):
+        sql += f""",
+f{i} AS (
+  SELECT u.src AS node, l.label, count(*) AS c
+  FROM und u JOIN l{i} l ON u.dst = l.node GROUP BY u.src, l.label
+),
+p{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM f{i}
+  ) WHERE rn = 1
+),
+l{i + 1} AS (
+  SELECT l.node, coalesce(p.label, l.label) AS label
+  FROM l{i} l LEFT JOIN p{i} p ON l.node = p.node
+)"""
+    sql += f"\nSELECT node, label FROM l{LPA_ROUNDS} ORDER BY node"
+    return sql
+
+
 def _scc_sql() -> str:
     """Brute-force oracle: recursive-CTE transitive closure (UNION
     dedup handles cycles), mutual pairs, then label = min mutually
@@ -736,8 +827,10 @@ def _kcore_sql() -> str:
 ORACLES["graph_kcore"] = _kcore_sql()
 ORACLES["graph_shortest_paths"] = _shortest_paths_sql()
 ORACLES["graph_scc"] = _scc_sql()
+ORACLES["graph_lpa"] = _lpa_sql()
 
 QUERIES = {
+    "graph_lpa": q_graph_lpa,
     "graph_scc": q_graph_scc,
     "graph_kcore": q_graph_kcore,
     "graph_degrees": q_graph_degrees,

@@ -200,3 +200,46 @@ def test_scc_matches_tarjan(spark, monkeypatch):
     assert got == expected
     # sanity on the fixture itself: the two 2-cycles stayed separate SCCs
     assert expected[10] == 10 and expected[40] == 40 and expected[52] == 52
+
+
+def test_lpa_matches_reference_implementation(spark, monkeypatch):
+    """graph_lpa must equal an independent pure-Python implementation of
+    the same spec (synchronous rounds, most-frequent neighbor label,
+    min-label tie-break) on a two-community graph, and the communities
+    must actually separate: two 5-cliques joined by one bridge edge end
+    with distinct labels on each side."""
+    import octopusdb_spark.queries.graph as g
+    from octopusdb_spark.queries.graph import LPA_ROUNDS
+
+    a = list(range(5))
+    b = list(range(10, 15))
+    raw = [(x, y) for i, x in enumerate(a) for y in a[i + 1 :]]
+    raw += [(x, y) for i, x in enumerate(b) for y in b[i + 1 :]]
+    raw.append((4, 10))  # the bridge
+
+    def reference(edge_list, rounds):
+        adj: dict = {}
+        for x, y in edge_list:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        labels = {v: v for v in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for v in adj:
+                freq: dict = {}
+                for u in adj[v]:
+                    freq[labels[u]] = freq.get(labels[u], 0) + 1
+                best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[v] = best[0]
+            labels = nxt
+        return labels
+
+    expected = reference(raw, LPA_ROUNDS)
+    df = spark.createDataFrame(raw, "src long, dst long")
+    monkeypatch.setattr(g, "edges", lambda _spark, _sf: df)
+    got = {r["node"]: r["label"] for r in g.q_graph_lpa(spark, "unused").collect()}
+    assert got == expected
+    # the spec-level outcome: one label per clique, different across them
+    assert len({got[v] for v in a}) == 1
+    assert len({got[v] for v in b}) == 1
+    assert got[0] != got[10]
