@@ -93,6 +93,7 @@ HEADLINE = [
     "text_dup_suffix",
     "source_warc_cdx",
     "graph_lpa",
+    "multimodal_jpeg_color",
 ]
 
 

@@ -11,8 +11,10 @@ header tokens + FRAME walk over raw planar frames, which also powers REAL
 per-frame sampling via ``sample_frame_features``), GIF87a/89a (the second
 entropy codec — real variable-width LZW with CLEAR/END, KwKwK, and
 dictionary reset — palette-mapped to RGB moments), and baseline JPEG (the
-third entropy-codec family — canonical Huffman decode, DC prediction, AC
-run-length, dequantize + exact 2D IDCT). Remaining codec-library formats
+third entropy-codec family — canonical Huffman decode, per-component DC
+prediction, AC run-length, dequantize + exact 2D IDCT; grayscale AND
+3-component color with 4:4:4 / 4:2:0 sampling, interleaved MCU scan,
+chroma upsample, JFIF YCbCr -> RGB). Remaining codec-library formats
 (MP3/MP4/H.264...) still hit the clearly marked stub: their entropy coding
 needs libraries this container lacks, so those payloads get deterministic
 byte-level fallback features instead — the boundary is explicit in the
@@ -789,13 +791,72 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
+_DC_CODE = {v: (v, 4) for v in _DC_VALUES}
+_AC_CODE = {v: (i, 8) for i, v in enumerate(_AC_VALUES)}
+
+
+def _jpeg_encode_block(bits: _JpegBitWriter, block, m, q, zz, pred: int) -> int:
+    """DCT -> quantize -> zig-zag -> Huffman-emit ONE 8x8 block; returns
+    the new DC predictor. floor(S/q + 0.5) quantization (the +1e-9 nudge
+    pins the exact-integer boundary the constant-block oracle lane sits
+    on against DCT float noise); shared by the gray and color encoders."""
+    import numpy as np
+
+    s = m @ (block - 128.0) @ m.T
+    sq = np.floor(s / q + 0.5 + 1e-9).astype(np.int64)
+    coef = sq.reshape(-1)[zz]
+    diff = int(coef[0]) - pred
+    cat = _jpeg_category(diff)
+    if cat > 11:
+        raise ValueError("DC difference out of baseline range")
+    bits.put(*_DC_CODE[cat])
+    if cat:
+        bits.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for v in (int(x) for x in coef[1:]):
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bits.put(*_AC_CODE[0xF0])  # ZRL
+            run -= 16
+        size = _jpeg_category(v)
+        if size > 10:
+            raise ValueError("AC coefficient out of baseline range")
+        bits.put(*_AC_CODE[(run << 4) | size])
+        bits.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        bits.put(*_AC_CODE[0x00])  # EOB
+    return int(coef[0])
+
+
+def _jpeg_headers(height: int, width: int, comps: bytes) -> bytes:
+    """SOI + APP0(JFIF) + DQT (table 0, zig-zagged) + SOF0 + DHT; shared
+    by both encoders — ``comps`` is the SOF0 per-component tail."""
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = b"\x00" + bytes(_JPEG_QTABLE[i] for i in _ZIGZAG)  # stored zig-zagged
+    sof = struct.pack(">BHHB", 8, height, width, len(comps) // 3) + comps
+    dht = (
+        b"\x00" + bytes(12 if n == 4 else 0 for n in range(1, 17))
+        + bytes(_DC_VALUES)
+        + b"\x10" + bytes(162 if n == 8 else 0 for n in range(1, 17))
+        + bytes(_AC_VALUES)
+    )
+    return (
+        JPEG_SOI
+        + _seg(0xE0, app0)
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht)
+    )
+
+
 def encode_jpeg(pixels: bytes, width: int, height: int) -> bytes:
     """Baseline JFIF grayscale from ``width*height`` GRAY bytes: real
     2D DCT per 8x8 block (edge-replicated padding), Annex-K luminance
-    quantization with floor(S/q + 0.5) rounding (the +1e-9 nudge pins
-    the exact-integer boundary the constant-block oracle lane sits on
-    against DCT float noise), zig-zag run-length, Huffman entropy
-    coding with byte stuffing."""
+    quantization, zig-zag run-length, Huffman entropy coding with byte
+    stuffing (see `_jpeg_encode_block`)."""
     import numpy as np
 
     if width <= 0 or height <= 0 or len(pixels) != width * height:
@@ -809,56 +870,85 @@ def encode_jpeg(pixels: bytes, width: int, height: int) -> bytes:
     img = np.pad(img, ((0, hp - height), (0, wp - width)), mode="edge")
     m = _dct_mat()
     q = np.array(_JPEG_QTABLE, np.float64).reshape(8, 8)
-    dc_code = {v: (v, 4) for v in _DC_VALUES}
-    ac_code = {v: (i, 8) for i, v in enumerate(_AC_VALUES)}
     bits = _JpegBitWriter()
-    prev_dc = 0
     zz = np.array(_ZIGZAG)
+    pred = 0
     for by in range(0, hp, 8):
         for bx in range(0, wp, 8):
-            s = m @ (img[by : by + 8, bx : bx + 8] - 128.0) @ m.T
-            sq = np.floor(s / q + 0.5 + 1e-9).astype(np.int64)
-            coef = sq.reshape(-1)[zz]
-            diff = int(coef[0]) - prev_dc
-            prev_dc = int(coef[0])
-            cat = _jpeg_category(diff)
-            if cat > 11:
-                raise ValueError("DC difference out of baseline range")
-            bits.put(*dc_code[cat])
-            if cat:
-                bits.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            for v in (int(x) for x in coef[1:]):
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bits.put(*ac_code[0xF0])  # ZRL
-                    run -= 16
-                size = _jpeg_category(v)
-                if size > 10:
-                    raise ValueError("AC coefficient out of baseline range")
-                bits.put(*ac_code[(run << 4) | size])
-                bits.put(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if run:
-                bits.put(*ac_code[0x00])  # EOB
-    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
-    dqt = b"\x00" + bytes(_JPEG_QTABLE[i] for i in _ZIGZAG)  # stored zig-zagged
-    sof = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
-    dht = (
-        b"\x00" + bytes(12 if n == 4 else 0 for n in range(1, 17))
-        + bytes(_DC_VALUES)
-        + b"\x10" + bytes(162 if n == 8 else 0 for n in range(1, 17))
-        + bytes(_AC_VALUES)
-    )
+            pred = _jpeg_encode_block(
+                bits, img[by : by + 8, bx : bx + 8], m, q, zz, pred
+            )
     sos = b"\x01\x01\x00\x00\x3f\x00"
     return (
-        JPEG_SOI
-        + _seg(0xE0, app0)
-        + _seg(0xDB, dqt)
-        + _seg(0xC0, sof)
-        + _seg(0xC4, dht)
+        _jpeg_headers(height, width, b"\x01\x11\x00")
+        + _seg(0xDA, sos)
+        + bits.flush()
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_color(pixels: bytes, width: int, height: int) -> bytes:
+    """Baseline JFIF COLOR from ``width*height*3`` RGB bytes — the shape
+    real crawl-corpus JPEGs actually have: JFIF RGB -> YCbCr (every
+    rounding is floor(x + 0.5), the convention the color oracle mirrors
+    in SQL), 4:2:0 chroma subsampling (2x2 integer mean,
+    floor((sum + 2) / 4)), 16x16-MCU interleaved scan (4 Y blocks + Cb
+    + Cr, per-component DC prediction), one shared Annex-K quant table —
+    q00=16 for EVERY component keeps the constant-MCU decode arithmetic
+    identical across channels, which is what makes a color lane
+    exact-value checkable at all."""
+    import numpy as np
+
+    if width <= 0 or height <= 0 or len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 RGB bytes")
+    rgb = (
+        np.frombuffer(pixels, np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = np.clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0, 255)
+    cb = np.clip(
+        np.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5), 0, 255
+    )
+    cr = np.clip(
+        np.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0, 255
+    )
+    hp, wp = (height + 15) // 16 * 16, (width + 15) // 16 * 16
+
+    def pad(p):
+        return np.pad(p, ((0, hp - height), (0, wp - width)), mode="edge")
+
+    y, cb, cr = pad(y), pad(cb), pad(cr)
+
+    def sub420(p):  # 2x2 integer mean
+        s = p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+        return np.floor((s + 2.0) / 4.0)
+
+    cb, cr = sub420(cb), sub420(cr)
+    m = _dct_mat()
+    q = np.array(_JPEG_QTABLE, np.float64).reshape(8, 8)
+    bits = _JpegBitWriter()
+    zz = np.array(_ZIGZAG)
+    preds = [0, 0, 0]
+    for my in range(hp // 16):
+        for mx in range(wp // 16):
+            for by in range(2):
+                for bx in range(2):
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    preds[0] = _jpeg_encode_block(
+                        bits, y[y0 : y0 + 8, x0 : x0 + 8], m, q, zz, preds[0]
+                    )
+            c0, cx0 = my * 8, mx * 8
+            preds[1] = _jpeg_encode_block(
+                bits, cb[c0 : c0 + 8, cx0 : cx0 + 8], m, q, zz, preds[1]
+            )
+            preds[2] = _jpeg_encode_block(
+                bits, cr[c0 : c0 + 8, cx0 : cx0 + 8], m, q, zz, preds[2]
+            )
+    sos = b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00"
+    return (
+        _jpeg_headers(height, width, b"\x01\x22\x00\x02\x11\x00\x03\x11\x00")
         + _seg(0xDA, sos)
         + bits.flush()
         + b"\xff\xd9"
@@ -929,16 +1019,20 @@ _JPEG_MAX_PIXELS = 1 << 24  # decode bound: the PNG zip-bomb rule
 def decode_jpeg(payload: bytes) -> dict:
     """Parse baseline JFIF FOR REAL — marker walk (DQT/DHT/SOF0/SOS,
     APPn/COM skipped), canonical Huffman decode from the DHT counts,
-    DC prediction + EXTEND, AC run-length with ZRL/EOB, dequantize,
-    inverse zig-zag, exact 2D IDCT, level shift, clamp — then gray
-    pixel moments over the declared (unpadded) geometry. Unsupported
-    corners raise ValueError -> stub fallback: progressive/arithmetic/
-    hierarchical frames, multi-component scans, 16-bit quant tables,
-    restart intervals. A constant 8x8 block of source value v decodes
-    to exactly 2*floor((v-127)/2) + 128 under the Annex-K table
-    (q00=16): DC = 8*(v-128), quantizes to floor((v-127)/2), and the
-    IDCT of a DC-only block is flat at dequant/8 — the pure-arithmetic
-    contract the oracle lane checks in SQL."""
+    per-component DC prediction + EXTEND, AC run-length with ZRL/EOB,
+    dequantize, inverse zig-zag, exact 2D IDCT, level shift, clamp.
+    Grayscale AND color: 1-component, or 3-component 4:4:4 / 4:2:0
+    (interleaved MCU scan, nearest chroma upsample, JFIF YCbCr -> RGB
+    with floor(x + 0.5) rounding) — the sampling real crawl-corpus
+    JPEGs ship. Moments are over gray pixels or interleaved RGB.
+    Unsupported corners raise ValueError -> stub fallback:
+    progressive/arithmetic/hierarchical frames, other sampling grids,
+    16-bit quant tables, restart intervals. A constant 8x8 block of
+    value v decodes to exactly clamp(2*floor((v-127)/2) + 128) under a
+    q00=16 table: DC = 8*(v-128), quantizes to floor((v-127)/2), and
+    the IDCT of a DC-only block is flat at dequant/8 — the
+    pure-arithmetic contract the oracle lanes check in SQL (the color
+    lane composes it per channel around the exact YCbCr transforms)."""
     import numpy as np
 
     if payload[:2] != JPEG_SOI:
@@ -1006,13 +1100,24 @@ def decode_jpeg(payload: bytes) -> dict:
             if body[0] != 8:
                 raise ValueError("non-8-bit JPEG unsupported")
             h, w, ncomp = struct.unpack_from(">HHB", body, 1)
-            if ncomp != 1:
-                raise ValueError("multi-component JPEG unsupported")
-            if body[7] != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEG unsupported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF")
             if w <= 0 or h <= 0 or w * h > _JPEG_MAX_PIXELS:
                 raise ValueError("JPEG dimensions outside decode bound")
-            dims = (w, h, body[8])  # + the component's quant table id
+            comps = []
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                samp = body[7 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0x0F, body[8 + 3 * ci]))
+            samps = [(cc[1], cc[2]) for cc in comps]
+            if ncomp == 1:
+                if samps[0] != (1, 1):
+                    raise ValueError("subsampled gray JPEG unsupported")
+            elif samps[1:] != [(1, 1), (1, 1)] or samps[0] not in ((1, 1), (2, 2)):
+                raise ValueError("only 4:4:4 / 4:2:0 JPEG sampling supported")
+            dims = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential JPEG supported")
@@ -1022,55 +1127,105 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xDA:
             if dims is None:
                 raise ValueError("JPEG SOS before SOF")
-            if body[0] != 1:
-                raise ValueError("multi-component JPEG scan unsupported")
-            scan = (body[2] >> 4, body[2] & 0x0F)  # DC/AC table ids
-    w, h, tq = dims
-    if tq not in qtables:
-        raise ValueError("JPEG scan references a missing quant table")
-    dc_tbl = htables.get((0, scan[0]))
-    ac_tbl = htables.get((1, scan[1]))
-    if dc_tbl is None or ac_tbl is None:
-        raise ValueError("JPEG scan references a missing Huffman table")
-    q = qtables[tq]
+            if body[0] != len(dims[2]):
+                raise ValueError("JPEG scan/frame component count mismatch")
+            if len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated JPEG SOS")
+            scan = {}
+            for si in range(body[0]):
+                tt = body[2 + 2 * si]
+                scan[body[1 + 2 * si]] = (tt >> 4, tt & 0x0F)
+    w, h, comps = dims
     m = _dct_mat()
     reader = _JpegBitReader(payload, pos)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    img = np.empty((bh * 8, bw * 8), np.float64)
     inv_zz = np.array(_ZIGZAG)
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            coef = np.zeros(64, np.float64)
-            cat = _huff_decode(reader, dc_tbl)
-            if cat:
-                pred += _extend(reader.bits(cat), cat)
-            coef[0] = pred
-            k = 1
-            while k < 64:
-                sym = _huff_decode(reader, ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(f"invalid JPEG AC symbol 0x{sym:02x}")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC run past block end")
-                coef[k] = _extend(reader.bits(size), size)
-                k += 1
-            full = np.zeros(64, np.float64)
-            full[inv_zz] = coef
-            block = m.T @ (full.reshape(8, 8) * q) @ m + 128.0
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    px = np.clip(np.round(img[:h, :w]), 0, 255).astype(np.int64).reshape(-1)
+    hmax = max(cc[1] for cc in comps)
+    vmax = max(cc[2] for cc in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes: dict = {}
+    ctab: dict = {}
+    preds: dict = {}
+    for cid, chs, cvs, tq in comps:
+        if tq not in qtables:
+            raise ValueError("JPEG scan references a missing quant table")
+        if cid not in scan:
+            raise ValueError("JPEG frame component missing from scan")
+        td, ta = scan[cid]
+        dc_tbl, ac_tbl = htables.get((0, td)), htables.get((1, ta))
+        if dc_tbl is None or ac_tbl is None:
+            raise ValueError("JPEG scan references a missing Huffman table")
+        planes[cid] = np.empty((mcuy * 8 * cvs, mcux * 8 * chs), np.float64)
+        ctab[cid] = (dc_tbl, ac_tbl, qtables[tq])
+        preds[cid] = 0
+
+    def block_for(cid):
+        dc_tbl, ac_tbl, q = ctab[cid]
+        coef = np.zeros(64, np.float64)
+        cat = _huff_decode(reader, dc_tbl)
+        if cat:
+            preds[cid] += _extend(reader.bits(cat), cat)
+        coef[0] = preds[cid]
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, ac_tbl)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError(f"invalid JPEG AC symbol 0x{sym:02x}")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            coef[k] = _extend(reader.bits(size), size)
+            k += 1
+        full = np.zeros(64, np.float64)
+        full[inv_zz] = coef
+        return m.T @ (full.reshape(8, 8) * q) @ m + 128.0
+
+    # interleaved MCU scan order (T.81 A.2.3); per-component DC prediction
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, chs, cvs, _tq in comps:
+                for by in range(cvs):
+                    for bx in range(chs):
+                        y0 = (my * cvs + by) * 8
+                        x0 = (mx * chs + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block_for(cid)
+    # integer-round each component plane FIRST (floor(x + 0.5) — the
+    # convention the color transform and the SQL oracle both mirror)
+    ints = {
+        cid: np.clip(np.floor(p + 0.5), 0, 255) for cid, p in planes.items()
+    }
+    if len(comps) == 1:
+        px = ints[comps[0][0]][:h, :w].astype(np.int64).reshape(-1)
+        channels = 1
+    else:
+        up = {}
+        for cid, chs, cvs, _tq in comps:
+            p = ints[cid]
+            if (chs, cvs) != (hmax, vmax):  # chroma: nearest upsample
+                p = np.repeat(np.repeat(p, vmax // cvs, axis=0), hmax // chs, axis=1)
+            up[cid] = p[:h, :w]
+        yy, cbv, crv = (up[cc[0]] for cc in comps)
+        rr = np.clip(np.floor(yy + 1.402 * (crv - 128.0) + 0.5), 0, 255)
+        gg = np.clip(
+            np.floor(
+                yy - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0) + 0.5
+            ),
+            0,
+            255,
+        )
+        bb = np.clip(np.floor(yy + 1.772 * (cbv - 128.0) + 0.5), 0, 255)
+        px = np.stack([rr, gg, bb], axis=-1).astype(np.int64).reshape(-1)
+        channels = 3
     n = len(px)
     return {
         "container": "jpeg", "width": int(w), "height": int(h),
-        "n_samples": None, "sample_rate": None, "channels": 1,
+        "n_samples": None, "sample_rate": None, "channels": channels,
         "mean": int(px.sum()) / n, "rms": (int((px * px).sum()) / n) ** 0.5,
     }
 

@@ -68,7 +68,11 @@ _PRIORITY = [
     # -> 0.88 — green must be re-earned; displaced q_stratified_sample,
     # same r9 cohort. graph_lpa NEW — synchronous deterministic label
     # propagation, the final GraphX-library member — displaced
-    # q_hash_sampled_stats, same r9 cohort.)
+    # q_hash_sampled_stats, same r9 cohort. multimodal_jpeg_color NEW —
+    # the full COLOR JPEG pipeline (YCbCr, 4:2:0, interleaved MCUs)
+    # exact-value checked via constant MCUs — displaced
+    # q_skew_salted_join, same r9 cohort.)
+    "multimodal_jpeg_color",
     "graph_lpa",
     "sim_ann_ivfpq",
     "source_warc_cdx",
@@ -98,7 +102,6 @@ _PRIORITY = [
     "q_approx_distinct", "q_rollup_merge", "q_pandas_udaf_trimmed_mean",
     "q_window_family", "q_weighted_sample", "q_array_hof",
     "q_token_budget_packing_bpe", "q_range_join_bucketed",
-    "q_skew_salted_join",
 ]
 
 

@@ -201,6 +201,45 @@ def q_multimodal_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_multimodal_jpeg_color(spark, sf_dir):
+    """COLOR JPEG decode under the gate — the full production pipeline
+    (JFIF YCbCr transform, 4:2:0 chroma subsampling, interleaved MCU
+    scan, per-component DC prediction, nearest upsample, RGB
+    reconstruction), made exact-value checkable by the constant-MCU
+    geometry: each text byte v becomes one 16x16 MCU of constant RGB
+    (v, 255-v, (v*7)%256), so every stage's rounding is pure per-byte
+    arithmetic the oracle replicates in SQL — forward YCbCr with
+    floor(x+0.5), the q00=16 DC quantization contract per channel, and
+    the floor(x+0.5) RGB reconstruction. A decoder that mis-orders the
+    MCU interleave, drifts a component's DC prediction, upsamples off
+    the grid, or rounds with a different convention hash-mismatches.
+    Executor-side mapInPandas both ways, like every media row."""
+    from octopusdb_spark.functions.multimodal import (
+        encode_jpeg_color,
+        extract_features,
+    )
+
+    def payload_fn(did, b):
+        import numpy as np
+
+        v = np.frombuffer(b, np.uint8).astype(np.int64)
+        rgb = np.stack([v, 255 - v, (v * 7) % 256], axis=-1).astype(np.uint8)
+        img = np.repeat(np.repeat(rgb[:, None, :], 16, axis=0), 16, axis=1)
+        return encode_jpeg_color(img.tobytes(), 16, 16 * len(b)), "image"
+
+    feats = extract_features(_doc_media(spark, sf_dir, payload_fn))
+    return feats.select(
+        "media_id",
+        "container",
+        "decoded",
+        "width",
+        "height",
+        F.col("feat_dim").alias("channels"),
+        F.round("feat_mean", 6).alias("mean_r6"),
+        F.round("feat_rms", 6).alias("rms_r6"),
+    ).orderBy("media_id")
+
+
 def q_multimodal_video_frames(spark, sf_dir):
     """REAL video decode + frame sampling under the gate (extends the r11
     decode story to the video class): each document's text bytes are packed
@@ -522,6 +561,66 @@ ORACLES = {
            round(sqrt(sum(CAST(v AS BIGINT) * v) / CAST(n_out AS DOUBLE)), 6)
              AS rms_r6
     FROM smp GROUP BY doc_id, n_out ORDER BY media_id""",
+    # arithmetic replication of the color JPEG pipeline: per byte v the
+    # constant MCU (v, 255-v, v*7%256) goes forward-YCbCr (floor(x+0.5)),
+    # per-channel q00=16 DC quantize/decode (clamp(2*floor((c-127)/2)+128)),
+    # then floor(x+0.5) RGB reconstruction — identical double expressions
+    # in both engines, so the compare is bit-exact
+    "multimodal_jpeg_color": """
+    WITH src AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    b AS (
+      SELECT s.doc_id, s.n,
+             ascii(substr(s.text, CAST(t.i AS INT), 1)) AS v
+      FROM src s CROSS JOIN range(1, 600) t(i)
+      WHERE t.i <= s.n
+    ),
+    fwd AS (
+      SELECT doc_id, n,
+             v AS r, 255 - v AS g, (v * 7) % 256 AS bb
+      FROM b
+    ),
+    ycc AS (
+      SELECT doc_id, n,
+             least(greatest(CAST(floor(0.299*r + 0.587*g + 0.114*bb + 0.5)
+                                 AS BIGINT), 0), 255) AS y,
+             least(greatest(CAST(floor(128.0 - 0.168736*r - 0.331264*g
+                                       + 0.5*bb + 0.5) AS BIGINT), 0), 255) AS cb,
+             least(greatest(CAST(floor(128.0 + 0.5*r - 0.418688*g
+                                       - 0.081312*bb + 0.5) AS BIGINT), 0), 255) AS cr
+      FROM fwd
+    ),
+    dec AS (
+      SELECT doc_id, n,
+             least(greatest(CAST(floor((y - 127) / 2.0) AS BIGINT) * 2 + 128,
+                            0), 255) AS y2,
+             least(greatest(CAST(floor((cb - 127) / 2.0) AS BIGINT) * 2 + 128,
+                            0), 255) AS cb2,
+             least(greatest(CAST(floor((cr - 127) / 2.0) AS BIGINT) * 2 + 128,
+                            0), 255) AS cr2
+      FROM ycc
+    ),
+    rgb AS (
+      SELECT doc_id, n,
+             least(greatest(CAST(floor(y2 + 1.402*(cr2 - 128.0) + 0.5)
+                                 AS BIGINT), 0), 255) AS r2,
+             least(greatest(CAST(floor(y2 - 0.344136*(cb2 - 128.0)
+                                       - 0.714136*(cr2 - 128.0) + 0.5)
+                                 AS BIGINT), 0), 255) AS g2,
+             least(greatest(CAST(floor(y2 + 1.772*(cb2 - 128.0) + 0.5)
+                                 AS BIGINT), 0), 255) AS b2
+      FROM dec
+    )
+    SELECT doc_id AS media_id, 'jpeg' AS container, TRUE AS decoded,
+           CAST(16 AS INT) AS width, CAST(16 * n AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           round(sum(r2 + g2 + b2) / CAST(3 * n AS DOUBLE), 6) AS mean_r6,
+           round(sqrt(sum(r2*r2 + g2*g2 + b2*b2) / CAST(3 * n AS DOUBLE)), 6)
+             AS rms_r6
+    FROM rgb GROUP BY doc_id, n ORDER BY media_id""",
     # arithmetic replication of the CDX index: encode_warc_record frames
     # a record as 107 + len(uri) + len(digits(content_len)) + content_len
     # bytes (version line + 3 named headers + Content-Length + CRLF
@@ -707,4 +806,5 @@ QUERIES = {
     "multimodal_resample": q_multimodal_resample,
     "source_warc_ingest": q_source_warc_ingest,
     "source_warc_cdx": q_source_warc_cdx,
+    "multimodal_jpeg_color": q_multimodal_jpeg_color,
 }

@@ -730,9 +730,14 @@ def test_jpeg_unsupported_corners_fall_back():
     assert decode_media(ok_dri) is not None
 
     sof_at = jp.find(b"\xff\xc0")
-    three_comp = bytearray(jp)
-    three_comp[sof_at + 9] = 3  # component count inside SOF0
-    assert decode_media(bytes(three_comp)) is None
+    four_comp = bytearray(jp)
+    four_comp[sof_at + 9] = 4  # CMYK-style component count: unsupported
+    assert decode_media(bytes(four_comp)) is None
+    # 3 components DECLARED but a 1-component-sized SOF: truncated, not
+    # a crash (color is supported now, so this is the length guard)
+    trunc3 = bytearray(jp)
+    trunc3[sof_at + 9] = 3
+    assert decode_media(bytes(trunc3)) is None
 
     dqt_at = jp.find(b"\xff\xdb")
     wide_q = bytearray(jp)
@@ -749,3 +754,97 @@ def test_jpeg_unsupported_corners_fall_back():
     rst_in_scan = jp[: scan_start + 10] + b"\xff\xd0" + jp[scan_start + 10 :]
     with _pytest.raises(ValueError):
         decode_jpeg(rst_in_scan)
+
+
+def test_jpeg_color_constant_mcu_exact():
+    """Color JPEG (YCbCr + 4:2:0 + interleaved MCUs) decodes constant-MCU
+    images to EXACTLY the per-byte arithmetic the gate oracle computes,
+    via an independent reimplementation of the rounding chain."""
+    import math
+
+    import numpy as np
+
+    from octopusdb_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    def predict(r, g, b):
+        fl = math.floor
+        cl = lambda x: min(max(x, 0), 255)
+        y = cl(fl(0.299 * r + 0.587 * g + 0.114 * b + 0.5))
+        cb = cl(fl(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))
+        cr = cl(fl(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))
+        dq = lambda c: cl(2 * fl((c - 127) / 2) + 128)
+        y2, cb2, cr2 = dq(y), dq(cb), dq(cr)
+        return (
+            cl(fl(y2 + 1.402 * (cr2 - 128.0) + 0.5)),
+            cl(fl(y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0) + 0.5)),
+            cl(fl(y2 + 1.772 * (cb2 - 128.0) + 0.5)),
+        )
+
+    rng = np.random.default_rng(23)
+    mcu_vals = rng.integers(0, 256, size=(6, 1, 3)).astype(np.uint8)
+    img = np.repeat(np.repeat(mcu_vals, 16, axis=0), 16, axis=1)
+    d = decode_jpeg(encode_jpeg_color(img.tobytes(), 16, 96))
+    assert (d["width"], d["height"], d["channels"]) == (16, 96, 3)
+    exp = np.array(
+        [predict(*map(float, v[0])) for v in mcu_vals], dtype=np.int64
+    )
+    exp = np.repeat(exp, 256, axis=0).reshape(-1)
+    assert abs(d["mean"] - exp.mean()) < 1e-12
+    assert abs(d["rms"] - np.sqrt((exp.astype(np.float64) ** 2).mean())) < 1e-12
+
+
+def test_jpeg_color_general_and_444():
+    """General color content round-trips at odd geometry with a bounded
+    mean error; a hand-assembled 4:4:4 stream (all components 1x1)
+    exercises the second supported sampling grid; a 4:2:2-style grid is
+    rejected to the stub."""
+    import numpy as np
+
+    from octopusdb_spark.functions.multimodal import (
+        _dct_mat,
+        _jpeg_encode_block,
+        _jpeg_headers,
+        _seg,
+        _JPEG_QTABLE,
+        _JpegBitWriter,
+        _ZIGZAG,
+        decode_jpeg,
+        decode_media,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(29)
+    w, h = 37, 23
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg_color(img.tobytes(), w, h))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert abs(d["mean"] - img.mean()) < 12.0  # noise is the worst case
+
+    # hand-build a one-MCU 4:4:4 stream: constant gray-ish color
+    m = _dct_mat()
+    q = np.array(_JPEG_QTABLE, np.float64).reshape(8, 8)
+    zz = np.array(_ZIGZAG)
+    bits = _JpegBitWriter()
+    for plane_val in (120.0, 130.0, 140.0):  # Y, Cb, Cr constants
+        _jpeg_encode_block(bits, np.full((8, 8), plane_val), m, q, zz, 0)
+    payload = (
+        _jpeg_headers(8, 8, b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+        + _seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+        + bits.flush()
+        + b"\xff\xd9"
+    )
+    d444 = decode_jpeg(payload)
+    assert (d444["width"], d444["height"], d444["channels"]) == (8, 8, 3)
+    # Y=120 Cb=130 Cr=140 all decode to themselves (even values, q00=16
+    # DC contract) -> one flat RGB triple
+    exp_r = int(np.floor(120 + 1.402 * 12 + 0.5))
+    assert abs(d444["mean"] * 3 - (exp_r + np.floor(120 - 0.344136 * 2 - 0.714136 * 12 + 0.5) + np.floor(120 + 1.772 * 2 + 0.5))) < 1e-9
+
+    # unsupported sampling grid (2x1 luma = 4:2:2) -> stub fallback
+    bad = bytearray(encode_jpeg_color(img.tobytes(), w, h))
+    at = bytes(bad).find(b"\xff\xc0")
+    bad[at + 12] = 0x21  # luma sampling 2x1
+    assert decode_media(bytes(bad)) is None
