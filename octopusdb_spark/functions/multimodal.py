@@ -776,6 +776,13 @@ class _JpegBitWriter:
                 self.acc = 0
                 self.n = 0
 
+    def restart(self, i: int) -> None:
+        """Byte-align with 1-bit padding, then emit RST(i%8) — marker
+        bytes bypass stuffing by definition (they ARE the 0xFF case)."""
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+        self.out += bytes([0xFF, 0xD0 + (i % 8)])
+
     def flush(self) -> bytes:
         if self.n:
             self.put((1 << (8 - self.n)) - 1, 8 - self.n)
@@ -887,18 +894,30 @@ def encode_jpeg(pixels: bytes, width: int, height: int) -> bytes:
     )
 
 
-def encode_jpeg_color(pixels: bytes, width: int, height: int) -> bytes:
+def encode_jpeg_color(
+    pixels: bytes,
+    width: int,
+    height: int,
+    sampling: tuple = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
     """Baseline JFIF COLOR from ``width*height*3`` RGB bytes — the shape
     real crawl-corpus JPEGs actually have: JFIF RGB -> YCbCr (every
     rounding is floor(x + 0.5), the convention the color oracle mirrors
-    in SQL), 4:2:0 chroma subsampling (2x2 integer mean,
-    floor((sum + 2) / 4)), 16x16-MCU interleaved scan (4 Y blocks + Cb
-    + Cr, per-component DC prediction), one shared Annex-K quant table —
-    q00=16 for EVERY component keeps the constant-MCU decode arithmetic
-    identical across channels, which is what makes a color lane
-    exact-value checkable at all."""
+    in SQL), chroma subsampled by the luma ``sampling`` factors
+    ((2,2)=4:2:0 default, (2,1)=4:2:2, (1,2)=4:4:0, (1,1)=4:4:4; the
+    subsample is the fh*fv integer mean floor((sum + n/2) / n)),
+    interleaved MCU scan with per-component DC prediction, and optional
+    RSTn restart markers every ``restart_interval`` MCUs (DRI — what
+    real encoders emit for error resilience). One shared Annex-K quant
+    table — q00=16 for EVERY component keeps the constant-MCU decode
+    arithmetic identical across channels, which is what makes a color
+    lane exact-value checkable at all."""
     import numpy as np
 
+    fh, fv = sampling
+    if (fh, fv) not in ((1, 1), (1, 2), (2, 1), (2, 2)):
+        raise ValueError(f"unsupported sampling {sampling!r}")
     if width <= 0 or height <= 0 or len(pixels) != width * height * 3:
         raise ValueError("pixels must be width*height*3 RGB bytes")
     rgb = (
@@ -914,28 +933,39 @@ def encode_jpeg_color(pixels: bytes, width: int, height: int) -> bytes:
     cr = np.clip(
         np.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0, 255
     )
-    hp, wp = (height + 15) // 16 * 16, (width + 15) // 16 * 16
+    mw, mh = 8 * fh, 8 * fv  # MCU pixel geometry
+    hp, wp = (height + mh - 1) // mh * mh, (width + mw - 1) // mw * mw
 
     def pad(p):
         return np.pad(p, ((0, hp - height), (0, wp - width)), mode="edge")
 
     y, cb, cr = pad(y), pad(cb), pad(cr)
 
-    def sub420(p):  # 2x2 integer mean
-        s = p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
-        return np.floor((s + 2.0) / 4.0)
+    def sub(p):  # fh x fv integer mean
+        n = fh * fv
+        if n == 1:
+            return p
+        s = p.reshape(hp // fv, fv, wp // fh, fh).sum(axis=(1, 3))
+        return np.floor((s + n / 2.0) / n)
 
-    cb, cr = sub420(cb), sub420(cr)
+    cb, cr = sub(cb), sub(cr)
     m = _dct_mat()
     q = np.array(_JPEG_QTABLE, np.float64).reshape(8, 8)
     bits = _JpegBitWriter()
     zz = np.array(_ZIGZAG)
     preds = [0, 0, 0]
-    for my in range(hp // 16):
-        for mx in range(wp // 16):
-            for by in range(2):
-                for bx in range(2):
-                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+    mcu_idx = 0
+    rst_cycle = 0
+    for my in range(hp // mh):
+        for mx in range(wp // mw):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bits.restart(rst_cycle)
+                rst_cycle += 1
+                preds = [0, 0, 0]
+            mcu_idx += 1
+            for by in range(fv):
+                for bx in range(fh):
+                    y0, x0 = my * mh + by * 8, mx * mw + bx * 8
                     preds[0] = _jpeg_encode_block(
                         bits, y[y0 : y0 + 8, x0 : x0 + 8], m, q, zz, preds[0]
                     )
@@ -946,9 +976,18 @@ def encode_jpeg_color(pixels: bytes, width: int, height: int) -> bytes:
             preds[2] = _jpeg_encode_block(
                 bits, cr[c0 : c0 + 8, cx0 : cx0 + 8], m, q, zz, preds[2]
             )
+    samp_byte = bytes([(fh << 4) | fv])
     sos = b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00"
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        _jpeg_headers(height, width, b"\x01\x22\x00\x02\x11\x00\x03\x11\x00")
+        _jpeg_headers(
+            height, width, b"\x01" + samp_byte + b"\x00\x02\x11\x00\x03\x11\x00"
+        )
+        + dri
         + _seg(0xDA, sos)
         + bits.flush()
         + b"\xff\xd9"
@@ -996,6 +1035,22 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> int:
+        """Consume one byte-aligned RSTn marker at a restart boundary:
+        discard the partial byte (writers pad with 1-bits), then expect
+        0xFFD0..D7; returns the marker's modulo-8 cycle index so the
+        caller can verify sequence continuity."""
+        self.n = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG at restart boundary")
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("missing JPEG restart marker")
+        m = self.data[self.pos + 1] & 0x07
+        self.pos += 2
+        return m
+
 
 def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
     code, length = 0, 0
@@ -1042,6 +1097,7 @@ def decode_jpeg(payload: bytes) -> dict:
     dims = None
     pos = 2
     scan = None
+    restart_interval = 0
     while scan is None:
         if pos + 1 >= len(payload):
             raise ValueError("truncated JPEG before SOS")
@@ -1115,15 +1171,18 @@ def decode_jpeg(payload: bytes) -> dict:
             if ncomp == 1:
                 if samps[0] != (1, 1):
                     raise ValueError("subsampled gray JPEG unsupported")
-            elif samps[1:] != [(1, 1), (1, 1)] or samps[0] not in ((1, 1), (2, 2)):
-                raise ValueError("only 4:4:4 / 4:2:0 JPEG sampling supported")
+            elif samps[1:] != [(1, 1), (1, 1)] or not (
+                1 <= samps[0][0] <= 2 and 1 <= samps[0][1] <= 2
+            ):
+                # luma (h, v) in {1, 2}^2 with 1x1 chroma covers 4:4:4,
+                # 4:2:2, 4:4:0, and 4:2:0 — the grids crawl JPEGs ship
+                raise ValueError("unsupported JPEG sampling grid")
             dims = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential JPEG supported")
         elif marker == 0xDD:
-            if struct.unpack(">H", body)[0] != 0:
-                raise ValueError("JPEG restart intervals unsupported")
+            restart_interval = struct.unpack(">H", body)[0]
         elif marker == 0xDA:
             if dims is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -1186,9 +1245,20 @@ def decode_jpeg(payload: bytes) -> dict:
         full[inv_zz] = coef
         return m.T @ (full.reshape(8, 8) * q) @ m + 128.0
 
-    # interleaved MCU scan order (T.81 A.2.3); per-component DC prediction
+    # interleaved MCU scan order (T.81 A.2.3); per-component DC prediction;
+    # restart boundaries every `restart_interval` MCUs re-sync the bit
+    # stream and reset every predictor (T.81 F.2.1.3.1)
+    mcu_idx = 0
+    rst_cycle = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                if reader.restart() != rst_cycle % 8:
+                    raise ValueError("JPEG restart marker out of sequence")
+                rst_cycle += 1
+                for cid in preds:
+                    preds[cid] = 0
+            mcu_idx += 1
             for cid, chs, cvs, _tq in comps:
                 for by in range(cvs):
                     for bx in range(chs):

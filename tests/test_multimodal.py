@@ -706,10 +706,11 @@ def test_jpeg_round_trip_property():
 
 
 def test_jpeg_unsupported_corners_fall_back():
-    """Unsupported JPEG corners raise ValueError -> decode_media None
-    (stub fallback), never a task crash: restart intervals, multi-
-    component frames, 16-bit quant tables, dimensions past the decode
-    bound, in-scan RST markers."""
+    """Unsupported/corrupt JPEG corners raise ValueError -> decode_media
+    None (stub fallback), never a task crash: missing restart markers
+    under a declared DRI, CMYK component counts, truncated SOF, 16-bit
+    quant tables, dimensions past the decode bound, unexpected in-scan
+    RST markers."""
     import struct as _struct
 
     from octopusdb_spark.functions.multimodal import (
@@ -723,8 +724,14 @@ def test_jpeg_unsupported_corners_fall_back():
     def seg(marker, body):
         return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
 
+    # DRI is supported now: declaring interval 4 on a 1-MCU image never
+    # reaches a boundary, so it decodes
     with_dri = jp[:2] + seg(0xDD, _struct.pack(">H", 4)) + jp[2:]
-    assert decode_media(with_dri) is None
+    assert decode_media(with_dri) is not None
+    # but interval 1 on a 4-MCU image REQUIRES markers the stream lacks
+    jp4 = encode_jpeg(bytes(256), 16, 16)
+    dri_no_rst = jp4[:2] + seg(0xDD, _struct.pack(">H", 1)) + jp4[2:]
+    assert decode_media(dri_no_rst) is None
     # DRI of zero is fine (no restarts declared)
     ok_dri = jp[:2] + seg(0xDD, _struct.pack(">H", 0)) + jp[2:]
     assert decode_media(ok_dri) is not None
@@ -848,3 +855,38 @@ def test_jpeg_color_general_and_444():
     at = bytes(bad).find(b"\xff\xc0")
     bad[at + 12] = 0x21  # luma sampling 2x1
     assert decode_media(bytes(bad)) is None
+
+
+def test_jpeg_restarts_and_sampling_grids():
+    """Restart intervals and every supported sampling grid round-trip:
+    RSTn markers re-sync the stream and reset DC prediction (a
+    restart-coded stream must decode IDENTICALLY to the unrestarted
+    one), 4:2:2 / 4:4:0 / 4:4:4 land the declared geometry, and an
+    out-of-sequence restart marker is rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from octopusdb_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(31)
+    w, h = 40, 36
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8).tobytes()
+
+    base = decode_jpeg(encode_jpeg_color(img, w, h))
+    with_rst = encode_jpeg_color(img, w, h, restart_interval=2)
+    assert with_rst != encode_jpeg_color(img, w, h)  # markers present
+    d = decode_jpeg(with_rst)
+    assert (d["mean"], d["rms"]) == (base["mean"], base["rms"])
+
+    for samp in ((1, 1), (2, 1), (1, 2)):
+        ds = decode_jpeg(encode_jpeg_color(img, w, h, sampling=samp))
+        assert (ds["width"], ds["height"], ds["channels"]) == (w, h, 3)
+        assert abs(ds["mean"] - base["mean"]) < 8.0  # same image, other grid
+
+    # corrupt the restart SEQUENCE: swap the first RST0 to RST5
+    broken = with_rst.replace(b"\xff\xd0", b"\xff\xd5", 1)
+    with _pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(broken)
