@@ -94,6 +94,7 @@ HEADLINE = [
     "source_warc_cdx",
     "graph_lpa",
     "multimodal_jpeg_color",
+    "text_dedup_rewrite",
 ]
 
 

@@ -71,7 +71,11 @@ _PRIORITY = [
     # q_hash_sampled_stats, same r9 cohort. multimodal_jpeg_color NEW —
     # the full COLOR JPEG pipeline (YCbCr, 4:2:0, interleaved MCUs)
     # exact-value checked via constant MCUs — displaced
-    # q_skew_salted_join, same r9 cohort.)
+    # q_skew_salted_join, same r9 cohort. text_dedup_rewrite NEW — the
+    # REMOVAL half of substring dedup (cleaned-corpus digest under the
+    # min-doc ownership rule) — displaced q_range_join_bucketed, same
+    # r9 cohort.)
+    "text_dedup_rewrite",
     "multimodal_jpeg_color",
     "graph_lpa",
     "sim_ann_ivfpq",
@@ -101,7 +105,7 @@ _PRIORITY = [
     "q10_returned_items",
     "q_approx_distinct", "q_rollup_merge", "q_pandas_udaf_trimmed_mean",
     "q_window_family", "q_weighted_sample", "q_array_hof",
-    "q_token_budget_packing_bpe", "q_range_join_bucketed",
+    "q_token_budget_packing_bpe",
 ]
 
 

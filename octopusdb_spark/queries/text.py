@@ -814,6 +814,85 @@ def q_text_dup_suffix(spark, sf_dir):
     )
 
 
+def q_text_dedup_rewrite(spark, sf_dir):
+    """The REMOVAL half of substring dedup — `text_dup_spans` and
+    `text_dup_suffix` only detect; a pretraining pipeline then has to
+    produce the CLEANED corpus (Lee et al. drop all but one occurrence).
+    Deterministic ownership rule: each duplicated 16-word window's
+    canonical owner is the smallest doc_id carrying its hash; every
+    OTHER document removes the window's covered word positions (the
+    owner's text is untouched, so exactly one copy of every duplicated
+    span survives corpus-wide). Overlapping foreign windows union their
+    covered positions. Checked output per document: original/kept/
+    removed word counts and the md5 of the kept words re-joined in
+    order — a rewrite that drops the wrong position, double-counts an
+    overlap, or touches the owner hash-mismatches.
+
+    Plan: the memoized span frame (one corpus explode per session), one
+    groupBy(h) ownership agg, one hash join back, one bounded explode
+    (16 positions per foreign window), a distinct, one anti-join against
+    the word explode, and a doc-keyed ordered re-join — every stage
+    keyed by doc or hash, no all-pairs products."""
+    docs = t(spark, sf_dir, "documents")
+    ex = _span_hashes(spark, sf_dir)
+    owners = (
+        ex.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    foreign = ex.join(owners, "h").filter(F.col("doc_id") > F.col("owner"))
+    covered = (
+        foreign.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + SPAN_WORDS - 1)
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("idx0", "word")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "word")
+    kept = words.join(covered, ["doc_id", "idx"], "left_anti")
+    per = kept.groupBy("doc_id").agg(
+        F.count("*").alias("kept_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                    lambda s: s["word"],
+                ),
+            ).cast("binary")
+        ).alias("cleaned_digest"),
+    )
+    total = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    return (
+        docs.select("doc_id")
+        .join(total, "doc_id", "left")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("kept_words", F.lit(0)).cast("long").alias("kept_words"),
+            (
+                F.coalesce("n_words", F.lit(0))
+                - F.coalesce("kept_words", F.lit(0))
+            )
+            .cast("long")
+            .alias("removed_words"),
+            F.coalesce("cleaned_digest", F.md5(F.lit("").cast("binary"))).alias(
+                "cleaned_digest"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # PII-redaction patterns — the standard training-corpus scrub classes.
 # Written in the Java-regex ∩ RE2 common subset ([0-9] classes, bounded
 # repetition, no \b / lookaround) so Spark and DuckDB match identically.
@@ -1095,6 +1174,51 @@ ORACLES = {
                CASE WHEN coalesce(p.longest_run_words, 0) >= 50 THEN 1 ELSE 0 END
                  AS flagged_50
         FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id""",
+    # removal mirror: same 16-word md5 windows, min-doc ownership, covered
+    # positions unioned, kept words re-joined in order and digested
+    "text_dedup_rewrite": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        s AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 md5(array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 15], ' ')) AS h
+          FROM w, unnest(range(1, len(ws) - 15 + 1)) AS t(i)
+          WHERE len(ws) >= 16
+        ),
+        owners AS (
+          SELECT h, min(doc_id) AS owner FROM s GROUP BY h
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        covered AS (
+          SELECT DISTINCT s.doc_id, s.pos + t.k AS idx
+          FROM s JOIN owners o ON s.h = o.h AND s.doc_id > o.owner
+          CROSS JOIN range(0, 16) t(k)
+        ),
+        words AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS idx, ws[CAST(i AS INT)] AS word
+          FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+        ),
+        kept AS (
+          SELECT wo.* FROM words wo ANTI JOIN covered c
+            ON wo.doc_id = c.doc_id AND wo.idx = c.idx
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS kept_words,
+                 md5(string_agg(word, ' ' ORDER BY idx)) AS cleaned_digest
+          FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(t2.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(p.kept_words, 0) AS BIGINT) AS kept_words,
+               CAST(coalesce(t2.n_words, 0) - coalesce(p.kept_words, 0) AS BIGINT)
+                 AS removed_words,
+               coalesce(p.cleaned_digest, md5('')) AS cleaned_digest
+        FROM documents d
+        LEFT JOIN tot t2 USING (doc_id)
+        LEFT JOIN per p USING (doc_id)
         ORDER BY d.doc_id""",
     # seed-and-extend mirror: same 8-word md5 seeds, same [2, cap] df
     # filter, same (da, db, diag) gaps-and-islands merge
@@ -1381,6 +1505,7 @@ QUERIES = {
     "text_dup_spans": q_text_dup_spans,
     "text_dup_runs": q_text_dup_runs,
     "text_dup_suffix": q_text_dup_suffix,
+    "text_dedup_rewrite": q_text_dedup_rewrite,
     "text_langid_ngram": q_text_langid_ngram,
     "text_unicode_nfc": q_text_unicode_nfc,
 }

@@ -330,3 +330,35 @@ def test_dup_suffix_seed_and_extend(spark, tmp_path):
     assert got[2]["longest_run_tokens"] == 60 and got[2]["flagged_50"] == 1
     assert got[3]["n_pair_runs"] == 1
     assert got[3]["longest_run_tokens"] == 10 and got[3]["flagged_50"] == 0
+
+
+def test_dedup_rewrite_ownership(spark, tmp_path):
+    """text_dedup_rewrite must remove a duplicated span ONLY from the
+    non-owner documents (min doc_id keeps its text verbatim), remove
+    exactly the covered word positions, and digest the kept words in
+    original order."""
+    import hashlib
+
+    from octopusdb_spark.queries.text import q_text_dedup_rewrite
+
+    shared = " ".join(f"s{i:02d}" for i in range(20))  # 20 words > window
+    docs = [
+        (1, f"a1 a2 {shared} a3", 25),          # owner: untouched
+        (2, f"b1 b2 b3 b4 {shared} b5 b6", 31),  # copy: loses the 20 words
+        (3, "c1 c2 c3 c4 c5", 5),                # bystander
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r for r in q_text_dedup_rewrite(spark, sf).collect()}
+
+    def digest(words):
+        return hashlib.md5(" ".join(words).encode()).hexdigest()
+
+    assert got[1]["removed_words"] == 0
+    assert got[1]["cleaned_digest"] == digest(docs[0][1].split(" "))
+    assert got[2]["n_words"] == 26 and got[2]["removed_words"] == 20
+    assert got[2]["cleaned_digest"] == digest(["b1", "b2", "b3", "b4", "b5", "b6"])
+    assert got[3]["removed_words"] == 0
+    assert got[3]["cleaned_digest"] == digest(["c1", "c2", "c3", "c4", "c5"])
