@@ -802,16 +802,27 @@ _DC_CODE = {v: (v, 4) for v in _DC_VALUES}
 _AC_CODE = {v: (i, 8) for i, v in enumerate(_AC_VALUES)}
 
 
-def _jpeg_encode_block(bits: _JpegBitWriter, block, m, q, zz, pred: int) -> int:
-    """DCT -> quantize -> zig-zag -> Huffman-emit ONE 8x8 block; returns
-    the new DC predictor. floor(S/q + 0.5) quantization (the +1e-9 nudge
-    pins the exact-integer boundary the constant-block oracle lane sits
-    on against DCT float noise); shared by the gray and color encoders."""
+def _jpeg_quantize_blocks(blocks, m, q, zz):
+    """Vectorized DCT + quantize + zig-zag for a WHOLE (n, 8, 8) block
+    stack: one einsum instead of n tiny matmuls — the encoder hot path
+    (a 600-byte doc in the color gate lane is 3600 blocks). floor(S/q +
+    0.5) quantization; the +1e-9 nudge pins the exact-integer boundary
+    the constant-block oracle lanes sit on against DCT float noise.
+    Returns (n, 64) int64 coefficients in zig-zag order."""
     import numpy as np
 
-    s = m @ (block - 128.0) @ m.T
+    s = np.einsum("ij,njk,lk->nil", m, blocks - 128.0, m, optimize=True)
     sq = np.floor(s / q + 0.5 + 1e-9).astype(np.int64)
-    coef = sq.reshape(-1)[zz]
+    return sq.reshape(len(blocks), 64)[:, zz]
+
+
+def _jpeg_emit_block(bits: _JpegBitWriter, coef, pred: int) -> int:
+    """Huffman-emit ONE quantized zig-zagged block; returns the new DC
+    predictor. The AC walk iterates only the NONZERO coefficients (a
+    constant block emits DC + EOB in two table lookups — no 63-slot
+    Python loop), which is what keeps the constant-MCU gate lanes cheap."""
+    import numpy as np
+
     diff = int(coef[0]) - pred
     cat = _jpeg_category(diff)
     if cat > 11:
@@ -819,23 +830,32 @@ def _jpeg_encode_block(bits: _JpegBitWriter, block, m, q, zz, pred: int) -> int:
     bits.put(*_DC_CODE[cat])
     if cat:
         bits.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-    run = 0
-    for v in (int(x) for x in coef[1:]):
-        if v == 0:
-            run += 1
-            continue
+    last = 0  # index of the last emitted coefficient (zig-zag position)
+    for idx in np.nonzero(coef[1:])[0]:
+        k = int(idx) + 1
+        run = k - last - 1
         while run > 15:
             bits.put(*_AC_CODE[0xF0])  # ZRL
             run -= 16
+        v = int(coef[k])
         size = _jpeg_category(v)
         if size > 10:
             raise ValueError("AC coefficient out of baseline range")
         bits.put(*_AC_CODE[(run << 4) | size])
         bits.put(v if v > 0 else v + (1 << size) - 1, size)
-        run = 0
-    if run:
+        last = k
+    if last != 63:
         bits.put(*_AC_CODE[0x00])  # EOB
     return int(coef[0])
+
+
+def _jpeg_encode_block(bits: _JpegBitWriter, block, m, q, zz, pred: int) -> int:
+    """Single-block convenience wrapper (tests hand-assemble streams with
+    it); the encoders use the batched quantize + emit pair directly."""
+    import numpy as np
+
+    coef = _jpeg_quantize_blocks(block[None, :, :].astype(np.float64), m, q, zz)[0]
+    return _jpeg_emit_block(bits, coef, pred)
 
 
 def _jpeg_headers(height: int, width: int, comps: bytes) -> bytes:
@@ -879,12 +899,14 @@ def encode_jpeg(pixels: bytes, width: int, height: int) -> bytes:
     q = np.array(_JPEG_QTABLE, np.float64).reshape(8, 8)
     bits = _JpegBitWriter()
     zz = np.array(_ZIGZAG)
+    blocks = (
+        img.reshape(hp // 8, 8, wp // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
     pred = 0
-    for by in range(0, hp, 8):
-        for bx in range(0, wp, 8):
-            pred = _jpeg_encode_block(
-                bits, img[by : by + 8, bx : bx + 8], m, q, zz, pred
-            )
+    for coef in _jpeg_quantize_blocks(blocks, m, q, zz):
+        pred = _jpeg_emit_block(bits, coef, pred)
     sos = b"\x01\x01\x00\x00\x3f\x00"
     return (
         _jpeg_headers(height, width, b"\x01\x11\x00")
@@ -953,6 +975,19 @@ def encode_jpeg_color(
     q = np.array(_JPEG_QTABLE, np.float64).reshape(8, 8)
     bits = _JpegBitWriter()
     zz = np.array(_ZIGZAG)
+
+    def qgrid(p):  # (block_rows, block_cols, 64) quantized in ONE batch
+        hh, ww = p.shape
+        blocks = (
+            p.reshape(hh // 8, 8, ww // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        return _jpeg_quantize_blocks(blocks, m, q, zz).reshape(
+            hh // 8, ww // 8, 64
+        )
+
+    yq, cbq, crq = qgrid(y), qgrid(cb), qgrid(cr)
     preds = [0, 0, 0]
     mcu_idx = 0
     rst_cycle = 0
@@ -965,17 +1000,11 @@ def encode_jpeg_color(
             mcu_idx += 1
             for by in range(fv):
                 for bx in range(fh):
-                    y0, x0 = my * mh + by * 8, mx * mw + bx * 8
-                    preds[0] = _jpeg_encode_block(
-                        bits, y[y0 : y0 + 8, x0 : x0 + 8], m, q, zz, preds[0]
+                    preds[0] = _jpeg_emit_block(
+                        bits, yq[my * fv + by, mx * fh + bx], preds[0]
                     )
-            c0, cx0 = my * 8, mx * 8
-            preds[1] = _jpeg_encode_block(
-                bits, cb[c0 : c0 + 8, cx0 : cx0 + 8], m, q, zz, preds[1]
-            )
-            preds[2] = _jpeg_encode_block(
-                bits, cr[c0 : c0 + 8, cx0 : cx0 + 8], m, q, zz, preds[2]
-            )
+            preds[1] = _jpeg_emit_block(bits, cbq[my, mx], preds[1])
+            preds[2] = _jpeg_emit_block(bits, crq[my, mx], preds[2])
     samp_byte = bytes([(fh << 4) | fv])
     sos = b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00"
     dri = (
@@ -1214,12 +1243,15 @@ def decode_jpeg(payload: bytes) -> dict:
         dc_tbl, ac_tbl = htables.get((0, td)), htables.get((1, ta))
         if dc_tbl is None or ac_tbl is None:
             raise ValueError("JPEG scan references a missing Huffman table")
-        planes[cid] = np.empty((mcuy * 8 * cvs, mcux * 8 * chs), np.float64)
+        # coefficients land in a (block_rows, block_cols, 64) grid during
+        # the sequential Huffman walk; the IDCT runs ONCE per component
+        # as a batched einsum afterwards (n tiny matmuls -> one tensor op)
+        planes[cid] = np.zeros((mcuy * cvs, mcux * chs, 64), np.float64)
         ctab[cid] = (dc_tbl, ac_tbl, qtables[tq])
         preds[cid] = 0
 
-    def block_for(cid):
-        dc_tbl, ac_tbl, q = ctab[cid]
+    def coefs_for(cid):
+        dc_tbl, ac_tbl, _q = ctab[cid]
         coef = np.zeros(64, np.float64)
         cat = _huff_decode(reader, dc_tbl)
         if cat:
@@ -1241,9 +1273,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise ValueError("JPEG AC run past block end")
             coef[k] = _extend(reader.bits(size), size)
             k += 1
-        full = np.zeros(64, np.float64)
-        full[inv_zz] = coef
-        return m.T @ (full.reshape(8, 8) * q) @ m + 128.0
+        return coef
 
     # interleaved MCU scan order (T.81 A.2.3); per-component DC prediction;
     # restart boundaries every `restart_interval` MCUs re-sync the bit
@@ -1262,14 +1292,32 @@ def decode_jpeg(payload: bytes) -> dict:
             for cid, chs, cvs, _tq in comps:
                 for by in range(cvs):
                     for bx in range(chs):
-                        y0 = (my * cvs + by) * 8
-                        x0 = (mx * chs + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block_for(cid)
-    # integer-round each component plane FIRST (floor(x + 0.5) — the
-    # convention the color transform and the SQL oracle both mirror)
-    ints = {
-        cid: np.clip(np.floor(p + 0.5), 0, 255) for cid, p in planes.items()
-    }
+                        planes[cid][my * cvs + by, mx * chs + bx] = coefs_for(cid)
+    # batched dequantize + inverse zig-zag + IDCT per component, then
+    # integer-round each plane FIRST (floor(x + 0.5) — the convention the
+    # color transform and the SQL oracle both mirror)
+    ints = {}
+    for cid, grid in planes.items():
+        _dc, _ac, q = ctab[cid]
+        br, bc, _ = grid.shape
+        nat = np.zeros((br * bc, 64), np.float64)
+        nat[:, inv_zz] = grid.reshape(br * bc, 64)
+        blocks = (
+            np.einsum(
+                "ji,njk,kl->nil",
+                m,
+                nat.reshape(-1, 8, 8) * q,
+                m,
+                optimize=True,
+            )
+            + 128.0
+        )
+        plane = (
+            blocks.reshape(br, bc, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(br * 8, bc * 8)
+        )
+        ints[cid] = np.clip(np.floor(plane + 0.5), 0, 255)
     if len(comps) == 1:
         px = ints[comps[0][0]][:h, :w].astype(np.int64).reshape(-1)
         channels = 1

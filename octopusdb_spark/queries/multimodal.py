@@ -85,7 +85,7 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
-def _doc_media(spark, sf_dir, payload_fn):
+def _doc_media(spark, sf_dir, payload_fn, partitions: int | None = None):
     """Shared builder for every media gate row: the guarded doc set
     (doc_id < 60, 48..599 text bytes — the byte-length guard is mirrored
     EXACTLY in each oracle's WHERE clause: < 48 bytes would make image
@@ -94,7 +94,13 @@ def _doc_media(spark, sf_dir, payload_fn):
     regeneration) packed into containers executor-side by
     ``payload_fn(doc_id, utf8_bytes) -> (payload, media_type)``. Defining
     the selection predicate and the MEDIA_SCHEMA row assembly ONCE keeps
-    the four rows' oracles tied to a single doc-set definition."""
+    the four rows' oracles tied to a single doc-set definition.
+
+    ``partitions``: the documents parquet reads as ONE split at test
+    scale, so compute-heavy codecs (the color JPEG lane: ~80 ms per doc)
+    would run single-task; a tiny keyed repartition of the 60-row doc
+    set fans the encode/decode across workers. At corpus scale the
+    source is already many splits and the default (None) applies."""
     from octopusdb_spark.functions.multimodal import MEDIA_SCHEMA
 
     docs = (
@@ -105,6 +111,8 @@ def _doc_media(spark, sf_dir, payload_fn):
         )
         .select("doc_id", "text")
     )
+    if partitions:
+        docs = docs.repartition(partitions, "doc_id")
 
     def make_media(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -227,7 +235,7 @@ def q_multimodal_jpeg_color(spark, sf_dir):
         img = np.repeat(np.repeat(rgb[:, None, :], 16, axis=0), 16, axis=1)
         return encode_jpeg_color(img.tobytes(), 16, 16 * len(b)), "image"
 
-    feats = extract_features(_doc_media(spark, sf_dir, payload_fn))
+    feats = extract_features(_doc_media(spark, sf_dir, payload_fn, partitions=16))
     return feats.select(
         "media_id",
         "container",
