@@ -95,6 +95,7 @@ HEADLINE = [
     "graph_lpa",
     "multimodal_jpeg_color",
     "text_dedup_rewrite",
+    "q_hll_sketch",
 ]
 
 

@@ -74,7 +74,11 @@ _PRIORITY = [
     # q_skew_salted_join, same r9 cohort. text_dedup_rewrite NEW — the
     # REMOVAL half of substring dedup (cleaned-corpus digest under the
     # min-doc ownership rule) — displaced q_range_join_bucketed, same
+    # r9 cohort. q_hll_sketch NEW — HyperLogLog with exact-value
+    # registers + estimate (the cardinality companion to
+    # q_countmin_sketch) — displaced q_token_budget_packing_bpe, same
     # r9 cohort.)
+    "q_hll_sketch",
     "text_dedup_rewrite",
     "multimodal_jpeg_color",
     "graph_lpa",
@@ -105,7 +109,6 @@ _PRIORITY = [
     "q10_returned_items",
     "q_approx_distinct", "q_rollup_merge", "q_pandas_udaf_trimmed_mean",
     "q_window_family", "q_weighted_sample", "q_array_hof",
-    "q_token_budget_packing_bpe",
 ]
 
 

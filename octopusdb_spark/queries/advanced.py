@@ -460,6 +460,117 @@ def q_countmin_sketch(spark, sf_dir):
     )
 
 
+HLL_M = 256  # registers (b=8: first two md5 hex chars)
+HLL_RHO_CAP = 40  # register ceiling: keeps 2^(CAP-reg) exact in BIGINT
+
+
+def q_hll_sketch(spark, sf_dir):
+    """HyperLogLog distinct-count sketch as a first-class distributed
+    operator — the cardinality companion to `q_countmin_sketch`
+    (frequency) and the transparent twin of `q_approx_distinct` (where
+    the HLL lives inside the engine and only a bound is checkable; here
+    the sketch IS the output, exact-value checked register by register).
+
+    md5-derived string arithmetic both engines share: bucket = the first
+    two hex chars (m=256 registers), rho = 1 + leading zero BITS of the
+    remaining 30 hex chars (4 per leading '0' nibble + a CASE on the
+    first non-zero digit), capped at HLL_RHO_CAP so the harmonic term
+    2^(CAP - reg) stays an exact BIGINT and the Flajolet et al. estimate
+    alpha_m * m^2 / Z is a deterministic double computed from exact
+    integers — no float-accumulation drift, so the estimate itself is
+    hashed, not bound-asserted. The 256-register table is pinned whole
+    by an order-checksummed digest; the linear-counting small-range
+    correction (est <= 2.5m with empty registers) rides the same exact
+    inputs (branch exercised by a crafted-corpus test; the sf corpus
+    takes the raw branch). One pass, mergeable max-partials, constant
+    256-row state regardless of corpus size — the 100 TB cardinality
+    shape."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    rho = F.least(
+        F.lit(HLL_RHO_CAP),
+        F.col("zp") * 4
+        + F.when(F.col("d1") == "1", 3)
+        .when(F.col("d1").isin("2", "3"), 2)
+        .when(F.col("d1").isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + 1,
+    )
+    parts = (
+        toks.select(F.md5("tok").alias("hx"))
+        .select(
+            (
+                (F.instr(F.lit("0123456789abcdef"), F.substring("hx", 1, 1)) - 1)
+                * 16
+                + (F.instr(F.lit("0123456789abcdef"), F.substring("hx", 2, 1)) - 1)
+            ).alias("bucket"),
+            F.substring("hx", 3, 30).alias("sfx"),
+        )
+        .select(
+            "bucket",
+            "sfx",
+            (
+                F.length("sfx")
+                - F.length(F.expr("trim(LEADING '0' FROM sfx)"))
+            ).alias("zp"),
+        )
+        .select(
+            "bucket",
+            "zp",
+            F.expr("substring(sfx, zp + 1, 1)").alias("d1"),
+        )
+        .select("bucket", rho.alias("rho"))
+    )
+    regs = parts.groupBy("bucket").agg(F.max("rho").alias("reg"))
+    spine = spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    full = spine.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce("reg", F.lit(0)).cast("int").alias("reg")
+    )
+    summary = full.agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(HLL_RHO_CAP) - F.col("reg")).cast("long")
+        ).alias("s_num"),
+        F.sum((F.col("reg") == 0).cast("long")).alias("zero_registers"),
+        F.sum("reg").cast("long").alias("register_sum"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "reg"))),
+                    lambda s: s["reg"].cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("register_checksum"),
+    )
+    exact = toks.agg(F.countDistinct("tok").alias("exact_distinct"))
+    # alpha_m * m^2 * 2^CAP / S — exact integers in, one double out
+    raw = (
+        F.lit(0.7213 / (1.0 + 1.079 / 256.0))
+        * F.lit(256.0 * 256.0)
+        * F.lit(float(2 ** HLL_RHO_CAP))
+        / F.col("s_num").cast("double")
+    )
+    corrected = F.when(
+        (raw <= F.lit(2.5 * 256.0)) & (F.col("zero_registers") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("zero_registers").cast("double")),
+    ).otherwise(raw)
+    return (
+        summary.crossJoin(exact)  # two 1-row frames
+        .select(
+            F.lit(HLL_M).alias("m"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(raw, 6).alias("raw_est_r6"),
+            F.round(corrected, 6).alias("hll_est_r6"),
+            "zero_registers",
+            "register_sum",
+            "register_checksum",
+        )
+    )
+
+
 def q_approx_percentile(spark, sf_dir):
     """Approximate percentiles (the mergeable KLL-style sketch behind
     ``approx_percentile``) validated against exact rank-based quantiles —
@@ -814,6 +925,70 @@ ORACLES = {
     # within 5% — the accuracy bound is the checked value, not the sketch
     # exact-value replication of the count-min sketch: same md5-derived
     # bucket hash, same d x w counter table, same min-over-depths estimate
+    # HLL rebuilt register-for-register from the same md5 string
+    # arithmetic; harmonic term via exact BIGINT powers, estimate as one
+    # double expression shared verbatim with the Spark side
+    "q_hll_sketch": """
+        WITH toks AS (
+          SELECT t.tok FROM documents,
+               unnest(string_split_regex(lower(text), '\\s+')) AS t(tok)
+          WHERE length(t.tok) > 0
+        ),
+        parts AS (
+          SELECT
+            (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS bucket,
+            substr(md5(tok), 3, 30) AS sfx
+          FROM toks
+        ),
+        zps AS (
+          SELECT bucket, sfx,
+                 length(sfx) - length(trim(LEADING '0' FROM sfx)) AS zp
+          FROM parts
+        ),
+        rhos AS (
+          SELECT bucket,
+                 least(40, zp * 4 + CASE substr(sfx, CAST(zp + 1 AS INT), 1)
+                     WHEN '1' THEN 3
+                     WHEN '2' THEN 2 WHEN '3' THEN 2
+                     WHEN '4' THEN 1 WHEN '5' THEN 1
+                     WHEN '6' THEN 1 WHEN '7' THEN 1
+                     ELSE 0 END + 1) AS rho
+          FROM zps
+        ),
+        regs AS (SELECT bucket, max(rho) AS reg FROM rhos GROUP BY bucket),
+        filled AS (
+          SELECT r.range AS bucket, coalesce(g.reg, 0) AS reg
+          FROM range(0, 256) r LEFT JOIN regs g ON g.bucket = r.range
+        ),
+        summary AS (
+          SELECT CAST(sum(CAST(power(2.0, 40 - reg) AS BIGINT)) AS BIGINT)
+                   AS s_num,
+                 CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_registers,
+                 CAST(sum(reg) AS BIGINT) AS register_sum,
+                 md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket))
+                   AS register_checksum
+          FROM filled
+        ),
+        exact AS (
+          SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+          FROM toks
+        )
+        SELECT CAST(256 AS INT) AS m, exact_distinct,
+               round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                     * 1099511627776.0 / CAST(s_num AS DOUBLE), 6)
+                 AS raw_est_r6,
+               round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                                * 1099511627776.0 / CAST(s_num AS DOUBLE))
+                               <= 640.0
+                           AND zero_registers > 0
+                     THEN 256.0 * ln(256.0 / CAST(zero_registers AS DOUBLE))
+                     ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                          * 1099511627776.0 / CAST(s_num AS DOUBLE) END, 6)
+                 AS hll_est_r6,
+               zero_registers, register_sum, register_checksum
+        FROM summary, exact""",
     "q_countmin_sketch": """
         WITH toks AS (
           SELECT t.tok FROM documents,
@@ -888,6 +1063,7 @@ QUERIES = {
     "q_pandas_udf_score": q_pandas_udf_score,
     "q_approx_distinct": q_approx_distinct,  # oracle checks the 5% HLL bound
     "q_countmin_sketch": q_countmin_sketch,  # exact-value sketch replication
+    "q_hll_sketch": q_hll_sketch,  # exact-value HLL registers + estimate
     "q_approx_percentile": q_approx_percentile,  # oracle checks the 5% sketch bound
     "q_rollup_merge": q_rollup_merge,
     "q_linear_regression": q_linear_regression,

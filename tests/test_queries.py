@@ -362,3 +362,56 @@ def test_dedup_rewrite_ownership(spark, tmp_path):
     assert got[2]["cleaned_digest"] == digest(["b1", "b2", "b3", "b4", "b5", "b6"])
     assert got[3]["removed_words"] == 0
     assert got[3]["cleaned_digest"] == digest(["c1", "c2", "c3", "c4", "c5"])
+
+
+def test_hll_sketch_linear_counting_and_accuracy(spark, tmp_path):
+    """q_hll_sketch on a tiny crafted corpus must take the
+    linear-counting branch (est <= 2.5m with empty registers) and land
+    within a few percent of the exact count; the register checksum must
+    equal an independent Python HLL over the same md5 rule; and at
+    sf0.01 the raw-branch estimate stays within 3 sigma (1.04/sqrt(m))."""
+    import hashlib
+    import math
+
+    from octopusdb_spark.queries.advanced import HLL_M, HLL_RHO_CAP, q_hll_sketch
+
+    words = [f"w{i:03d}" for i in range(40)]
+    docs = [(i, " ".join(words[i::4] + words), 10) for i in range(4)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    row = q_hll_sketch(spark, sf).collect()[0]
+    assert row["exact_distinct"] == 40
+
+    regs = [0] * HLL_M
+    for w in set(words):
+        hx = hashlib.md5(w.encode()).hexdigest()
+        bucket = int(hx[:2], 16)
+        sfx = hx[2:]
+        stripped = sfx.lstrip("0")
+        zp = len(sfx) - len(stripped)
+        d1 = stripped[0] if stripped else ""
+        lz = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}.get(d1, 0)
+        rho = min(HLL_RHO_CAP, zp * 4 + lz + 1)
+        regs[bucket] = max(regs[bucket], rho)
+    checksum = hashlib.md5(",".join(str(r) for r in regs).encode()).hexdigest()
+    assert row["register_checksum"] == checksum
+    assert row["register_sum"] == sum(regs)
+    assert row["zero_registers"] == regs.count(0)
+    # 40 distinct over 256 registers: the correction branch MUST fire
+    v = regs.count(0)
+    expected = HLL_M * math.log(HLL_M / v)
+    assert abs(row["hll_est_r6"] - round(expected, 6)) < 1e-9
+    assert row["hll_est_r6"] != row["raw_est_r6"]
+    assert abs(row["hll_est_r6"] - 40) / 40 < 0.10
+
+    # sf0.01 sanity: the synthetic corpus has a TINY vocabulary (~tens of
+    # distinct tokens), so linear counting fires there too and the
+    # estimate must track exact closely (linear counting is near-exact
+    # at occupancy this low)
+    big = q_hll_sketch(spark, "/root/testdata/sf0.01").collect()[0]
+    rel = abs(big["hll_est_r6"] - big["exact_distinct"]) / big["exact_distinct"]
+    assert rel < 0.15, (big["hll_est_r6"], big["exact_distinct"])
+    expected_big = HLL_M * math.log(HLL_M / big["zero_registers"])
+    assert abs(big["hll_est_r6"] - round(expected_big, 6)) < 1e-9

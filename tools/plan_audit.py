@@ -72,6 +72,7 @@ ALLOWED_CARTESIAN = {
     "text_langid_ngram": "doc-profile x language-list fan-out (|languages| rows, bounded by the label vocabulary)",
     "pipeline_pretrain_v2": "survivor-totals scalar subquery (1-row broadcast), inherited from the q_domain_mixture stage",
     "pipeline_pretrain_corpus": "global-min sample-target scalar subquery (1-row broadcast), inherited from the q_source_balanced_sample stage",
+    "q_hll_sketch": "summary x exact join of two 1-ROW aggregate frames (the sketch is 256 registers folded to one row before the join)",
 }
 
 # query -> reason an Exchange SinglePartition is bounded anyway
