@@ -96,6 +96,7 @@ HEADLINE = [
     "multimodal_jpeg_color",
     "text_dedup_rewrite",
     "q_hll_sketch",
+    "q_stream_hll",
 ]
 
 

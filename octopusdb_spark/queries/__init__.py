@@ -77,7 +77,10 @@ _PRIORITY = [
     # r9 cohort. q_hll_sketch NEW — HyperLogLog with exact-value
     # registers + estimate (the cardinality companion to
     # q_countmin_sketch) — displaced q_token_budget_packing_bpe, same
-    # r9 cohort.)
+    # r9 cohort. q_stream_hll NEW — the streaming twin: mergeable
+    # registers across micro-batches, bit-identical sketch, shared
+    # oracle — displaced q_array_hof, same r9 cohort.)
+    "q_stream_hll",
     "q_hll_sketch",
     "text_dedup_rewrite",
     "multimodal_jpeg_color",
@@ -108,7 +111,7 @@ _PRIORITY = [
     "q13_custdist", "q15_top_supplier", "q21_waiting_shape",
     "q10_returned_items",
     "q_approx_distinct", "q_rollup_merge", "q_pandas_udaf_trimmed_mean",
-    "q_window_family", "q_weighted_sample", "q_array_hof",
+    "q_window_family", "q_weighted_sample",
 ]
 
 

@@ -485,11 +485,24 @@ def q_hll_sketch(spark, sf_dir):
     takes the raw branch). One pass, mergeable max-partials, constant
     256-row state regardless of corpus size — the 100 TB cardinality
     shape."""
-    toks = (
-        t(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
-        .filter(F.length("tok") > 0)
-    )
+    toks = hll_tokens(t(spark, sf_dir, "documents"))
+    regs = hll_parts(toks).groupBy("bucket").agg(F.max("rho").alias("reg"))
+    exact = toks.agg(F.countDistinct("tok").alias("exact_distinct"))
+    return hll_report(spark, regs, exact)
+
+
+def hll_tokens(docs):
+    """The shared token expression (same split as q_countmin_sketch)."""
+    return docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+
+
+def hll_parts(toks):
+    """(bucket, rho) per token occurrence — pure md5 string arithmetic,
+    stateless (streams unchanged under Structured Streaming). Shared by
+    the batch row and its streaming twin so the sketch rule is defined
+    once."""
     rho = F.least(
         F.lit(HLL_RHO_CAP),
         F.col("zp") * 4
@@ -499,7 +512,7 @@ def q_hll_sketch(spark, sf_dir):
         .otherwise(0)
         + 1,
     )
-    parts = (
+    return (
         toks.select(F.md5("tok").alias("hx"))
         .select(
             (
@@ -524,7 +537,14 @@ def q_hll_sketch(spark, sf_dir):
         )
         .select("bucket", rho.alias("rho"))
     )
-    regs = parts.groupBy("bucket").agg(F.max("rho").alias("reg"))
+
+
+def hll_report(spark, regs, exact):
+    """Fold a (possibly sparse) register frame + a 1-row exact frame into
+    the checked single-row report: spine-filled registers, exact-BIGINT
+    harmonic numerator, order-checksummed register digest, and the
+    Flajolet et al. estimate with linear-counting correction — one
+    deterministic double expression, shared verbatim with the oracle."""
     spine = spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
     full = spine.join(regs, "bucket", "left").select(
         "bucket", F.coalesce("reg", F.lit(0)).cast("int").alias("reg")
@@ -545,7 +565,6 @@ def q_hll_sketch(spark, sf_dir):
             ).cast("binary")
         ).alias("register_checksum"),
     )
-    exact = toks.agg(F.countDistinct("tok").alias("exact_distinct"))
     # alpha_m * m^2 * 2^CAP / S — exact integers in, one double out
     raw = (
         F.lit(0.7213 / (1.0 + 1.079 / 256.0))

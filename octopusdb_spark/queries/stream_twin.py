@@ -841,6 +841,66 @@ def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality via MERGEABLE HLL registers — the production
+    shape for distinct counts over an unbounded stream: documents arrive
+    as a 3-file stream processed as three micro-batches
+    (maxFilesPerTrigger=1 under availableNow), the stateless md5
+    bucket/rho projection (`advanced.hll_parts`, the SAME expression as
+    the batch row) feeds a streaming groupBy(bucket).max — 256 rows of
+    state REGARDLESS of stream length, complete-mode memory sink — and
+    the final registers fold through the SAME `hll_report` as
+    `q_hll_sketch`. Register max is commutative/associative, so the
+    merged sketch is bit-identical to the batch sketch no matter how the
+    stream was batched: stream and batch share ONE oracle by
+    construction. (exact_distinct in the report is the batch reference
+    count — the yardstick column, not stream state.)"""
+    from octopusdb_spark.queries.advanced import (
+        hll_parts,
+        hll_report,
+        hll_tokens,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_hll_{run_id}_")
+    try:
+        src = f"{base}/src"
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        regs = (
+            hll_parts(hll_tokens(stream))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("reg"))
+        )
+        name = f"stream_hll_{run_id}"
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        _run_bounded(q)
+        rows = spark.table(name).collect()
+        spark.catalog.dropTempView(name)
+        regs_df = spark.createDataFrame(
+            [(int(r["bucket"]), int(r["reg"])) for r in rows],
+            "bucket int, reg int",
+        )
+        exact = hll_tokens(t(spark, sf_dir, "documents")).agg(
+            F.countDistinct("tok").alias("exact_distinct")
+        )
+        return hll_report(spark, regs_df, exact)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_kv_stream_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous replication run FOR REAL — streaming ingest into a
     primary with per-batch CDC shipping to a replica
@@ -1026,8 +1086,17 @@ ORACLES = {
         FROM flagged GROUP BY user_id ORDER BY user_id""",
 }
 
+
+# the streaming HLL merges to the bit-identical sketch (register max is
+# order-insensitive), so it shares the batch row's oracle verbatim
+from octopusdb_spark.queries.advanced import ORACLES as _ADVANCED_ORACLES  # noqa: E402
+
+ORACLES["q_stream_hll"] = _ADVANCED_ORACLES["q_hll_sketch"]
+
+
 QUERIES = {
     "stream_warc_ingest": q_stream_warc_ingest,
+    "q_stream_hll": q_stream_hll,
     "stream_lm_filter": q_stream_lm_filter,
     "kv_stream_replication": q_kv_stream_replication,
     "stream_dedup_ingest": q_stream_dedup_ingest,

@@ -578,3 +578,16 @@ def test_stream_replication_carries_ttl(spark, tmp_path):
     later = NOW + 20_000
     assert live(replica, later) == live(primary, later)
     assert len(live(primary, later)) == 6
+
+
+def test_stream_hll_matches_batch_sketch(spark):
+    """The streaming HLL (3 micro-batches, register-max state) must
+    produce the BIT-IDENTICAL sketch row the batch operator produces —
+    the mergeability guarantee the shared oracle rests on."""
+    from octopusdb_spark.queries.advanced import q_hll_sketch
+    from octopusdb_spark.queries.stream_twin import q_stream_hll
+
+    sf = "/root/testdata/sf0.001"
+    batch = q_hll_sketch(spark, sf).collect()[0]
+    stream = q_stream_hll(spark, sf).collect()[0]
+    assert tuple(stream) == tuple(batch)

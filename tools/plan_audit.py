@@ -73,6 +73,7 @@ ALLOWED_CARTESIAN = {
     "pipeline_pretrain_v2": "survivor-totals scalar subquery (1-row broadcast), inherited from the q_domain_mixture stage",
     "pipeline_pretrain_corpus": "global-min sample-target scalar subquery (1-row broadcast), inherited from the q_source_balanced_sample stage",
     "q_hll_sketch": "summary x exact join of two 1-ROW aggregate frames (the sketch is 256 registers folded to one row before the join)",
+    "q_stream_hll": "same 1-row summary x exact join as q_hll_sketch (shared hll_report)",
 }
 
 # query -> reason an Exchange SinglePartition is bounded anyway
