@@ -97,6 +97,7 @@ HEADLINE = [
     "text_dedup_rewrite",
     "q_hll_sketch",
     "q_stream_hll",
+    "stream_warc_cdx",
 ]
 
 

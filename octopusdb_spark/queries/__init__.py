@@ -79,7 +79,11 @@ _PRIORITY = [
     # q_countmin_sketch) — displaced q_token_budget_packing_bpe, same
     # r9 cohort. q_stream_hll NEW — the streaming twin: mergeable
     # registers across micro-batches, bit-identical sketch, shared
-    # oracle — displaced q_array_hof, same r9 cohort.)
+    # oracle — displaced q_array_hof, same r9 cohort. stream_warc_cdx
+    # NEW — the CDX random-access path as a continuous stream-static
+    # pipeline, shared oracle — displaced q_weighted_sample, same r9
+    # cohort.)
+    "stream_warc_cdx",
     "q_stream_hll",
     "q_hll_sketch",
     "text_dedup_rewrite",
@@ -111,7 +115,7 @@ _PRIORITY = [
     "q13_custdist", "q15_top_supplier", "q21_waiting_shape",
     "q10_returned_items",
     "q_approx_distinct", "q_rollup_merge", "q_pandas_udaf_trimmed_mean",
-    "q_window_family", "q_weighted_sample",
+    "q_window_family",
 ]
 
 

@@ -407,23 +407,16 @@ def warc_document_segments(spark, sf_dir):
     )
 
 
-def q_source_warc_cdx(spark, sf_dir):
-    """CDX-indexed WARC random access under the gate (VERDICT r11 #7):
-    real crawl archives ship a CDX offset index, and a targeted re-crawl
-    reads (segment, offset, length) triples instead of scanning whole
-    segments. Documents (doc_id < 120, 16 per segment, plain framing)
-    are packed with `encode_warc_indexed`, which MEASURES each record's
-    byte position while writing; the query selects doc_id % 4 == 1
-    through the index and `read_warc_cdx` prunes to segments with hits,
-    slices exactly the addressed ranges, and parses one record per
-    range. The checked output includes the raw offset/length, which the
-    oracle recomputes ARITHMETICALLY from the framing (record size =
-    107 + len(uri) + len(digits(clen)) + clen, prefix-summed per
-    segment in doc order) — so a framing drift, an off-by-one slice, or
-    a stale index hash-mismatches, not just the recovered content.
-    Plain framing keeps the offsets SQL-computable; gzip-member
-    addressing rides the same API and is pytest-pinned instead."""
-    from octopusdb_spark.sources.warc import encode_warc_indexed, read_warc_cdx
+def warc_cdx_segments(spark, sf_dir):
+    """Shared CDX-indexed segment builder for the batch row
+    (`source_warc_cdx`) and its stream twin (`stream_warc_cdx`):
+    documents (doc_id < 120) packed 16 per plain-framed segment via
+    `encode_warc_indexed`, which MEASURES each record's (offset, length)
+    while writing; the per-segment CDX rides as an array column. One
+    builder, one checkpoint (8 segments) — the two rows' shared oracle
+    rests on them indexing IDENTICAL segments, so the invariant is
+    structural (the warc_document_segments discipline)."""
+    from octopusdb_spark.sources.warc import encode_warc_indexed
 
     docs = (
         t(spark, sf_dir, "documents")
@@ -456,9 +449,7 @@ def q_source_warc_cdx(spark, sf_dir):
             {"source_id": [seg], "payload": [payload], "cdx": [cdx]}
         )
 
-    # the builder feeds both the index side and the blob side: checkpoint
-    # once (8 segments) so the pack runs once
-    seg = (
+    return (
         docs.groupBy("segment")
         .applyInPandas(
             build,
@@ -467,11 +458,39 @@ def q_source_warc_cdx(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
-    sel = (
+
+
+def warc_cdx_selection(seg):
+    """The shared targeted-re-crawl selection (doc_id % 4 == 1) pulled
+    from the segment frame's CDX column — defined once so batch and
+    stream read the same index rows."""
+    return (
         seg.select("source_id", F.explode("cdx").alias("e"))
         .select("source_id", "e.uri", "e.offset", "e.length")
         .filter(F.split("uri", ":").getItem(1).cast("long") % 4 == 1)
     )
+
+
+def q_source_warc_cdx(spark, sf_dir):
+    """CDX-indexed WARC random access under the gate (VERDICT r11 #7):
+    real crawl archives ship a CDX offset index, and a targeted re-crawl
+    reads (segment, offset, length) triples instead of scanning whole
+    segments. Documents (doc_id < 120, 16 per segment, plain framing)
+    are packed with `encode_warc_indexed`, which MEASURES each record's
+    byte position while writing; the query selects doc_id % 4 == 1
+    through the index and `read_warc_cdx` prunes to segments with hits,
+    slices exactly the addressed ranges, and parses one record per
+    range. The checked output includes the raw offset/length, which the
+    oracle recomputes ARITHMETICALLY from the framing (record size =
+    107 + len(uri) + len(digits(clen)) + clen, prefix-summed per
+    segment in doc order) — so a framing drift, an off-by-one slice, or
+    a stale index hash-mismatches, not just the recovered content.
+    Plain framing keeps the offsets SQL-computable; gzip-member
+    addressing rides the same API and is pytest-pinned instead."""
+    from octopusdb_spark.sources.warc import read_warc_cdx
+
+    seg = warc_cdx_segments(spark, sf_dir)
+    sel = warc_cdx_selection(seg)
     recs = read_warc_cdx(seg.select("source_id", "payload"), sel)
     return recs.select(
         F.split("target_uri", ":").getItem(1).cast("long").alias("doc_id"),

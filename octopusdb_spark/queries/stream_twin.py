@@ -841,6 +841,65 @@ def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted re-crawl as a CONTINUOUS pipeline: CDX hit rows arrive as
+    a 3-file stream (maxFilesPerTrigger=1 -> three micro-batches), each
+    micro-batch stream-static inner-joins to the STATIC segment blobs
+    (only segments with hits are touched), and `read_warc_cdx_rows`
+    slices + parses exactly the addressed byte ranges — a stateless
+    per-row mapInPandas, append mode, no watermark. Same builder, same
+    selection, same slicing primitive as the batch row
+    (`source_warc_cdx`), so the two share ONE oracle by construction;
+    the stream twin proves the random-access path runs under Structured
+    Streaming unchanged (the production tail-the-index shape)."""
+    from octopusdb_spark.queries.multimodal import (
+        warc_cdx_segments,
+        warc_cdx_selection,
+    )
+    from octopusdb_spark.sources.warc import read_warc_cdx_rows
+
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_cdx_{run_id}_")
+    try:
+        seg = warc_cdx_segments(spark, sf_dir)
+        blobs = seg.select("source_id", "payload")
+        src = f"{base}/src"
+        warc_cdx_selection(seg).repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "source_id long, uri string, offset long, length long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        recs = read_warc_cdx_rows(stream.join(blobs, "source_id"))
+        report = recs.select(
+            F.split("target_uri", ":").getItem(1).cast("long").alias("doc_id"),
+            "offset",
+            "length",
+            F.length("content").cast("long").alias("content_len"),
+            F.md5("content").alias("digest"),
+        )
+        name = f"stream_cdx_{run_id}"
+        q = (
+            report.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_bounded(q)
+        rows = spark.table(name).orderBy("doc_id").collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, offset long, length long, content_len long,"
+            " digest string",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cardinality via MERGEABLE HLL registers — the production
     shape for distinct counts over an unbounded stream: documents arrive
@@ -1093,9 +1152,16 @@ from octopusdb_spark.queries.advanced import ORACLES as _ADVANCED_ORACLES  # noq
 
 ORACLES["q_stream_hll"] = _ADVANCED_ORACLES["q_hll_sketch"]
 
+# the CDX stream twin reads the same index rows against the same segments
+# through the same slicing primitive — one oracle, by construction
+from octopusdb_spark.queries.multimodal import ORACLES as _MM_ORACLES  # noqa: E402
+
+ORACLES["stream_warc_cdx"] = _MM_ORACLES["source_warc_cdx"]
+
 
 QUERIES = {
     "stream_warc_ingest": q_stream_warc_ingest,
+    "stream_warc_cdx": q_stream_warc_cdx,
     "q_stream_hll": q_stream_hll,
     "stream_lm_filter": q_stream_lm_filter,
     "kv_stream_replication": q_kv_stream_replication,

@@ -194,6 +194,41 @@ def read_warc_cdx(
     return pruned.mapInPandas(batches, CDX_SLICE_SCHEMA)
 
 
+def read_warc_cdx_rows(joined: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-ROW CDX slicing for streaming use: ``joined`` already carries
+    (source_id, offset, length, payload) — e.g. a CDX-hit STREAM
+    inner-joined (stream-static) to the segment blobs — and each row is
+    sliced and parsed independently (`read_warc_slice`), no per-segment
+    grouping. Append-mode friendly: stateless mapInPandas, one output
+    row per input row, so the same operator runs a continuous targeted
+    re-crawl. The batch path (`read_warc_cdx`) groups hits per segment
+    first — one blob materialization per segment; here the join dedups
+    segment READS (stream-static joins broadcast-or-scan the static
+    side) but a blob column copy rides each hit row, the price of
+    append-mode streaming."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in CDX_SLICE_SCHEMA.fields}
+            for sid, off, ln, blob in zip(
+                pdf["source_id"], pdf["offset"], pdf["length"], pdf[payload_col]
+            ):
+                headers, content = read_warc_slice(bytes(blob), int(off), int(ln))
+                out["source_id"].append(int(sid))
+                out["offset"].append(int(off))
+                out["length"].append(int(ln))
+                out["warc_type"].append(headers.get("warc-type"))
+                out["target_uri"].append(headers.get("warc-target-uri"))
+                out["warc_date"].append(headers.get("warc-date"))
+                out["content"].append(content)
+            if out["source_id"]:
+                yield pd.DataFrame(out)
+
+    return joined.select(
+        "source_id", "offset", "length", payload_col
+    ).mapInPandas(batches, CDX_SLICE_SCHEMA)
+
+
 def _parse_plain(payload: bytes):
     pos = 0
     while pos < len(payload):
