@@ -252,7 +252,15 @@ class KVStore:
         merge_op: str | None = None,  # RocksDB merge_operator analog
         # "leveled" = the reference's policy (size/target cascade); "tiered"
         # = size-tiered (STCS) for write-heavy stores — fewer rewrites per
-        # key, more coexisting runs per read (the RUM trade)
+        # key, more coexisting runs per read (the RUM trade). The policy is
+        # STORE-granular by design: column families here are reserved-prefix
+        # key ranges inside SHARED segments (kv/db.go's namespace shape), so
+        # a segment is never owned by one CF and a per-CF policy would need
+        # per-CF segment families — a different physical layout whose cost
+        # (separate flushes, manifests entries, and small files per CF) is
+        # exactly what the shared-segment design avoids. A write-heavy
+        # workload that wants tiered compaction opens its families in a
+        # store constructed with compaction_style="tiered".
         compaction_style: str = "leveled",
     ):
         if key_type not in ("string", "binary"):

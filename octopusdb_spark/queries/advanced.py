@@ -572,6 +572,11 @@ def hll_report(spark, regs, exact):
         * F.lit(float(2 ** HLL_RHO_CAP))
         / F.col("s_num").cast("double")
     )
+    # ln() is the one non-exact float op in the chain (JVM Math.log and
+    # DuckDB's libm differ in the last ULP for 18 of the 255 reachable
+    # inputs) — but the checked value is round(x, 6), and the full input
+    # domain 256/V, V in 1..255 is verified round-6-identical across
+    # engines (pinned in test_hll_linear_counting_ln_domain)
     corrected = F.when(
         (raw <= F.lit(2.5 * 256.0)) & (F.col("zero_registers") > 0),
         F.lit(256.0) * F.log(F.lit(256.0) / F.col("zero_registers").cast("double")),

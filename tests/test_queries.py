@@ -415,3 +415,37 @@ def test_hll_sketch_linear_counting_and_accuracy(spark, tmp_path):
     assert rel < 0.15, (big["hll_est_r6"], big["exact_distinct"])
     expected_big = HLL_M * math.log(HLL_M / big["zero_registers"])
     assert abs(big["hll_est_r6"] - round(expected_big, 6)) < 1e-9
+
+
+def test_hll_linear_counting_ln_domain(spark):
+    """ln() is the one non-exact float op in the HLL chain: JVM Math.log
+    and DuckDB's libm are each faithfully-but-not-correctly rounded and
+    DO differ in the last ULP for some inputs. The gate compares
+    round(x, 6), so this pins the ENTIRE reachable input domain of the
+    linear-counting branch (256/V, V in 1..255) as round-6-identical
+    across engines — if a platform's libm ever drifts past that margin,
+    this reddens before the driver does."""
+    import duckdb
+
+    con = duckdb.connect()
+    duck = {
+        v: con.execute(
+            f"SELECT round(256.0 * ln(256.0 / {float(v)}), 6)"
+        ).fetchone()[0]
+        for v in range(1, 256)
+    }
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.range(1, 256)
+        .select(
+            F.col("id").alias("v"),
+            F.round(
+                F.lit(256.0) * F.log(F.lit(256.0) / F.col("id").cast("double")),
+                6,
+            ).alias("x"),
+        )
+        .collect()
+    )
+    bad = [(r["v"], r["x"], duck[r["v"]]) for r in rows if r["x"] != duck[r["v"]]]
+    assert not bad, bad
