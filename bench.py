@@ -98,6 +98,7 @@ HEADLINE = [
     "q_hll_sketch",
     "q_stream_hll",
     "stream_warc_cdx",
+    "multimodal_flac",
 ]
 
 

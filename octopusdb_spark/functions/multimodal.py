@@ -1,7 +1,7 @@
 """Multimodal decode / feature-extract pipeline plumbing.
 
 Images/audio/video ride through the engine as opaque ``binary`` columns with
-typed metadata. Seven honest container formats are decoded FOR REAL in pure
+typed metadata. Eight honest container formats are decoded FOR REAL in pure
 Python/NumPy (no codec libraries needed): WAV (RIFF PCM — header walk +
 int sample moments), PPM (P6 — header tokens + RGB pixel moments), BMP
 (BITMAPINFOHEADER 24-bpp uncompressed — bottom-up padded rows + pixel
@@ -14,7 +14,9 @@ dictionary reset — palette-mapped to RGB moments), and baseline JPEG (the
 third entropy-codec family — canonical Huffman decode, per-component DC
 prediction, AC run-length, dequantize + exact 2D IDCT; grayscale AND
 3-component color with 4:4:4 / 4:2:0 sampling, interleaved MCU scan,
-chroma upsample, JFIF YCbCr -> RGB). Remaining codec-library formats
+chroma upsample, JFIF YCbCr -> RGB), plus FLAC in `functions/flac.py`
+(the FOURTH entropy codec — Rice coding — and the first COMPRESSED
+audio container). Remaining codec-library formats
 (MP3/MP4/H.264...) still hit the clearly marked stub: their entropy coding
 needs libraries this container lacks, so those payloads get deterministic
 byte-level fallback features instead — the boundary is explicit in the
@@ -58,7 +60,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feat_dim", T.IntegerType(), False),
         # real-decode outputs (r11): container recognized + parsed
         T.StructField("decoded", T.BooleanType(), False),
-        T.StructField("container", T.StringType(), True),  # wav|ppm|bmp|png|gif|jpeg|y4m
+        T.StructField("container", T.StringType(), True),  # wav|ppm|bmp|png|gif|jpeg|flac|y4m
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_samples", T.LongType(), True),
@@ -1348,7 +1350,10 @@ def decode_jpeg(payload: bytes) -> dict:
     }
 
 
+from octopusdb_spark.functions.flac import FLAC_SIG, decode_flac  # noqa: E402
+
 _MAGIC_DECODERS = (
+    (lambda p: p[:4] == FLAC_SIG, decode_flac),
     (lambda p: p[:2] == JPEG_SOI, decode_jpeg),
     (lambda p: p[:6] in GIF_SIGS, decode_gif),
     (lambda p: p[:4] == b"RIFF" and p[8:12] == b"WAVE", decode_wav),
@@ -1381,13 +1386,13 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     """Partition-parallel feature extraction via mapInPandas: Arrow batches
     in, Arrow batches out — the canonical multimodal pipeline shape.
 
-    WAV/PPM/BMP/PNG/GIF/JPEG/Y4M payloads are decoded FOR REAL (sample/
+    WAV/PPM/BMP/PNG/GIF/JPEG/FLAC/Y4M payloads are decoded FOR REAL (sample/
     pixel/frame moments, dimensions, sample/frame rate — ``decoded=True``);
     anything else gets the deterministic byte-level stub features
     (``decoded=False``) that stand in for codec-library formats. Decoders
     are module-level but the repo root rides executor PYTHONPATH in local
     mode; for cluster deploys ship the package (the stub-era
-    nested-function trick no longer fits — seven real parsers belong in
+    nested-function trick no longer fits — eight real parsers belong in
     the library surface, not a closure)."""
 
     def stub_features(payload: bytes, media_type: str) -> list:

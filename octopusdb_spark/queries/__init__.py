@@ -82,7 +82,11 @@ _PRIORITY = [
     # oracle — displaced q_array_hof, same r9 cohort. stream_warc_cdx
     # NEW — the CDX random-access path as a continuous stream-static
     # pipeline, shared oracle — displaced q_weighted_sample, same r9
-    # cohort.)
+    # cohort. multimodal_flac NEW — FLAC, the fourth entropy codec
+    # (Rice) and the first COMPRESSED audio container, lossless so the
+    # oracle is pure sample arithmetic — displaced q_window_family,
+    # same r9 cohort.)
+    "multimodal_flac",
     "stream_warc_cdx",
     "q_stream_hll",
     "q_hll_sketch",
@@ -115,7 +119,6 @@ _PRIORITY = [
     "q13_custdist", "q15_top_supplier", "q21_waiting_shape",
     "q10_returned_items",
     "q_approx_distinct", "q_rollup_merge", "q_pandas_udaf_trimmed_mean",
-    "q_window_family",
 ]
 
 

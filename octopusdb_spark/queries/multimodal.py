@@ -3,8 +3,8 @@ with typed metadata (driver mandate; no reference analog).
 
 The driver testdata has no binary columns, so the payloads are derived
 deterministically (utf-8 bytes of `documents.text`). The decode step is
-REAL for seven honest containers — WAV PCM, PPM, BMP, PNG (DEFLATE), GIF
-(LZW), baseline JPEG (Huffman + DCT), and Y4M video are encoded from the
+REAL for eight honest containers — WAV PCM, PPM, BMP, PNG (DEFLATE), GIF
+(LZW), baseline JPEG (Huffman + DCT), FLAC (Rice), and Y4M video are encoded from the
 text bytes and parsed back by the pure-Python decoders in
 `functions/multimodal.py` (`multimodal_decode` hash-checks the recovered
 sample/pixel moments, `multimodal_video_frames` the per-sampled-frame
@@ -202,6 +202,39 @@ def q_multimodal_decode(spark, sf_dir):
         "decoded",
         "width",
         "height",
+        "n_samples",
+        "sample_rate",
+        F.round("feat_mean", 6).alias("mean_r6"),
+        F.round("feat_rms", 6).alias("rms_r6"),
+    ).orderBy("media_id")
+
+
+def q_multimodal_flac(spark, sf_dir):
+    """COMPRESSED audio decode under the gate — FLAC, the fourth entropy
+    codec family (Rice coding) and the first compressed audio container
+    (the WAV lanes are raw PCM): each document's text bytes become 16-bit
+    samples s=(b-128)*256 encoded at block_size=128, so every doc spans
+    MULTIPLE frames (framing + CRC-8/CRC-16 + fixed-predictor Rice
+    residuals all exercised per row); `extract_features` parses the
+    stream back through `functions/flac.py::decode_flac`. FLAC is
+    LOSSLESS, so the oracle is the same pure sample arithmetic as the
+    WAV lane — no constant-block geometry needed (contrast the lossy
+    JPEG lanes): a decoder that drops a frame, mis-reconstructs a
+    predictor, or mis-reads a Rice partition hash-mismatches."""
+    from octopusdb_spark.functions.flac import encode_flac
+    from octopusdb_spark.functions.multimodal import extract_features
+
+    def payload_fn(did, b):
+        return (
+            encode_flac(((x - 128) * 256 for x in b), 8000, block_size=128),
+            "audio",
+        )
+
+    feats = extract_features(_doc_media(spark, sf_dir, payload_fn))
+    return feats.select(
+        "media_id",
+        "container",
+        "decoded",
         "n_samples",
         "sample_rate",
         F.round("feat_mean", 6).alias("mean_r6"),
@@ -588,6 +621,26 @@ ORACLES = {
            round(sqrt(sum(CAST(v AS BIGINT) * v) / CAST(n_out AS DOUBLE)), 6)
              AS rms_r6
     FROM smp GROUP BY doc_id, n_out ORDER BY media_id""",
+    # FLAC is lossless, so the oracle is the WAV-lane sample arithmetic
+    # (no per-codec geometry): exact integer sums over s=(b-128)*256
+    "multimodal_flac": """
+    WITH src AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    b AS (
+      SELECT s.doc_id, s.n,
+             ascii(substr(s.text, CAST(t.i AS INT), 1)) AS v
+      FROM src s CROSS JOIN range(1, 600) t(i)
+      WHERE t.i <= s.n
+    )
+    SELECT doc_id AS media_id, 'flac' AS container, TRUE AS decoded,
+           CAST(n AS BIGINT) AS n_samples, CAST(8000 AS INT) AS sample_rate,
+           round(sum((v - 128) * 256) / CAST(n AS DOUBLE), 6) AS mean_r6,
+           round(sqrt(sum(CAST((v - 128) * 256 AS BIGINT) * ((v - 128) * 256))
+                      / CAST(n AS DOUBLE)), 6) AS rms_r6
+    FROM b GROUP BY doc_id, n ORDER BY media_id""",
     # arithmetic replication of the color JPEG pipeline: per byte v the
     # constant MCU (v, 255-v, v*7%256) goes forward-YCbCr (floor(x+0.5)),
     # per-channel q00=16 DC quantize/decode (clamp(2*floor((c-127)/2)+128)),
@@ -834,4 +887,5 @@ QUERIES = {
     "source_warc_ingest": q_source_warc_ingest,
     "source_warc_cdx": q_source_warc_cdx,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
+    "multimodal_flac": q_multimodal_flac,
 }

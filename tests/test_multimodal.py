@@ -890,3 +890,94 @@ def test_jpeg_restarts_and_sampling_grids():
     broken = with_rst.replace(b"\xff\xd0", b"\xff\xd5", 1)
     with _pytest.raises(ValueError, match="out of sequence"):
         decode_jpeg(broken)
+
+
+def test_flac_round_trip_and_containers(spark):
+    """FLAC (entropy codec #4 — Rice) decodes FOR REAL through
+    extract_features: multi-frame encode round-trips exact sample
+    moments; corrupt (CRC), truncated, and unsupported (stereo) streams
+    fall back to the stub."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.flac import decode_flac, encode_flac
+
+    samples = [((i * 37) % 4001) - 2000 for i in range(700)]
+    fl = encode_flac(samples, 8000, block_size=128)
+    corrupt = bytearray(fl)
+    corrupt[len(corrupt) - 20] ^= 0x10
+    # stereo STREAMINFO: flip channels-1 field (bits 140..142 of the
+    # 34-byte body at offset 8; byte 20 of the stream holds them)
+    rows = [
+        (1, "audio", fl, None, None, None),
+        (2, "audio", bytes(corrupt), None, None, None),
+        (3, "audio", fl[: len(fl) // 2], None, None, None),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in extract_features(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    g = out[1]
+    assert g["decoded"] and g["container"] == "flac"
+    assert g["n_samples"] == 700 and g["sample_rate"] == 8000
+    assert abs(g["feat_mean"] - sum(samples) / len(samples)) < 1e-9
+    assert not out[2]["decoded"] and not out[3]["decoded"]
+
+    # compression is REAL on smooth signals
+    smooth = encode_flac([i % 500 for i in range(8000)])
+    assert len(smooth) < 2 * 8000 * 0.35
+    d = decode_flac(smooth)
+    assert d["n_samples"] == 8000
+
+    # stereo declared in STREAMINFO -> explicit unsupported error
+    st = bytearray(fl)
+    # STREAMINFO body starts at byte 8; sample-rate(20)+channels(3) share
+    # bytes 18-20 of the body: set channels-1 = 1 (bit pattern 001)
+    body_at = 8
+    b20 = st[body_at + 12]  # byte holding rate[low4] | channels(3) | bps[hi1]
+    st[body_at + 12] = (b20 & 0b11110001) | 0b0010
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multi-channel"):
+        decode_flac(bytes(st))
+
+
+def test_flac_property_round_trip():
+    """Property test (no Spark): random signals of every character —
+    noise, ramps, constants, negative-heavy — round-trip losslessly
+    through every block size, including frames smaller than the
+    predictor order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from octopusdb_spark.functions.flac import decode_flac, encode_flac
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31),
+        n=st.integers(min_value=1, max_value=1200),
+        bs=st.sampled_from([16, 100, 192, 4096]),
+        kind=st.sampled_from(["noise", "ramp", "const", "spiky"]),
+    )
+    def check(seed, n, bs, kind):
+        import random
+
+        rng = random.Random(seed)
+        if kind == "noise":
+            samples = [rng.randrange(-32768, 32768) for _ in range(n)]
+        elif kind == "ramp":
+            samples = [(i * 3 - n) % 2000 for i in range(n)]
+        elif kind == "const":
+            samples = [rng.randrange(-32768, 32768)] * n
+        else:
+            samples = [0] * n
+            for _ in range(max(1, n // 10)):
+                samples[rng.randrange(n)] = rng.randrange(-32768, 32768)
+        d = decode_flac(encode_flac(samples, 8000, block_size=bs))
+        assert d["n_samples"] == n
+        assert abs(d["mean"] - sum(samples) / n) < 1e-9
+        exp_rms = (sum(s * s for s in samples) / n) ** 0.5
+        assert abs(d["rms"] - exp_rms) < 1e-6
+
+    check()
