@@ -140,12 +140,16 @@ _FIXED_COEFS = {
 
 
 def _utf8_code(n: int) -> bytes:
-    """The frame-number coding (UTF-8-style, up to 36 bits)."""
+    """The frame-number coding (UTF-8-style, up to 36 bits). An
+    nbytes-long code carries (7 - nbytes) payload bits in the lead byte
+    plus 6 per continuation: 5*nbytes + 1 total — the review-fixed
+    bound (the first cut mis-sized it and corrupted frame numbers
+    >= 2048, i.e. any stream past ~2048 frames)."""
     if n < 0x80:
         return bytes([n])
     out = []
     nbytes = 2
-    while n >= (1 << (6 - nbytes + 5 * nbytes)):  # max payload per length
+    while n >= (1 << (5 * nbytes + 1)):  # capacity of an nbytes code
         nbytes += 1
     lead = (0xFF << (8 - nbytes)) & 0xFF
     shift = 6 * (nbytes - 1)
@@ -334,6 +338,11 @@ def decode_flac(payload: bytes) -> dict:
         raise ValueError("multi-channel FLAC unsupported")
     if bps != 16:
         raise ValueError("non-16-bit FLAC unsupported")
+    if total == 0:
+        # spec-legal "unknown length" — but this decoder's moments need a
+        # definite count; ValueError keeps the stub-fallback contract
+        # (a ZeroDivisionError would escape decode_media's catch list)
+        raise ValueError("FLAC stream with unknown/zero total samples")
     if total > _MAX_FLAC_SAMPLES:
         raise ValueError("FLAC length outside decode bound")
 

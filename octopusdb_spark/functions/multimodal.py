@@ -695,15 +695,16 @@ def decode_gif(payload: bytes) -> dict:
 
 
 # ------------------------------------------------------------------ JPEG
-# Baseline JFIF grayscale — the THIRD entropy-codec family (Huffman +
-# DCT) after DEFLATE (PNG) and LZW (GIF), pure Python/NumPy, and the
-# format a real crawl corpus (the WARC source's own domain) actually
-# contains. Spec constants (Annex K luminance quantization table,
-# zig-zag order, marker layout) are public ITU T.81 data. Scope:
-# 8-bit baseline sequential, one component, no restart intervals —
-# progressive/multi-component/subsampled streams raise ValueError and
-# fall back to the stub (the same explicit boundary the other decoders
-# use for their unsupported corners).
+# Baseline JFIF — the THIRD entropy-codec family (Huffman + DCT) after
+# DEFLATE (PNG) and LZW (GIF), pure Python/NumPy, and the format a real
+# crawl corpus (the WARC source's own domain) actually contains. Spec
+# constants (Annex K luminance quantization table, zig-zag order, marker
+# layout) are public ITU T.81 data. Scope: 8-bit baseline sequential,
+# grayscale OR 3-component color (4:4:4/4:2:2/4:4:0/4:2:0), DRI/RSTn
+# restart intervals — progressive/arithmetic/hierarchical frames, other
+# sampling grids, and CMYK component counts raise ValueError and fall
+# back to the stub (the same explicit boundary the other decoders use
+# for their unsupported corners).
 
 JPEG_SOI = b"\xff\xd8"
 
@@ -1111,9 +1112,12 @@ def decode_jpeg(payload: bytes) -> dict:
     (interleaved MCU scan, nearest chroma upsample, JFIF YCbCr -> RGB
     with floor(x + 0.5) rounding) — the sampling real crawl-corpus
     JPEGs ship. Moments are over gray pixels or interleaved RGB.
+    DRI/RSTn restart intervals are SUPPORTED (stream re-sync +
+    per-component predictor reset, modulo-8 sequence verified).
     Unsupported corners raise ValueError -> stub fallback:
     progressive/arithmetic/hierarchical frames, other sampling grids,
-    16-bit quant tables, restart intervals. A constant 8x8 block of
+    16-bit quant tables, missing/out-of-sequence restart markers. A
+    constant 8x8 block of
     value v decodes to exactly clamp(2*floor((v-127)/2) + 128) under a
     q00=16 table: DC = 8*(v-128), quantizes to floor((v-127)/2), and
     the IDCT of a DC-only block is flat at dequant/8 — the
@@ -1184,6 +1188,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 htables[(tc, th)] = table
                 at += 17 + nvals
         elif marker == 0xC0:
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF")
             if body[0] != 8:
                 raise ValueError("non-8-bit JPEG unsupported")
             h, w, ncomp = struct.unpack_from(">HHB", body, 1)
@@ -1217,6 +1223,8 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xDA:
             if dims is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not body:
+                raise ValueError("truncated JPEG SOS")
             if body[0] != len(dims[2]):
                 raise ValueError("JPEG scan/frame component count mismatch")
             if len(body) < 1 + 2 * body[0] + 3:

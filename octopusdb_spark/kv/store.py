@@ -2598,7 +2598,13 @@ class KVStore:
         generation marker (read correctness orders by seq, not level).
         Version retention and range-tombstone retirement are the shared
         `_merge_commit` discipline; epoch splitting stays a leveled-only
-        optimization (tiered merges have no base/delta distinction)."""
+        optimization (tiered merges have no base/delta distinction).
+
+        ``now`` is accepted for signature symmetry with the other
+        maintenance entry points but is UNUSED: like `compact_level`,
+        tiered merges never evaluate TTL or drop tombstones (a newer or
+        older version may live in a non-participating run — the
+        overlap-below rule); full cleanup is `compact()`'s job."""
         if not segments:
             return
         dst_level = min(max(s.level for s in segments) + 1, self.MAX_LEVEL)

@@ -2209,10 +2209,12 @@ def test_tiered_compaction_rum_trade(spark, tmp_path):
     assert len(views["tiered"]) == 120
     wa = {n: st.info()["write_amplification"] for n, st in stores.items()}
     assert wa["tiered"] < wa["leveled"], wa
-    # tiered keeps more overlapping runs resident (the read side of RUM)
+    # tiered keeps more overlapping runs resident than leveled — the
+    # READ side of the RUM trade the policy exists to make (review fix:
+    # the first cut asserted only >= 1, which any store satisfies)
     segs = {
         n: len(st.manifest.state.data_segments()) for n, st in stores.items()
     }
     for st in stores.values():
         st.close()
-    assert segs["tiered"] >= 1, segs
+    assert segs["tiered"] >= segs["leveled"], segs

@@ -981,3 +981,37 @@ def test_flac_property_round_trip():
         assert abs(d["rms"] - exp_rms) < 1e-6
 
     check()
+
+
+def test_review_fixes_flac_and_jpeg_guards():
+    """Round-12 review pins: (a) FLAC frame numbers >= 2048 encode/decode
+    correctly (the UTF-8-style coding's capacity bound was wrong, so any
+    stream past ~2048 frames was undecodable); (b) a STREAMINFO declaring
+    zero/unknown total samples rejects with ValueError, not
+    ZeroDivisionError (which would escape the stub fallback and kill the
+    task); (c) empty-body SOF/SOS JPEG markers reject with ValueError,
+    not IndexError."""
+    from octopusdb_spark.functions.flac import (
+        _BitReader,
+        _utf8_code,
+        _utf8_decode,
+        decode_flac,
+        encode_flac,
+    )
+    from octopusdb_spark.functions.multimodal import decode_media
+
+    for n in (127, 128, 2047, 2048, 65535, 65536, (1 << 31) - 1, (1 << 36) - 1):
+        assert _utf8_decode(_BitReader(_utf8_code(n))) == n, n
+    samples = [(i * 17) % 3001 - 1500 for i in range(33000)]
+    d = decode_flac(encode_flac(samples, 8000, block_size=16))  # 2063 frames
+    assert d["n_samples"] == 33000
+    assert abs(d["mean"] - sum(samples) / 33000) < 1e-9
+
+    z = bytearray(encode_flac([1, 2, 3]))
+    z[8 + 13] &= 0xF0  # STREAMINFO total-samples = body bits 108..143
+    for i in range(14, 18):
+        z[8 + i] = 0
+    assert decode_media(bytes(z)) is None
+
+    assert decode_media(b"\xff\xd8\xff\xc0\x00\x02") is None  # empty SOF
+    assert decode_media(b"\xff\xd8\xff\xda\x00\x02") is None  # empty SOS

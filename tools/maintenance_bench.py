@@ -179,7 +179,8 @@ def _tiered_compaction(spark, d: str, li) -> dict:
     ``compaction_style='tiered'``, so the per-round artifact records BOTH
     policies' score traces and write-amp side by side — the RUM trade as
     a measured number, not a claim. The tiered trace records each firing
-    bucket as [n_runs, score, bucket_bytes]; leveled rewrites of rewrites
+    bucket as [n_runs, n_segments, score, bucket_bytes]; leveled
+    rewrites of rewrites
     push write-amp past the tiered reading under identical writes."""
     sub = li.filter(F.pmod(F.xxhash64("key"), F.lit(8)) == 0)
     store = KVStore(
@@ -193,8 +194,10 @@ def _tiered_compaction(spark, d: str, li) -> dict:
     )
     timings: dict[str, float] = {}
     rounds = 0
-    score_trace: list = []  # [n_segments, score, bucket_bytes] per merge
-    # (score * TIER_MIN_THRESHOLD = runs in the firing bucket)
+    # [n_runs, n_segments, score, bucket_bytes] per firing bucket —
+    # n_runs recovered from the score (tiered_buckets returns the
+    # FLATTENED segment list; runs = score * TIER_MIN_THRESHOLD)
+    score_trace: list = []
     t_all = time.perf_counter()
     # four waves: STCS fires when TIER_MIN_THRESHOLD (4) same-size runs
     # have accumulated — one fewer wave never triggers, by design
@@ -215,7 +218,12 @@ def _tiered_compaction(spark, d: str, li) -> dict:
                 break
             bucket, score = ready[0]
             score_trace.append(
-                [len(bucket), round(score, 2), sum(s.size_bytes for s in bucket)]
+                [
+                    int(round(score * store.TIER_MIN_THRESHOLD)),
+                    len(bucket),
+                    round(score, 2),
+                    sum(s.size_bytes for s in bucket),
+                ]
             )
             store.compact_tier(bucket, now=NOW)
             rounds += 1
