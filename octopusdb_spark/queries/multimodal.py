@@ -212,21 +212,34 @@ def q_multimodal_decode(spark, sf_dir):
 def q_multimodal_flac(spark, sf_dir):
     """COMPRESSED audio decode under the gate — FLAC, the fourth entropy
     codec family (Rice coding) and the first compressed audio container
-    (the WAV lanes are raw PCM): each document's text bytes become 16-bit
-    samples s=(b-128)*256 encoded at block_size=128, so every doc spans
-    MULTIPLE frames (framing + CRC-8/CRC-16 + fixed-predictor Rice
-    residuals all exercised per row); `extract_features` parses the
-    stream back through `functions/flac.py::decode_flac`. FLAC is
-    LOSSLESS, so the oracle is the same pure sample arithmetic as the
-    WAV lane — no constant-block geometry needed (contrast the lossy
-    JPEG lanes): a decoder that drops a frame, mis-reconstructs a
-    predictor, or mis-reads a Rice partition hash-mismatches."""
+    (the WAV lanes are raw PCM). r13: the stream is STEREO with forced
+    mid/side decorrelation and LPC-only predictors, so every non-flat
+    subframe the gate decodes is an LPC subframe (quantized coefficients
+    + arithmetic shift) and every frame exercises the side channel's
+    bps+1 path — the subset real-world encoders actually emit. Each
+    document byte b becomes one stereo frame: left=(b-128)*256,
+    right=((b*3)%256-128)*256, encoded at block_size=128 so every doc
+    spans MULTIPLE frames (framing + CRC-8/CRC-16 + Rice residuals all
+    exercised per row); `extract_features` parses the stream back
+    through `functions/flac.py::decode_flac`. FLAC is LOSSLESS, so the
+    oracle is pure sample arithmetic over both channels — no
+    constant-block geometry needed (contrast the lossy JPEG lanes): a
+    decoder that drops a frame, mis-reconstructs the mid/side inverse,
+    mis-shifts an LPC prediction, or mis-reads a Rice partition
+    hash-mismatches."""
     from octopusdb_spark.functions.flac import encode_flac
     from octopusdb_spark.functions.multimodal import extract_features
 
     def payload_fn(did, b):
+        inter = []
+        for x in b:
+            inter.append((x - 128) * 256)
+            inter.append(((x * 3) % 256 - 128) * 256)
         return (
-            encode_flac(((x - 128) * 256 for x in b), 8000, block_size=128),
+            encode_flac(
+                inter, 8000, block_size=128, channels=2,
+                stereo_mode="mid_side", predictors=("lpc",),
+            ),
             "audio",
         )
 
@@ -237,6 +250,7 @@ def q_multimodal_flac(spark, sf_dir):
         "decoded",
         "n_samples",
         "sample_rate",
+        F.col("feat_dim").alias("channels"),
         F.round("feat_mean", 6).alias("mean_r6"),
         F.round("feat_rms", 6).alias("rms_r6"),
     ).orderBy("media_id")
@@ -621,8 +635,10 @@ ORACLES = {
            round(sqrt(sum(CAST(v AS BIGINT) * v) / CAST(n_out AS DOUBLE)), 6)
              AS rms_r6
     FROM smp GROUP BY doc_id, n_out ORDER BY media_id""",
-    # FLAC is lossless, so the oracle is the WAV-lane sample arithmetic
-    # (no per-codec geometry): exact integer sums over s=(b-128)*256
+    # FLAC is lossless (stereo mid/side + LPC included), so the oracle is
+    # pure sample arithmetic over BOTH channels (no per-codec geometry):
+    # per byte v, left=(v-128)*256 and right=((v*3)%256-128)*256, moments
+    # over the 2n interleaved samples
     "multimodal_flac": """
     WITH src AS (
       SELECT doc_id, text, octet_length(encode(text)) AS n
@@ -631,15 +647,18 @@ ORACLES = {
     ),
     b AS (
       SELECT s.doc_id, s.n,
-             ascii(substr(s.text, CAST(t.i AS INT), 1)) AS v
+             (ascii(substr(s.text, CAST(t.i AS INT), 1)) - 128) * 256 AS l,
+             ((ascii(substr(s.text, CAST(t.i AS INT), 1)) * 3) % 256 - 128)
+               * 256 AS r
       FROM src s CROSS JOIN range(1, 600) t(i)
       WHERE t.i <= s.n
     )
     SELECT doc_id AS media_id, 'flac' AS container, TRUE AS decoded,
            CAST(n AS BIGINT) AS n_samples, CAST(8000 AS INT) AS sample_rate,
-           round(sum((v - 128) * 256) / CAST(n AS DOUBLE), 6) AS mean_r6,
-           round(sqrt(sum(CAST((v - 128) * 256 AS BIGINT) * ((v - 128) * 256))
-                      / CAST(n AS DOUBLE)), 6) AS rms_r6
+           CAST(2 AS INT) AS channels,
+           round(sum(l + r) / CAST(2 * n AS DOUBLE), 6) AS mean_r6,
+           round(sqrt(sum(CAST(l AS BIGINT) * l + CAST(r AS BIGINT) * r)
+                      / CAST(2 * n AS DOUBLE)), 6) AS rms_r6
     FROM b GROUP BY doc_id, n ORDER BY media_id""",
     # arithmetic replication of the color JPEG pipeline: per byte v the
     # constant MCU (v, 255-v, v*7%256) goes forward-YCbCr (floor(x+0.5)),

@@ -930,17 +930,74 @@ def test_flac_round_trip_and_containers(spark):
     d = decode_flac(smooth)
     assert d["n_samples"] == 8000
 
-    # stereo declared in STREAMINFO -> explicit unsupported error
+    # >2 channels declared in STREAMINFO -> explicit unsupported error
+    # (stereo itself is supported as of r13)
     st = bytearray(fl)
     # STREAMINFO body starts at byte 8; sample-rate(20)+channels(3) share
-    # bytes 18-20 of the body: set channels-1 = 1 (bit pattern 001)
+    # bytes 18-20 of the body: set channels-1 = 2 (bit pattern 010)
     body_at = 8
     b20 = st[body_at + 12]  # byte holding rate[low4] | channels(3) | bps[hi1]
-    st[body_at + 12] = (b20 & 0b11110001) | 0b0010
+    st[body_at + 12] = (b20 & 0b11110001) | 0b0100
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="multi-channel"):
+    with _pytest.raises(ValueError, match=">2-channel"):
         decode_flac(bytes(st))
+
+    # stereo STREAMINFO over mono frames -> channel-assignment error
+    st[body_at + 12] = (b20 & 0b11110001) | 0b0010
+    with _pytest.raises(ValueError, match="channel assignment"):
+        decode_flac(bytes(st))
+
+
+def test_flac_lpc_stereo_round_trip(spark):
+    """r13: LPC subframes (orders from `_LPC_ORDERS`, quantized
+    coefficients + arithmetic shift) and all four stereo channel
+    assignments round-trip EXACTLY, through extract_features like the
+    mono lane; LPC actually wins on sinusoid-ish signals."""
+    import math
+
+    from octopusdb_spark.functions.flac import decode_flac, encode_flac
+
+    left = [int(12000 * math.sin(i / 17)) for i in range(3000)]
+    right = [int(9000 * math.sin(i / 29 + 0.7)) - 100 for i in range(3000)]
+    inter = [v for pair in zip(left, right) for v in pair]
+    m = len(inter)
+    want_mean = sum(inter) / m
+    want_rms = (sum(v * v for v in inter) / m) ** 0.5
+
+    for mode in ("best", "independent", "left_side", "right_side", "mid_side"):
+        fl = encode_flac(
+            inter, 8000, block_size=256, channels=2,
+            stereo_mode=mode, predictors=("fixed", "lpc"),
+        )
+        d = decode_flac(fl)
+        assert d["channels"] == 2 and d["n_samples"] == 3000
+        assert abs(d["mean"] - want_mean) < 1e-12
+        assert abs(d["rms"] - want_rms) < 1e-9
+
+    # LPC beats fixed on a slow sinusoid (compression is real)
+    mono = [int(15000 * math.sin(i / 50)) for i in range(6000)]
+    sz_fixed = len(encode_flac(mono, 8000, predictors=("fixed",)))
+    sz_lpc = len(encode_flac(mono, 8000, predictors=("fixed", "lpc")))
+    assert sz_lpc < sz_fixed
+
+    # LPC-only streams decode (every non-constant subframe is LPC),
+    # including a tail block shorter than 2*order (verbatim fallback)
+    odd = inter[: 2 * (3000 - 250 * 11 - 3)]
+    fl = encode_flac(
+        odd, 8000, block_size=250, channels=2,
+        stereo_mode="mid_side", predictors=("lpc",),
+    )
+    assert b"\xff\xf8" in fl  # frames present
+    d = decode_flac(fl)
+    n2 = len(odd)
+    assert d["n_samples"] == n2 // 2
+    assert abs(d["mean"] - sum(odd) / n2) < 1e-12
+
+    # the gate path: extract_features decodes a stereo LPC stream
+    rows = [(1, "audio", fl, None, None, None)]
+    out = extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert out[0]["decoded"] and out[0]["feat_dim"] == 2
 
 
 def test_flac_property_round_trip():
