@@ -1,0 +1,346 @@
+"""MP4 / ISO-BMFF box-walk metadata parser — the container a multimodal
+crawl actually ships video in, parsed HONESTLY at the metadata level:
+box headers (32-bit sizes, 64-bit largesize, size==0 "to end of file"),
+ftyp brand, movie header (mvhd v0/v1: timescale + duration), per-track
+headers (tkhd v0/v1: track id, 16.16 fixed-point presentation
+dimensions), handler types (hdlr: vide/soun), and sample-description
+codec fourccs (stsd first entry) — NO bitstream decode. The codec
+payloads (H.264/AAC entropy streams inside mdat) stay behind the
+documented stub boundary like MP3 (`functions/multimodal.py`
+stub_features): their entropy coding needs codec libraries this
+container lacks, but duration / track geometry / codec identity is what
+a crawl pipeline needs FIRST (filter by resolution, duration bands,
+codec allow-lists) and it lives entirely in the metadata boxes parsed
+here.
+
+The matching builder (`build_mp4`) emits a structurally real file —
+ftyp, a skippable `free` box, the full moov hierarchy
+(mvhd, trak{tkhd, mdia{mdhd, hdlr, minf{vmhd|smhd, stbl{stsd, stts}}}}),
+and a 64-bit-largesize mdat — so the parser's every path (nesting,
+versioned headers, largesize, unknown-box skip) is exercised by the
+correctness gate with arithmetically checkable values. Malformed boxes
+(truncated headers, sizes past the parent, missing moov) raise
+ValueError -> the caller records decoded=False with null metadata, the
+same loud-fallback contract as every other container.
+
+Box layouts are public ISO/IEC 14496-12 format data. The reference
+engine (zach030/OctopusDB) has no media layer; this rides the driver
+mandate's multimodal surface.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_MP4_BRANDS = (b"isom", b"iso2", b"mp41", b"mp42", b"avc1", b"M4A ")
+
+_MATRIX_IDENTITY = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def looks_like_mp4(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[4:8] == b"ftyp"
+
+
+# ---------------------------------------------------------------- builder
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(btype, struct.pack(">B", version) + flags.to_bytes(3, "big") + body)
+
+
+def _mvhd(version: int, timescale: int, duration: int, next_track: int) -> bytes:
+    t = ">QQIQ" if version else ">IIII"
+    body = struct.pack(t, 0, 0, timescale, duration)
+    body += struct.pack(">i", 0x00010000)  # rate 1.0
+    body += struct.pack(">h", 0x0100)  # volume 1.0
+    body += b"\x00" * 10  # reserved
+    body += _MATRIX_IDENTITY
+    body += b"\x00" * 24  # pre_defined
+    body += struct.pack(">I", next_track)
+    return _full(b"mvhd", version, 0, body)
+
+
+def _tkhd(version: int, track_id: int, duration: int, width: int, height: int) -> bytes:
+    if version:
+        body = struct.pack(">QQII", 0, 0, track_id, 0) + struct.pack(">Q", duration)
+    else:
+        body = struct.pack(">IIII", 0, 0, track_id, 0) + struct.pack(">I", duration)
+    body += b"\x00" * 8  # reserved
+    body += struct.pack(">hhh", 0, 0, 0x0100 if width == 0 else 0)  # layer/alt/volume
+    body += b"\x00" * 2  # reserved
+    body += _MATRIX_IDENTITY
+    body += struct.pack(">II", width << 16, height << 16)  # 16.16 fixed
+    return _full(b"tkhd", version, 0x000007, body)
+
+
+def _mdhd(timescale: int, duration: int) -> bytes:
+    body = struct.pack(">IIII", 0, 0, timescale, duration)
+    body += struct.pack(">HH", 0x55C4, 0)  # language 'und', pre_defined
+    return _full(b"mdhd", 0, 0, body)
+
+
+def _hdlr(handler: bytes, name: bytes) -> bytes:
+    body = b"\x00" * 4 + handler + b"\x00" * 12 + name + b"\x00"
+    return _full(b"hdlr", 0, 0, body)
+
+
+def _sample_entry(fourcc: bytes, handler: bytes, width: int, height: int,
+                  sample_rate: int) -> bytes:
+    body = b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
+    if handler == b"vide":
+        # VisualSampleEntry: pre_defined/reserved (16), width/height,
+        # resolutions, frame_count, compressorname, depth, pre_defined
+        body += b"\x00" * 16
+        body += struct.pack(">HH", width, height)
+        body += struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        body += b"\x00" * 4  # reserved
+        body += struct.pack(">H", 1)  # frame_count
+        body += b"\x00" * 32  # compressorname
+        body += struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    else:
+        # AudioSampleEntry: reserved(8), channels, samplesize, pre, rate
+        body += b"\x00" * 8
+        body += struct.pack(">HHI", 2, 16, 0)
+        body += struct.pack(">I", sample_rate << 16)
+    return _box(fourcc, body)
+
+
+def _trak(version: int, track_id: int, duration: int, handler: bytes,
+          fourcc: bytes, width: int, height: int, mdhd_timescale: int,
+          sample_rate: int) -> bytes:
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + _sample_entry(fourcc, handler, width, height, sample_rate))
+    stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts)
+    if handler == b"vide":
+        mhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    else:
+        mhd = _full(b"smhd", 0, 0, struct.pack(">Hh", 0, 0))
+    minf = _box(b"minf", mhd + stbl)
+    name = b"VideoHandler" if handler == b"vide" else b"SoundHandler"
+    mdia = _box(b"mdia", _mdhd(mdhd_timescale, duration) + _hdlr(handler, name)
+                + minf)
+    return _box(b"trak", _tkhd(version, track_id, duration, width, height) + mdia)
+
+
+def build_mp4(
+    brand: bytes = b"isom",
+    timescale: int = 1000,
+    duration: int = 0,
+    video: tuple | None = None,  # (fourcc, width, height)
+    audio: tuple | None = None,  # (fourcc, sample_rate)
+    version: int = 0,
+    mdat: bytes = b"",
+) -> bytes:
+    """A structurally real ISO-BMFF file: ftyp + free + moov (mvhd v0/v1
+    per ``version``, one trak per present media kind) + a
+    64-bit-largesize mdat. The mdat payload is opaque (no bitstream is
+    claimed); everything the parser reads back is in the arguments."""
+    out = _box(b"ftyp", brand + struct.pack(">I", 0x200) + brand + b"mp41")
+    out += _box(b"free", b"skip me")  # parser must skip unknown boxes
+    traks = b""
+    tid = 1
+    if video is not None:
+        fourcc, w, h = video
+        traks += _trak(version, tid, duration, b"vide", fourcc, w, h,
+                       timescale, 0)
+        tid += 1
+    if audio is not None:
+        fourcc, rate = audio
+        traks += _trak(version, tid, duration, b"soun", fourcc, 0, 0,
+                       rate, rate)
+        tid += 1
+    out += _box(b"moov", _mvhd(version, timescale, duration, tid) + traks)
+    # mdat with forced 64-bit largesize header (size==1 marker)
+    out += struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(mdat)) + mdat
+    return out
+
+
+# ----------------------------------------------------------------- parser
+
+def _walk(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        size = struct.unpack_from(">I", data, pos)[0]
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize header")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos  # spec: box extends to end of enclosing scope
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad MP4 box size for {btype!r}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _first(data: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _walk(data, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Box-walk the metadata: brand, movie timescale/duration (mvhd v0 or
+    v1), track count, the first video track's tkhd presentation
+    dimensions + stsd codec fourcc, the first audio track's codec.
+    Raises ValueError on any malformed box — the loud-fallback boundary."""
+    if not looks_like_mp4(payload):
+        raise ValueError("not an MP4/ISO-BMFF stream")
+    brand = None
+    moov = None
+    for t, s, e in _walk(payload, 0, len(payload)):
+        if t == b"ftyp":
+            if e - s < 8:
+                raise ValueError("truncated MP4 ftyp")
+            brand = payload[s : s + 4].decode("latin-1")
+        elif t == b"moov":
+            moov = (s, e)
+    if brand is None or moov is None:
+        raise ValueError("MP4 without ftyp/moov")
+
+    mv = _first(payload, moov[0], moov[1], b"mvhd")
+    if mv is None:
+        raise ValueError("MP4 moov without mvhd")
+    s, e = mv
+    version = payload[s]
+    if version == 0:
+        if e - s < 20:
+            raise ValueError("truncated mvhd v0")
+        timescale, duration = struct.unpack_from(">II", payload, s + 12)
+    elif version == 1:
+        if e - s < 32:
+            raise ValueError("truncated mvhd v1")
+        timescale = struct.unpack_from(">I", payload, s + 20)[0]
+        duration = struct.unpack_from(">Q", payload, s + 24)[0]
+    else:
+        raise ValueError(f"unknown mvhd version {version}")
+    if timescale == 0:
+        raise ValueError("zero MP4 timescale")
+
+    n_tracks = 0
+    video_w = video_h = None
+    video_codec = audio_codec = None
+    for t, s, e in _walk(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        n_tracks += 1
+        tk = _first(payload, s, e, b"tkhd")
+        md = _first(payload, s, e, b"mdia")
+        if tk is None or md is None:
+            raise ValueError("MP4 trak without tkhd/mdia")
+        ts, te = tk
+        tver = payload[ts]
+        # width/height are the LAST 8 bytes of tkhd either version
+        if te - ts < (84 if tver == 0 else 96):
+            raise ValueError("truncated tkhd")
+        w_fx, h_fx = struct.unpack_from(">II", payload, te - 8)
+        hd = _first(payload, md[0], md[1], b"hdlr")
+        if hd is None:
+            raise ValueError("MP4 mdia without hdlr")
+        handler = payload[hd[0] + 8 : hd[0] + 12]
+        mi = _first(payload, md[0], md[1], b"minf")
+        fourcc = None
+        if mi is not None:
+            sb = _first(payload, mi[0], mi[1], b"stbl")
+            if sb is not None:
+                sd = _first(payload, sb[0], sb[1], b"stsd")
+                if sd is not None:
+                    ds, de = sd
+                    if de - ds < 16:
+                        raise ValueError("truncated stsd")
+                    count = struct.unpack_from(">I", payload, ds + 4)[0]
+                    if count >= 1:
+                        entry = next(iter(_walk(payload, ds + 8, de)), None)
+                        if entry is None:
+                            raise ValueError("empty stsd entry")
+                        fourcc = entry[0].decode("latin-1")
+        if handler == b"vide" and video_codec is None:
+            video_w, video_h = w_fx >> 16, h_fx >> 16
+            video_codec = fourcc
+        elif handler == b"soun" and audio_codec is None:
+            audio_codec = fourcc
+    if n_tracks == 0:
+        raise ValueError("MP4 without tracks")
+    return {
+        "container": "mp4",
+        "brand": brand,
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+        "video_w": video_w,
+        "video_h": video_h,
+        "video_codec": video_codec,
+        "audio_codec": audio_codec,
+    }
+
+
+# ------------------------------------------------------------ Spark surface
+
+MP4_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("timescale", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("video_w", T.IntegerType(), True),
+        T.StructField("video_h", T.IntegerType(), True),
+        T.StructField("video_codec", T.StringType(), True),
+        T.StructField("audio_codec", T.StringType(), True),
+    ]
+)
+
+
+def mp4_metadata(media_df: DataFrame) -> DataFrame:
+    """Partition-parallel MP4 metadata extraction via mapInPandas —
+    stateless Arrow batches, zero driver involvement, the same 100-TB
+    shape as ``extract_features``. Malformed payloads record
+    decoded=False with null metadata (loud fallback, never a batch
+    failure)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {f.name: [] for f in MP4_META_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    meta = parse_mp4(bytes(p))
+                except (ValueError, struct.error):
+                    meta = None
+                out["media_id"].append(int(mid))
+                out["container"].append("mp4")
+                out["decoded"].append(meta is not None)
+                for k in ("brand", "video_codec", "audio_codec"):
+                    out[k].append(meta[k] if meta else None)
+                for k in ("timescale", "duration_ms", "n_tracks",
+                          "video_w", "video_h"):
+                    out[k].append(meta[k] if meta else None)
+            nullable_int = ("timescale", "duration_ms", "n_tracks",
+                            "video_w", "video_h")
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64") if k in nullable_int else v
+                    for k, v in out.items()
+                }
+            )
+
+    return media_df.mapInPandas(batches, MP4_META_SCHEMA)

@@ -58,7 +58,11 @@ _PRIORITY = [
     # gaining LPC subframes (orders 1..32) and stereo decorrelation
     # (left/right/mid-side) this round, so its r12 green must be
     # re-earned; displaced q_scalar_functions, r10-green with slack
-    # until r14.)
+    # until r14. multimodal_mp4_meta NEW — ISO-BMFF box-walk metadata
+    # source (versioned mvhd/tkhd layouts, 64-bit largesize, track mix,
+    # truncated-mdat fallback all hash-checked; no bitstream decode by
+    # documented boundary) — displaced q_set_ops, same r10 cohort.)
+    "multimodal_mp4_meta",
     "multimodal_flac",
     # r9-stale cohort (the full 30 — all at the bound)
     "q_window_family", "q_weighted_sample", "q_array_hof",
@@ -83,7 +87,7 @@ _PRIORITY = [
     "kv_range_delete",
     "q_event_time_windows", "q_funnel", "q_mode_event_type",
     "q_moving_avg", "q_cohort_retention", "q1_pricing_summary",
-    "q_top_customers_per_nation", "q_rollup_acctbal", "q_set_ops",
+    "q_top_customers_per_nation", "q_rollup_acctbal",
 ]
 
 

@@ -1072,3 +1072,61 @@ def test_review_fixes_flac_and_jpeg_guards():
 
     assert decode_media(b"\xff\xd8\xff\xc0\x00\x02") is None  # empty SOF
     assert decode_media(b"\xff\xd8\xff\xda\x00\x02") is None  # empty SOS
+
+
+def test_mp4_box_walk_metadata(spark):
+    """r13: MP4/ISO-BMFF box-walk — brand, mvhd v0/v1 timescale+duration,
+    track geometry (tkhd 16.16 dims), hdlr routing, stsd fourccs, 64-bit
+    largesize mdat, unknown-box skip — and every malformed class raises
+    ValueError (loud fallback), never a different exception."""
+    from octopusdb_spark.functions.mp4 import (
+        MP4_META_SCHEMA,
+        build_mp4,
+        mp4_metadata,
+        parse_mp4,
+    )
+
+    f = build_mp4(b"isom", 1000, 12500, video=(b"avc1", 640, 360),
+                  audio=(b"mp4a", 48000), version=0, mdat=b"x" * 16)
+    m = parse_mp4(f)
+    assert m == {
+        "container": "mp4", "brand": "isom", "timescale": 1000,
+        "duration_ms": 12500, "n_tracks": 2, "video_w": 640,
+        "video_h": 360, "video_codec": "avc1", "audio_codec": "mp4a",
+    }
+    # v1 headers + 90 kHz timescale + video-only
+    m1 = parse_mp4(build_mp4(b"mp42", 90000, 90000 * 7 + 450,
+                             video=(b"hev1", 1920, 1080), version=1))
+    assert m1["duration_ms"] == 7005 and m1["n_tracks"] == 1
+    assert m1["video_codec"] == "hev1" and m1["audio_codec"] is None
+    # audio-only
+    m2 = parse_mp4(build_mp4(b"M4A ", 44100, 44100 * 3,
+                             audio=(b"opus", 44100), version=1))
+    assert m2["video_w"] is None and m2["audio_codec"] == "opus"
+
+    # malformed classes all raise ValueError
+    bad_cases = [f[:10], f[:40], f[: len(f) - 4], b"\x00" * 40]
+    undersize = bytearray(f)
+    undersize[0:4] = (3).to_bytes(4, "big")  # size < header
+    bad_cases.append(bytes(undersize))
+    zero_ts = build_mp4(b"isom", 1000, 0, video=(b"avc1", 16, 16))
+    zts = bytearray(zero_ts)
+    at = zero_ts.index(b"mvhd") + 4 + 12  # v0 timescale offset in body
+    zts[at : at + 4] = b"\x00\x00\x00\x00"
+    bad_cases.append(bytes(zts))
+    for bad in bad_cases:
+        with pytest.raises(ValueError):
+            parse_mp4(bad)
+
+    # Spark surface: decoded flag + nulls ride the loud fallback
+    rows = [(1, "video", f, None, None, None),
+            (2, "video", f[: len(f) - 6], None, None, None)]
+    out = {
+        r["media_id"]: r
+        for r in mp4_metadata(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["decoded"] and out[1]["video_w"] == 640
+    assert not out[2]["decoded"] and out[2]["duration_ms"] is None
+    assert [f.name for f in MP4_META_SCHEMA.fields][0] == "media_id"
