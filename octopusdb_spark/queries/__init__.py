@@ -61,7 +61,12 @@ _PRIORITY = [
     # until r14. multimodal_mp4_meta NEW — ISO-BMFF box-walk metadata
     # source (versioned mvhd/tkhd layouts, 64-bit largesize, track mix,
     # truncated-mdat fallback all hash-checked; no bitstream decode by
-    # documented boundary) — displaced q_set_ops, same r10 cohort.)
+    # documented boundary) — displaced q_set_ops, same r10 cohort.
+    # text_line_dedup NEW — CCNet-style line-level boilerplate dedup
+    # (12-word segmentation, in-doc first-occurrence + min-doc ownership
+    # rules, kept-digest oracle) — displaced q_rollup_acctbal, same r10
+    # cohort.)
+    "text_line_dedup",
     "multimodal_mp4_meta",
     "multimodal_flac",
     # r9-stale cohort (the full 30 — all at the bound)
@@ -87,7 +92,7 @@ _PRIORITY = [
     "kv_range_delete",
     "q_event_time_windows", "q_funnel", "q_mode_event_type",
     "q_moving_avg", "q_cohort_retention", "q1_pricing_summary",
-    "q_top_customers_per_nation", "q_rollup_acctbal",
+    "q_top_customers_per_nation",
 ]
 
 

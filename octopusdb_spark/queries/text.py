@@ -893,6 +893,99 @@ def q_text_dedup_rewrite(spark, sf_dir):
     )
 
 
+LINE_WORDS = 12  # deterministic line segmentation for line-level dedup
+
+
+def q_text_line_dedup(spark, sf_dir):
+    """LINE-level dedup (CCNet/RefinedWeb boilerplate removal) — the one
+    production text-dedup granularity the family didn't cover (exact
+    doc, normalized, span/window, suffix runs, MinHash, SimHash,
+    semantic all exist). The corpus has no newlines, so a "line" is the
+    deterministic segmentation both engines replicate: consecutive
+    12-word chunks (last chunk = remainder). Rules, in order: (1) a
+    line repeated WITHIN a document keeps only its first occurrence;
+    (2) a line shared across >= 2 documents is owned by the smallest
+    doc_id and removed everywhere else (exactly one copy survives
+    corpus-wide — the `text_dedup_rewrite` ownership rule at line
+    granularity). Checked output per document: line counts and the md5
+    of the kept lines re-joined with newlines in order — a rewrite that
+    drops the wrong line, keeps a foreign copy, or reorders
+    hash-mismatches.
+
+    Plan: one per-doc array transform to lines (NO word explode — one
+    row per LINE, ~n/12 of the span frame's fan-out), one groupBy(hash)
+    ownership agg, one hash join back, one (doc, hash)-keyed window for
+    the in-doc rule, one per-doc ordered agg. Every stage keyed by doc
+    or line hash — documents meet only through hashes, no all-pairs; at
+    100 TB the ownership agg is the classic map-side-combinable
+    boilerplate census."""
+    docs = t(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"""transform(
+                          sequence(0, int(ceil(size(split(text, ' '))
+                                               / {LINE_WORDS}.0)) - 1),
+                          i -> concat_ws(' ',
+                                 slice(split(text, ' '),
+                                       i * {LINE_WORDS} + 1, {LINE_WORDS})))"""
+                )
+            ).alias("ln0", "line"),
+        )
+        .select(
+            "doc_id",
+            (F.col("ln0") + 1).alias("line_no"),
+            "line",
+            F.md5(F.col("line").cast("binary")).alias("h"),
+        )
+    )
+    own = lines.groupBy("h").agg(
+        F.min("doc_id").alias("owner"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    indoc = Window.partitionBy("doc_id", "h").orderBy("line_no")
+    marked = (
+        lines.join(own, "h")
+        .withColumn("rn", F.row_number().over(indoc))
+        .withColumn(
+            "keep",
+            F.when(F.col("rn") > 1, F.lit(0))
+            .when((F.col("nd") >= 2) & (F.col("doc_id") > F.col("owner")), F.lit(0))
+            .otherwise(F.lit(1)),
+        )
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("keep").cast("long").alias("kept_lines"),
+            (F.count("*") - F.sum("keep")).cast("long").alias("removed_lines"),
+            F.coalesce(
+                F.md5(
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("keep") == 1,
+                                        F.struct("line_no", "line"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["line"],
+                        ),
+                    ).cast("binary")
+                ),
+                F.md5(F.lit("").cast("binary")),
+            ).alias("cleaned_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # PII-redaction patterns — the standard training-corpus scrub classes.
 # Written in the Java-regex ∩ RE2 common subset ([0-9] classes, bounded
 # repetition, no \b / lookaround) so Spark and DuckDB match identically.
@@ -1220,6 +1313,42 @@ ORACLES = {
         LEFT JOIN tot t2 USING (doc_id)
         LEFT JOIN per p USING (doc_id)
         ORDER BY d.doc_id""",
+    # line-granularity mirror: same 12-word segmentation, same in-doc
+    # first-occurrence rule, same min-doc ownership rule, same
+    # newline-joined kept digest
+    "text_line_dedup": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, CAST(i AS INT) AS line_no,
+                 array_to_string(
+                   ws[CAST((i - 1) * 12 + 1 AS INT) : CAST(i * 12 AS INT)],
+                   ' ') AS line
+          FROM w, unnest(range(1, CAST(ceil(len(ws) / 12.0) AS BIGINT) + 1))
+                    AS t(i)
+        ),
+        own AS (
+          SELECT md5(line) AS h, min(doc_id) AS owner,
+                 count(DISTINCT doc_id) AS nd
+          FROM lines GROUP BY md5(line)
+        ),
+        marked AS (
+          SELECT l.doc_id, l.line_no, l.line,
+                 CASE WHEN row_number() OVER (
+                        PARTITION BY l.doc_id, md5(l.line)
+                        ORDER BY l.line_no) > 1 THEN 0
+                      WHEN o.nd >= 2 AND l.doc_id > o.owner THEN 0
+                      ELSE 1 END AS keep
+          FROM lines l JOIN own o ON md5(l.line) = o.h
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(keep) AS BIGINT) AS kept_lines,
+               CAST(count(*) - sum(keep) AS BIGINT) AS removed_lines,
+               coalesce(md5(string_agg(line, chr(10) ORDER BY line_no)
+                            FILTER (WHERE keep = 1)), md5('')) AS cleaned_digest
+        FROM marked GROUP BY doc_id ORDER BY doc_id""",
     # seed-and-extend mirror: same 8-word md5 seeds, same [2, cap] df
     # filter, same (da, db, diag) gaps-and-islands merge
     "text_dup_suffix": """
@@ -1506,6 +1635,7 @@ QUERIES = {
     "text_dup_runs": q_text_dup_runs,
     "text_dup_suffix": q_text_dup_suffix,
     "text_dedup_rewrite": q_text_dedup_rewrite,
+    "text_line_dedup": q_text_line_dedup,
     "text_langid_ngram": q_text_langid_ngram,
     "text_unicode_nfc": q_text_unicode_nfc,
 }

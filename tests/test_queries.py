@@ -364,6 +364,42 @@ def test_dedup_rewrite_ownership(spark, tmp_path):
     assert got[3]["cleaned_digest"] == digest(["c1", "c2", "c3", "c4", "c5"])
 
 
+def test_line_dedup_ownership_and_indoc(spark, tmp_path):
+    """text_line_dedup must segment into 12-word lines, remove a
+    cross-doc duplicated line ONLY from the non-owner (min doc_id keeps
+    it), collapse within-doc repeats to the first occurrence, and digest
+    the kept lines newline-joined in order."""
+    import hashlib
+
+    from octopusdb_spark.queries.text import q_text_line_dedup
+
+    L = " ".join(f"s{i:02d}" for i in range(12))  # one exact line
+    M = " ".join(f"m{i:02d}" for i in range(12))
+    docs = [
+        (1, f"{L} a1 a2 a3", 0),          # owner: line kept + remainder
+        (2, f"{L} b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12", 0),  # copy loses L
+        (3, f"{M} {M} c1", 0),            # in-doc repeat: second M dropped
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r for r in q_text_line_dedup(spark, sf).collect()}
+
+    def digest(lines):
+        return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+    assert got[1]["n_lines"] == 2 and got[1]["removed_lines"] == 0
+    assert got[1]["cleaned_digest"] == digest([L, "a1 a2 a3"])
+    assert got[2]["n_lines"] == 2 and got[2]["removed_lines"] == 1
+    assert got[2]["kept_lines"] == 1
+    assert got[2]["cleaned_digest"] == digest(
+        ["b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"]
+    )
+    assert got[3]["n_lines"] == 3 and got[3]["removed_lines"] == 1
+    assert got[3]["cleaned_digest"] == digest([M, "c1"])
+
+
 def test_hll_sketch_linear_counting_and_accuracy(spark, tmp_path):
     """q_hll_sketch on a tiny crafted corpus must take the
     linear-counting branch (est <= 2.5m with empty registers) and land
