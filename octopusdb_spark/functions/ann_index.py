@@ -32,6 +32,29 @@ from octopusdb_spark.queries.similarity import (
 )
 
 
+def _write_list_stats(assigned_ct: DataFrame, index_dir: str, phase: str,
+                      mode: str) -> None:
+    """Append one ledger generation to ``{index_dir}/stats``: per inverted
+    list, the row count and the DECIMAL(38,12)-accumulated sum of
+    residual L2 norms (||v - c(v)||, the per-row double being the
+    bit-identical sequential fold every oracle replicates; the DECIMAL
+    sum making the cross-row total order-independent). The ledger is
+    what makes `ivf_drift` O(ledger) instead of O(corpus): residuals are
+    computed HERE, where the batch is already in hand, never re-scanned."""
+    stats = (
+        assigned_ct.withColumn(
+            "res_norm", F.sqrt(_l2sq(F.col("embedding"), F.col("ct_emb")))
+        )
+        .groupBy("cent_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("res_norm").cast("decimal(38,12)")).alias("res_norm_sum"),
+        )
+        .withColumn("phase", F.lit(phase))
+    )
+    stats.write.mode(mode).parquet(f"{index_dir}/stats")
+
+
 def build_ivf(
     emb_df: DataFrame,
     index_dir: str,
@@ -65,16 +88,18 @@ def build_ivf(
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     cent_r = _read_centroids(emb.sparkSession, index_dir)
     assigned = (
-        rank_centroids(emb, cent_r, keep=("embedding", "norm"))
+        rank_centroids(emb, cent_r, keep=("embedding", "norm"), with_ct=True)
         .filter(F.col("rn") == 1)
-        .select("cent_id", "vec_id", "embedding", "norm")
+        .select("cent_id", "vec_id", "embedding", "norm", "ct_emb")
     )
     (
-        assigned.repartition("cent_id")
+        assigned.select("cent_id", "vec_id", "embedding", "norm")
+        .repartition("cent_id")
         .write.mode("overwrite")
         .partitionBy("cent_id")
         .parquet(f"{index_dir}/lists")
     )
+    _write_list_stats(assigned, index_dir, "build", "overwrite")
 
 
 def append_ivf(
@@ -103,16 +128,19 @@ def append_ivf(
     cent = _read_centroids(emb.sparkSession, index_dir)
     _check_batch_dim(emb, int(cent.select(F.size("ct_emb")).first()[0]), "append_ivf")
     assigned = (
-        rank_centroids(emb, cent, keep=("embedding", "norm"))
+        rank_centroids(emb, cent, keep=("embedding", "norm"), with_ct=True)
         .filter(F.col("rn") == 1)
-        .select("cent_id", "vec_id", "embedding", "norm")
+        .select("cent_id", "vec_id", "embedding", "norm", "ct_emb")
     )
     (
-        assigned.repartition("cent_id")
+        assigned.select("cent_id", "vec_id", "embedding", "norm")
+        .repartition("cent_id")
         .write.mode("append")
         .partitionBy("cent_id")
         .parquet(f"{index_dir}/lists")
     )
+    _write_list_stats(assigned, index_dir, "append", "append")
+    emb.sparkSession.catalog.refreshByPath(f"{index_dir}/stats")
     # Invalidate the session's cached file listing for the lists path: a
     # reader that already planned a query over this index (Spark's
     # InMemoryFileIndex caches per-path file status) would otherwise keep
@@ -121,6 +149,68 @@ def append_ivf(
     # Spark caches listings. (Caught by the sim_ann_persistent oracle:
     # post-append top-k matched the pre-append answer.)
     emb.sparkSession.catalog.refreshByPath(f"{index_dir}/lists")
+
+
+def ivf_drift(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Maintenance telemetry for a frozen-quantizer index (VERDICT r12
+    #8): the index can `append_ivf` forever against a quantizer trained
+    once, and nothing tells the operator WHEN that trade has gone bad.
+    This probe reads the stats LEDGER (one row per list per
+    build/append generation — O(ledger), never a corpus scan; the
+    `approximate_sizes`-style endpoint) and reports, per inverted list:
+
+    - ``n_build`` / ``n_now`` / ``added`` — growth since training;
+    - ``mean_res_build_r6`` / ``mean_res_now_r6`` — mean residual L2
+      norm (||v - c(v)||) at build time vs now. Appended vectors were
+      assigned to centroids that were NOT trained on them, so their
+      residuals run larger; the ratio ``drift_r6`` rising above ~1.2
+      is the standard retrain signal (docs/SCALE.md);
+    - ``skew_r6`` — list size vs the even-split expectation (n_now *
+      K / total). Skew >> 1 means hot lists: probes over them scan
+      disproportionate data, the other half of the retrain decision.
+
+    All arithmetic is ledger-exact: per-row residual norms were folded
+    sequentially at write time (bit-identical cross-engine), sums are
+    DECIMAL(38,12) (order-independent), and the two means divide as
+    doubles rounded at 6 — so the probe itself sits under the
+    exact-value correctness gate (`sim_ann_drift`)."""
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    per = stats.groupBy("cent_id").agg(
+        F.sum(F.when(F.col("phase") == "build", F.col("n"))).alias("n_build"),
+        F.sum(
+            F.when(F.col("phase") == "build", F.col("res_norm_sum"))
+        ).alias("sum_build"),
+        F.sum("n").alias("n_now"),
+        F.sum("res_norm_sum").alias("sum_now"),
+    )
+    k_total = per.select(
+        F.count("*").alias("k"), F.sum("n_now").alias("total")
+    )
+    out = (
+        per.crossJoin(F.broadcast(k_total))
+        .select(
+            "cent_id",
+            F.coalesce("n_build", F.lit(0)).cast("long").alias("n_build"),
+            F.col("n_now").cast("long").alias("n_now"),
+            (F.col("n_now") - F.coalesce("n_build", F.lit(0)))
+            .cast("long")
+            .alias("added"),
+            F.round(
+                F.col("sum_build").cast("double") / F.col("n_build"), 6
+            ).alias("mean_res_build_r6"),
+            F.round(
+                F.col("sum_now").cast("double") / F.col("n_now"), 6
+            ).alias("mean_res_now_r6"),
+            (F.col("n_now") * F.col("k") / F.col("total")).alias("skew_raw"),
+        )
+        .withColumn(
+            "drift_r6",
+            F.round(F.col("mean_res_now_r6") / F.col("mean_res_build_r6"), 6),
+        )
+        .withColumn("skew_r6", F.round("skew_raw", 6))
+        .drop("skew_raw")
+    )
+    return out.orderBy("cent_id")
 
 
 def _check_batch_dim(emb: DataFrame, expected: int, op: str) -> None:

@@ -65,7 +65,11 @@ _PRIORITY = [
     # text_line_dedup NEW — CCNet-style line-level boilerplate dedup
     # (12-word segmentation, in-doc first-occurrence + min-doc ownership
     # rules, kept-digest oracle) — displaced q_rollup_acctbal, same r10
-    # cohort.)
+    # cohort. sim_ann_drift NEW — persistent-index drift telemetry
+    # (per-list residual-norm mean vs build-time + size skew from the
+    # O(ledger) stats endpoint, fully arithmetic oracle) — displaced
+    # q_top_customers_per_nation, same r10 cohort.)
+    "sim_ann_drift",
     "text_line_dedup",
     "multimodal_mp4_meta",
     "multimodal_flac",
@@ -92,7 +96,6 @@ _PRIORITY = [
     "kv_range_delete",
     "q_event_time_windows", "q_funnel", "q_mode_event_type",
     "q_moving_avg", "q_cohort_retention", "q1_pricing_summary",
-    "q_top_customers_per_nation",
 ]
 
 

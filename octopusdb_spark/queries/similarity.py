@@ -982,6 +982,64 @@ def q_sim_ann_persistent(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_sim_ann_drift(spark, sf_dir):
+    """Persistent-index DRIFT TELEMETRY under the correctness gate
+    (VERDICT r12 #8): the `sim_ann_persistent` lifecycle — raw-seed
+    build over the base split (vec_id % 5 != 3), frozen-quantizer
+    append of the held-out split — followed by `ivf_drift`, the
+    O(ledger) maintenance probe that tells a 100-TB operator WHEN to
+    retrain: per inverted list, build-time vs current mean residual
+    norm (appended vectors were not in the training set, so their
+    residuals run larger — drift_r6 > ~1.2 is the retrain signal,
+    docs/SCALE.md), plus list-size skew vs the even-split expectation.
+    Every number is ledger-exact (sequential-fold per-row norms,
+    DECIMAL(38,12) sums, r6-rounded double ratios), so the oracle
+    replicates the full pipeline arithmetically. Guards redden the row
+    if the lifecycle proves nothing (a build-empty list or zero
+    appends)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from octopusdb_spark.functions.ann_index import (
+        append_ivf,
+        build_ivf,
+        ivf_drift,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(F.col("vec_id") % 5 == 3)
+    d = tempfile.mkdtemp(prefix=f"ann_drift_{uuid.uuid4().hex[:12]}_")
+    try:
+        build_ivf(base, d, n_centroids=8, kmeans_iters=0)
+        append_ivf(batch, d)
+        rows = [
+            (
+                r["cent_id"], r["n_build"], r["n_now"], r["added"],
+                r["mean_res_build_r6"], r["mean_res_now_r6"],
+                r["drift_r6"], r["skew_r6"],
+            )
+            for r in ivf_drift(spark, d).collect()
+        ]
+        # vacuity guards: every list trained non-empty, and the append
+        # actually moved the ledger somewhere
+        if any(t_[1] == 0 for t_ in rows):
+            raise RuntimeError("ivf_drift: a list was empty at build time")
+        if all(t_[3] == 0 for t_ in rows):
+            raise RuntimeError("ivf_drift: append added no vectors")
+        # materialized before the tmp index dir is removed (the
+        # sim_ann_persistent snapshot rule)
+        return spark.createDataFrame(
+            rows,
+            "cent_id int, n_build long, n_now long, added long, "
+            "mean_res_build_r6 double, mean_res_now_r6 double, "
+            "drift_r6 double, skew_r6 double",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_sim_label_centroids(spark, sf_dir):
     """Per-label centroid norms + sizes — the clustering-summary aggregate
     (decimal accumulation per dimension would be 64 columns; instead this
@@ -1729,6 +1787,51 @@ ORACLES = {
            round(CAST(SUM(CAST(norm AS DECIMAL(38,12))) AS DOUBLE), 6) AS total_norm,
            round(CAST(SUM(CAST(norm AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_norm
     FROM emb GROUP BY label ORDER BY label""",
+    # drift ledger mirror: frozen-quantizer assignment (one rule for
+    # build AND append), per-row sequential-fold residual norms,
+    # DECIMAL(38,12) sums, r6-rounded double means — drift divides the
+    # ROUNDED means, exactly as ivf_drift does
+    "sim_ann_drift": _EMB_NORM_SQL
+    + f"""
+    , base AS (SELECT * FROM emb WHERE vec_id % 5 <> 3),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cent_id,
+             embedding AS ct_emb, norm AS ct_norm
+      FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8)
+    ),
+    asg AS (
+      SELECT vec_id, cent_id, res_norm,
+             CASE WHEN vec_id % 5 = 3 THEN 'append' ELSE 'build' END AS member
+      FROM (
+        SELECT e.vec_id, c.cent_id,
+               sqrt({_L2SQ_SQL.format(a="e.embedding", b="c.ct_emb")}) AS res_norm,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_DOT_SQL.format(a="e.embedding", b="c.ct_emb")}
+                          / (e.norm * c.ct_norm) DESC, c.cent_id ASC) AS rn
+        FROM emb e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT cent_id,
+             sum(CASE WHEN member = 'build' THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN member = 'build'
+                      THEN CAST(res_norm AS DECIMAL(38,12)) END) AS sb,
+             count(*) AS nn,
+             sum(CAST(res_norm AS DECIMAL(38,12))) AS sn
+      FROM asg GROUP BY cent_id
+    ),
+    tot AS (SELECT count(*) AS k, sum(nn) AS total FROM agg)
+    SELECT CAST(cent_id AS INT) AS cent_id,
+           CAST(nb AS BIGINT) AS n_build,
+           CAST(nn AS BIGINT) AS n_now,
+           CAST(nn - nb AS BIGINT) AS added,
+           round(CAST(sb AS DOUBLE) / nb, 6) AS mean_res_build_r6,
+           round(CAST(sn AS DOUBLE) / nn, 6) AS mean_res_now_r6,
+           round(round(CAST(sn AS DOUBLE) / nn, 6)
+                 / round(CAST(sb AS DOUBLE) / nb, 6), 6) AS drift_r6,
+           round(nn * k / CAST(total AS DOUBLE), 6) AS skew_r6
+    FROM agg CROSS JOIN tot ORDER BY cent_id""",
 }
 
 QUERIES = {
@@ -1740,6 +1843,7 @@ QUERIES = {
     "sim_ann_pq": q_sim_ann_pq,
     "sim_ann_ivfpq": q_sim_ann_ivfpq,
     "sim_ann_persistent": q_sim_ann_persistent,
+    "sim_ann_drift": q_sim_ann_drift,
     "sim_label_centroids": q_sim_label_centroids,
     "dedup_semantic": q_dedup_semantic,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,

@@ -241,3 +241,51 @@ def test_append_rejects_mismatched_vector_dim(spark, sf_dir, tmp_path):
     build_pq(emb, pidx)
     with pytest.raises(ValueError, match="dim"):
         append_pq(truncated, pidx)
+
+
+def test_ivf_drift_ledger_and_probe(spark, sf_dir, tmp_path):
+    """r13: the stats ledger lands one generation per build/append, the
+    drift probe reads ONLY the ledger, appended vectors raise the mean
+    residual (drift >= 1 overall), counts reconcile with the lists, and
+    a build-only index reads drift exactly 1.0 everywhere."""
+    from octopusdb_spark.functions.ann_index import (
+        append_ivf,
+        build_ivf,
+        ivf_drift,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(F.col("vec_id") % 5 == 3)
+    idx = str(tmp_path / "drift_ivf")
+    build_ivf(base, idx, n_centroids=8, kmeans_iters=0)
+
+    # build-only: n_now == n_build, drift exactly 1.0, skew sums to K
+    d0 = ivf_drift(spark, idx).collect()
+    assert len(d0) == 8
+    assert all(r["n_now"] == r["n_build"] and r["added"] == 0 for r in d0)
+    assert all(r["drift_r6"] == 1.0 for r in d0)
+    assert abs(sum(r["skew_r6"] for r in d0) - 8.0) < 1e-4
+    assert sum(r["n_build"] for r in d0) == base.count()
+
+    append_ivf(batch, idx)
+    d1 = {r["cent_id"]: r for r in ivf_drift(spark, idx).collect()}
+    # ledger reconciles with the lists on disk
+    lists = spark.read.parquet(f"{idx}/lists")
+    per_list = {
+        r["cent_id"]: r["n"]
+        for r in lists.groupBy("cent_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {c: r["n_now"] for c, r in d1.items()} == per_list
+    assert sum(r["added"] for r in d1.values()) == batch.count()
+    # the ledger is generations, not a rewrite: 8 build + appended lists
+    stats = spark.read.parquet(f"{idx}/stats")
+    assert stats.filter(F.col("phase") == "build").count() == 8
+    assert stats.filter(F.col("phase") == "append").count() >= 1
+    # frozen-quantizer appends were not in the training set: corpus-level
+    # mean residual must not drop
+    tot_now = sum(r["mean_res_now_r6"] * r["n_now"] for r in d1.values())
+    tot_build = sum(r["mean_res_build_r6"] * r["n_build"] for r in d1.values())
+    assert tot_now / sum(r["n_now"] for r in d1.values()) >= (
+        tot_build / sum(r["n_build"] for r in d1.values())
+    ) * 0.999

@@ -133,6 +133,8 @@ HINT_ALLOWED_SCOPED = {
     ("octopusdb_spark/queries/graph.py", "kdf"):
         "1-row k threshold (global min degree + constant)",
     ("octopusdb_spark/queries/kv_semantics.py", "cut"): "1-row snapshot cutoff",
+    (_ANNIDX, "k_total"):
+        "1-row drift totals (list count + corpus size from the stats ledger)",
     ("octopusdb_spark/queries/scale_patterns.py", "target"): "1-row global min",
     ("octopusdb_spark/queries/scale_patterns.py", "tot"):
         "1-row corpus totals (sum of per-source counts/weights)",
