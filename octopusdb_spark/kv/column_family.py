@@ -139,7 +139,9 @@ class ColumnFamily:
         """Range-restricted compaction over ONLY this family's key range
         (RocksDB per-CF CompactRange): the family's segments merge into
         sorted bottom-level runs; sibling namespaces' cold data is not
-        rewritten. Returns segments rewritten (see KVStore.compact_range)."""
+        rewritten. Returns segments rewritten (see KVStore.compact_range).
+        This is the explicit full-cleanup call regardless of the family's
+        policy; POLICY-driven maintenance is ``auto_compact()``."""
         self._check()
         return self.store.compact_range(
             start=self._prefix,
@@ -147,6 +149,22 @@ class ColumnFamily:
             now=now,
             target_segments=target_segments,
         )
+
+    def auto_compact(self, now: int | None = None, max_rounds: int = 8) -> dict:
+        """Maintenance under THIS family's recorded compaction policy
+        (r13, RocksDB's per-CF compaction contract): leveled families run
+        one range-restricted full compaction, tiered families run STCS
+        rounds over their slice of the shared runs. See
+        ``KVStore.compact_cf``."""
+        self._check()
+        return self.store.compact_cf(self.name, now=now, max_rounds=max_rounds)
+
+    @property
+    def compaction_style(self) -> str:
+        """The family's effective policy (recorded override or store
+        default)."""
+        self._check()
+        return self.store.cf_compaction_style(self.name)
 
     def approximate_size(self) -> dict:
         """Manifest-metadata size estimate for this family's key range —

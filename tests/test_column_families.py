@@ -287,14 +287,18 @@ def test_cf_scoped_changefeed(spark, tmp_path):
 def test_cf_model_based_random_ops(spark, tmp_path):
     """Model-based contract check across namespaces: random interleavings
     of default-ns and per-CF writes/deletes, in-family range deletes,
-    whole-family drops (+ recreates), and full compaction must leave
-    EVERY namespace's live view equal to a per-namespace dict model —
-    isolation, O(1) drop, recreate-empty, and maintenance-changes-nothing
-    under arbitrary schedules, not just the hand-picked flows above."""
+    whole-family drops (+ recreates), full compaction, and r13
+    PER-FAMILY POLICY maintenance (f1 is tiered, f2 leveled, in a
+    leveled store — `auto_compact()` on a family runs ITS policy) must
+    leave EVERY namespace's live view equal to a per-namespace dict
+    model — isolation, O(1) drop, recreate-empty, and
+    maintenance-changes-nothing under arbitrary schedules, not just the
+    hand-picked flows above."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
     FAMS = ["f1", "f2"]
+    CF_STYLE = {"f1": "tiered", "f2": "leveled"}
     NS = ["default", *FAMS]
     KEYS = [f"k{i}" for i in range(4)]
 
@@ -308,6 +312,7 @@ def test_cf_model_based_random_ops(spark, tmp_path):
         st.tuples(st.just("del"), st.sampled_from(NS), st.sampled_from(KEYS)),
         st.tuples(st.just("rdel"), st.sampled_from(FAMS), st.sampled_from(KEYS)),
         st.tuples(st.just("drop"), st.sampled_from(FAMS)),
+        st.tuples(st.just("cfcompact"), st.sampled_from(FAMS)),
         st.just(("compact",)),
     )
     counter = [0]
@@ -323,7 +328,7 @@ def test_cf_model_based_random_ops(spark, tmp_path):
         store = KVStore(spark, str(tmp_path / f"cfmodel{counter[0]}"))
         handles = {"default": store}
         for f in FAMS:
-            handles[f] = store.create_cf(f)
+            handles[f] = store.create_cf(f, compaction_style=CF_STYLE[f])
         model = {ns: {} for ns in NS}
         for o in ops:
             if o[0] == "set":
@@ -341,8 +346,13 @@ def test_cf_model_based_random_ops(spark, tmp_path):
             elif o[0] == "drop":
                 _, ns = o
                 store.drop_cf(ns)
-                handles[ns] = store.create_cf(ns)  # recreate: empty
+                # recreate under the same recorded policy: empty family
+                handles[ns] = store.create_cf(ns, compaction_style=CF_STYLE[ns])
                 model[ns] = {}
+            elif o[0] == "cfcompact":
+                _, ns = o  # per-family policy maintenance: no view change
+                res = handles[ns].auto_compact(now=NOW)
+                assert res["policy"] == CF_STYLE[ns], (ops, ns, res)
             else:
                 store.compact(now=NOW)
         for ns in NS:

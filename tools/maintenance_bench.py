@@ -80,6 +80,7 @@ def run(spark, sf_dir: str = SF_DIR) -> dict:
 
         deep = _deep_compaction(spark, d, li)
         tiered = _tiered_compaction(spark, d, li)
+        mixed = _mixed_policy_cf(spark, d, li)
         store.close()  # release the directory-lock share (hygiene)
 
         return {
@@ -93,6 +94,7 @@ def run(spark, sf_dir: str = SF_DIR) -> dict:
             "segments": store.info(),
             "deep_compaction": deep,
             "tiered_compaction": tiered,
+            "mixed_policy_cf": mixed,
             "sf_dir": sf_dir,
         }
 
@@ -237,6 +239,66 @@ def _tiered_compaction(spark, d: str, li) -> dict:
         "levels": info["levels"],
         "score_trace": score_trace,
         "levels_detail": info["levels_detail"],
+        "write_amplification": info["write_amplification"],
+    }
+
+
+def _mixed_policy_cf(spark, d: str, li) -> dict:
+    """Per-column-family compaction policies in ONE store (VERDICT r12
+    #6, the RocksDB per-CF contract): a write-hot family opened tiered
+    and a write-once family inheriting the store's leveled default, each
+    maintained by its OWN policy via `compact_cf` — the artifact records
+    both families' rounds/policies side by side plus the catalog's
+    recorded styles, so the mixed-policy store is a measured
+    configuration, not a claim. Sampled at 1/16 of lineitem: the section
+    exists to pin policy ROUTING and its cost shape, not to re-measure
+    the policies (the deep/tiered twins above own those numbers)."""
+    sub = li.filter(F.pmod(F.xxhash64("key"), F.lit(16)) == 0)
+    store = KVStore(
+        spark,
+        os.path.join(d, "kv_mixed_cf"),
+        value_threshold=1 << 20,
+        level0_trigger=2,
+        base_level_bytes=64 << 10,
+        level_multiplier=4,
+        compaction_style="leveled",  # store default; 'hot' overrides
+    )
+    hot = store.create_cf("hot", compaction_style="tiered")
+    cold = store.create_cf("cold")  # inherits leveled
+    timings: dict[str, float] = {}
+    hot_rounds = 0
+    t_all = time.perf_counter()
+    t0 = time.perf_counter()
+    cold.ingest_df(sub, target_segments=2)
+    timings["cold_ingest"] = round(time.perf_counter() - t0, 3)
+    # four overwrite waves into the hot family, maintained tiered per wave
+    for wave in range(4):
+        t0 = time.perf_counter()
+        hot.ingest_df(
+            sub.withColumn(
+                "value",
+                F.concat(F.col("value").cast("string"), F.lit(f";h{wave}")).cast("binary"),
+            ),
+            target_segments=2,
+        )
+        res = hot.auto_compact(now=NOW)
+        assert res["policy"] == "tiered", res
+        hot_rounds += res["rounds"]
+        timings[f"hot_wave_{wave}"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    cold_res = cold.auto_compact(now=NOW)
+    timings["cold_auto_compact"] = round(time.perf_counter() - t0, 3)
+    info = store.info()
+    live_hot = hot.view(now=NOW).count()
+    live_cold = cold.view(now=NOW).count()
+    store.close()
+    return {
+        "wall_clock": round(time.perf_counter() - t_all, 3),
+        "phases": timings,
+        "styles": info["column_family_styles"],
+        "hot_tiered_rounds": hot_rounds,
+        "cold_leveled": cold_res,
+        "live_keys": {"hot": live_hot, "cold": live_cold},
         "write_amplification": info["write_amplification"],
     }
 
