@@ -99,6 +99,13 @@ HEADLINE = [
     "q_stream_hll",
     "stream_warc_cdx",
     "multimodal_flac",
+    # added round 13 (MP4/MP3 metadata walks; line-level dedup; ANN drift
+    # telemetry; flac now measures the stereo mid/side LPC-only lane —
+    # already listed above)
+    "multimodal_mp4_meta",
+    "multimodal_mp3_meta",
+    "text_line_dedup",
+    "sim_ann_drift",
 ]
 
 

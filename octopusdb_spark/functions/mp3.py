@@ -1,0 +1,208 @@
+"""MP3 (MPEG audio) frame-walk metadata parser — the audio counterpart
+of the MP4 box walk (`functions/mp4.py`): ID3v2 tag skip (syncsafe
+size), frame-sync scan, and an honest per-frame HEADER walk — version,
+layer, bitrate/samplerate table lookups, padding — summing each frame's
+computed byte length and sample count into stream-level metadata
+(frame count, duration). NO entropy decode: the Huffman-coded granule
+payloads stay behind the documented codec-library stub boundary
+(`functions/multimodal.py` stub_features), exactly like MP4's mdat —
+but bitrate / sample rate / duration / channel mode is what a crawl
+pipeline filters audio by, and it lives entirely in the 4-byte frame
+headers walked here.
+
+The matching builder (`build_mp3`) emits structurally real streams —
+optional ID3v2 tag, valid MPEG-1 Layer III frame headers, opaque
+payload bytes sized by the header arithmetic (144 * bitrate / rate +
+padding) — so the parser's every path (tag skip, table lookups, padding
+sizing, truncation) is exercised by the correctness gate with
+arithmetically checkable values. Malformed streams (no sync, reserved
+table indexes, truncated frames) raise ValueError -> the caller records
+decoded=False with null metadata, the same loud-fallback contract as
+every other container.
+
+Header tables are public ISO/IEC 11172-3 format data. The reference
+engine (zach030/OctopusDB) has no media layer; this rides the driver
+mandate's multimodal surface.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# MPEG-1 Layer III tables (ISO 11172-3): bitrate index 1..14 (kbps), 0 is
+# "free" (unsupported here — frame length would be undefined without
+# sync-to-sync measurement), 15 is forbidden.
+MP3_BITRATES_KBPS = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None
+)
+MP3_SAMPLE_RATES = (44100, 48000, 32000, None)
+_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _frame_len(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
+    return 144 * bitrate_kbps * 1000 // sample_rate + padding
+
+
+def build_mp3(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channel_mode: int = 3,  # 0=stereo 1=joint 2=dual 3=mono
+    id3_payload: bytes = b"",
+    pad_every: int = 0,  # every pad_every-th frame sets the padding bit
+) -> bytes:
+    """A structurally real MPEG-1 Layer III stream: optional ID3v2.3 tag
+    (syncsafe-sized), ``n_frames`` frames with valid headers and opaque
+    payload bytes sized by the header arithmetic. No audio bitstream is
+    claimed — payloads are deterministic filler; everything the parser
+    reads back is in the arguments."""
+    if bitrate_kbps not in MP3_BITRATES_KBPS[1:15]:
+        raise ValueError(f"unsupported MP3 bitrate {bitrate_kbps}")
+    if sample_rate not in MP3_SAMPLE_RATES[:3]:
+        raise ValueError(f"unsupported MP3 sample rate {sample_rate}")
+    if not 0 <= channel_mode <= 3:
+        raise ValueError("bad channel mode")
+    out = bytearray()
+    if id3_payload:
+        out += b"ID3" + bytes([3, 0, 0]) + _syncsafe(len(id3_payload))
+        out += id3_payload
+    br_idx = MP3_BITRATES_KBPS.index(bitrate_kbps)
+    sr_idx = MP3_SAMPLE_RATES.index(sample_rate)
+    for i in range(n_frames):
+        padding = 1 if pad_every and (i + 1) % pad_every == 0 else 0
+        # 11 sync bits | version 11 (MPEG-1) | layer 01 (III) | no CRC 1
+        b1 = 0xFF
+        b2 = 0b11111011
+        b3 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+        b4 = (channel_mode << 6) | 0b0000
+        hdr = bytes([b1, b2, b3, b4])
+        flen = _frame_len(bitrate_kbps, sample_rate, padding)
+        body = bytes((i * 31 + j * 7) % 251 for j in range(flen - 4))
+        out += hdr + body
+    return bytes(out)
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """Walk the stream for real: skip an ID3v2 tag if present (syncsafe
+    size), then walk EVERY frame header — sync check, MPEG-1 Layer III
+    only (the overwhelmingly common profile; V2/2.5 and other layers
+    reject to the stub boundary), bitrate/samplerate table lookups,
+    padding-aware frame length — accumulating frame count and exact
+    sample count. Requires header homogeneity (one bitrate/rate/mode
+    per stream — true of CBR, the synthesizable case); a mid-stream
+    header change or truncated final frame raises ValueError."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        if any(b & 0x80 for b in payload[6:10]):
+            raise ValueError("bad ID3v2 syncsafe size")
+        size = (
+            (payload[6] << 21) | (payload[7] << 14)
+            | (payload[8] << 7) | payload[9]
+        )
+        pos = 10 + size
+        if pos > len(payload):
+            raise ValueError("ID3v2 tag longer than stream")
+    n_frames = 0
+    meta = None
+    while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated MP3 frame header")
+        b1, b2, b3, b4 = payload[pos : pos + 4]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            raise ValueError("MP3 frame sync lost")
+        version = (b2 >> 3) & 0x03
+        layer = (b2 >> 1) & 0x03
+        if version != 0b11 or layer != 0b01:
+            raise ValueError("only MPEG-1 Layer III supported")
+        br_idx = (b3 >> 4) & 0x0F
+        sr_idx = (b3 >> 2) & 0x03
+        padding = (b3 >> 1) & 0x01
+        bitrate = MP3_BITRATES_KBPS[br_idx]
+        rate = MP3_SAMPLE_RATES[sr_idx]
+        if bitrate is None or rate is None:
+            raise ValueError("free/forbidden MP3 bitrate or reserved rate")
+        mode = (b4 >> 6) & 0x03
+        this = (bitrate, rate, mode)
+        if meta is None:
+            meta = this
+        elif meta != this:
+            raise ValueError("MP3 header parameters changed mid-stream (VBR)")
+        flen = _frame_len(bitrate, rate, padding)
+        if pos + flen > len(payload):
+            raise ValueError("truncated MP3 frame")
+        pos += flen
+        n_frames += 1
+    if meta is None:
+        raise ValueError("MP3 stream without frames")
+    bitrate, rate, mode = meta
+    total_samples = n_frames * _SAMPLES_PER_FRAME
+    return {
+        "container": "mp3",
+        "bitrate_kbps": bitrate,
+        "sample_rate": rate,
+        "channel_mode": ("stereo", "joint_stereo", "dual_channel", "mono")[mode],
+        "n_frames": n_frames,
+        "n_samples": total_samples,
+        "duration_ms": total_samples * 1000 // rate,
+    }
+
+
+MP3_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("bitrate_kbps", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channel_mode", T.StringType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def mp3_metadata(media_df: DataFrame) -> DataFrame:
+    """Partition-parallel MP3 metadata extraction via mapInPandas —
+    stateless Arrow batches, the same 100-TB shape as `mp4_metadata`.
+    Malformed payloads record decoded=False with null metadata (loud
+    fallback, never a batch failure)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {f.name: [] for f in MP3_META_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    meta = parse_mp3(bytes(p))
+                except (ValueError, struct.error, IndexError):
+                    meta = None
+                out["media_id"].append(int(mid))
+                out["container"].append("mp3")
+                out["decoded"].append(meta is not None)
+                out["channel_mode"].append(meta["channel_mode"] if meta else None)
+                for k in ("bitrate_kbps", "sample_rate", "n_frames",
+                          "n_samples", "duration_ms"):
+                    out[k].append(meta[k] if meta else None)
+            nullable_int = ("bitrate_kbps", "sample_rate", "n_frames",
+                            "n_samples", "duration_ms")
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64") if k in nullable_int else v
+                    for k, v in out.items()
+                }
+            )
+
+    return media_df.mapInPandas(batches, MP3_META_SCHEMA)

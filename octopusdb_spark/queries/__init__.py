@@ -68,7 +68,13 @@ _PRIORITY = [
     # cohort. sim_ann_drift NEW — persistent-index drift telemetry
     # (per-list residual-norm mean vs build-time + size skew from the
     # O(ledger) stats endpoint, fully arithmetic oracle) — displaced
-    # q_top_customers_per_nation, same r10 cohort.)
+    # q_top_customers_per_nation, same r10 cohort. multimodal_mp3_meta
+    # NEW — MP3 frame-walk metadata (ID3v2 skip, per-frame header walk
+    # through the ISO 11172-3 tables, padding-aware sizing, truncation
+    # fallback; no entropy decode by documented boundary), the audio
+    # half of the crawl-media metadata triad — displaced
+    # q1_pricing_summary, same r10 cohort.)
+    "multimodal_mp3_meta",
     "sim_ann_drift",
     "text_line_dedup",
     "multimodal_mp4_meta",
@@ -95,7 +101,7 @@ _PRIORITY = [
     "kv_replication", "kv_merge_operator", "kv_column_families",
     "kv_range_delete",
     "q_event_time_windows", "q_funnel", "q_mode_event_type",
-    "q_moving_avg", "q_cohort_retention", "q1_pricing_summary",
+    "q_moving_avg", "q_cohort_retention",
 ]
 
 

@@ -306,6 +306,44 @@ def q_multimodal_mp4_meta(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_multimodal_mp3_meta(spark, sf_dir):
+    """MP3 frame-walk metadata under the gate — the audio counterpart of
+    `multimodal_mp4_meta`, completing the crawl-media metadata triad
+    (video container, audio container, WARC transport). Each doc
+    parameterizes a structurally real MPEG-1 Layer III stream via
+    `functions/mp3.py::build_mp3`: bitrate/samplerate/channel-mode ride
+    the first text bytes through the public ISO 11172-3 tables, frame
+    count rides the length, odd doc_ids prepend a syncsafe-sized ID3v2
+    tag (the skip path is under the hash because a mis-skip desyncs the
+    walk), every third frame sets the padding bit (mis-sizing padding
+    desyncs too), and doc_id%9==7 rows are truncated mid-frame so the
+    loud fallback is hash-checked. `parse_mp3` walks EVERY frame header
+    executor-side (mapInPandas) — NO entropy decode, the documented
+    codec-library boundary; duration is exact header arithmetic the
+    oracle replicates."""
+    from octopusdb_spark.functions.mp3 import build_mp3, mp3_metadata
+
+    def payload_fn(did, b):
+        n = len(b)
+        payload = build_mp3(
+            n_frames=n // 4 + 2,
+            bitrate_kbps=(96, 128, 192, 256, 320)[b[0] % 5],
+            sample_rate=(44100, 48000, 32000)[b[1] % 3],
+            channel_mode=b[2] % 4,
+            id3_payload=(b"t" * (b[0] + 1)) if did % 2 == 1 else b"",
+            pad_every=3,
+        )
+        if did % 9 == 7:
+            payload = payload[:-5]  # truncate mid-frame: loud fallback lane
+        return payload, "audio"
+
+    meta = mp3_metadata(_doc_media(spark, sf_dir, payload_fn))
+    return meta.select(
+        "media_id", "container", "decoded", "bitrate_kbps", "sample_rate",
+        "channel_mode", "n_frames", "n_samples", "duration_ms",
+    ).orderBy("media_id")
+
+
 def q_multimodal_jpeg_color(spark, sf_dir):
     """COLOR JPEG decode under the gate — the full production pipeline
     (JFIF YCbCr transform, 4:2:0 chroma subsampling, interleaved MCU
@@ -962,6 +1000,43 @@ ORACLES = {
            CASE WHEN doc_id % 9 = 4 OR doc_id % 3 = 1 THEN NULL
                 WHEN b2 % 2 = 0 THEN 'mp4a' ELSE 'opus' END AS audio_codec
     FROM src ORDER BY media_id""",
+    # arithmetic replication of the MP3 frame walk: every field is a pure
+    # function of (doc_id, n, first text bytes) through the public
+    # ISO 11172-3 tables; the truncation lane nulls out like MP4's
+    "multimodal_mp3_meta": """
+    WITH src AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1,
+             ascii(substr(text, 3, 1)) AS b2
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    p AS (
+      SELECT doc_id, n,
+             CASE b0 % 5 WHEN 0 THEN 96 WHEN 1 THEN 128 WHEN 2 THEN 192
+                         WHEN 3 THEN 256 ELSE 320 END AS br,
+             CASE b1 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                         ELSE 32000 END AS sr,
+             CASE b2 % 4 WHEN 0 THEN 'stereo' WHEN 1 THEN 'joint_stereo'
+                         WHEN 2 THEN 'dual_channel' ELSE 'mono' END AS cm,
+             n // 4 + 2 AS nf
+      FROM src
+    )
+    SELECT doc_id AS media_id, 'mp3' AS container,
+           (doc_id % 9 != 7) AS decoded,
+           CAST(CASE WHEN doc_id % 9 = 7 THEN NULL ELSE br END AS INT)
+             AS bitrate_kbps,
+           CAST(CASE WHEN doc_id % 9 = 7 THEN NULL ELSE sr END AS INT)
+             AS sample_rate,
+           CASE WHEN doc_id % 9 = 7 THEN NULL ELSE cm END AS channel_mode,
+           CAST(CASE WHEN doc_id % 9 = 7 THEN NULL ELSE nf END AS BIGINT)
+             AS n_frames,
+           CAST(CASE WHEN doc_id % 9 = 7 THEN NULL
+                ELSE nf * 1152 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 9 = 7 THEN NULL
+                ELSE nf * 1152 * 1000 // sr END AS BIGINT) AS duration_ms
+    FROM p ORDER BY media_id""",
     "multimodal_bytes": """
         SELECT doc_id,
                octet_length(encode(text)) AS byte_len,
@@ -991,4 +1066,5 @@ QUERIES = {
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_flac": q_multimodal_flac,
     "multimodal_mp4_meta": q_multimodal_mp4_meta,
+    "multimodal_mp3_meta": q_multimodal_mp3_meta,
 }

@@ -1130,3 +1130,51 @@ def test_mp4_box_walk_metadata(spark):
     assert out[1]["decoded"] and out[1]["video_w"] == 640
     assert not out[2]["decoded"] and out[2]["duration_ms"] is None
     assert [f.name for f in MP4_META_SCHEMA.fields][0] == "media_id"
+
+
+def test_mp3_frame_walk_metadata(spark):
+    """r13: MP3 frame-walk — ID3v2 syncsafe skip, per-frame header walk
+    (ISO 11172-3 bitrate/rate tables, padding-aware sizing), exact
+    duration arithmetic; malformed classes (truncation, lost sync, bad
+    syncsafe, VBR parameter change, free bitrate) raise ValueError."""
+    from octopusdb_spark.functions.mp3 import (
+        MP3_META_SCHEMA,
+        build_mp3,
+        mp3_metadata,
+        parse_mp3,
+    )
+
+    s = build_mp3(25, 128, 44100, channel_mode=3,
+                  id3_payload=b"T" * 37, pad_every=3)
+    m = parse_mp3(s)
+    assert m["n_frames"] == 25 and m["bitrate_kbps"] == 128
+    assert m["sample_rate"] == 44100 and m["channel_mode"] == "mono"
+    assert m["duration_ms"] == 25 * 1152 * 1000 // 44100
+    m2 = parse_mp3(build_mp3(7, 320, 32000, channel_mode=1))
+    assert m2["n_frames"] == 7 and m2["channel_mode"] == "joint_stereo"
+
+    bad_cases = [
+        s[:-5],  # truncated final frame
+        b"\x00" * 30,  # no sync
+        b"ID3" + bytes([3, 0, 0, 0x80, 0, 0, 0]) + b"x" * 20,  # bad syncsafe
+        build_mp3(2, 128, 44100) + build_mp3(2, 192, 44100),  # VBR change
+    ]
+    # free bitrate (index 0): frame length undefined
+    fb = bytearray(build_mp3(2, 128, 44100))
+    fb[2] = (0 << 4) | (fb[2] & 0x0F)
+    bad_cases.append(bytes(fb))
+    for bad in bad_cases:
+        with pytest.raises(ValueError):
+            parse_mp3(bad)
+
+    rows = [(1, "audio", s, None, None, None),
+            (2, "audio", s[:-5], None, None, None)]
+    out = {
+        r["media_id"]: r
+        for r in mp3_metadata(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["decoded"] and out[1]["n_frames"] == 25
+    assert not out[2]["decoded"] and out[2]["duration_ms"] is None
+    assert [f.name for f in MP3_META_SCHEMA.fields][0] == "media_id"
