@@ -1004,37 +1004,57 @@ def test_flac_property_round_trip():
     """Property test (no Spark): random signals of every character —
     noise, ramps, constants, negative-heavy — round-trip losslessly
     through every block size, including frames smaller than the
-    predictor order."""
+    predictor order; r13 extends the grid with channels (mono/stereo),
+    every stereo decorrelation mode, and every predictor-family mix
+    (fixed / lpc / both) — losslessness must hold across the whole
+    cross product, including LPC on signals where the analysis is
+    degenerate (constants, spikes)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from octopusdb_spark.functions.flac import decode_flac, encode_flac
 
-    @settings(max_examples=20, deadline=None)
+    @settings(max_examples=25, deadline=None)
     @given(
         seed=st.integers(min_value=0, max_value=2**31),
         n=st.integers(min_value=1, max_value=1200),
         bs=st.sampled_from([16, 100, 192, 4096]),
-        kind=st.sampled_from(["noise", "ramp", "const", "spiky"]),
+        kind=st.sampled_from(["noise", "ramp", "const", "spiky", "sine"]),
+        channels=st.sampled_from([1, 2]),
+        mode=st.sampled_from(
+            ["best", "independent", "left_side", "right_side", "mid_side"]
+        ),
+        preds=st.sampled_from([("fixed",), ("lpc",), ("fixed", "lpc")]),
     )
-    def check(seed, n, bs, kind):
+    def check(seed, n, bs, kind, channels, mode, preds):
+        import math
         import random
 
         rng = random.Random(seed)
+        m = n * channels
         if kind == "noise":
-            samples = [rng.randrange(-32768, 32768) for _ in range(n)]
+            samples = [rng.randrange(-32768, 32768) for _ in range(m)]
         elif kind == "ramp":
-            samples = [(i * 3 - n) % 2000 for i in range(n)]
+            samples = [(i * 3 - m) % 2000 for i in range(m)]
         elif kind == "const":
-            samples = [rng.randrange(-32768, 32768)] * n
+            samples = [rng.randrange(-32768, 32768)] * m
+        elif kind == "sine":
+            a = rng.randrange(1000, 30000)
+            w = rng.uniform(0.01, 0.5)
+            samples = [int(a * math.sin(i * w)) for i in range(m)]
         else:
-            samples = [0] * n
-            for _ in range(max(1, n // 10)):
-                samples[rng.randrange(n)] = rng.randrange(-32768, 32768)
-        d = decode_flac(encode_flac(samples, 8000, block_size=bs))
-        assert d["n_samples"] == n
-        assert abs(d["mean"] - sum(samples) / n) < 1e-9
-        exp_rms = (sum(s * s for s in samples) / n) ** 0.5
+            samples = [0] * m
+            for _ in range(max(1, m // 10)):
+                samples[rng.randrange(m)] = rng.randrange(-32768, 32768)
+        d = decode_flac(
+            encode_flac(
+                samples, 8000, block_size=bs, channels=channels,
+                stereo_mode=mode, predictors=preds,
+            )
+        )
+        assert d["n_samples"] == n and d["channels"] == channels
+        assert abs(d["mean"] - sum(samples) / m) < 1e-9
+        exp_rms = (sum(s * s for s in samples) / m) ** 0.5
         assert abs(d["rms"] - exp_rms) < 1e-6
 
     check()
