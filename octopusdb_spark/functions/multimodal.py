@@ -15,12 +15,15 @@ third entropy-codec family — canonical Huffman decode, per-component DC
 prediction, AC run-length, dequantize + exact 2D IDCT; grayscale AND
 3-component color with 4:4:4 / 4:2:0 sampling, interleaved MCU scan,
 chroma upsample, JFIF YCbCr -> RGB), plus FLAC in `functions/flac.py`
-(the FOURTH entropy codec — Rice coding — and the first COMPRESSED
-audio container). Remaining codec-library formats
-(MP3/MP4/H.264...) still hit the clearly marked stub: their entropy coding
-needs libraries this container lacks, so those payloads get deterministic
-byte-level fallback features instead — the boundary is explicit in the
-``decoded`` output column.
+(the FOURTH entropy codec — Rice coding, LPC + stereo decorrelation —
+and the first COMPRESSED audio container). Codec-library formats
+(MP3/MP4/H.264...) still hit the clearly marked stub HERE: their entropy
+coding needs libraries this container lacks, so those payloads get
+deterministic byte-level fallback features instead — the boundary is
+explicit in the ``decoded`` output column. r13: the METADATA level of
+MP4 and MP3 is parsed honestly in `functions/mp4.py` (ISO-BMFF box walk)
+and `functions/mp3.py` (frame-header walk) — duration, track geometry,
+codec identity, bitrate — only the bitstream payloads stay stubbed.
 
 Everything Spark-side is real and tested either way: schema contract, Arrow
 batch shape, ``mapInPandas`` partition-parallel processing, and the
@@ -1406,7 +1409,10 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     def stub_features(payload: bytes, media_type: str) -> list:
         """STUB for codec-library formats (MP3/MP4/H.264...): their entropy
         coding needs libs this container lacks. Deterministic byte-level
-        moments; replace with a real decoder when the libs exist."""
+        moments; replace with a real decoder when the libs exist. The
+        METADATA level of MP4/MP3 is parsed for real elsewhere
+        (`mp4_metadata` / `mp3_metadata`) — this stub is the BITSTREAM
+        boundary only."""
         if media_type not in ("image", "audio", "video"):
             raise NotImplementedError(f"unknown media type: {media_type}")
         n = max(len(payload), 1)
