@@ -289,3 +289,33 @@ def test_ivf_drift_ledger_and_probe(spark, sf_dir, tmp_path):
     assert tot_now / sum(r["n_now"] for r in d1.values()) >= (
         tot_build / sum(r["n_build"] for r in d1.values())
     ) * 0.999
+
+
+def test_ivf_drift_retrain_cycle(spark, sf_dir, tmp_path):
+    """The full maintenance loop the drift probe exists for: build on a
+    base split, append the held-out split (drift telemetry moves),
+    RETRAIN (build_ivf over the full corpus — the documented rebuild),
+    and the fresh ledger reads drift exactly 1.0 with every vector
+    re-owned by the new quantizer."""
+    from octopusdb_spark.functions.ann_index import (
+        append_ivf,
+        build_ivf,
+        ivf_drift,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    idx = str(tmp_path / "retrain_ivf")
+    build_ivf(base, idx, n_centroids=8, kmeans_iters=0)
+    append_ivf(emb.filter(F.col("vec_id") % 5 == 3), idx)
+    before = ivf_drift(spark, idx).collect()
+    assert sum(r["added"] for r in before) > 0
+
+    # retrain: rebuild over the FULL corpus (quantizer re-trained, lists
+    # and stats ledger rewritten — mode overwrite end to end)
+    build_ivf(emb, idx, n_centroids=8, kmeans_iters=1)
+    spark.catalog.refreshByPath(f"{idx}/lists")
+    spark.catalog.refreshByPath(f"{idx}/stats")
+    after = ivf_drift(spark, idx).collect()
+    assert sum(r["n_now"] for r in after) == emb.count()
+    assert all(r["added"] == 0 and r["drift_r6"] == 1.0 for r in after)
