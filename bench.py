@@ -106,6 +106,7 @@ HEADLINE = [
     "multimodal_mp3_meta",
     "text_line_dedup",
     "sim_ann_drift",
+    "sim_ann_filtered",
 ]
 
 

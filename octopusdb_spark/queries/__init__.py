@@ -73,7 +73,13 @@ _PRIORITY = [
     # through the ISO 11172-3 tables, padding-aware sizing, truncation
     # fallback; no entropy decode by documented boundary), the audio
     # half of the crawl-media metadata triad — displaced
-    # q1_pricing_summary, same r10 cohort.)
+    # q1_pricing_summary, same r10 cohort. sim_ann_filtered NEW —
+    # metadata-FILTERED ANN (per-query label predicate pre-applied to
+    # the IVF candidate frame, nprobe widened 2->4 for selectivity; the
+    # production RAG retrieval shape) — displaced q_cohort_retention,
+    # same r10 cohort; registry hits the 5-adds/round budget, no more
+    # adds this round.)
+    "sim_ann_filtered",
     "multimodal_mp3_meta",
     "sim_ann_drift",
     "text_line_dedup",
@@ -101,7 +107,7 @@ _PRIORITY = [
     "kv_replication", "kv_merge_operator", "kv_column_families",
     "kv_range_delete",
     "q_event_time_windows", "q_funnel", "q_mode_event_type",
-    "q_moving_avg", "q_cohort_retention",
+    "q_moving_avg",
 ]
 
 

