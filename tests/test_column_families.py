@@ -597,3 +597,61 @@ def test_directory_lock_realpath_spellings_share_refcount(spark, tmp_path):
     assert _os.path.exists(lock)  # a still holds it
     a.close()
     assert not _os.path.exists(lock)
+
+
+def test_cf_policy_catalog_and_pre_r13_compat(spark, tmp_path):
+    """r13 per-CF policy contract: the recorded style survives reopen; a
+    pre-r13 manifest whose catalog values are bare ints (creation seq
+    only) normalizes to style=None -> store default; exist_ok with a
+    DIFFERENT explicit style refuses; invalid styles reject at create."""
+    import json
+    import os
+
+    root = str(tmp_path / "cfpol")
+    store = KVStore(spark, root, compaction_style="leveled")
+    hot = store.create_cf("hot", compaction_style="tiered")
+    store.create_cf("cold")
+    hot.set(Entry("k1", b"v1"))
+    store.cf("cold").set(Entry("c1", b"w1"))
+    assert store.info()["column_family_styles"] == {
+        "cold": "leveled", "hot": "tiered",
+    }
+    with pytest.raises(ValueError, match="refusing silent change"):
+        store.create_cf("hot", exist_ok=True, compaction_style="leveled")
+    with pytest.raises(ValueError, match="compaction_style"):
+        store.create_cf("bad", compaction_style="universal")
+    store.close()
+
+    # reopen: policy rides the manifest
+    store2 = KVStore(spark, root, compaction_style="leveled")
+    assert store2.cf_compaction_style("hot") == "tiered"
+    assert store2.cf("hot").compaction_style == "tiered"
+
+    # simulate a pre-r13 manifest: rewrite catalog values to bare ints
+    cur = os.path.join(store2.manifest.dir, "CURRENT")
+    with open(cur) as fh:
+        version = fh.read().strip()
+    snap = os.path.join(store2.manifest.dir, f"manifest-{version}.json")
+    with open(snap) as fh:
+        raw = json.load(fh)
+    raw["column_families"] = {
+        n: (v["seq"] if isinstance(v, dict) else v)
+        for n, v in raw["column_families"].items()
+    }
+    with open(snap, "w") as fh:
+        json.dump(raw, fh)
+    store2.close()
+
+    store3 = KVStore(spark, root, compaction_style="tiered")
+    # int entries normalize: style falls back to the store default
+    assert store3.cf_compaction_style("hot") == "tiered"
+    assert store3.cf_compaction_style("cold") == "tiered"
+    # handles and per-CF ops still work over the normalized catalog
+    assert _live(store3.cf("hot")) == {"k1": b"v1"}
+    res = store3.compact_cf("cold", now=NOW)
+    assert res["policy"] == "tiered"
+    # a policy can be (re)recorded by recreate after drop
+    store3.drop_cf("hot")
+    h2 = store3.create_cf("hot", compaction_style="leveled")
+    assert h2.compaction_style == "leveled"
+    store3.close()
