@@ -78,7 +78,11 @@ _PRIORITY = [
     # the IVF candidate frame, nprobe widened 2->4 for selectivity; the
     # production RAG retrieval shape) — displaced q_cohort_retention,
     # same r10 cohort; registry hits the 5-adds/round budget, no more
-    # adds this round.)
+    # adds this round. kv_column_families CHANGED late-round — the drill
+    # now opens its families with MIXED per-CF compaction policies and
+    # runs policy-routed maintenance before the verifying compact; it is
+    # ALREADY in this window (r10 fill), so the change re-earns green
+    # with no displacement.)
     "sim_ann_filtered",
     "multimodal_mp3_meta",
     "sim_ann_drift",

@@ -792,10 +792,16 @@ def q_kv_column_families(spark: SparkSession, sf_dir: str) -> DataFrame:
          tombstone — RocksDB drop+recreate semantics);
       3. a stale handle for the dropped family fails fast;
       4. a verifying full `compact()` purges the tombstone physically and
-         every surviving view is bit-identical to its pre-compaction self.
+         every surviving view is bit-identical to its pre-compaction self;
+      5. (r13) the families carry MIXED per-CF compaction policies —
+         `cust` tiered, `supp` leveled, in a leveled store — and
+         policy-routed maintenance (`compact_cf` / `auto_compact`) runs
+         the family's OWN policy before the final verifying compact, so
+         per-CF policy routing is under the driver gate, not just pytest.
     The checked output is the POST-compaction union of all live
     namespaces, so every hashed byte traveled CF-encoded keys ->
-    namespace-filtered reads -> O(1) drop -> physical purge."""
+    namespace-filtered reads -> policy-routed maintenance -> O(1) drop
+    -> physical purge."""
     import shutil
     import tempfile
     import uuid
@@ -831,8 +837,8 @@ def q_kv_column_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         store = KVStore(spark, f"{base}/kv")
         store.ingest_df(nat, target_segments=1)
-        cf_cust = store.create_cf("cust")
-        cf_supp = store.create_cf("supp")
+        cf_cust = store.create_cf("cust", compaction_style="tiered")
+        cf_supp = store.create_cf("supp", compaction_style="leveled")
         cf_tmp = store.create_cf("tmp")
         cf_cust.ingest_df(cust.select("key", "value"), target_segments=2)
         cf_supp.ingest_df(supp, target_segments=1)
@@ -850,6 +856,16 @@ def q_kv_column_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         cf_supp.set_batch(
             [Entry(f"s{k:06d}", None) for k in range(11, 41, 11)]
         )  # one commit for the whole delete wave
+        # policy-routed per-family maintenance: each family's OWN policy
+        # runs (tiered banding over cust's runs; one range-restricted
+        # leveled compaction over supp) — views must be unchanged, which
+        # the final checked output verifies
+        res = store.compact_cf("cust", now=NOW)
+        if res["policy"] != "tiered":
+            raise RuntimeError(f"cf: cust maintenance ran {res['policy']}")
+        res = cf_supp.auto_compact(now=NOW)
+        if res["policy"] != "leveled" or res["rounds"] != 1:
+            raise RuntimeError(f"cf: supp maintenance ran {res}")
         v0 = store.manifest.state.version
         store.drop_cf("tmp")
         if store.manifest.state.version != v0 + 1:
