@@ -1198,3 +1198,61 @@ def test_mp3_frame_walk_metadata(spark):
     assert out[1]["decoded"] and out[1]["n_frames"] == 25
     assert not out[2]["decoded"] and out[2]["duration_ms"] is None
     assert [f.name for f in MP3_META_SCHEMA.fields][0] == "media_id"
+
+
+def test_media_parser_exception_contract_fuzz():
+    """Seeded corruption fuzz (no Spark): FLAC decode and the MP4/MP3
+    metadata walks may only raise the exception classes their callers
+    catch (ValueError / struct.error) — anything else would escape the
+    loud-fallback boundary and kill an executor batch. Byte flips,
+    truncations, scrambles, and insertions, 800 trials per format."""
+    import math
+    import random
+    import struct
+
+    from octopusdb_spark.functions.flac import decode_flac, encode_flac
+    from octopusdb_spark.functions.mp3 import build_mp3, parse_mp3
+    from octopusdb_spark.functions.mp4 import build_mp4, parse_mp4
+
+    rng = random.Random(1234)
+    inter = [
+        v
+        for i in range(800)
+        for v in (int(9000 * math.sin(i / 21)), int(7000 * math.sin(i / 13 + 2)))
+    ]
+    targets = [
+        (
+            encode_flac(inter, 8000, block_size=128, channels=2,
+                        stereo_mode="best", predictors=("fixed", "lpc")),
+            decode_flac,
+        ),
+        (
+            build_mp4(b"isom", 1000, 50000, video=(b"avc1", 640, 360),
+                      audio=(b"mp4a", 48000), version=1, mdat=b"z" * 64),
+            parse_mp4,
+        ),
+        (
+            build_mp3(40, 192, 48000, channel_mode=0,
+                      id3_payload=b"x" * 20, pad_every=4),
+            parse_mp3,
+        ),
+    ]
+    for base, parse in targets:
+        for trial in range(800):
+            s = bytearray(base)
+            mode = trial % 4
+            if mode == 0:
+                s[rng.randrange(len(s))] ^= 1 << rng.randrange(8)
+            elif mode == 1:
+                s = s[: rng.randrange(1, len(s))]
+            elif mode == 2:
+                for _ in range(8):
+                    s[rng.randrange(len(s))] = rng.randrange(256)
+            else:
+                i = rng.randrange(len(s))
+                ins = bytes([rng.randrange(256)] * rng.randrange(1, 9))
+                s = s[:i] + ins + s[i:]
+            try:
+                parse(bytes(s))
+            except (ValueError, struct.error):
+                pass
