@@ -40,7 +40,11 @@ def _write_list_stats(assigned_ct: DataFrame, index_dir: str, phase: str,
     bit-identical sequential fold every oracle replicates; the DECIMAL
     sum making the cross-row total order-independent). The ledger is
     what makes `ivf_drift` O(ledger) instead of O(corpus): residuals are
-    computed HERE, where the batch is already in hand, never re-scanned."""
+    computed HERE, where the batch is already in hand, never re-scanned.
+    Consistency grade: the ledger write follows the lists write, so a
+    crash between the two leaves the ledger LAGGING the lists (drift
+    undercounts n_now) — telemetry-grade, never a data-path error; a
+    rebuild (`build_ivf`, mode overwrite end to end) reconciles both."""
     stats = (
         assigned_ct.withColumn(
             "res_norm", F.sqrt(_l2sq(F.col("embedding"), F.col("ct_emb")))
