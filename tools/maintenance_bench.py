@@ -282,7 +282,7 @@ def _mixed_policy_cf(spark, d: str, li) -> dict:
             target_segments=2,
         )
         res = hot.auto_compact(now=NOW)
-        assert res["policy"] == "tiered", res
+        hot_policy = res["policy"]
         hot_rounds += res["rounds"]
         timings[f"hot_wave_{wave}"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
@@ -292,7 +292,7 @@ def _mixed_policy_cf(spark, d: str, li) -> dict:
     live_hot = hot.view(now=NOW).count()
     live_cold = cold.view(now=NOW).count()
     store.close()
-    return {
+    out = {
         "wall_clock": round(time.perf_counter() - t_all, 3),
         "phases": timings,
         "styles": info["column_family_styles"],
@@ -301,6 +301,12 @@ def _mixed_policy_cf(spark, d: str, li) -> dict:
         "live_keys": {"hot": live_hot, "cold": live_cold},
         "write_amplification": info["write_amplification"],
     }
+    # routing regression reads as a warning in the artifact, never a
+    # crashed bench (the _deep_compaction convention); the hard gate for
+    # policy routing is the CF pytest model + the kv_column_families row
+    if hot_policy != "tiered" or cold_res["policy"] != "leveled":
+        out["warning"] = "per-CF policy routing did not run the recorded styles"
+    return out
 
 
 def main() -> None:
