@@ -64,7 +64,8 @@ HEADLINE = [
     # added round 8
     "text_lm_score",
     "q_domain_mixture",
-    "text_dup_spans",
+    # text_dup_spans retired into text_dup_runs (r14, VERDICT r13 #2) —
+    # text_dup_runs below reads the same memoized span frame
     "pipeline_pretrain_v2",
     # added round 9
     "q_token_budget_packing_bpe",
@@ -146,10 +147,46 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # maintenance path (bulk ingest → compaction → value GC) recorded
-    # alongside the query wall-clocks so regressions there are visible
-    # round-over-round; set SPARK_GRAFT_SKIP_MAINTENANCE=1 to skip
-    maintenance = None
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    # The driver's BENCH artifact keeps only a bounded TAIL of stdout
+    # (VERDICT r13 #8: r13's tail was maintenance JSON only, per-query map
+    # destroyed). Self-defense: emit the compact per-query record FIRST
+    # (head survival + visible even if maintenance hangs), then the bulky
+    # maintenance object on its OWN line, then the per-query record AGAIN
+    # as the final line (tail survival — the line the driver parses).
+    record = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "calibration": calibration,
+    }
+    print(json.dumps(record), flush=True)
+    # the tail-surviving copy: compact separators, 2-decimal timings and
+    # medians-only calibration keep the whole line inside the driver's
+    # 2000-char tail window so it PARSES (the full-precision record above
+    # is the canonical reading)
+    compact = json.dumps(
+        {
+            **record,
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "calibration": {
+                k: calibration.get(k)
+                for k in ("median", "shuffle_median")
+                if isinstance(calibration, dict)
+            },
+        },
+        separators=(",", ":"),
+    )
+
+    # maintenance path (bulk ingest → compaction → value GC) recorded so
+    # regressions there are visible round-over-round; set
+    # SPARK_GRAFT_SKIP_MAINTENANCE=1 to skip
     if not os.environ.get("SPARK_GRAFT_SKIP_MAINTENANCE"):
         try:
             from tools.maintenance_bench import run as run_maintenance
@@ -157,25 +194,12 @@ def main() -> None:
             maintenance = run_maintenance(spark, SF_DIR)
         except Exception as e:  # never fail the query bench on maintenance
             maintenance = {"error": str(e)}
-
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "calibration": calibration,
-                "maintenance": maintenance,
-            }
+        print(
+            json.dumps({"maintenance": maintenance}, separators=(",", ":")),
+            flush=True,
         )
-    )
+
+    print(compact, flush=True)
     spark.stop()
 
 

@@ -118,6 +118,11 @@ def parse_mp3(payload: bytes) -> dict:
     n_frames = 0
     meta = None
     while pos < len(payload):
+        # real-world CBR files very commonly carry a 128-byte ID3v1 'TAG'
+        # trailer after the last frame (ADVICE r13) — metadata, not sync
+        # loss; stop the frame walk cleanly
+        if payload[pos : pos + 3] == b"TAG" and len(payload) - pos == 128:
+            break
         if pos + 4 > len(payload):
             raise ValueError("truncated MP3 frame header")
         b1, b2, b3, b4 = payload[pos : pos + 4]

@@ -115,13 +115,63 @@ def _sample_entry(fourcc: bytes, handler: bytes, width: int, height: int,
     return _box(fourcc, body)
 
 
+def _sample_tables(spec: dict, base_offset: int) -> bytes:
+    """stts/stsz/stsc/stco|co64/stss boxes for one track's sample spec:
+    ``stts_runs`` [(count, delta)...], ``sizes`` (per-sample list -> stsz
+    v0 table mode, or int -> constant sample_size), ``samples_per_chunk``,
+    ``co64`` (64-bit chunk offsets), ``stss_every`` (sync-sample cadence;
+    None = no stss box = every sample is sync, per spec). Chunk offsets
+    are ABSOLUTE file offsets of each chunk's first byte, laid
+    contiguously from ``base_offset``."""
+    n = sum(c for c, _ in spec["stts_runs"])
+    sizes = spec["sizes"]
+    size_list = [sizes] * n if isinstance(sizes, int) else list(sizes)
+    if len(size_list) != n:
+        raise ValueError("sample spec: sizes/stts count mismatch")
+    out = _full(
+        b"stts", 0, 0,
+        struct.pack(">I", len(spec["stts_runs"]))
+        + b"".join(struct.pack(">II", c, d) for c, d in spec["stts_runs"]),
+    )
+    if isinstance(sizes, int):
+        out += _full(b"stsz", 0, 0, struct.pack(">II", sizes, n))
+    else:
+        out += _full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", s) for s in size_list),
+        )
+    k = spec["samples_per_chunk"]
+    out += _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, k, 1))
+    offsets, pos = [], base_offset
+    for i in range(0, n, k):
+        offsets.append(pos)
+        pos += sum(size_list[i : i + k])
+    if spec.get("co64"):
+        out += _full(b"co64", 0, 0, struct.pack(">I", len(offsets))
+                     + b"".join(struct.pack(">Q", o) for o in offsets))
+    else:
+        out += _full(b"stco", 0, 0, struct.pack(">I", len(offsets))
+                     + b"".join(struct.pack(">I", o) for o in offsets))
+    every = spec.get("stss_every")
+    if every:
+        sync = list(range(1, n + 1, every))
+        out += _full(b"stss", 0, 0, struct.pack(">I", len(sync))
+                     + b"".join(struct.pack(">I", s) for s in sync))
+    return out
+
+
 def _trak(version: int, track_id: int, duration: int, handler: bytes,
           fourcc: bytes, width: int, height: int, mdhd_timescale: int,
-          sample_rate: int) -> bytes:
+          sample_rate: int, sample_spec: dict | None = None,
+          base_offset: int = 0) -> bytes:
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
                  + _sample_entry(fourcc, handler, width, height, sample_rate))
-    stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
-    stbl = _box(b"stbl", stsd + stts)
+    if sample_spec is None:
+        tables = _full(b"stts", 0, 0, struct.pack(">I", 0))
+    else:
+        tables = _sample_tables(sample_spec, base_offset)
+    stbl = _box(b"stbl", stsd + tables)
     if handler == b"vide":
         mhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
     else:
@@ -133,6 +183,17 @@ def _trak(version: int, track_id: int, duration: int, handler: bytes,
     return _box(b"trak", _tkhd(version, track_id, duration, width, height) + mdia)
 
 
+def _spec_totals(spec: dict | None) -> tuple:
+    """(n_samples, media_duration, total_bytes) for a sample spec."""
+    if spec is None:
+        return 0, 0, 0
+    n = sum(c for c, _ in spec["stts_runs"])
+    dur = sum(c * d for c, d in spec["stts_runs"])
+    sizes = spec["sizes"]
+    total = sizes * n if isinstance(sizes, int) else sum(sizes)
+    return n, dur, total
+
+
 def build_mp4(
     brand: bytes = b"isom",
     timescale: int = 1000,
@@ -141,29 +202,55 @@ def build_mp4(
     audio: tuple | None = None,  # (fourcc, sample_rate)
     version: int = 0,
     mdat: bytes = b"",
+    video_samples: dict | None = None,
+    audio_samples: dict | None = None,
 ) -> bytes:
     """A structurally real ISO-BMFF file: ftyp + free + moov (mvhd v0/v1
     per ``version``, one trak per present media kind) + a
     64-bit-largesize mdat. The mdat payload is opaque (no bitstream is
-    claimed); everything the parser reads back is in the arguments."""
-    out = _box(b"ftyp", brand + struct.pack(">I", 0x200) + brand + b"mp41")
-    out += _box(b"free", b"skip me")  # parser must skip unknown boxes
-    traks = b""
-    tid = 1
-    if video is not None:
-        fourcc, w, h = video
-        traks += _trak(version, tid, duration, b"vide", fourcc, w, h,
-                       timescale, 0)
-        tid += 1
-    if audio is not None:
-        fourcc, rate = audio
-        traks += _trak(version, tid, duration, b"soun", fourcc, 0, 0,
-                       rate, rate)
-        tid += 1
-    out += _box(b"moov", _mvhd(version, timescale, duration, tid) + traks)
+    claimed); everything the parser reads back is in the arguments.
+
+    ``video_samples`` / ``audio_samples`` optionally attach REAL sample
+    tables (see ``_sample_tables``): the mdat body is sized to hold the
+    declared samples laid contiguously (video first, then audio), and
+    stco/co64 carry their true ABSOLUTE file offsets — the builder runs
+    two passes because the offsets depend on moov's own size, exactly
+    the chicken-and-egg a real muxer resolves the same way."""
+    n_v, dur_v, bytes_v = _spec_totals(video_samples)
+    n_a, dur_a, bytes_a = _spec_totals(audio_samples)
+    sample_bytes = bytes_v + bytes_a
+    body = mdat if not sample_bytes else bytes(
+        (i * 31 + 7) % 251 for i in range(sample_bytes)
+    )
+
+    def assemble(base: int) -> tuple:
+        out = _box(b"ftyp", brand + struct.pack(">I", 0x200) + brand + b"mp41")
+        out += _box(b"free", b"skip me")  # parser must skip unknown boxes
+        traks = b""
+        tid = 1
+        if video is not None:
+            fourcc, w, h = video
+            traks += _trak(version, tid, dur_v or duration, b"vide", fourcc,
+                           w, h, timescale, 0, video_samples, base)
+            tid += 1
+        if audio is not None:
+            fourcc, rate = audio
+            traks += _trak(version, tid, dur_a or duration, b"soun", fourcc,
+                           0, 0, rate, rate, audio_samples, base + bytes_v)
+            tid += 1
+        out += _box(b"moov", _mvhd(version, timescale, duration, tid) + traks)
+        return out, len(out) + 16  # mdat body starts after the largesize hdr
+
+    head, base = assemble(0)
+    if sample_bytes:
+        # pass 2: same sizes (offset VALUES don't change box lengths —
+        # stco entries are fixed-width), now with real offsets
+        head, base2 = assemble(base)
+        assert base2 == base
     # mdat with forced 64-bit largesize header (size==1 marker)
-    out += struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(mdat)) + mdat
-    return out
+    return head + struct.pack(">I", 1) + b"mdat" + struct.pack(
+        ">Q", 16 + len(body)
+    ) + body
 
 
 # ----------------------------------------------------------------- parser
@@ -220,6 +307,10 @@ def parse_mp4(payload: bytes) -> dict:
     if mv is None:
         raise ValueError("MP4 moov without mvhd")
     s, e = mv
+    # ADVICE r13: a header-only size-8 mvhd has an EMPTY body — bounds-check
+    # before indexing or payload[s] IndexErrors past end-of-payload
+    if e - s < 1:
+        raise ValueError("empty mvhd body")
     version = payload[s]
     if version == 0:
         if e - s < 20:
@@ -247,6 +338,8 @@ def parse_mp4(payload: bytes) -> dict:
         if tk is None or md is None:
             raise ValueError("MP4 trak without tkhd/mdia")
         ts, te = tk
+        if te - ts < 1:
+            raise ValueError("empty tkhd body")
         tver = payload[ts]
         # width/height are the LAST 8 bytes of tkhd either version
         if te - ts < (84 if tver == 0 else 96):
@@ -292,6 +385,172 @@ def parse_mp4(payload: bytes) -> dict:
     }
 
 
+def _fullbox_u32s(payload: bytes, s: int, e: int, per_entry: int) -> tuple:
+    """(entry_count, entries_start) for a fullbox whose body is
+    entry_count + fixed-width entries; validates the declared count fits."""
+    if e - s < 8:
+        raise ValueError("truncated sample-table box")
+    count = struct.unpack_from(">I", payload, s + 4)[0]
+    if s + 8 + count * per_entry > e:
+        raise ValueError("sample-table entries past box end")
+    return count, s + 8
+
+
+def parse_mp4_tracks(payload: bytes) -> list:
+    """Per-track SAMPLE TABLE walk (ISO/IEC 14496-12 stbl) — still pure
+    metadata, no entropy decode: stts (decoding deltas), stsz (sizes),
+    stsc (sample->chunk runs), stco/co64 (absolute chunk offsets), stss
+    (sync samples). This is the per-sample timeline a crawl pipeline
+    slices video with (seek = binary-search stts, read = stsc/stco
+    offset arithmetic) — the half of MP4 the metadata triad's first cut
+    (`parse_mp4`) deliberately stopped short of (VERDICT r13 #3).
+
+    Returns one dict per trak: track_id, handler, codec, n_samples,
+    media_timescale, duration_ms, total_bytes, max_sample_bytes,
+    n_chunks, n_sync (None = no stss box = every sample sync, per spec),
+    chunk_span (last chunk end - first chunk start; equals total_bytes
+    for a contiguously-laid track). Cross-checks stts vs stsz counts,
+    chunk coverage vs stsc, and offset monotonicity — a real muxer bug
+    class. Tracks without sample tables (metadata-only, empty stts)
+    report zeros. Raises ValueError on malformed boxes (loud-fallback
+    boundary, same contract as parse_mp4)."""
+    if not looks_like_mp4(payload):
+        raise ValueError("not an MP4/ISO-BMFF stream")
+    moov = None
+    for t, s, e in _walk(payload, 0, len(payload)):
+        if t == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("MP4 without moov")
+    tracks = []
+    for t, s, e in _walk(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        tk = _first(payload, s, e, b"tkhd")
+        md = _first(payload, s, e, b"mdia")
+        if tk is None or md is None:
+            raise ValueError("MP4 trak without tkhd/mdia")
+        ts, te = tk
+        if te - ts < 1:
+            raise ValueError("empty tkhd body")
+        tver = payload[ts]
+        if te - ts < (84 if tver == 0 else 96):
+            raise ValueError("truncated tkhd")
+        track_id = struct.unpack_from(
+            ">I", payload, ts + (12 if tver == 0 else 20)
+        )[0]
+        mh = _first(payload, md[0], md[1], b"mdhd")
+        hd = _first(payload, md[0], md[1], b"hdlr")
+        mi = _first(payload, md[0], md[1], b"minf")
+        if mh is None or hd is None or mi is None:
+            raise ValueError("MP4 mdia without mdhd/hdlr/minf")
+        if mh[1] - mh[0] < 20:
+            raise ValueError("truncated mdhd")
+        media_ts = struct.unpack_from(">I", payload, mh[0] + 12)[0]
+        if media_ts == 0:
+            raise ValueError("zero mdhd timescale")
+        handler = payload[hd[0] + 8 : hd[0] + 12].decode("latin-1")
+        sb = _first(payload, mi[0], mi[1], b"stbl")
+        if sb is None:
+            raise ValueError("MP4 minf without stbl")
+        codec = None
+        boxes: dict = {}
+        for bt, bs, be in _walk(payload, sb[0], sb[1]):
+            if bt == b"stsd":
+                if be - bs < 16:
+                    raise ValueError("truncated stsd")
+                if struct.unpack_from(">I", payload, bs + 4)[0] >= 1:
+                    entry = next(iter(_walk(payload, bs + 8, be)), None)
+                    if entry is None:
+                        raise ValueError("empty stsd entry")
+                    codec = entry[0].decode("latin-1")
+            elif bt in (b"stts", b"stsz", b"stsc", b"stco", b"co64", b"stss"):
+                boxes[bt] = (bs, be)
+
+        # stts: decoding deltas -> sample count + media duration
+        if b"stts" not in boxes:
+            raise ValueError("MP4 stbl without stts")
+        cnt, at = _fullbox_u32s(payload, *boxes[b"stts"], 8)
+        n_samples = media_dur = 0
+        for i in range(cnt):
+            c, d = struct.unpack_from(">II", payload, at + 8 * i)
+            n_samples += c
+            media_dur += c * d
+        row = {
+            "track_id": track_id,
+            "handler": handler,
+            "codec": codec,
+            "n_samples": n_samples,
+            "media_timescale": media_ts,
+            "duration_ms": media_dur * 1000 // media_ts,
+            "total_bytes": 0,
+            "max_sample_bytes": 0,
+            "n_chunks": 0,
+            "n_sync": None,
+            "chunk_span": 0,
+        }
+        if n_samples == 0:
+            tracks.append(row)
+            continue
+
+        # stsz: per-sample sizes (constant or v0 table)
+        if b"stsz" not in boxes:
+            raise ValueError("MP4 sampled track without stsz")
+        zs, ze = boxes[b"stsz"]
+        if ze - zs < 12:
+            raise ValueError("truncated stsz")
+        const_size, z_count = struct.unpack_from(">II", payload, zs + 4)
+        if z_count != n_samples:
+            raise ValueError("stsz/stts sample count mismatch")
+        if const_size:
+            sizes = [const_size] * n_samples
+        else:
+            if zs + 12 + 4 * n_samples > ze:
+                raise ValueError("stsz table past box end")
+            sizes = list(struct.unpack_from(f">{n_samples}I", payload, zs + 12))
+        row["total_bytes"] = sum(sizes)
+        row["max_sample_bytes"] = max(sizes)
+
+        # stsc + stco/co64: chunk layout
+        if b"stsc" not in boxes:
+            raise ValueError("MP4 sampled track without stsc")
+        c_cnt, c_at = _fullbox_u32s(payload, *boxes[b"stsc"], 12)
+        if c_cnt < 1:
+            raise ValueError("empty stsc")
+        first_chunk, per_chunk, _sdi = struct.unpack_from(
+            ">III", payload, c_at
+        )
+        if c_cnt != 1 or first_chunk != 1 or per_chunk < 1:
+            # multi-run stsc is legal ISO-BMFF; this engine's builder
+            # emits single-run tables — reject rather than misread
+            raise ValueError("unsupported stsc layout")
+        off_key = b"co64" if b"co64" in boxes else b"stco"
+        if off_key not in boxes:
+            raise ValueError("MP4 sampled track without stco/co64")
+        width = 8 if off_key == b"co64" else 4
+        o_cnt, o_at = _fullbox_u32s(payload, *boxes[off_key], width)
+        if o_cnt != (n_samples + per_chunk - 1) // per_chunk:
+            raise ValueError("stco chunk count inconsistent with stsc/stsz")
+        fmt = ">Q" if width == 8 else ">I"
+        offsets = [
+            struct.unpack_from(fmt, payload, o_at + width * i)[0]
+            for i in range(o_cnt)
+        ]
+        if any(b <= a for a, b in zip(offsets, offsets[1:])):
+            raise ValueError("stco offsets not strictly increasing")
+        last_chunk_bytes = sum(sizes[per_chunk * (o_cnt - 1):])
+        row["n_chunks"] = o_cnt
+        row["chunk_span"] = offsets[-1] + last_chunk_bytes - offsets[0]
+
+        if b"stss" in boxes:
+            s_cnt, _ = _fullbox_u32s(payload, *boxes[b"stss"], 4)
+            row["n_sync"] = s_cnt
+        tracks.append(row)
+    if not tracks:
+        raise ValueError("MP4 without tracks")
+    return tracks
+
+
 # ------------------------------------------------------------ Spark surface
 
 MP4_META_SCHEMA = T.StructType(
@@ -324,7 +583,10 @@ def mp4_metadata(media_df: DataFrame) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     meta = parse_mp4(bytes(p))
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, IndexError):
+                    # IndexError in the catch list (ADVICE r13): belt and
+                    # braces with the bounds checks above — one corrupt row
+                    # must never kill the Arrow batch
                     meta = None
                 out["media_id"].append(int(mid))
                 out["container"].append("mp4")
@@ -344,3 +606,63 @@ def mp4_metadata(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, MP4_META_SCHEMA)
+
+
+MP4_TRACKS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("track_id", T.IntegerType(), True),
+        T.StructField("handler", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("media_timescale", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("total_bytes", T.LongType(), True),
+        T.StructField("max_sample_bytes", T.LongType(), True),
+        T.StructField("n_chunks", T.IntegerType(), True),
+        T.StructField("n_sync", T.IntegerType(), True),
+        T.StructField("chunk_span", T.LongType(), True),
+    ]
+)
+
+_TRACK_COLS = [f.name for f in MP4_TRACKS_SCHEMA.fields[2:]]
+
+
+def mp4_track_samples(media_df: DataFrame) -> DataFrame:
+    """One output row PER TRACK with its sample-table stats
+    (``parse_mp4_tracks``) — the explode happens INSIDE the Arrow batch
+    (mapInPandas), so the per-media fan-out (2-3 tracks) never touches
+    the driver and the input partitioning carries through, the same
+    100-TB shape as the frame-sampling surfaces. A malformed payload
+    yields exactly one decoded=false row with null track fields (loud
+    fallback, never a batch failure)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {f.name: [] for f in MP4_TRACKS_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    tracks = parse_mp4_tracks(bytes(p))
+                except (ValueError, struct.error, IndexError):
+                    tracks = None
+                if tracks is None:
+                    out["media_id"].append(int(mid))
+                    out["decoded"].append(False)
+                    for k in _TRACK_COLS:
+                        out[k].append(None)
+                    continue
+                for tr in tracks:
+                    out["media_id"].append(int(mid))
+                    out["decoded"].append(True)
+                    for k in _TRACK_COLS:
+                        out[k].append(tr[k])
+            nullable_int = set(_TRACK_COLS) - {"handler", "codec"}
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64") if k in nullable_int else v
+                    for k, v in out.items()
+                }
+            )
+
+    return media_df.mapInPandas(batches, MP4_TRACKS_SCHEMA)

@@ -2084,11 +2084,17 @@ class KVStore:
         cfs = dict(self.manifest.state.column_families or {})
         if name in cfs:
             if exist_ok:
+                # compare against the family's EFFECTIVE style (recorded
+                # override or the store default), not the raw recorded
+                # value — re-stating the default on an idempotent open is
+                # not a policy change (ADVICE r13)
                 have = self._cf_meta(cfs[name])["compaction_style"]
-                if compaction_style is not None and compaction_style != have:
+                effective = have or self.compaction_style
+                if compaction_style is not None and compaction_style != effective:
                     raise ValueError(
                         f"column family {name!r} exists with compaction_style="
-                        f"{have!r}; refusing silent change to {compaction_style!r}"
+                        f"{effective!r}; refusing silent change to "
+                        f"{compaction_style!r}"
                     )
                 return self.cf(name)
             raise ValueError(f"column family {name!r} already exists")

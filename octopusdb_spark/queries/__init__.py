@@ -39,79 +39,50 @@ for _m in _MODULES:
     ORACLE_SQL.update(getattr(mod, "ORACLES", {}))
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order. Round-13 rotation (VERDICT r12 #1): the lifetime
-# ledger after r12 is 30 names last green r9 (AT the 3-round staleness
-# bound — tools/staleness_check.py fails unless they lead this window),
-# 48 r10, 48 r11, 50 r12. Head = the full 30-name r9 cohort, then 20
-# fill from the r10 cohort (oldest-first; the 28 r10 names left out of
-# this window — plus any displaced below — lead the r14 rotation, which
-# the staleness tool will enforce then). No sacrifices this round —
-# every at-bound name is in the window.
+# insertion order. Round-14 rotation (VERDICT r13 #1): the lifetime
+# ledger after r13 is 34 names last green r10 (AT the 3-round staleness
+# bound — tools/staleness_check.py exits 1 unless they lead this
+# window), 48 r11, 49 r12, 50 r13. Head = the full 34-name r10 cohort,
+# then 16 fill from the r11 cohort. Fill selection: the graph rows being
+# rewired onto the new aggregate_messages primitive this round
+# (pagerank/kcore/shortest_paths/adjacency/degrees) go first so their
+# re-earned green lands in-window; the rest oldest-policy from the r11
+# cohort with the most-expendable (still r11-safe-through-r14) LAST so
+# mid-round head-inserts displace those. The 32 r11 names left out —
+# plus any displaced below — lead the r15 rotation, which the staleness
+# tool will enforce then. No sacrifices: every at-bound name is in.
 # PROTOCOL: a query added to the registry after this list is frozen must
 # be inserted at the HEAD at that moment (displacing the last fill
-# entry), not next round. Displaced entries here are r10-green — safe
+# entry), not next round. Displaced entries here are r11-green — safe
 # through this round's bound, and the staleness tool projects them into
-# the r14 lead automatically.
+# the r15 lead automatically.
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
-    # fill entry per protocol. r13 insert log: multimodal_flac CHANGED —
-    # gaining LPC subframes (orders 1..32) and stereo decorrelation
-    # (left/right/mid-side) this round, so its r12 green must be
-    # re-earned; displaced q_scalar_functions, r10-green with slack
-    # until r14. multimodal_mp4_meta NEW — ISO-BMFF box-walk metadata
-    # source (versioned mvhd/tkhd layouts, 64-bit largesize, track mix,
-    # truncated-mdat fallback all hash-checked; no bitstream decode by
-    # documented boundary) — displaced q_set_ops, same r10 cohort.
-    # text_line_dedup NEW — CCNet-style line-level boilerplate dedup
-    # (12-word segmentation, in-doc first-occurrence + min-doc ownership
-    # rules, kept-digest oracle) — displaced q_rollup_acctbal, same r10
-    # cohort. sim_ann_drift NEW — persistent-index drift telemetry
-    # (per-list residual-norm mean vs build-time + size skew from the
-    # O(ledger) stats endpoint, fully arithmetic oracle) — displaced
-    # q_top_customers_per_nation, same r10 cohort. multimodal_mp3_meta
-    # NEW — MP3 frame-walk metadata (ID3v2 skip, per-frame header walk
-    # through the ISO 11172-3 tables, padding-aware sizing, truncation
-    # fallback; no entropy decode by documented boundary), the audio
-    # half of the crawl-media metadata triad — displaced
-    # q1_pricing_summary, same r10 cohort. sim_ann_filtered NEW —
-    # metadata-FILTERED ANN (per-query label predicate pre-applied to
-    # the IVF candidate frame, nprobe widened 2->4 for selectivity; the
-    # production RAG retrieval shape) — displaced q_cohort_retention,
-    # same r10 cohort; registry hits the 5-adds/round budget, no more
-    # adds this round. kv_column_families CHANGED late-round — the drill
-    # now opens its families with MIXED per-CF compaction policies and
-    # runs policy-routed maintenance before the verifying compact; it is
-    # ALREADY in this window (r10 fill), so the change re-earns green
-    # with no displacement.)
-    "sim_ann_filtered",
-    "multimodal_mp3_meta",
-    "sim_ann_drift",
-    "text_line_dedup",
-    "multimodal_mp4_meta",
-    "multimodal_flac",
-    # r9-stale cohort (the full 30 — all at the bound)
-    "q_window_family", "q_weighted_sample", "q_array_hof",
-    "q_token_budget_packing_bpe", "q_range_join_bucketed",
-    "q_skew_salted_join", "q_hash_sampled_stats", "q_stratified_sample",
-    "q_source_balanced_sample",
-    "graph_mutual_follows", "graph_two_hop", "graph_triangles",
-    "graph_components", "graph_khop",
-    "text_token_count", "text_langid", "text_quality", "text_fingerprint",
-    "text_source_profile", "text_tfidf_keywords", "text_dup_runs",
-    "dedup_containment", "dedup_exact_normalized", "dedup_cluster_keep",
-    "dedup_ngram_jaccard",
-    "sim_ann_pq",
-    "multimodal_bytes",
-    "quality_pattern_scan", "quality_filter_reasons",
-    "kv_stream_enrich",
-    # r10 fill (19 of 48, oldest-first policy; the other 29 — plus any
-    # displaced by this round's inserts — lead r14)
-    "kv_prefix_scan", "kv_range_seek", "kv_tombstoned_keys",
-    "kv_ttl_classes", "kv_changefeed_preimage", "kv_pinned_reads",
-    "kv_replication", "kv_merge_operator", "kv_column_families",
-    "kv_range_delete",
-    "q_event_time_windows", "q_funnel", "q_mode_event_type",
-    "q_moving_avg",
+    # fill entry per protocol. r14 insert log: — none yet —)
+    # r10-stale cohort (the full 34 — all at the bound; exactly the list
+    # tools/staleness_check.py printed at round open)
+    "dedup_semantic", "kv_stream_ingest", "pipeline_pretrain_corpus",
+    "q12_ship_lag_shape", "q14_promo_effect", "q17_small_quantity",
+    "q19_discounted_revenue", "q1_pricing_summary", "q22_global_sales",
+    "q2_min_cost_shape", "q4_order_priority", "q6_forecast_revenue",
+    "q7_volume_shipping", "q_approx_percentile", "q_asof_join",
+    "q_avg_order_gap", "q_cohort_retention", "q_cube_orders",
+    "q_grouping_sets", "q_rollup_acctbal", "q_running_totals",
+    "q_scalar_functions", "q_semi_join", "q_session_window",
+    "q_sessionize", "q_set_ops", "q_time_gapfill", "q_time_rollup",
+    "q_top_customers_per_nation", "q_train_val_split",
+    "sim_quantized_cosine", "stream_dedup_ingest",
+    "stream_semantic_filter", "text_chunk_overlap",
+    # r11 fill (16 of 48; the other 32 — plus any displaced by this
+    # round's inserts — lead r15). Graph rows first: they are being
+    # rewired onto queries/graph.py's aggregate_messages primitive this
+    # round and must re-earn green in-window.
+    "graph_pagerank", "graph_kcore", "graph_shortest_paths",
+    "graph_adjacency", "graph_degrees",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_capped",
+    "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "kv_binary_key_scan", "kv_compaction_filter", "kv_gc_discard_stats",
+    "kv_merge_sorted_runs", "kv_remote_reads", "kv_snapshot_holds",
 ]
 
 

@@ -181,65 +181,14 @@ N_IVF_CENTROIDS = 8  # fixed seed centroids: vec_id 8..15
 N_PROBE = 2
 
 
-def q_sim_ann_ivf(spark, sf_dir):
-    """IVF-style ANN: a coarse quantizer (8 fixed seed centroids — vec_id
-    8..15; deterministic, no k-means randomness) partitions the corpus into
-    inverted lists; each query probes its nprobe=2 nearest lists and scores
-    only those candidates exactly. At scale the inverted lists are the
-    partitioning key (`repartition(cent_id)`), so a probe touches 2/8 of the
-    corpus instead of all of it; centroid scoring is a broadcast cross join
-    against 8 rows. Complements `sim_ann_bucketed` (LSH) — both oracle-exact
-    because assignment and probing are deterministic."""
-    from pyspark.sql import Window
-
-    emb = _with_norm(t(spark, sf_dir, "embeddings"))
-    cent = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 8 + N_IVF_CENTROIDS)).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ct_emb"),
-        F.col("norm").alias("ct_norm"),
-    )
-    ranked = rank_centroids(emb, cent)
-    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
-    probes = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
-        .select(F.col("vec_id").alias("query_id"), "cent_id")
-    )
-    cands = (
-        probes.join(assigned, "cent_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("cand_id"))
-        .distinct()
-    )
-    # only query vectors reach the broadcast side — hinting the full
-    # corpus would be the forced-big-side-broadcast OOM class at scale
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    scored = (
-        cands.join(F.broadcast(q), "query_id")
-        .join(c, "cand_id")
-        .select(
-            "query_id",
-            "cand_id",
-            (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
-                "cos"
-            ),
-        )
-    )
-    w_q = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w_q))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cosine"))
-        .orderBy("query_id", "rank")
-    )
+# q_sim_ann_ivf (untrained seed-centroid IVF, nprobe=2) was RETIRED in
+# r14 (VERDICT r13 #2): its entire plan — seed quantizer over vec_id
+# 8..15, rank_centroids assignment, probe -> inverted-list join -> exact
+# re-score — is a strict subset of q_sim_ann_filtered below, which runs
+# the same flow with a label predicate and a widened probe budget. The
+# shared helpers (rank_centroids, _with_norm, the probe constants) stay
+# oracle-covered through sim_ann_filtered / sim_ann_ivf_kmeans /
+# sim_ann_persistent.
 
 
 KMEANS_ITERS = 2
@@ -1582,43 +1531,6 @@ ORACLES = {
     )
     SELECT rank, vec_a, vec_b, round(cos, 6) AS cosine
     FROM ranked WHERE rank <= 20 ORDER BY rank""",
-    "sim_ann_ivf": _EMB_NORM_SQL
-    + f"""
-    , cent AS (
-      SELECT vec_id AS cent_id, embedding AS ct_emb, norm AS ct_norm
-      FROM emb WHERE vec_id >= 8 AND vec_id < {8 + N_IVF_CENTROIDS}
-    ), assign_scored AS (
-      SELECT e.vec_id, c.cent_id,
-             {_DOT_SQL.format(a="e.embedding", b="c.ct_emb")} / (e.norm * c.ct_norm) AS cos
-      FROM emb e CROSS JOIN cent c
-    ), ranked AS (
-      SELECT vec_id, cent_id, cos,
-             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
-      FROM assign_scored
-    ), assigned AS (
-      SELECT vec_id, cent_id FROM ranked WHERE rn = 1
-    ), probes AS (
-      SELECT vec_id AS query_id, cent_id FROM ranked
-      WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}
-    ), cands AS (
-      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
-      FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
-      WHERE a.vec_id <> p.query_id
-    ), scored AS (
-      SELECT cd.query_id, cd.cand_id,
-             {_DOT_SQL.format(a="q.embedding", b="x.embedding")} / (q.norm * x.norm) AS cos
-      FROM cands cd
-      JOIN emb q ON q.vec_id = cd.query_id
-      JOIN emb x ON x.vec_id = cd.cand_id
-    ), final AS (
-      SELECT query_id, cand_id, cos,
-             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
-      FROM scored
-    )
-    SELECT query_id, cand_id, rank, round(cos, 6) AS cosine
-    FROM final WHERE rank <= {TOP_K} ORDER BY query_id, rank""",
-    # filtered-ANN mirror: same seed quantizer, probes widened to 4, the
-    # label predicate applied to the assignment frame before scoring
     "sim_ann_filtered": _EMB_NORM_SQL
     + f"""
     , cent AS (
@@ -1967,7 +1879,6 @@ QUERIES = {
     "sim_quantized_cosine": q_sim_quantized_cosine,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_ann_bucketed": q_sim_ann_bucketed,
-    "sim_ann_ivf": q_sim_ann_ivf,
     "sim_ann_filtered": q_sim_ann_filtered,
     "sim_ann_ivf_kmeans": q_sim_ann_ivf_kmeans,
     "sim_ann_pq": q_sim_ann_pq,

@@ -623,40 +623,13 @@ def _span_hashes(spark, sf_dir):
     return session_memo_put(_SPAN_HASH_MEMO, spark, key, ex)
 
 
-def q_text_dup_spans(spark, sf_dir):
-    """Cross-document exact-substring detection — the span-level dedup a
-    pretraining pipeline runs after document-level dedup: every 16-word
-    window (stride 1) is hashed, a span is DUPLICATED when it appears in
-    >= 2 distinct documents, and each document reports how much of its
-    span mass is shared text (boilerplate, licenses, syndicated
-    paragraphs). Intra-document repeats don't count (``text_repetition``
-    covers those); the criterion is distinct-doc frequency, exactly the
-    Lee-et-al. notion restricted to a fixed window.
+# q_text_dup_spans (fixed 16-word-window duplication ratios) was RETIRED
+# in r14 (VERDICT r13 #2): q_text_dup_runs below reads the SAME memoized
+# span frame and the SAME dup_span_hashes criterion and reports the
+# strictly richer maximal-run view; the per-doc fixed-window aggregate
+# lives on in span_doc_stats, which pipeline_pretrain_corpus/_v2 keep
+# under their oracles.
 
-    Plan: one explode to hashed windows (stride 1 — O(total words) rows,
-    embarrassingly parallel), checkpointed once per (session, sf_dir) —
-    the frame feeds both the duplicated-hash groupBy and the join side,
-    and without the checkpoint Spark would run the split/slice/md5
-    explode twice (the `_LM_PAIRS_MEMO` lesson). Then one groupBy(hash)
-    with a distinct-doc count, one shuffle join back (the duplicated-hash
-    side is data-dependent, so no forced broadcast — AQE handles it),
-    one doc-keyed agg. No all-pairs comparison anywhere: documents
-    sharing a span meet only through the hash key."""
-    docs = t(spark, sf_dir, "documents")
-    per = span_doc_stats(spark, sf_dir)
-    ratio = F.round(F.col("dup").cast("double") / F.col("n_spans"), 6)
-    return (
-        docs.select("doc_id")
-        .join(per, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce(F.col("dup"), F.lit(0)).cast("long").alias("dup_spans"),
-            F.coalesce(ratio, F.lit(0.0)).alias("dup_ratio"),
-            F.when(F.coalesce(ratio, F.lit(0.0)) > 0.2, 1).otherwise(0).alias("flagged"),
-        )
-        .orderBy("doc_id")
-    )
 
 
 def q_text_dup_runs(spark, sf_dir):
@@ -1202,35 +1175,6 @@ ORACLES = {
         SELECT d.lang AS actual, pred.predicted, count(*) AS n_docs
         FROM d JOIN pred USING (doc_id)
         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "text_dup_spans": """
-        WITH w AS (
-          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        ),
-        s AS (
-          SELECT doc_id,
-                 md5(array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + 15], ' ')) AS h
-          FROM w, unnest(range(1, len(ws) - 15 + 1)) AS t(i)
-          WHERE len(ws) >= 16
-        ),
-        dup AS (
-          SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2
-        ),
-        per AS (
-          SELECT s.doc_id, count(*) AS n_spans,
-                 sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS dup
-          FROM s LEFT JOIN dup ON s.h = dup.h
-          GROUP BY s.doc_id
-        )
-        SELECT d.doc_id,
-               CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
-               CAST(coalesce(p.dup, 0) AS BIGINT) AS dup_spans,
-               coalesce(round(CAST(p.dup AS DOUBLE) / p.n_spans, 6), 0.0)
-                 AS dup_ratio,
-               CASE WHEN coalesce(round(CAST(p.dup AS DOUBLE) / p.n_spans, 6),
-                                  0.0) > 0.2
-                    THEN 1 ELSE 0 END AS flagged
-        FROM documents d LEFT JOIN per p USING (doc_id)
-        ORDER BY d.doc_id""",
     "text_dup_runs": """
         WITH w AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1631,7 +1575,6 @@ QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_chunk_overlap": q_text_chunk_overlap,
     "text_lm_score": q_text_lm_score,
-    "text_dup_spans": q_text_dup_spans,
     "text_dup_runs": q_text_dup_runs,
     "text_dup_suffix": q_text_dup_suffix,
     "text_dedup_rewrite": q_text_dedup_rewrite,

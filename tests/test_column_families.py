@@ -655,3 +655,20 @@ def test_cf_policy_catalog_and_pre_r13_compat(spark, tmp_path):
     h2 = store3.create_cf("hot", compaction_style="leveled")
     assert h2.compaction_style == "leveled"
     store3.close()
+
+
+def test_cf_exist_ok_restates_effective_default(spark, tmp_path):
+    """ADVICE r13: exist_ok with an explicit style EQUAL to the family's
+    effective style (store default when no override was recorded) is an
+    idempotent open, not a policy change — must not raise."""
+    store = KVStore(spark, str(tmp_path / "cfeff"), compaction_style="leveled")
+    store.create_cf("x")
+    assert store.create_cf("x", exist_ok=True, compaction_style="leveled").name == "x"
+    with pytest.raises(ValueError, match="refusing silent change"):
+        store.create_cf("x", exist_ok=True, compaction_style="tiered")
+    # a recorded override compares against itself, store default irrelevant
+    store.create_cf("y", compaction_style="tiered")
+    store.create_cf("y", exist_ok=True, compaction_style="tiered")
+    with pytest.raises(ValueError, match="refusing silent change"):
+        store.create_cf("y", exist_ok=True, compaction_style="leveled")
+    store.close()

@@ -1256,3 +1256,36 @@ def test_media_parser_exception_contract_fuzz():
                 parse(bytes(s))
             except (ValueError, struct.error):
                 pass
+
+
+def test_media_parser_advice_r13_edge_cases():
+    """ADVICE r13 regressions (no Spark): (1) a header-only size-8
+    mvhd/tkhd whose empty body lands at end-of-payload must raise
+    ValueError, not IndexError; (2) a 128-byte ID3v1 'TAG' trailer after
+    the last MP3 frame is metadata, not sync loss."""
+    import struct
+
+    from octopusdb_spark.functions.mp3 import build_mp3, parse_mp3
+    from octopusdb_spark.functions.mp4 import parse_mp4
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0))
+    # moov whose only child is a header-only mvhd (empty body at EOF)
+    with pytest.raises(ValueError):
+        parse_mp4(ftyp + box(b"moov", box(b"mvhd", b"")))
+    # valid mvhd, then a trak with a header-only tkhd at EOF
+    mvhd = box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, 1000, 5000))
+    trak = box(b"trak", box(b"mdia", b"") + box(b"tkhd", b""))
+    with pytest.raises(ValueError):
+        parse_mp4(ftyp + box(b"moov", mvhd + trak))
+
+    base = build_mp3(9, 128, 44100)
+    tagged = base + b"TAG" + bytes(125)
+    m = parse_mp3(tagged)
+    assert m["n_frames"] == 9
+    # a short 'TAG' blob that is NOT a 128-byte ID3v1 block is still a
+    # sync loss
+    with pytest.raises(ValueError):
+        parse_mp3(base + b"TAGx")

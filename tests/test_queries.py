@@ -100,17 +100,16 @@ def test_ann_recall_floors(spark):
     exact = {(r["query_id"], r["cand_id"]) for r in REGISTRY["sim_topk_cosine"](spark, sf).collect()}
     recall = {}
     for name in (
-        "sim_ann_bucketed", "sim_ann_ivf", "sim_ann_ivf_kmeans",
+        "sim_ann_bucketed", "sim_ann_ivf_kmeans",
         "sim_ann_pq", "sim_ann_ivfpq",
     ):
         approx = {(r["query_id"], r["cand_id"]) for r in REGISTRY[name](spark, sf).collect()}
         recall[name] = len(exact & approx) / len(exact)
     assert recall["sim_ann_bucketed"] >= 0.4, recall
-    assert recall["sim_ann_ivf"] >= 0.15, recall
+    # (sim_ann_ivf — the untrained nprobe=2 teaching baseline, recall
+    # ~0.24 at this scale — was retired into sim_ann_filtered in r14;
+    # the 0.8 floor already pins that training beats it decisively)
     assert recall["sim_ann_ivf_kmeans"] >= 0.8, recall
-    # training + the production probe budget must beat the untrained
-    # nprobe=2 baseline decisively
-    assert recall["sim_ann_ivf_kmeans"] >= recall["sim_ann_ivf"], recall
     assert recall["sim_ann_pq"] >= 0.5, recall  # above the seed-codebook ~0.44
     # IVF-PQ is recall-bounded by its coarse quantizer's probes (~0.92 at
     # nprobe=6). RESIDUAL encoding with the 32-entry codebooks +

@@ -45,7 +45,7 @@ def _salvage_tail(tail: str) -> dict:
                    "shuffle_median", "metric", "unit"}
     queries = {
         name: float(sec)
-        for name, sec in re.findall(r'"([A-Za-z0-9_]+)": ([0-9]+(?:\.[0-9]+)?)', region)
+        for name, sec in re.findall(r'"([A-Za-z0-9_]+)": ?([0-9]+(?:\.[0-9]+)?)', region)
         if name not in not_queries
     }
     out: dict = {"queries": queries, "salvaged_from_tail": True}

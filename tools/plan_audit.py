@@ -54,8 +54,7 @@ ALLOWED_CARTESIAN = {
     "sim_topk_cosine": "exact brute-force baseline (Q small, corpus pruned)",
     "dedup_embedding_cosine": "exact re-score of <=O(B^2*20) candidate rows",
     "q_asof_join": "small build side; per-key ranges joined then filtered",
-    "sim_ann_ivf": "broadcast NLJ against the fixed K-centroid table (K tiny)",
-    "sim_ann_filtered": "broadcast NLJ against the fixed K-centroid table (K tiny), same as sim_ann_ivf; the label predicate is an equi-filter on the assignment frame",
+    "sim_ann_filtered": "broadcast NLJ against the fixed K-centroid table (K tiny); the label predicate is an equi-filter on the assignment frame",
     "q_weighted_sample": "scalar total-weight subquery (1-row broadcast)",
     "q11_volume_share_shape": "TPC-H Q11 global-total scalar subquery (1-row broadcast)",
     "kv_changefeed": "snapshot-cutoff scalar subquery (1-row broadcast)",
