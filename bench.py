@@ -108,6 +108,8 @@ HEADLINE = [
     "text_line_dedup",
     "sim_ann_drift",
     "sim_ann_filtered",
+    # added round 14 (per-track ISO-BMFF sample tables)
+    "multimodal_mp4_samples",
 ]
 
 

@@ -58,7 +58,13 @@ for _m in _MODULES:
 # the r15 lead automatically.
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
-    # fill entry per protocol. r14 insert log: — none yet —)
+    # fill entry per protocol. r14 insert log: multimodal_mp4_samples
+    # NEW — per-track ISO-BMFF sample tables (stts two-run deltas, stsz
+    # table+constant modes, stsc chunk runs, stco AND co64 absolute
+    # offsets from the two-pass builder, stss sync cadence, per-track
+    # explode inside the Arrow batch, truncation fallback lane) —
+    # displaced kv_snapshot_holds, r11-green with slack until r15.)
+    "multimodal_mp4_samples",
     # r10-stale cohort (the full 34 — all at the bound; exactly the list
     # tools/staleness_check.py printed at round open)
     "dedup_semantic", "kv_stream_ingest", "pipeline_pretrain_corpus",
@@ -82,7 +88,7 @@ _PRIORITY = [
     "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_capped",
     "dedup_minhash_lsh", "dedup_simhash_pairs",
     "kv_binary_key_scan", "kv_compaction_filter", "kv_gc_discard_stats",
-    "kv_merge_sorted_runs", "kv_remote_reads", "kv_snapshot_holds",
+    "kv_merge_sorted_runs", "kv_remote_reads",
 ]
 
 

@@ -306,6 +306,68 @@ def q_multimodal_mp4_meta(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_multimodal_mp4_samples(spark, sf_dir):
+    """MP4 SAMPLE TABLES under the gate (VERDICT r13 #3) — the per-sample
+    timeline half of ISO-BMFF that `multimodal_mp4_meta` stopped short
+    of: stts decoding deltas (two-run tables when the track is long
+    enough), stsz v0 per-sample size tables (video) and constant-size
+    mode (audio), stsc chunk runs, stco (video) AND co64 (audio)
+    absolute chunk offsets laid contiguously in mdat by the two-pass
+    builder, stss sync-sample cadence (video only — absent stss on
+    audio means all-sync, reported NULL). Still pure metadata, no
+    entropy decode — this is exactly the walk a crawl pipeline slices
+    video with (seek by delta arithmetic, read by chunk offsets).
+
+    One output row PER TRACK, exploded inside the Arrow batch
+    (`functions/mp4.py::mp4_track_samples`). Every field is a pure
+    function of (doc_id, n, first text bytes); doc_id%9==4 rows are
+    truncated so the loud-fallback single-row lane (decoded=false, null
+    track fields) is hash-checked too. The parser cross-checks stts vs
+    stsz counts, stsc/stco chunk coverage, and offset monotonicity —
+    the real muxer-bug classes — so a hash match certifies the whole
+    chain, not just the happy path."""
+    from octopusdb_spark.functions.mp4 import build_mp4, mp4_track_samples
+
+    def payload_fn(did, b):
+        n = len(b)
+        n_v = n % 7 + 2
+        vs = {
+            "stts_runs": (
+                [(n_v // 2, 100), (n_v - n_v // 2, 50)] if n_v >= 4
+                else [(n_v, 100)]
+            ),
+            "sizes": [100 + ((i * 7 + b[0]) % 50) for i in range(n_v)],
+            "samples_per_chunk": 3,
+            "stss_every": 4,
+        }
+        aus = None
+        if did % 2 == 0:
+            n_a = n % 5 + 4
+            aus = {
+                "stts_runs": [(n_a, 1024)],
+                "sizes": 192 + b[1] % 64,
+                "samples_per_chunk": 4,
+                "co64": True,
+            }
+        payload = build_mp4(
+            b"isom", 1000, 0,
+            video=((b"avc1", b"hev1", b"vp09")[b[2] % 3],
+                   (b[0] % 64 + 1) * 16, (b[1] % 64 + 1) * 16),
+            audio=(b"mp4a", 48000) if aus is not None else None,
+            video_samples=vs, audio_samples=aus,
+        )
+        if did % 9 == 4:
+            payload = payload[:-20]  # mdat largesize now overruns: loud lane
+        return payload, "video"
+
+    rows = mp4_track_samples(_doc_media(spark, sf_dir, payload_fn))
+    return rows.select(
+        "media_id", "decoded", "track_id", "handler", "codec", "n_samples",
+        "media_timescale", "duration_ms", "total_bytes", "max_sample_bytes",
+        "n_chunks", "n_sync", "chunk_span",
+    ).orderBy("media_id", F.col("track_id").asc_nulls_first())
+
+
 def q_multimodal_mp3_meta(spark, sf_dir):
     """MP3 frame-walk metadata under the gate — the audio counterpart of
     `multimodal_mp4_meta`, completing the crawl-media metadata triad
@@ -1000,6 +1062,77 @@ ORACLES = {
            CASE WHEN doc_id % 9 = 4 OR doc_id % 3 = 1 THEN NULL
                 WHEN b2 % 2 = 0 THEN 'mp4a' ELSE 'opus' END AS audio_codec
     FROM src ORDER BY media_id""",
+    # arithmetic replication of the MP4 sample-table walk: per-track
+    # stts/stsz/stsc/stco aggregates are pure functions of
+    # (doc_id, n, first text bytes); the video size table is re-summed
+    # via an unnest(range()) lateral, the audio track is constant-size
+    # arithmetic, the truncation lane is one decoded=false row
+    "multimodal_mp4_samples": """
+    WITH src AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1,
+             ascii(substr(text, 3, 1)) AS b2
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    v AS (
+      SELECT doc_id, n, b0, b1, b2, n % 7 + 2 AS nv FROM src
+      WHERE doc_id % 9 != 4
+    ),
+    vsizes AS (
+      SELECT v.doc_id,
+             sum(100 + (CAST(t.i AS BIGINT) * 7 + v.b0) % 50) AS total_bytes,
+             max(100 + (CAST(t.i AS BIGINT) * 7 + v.b0) % 50) AS max_bytes
+      FROM v, unnest(range(v.nv)) AS t(i)
+      GROUP BY v.doc_id
+    ),
+    video AS (
+      SELECT v.doc_id AS media_id, TRUE AS decoded, 1 AS track_id,
+             'vide' AS handler,
+             CASE v.b2 % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                  ELSE 'vp09' END AS codec,
+             CAST(v.nv AS BIGINT) AS n_samples,
+             1000 AS media_timescale,
+             CAST(CASE WHEN v.nv >= 4
+                  THEN (v.nv // 2) * 100 + (v.nv - v.nv // 2) * 50
+                  ELSE v.nv * 100 END AS BIGINT) AS duration_ms,
+             CAST(s.total_bytes AS BIGINT) AS total_bytes,
+             CAST(s.max_bytes AS BIGINT) AS max_sample_bytes,
+             CAST((v.nv + 2) // 3 AS INT) AS n_chunks,
+             CAST((v.nv + 3) // 4 AS INT) AS n_sync,
+             CAST(s.total_bytes AS BIGINT) AS chunk_span
+      FROM v JOIN vsizes s USING (doc_id)
+    ),
+    audio AS (
+      SELECT doc_id AS media_id, TRUE AS decoded, 2 AS track_id,
+             'soun' AS handler, 'mp4a' AS codec,
+             CAST(n % 5 + 4 AS BIGINT) AS n_samples,
+             48000 AS media_timescale,
+             CAST((n % 5 + 4) * 1024 * 1000 // 48000 AS BIGINT) AS duration_ms,
+             CAST((n % 5 + 4) * (192 + b1 % 64) AS BIGINT) AS total_bytes,
+             CAST(192 + b1 % 64 AS BIGINT) AS max_sample_bytes,
+             CAST((n % 5 + 4 + 3) // 4 AS INT) AS n_chunks,
+             CAST(NULL AS INT) AS n_sync,
+             CAST((n % 5 + 4) * (192 + b1 % 64) AS BIGINT) AS chunk_span
+      FROM v WHERE doc_id % 2 = 0
+    ),
+    fallback AS (
+      SELECT doc_id AS media_id, FALSE AS decoded, CAST(NULL AS INT)
+               AS track_id,
+             CAST(NULL AS VARCHAR) AS handler, CAST(NULL AS VARCHAR) AS codec,
+             CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS INT)
+               AS media_timescale,
+             CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS BIGINT)
+               AS total_bytes,
+             CAST(NULL AS BIGINT) AS max_sample_bytes,
+             CAST(NULL AS INT) AS n_chunks, CAST(NULL AS INT) AS n_sync,
+             CAST(NULL AS BIGINT) AS chunk_span
+      FROM src WHERE doc_id % 9 = 4
+    )
+    SELECT * FROM video UNION ALL SELECT * FROM audio
+    UNION ALL SELECT * FROM fallback
+    ORDER BY media_id, track_id ASC NULLS FIRST""",
     # arithmetic replication of the MP3 frame walk: every field is a pure
     # function of (doc_id, n, first text bytes) through the public
     # ISO 11172-3 tables; the truncation lane nulls out like MP4's
@@ -1066,5 +1199,6 @@ QUERIES = {
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_flac": q_multimodal_flac,
     "multimodal_mp4_meta": q_multimodal_mp4_meta,
+    "multimodal_mp4_samples": q_multimodal_mp4_samples,
     "multimodal_mp3_meta": q_multimodal_mp3_meta,
 }

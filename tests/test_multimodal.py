@@ -1212,7 +1212,11 @@ def test_media_parser_exception_contract_fuzz():
 
     from octopusdb_spark.functions.flac import decode_flac, encode_flac
     from octopusdb_spark.functions.mp3 import build_mp3, parse_mp3
-    from octopusdb_spark.functions.mp4 import build_mp4, parse_mp4
+    from octopusdb_spark.functions.mp4 import (
+        build_mp4,
+        parse_mp4,
+        parse_mp4_tracks,
+    )
 
     rng = random.Random(1234)
     inter = [
@@ -1235,6 +1239,18 @@ def test_media_parser_exception_contract_fuzz():
             build_mp3(40, 192, 48000, channel_mode=0,
                       id3_payload=b"x" * 20, pad_every=4),
             parse_mp3,
+        ),
+        (
+            build_mp4(
+                b"isom", 1000, 0, video=(b"avc1", 320, 240),
+                audio=(b"mp4a", 48000),
+                video_samples={"stts_runs": [(4, 100), (3, 50)],
+                               "sizes": [90, 91, 92, 93, 94, 95, 96],
+                               "samples_per_chunk": 3, "stss_every": 2},
+                audio_samples={"stts_runs": [(6, 1024)], "sizes": 128,
+                               "samples_per_chunk": 4, "co64": True},
+            ),
+            parse_mp4_tracks,
         ),
     ]
     for base, parse in targets:
@@ -1289,3 +1305,75 @@ def test_media_parser_advice_r13_edge_cases():
     # sync loss
     with pytest.raises(ValueError):
         parse_mp3(base + b"TAGx")
+
+
+def test_mp4_sample_tables(spark):
+    """r14: per-track sample-table walk — two-run stts, stsz table vs
+    constant modes, stsc chunk runs, stco/co64 ABSOLUTE offsets from the
+    two-pass builder, stss sync cadence; consistency violations (count
+    mismatch, non-monotonic offsets, bad chunk count) raise ValueError."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.mp4 import (
+        MP4_TRACKS_SCHEMA,
+        build_mp4,
+        mp4_track_samples,
+        parse_mp4_tracks,
+    )
+
+    vs = {"stts_runs": [(3, 100), (4, 50)],
+          "sizes": [100, 110, 120, 130, 140, 150, 160],
+          "samples_per_chunk": 3, "stss_every": 4}
+    aus = {"stts_runs": [(10, 1024)], "sizes": 200,
+           "samples_per_chunk": 4, "co64": True}
+    p = build_mp4(b"isom", 1000, 500, video=(b"avc1", 640, 360),
+                  audio=(b"mp4a", 48000), video_samples=vs,
+                  audio_samples=aus)
+    trs = parse_mp4_tracks(p)
+    v, a = trs
+    assert v["n_samples"] == 7 and v["duration_ms"] == 500
+    assert v["total_bytes"] == 910 and v["max_sample_bytes"] == 160
+    assert v["n_chunks"] == 3 and v["n_sync"] == 2
+    assert a["n_samples"] == 10 and a["duration_ms"] == 213
+    assert a["total_bytes"] == 2000 and a["n_chunks"] == 3
+    assert a["n_sync"] is None and a["codec"] == "mp4a"
+
+    # the stco offsets are REAL: the video track's first chunk offset is
+    # the mdat body start, and chunks tile the body contiguously
+    base = len(p) - (910 + 2000)
+    s = p.find(b"stco") + 4
+    first = _struct.unpack_from(">I", p, s + 8)[0]
+    assert first == base
+    # audio co64 starts right after the video samples
+    s = p.find(b"co64") + 4
+    assert _struct.unpack_from(">Q", p, s + 8)[0] == base + 910
+
+    # metadata-only track (empty stts) still reports zeros
+    p2 = build_mp4(b"mp42", 90000, 9000, video=(b"hev1", 320, 240),
+                   version=1, mdat=b"\x00" * 16)
+    assert parse_mp4_tracks(p2)[0]["n_samples"] == 0
+
+    # consistency violations raise (the muxer-bug classes)
+    broken = bytearray(p)
+    z = p.find(b"stsz") + 4
+    broken[z + 8 : z + 12] = _struct.pack(">I", 6)  # count mismatch
+    with pytest.raises(ValueError):
+        parse_mp4_tracks(bytes(broken))
+    broken = bytearray(p)
+    s = p.find(b"stco") + 4
+    broken[s + 12 : s + 16] = _struct.pack(">I", 1)  # offsets not increasing
+    with pytest.raises(ValueError):
+        parse_mp4_tracks(bytes(broken))
+
+    # Spark surface: per-track explode inside the batch + loud fallback
+    rows = [(1, "video", p, None, None, None),
+            (2, "video", p[:-20], None, None, None)]
+    out = mp4_track_samples(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media[1]) == 2 and all(r["decoded"] for r in by_media[1])
+    assert len(by_media[2]) == 1 and not by_media[2][0]["decoded"]
+    assert [f.name for f in MP4_TRACKS_SCHEMA.fields][0] == "media_id"
