@@ -108,8 +108,10 @@ HEADLINE = [
     "text_line_dedup",
     "sim_ann_drift",
     "sim_ann_filtered",
-    # added round 14 (per-track ISO-BMFF sample tables)
+    # added round 14 (per-track ISO-BMFF sample tables; animated-GIF
+    # composed multi-frame decode)
     "multimodal_mp4_samples",
+    "multimodal_gif_frames",
 ]
 
 

@@ -81,6 +81,9 @@ class ColumnFamily:
                 for e in entries
             ],
             _allow_reserved=True,  # keys are deliberately \x02-encoded here
+            # the FAMILY's separation threshold governs its writes
+            # (RocksDB per-CF blob options, r14)
+            value_threshold=self.value_threshold,
         )
 
     def ingest_df(self, df: DataFrame, key_col: str = "key", **kwargs) -> int:
@@ -95,6 +98,7 @@ class ColumnFamily:
             else F.lit(self._prefix)
         )
         out = df.withColumn(key_col, F.concat(lit, F.col(key_col)))
+        kwargs.setdefault("value_threshold", self.value_threshold)
         return self.store.ingest_df(
             out, key_col=key_col, _allow_reserved=True, **kwargs
         )
@@ -165,6 +169,21 @@ class ColumnFamily:
         default)."""
         self._check()
         return self.store.cf_compaction_style(self.name)
+
+    @property
+    def value_threshold(self) -> int:
+        """The family's effective value-separation threshold (r14,
+        RocksDB per-CF blob options)."""
+        self._check()
+        return self.store.cf_value_threshold(self.name)
+
+    @property
+    def merge_op(self) -> str | None:
+        """The family's effective merge operator — this family's reads
+        fold with IT (None = operands hidden), independent of the store
+        default and of sibling families."""
+        self._check()
+        return self.store.cf_merge_op(self.name)
 
     def approximate_size(self) -> dict:
         """Manifest-metadata size estimate for this family's key range —

@@ -515,15 +515,25 @@ class KVStore:
                     "instead (default-namespace keys must not lead with \\x02)"
                 )
 
-    def set_batch(self, entries: list, _allow_reserved: bool = False) -> None:
+    def set_batch(
+        self,
+        entries: list,
+        _allow_reserved: bool = False,
+        value_threshold: int | None = None,
+    ) -> None:
         """One micro-batch: values-table append first, then data append, then
         a single manifest commit covering both (vlog-then-LSM ordering of
         kv/db.go:288-324 with manifest atomicity).
 
         ``_allow_reserved`` (internal): ColumnFamily handles pass True —
-        their keys are deliberately \\x02-prefix-encoded."""
+        their keys are deliberately \\x02-prefix-encoded.
+
+        ``value_threshold``: per-call separation override (None = the
+        store default) — ColumnFamily handles pass their family's
+        effective threshold (RocksDB per-CF blob options, r14)."""
         if not entries:
             return
+        thr = self.value_threshold if value_threshold is None else int(value_threshold)
         if not _allow_reserved:
             self._check_reserved_keys(e.key for e in entries)
         state = self.manifest.state
@@ -534,7 +544,7 @@ class KVStore:
         # touching the values table (A17 discard stats).
         vseg_id, vpath = (None, None)
         if any(
-            e.value is not None and len(e.value) >= self.value_threshold for e in entries
+            e.value is not None and len(e.value) >= thr for e in entries
         ):
             vseg_id, vpath = self.manifest.new_segment_path("values")
         data_rows, value_rows = [], []
@@ -550,17 +560,17 @@ class KVStore:
                 # need no pointer resolution for them
                 if e.value is None:
                     raise ValueError("merge operand requires a non-null value")
-                if len(e.value) >= self.value_threshold:
+                if len(e.value) >= thr:
                     raise ValueError(
                         "merge operand exceeds value_threshold "
-                        f"({len(e.value)} >= {self.value_threshold}); operands "
+                        f"({len(e.value)} >= {thr}); operands "
                         "must stay inline — write a full value instead"
                     )
                 meta |= BIT_MERGE
                 any_merge = True
             elif e.value is None:
                 meta |= BIT_DELETE
-            elif len(e.value) >= self.value_threshold:
+            elif len(e.value) >= thr:
                 meta |= BIT_VALUE_POINTER
                 value_ptr = f"{vseg_id}:{seq}:{len(e.value)}"
                 value_rows.append((value_ptr, e.value))
@@ -630,6 +640,7 @@ class KVStore:
         merge_col: str | None = None,
         _allow_reserved: bool = False,
         expected_max_epoch: int | None = None,
+        value_threshold: int | None = None,
     ) -> int:
         """Distributed bulk load — the 100 TB write path. ``set_batch``
         funnels rows through the driver (fine for the reference's 3×1000
@@ -681,6 +692,7 @@ class KVStore:
         commit itself verifies the durable ``writer_epoch`` has not
         advanced past it (atomic fencing; see Manifest.commit).
         """
+        thr = self.value_threshold if value_threshold is None else int(value_threshold)
         state = self.manifest.state
         if commit_tag is not None:
             stream_id, batch_id = commit_tag
@@ -709,7 +721,7 @@ class KVStore:
         is_big = (
             ~is_merge
             & F.col("value").isNotNull()
-            & (F.length("value") >= F.lit(self.value_threshold))
+            & (F.length("value") >= F.lit(thr))
         )
         meta = (
             F.when(F.col("value").isNull(), F.lit(BIT_DELETE))
@@ -722,7 +734,7 @@ class KVStore:
             # for them) — a violating row fails the whole job
             bad = is_merge & (
                 F.col("value").isNull()
-                | (F.length("value") >= F.lit(self.value_threshold))
+                | (F.length("value") >= F.lit(thr))
             )
             meta = (
                 F.when(
@@ -730,7 +742,7 @@ class KVStore:
                     F.raise_error(
                         F.lit(
                             "merge operand must be non-null and inline "
-                            f"(< value_threshold {self.value_threshold})"
+                            f"(< value_threshold {thr})"
                         )
                     ).cast("int"),
                 )
@@ -1135,11 +1147,15 @@ class KVStore:
         vsegs = src_state.value_segments()
         if bool(src_state.has_merge_operands):
             is_m = F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0
-            if self.merge_op is not None:
-                # operator configured: every read folds (RocksDB Get with
-                # a merge_operator) — get/mget/scan/pin all ride this
+            op = self._resolve_merge_op(cf, src_state)
+            if op is not None:
+                # operator configured (the FAMILY's effective operator for
+                # cf-scoped reads — RocksDB merge operators are per-CF):
+                # every read folds (RocksDB Get with a merge_operator) —
+                # get/mget/scan/pin all ride this
                 return self._merged_fold(
-                    base.filter(~is_m), base.filter(is_m), rt_list, vsegs, now, as_of
+                    base.filter(~is_m), base.filter(is_m), rt_list, vsegs,
+                    now, as_of, op,
                 )
             # no operator configured: operands are INVISIBLE — reads
             # resolve to the newest FULL value. (RocksDB returns an error
@@ -1165,12 +1181,45 @@ class KVStore:
             .select("key", "value", "expires_at", "version", "seq")
         )
 
+    def _resolve_merge_op(self, cf: str | None, src_state) -> str | None:
+        """The merge operator EFFECTIVE for this read scope (RocksDB binds
+        operators per CF): default namespace -> the store op; a family ->
+        its recorded op or the store default (read from ``src_state``'s
+        catalog so time travel folds with the operators of THAT manifest);
+        ``CF_ALL`` (internal cross-namespace readers: changefeed tombstone
+        expansion, fold_merges) -> the store op, but RAISES when any
+        family's effective op differs — one fold plan cannot be right for
+        two operators, and a loud error beats a silently mis-folded
+        pre-image. Heterogeneous-op stores read/fold per family."""
+        families = src_state.column_families or {}
+        if cf is None or not families:
+            return self.merge_op
+        if cf == CF_ALL:
+            mixed = {
+                n: (self._cf_meta(v)["merge_op"] or self.merge_op)
+                for n, v in families.items()
+            }
+            bad = {n: o for n, o in mixed.items() if o != self.merge_op}
+            if bad:
+                raise ValueError(
+                    "cross-namespace read would fold merge operands with "
+                    f"heterogeneous operators (store={self.merge_op!r}, "
+                    f"families={bad}); scope the read per family "
+                    "(view(cf=...)) or align the operators"
+                )
+            return self.merge_op
+        if str(cf) not in families:
+            raise ValueError(f"unknown column family {cf!r}")
+        return self._cf_meta(families[str(cf)])["merge_op"] or self.merge_op
+
     def _merged_fold(
-        self, nm: DataFrame, m_rows: DataFrame, rt_list, vsegs, now: int, as_of
+        self, nm: DataFrame, m_rows: DataFrame, rt_list, vsegs, now: int,
+        as_of, op: str,
     ) -> DataFrame:
         """The merge-operator read fold (RocksDB FullMergeV2 at read time):
         per key, the newest FULL row is the base; operands strictly above
-        it fold onto it per ``self.merge_op``. A dead base (tombstone,
+        it fold onto it per ``op`` (the read scope's effective operator —
+        per-CF since r14). A dead base (tombstone,
         expired, range-deleted, GC-dangling) contributes the operator's
         identity — but still SHADOWS operands at or below its (version,
         seq). Output schema matches ``view()``.
@@ -1208,7 +1257,7 @@ class KVStore:
         ops = ops.join(base.select("key", "_bv", "_bs"), "key", "left").filter(
             F.col("_bv").isNull() | above_base
         )
-        if self.merge_op == "add":
+        if op == "add":
             folded = ops.groupBy("key").agg(
                 F.sum(F.col("value").cast("string").cast("long")).alias("_osum"),
                 F.max(F.struct("version", "seq")).alias("_omax"),
@@ -1241,7 +1290,7 @@ class KVStore:
             ).cast("binary")
         has_ops = (
             F.col("_osum").isNotNull()
-            if self.merge_op == "add"
+            if op == "add"
             else F.col("_ojoin").isNotNull()
         )
         return (
@@ -2033,13 +2082,52 @@ class KVStore:
         """Normalize a column-family catalog value: pre-r13 manifests
         stored the creation seq as a bare int; r13+ store a dict carrying
         the per-family compaction policy (RocksDB sets compaction options
-        per CF — VERDICT r12 #6)."""
+        per CF — VERDICT r12 #6); r14 adds the per-family value-separation
+        threshold and merge operator (the rest of the RocksDB per-CF
+        options contract — VERDICT r13 #5). Absent keys normalize to None
+        = inherit the store default, so every older manifest reads back
+        unchanged."""
         if isinstance(entry, dict):
             return {
                 "seq": int(entry.get("seq", 0)),
                 "compaction_style": entry.get("compaction_style"),
+                "value_threshold": entry.get("value_threshold"),
+                "merge_op": entry.get("merge_op"),
             }
-        return {"seq": int(entry), "compaction_style": None}
+        return {
+            "seq": int(entry),
+            "compaction_style": None,
+            "value_threshold": None,
+            "merge_op": None,
+        }
+
+    def _cf_effective(self, name: str) -> dict:
+        """The family's EFFECTIVE options (recorded override or the store
+        default for each): compaction_style, value_threshold, merge_op."""
+        cfs = self.manifest.state.column_families or {}
+        if str(name) not in cfs:
+            raise ValueError(f"unknown column family {name!r}")
+        meta = self._cf_meta(cfs[str(name)])
+        return {
+            "compaction_style": meta["compaction_style"] or self.compaction_style,
+            "value_threshold": (
+                self.value_threshold
+                if meta["value_threshold"] is None
+                else int(meta["value_threshold"])
+            ),
+            "merge_op": (
+                self.merge_op if meta["merge_op"] is None else meta["merge_op"]
+            ),
+        }
+
+    def cf_value_threshold(self, name: str) -> int:
+        """The family's effective value-separation threshold."""
+        return self._cf_effective(name)["value_threshold"]
+
+    def cf_merge_op(self, name: str) -> str | None:
+        """The family's effective merge operator (None = reads hide
+        operands, same contract as a store opened without merge_op)."""
+        return self._cf_effective(name)["merge_op"]
 
     def cf_compaction_style(self, name: str) -> str:
         """The family's effective compaction policy: its recorded style,
@@ -2051,7 +2139,12 @@ class KVStore:
         return style or self.compaction_style
 
     def create_cf(
-        self, name: str, exist_ok: bool = False, compaction_style: str | None = None
+        self,
+        name: str,
+        exist_ok: bool = False,
+        compaction_style: str | None = None,
+        value_threshold: int | None = None,
+        merge_op: str | None = None,
     ):
         """Create a column family (RocksDB ``CreateColumnFamily``; the
         reference is single-keyspace, so this is a beyond-reference
@@ -2069,7 +2162,16 @@ class KVStore:
         governs how the family's RANGE is maintained (see compact_cf),
         not a private segment set. Re-opening with ``exist_ok`` and a
         DIFFERENT explicit style raises — a policy change is a catalog
-        edit, not a side effect of a racy open."""
+        edit, not a side effect of a racy open.
+
+        ``value_threshold`` / ``merge_op`` (r14, the rest of the RocksDB
+        per-CF options contract): per-family value-separation threshold
+        (the family's writes route payloads >= it to the values table,
+        independent of the store default) and per-family merge operator
+        (the family's reads fold with IT — see ``view(cf=)``; a family
+        may fold while the default namespace hides operands, or fold with
+        a different operator). None inherits the store default, exactly
+        like ``compaction_style``."""
         name = str(name)
         if not _CF_NAME_RE.fullmatch(name):
             raise ValueError(
@@ -2081,27 +2183,43 @@ class KVStore:
                 "cf compaction_style must be None, 'leveled' or 'tiered', "
                 f"got {compaction_style!r}"
             )
+        if merge_op is not None and merge_op not in MERGE_OPS:
+            raise ValueError(
+                f"cf merge_op must be None or one of {MERGE_OPS}, got {merge_op!r}"
+            )
+        if value_threshold is not None and int(value_threshold) < 1:
+            raise ValueError("cf value_threshold must be a positive int")
         cfs = dict(self.manifest.state.column_families or {})
         if name in cfs:
             if exist_ok:
-                # compare against the family's EFFECTIVE style (recorded
+                # compare against the family's EFFECTIVE options (recorded
                 # override or the store default), not the raw recorded
-                # value — re-stating the default on an idempotent open is
-                # not a policy change (ADVICE r13)
-                have = self._cf_meta(cfs[name])["compaction_style"]
-                effective = have or self.compaction_style
-                if compaction_style is not None and compaction_style != effective:
-                    raise ValueError(
-                        f"column family {name!r} exists with compaction_style="
-                        f"{effective!r}; refusing silent change to "
-                        f"{compaction_style!r}"
-                    )
+                # value — re-stating a default on an idempotent open is
+                # not an options change (ADVICE r13)
+                eff = self._cf_effective(name)
+                requested = {
+                    "compaction_style": compaction_style,
+                    "value_threshold": (
+                        None if value_threshold is None else int(value_threshold)
+                    ),
+                    "merge_op": merge_op,
+                }
+                for opt, want in requested.items():
+                    if want is not None and want != eff[opt]:
+                        raise ValueError(
+                            f"column family {name!r} exists with {opt}="
+                            f"{eff[opt]!r}; refusing silent change to {want!r}"
+                        )
                 return self.cf(name)
             raise ValueError(f"column family {name!r} already exists")
         state = self.manifest.state
         cfs[name] = {
             "seq": int(state.next_seq),
             "compaction_style": compaction_style,
+            "value_threshold": (
+                None if value_threshold is None else int(value_threshold)
+            ),
+            "merge_op": merge_op,
         }
         self.manifest.commit(
             ManifestState(
@@ -2227,6 +2345,19 @@ class KVStore:
             "column_families": sorted(st.column_families or {}),
             "column_family_styles": {
                 n: self._cf_meta(v)["compaction_style"] or self.compaction_style
+                for n, v in sorted((st.column_families or {}).items())
+            },
+            # the rest of the per-CF options contract (r14): effective
+            # value-separation threshold + merge operator per family
+            "column_family_options": {
+                n: {
+                    "value_threshold": (
+                        self.value_threshold
+                        if self._cf_meta(v)["value_threshold"] is None
+                        else int(self._cf_meta(v)["value_threshold"])
+                    ),
+                    "merge_op": self._cf_meta(v)["merge_op"] or self.merge_op,
+                }
                 for n, v in sorted((st.column_families or {}).items())
             },
             # sticky namespace gate (r11): True while any reserved-prefix

@@ -63,7 +63,20 @@ _PRIORITY = [
     # table+constant modes, stsc chunk runs, stco AND co64 absolute
     # offsets from the two-pass builder, stss sync cadence, per-track
     # explode inside the Arrow batch, truncation fallback lane) —
-    # displaced kv_snapshot_holds, r11-green with slack until r15.)
+    # displaced kv_snapshot_holds, r11-green with slack until r15.
+    # graph_components / graph_khop / graph_lpa CHANGED — rewired onto
+    # queries/graph.py::aggregate_messages (the GraphX primitive; the
+    # other three rewired algorithms — pagerank/kcore/shortest_paths —
+    # were already leading the fill), so their r12/r13 greens must be
+    # re-earned; displaced kv_remote_reads, kv_merge_sorted_runs,
+    # kv_gc_discard_stats, all r11-green with slack until r15.
+    # multimodal_gif_frames NEW — animated-GIF multi-frame decode with
+    # real canvas composition (GCE disposal methods, per-frame local
+    # palettes, sub-rect painting, NETSCAPE loop ext skip, composed-
+    # canvas integer moments per frame, truncation fallback lane) —
+    # displaced kv_compaction_filter, r11-green with slack until r15.)
+    "multimodal_gif_frames",
+    "graph_components", "graph_khop", "graph_lpa",
     "multimodal_mp4_samples",
     # r10-stale cohort (the full 34 — all at the bound; exactly the list
     # tools/staleness_check.py printed at round open)
@@ -87,8 +100,7 @@ _PRIORITY = [
     "graph_adjacency", "graph_degrees",
     "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_capped",
     "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "kv_binary_key_scan", "kv_compaction_filter", "kv_gc_discard_stats",
-    "kv_merge_sorted_runs", "kv_remote_reads",
+    "kv_binary_key_scan",
 ]
 
 

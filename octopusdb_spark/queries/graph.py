@@ -40,6 +40,55 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def aggregate_messages(
+    edge_df: DataFrame,
+    state: DataFrame | None = None,
+    state_on: str = "dst",
+    to: str | None = None,
+    send=(),
+    agg=(),
+    group_extra=(),
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """The GraphX ``aggregateMessages`` primitive (README.md:2's graph
+    claim) as DataFrame ops — the ONE join+project+reduce shape every
+    iterative algorithm in this module repeats:
+
+    1. join the vertex ``state`` frame (keyed by ``node``) onto each edge
+       at the ``state_on`` endpoint (skipped when ``state`` is None — the
+       message then reads edge columns alone, e.g. degree counting);
+    2. emit one message per edge addressed to the OPPOSITE endpoint
+       (``to`` defaults to the other end; each message = the ``send``
+       column expressions evaluated on the joined triplet);
+    3. reduce messages per receiving vertex with the ``agg`` columns —
+       ``group_extra`` adds message fields to the grouping key (LPA's
+       label histogram, multi-landmark BFS), ``base`` unions extra
+       message rows BEFORE the reduce (pagerank's dangling-vertex zero
+       rows — keeps the round at ONE agg shuffle instead of agg + node
+       left-join).
+
+    Plan shape: one shuffle join (state side; skew-safe — AQE splits hot
+    vertices) + one partial-aggregated shuffle (the reduce). This is
+    exactly the per-superstep cost Pregel promises, so an algorithm
+    written on this primitive inherits the 100-TB story: per-round
+    traffic bounded by messages, map-side combine on the reduce, no
+    driver involvement. Callers own the loop discipline (localCheckpoint
+    lineage truncation + cache of loop-invariant frames)."""
+    if to is None:
+        to = {"dst": "src", "src": "dst"}[state_on]
+    tri = (
+        edge_df
+        if state is None
+        else edge_df.join(state, edge_df[state_on] == state["node"]).drop(
+            state["node"]
+        )
+    )
+    msgs = tri.select(F.col(to).alias("node"), *send)
+    if base is not None:
+        msgs = msgs.unionByName(base)
+    return msgs.groupBy("node", *group_extra).agg(*agg)
+
+
 def q_graph_degrees(spark, sf_dir):
     """In/out degree per node — the follower/following counts of the
     reference's User payload (`kv/db_test.go:107-112`)."""
@@ -124,19 +173,16 @@ def q_graph_pagerank(spark, sf_dir):
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     zero = nodes.select("node", F.lit(0.0).alias("c"))  # dangling-node base rows
     for _ in range(3):
-        contribs = (
-            e_outd.join(ranks, e_outd.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outd")).alias("c"))
-        )
-        # Union a zero row per node instead of left-joining the node list
-        # after the aggregate: every node (dangling included) survives the
-        # groupBy, and each iteration costs ONE shuffle (the agg) plus the
-        # rank-side shuffle of the join — the nodes⋈summed join and its
-        # extra shuffle are gone. Zero rows are exact under the decimal sum.
-        summed = (
-            contribs.unionByName(zero)
-            .groupBy("node")
-            .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("csum"))
+        # One aggregate_messages superstep: rank/outd to each out-neighbor,
+        # decimal-sum per receiver. The `base` zero row per node (instead
+        # of left-joining the node list after the aggregate) keeps every
+        # node (dangling included) in the groupBy at ONE agg shuffle —
+        # zero rows are exact under the decimal sum.
+        summed = aggregate_messages(
+            e_outd, state=ranks, state_on="src",
+            send=[(F.col("rank") / F.col("outd")).alias("c")],
+            base=zero,
+            agg=[F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("csum")],
         )
         ranks = summed.select(
             "node", (F.lit(0.15) + F.lit(0.85) * F.col("csum")).alias("rank")
@@ -166,11 +212,13 @@ def q_graph_components(spark, sf_dir):
     )
     prev_ckpt = None
     for _ in range(4):
-        neighbor_min = (
-            und.join(labels, und.dst == labels.node)
-            .groupBy(F.col("src").alias("n2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        # superstep: each node's label to its (undirected) neighbors,
+        # min-reduced per receiver
+        neighbor_min = aggregate_messages(
+            und, state=labels, state_on="dst",
+            send=[F.col("label")],
+            agg=[F.min("label").alias("nbr_label")],
+        ).withColumnRenamed("node", "n2")
         labels = (
             labels.join(neighbor_min, labels.node == F.col("n2"), "left")
             .select(
@@ -232,10 +280,13 @@ def q_graph_khop(spark, sf_dir):
     frontier = dist
     initial = dist
     for hop in range(1, 4):
-        reached = (
-            frontier.join(e, frontier.node == e.src)
-            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
-            .distinct()
+        # superstep: constant-hop message from the frontier along out-edges,
+        # min-reduced (== the old project+distinct; every message this hop
+        # carries the same dist)
+        reached = aggregate_messages(
+            e, state=frontier, state_on="src",
+            send=[F.lit(hop).alias("dist")],
+            agg=[F.min("dist").alias("dist")],
         )
         # materialize each (tiny) frontier and truncate its lineage: `dist`
         # is referenced twice per hop (anti-join + union), so an un-truncated
@@ -278,10 +329,14 @@ def q_graph_shortest_paths(spark, sf_dir):
     frontier = dist
     initial = dist
     for hop in range(1, SP_MAX_HOPS + 1):
-        reached = (
-            frontier.join(e, frontier.node == e.dst)
-            .select(F.col("src").alias("node"), "lm", F.lit(hop).alias("dist"))
-            .distinct()
+        # superstep over REVERSED edges: (landmark, hop) messages expand
+        # the labeled frontier; group_extra keeps one state row per
+        # (node, landmark) — all landmarks share the round's single join
+        reached = aggregate_messages(
+            e, state=frontier, state_on="dst",
+            send=[F.col("lm"), F.lit(hop).alias("dist")],
+            group_extra=("lm",),
+            agg=[F.min("dist").alias("dist")],
         )
         new_nodes = reached.join(
             dist, ["node", "lm"], "left_anti"
@@ -478,11 +533,15 @@ def q_graph_lpa(spark, sf_dir):
     w = Window.partitionBy("n2").orderBy(F.desc("c"), F.asc("label"))
     prev_ckpt = None
     for _ in range(LPA_ROUNDS):
-        freq = (
-            und.join(labels, und.dst == labels.node)
-            .groupBy(F.col("src").alias("n2"), "label")
-            .agg(F.count("*").alias("c"))
-        )
+        # superstep: each node's label to its neighbors; group_extra turns
+        # the reduce into the per-node label HISTOGRAM (GraphX does this
+        # with a map-merge — the relational shape is a wider group key)
+        freq = aggregate_messages(
+            und, state=labels, state_on="dst",
+            send=[F.col("label")],
+            group_extra=("label",),
+            agg=[F.count("*").alias("c")],
+        ).withColumnRenamed("node", "n2")
         pick = (
             freq.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -728,7 +787,9 @@ def q_graph_kcore(spark, sf_dir):
         .cache()
     )
     try:
-        deg0 = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+        # degree = aggregate_messages with no vertex state: a 1-message per
+        # edge, count-reduced at the src endpoint (und is symmetrized)
+        deg0 = aggregate_messages(und, to="src", agg=[F.count("*").alias("d")])
         # freeze the 1-row threshold: without the checkpoint each of its
         # broadcast uses (initial filter, 3 rounds, still-count) re-runs
         # the full degree aggregation just to rebuild one number
@@ -746,8 +807,8 @@ def q_graph_kcore(spark, sf_dir):
             within = und.join(
                 nodes.select(F.col("node").alias("src")), "src", "left_semi"
             ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
-            deg = within.groupBy(F.col("src").alias("node")).agg(
-                F.count("*").alias("d")
+            deg = aggregate_messages(
+                within, to="src", agg=[F.count("*").alias("d")]
             )
             nodes = (
                 deg.join(F.broadcast(kdf))
@@ -764,8 +825,8 @@ def q_graph_kcore(spark, sf_dir):
         within = und.join(
             nodes.select(F.col("node").alias("src")), "src", "left_semi"
         ).join(nodes.select(F.col("node").alias("dst")), "dst", "left_semi")
-        final_deg = within.groupBy(F.col("src").alias("node")).agg(
-            F.count("*").alias("core_degree")
+        final_deg = aggregate_messages(
+            within, to="src", agg=[F.count("*").alias("core_degree")]
         ).localCheckpoint(eager=True)
         still = (
             final_deg.join(F.broadcast(kdf))

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pytest
 
 from octopusdb_spark.kv import Entry, KVStore
-from octopusdb_spark.kv.store import CF_RESERVED
+from octopusdb_spark.kv.store import CF_ALL, CF_RESERVED
 
 NOW = 1_700_000_000
 
@@ -672,3 +672,71 @@ def test_cf_exist_ok_restates_effective_default(spark, tmp_path):
     with pytest.raises(ValueError, match="refusing silent change"):
         store.create_cf("y", exist_ok=True, compaction_style="leveled")
     store.close()
+
+
+def test_cf_per_family_threshold_and_merge_op(spark, tmp_path):
+    """r14 (VERDICT r13 #5): the rest of the RocksDB per-CF options
+    contract. A family's value-separation threshold routes ITS writes
+    independently of the store default; a family's merge operator folds
+    ITS reads independently (one family 'add' while the store default is
+    'append' and another family inherits); the heterogeneous-op guard
+    makes cross-namespace folds loudly impossible instead of wrong; the
+    catalog survives reopen; exist_ok compares effective options."""
+    root = str(tmp_path / "cfopts")
+    store = KVStore(spark, root, value_threshold=1024, merge_op="append")
+    blobs = store.create_cf("blobs", value_threshold=32)
+    counters = store.create_cf("counters", merge_op="add")
+    inherit = store.create_cf("inherit")
+    assert blobs.value_threshold == 32 and blobs.merge_op == "append"
+    assert counters.merge_op == "add" and counters.value_threshold == 1024
+    assert inherit.value_threshold == 1024 and inherit.merge_op == "append"
+
+    # 40-byte value: separated in blobs (32), inline in inherit (1024)
+    v40 = b"x" * 40
+    blobs.set(Entry("k", v40))
+    inherit.set(Entry("k", v40))
+    seps = {
+        r["key"]: r["value_ptr"] is not None
+        for r in store.raw_df().select("key", "value_ptr").collect()
+    }
+    assert seps[blobs._k("k")] is True
+    assert seps[inherit._k("k")] is False
+    assert blobs.get("k", now=10**15).value == v40  # values-join read back
+
+    # per-family fold: counters fold with 'add', the default namespace
+    # and inheriting families keep the store's 'append'
+    counters.set(Entry("c", b"5"))
+    counters.merge("c", b"3")
+    counters.merge("c", b"4")
+    assert counters.get("c", now=10**15).value == b"12"
+    store.set(Entry("s", b"a"))
+    store.merge("s", b"b")
+    assert store.get("s", now=10**15).value == b"a,b"
+    inherit.set(Entry("i", b"x"))
+    inherit.merge("i", b"y")
+    assert inherit.get("i", now=10**15).value == b"x,y"
+
+    # cross-namespace folds are LOUD on heterogeneous operators
+    with pytest.raises(ValueError, match="heterogeneous"):
+        store.view(now=10**15, cf=CF_ALL).collect()
+    with pytest.raises(ValueError, match="heterogeneous"):
+        store.fold_merges(now=10**15)
+
+    # merge operand inline guard rides the FAMILY threshold
+    with pytest.raises(ValueError, match="operand exceeds"):
+        blobs.merge("c2", b"z" * 33)
+
+    # options survive reopen; exist_ok compares effective values
+    store.close()
+    s2 = KVStore(spark, root, value_threshold=1024, merge_op="append")
+    assert s2.cf_value_threshold("blobs") == 32
+    assert s2.cf_merge_op("counters") == "add"
+    assert s2.info()["column_family_options"]["blobs"]["value_threshold"] == 32
+    s2.create_cf("blobs", exist_ok=True, value_threshold=32)  # restate: ok
+    s2.create_cf("inherit", exist_ok=True, value_threshold=1024)  # effective
+    with pytest.raises(ValueError, match="refusing silent change"):
+        s2.create_cf("blobs", exist_ok=True, value_threshold=64)
+    with pytest.raises(ValueError, match="refusing silent change"):
+        s2.create_cf("counters", exist_ok=True, merge_op="append")
+    assert s2.cf("counters").get("c", now=10**15).value == b"12"
+    s2.close()

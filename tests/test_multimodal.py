@@ -1217,6 +1217,10 @@ def test_media_parser_exception_contract_fuzz():
         parse_mp4,
         parse_mp4_tracks,
     )
+    from octopusdb_spark.functions.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
 
     rng = random.Random(1234)
     inter = [
@@ -1251,6 +1255,18 @@ def test_media_parser_exception_contract_fuzz():
                                "samples_per_chunk": 4, "co64": True},
             ),
             parse_mp4_tracks,
+        ),
+        (
+            encode_gif_animation(
+                16, 10, 30,
+                [dict(left=0, top=0, w=16, h=10, pixels=bytes([100]) * 160,
+                      delay_cs=4, disposal=1),
+                 dict(left=2, top=2, w=4, h=4, pixels=bytes([50]) * 16,
+                      delay_cs=5, disposal=2,
+                      palette=bytes(v for i in range(256)
+                                    for v in (i, 255 - i, i // 2)))],
+            ),
+            decode_gif_frames,
         ),
     ]
     for base, parse in targets:
@@ -1377,3 +1393,63 @@ def test_mp4_sample_tables(spark):
     assert len(by_media[1]) == 2 and all(r["decoded"] for r in by_media[1])
     assert len(by_media[2]) == 1 and not by_media[2][0]["decoded"]
     assert [f.name for f in MP4_TRACKS_SCHEMA.fields][0] == "media_id"
+
+
+def test_gif_animation_frames(spark):
+    """r14: animated GIF — GCE delays/disposal, local palettes, sub-rect
+    composition over the canvas, NETSCAPE loop skip; unsupported corners
+    (disposal 3, transparency, frame outside canvas) raise ValueError."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.multimodal import (
+        GIF_FRAMES_SCHEMA,
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+        gif_frames,
+    )
+
+    local = bytes(v for i in range(256) for v in (i, 255 - i, i // 2))
+    frames = [
+        dict(left=0, top=0, w=16, h=10, pixels=bytes([100]) * 160,
+             delay_cs=4, disposal=1),
+        dict(left=2, top=2, w=4, h=4, pixels=bytes([50]) * 16,
+             delay_cs=5, disposal=2, palette=local),
+        dict(left=8, top=2, w=4, h=4, pixels=bytes([7]) * 16,
+             delay_cs=6, disposal=1),
+    ]
+    p = encode_gif_animation(16, 10, 30, frames, loop=2)
+    out = decode_gif_frames(p)
+    assert [f["frame_idx"] for f in out] == [0, 1, 2]
+    assert out[0]["canvas_sum"] == 3 * 100 * 160
+    # frame 1: 16 px through the LOCAL palette (50, 205, 25)
+    assert out[1]["canvas_sum"] == 3 * 100 * 144 + 16 * (50 + 205 + 25)
+    assert out[1]["local_palette"] and out[1]["delay_cs"] == 5
+    # frame 2: frame 1's rect RESTORED to bg gray 30, new rect gray 7
+    assert out[2]["canvas_sum"] == 3 * 100 * 128 + 16 * 90 + 16 * 21
+    assert out[2]["disposal"] == 1 and not out[2]["local_palette"]
+    # single-frame decode_gif still reads frame 0 of the same payload
+    assert decode_gif(p)["width"] == 16
+
+    bad_d3 = dict(frames[1]);  bad_d3["disposal"] = 3
+    with pytest.raises(ValueError):
+        decode_gif_frames(encode_gif_animation(16, 10, 30, [frames[0], bad_d3]))
+    oob = dict(frames[2]); oob["left"] = 14
+    with pytest.raises(ValueError):
+        decode_gif_frames(encode_gif_animation(16, 10, 30, [frames[0], oob]))
+    # transparency flag set -> unsupported
+    t = bytearray(encode_gif_animation(16, 10, 30, frames))
+    i = t.find(b"\x21\xf9\x04")
+    t[i + 3] |= 0x01
+    with pytest.raises(ValueError):
+        decode_gif_frames(bytes(t))
+
+    rows = [(1, "image", p, None, None, None),
+            (2, "image", p[:-8], None, None, None)]
+    out = gif_frames(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["media_id"], []).append(r)
+    assert len(by[1]) == 3 and all(r["decoded"] for r in by[1])
+    assert len(by[2]) == 1 and not by[2][0]["decoded"]
+    assert [f.name for f in GIF_FRAMES_SCHEMA.fields][0] == "media_id"
