@@ -170,6 +170,14 @@ class ColumnFamily:
         self._check()
         return self.store.cf_compaction_style(self.name)
 
+    def fold_merges(self, now: int | None = None, **kwargs) -> int:
+        """Physically fold THIS family's operands with ITS effective
+        operator (``KVStore.fold_merges(cf=)``) — the maintenance path
+        when sibling families (or the default namespace) use different
+        operators and the store-wide fold refuses."""
+        self._check()
+        return self.store.fold_merges(now=now, cf=self.name, **kwargs)
+
     @property
     def value_threshold(self) -> int:
         """The family's effective value-separation threshold (r14,

@@ -2372,6 +2372,7 @@ class KVStore:
         now: int | None = None,
         commit_tag: tuple | None = None,
         target_segments: int = 2,
+        cf: str | None = None,
     ) -> int:
         """Physically fold accumulated merge operands into full values —
         RocksDB's fold-during-compaction, decomposed into an ordinary
@@ -2388,9 +2389,21 @@ class KVStore:
         Plan shape: the read fold (keyed aggs over operand rows) +
         one left-semi join restricting the write to keys that actually
         carry operands + one ``ingest_df`` — cost tracks the un-folded
-        operand set, not the store."""
-        if self.merge_op is None:
-            raise ValueError("fold_merges requires the store opened with merge_op=")
+        operand set, not the store.
+
+        ``cf`` (r14): fold ONE family's operands with ITS effective
+        operator — the maintenance path for heterogeneous-op stores,
+        where the cross-namespace fold above refuses. Only that family's
+        key range is read and rewritten; the manifest flag stays up until
+        every namespace has folded and a verifying ``compact()`` clears
+        it."""
+        scope = CF_ALL if cf is None else str(cf)
+        op = self._resolve_merge_op(scope, self.manifest.state)
+        if op is None:
+            raise ValueError(
+                "fold_merges requires a merge operator (store merge_op=, "
+                "or a family with one via cf=)"
+            )
         if not bool(self.manifest.state.has_merge_operands):
             return 0
         now = int(time.time()) if now is None else now
@@ -2400,13 +2413,19 @@ class KVStore:
             .select("key")
             .distinct()
         )
-        to_fold = self.view(now=now, cf=CF_ALL).join(m_keys, "key", "left_semi")
+        if cf is not None:
+            # same namespace predicate view() itself applies — only this
+            # family's operand keys gate the rewrite
+            ns = self._ns_predicate(str(cf), self.manifest.state)
+            if ns is not None:
+                m_keys = m_keys.filter(ns)
+        to_fold = self.view(now=now, cf=scope).join(m_keys, "key", "left_semi")
         return self.ingest_df(
             to_fold.select("key", "value", "expires_at"),
             expires_col="expires_at",
             target_segments=target_segments,
             commit_tag=commit_tag,
-            _allow_reserved=True,  # CF_ALL fold: keys may be CF-encoded
+            _allow_reserved=True,  # scoped folds: keys may be CF-encoded
         )
 
     # ------------------------------------------------------------ maintenance

@@ -74,7 +74,13 @@ _PRIORITY = [
     # real canvas composition (GCE disposal methods, per-frame local
     # palettes, sub-rect painting, NETSCAPE loop ext skip, composed-
     # canvas integer moments per frame, truncation fallback lane) —
-    # displaced kv_compaction_filter, r11-green with slack until r15.)
+    # displaced kv_compaction_filter, r11-green with slack until r15.
+    # graph_scc CHANGED — its color-propagation and backward-mark
+    # supersteps rewired onto aggregate_messages like the other six
+    # algorithms (trim stays semi-join peeling: not message passing), so
+    # its r12 green must be re-earned; displaced kv_binary_key_scan,
+    # r11-green with slack until r15.)
+    "graph_scc",
     "multimodal_gif_frames",
     "graph_components", "graph_khop", "graph_lpa",
     "multimodal_mp4_samples",
@@ -100,7 +106,6 @@ _PRIORITY = [
     "graph_adjacency", "graph_degrees",
     "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_capped",
     "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "kv_binary_key_scan",
 ]
 
 

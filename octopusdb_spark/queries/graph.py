@@ -427,10 +427,11 @@ def q_graph_scc(spark, sf_dir):
         colors = live_nodes.select("node", F.col("node").alias("color"))
         frontier = colors
         while True:
-            candidate = (
-                frontier.join(live_edges, frontier.node == live_edges.src)
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("color").alias("cand"))
+            # superstep: changed colors propagate forward, min-reduced
+            candidate = aggregate_messages(
+                live_edges, state=frontier, state_on="src",
+                send=[F.col("color")],
+                agg=[F.min("color").alias("cand")],
             )
             improved = (
                 colors.join(candidate, "node")
@@ -457,9 +458,10 @@ def q_graph_scc(spark, sf_dir):
                 "dst",
             )
             .filter(F.col("c_src") == F.col("c_dst"))
-            # renamed so later joins against `marked` (also colors-derived)
+            # the eager checkpoint gives this frame fresh attributes, so
+            # the superstep joins against `marked` (also colors-derived)
             # can never hit a same-attribute self-join ambiguity
-            .select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+            .select("src", "dst")
             .localCheckpoint(eager=True)
         )
         marked = colors.filter(F.col("node") == F.col("color")).localCheckpoint(
@@ -467,12 +469,13 @@ def q_graph_scc(spark, sf_dir):
         )
         mfrontier = marked
         while True:
-            # dst marked with root c and the edge is same-colored => src is
-            # in SCC(c) too, and shares the frontier row's color
-            reached = (
-                mfrontier.join(same, mfrontier.node == same.m_dst)
-                .select(F.col("m_src").alias("node"), "color")
-                .distinct()
+            # superstep over REVERSED same-colored edges: dst marked with
+            # root c => src is in SCC(c) too and inherits the color (a
+            # node has ONE color, so the min-reduce is just dedup)
+            reached = aggregate_messages(
+                same, state=mfrontier, state_on="dst",
+                send=[F.col("color")],
+                agg=[F.min("color").alias("color")],
             )
             new_marks = reached.join(marked, "node", "left_anti").localCheckpoint(
                 eager=True

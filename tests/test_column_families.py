@@ -740,3 +740,45 @@ def test_cf_per_family_threshold_and_merge_op(spark, tmp_path):
         s2.create_cf("counters", exist_ok=True, merge_op="append")
     assert s2.cf("counters").get("c", now=10**15).value == b"12"
     s2.close()
+
+
+def test_cf_scoped_fold_merges(spark, tmp_path):
+    """r14: per-family fold_merges — the maintenance path on a
+    heterogeneous-op store where the store-wide fold refuses. Folding
+    one family rewrites ONLY its keys with ITS operator; siblings'
+    operands stay unfolded; reads are unchanged before/after."""
+    store = KVStore(spark, str(tmp_path / "cffold"), merge_op="append")
+    counters = store.create_cf("counters", merge_op="add")
+    store.set(Entry("s", b"a"))
+    store.merge("s", b"b")
+    counters.set(Entry("c", b"5"))
+    counters.merge("c", b"3")
+    counters.merge("c", b"2")
+
+    with pytest.raises(ValueError, match="heterogeneous"):
+        store.fold_merges(now=10**15)
+    folded = counters.fold_merges(now=10**15)
+    assert folded == 1  # only the counters key
+    # the family's key now has a FULL folded version; reads identical
+    assert counters.get("c", now=10**15).value == b"10"
+    assert store.get("s", now=10**15).value == b"a,b"
+    # the default namespace's operand is still an operand (not rewritten)
+    from octopusdb_spark.kv.store import BIT_MERGE
+    ops_left = (
+        store.raw_df()
+        .filter(F_col_meta_merge())
+        .select("key")
+        .distinct()
+        .collect()
+    )
+    keys_left = {r["key"] for r in ops_left}
+    assert "s" in keys_left  # default ns operand untouched
+    store.close()
+
+
+def F_col_meta_merge():
+    from pyspark.sql import functions as F
+
+    from octopusdb_spark.kv.store import BIT_MERGE
+
+    return F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0
