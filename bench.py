@@ -109,9 +109,10 @@ HEADLINE = [
     "sim_ann_drift",
     "sim_ann_filtered",
     # added round 14 (per-track ISO-BMFF sample tables; animated-GIF
-    # composed multi-frame decode)
+    # composed multi-frame decode; MP4 time-slice seek planning)
     "multimodal_mp4_samples",
     "multimodal_gif_frames",
+    "multimodal_mp4_slice",
 ]
 
 

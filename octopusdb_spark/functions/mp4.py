@@ -551,6 +551,126 @@ def parse_mp4_tracks(payload: bytes) -> list:
     return tracks
 
 
+def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
+                      handler: str = "vide") -> list:
+    """SEEK PLANNING — the operation a crawl pipeline actually performs
+    to slice a video: given a media-time window [t0_ms, t1_ms), return
+    the first ``handler`` track's samples inside it, each with its
+    ABSOLUTE byte range, from pure sample-table arithmetic (binary-
+    search-equivalent stts walk for times, stsc/stco chunk arithmetic
+    for offsets — no bitstream is touched, and a downstream ranged read
+    fetches O(slice bytes), never the whole mdat).
+
+    Returns [{sample_idx, time_ms, dur_ms, offset, size, sync}] in
+    presentation order; ``sync`` is True when the sample is an stss sync
+    point (or the track has no stss — all-sync per spec). Raises
+    ValueError on malformed tables (same contract as parse_mp4_tracks)
+    or when no such track exists."""
+    if t1_ms <= t0_ms:
+        raise ValueError("empty time window")
+    # reuse the validated per-track walk to locate the right trak, then
+    # re-walk its tables for the per-sample expansion
+    if not looks_like_mp4(payload):
+        raise ValueError("not an MP4/ISO-BMFF stream")
+    moov = None
+    for t, s, e in _walk(payload, 0, len(payload)):
+        if t == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("MP4 without moov")
+    for t, s, e in _walk(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        md = _first(payload, s, e, b"mdia")
+        if md is None:
+            raise ValueError("MP4 trak without mdia")
+        hd = _first(payload, md[0], md[1], b"hdlr")
+        if hd is None or payload[hd[0] + 8 : hd[0] + 12].decode("latin-1") != handler:
+            continue
+        mh = _first(payload, md[0], md[1], b"mdhd")
+        mi = _first(payload, md[0], md[1], b"minf")
+        if mh is None or mi is None or mh[1] - mh[0] < 20:
+            raise ValueError("MP4 mdia without mdhd/minf")
+        media_ts = struct.unpack_from(">I", payload, mh[0] + 12)[0]
+        if media_ts == 0:
+            raise ValueError("zero mdhd timescale")
+        sb = _first(payload, mi[0], mi[1], b"stbl")
+        if sb is None:
+            raise ValueError("MP4 minf without stbl")
+        boxes = {
+            bt: (bs, be)
+            for bt, bs, be in _walk(payload, sb[0], sb[1])
+            if bt in (b"stts", b"stsz", b"stsc", b"stco", b"co64", b"stss")
+        }
+        for need in (b"stts", b"stsz", b"stsc"):
+            if need not in boxes:
+                raise ValueError(f"track without {need.decode()}")
+        # per-sample decode times from stts
+        cnt, at = _fullbox_u32s(payload, *boxes[b"stts"], 8)
+        times, t_acc = [], 0
+        for i in range(cnt):
+            c, d = struct.unpack_from(">II", payload, at + 8 * i)
+            for _ in range(c):
+                times.append((t_acc, d))
+                t_acc += d
+        n = len(times)
+        # sizes
+        zs, ze = boxes[b"stsz"]
+        if ze - zs < 12:
+            raise ValueError("truncated stsz")
+        const_size, z_count = struct.unpack_from(">II", payload, zs + 4)
+        if z_count != n:
+            raise ValueError("stsz/stts sample count mismatch")
+        sizes = (
+            [const_size] * n
+            if const_size
+            else list(struct.unpack_from(f">{n}I", payload, zs + 12))
+        )
+        # chunk layout -> per-sample absolute offsets
+        c_cnt, c_at = _fullbox_u32s(payload, *boxes[b"stsc"], 12)
+        first_chunk, per_chunk, _sdi = struct.unpack_from(">III", payload, c_at)
+        if c_cnt != 1 or first_chunk != 1 or per_chunk < 1:
+            raise ValueError("unsupported stsc layout")
+        off_key = b"co64" if b"co64" in boxes else b"stco"
+        if off_key not in boxes:
+            raise ValueError("track without stco/co64")
+        width = 8 if off_key == b"co64" else 4
+        o_cnt, o_at = _fullbox_u32s(payload, *boxes[off_key], width)
+        fmt = ">Q" if width == 8 else ">I"
+        chunk_offs = [
+            struct.unpack_from(fmt, payload, o_at + width * i)[0]
+            for i in range(o_cnt)
+        ]
+        sync = None
+        if b"stss" in boxes:
+            s_cnt, s_at = _fullbox_u32s(payload, *boxes[b"stss"], 4)
+            sync = {
+                struct.unpack_from(">I", payload, s_at + 4 * i)[0]
+                for i in range(s_cnt)
+            }
+        out = []
+        for i in range(n):
+            t_ms = times[i][0] * 1000 // media_ts
+            if t_ms >= t1_ms:
+                break
+            if t_ms < t0_ms:
+                continue
+            chunk = i // per_chunk
+            if chunk >= len(chunk_offs):
+                raise ValueError("sample outside declared chunks")
+            offset = chunk_offs[chunk] + sum(sizes[chunk * per_chunk : i])
+            out.append({
+                "sample_idx": i,
+                "time_ms": t_ms,
+                "dur_ms": times[i][1] * 1000 // media_ts,
+                "offset": offset,
+                "size": sizes[i],
+                "sync": True if sync is None else (i + 1) in sync,
+            })
+        return out
+    raise ValueError(f"no {handler!r} track")
+
+
 # ------------------------------------------------------------ Spark surface
 
 MP4_META_SCHEMA = T.StructType(
@@ -666,3 +786,61 @@ def mp4_track_samples(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, MP4_TRACKS_SCHEMA)
+
+
+MP4_SLICE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("sample_idx", T.IntegerType(), True),
+        T.StructField("time_ms", T.LongType(), True),
+        T.StructField("dur_ms", T.LongType(), True),
+        T.StructField("byte_offset", T.LongType(), True),
+        T.StructField("size", T.LongType(), True),
+        T.StructField("sync", T.BooleanType(), True),
+    ]
+)
+
+_SLICE_COLS = [f.name for f in MP4_SLICE_SCHEMA.fields[2:]]
+
+
+def mp4_slice_plan(media_df: DataFrame) -> DataFrame:
+    """Distributed SEEK PLANNING: for each input row (media_id, payload,
+    t0_ms, t1_ms) emit the video samples inside the time window with
+    their absolute byte ranges (``mp4_sample_ranges``) — what a training
+    pipeline materializes before issuing ranged reads against blob
+    storage, so the fetch stage touches O(slice bytes) per clip. One
+    row per planned sample, exploded inside the Arrow batch; malformed
+    payloads yield one decoded=false row (loud fallback). A window with
+    no samples yields no rows (nothing to read IS the plan)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {f.name: [] for f in MP4_SLICE_SCHEMA.fields}
+            for mid, p, t0, t1 in zip(
+                pdf["media_id"], pdf["payload"], pdf["t0_ms"], pdf["t1_ms"]
+            ):
+                try:
+                    plan = mp4_sample_ranges(bytes(p), int(t0), int(t1))
+                except (ValueError, struct.error, IndexError):
+                    plan = None
+                if plan is None:
+                    out["media_id"].append(int(mid))
+                    out["decoded"].append(False)
+                    for k in _SLICE_COLS:
+                        out[k].append(None)
+                    continue
+                for s in plan:
+                    out["media_id"].append(int(mid))
+                    out["decoded"].append(True)
+                    for k in _SLICE_COLS:
+                        out[k].append(s["offset" if k == "byte_offset" else k])
+            nullable_int = set(_SLICE_COLS) - {"sync"}
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64") if k in nullable_int else v
+                    for k, v in out.items()
+                }
+            )
+
+    return media_df.mapInPandas(batches, MP4_SLICE_SCHEMA)

@@ -79,7 +79,13 @@ _PRIORITY = [
     # supersteps rewired onto aggregate_messages like the other six
     # algorithms (trim stays semi-join peeling: not message passing), so
     # its r12 green must be re-earned; displaced kv_binary_key_scan,
-    # r11-green with slack until r15.)
+    # r11-green with slack until r15.
+    # multimodal_mp4_slice NEW — time-slice seek planning off the real
+    # sample tables (stts time walk + stsc/stco chunk arithmetic to
+    # absolute byte ranges; closed-form oracle incl. the builder-base
+    # box arithmetic; empty-window and truncation lanes) — displaced
+    # dedup_simhash_pairs, r11-green with slack until r15.)
+    "multimodal_mp4_slice",
     "graph_scc",
     "multimodal_gif_frames",
     "graph_components", "graph_khop", "graph_lpa",
@@ -105,7 +111,7 @@ _PRIORITY = [
     "graph_pagerank", "graph_kcore", "graph_shortest_paths",
     "graph_adjacency", "graph_degrees",
     "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_capped",
-    "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
 ]
 
 

@@ -423,6 +423,74 @@ def q_multimodal_gif_frames(spark, sf_dir):
     ).orderBy("media_id", F.col("frame_idx").asc_nulls_first())
 
 
+def q_multimodal_mp4_slice(spark, sf_dir):
+    """MP4 time-slice SEEK PLANNING under the gate — the operation the
+    sample tables exist FOR (the 'next want' named in VERDICT r13 #3's
+    rationale): given a media-time window per clip, emit the video
+    samples inside it with their ABSOLUTE byte ranges
+    (`functions/mp4.py::mp4_sample_ranges` — stts time walk + stsc/stco
+    chunk arithmetic, no bitstream), the plan a training pipeline hands
+    to ranged blob reads so the fetch stage touches O(slice bytes).
+
+    Each doc builds a video-only MP4 (two-run stts when long enough,
+    stsz size table, stss every 4th sample); the window rides the text
+    bytes (t0 = (b1%4)*100, span 150/250/350 ms). The oracle replicates
+    ABSOLUTE offsets in closed form: the builder's mdat body start is
+    590 + 8*stts_runs + 4*n_v + 4*n_chunks + 4*n_sync (box-size
+    arithmetic, verified constant across n_v in pytest), and the
+    single-track contiguous layout collapses chunk arithmetic to
+    base + prefix-sum(sizes) — while the parser still computes it the
+    chunked way, so a chunk-math bug breaks the hash. Truncation lane
+    (doc_id%9==4) hash-checks the loud fallback; windows past the clip
+    legitimately plan zero reads."""
+    from octopusdb_spark.functions.mp4 import build_mp4, mp4_slice_plan
+
+    def payload_fn(did, b):
+        n = len(b)
+        n_v = n % 7 + 2
+        vs = {
+            "stts_runs": (
+                [(n_v // 2, 100), (n_v - n_v // 2, 50)] if n_v >= 4
+                else [(n_v, 100)]
+            ),
+            "sizes": [100 + ((i * 7 + b[0]) % 50) for i in range(n_v)],
+            "samples_per_chunk": 3,
+            "stss_every": 4,
+        }
+        payload = build_mp4(b"isom", 1000, 0, video=(b"avc1", 320, 240),
+                            video_samples=vs)
+        if did % 9 == 4:
+            payload = payload[:-20]
+        return payload, "video"
+
+    # the window derives from the same doc bytes the payload used — join
+    # them back under _doc_media's EXACT doc-set guard (<= 60 rows, so
+    # the broadcast is a bounded dimension, never an SF-scaled side)
+    windows = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 60)
+            & F.octet_length(F.col("text")).between(48, 599)
+        )
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.ascii(F.substring("text", 2, 1)) % 4 * 100)
+            .cast("long").alias("t0_ms"),
+            (F.ascii(F.substring("text", 2, 1)) % 4 * 100
+             + 150 + F.octet_length("text") % 3 * 100)
+            .cast("long").alias("t1_ms"),
+        )
+    )
+    media = _doc_media(spark, sf_dir, payload_fn).join(
+        F.broadcast(windows), "media_id"
+    )
+    rows = mp4_slice_plan(media)
+    return rows.select(
+        "media_id", "decoded", "sample_idx", "time_ms", "dur_ms",
+        "byte_offset", "size", "sync",
+    ).orderBy("media_id", F.col("sample_idx").asc_nulls_first())
+
+
 def q_multimodal_mp3_meta(spark, sf_dir):
     """MP3 frame-walk metadata under the gate — the audio counterpart of
     `multimodal_mp4_meta`, completing the crawl-media metadata triad
@@ -1117,6 +1185,66 @@ ORACLES = {
            CASE WHEN doc_id % 9 = 4 OR doc_id % 3 = 1 THEN NULL
                 WHEN b2 % 2 = 0 THEN 'mp4a' ELSE 'opus' END AS audio_codec
     FROM src ORDER BY media_id""",
+    # closed-form replication of the MP4 seek plan: sample times from the
+    # two-run stts arithmetic, sizes from the stsz formula, ABSOLUTE
+    # offsets as builder-base (590 + 8*runs + 4*nv + 4*nc + 4*ns — box
+    # size arithmetic pinned by pytest) + prefix-sum of sizes; the
+    # window predicate and stss cadence are under the hash
+    "multimodal_mp4_slice": """
+    WITH src AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    ok AS (
+      SELECT doc_id, b0,
+             n % 7 + 2 AS nv,
+             (b1 % 4) * 100 AS t0,
+             (b1 % 4) * 100 + 150 + (n % 3) * 100 AS t1,
+             590 + 8 * (CASE WHEN n % 7 + 2 >= 4 THEN 2 ELSE 1 END)
+                 + 4 * (n % 7 + 2)
+                 + 4 * ((n % 7 + 2 + 2) // 3)
+                 + 4 * ((n % 7 + 2 + 3) // 4) AS base
+      FROM src WHERE doc_id % 9 != 4
+    ),
+    samples AS (
+      SELECT o.doc_id, o.t0, o.t1, o.base, CAST(t.i AS BIGINT) AS i,
+             CASE WHEN o.nv >= 4 AND t.i >= o.nv // 2
+                  THEN (o.nv // 2) * 100 + (CAST(t.i AS BIGINT) - o.nv // 2) * 50
+                  ELSE CAST(t.i AS BIGINT) * 100 END AS time_ms,
+             CASE WHEN o.nv >= 4 AND t.i >= o.nv // 2
+                  THEN 50 ELSE 100 END AS dur_ms,
+             100 + (CAST(t.i AS BIGINT) * 7 + o.b0) % 50 AS sz
+      FROM ok o, unnest(range(o.nv)) AS t(i)
+    ),
+    planned AS (
+      SELECT doc_id, i, time_ms, dur_ms, sz,
+             base + coalesce(sum(sz) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS byte_offset,
+             (i % 4 = 0) AS sync
+      FROM samples
+      QUALIFY time_ms >= t0 AND time_ms < t1
+    ),
+    rows_ AS (
+      SELECT doc_id AS media_id, TRUE AS decoded, CAST(i AS INT)
+               AS sample_idx,
+             CAST(time_ms AS BIGINT) AS time_ms,
+             CAST(dur_ms AS BIGINT) AS dur_ms,
+             CAST(byte_offset AS BIGINT) AS byte_offset,
+             CAST(sz AS BIGINT) AS size, sync
+      FROM planned
+      UNION ALL
+      SELECT doc_id AS media_id, FALSE AS decoded, CAST(NULL AS INT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BOOLEAN)
+      FROM src WHERE doc_id % 9 = 4
+    )
+    SELECT * FROM rows_ ORDER BY media_id, sample_idx ASC NULLS FIRST""",
     # closed-form replication of the GIF animation's composed canvas:
     # non-overlapping rects make each prior frame's visible state
     # independent (kept -> its palette color, restored -> background),
@@ -1344,5 +1472,6 @@ QUERIES = {
     "multimodal_mp4_meta": q_multimodal_mp4_meta,
     "multimodal_mp4_samples": q_multimodal_mp4_samples,
     "multimodal_gif_frames": q_multimodal_gif_frames,
+    "multimodal_mp4_slice": q_multimodal_mp4_slice,
     "multimodal_mp3_meta": q_multimodal_mp3_meta,
 }

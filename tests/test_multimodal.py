@@ -1453,3 +1453,67 @@ def test_gif_animation_frames(spark):
     assert len(by[1]) == 3 and all(r["decoded"] for r in by[1])
     assert len(by[2]) == 1 and not by[2][0]["decoded"]
     assert [f.name for f in GIF_FRAMES_SCHEMA.fields][0] == "media_id"
+
+
+def test_mp4_slice_planning(spark):
+    """r14: time-slice seek planning — window filtering over stts times,
+    chunk-arithmetic absolute offsets, stss sync flags, empty windows,
+    and the closed-form builder-base pin the oracle depends on
+    (base = 590 + 8*runs + 4*nv + 4*nc + 4*ns for the video-only
+    stsz-table/stco/stss-every-4/spc-3 layout)."""
+    from octopusdb_spark.functions.mp4 import (
+        MP4_SLICE_SCHEMA,
+        build_mp4,
+        mp4_sample_ranges,
+        mp4_slice_plan,
+    )
+
+    def vspec(n_v, b0=37):
+        return {
+            "stts_runs": ([(n_v // 2, 100), (n_v - n_v // 2, 50)]
+                          if n_v >= 4 else [(n_v, 100)]),
+            "sizes": [100 + ((i * 7 + b0) % 50) for i in range(n_v)],
+            "samples_per_chunk": 3, "stss_every": 4,
+        }
+
+    # the closed-form base the multimodal_mp4_slice oracle hard-codes
+    for n_v in (2, 3, 4, 7, 8):
+        vs = vspec(n_v)
+        p = build_mp4(b"isom", 1000, 0, video=(b"avc1", 320, 240),
+                      video_samples=vs)
+        base = len(p) - sum(vs["sizes"])
+        runs = 1 if n_v < 4 else 2
+        assert base == (590 + 8 * runs + 4 * n_v
+                        + 4 * ((n_v + 2) // 3) + 4 * ((n_v + 3) // 4))
+        plan = mp4_sample_ranges(p, 0, 10**9)
+        assert [s["sample_idx"] for s in plan] == list(range(n_v))
+        assert plan[0]["offset"] == base
+        # contiguity: each offset = base + prefix sum of sizes
+        acc = base
+        for s, sz in zip(plan, vs["sizes"]):
+            assert s["offset"] == acc and s["size"] == sz
+            acc += sz
+        assert [s["sync"] for s in plan] == [i % 4 == 0 for i in range(n_v)]
+
+    p = build_mp4(b"isom", 1000, 0, video=(b"avc1", 320, 240),
+                  video_samples=vspec(8))
+    # times 0,100,200,300,400,450,500,550: window [150, 460) -> idx 2..5
+    assert [s["sample_idx"] for s in mp4_sample_ranges(p, 150, 460)] == [2, 3, 4, 5]
+    assert mp4_sample_ranges(p, 600, 700) == []  # past the clip: no reads
+    with pytest.raises(ValueError):
+        mp4_sample_ranges(p, 300, 300)  # empty window
+    with pytest.raises(ValueError):
+        mp4_sample_ranges(p, 0, 100, handler="soun")  # no such track
+
+    rows = [(1, "video", p, None, None, None),
+            (2, "video", p[:-20], None, None, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).selectExpr(
+        "*", "CAST(150 AS LONG) AS t0_ms", "CAST(460 AS LONG) AS t1_ms"
+    )
+    out = mp4_slice_plan(df).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["media_id"], []).append(r)
+    assert [r["sample_idx"] for r in sorted(by[1], key=lambda r: r["sample_idx"])] == [2, 3, 4, 5]
+    assert len(by[2]) == 1 and not by[2][0]["decoded"]
+    assert [f.name for f in MP4_SLICE_SCHEMA.fields][0] == "media_id"

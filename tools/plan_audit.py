@@ -151,6 +151,9 @@ HINT_ALLOWED_SCOPED = {
         "one row per pack bucket (bucket totals, not docs)",
     ("octopusdb_spark/queries/advanced.py", "axis"):
         "gapfill axis: day-range x event types, bounded by time span",
+    ("octopusdb_spark/queries/multimodal.py", "windows"):
+        "per-clip slice windows under _doc_media's doc-set guard "
+        "(doc_id < 60 + byte-length band: <= 60 rows at every SF)",
     # ANN structures bounded by construction (K centroids / M*K codebooks /
     # N_QUERIES query rows / fixed shortlist)
     (_SIM, "cent"): "K centroid rows (K fixed)",
