@@ -93,15 +93,90 @@ def build_mp3(
     return bytes(out)
 
 
+_SIDE_INFO = {0: 32, 1: 32, 2: 32, 3: 17}  # MPEG-1 side-info bytes by mode
+
+
+def build_mp3_vbr(
+    bitrates: list,
+    sample_rate: int = 44100,
+    channel_mode: int = 3,
+    id3_payload: bytes = b"",
+    header_bitrate: int = 64,
+) -> bytes:
+    """A structurally real VBR stream: optional ID3v2 tag, then a Xing
+    HEADER frame (the first frame carries no audio; its payload holds
+    the 'Xing' magic at 4 + side-info bytes, flags 0x3, the AUDIO frame
+    count and the total stream byte size — the LAME/Xing convention a
+    real-world VBR file is identified by), then one audio frame per
+    entry of ``bitrates`` (each frame's own header carries its rate).
+    Everything the parser reads back is in the arguments."""
+    for br in bitrates:
+        if br not in MP3_BITRATES_KBPS[1:15]:
+            raise ValueError(f"unsupported MP3 bitrate {br}")
+    if header_bitrate not in MP3_BITRATES_KBPS[1:15]:
+        raise ValueError(f"unsupported MP3 header bitrate {header_bitrate}")
+    if sample_rate not in MP3_SAMPLE_RATES[:3]:
+        raise ValueError(f"unsupported MP3 sample rate {sample_rate}")
+    if not 0 <= channel_mode <= 3:
+        raise ValueError("bad channel mode")
+    sr_idx = MP3_SAMPLE_RATES.index(sample_rate)
+    si = _SIDE_INFO[channel_mode]
+
+    def frame(br, body_fill):
+        br_idx = MP3_BITRATES_KBPS.index(br)
+        hdr = bytes([
+            0xFF, 0b11111011,
+            (br_idx << 4) | (sr_idx << 2), (channel_mode << 6),
+        ])
+        flen = _frame_len(br, sample_rate, 0)
+        return hdr + body_fill(flen - 4)
+
+    frames = bytearray()
+    # Xing header frame: side info zeros, magic + flags + counts, filler
+    xing_body = bytearray(b"\x00" * si)
+    xing_body += b"Xing" + struct.pack(">II", 0x3, len(bitrates))
+    xing_body += b"\x00" * 4  # bytes field patched below
+    bytes_field_at = si + 12
+
+    def xing_fill(n):
+        pad = n - len(xing_body)
+        if pad < 0:
+            raise ValueError("header_bitrate too small for the Xing block")
+        return bytes(xing_body) + b"\x00" * pad
+
+    frames += frame(header_bitrate, xing_fill)
+    for i, br in enumerate(bitrates):
+        frames += frame(
+            br, lambda n, i=i: bytes((i * 31 + j * 7) % 251 for j in range(n))
+        )
+    # patch the total-bytes field (stream bytes from the Xing frame on)
+    at = 4 + bytes_field_at
+    frames[at : at + 4] = struct.pack(">I", len(frames))
+    out = bytearray()
+    if id3_payload:
+        out += b"ID3" + bytes([3, 0, 0]) + _syncsafe(len(id3_payload))
+        out += id3_payload
+    return bytes(out + frames)
+
+
 def parse_mp3(payload: bytes) -> dict:
     """Walk the stream for real: skip an ID3v2 tag if present (syncsafe
     size), then walk EVERY frame header — sync check, MPEG-1 Layer III
     only (the overwhelmingly common profile; V2/2.5 and other layers
     reject to the stub boundary), bitrate/samplerate table lookups,
     padding-aware frame length — accumulating frame count and exact
-    sample count. Requires header homogeneity (one bitrate/rate/mode
-    per stream — true of CBR, the synthesizable case); a mid-stream
-    header change or truncated final frame raises ValueError."""
+    sample count.
+
+    CBR streams require header homogeneity (one bitrate/rate/mode per
+    stream); a mid-stream bitrate change WITHOUT a Xing/Info header
+    raises ValueError. When the FIRST frame carries the Xing/Info block
+    (r14 — the tag every real-world VBR encoder writes: magic at
+    4 + side-info), bitrate may vary per frame: the walk then checks
+    rate/mode homogeneity only, cross-checks the walked audio-frame
+    count (and, when stamped, the byte count) against the header's
+    declared values, and reports the MEAN audio bitrate with
+    ``vbr=True``. The header frame carries no audio: n_frames /
+    n_samples / duration count audio frames only."""
     pos = 0
     if payload[:3] == b"ID3":
         if len(payload) < 10:
@@ -115,8 +190,13 @@ def parse_mp3(payload: bytes) -> dict:
         pos = 10 + size
         if pos > len(payload):
             raise ValueError("ID3v2 tag longer than stream")
-    n_frames = 0
-    meta = None
+    n_audio = 0
+    fixed = None  # (rate, mode): homogeneous in CBR and VBR alike
+    cbr_bitrate = None
+    bitrate_sum = 0
+    xing = None
+    walked_bytes = 0
+    first = True
     while pos < len(payload):
         # real-world CBR files very commonly carry a 128-byte ID3v1 'TAG'
         # trailer after the last frame (ADVICE r13) — metadata, not sync
@@ -140,28 +220,75 @@ def parse_mp3(payload: bytes) -> dict:
         if bitrate is None or rate is None:
             raise ValueError("free/forbidden MP3 bitrate or reserved rate")
         mode = (b4 >> 6) & 0x03
-        this = (bitrate, rate, mode)
-        if meta is None:
-            meta = this
-        elif meta != this:
-            raise ValueError("MP3 header parameters changed mid-stream (VBR)")
         flen = _frame_len(bitrate, rate, padding)
         if pos + flen > len(payload):
             raise ValueError("truncated MP3 frame")
+        if first:
+            # Xing/Info detection: magic sits right after the (zeroed)
+            # side info of the first frame — the real-world VBR marker
+            si = _SIDE_INFO[mode]
+            magic = payload[pos + 4 + si : pos + 8 + si]
+            if magic in (b"Xing", b"Info") and pos + 8 + si + 8 <= pos + flen:
+                flags = struct.unpack_from(">I", payload, pos + 8 + si)[0]
+                at = pos + 12 + si
+                if not flags & 0x1:
+                    raise ValueError("Xing block without frame count")
+                declared_frames = struct.unpack_from(">I", payload, at)[0]
+                at += 4
+                declared_bytes = None
+                if flags & 0x2:
+                    if at + 4 > pos + flen:
+                        raise ValueError("truncated Xing byte count")
+                    declared_bytes = struct.unpack_from(">I", payload, at)[0]
+                xing = {"frames": declared_frames, "bytes": declared_bytes,
+                        "is_vbr": magic == b"Xing"}
+        this_fixed = (rate, mode)
+        if fixed is None:
+            fixed = this_fixed
+        elif fixed != this_fixed:
+            raise ValueError("MP3 rate/mode changed mid-stream")
+        if not (first and xing is not None):
+            # audio frame (the Xing header frame carries no audio)
+            n_audio += 1
+            bitrate_sum += bitrate
+            if xing is None:
+                if cbr_bitrate is None:
+                    cbr_bitrate = bitrate
+                elif cbr_bitrate != bitrate:
+                    raise ValueError(
+                        "MP3 bitrate changed mid-stream without a Xing header"
+                    )
         pos += flen
-        n_frames += 1
-    if meta is None:
+        walked_bytes += flen
+        first = False
+    if fixed is None:
         raise ValueError("MP3 stream without frames")
-    bitrate, rate, mode = meta
-    total_samples = n_frames * _SAMPLES_PER_FRAME
+    if n_audio == 0:
+        raise ValueError("MP3 stream without audio frames")
+    if xing is not None:
+        if n_audio != xing["frames"]:
+            raise ValueError(
+                f"Xing frame count mismatch (declared {xing['frames']}, "
+                f"walked {n_audio})"
+            )
+        if xing["bytes"] is not None and walked_bytes != xing["bytes"]:
+            raise ValueError(
+                f"Xing byte count mismatch (declared {xing['bytes']}, "
+                f"walked {walked_bytes})"
+            )
+    rate, mode = fixed
+    total_samples = n_audio * _SAMPLES_PER_FRAME
     return {
         "container": "mp3",
-        "bitrate_kbps": bitrate,
+        "bitrate_kbps": (
+            cbr_bitrate if xing is None else bitrate_sum // n_audio
+        ),
         "sample_rate": rate,
         "channel_mode": ("stereo", "joint_stereo", "dual_channel", "mono")[mode],
-        "n_frames": n_frames,
+        "n_frames": n_audio,
         "n_samples": total_samples,
         "duration_ms": total_samples * 1000 // rate,
+        "vbr": xing is not None and xing["is_vbr"],
     }
 
 

@@ -1211,7 +1211,7 @@ def test_media_parser_exception_contract_fuzz():
     import struct
 
     from octopusdb_spark.functions.flac import decode_flac, encode_flac
-    from octopusdb_spark.functions.mp3 import build_mp3, parse_mp3
+    from octopusdb_spark.functions.mp3 import build_mp3, build_mp3_vbr, parse_mp3
     from octopusdb_spark.functions.mp4 import (
         build_mp4,
         parse_mp4,
@@ -1242,6 +1242,11 @@ def test_media_parser_exception_contract_fuzz():
         (
             build_mp3(40, 192, 48000, channel_mode=0,
                       id3_payload=b"x" * 20, pad_every=4),
+            parse_mp3,
+        ),
+        (
+            build_mp3_vbr([96, 192, 128, 320, 64, 128, 256, 112], 44100,
+                          channel_mode=1, id3_payload=b"y" * 11),
             parse_mp3,
         ),
         (
@@ -1517,3 +1522,50 @@ def test_mp4_slice_planning(spark):
     assert [r["sample_idx"] for r in sorted(by[1], key=lambda r: r["sample_idx"])] == [2, 3, 4, 5]
     assert len(by[2]) == 1 and not by[2][0]["decoded"]
     assert [f.name for f in MP4_SLICE_SCHEMA.fields][0] == "media_id"
+
+
+def test_mp3_vbr_xing(spark):
+    """r14: real-world VBR — the Xing/Info header frame (magic after the
+    zeroed side info) switches the walk from CBR homogeneity to
+    per-frame bitrates with declared-count cross-checks; the header
+    frame carries no audio; VBR without Xing still rejects."""
+    from octopusdb_spark.functions.mp3 import (
+        MP3_META_SCHEMA,
+        build_mp3,
+        build_mp3_vbr,
+        mp3_metadata,
+        parse_mp3,
+    )
+
+    brs = [96, 192, 128, 320, 64, 128]
+    v = parse_mp3(build_mp3_vbr(brs, 48000, channel_mode=1,
+                                id3_payload=b"x" * 9))
+    assert v["vbr"] and v["n_frames"] == 6
+    assert v["bitrate_kbps"] == sum(brs) // 6
+    assert v["n_samples"] == 6 * 1152
+    assert v["duration_ms"] == 6 * 1152 * 1000 // 48000
+    # CBR output unchanged (incl. the new vbr flag defaulting False)
+    c = parse_mp3(build_mp3(25, 128, 44100))
+    assert not c["vbr"] and c["n_frames"] == 25 and c["bitrate_kbps"] == 128
+
+    p = build_mp3_vbr(brs, 44100, channel_mode=3)
+    last = 144 * 128 * 1000 // 44100
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        parse_mp3(p[:-last])  # walked fewer frames than declared
+    with pytest.raises(ValueError, match="without a Xing header"):
+        parse_mp3(build_mp3(2, 128, 44100) + build_mp3(2, 192, 44100))
+    # byte-count tamper: inflate the declared bytes field
+    import struct as _struct
+
+    t = bytearray(p)
+    si = 17
+    at = 4 + si + 12
+    t[at : at + 4] = _struct.pack(">I", len(p) + 5)
+    with pytest.raises(ValueError, match="byte count mismatch"):
+        parse_mp3(bytes(t))
+
+    # Spark surface: VBR rows decode with mean bitrate
+    rows = [(1, "audio", p, None, None, None)]
+    out = mp3_metadata(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert out[0]["decoded"] and out[0]["bitrate_kbps"] == sum(brs) // 6
+    assert [f.name for f in MP3_META_SCHEMA.fields][0] == "media_id"
