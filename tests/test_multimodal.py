@@ -1569,3 +1569,60 @@ def test_mp3_vbr_xing(spark):
     out = mp3_metadata(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
     assert out[0]["decoded"] and out[0]["bitrate_kbps"] == sum(brs) // 6
     assert [f.name for f in MP3_META_SCHEMA.fields][0] == "media_id"
+
+
+def test_exploding_media_surfaces_run_as_streams(spark, tmp_path):
+    """The r14 per-track/per-frame/per-sample EXPLODING surfaces are the
+    same stateless mapInPandas shape as extract_features, so they run
+    unchanged under Structured Streaming — a continuous crawl-ingest can
+    plan video slices and walk sample tables in-stream. Batch and stream
+    produce identical rows."""
+    from octopusdb_spark.functions.mp4 import (
+        build_mp4,
+        mp4_track_samples,
+    )
+    from octopusdb_spark.functions.multimodal import (
+        decode_gif_frames,  # noqa: F401 (import sanity)
+        encode_gif_animation,
+        gif_frames,
+    )
+
+    p_mp4 = build_mp4(
+        b"isom", 1000, 0, video=(b"avc1", 320, 240),
+        video_samples={"stts_runs": [(5, 100)], "sizes": [100] * 5,
+                       "samples_per_chunk": 2, "stss_every": 2},
+    )
+    p_gif = encode_gif_animation(
+        16, 10, 30,
+        [dict(left=0, top=0, w=16, h=10, pixels=bytes([100]) * 160,
+              delay_cs=4, disposal=1),
+         dict(left=2, top=2, w=4, h=4, pixels=bytes([50]) * 16,
+              delay_cs=5, disposal=2)],
+    )
+    rows = [(1, "video", p_mp4, None, None, None),
+            (2, "image", p_gif, None, None, None),
+            (3, "video", p_mp4[:-10], None, None, None)]
+    src = str(tmp_path / "explode_src")
+    spark.createDataFrame(rows, MEDIA_SCHEMA).write.parquet(src)
+
+    for i, (surface, qname) in enumerate(
+        [(mp4_track_samples, "mp4_tracks_stream"),
+         (gif_frames, "gif_frames_stream")]
+    ):
+        batch_rows = sorted(
+            map(tuple, surface(spark.read.parquet(src)).collect())
+        )
+        stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src)
+        q = (
+            surface(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
+            .start()
+        )
+        q.awaitTermination(120)
+        stream_rows = sorted(
+            map(tuple, spark.sql(f"select * from {qname}").collect())
+        )
+        assert stream_rows == batch_rows and len(stream_rows) >= 3
