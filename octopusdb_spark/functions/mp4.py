@@ -141,6 +141,15 @@ def _sample_tables(spec: dict, base_offset: int) -> bytes:
             struct.pack(">II", 0, n)
             + b"".join(struct.pack(">I", s) for s in size_list),
         )
+    ctts = spec.get("ctts_runs")
+    if ctts:
+        if sum(c for c, _ in ctts) != n:
+            raise ValueError("sample spec: ctts/stts count mismatch")
+        out += _full(
+            b"ctts", 0, 0,
+            struct.pack(">I", len(ctts))
+            + b"".join(struct.pack(">II", c, o) for c, o in ctts),
+        )
     k = spec["samples_per_chunk"]
     out += _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, k, 1))
     offsets, pos = [], base_offset
@@ -561,11 +570,16 @@ def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
     for offsets — no bitstream is touched, and a downstream ranged read
     fetches O(slice bytes), never the whole mdat).
 
-    Returns [{sample_idx, time_ms, dur_ms, offset, size, sync}] in
-    presentation order; ``sync`` is True when the sample is an stss sync
-    point (or the track has no stss — all-sync per spec). Raises
-    ValueError on malformed tables (same contract as parse_mp4_tracks)
-    or when no such track exists."""
+    Returns [{sample_idx, time_ms, dur_ms, pt_ms, offset, size, sync}]
+    in decode order; ``pt_ms`` is the PRESENTATION time (decode time +
+    the ctts composition offset when the track carries one — the
+    B-frame reordering table; equal to time_ms otherwise); ``sync`` is
+    True when the sample is an stss sync point (or the track has no
+    stss — all-sync per spec). Selection is by DECODE time (the
+    fetchable unit); a presentation-window consumer filters pt_ms after
+    planning, the standard two-step. Raises ValueError on malformed
+    tables (same contract as parse_mp4_tracks) or when no such track
+    exists."""
     if t1_ms <= t0_ms:
         raise ValueError("empty time window")
     # reuse the validated per-track walk to locate the right trak, then
@@ -600,7 +614,7 @@ def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
         boxes = {
             bt: (bs, be)
             for bt, bs, be in _walk(payload, sb[0], sb[1])
-            if bt in (b"stts", b"stsz", b"stsc", b"stco", b"co64", b"stss")
+            if bt in (b"stts", b"stsz", b"stsc", b"stco", b"co64", b"stss", b"ctts")
         }
         for need in (b"stts", b"stsz", b"stsc"):
             if need not in boxes:
@@ -648,6 +662,17 @@ def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
                 struct.unpack_from(">I", payload, s_at + 4 * i)[0]
                 for i in range(s_cnt)
             }
+        # ctts composition offsets (v0): presentation = decode + offset —
+        # the B-frame reordering table; absent = presentation == decode
+        ct_offs = None
+        if b"ctts" in boxes:
+            c2_cnt, c2_at = _fullbox_u32s(payload, *boxes[b"ctts"], 8)
+            ct_offs = []
+            for i in range(c2_cnt):
+                c, o = struct.unpack_from(">II", payload, c2_at + 8 * i)
+                ct_offs.extend([o] * c)
+            if len(ct_offs) != n:
+                raise ValueError("ctts/stts sample count mismatch")
         out = []
         for i in range(n):
             t_ms = times[i][0] * 1000 // media_ts
@@ -659,10 +684,12 @@ def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
             if chunk >= len(chunk_offs):
                 raise ValueError("sample outside declared chunks")
             offset = chunk_offs[chunk] + sum(sizes[chunk * per_chunk : i])
+            ct = times[i][0] + (ct_offs[i] if ct_offs is not None else 0)
             out.append({
                 "sample_idx": i,
                 "time_ms": t_ms,
                 "dur_ms": times[i][1] * 1000 // media_ts,
+                "pt_ms": ct * 1000 // media_ts,
                 "offset": offset,
                 "size": sizes[i],
                 "sync": True if sync is None else (i + 1) in sync,
@@ -795,6 +822,7 @@ MP4_SLICE_SCHEMA = T.StructType(
         T.StructField("sample_idx", T.IntegerType(), True),
         T.StructField("time_ms", T.LongType(), True),
         T.StructField("dur_ms", T.LongType(), True),
+        T.StructField("pt_ms", T.LongType(), True),
         T.StructField("byte_offset", T.LongType(), True),
         T.StructField("size", T.LongType(), True),
         T.StructField("sync", T.BooleanType(), True),

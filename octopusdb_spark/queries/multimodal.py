@@ -433,21 +433,29 @@ def q_multimodal_mp4_slice(spark, sf_dir):
     to ranged blob reads so the fetch stage touches O(slice bytes).
 
     Each doc builds a video-only MP4 (two-run stts when long enough,
-    stsz size table, stss every 4th sample); the window rides the text
-    bytes (t0 = (b1%4)*100, span 150/250/350 ms). The oracle replicates
-    ABSOLUTE offsets in closed form: the builder's mdat body start is
-    590 + 8*stts_runs + 4*n_v + 4*n_chunks + 4*n_sync (box-size
-    arithmetic, verified constant across n_v in pytest), and the
-    single-track contiguous layout collapses chunk arithmetic to
-    base + prefix-sum(sizes) — while the parser still computes it the
-    chunked way, so a chunk-math bug breaks the hash. Truncation lane
-    (doc_id%9==4) hash-checks the loud fallback; windows past the clip
-    legitimately plan zero reads."""
+    stsz size table, stss every 4th sample, and a ctts composition-
+    offset table — pairs of samples alternate +50/+0, the B-frame
+    reordering shape, so pt_ms = decode time + offset is under the
+    hash too); the window rides the text bytes (t0 = (b1%4)*100, span
+    150/250/350 ms) and selects by DECODE time (the fetchable unit).
+    The oracle replicates ABSOLUTE offsets in closed form: the
+    builder's mdat body start is 606 + 8*stts_runs + 8*ctts_runs +
+    4*n_v + 4*n_chunks + 4*n_sync (box-size arithmetic, verified
+    constant across n_v in pytest), and the single-track contiguous
+    layout collapses chunk arithmetic to base + prefix-sum(sizes) —
+    while the parser still computes it the chunked way, so a chunk-math
+    bug breaks the hash. Truncation lane (doc_id%9==4) hash-checks the
+    loud fallback; windows past the clip legitimately plan zero
+    reads."""
     from octopusdb_spark.functions.mp4 import build_mp4, mp4_slice_plan
 
     def payload_fn(did, b):
         n = len(b)
         n_v = n % 7 + 2
+        ctts = []
+        for k in range((n_v + 1) // 2):
+            cnt = min(2, n_v - 2 * k)
+            ctts.append((cnt, 50 if k % 2 == 0 else 0))
         vs = {
             "stts_runs": (
                 [(n_v // 2, 100), (n_v - n_v // 2, 50)] if n_v >= 4
@@ -456,6 +464,7 @@ def q_multimodal_mp4_slice(spark, sf_dir):
             "sizes": [100 + ((i * 7 + b[0]) % 50) for i in range(n_v)],
             "samples_per_chunk": 3,
             "stss_every": 4,
+            "ctts_runs": ctts,
         }
         payload = build_mp4(b"isom", 1000, 0, video=(b"avc1", 320, 240),
                             video_samples=vs)
@@ -486,7 +495,7 @@ def q_multimodal_mp4_slice(spark, sf_dir):
     )
     rows = mp4_slice_plan(media)
     return rows.select(
-        "media_id", "decoded", "sample_idx", "time_ms", "dur_ms",
+        "media_id", "decoded", "sample_idx", "time_ms", "dur_ms", "pt_ms",
         "byte_offset", "size", "sync",
     ).orderBy("media_id", F.col("sample_idx").asc_nulls_first())
 
@@ -1203,7 +1212,8 @@ ORACLES = {
              n % 7 + 2 AS nv,
              (b1 % 4) * 100 AS t0,
              (b1 % 4) * 100 + 150 + (n % 3) * 100 AS t1,
-             590 + 8 * (CASE WHEN n % 7 + 2 >= 4 THEN 2 ELSE 1 END)
+             606 + 8 * (CASE WHEN n % 7 + 2 >= 4 THEN 2 ELSE 1 END)
+                 + 8 * ((n % 7 + 2 + 1) // 2)
                  + 4 * (n % 7 + 2)
                  + 4 * ((n % 7 + 2 + 2) // 3)
                  + 4 * ((n % 7 + 2 + 3) // 4) AS base
@@ -1216,11 +1226,13 @@ ORACLES = {
                   ELSE CAST(t.i AS BIGINT) * 100 END AS time_ms,
              CASE WHEN o.nv >= 4 AND t.i >= o.nv // 2
                   THEN 50 ELSE 100 END AS dur_ms,
+             CASE WHEN (CAST(t.i AS BIGINT) // 2) % 2 = 0
+                  THEN 50 ELSE 0 END AS ct_off,
              100 + (CAST(t.i AS BIGINT) * 7 + o.b0) % 50 AS sz
       FROM ok o, unnest(range(o.nv)) AS t(i)
     ),
     planned AS (
-      SELECT doc_id, i, time_ms, dur_ms, sz,
+      SELECT doc_id, i, time_ms, dur_ms, time_ms + ct_off AS pt_ms, sz,
              base + coalesce(sum(sz) OVER (
                PARTITION BY doc_id ORDER BY i
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -1234,6 +1246,7 @@ ORACLES = {
                AS sample_idx,
              CAST(time_ms AS BIGINT) AS time_ms,
              CAST(dur_ms AS BIGINT) AS dur_ms,
+             CAST(pt_ms AS BIGINT) AS pt_ms,
              CAST(byte_offset AS BIGINT) AS byte_offset,
              CAST(sz AS BIGINT) AS size, sync
       FROM planned
@@ -1241,7 +1254,7 @@ ORACLES = {
       SELECT doc_id AS media_id, FALSE AS decoded, CAST(NULL AS INT),
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-             CAST(NULL AS BOOLEAN)
+             CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
       FROM src WHERE doc_id % 9 = 4
     )
     SELECT * FROM rows_ ORDER BY media_id, sample_idx ASC NULLS FIRST""",

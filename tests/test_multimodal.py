@@ -1626,3 +1626,42 @@ def test_exploding_media_surfaces_run_as_streams(spark, tmp_path):
             map(tuple, spark.sql(f"select * from {qname}").collect())
         )
         assert stream_rows == batch_rows and len(stream_rows) >= 3
+
+
+def test_mp4_ctts_presentation_times(spark):
+    """r14: ctts composition offsets — presentation time = decode time +
+    offset (the B-frame reordering table); absent ctts -> pt == decode;
+    count mismatches raise; the with-ctts builder base is
+    606 + 8*stts_runs + 8*ctts_runs + 4*nv + 4*nc + 4*ns (the slice
+    oracle's closed form)."""
+    from octopusdb_spark.functions.mp4 import build_mp4, mp4_sample_ranges
+
+    vs = {"stts_runs": [(6, 100)], "sizes": [100] * 6,
+          "samples_per_chunk": 3, "stss_every": 4,
+          "ctts_runs": [(2, 50), (2, 0), (2, 50)]}
+    p = build_mp4(b"isom", 1000, 0, video=(b"avc1", 320, 240),
+                  video_samples=vs)
+    plan = mp4_sample_ranges(p, 0, 10**9)
+    assert [s["pt_ms"] for s in plan] == [50, 150, 200, 300, 450, 550]
+    assert [s["time_ms"] for s in plan] == [0, 100, 200, 300, 400, 500]
+    base = len(p) - 600
+    assert base == 606 + 8 * 1 + 8 * 3 + 4 * 6 + 4 * 2 + 4 * 2
+
+    no_ctts = dict(vs)
+    no_ctts.pop("ctts_runs")
+    p2 = build_mp4(b"isom", 1000, 0, video=(b"avc1", 320, 240),
+                   video_samples=no_ctts)
+    assert all(
+        s["pt_ms"] == s["time_ms"] for s in mp4_sample_ranges(p2, 0, 10**9)
+    )
+    with pytest.raises(ValueError, match="ctts/stts"):
+        bad = dict(vs); bad["ctts_runs"] = [(2, 50)]
+        build_mp4(b"isom", 1000, 0, video=(b"avc1", 320, 240),
+                  video_samples=bad)
+    # parser-side mismatch: shrink the declared ctts entry count's runs
+    import struct as _struct
+    t = bytearray(p)
+    at = p.find(b"ctts") + 4 + 4  # entry_count after version/flags
+    t[at : at + 4] = _struct.pack(">I", 2)
+    with pytest.raises(ValueError, match="ctts/stts sample count mismatch"):
+        mp4_sample_ranges(bytes(t), 0, 10**9)
