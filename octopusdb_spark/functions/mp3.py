@@ -102,6 +102,7 @@ def build_mp3_vbr(
     channel_mode: int = 3,
     id3_payload: bytes = b"",
     header_bitrate: int = 64,
+    toc: bool = False,
 ) -> bytes:
     """A structurally real VBR stream: optional ID3v2 tag, then a Xing
     HEADER frame (the first frame carries no audio; its payload holds
@@ -133,10 +134,15 @@ def build_mp3_vbr(
 
     frames = bytearray()
     # Xing header frame: side info zeros, magic + flags + counts, filler
+    flags = 0x7 if toc else 0x3
     xing_body = bytearray(b"\x00" * si)
-    xing_body += b"Xing" + struct.pack(">II", 0x3, len(bitrates))
+    xing_body += b"Xing" + struct.pack(">II", flags, len(bitrates))
     xing_body += b"\x00" * 4  # bytes field patched below
     bytes_field_at = si + 12
+    toc_at = None
+    if toc:
+        toc_at = si + 16
+        xing_body += b"\x00" * 100  # TOC patched below
 
     def xing_fill(n):
         pad = n - len(xing_body)
@@ -145,13 +151,26 @@ def build_mp3_vbr(
         return bytes(xing_body) + b"\x00" * pad
 
     frames += frame(header_bitrate, xing_fill)
+    audio_offsets = []  # stream offset of each audio frame
     for i, br in enumerate(bitrates):
+        audio_offsets.append(len(frames))
         frames += frame(
             br, lambda n, i=i: bytes((i * 31 + j * 7) % 251 for j in range(n))
         )
     # patch the total-bytes field (stream bytes from the Xing frame on)
     at = 4 + bytes_field_at
     frames[at : at + 4] = struct.pack(">I", len(frames))
+    if toc:
+        # TOC[i]: byte-offset fraction (x256) of the audio frame at time
+        # fraction i/100 — the LAME seek table
+        n_a = len(bitrates)
+        table = bytes(
+            min(255, 256 * audio_offsets[min(n_a - 1, i * n_a // 100)]
+                // len(frames))
+            for i in range(100)
+        )
+        at = 4 + toc_at
+        frames[at : at + 100] = table
     out = bytearray()
     if id3_payload:
         out += b"ID3" + bytes([3, 0, 0]) + _syncsafe(len(id3_payload))
@@ -290,6 +309,83 @@ def parse_mp3(payload: bytes) -> dict:
         "duration_ms": total_samples * 1000 // rate,
         "vbr": xing is not None and xing["is_vbr"],
     }
+
+
+def mp3_seek(payload: bytes, t_ms: int) -> dict:
+    """TOC-based time seek — the audio counterpart of the MP4 slice
+    planner (`mp4.py::mp4_sample_ranges`): a VBR stream's Xing TOC maps
+    time fractions to byte-offset fractions, so seeking to ``t_ms``
+    costs O(1) table reads + one bounded sync scan instead of a frame
+    walk from byte 0 — the shape a pipeline uses to slice long audio.
+
+    Steps (the standard LAME/Xing seek): parse the stream once for
+    duration + the TOC (requires Xing flags frames|bytes|TOC — raises
+    ValueError otherwise); linearly interpolate between the two
+    surrounding TOC cells to an ESTIMATED byte offset; scan forward
+    from it (bounded by the max MPEG-1 frame length) to the next frame
+    sync and return that boundary. The TOC is a 256-cell-granularity
+    ESTIMATE by design — the returned ``frame_offset`` is a real frame
+    boundary near the target, not exact sample addressing (that would
+    need the full walk). Sync-scan caveat, documented: a false 0xFF
+    sync inside a frame body can snap early on adversarial payloads;
+    production decoders verify two consecutive headers."""
+    # reuse the validated walk for duration + counts
+    meta = parse_mp3(payload)
+    if not meta["vbr"]:
+        raise ValueError("mp3_seek requires a Xing VBR stream")
+    pos = 0
+    if payload[:3] == b"ID3":
+        size = (
+            (payload[6] << 21) | (payload[7] << 14)
+            | (payload[8] << 7) | payload[9]
+        )
+        pos = 10 + size
+    b2, b3, b4 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+    mode = (b4 >> 6) & 0x03
+    si = _SIDE_INFO[mode]
+    at = pos + 4 + si
+    if payload[at : at + 4] != b"Xing":
+        raise ValueError("mp3_seek requires a Xing header")
+    flags = struct.unpack_from(">I", payload, at + 4)[0]
+    if not (flags & 0x1 and flags & 0x2 and flags & 0x4):
+        raise ValueError("Xing header without frames|bytes|TOC")
+    total_bytes = struct.unpack_from(">I", payload, at + 12)[0]
+    toc = payload[at + 16 : at + 116]
+    if len(toc) != 100:
+        raise ValueError("truncated Xing TOC")
+    dur = meta["duration_ms"]
+    if not 0 <= t_ms < dur:
+        raise ValueError(f"seek time {t_ms} outside [0, {dur})")
+    fq = t_ms * 100.0 / dur
+    i = min(99, int(fq))
+    fa = toc[i]
+    fb = toc[i + 1] if i + 1 < 100 else 256
+    est = int((fa + (fb - fa) * (fq - i)) / 256.0 * total_bytes)
+    # snap forward to the next frame sync (bounded: max MPEG-1 L3 frame
+    # is 144*320000/32000 + 1 = 1441 bytes)
+    scan_end = min(len(payload), pos + est + 1442)
+
+    def hit(j):
+        return {
+            "est_offset": pos + est,
+            "frame_offset": j,
+            "toc_cell": i,
+            "duration_ms": dur,
+        }
+
+    j = pos + est
+    while j < scan_end - 1:
+        if payload[j] == 0xFF and (payload[j + 1] & 0xE0) == 0xE0:
+            return hit(j)
+        j += 1
+    # estimate landed inside the LAST frame's body (nothing ahead):
+    # snap backward to its header — the standard end-of-stream seek
+    j = min(pos + est, len(payload) - 2)
+    while j >= pos:
+        if payload[j] == 0xFF and (payload[j + 1] & 0xE0) == 0xE0:
+            return hit(j)
+        j -= 1
+    raise ValueError("no frame sync near the TOC estimate")
 
 
 MP3_META_SCHEMA = T.StructType(

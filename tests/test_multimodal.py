@@ -1665,3 +1665,44 @@ def test_mp4_ctts_presentation_times(spark):
     t[at : at + 4] = _struct.pack(">I", 2)
     with pytest.raises(ValueError, match="ctts/stts sample count mismatch"):
         mp4_sample_ranges(bytes(t), 0, 10**9)
+
+
+def test_mp3_toc_seek(spark):
+    """r14: Xing TOC seek — O(1) time->byte estimation + bounded sync
+    snap lands within one frame of the target across the stream,
+    including the end-of-stream backward snap; non-TOC streams refuse."""
+    import bisect
+
+    from octopusdb_spark.functions.mp3 import (
+        _frame_len,
+        build_mp3,
+        build_mp3_vbr,
+        mp3_seek,
+        parse_mp3,
+    )
+
+    brs = [96, 192, 128, 320, 64, 128, 256, 112, 160, 80] * 3
+    p = build_mp3_vbr(brs, 44100, channel_mode=3, toc=True,
+                      id3_payload=b"t" * 7)
+    m = parse_mp3(p)
+    assert m["vbr"] and m["n_frames"] == 30
+
+    # ground-truth audio frame offsets from the builder arithmetic
+    id3 = 10 + 7
+    offs = [id3 + _frame_len(64, 44100, 0)]
+    for br in brs[:-1]:
+        offs.append(offs[-1] + _frame_len(br, 44100, 0))
+
+    for t in (0, 100, 300, 500, 700, m["duration_ms"] - 1):
+        s = mp3_seek(p, t)
+        assert s["frame_offset"] in offs or s["frame_offset"] == id3
+        landed = bisect.bisect_right(offs, s["frame_offset"]) - 1
+        target = min(len(brs) - 1, t * 44100 // (1152 * 1000))
+        assert abs(landed - target) <= 1, (t, landed, target)
+
+    with pytest.raises(ValueError, match="outside"):
+        mp3_seek(p, m["duration_ms"] + 1)
+    with pytest.raises(ValueError, match="frames\\|bytes\\|TOC"):
+        mp3_seek(build_mp3_vbr(brs[:5], 44100), 10)  # no TOC flag
+    with pytest.raises(ValueError, match="Xing VBR"):
+        mp3_seek(build_mp3(10, 128, 44100), 10)  # CBR
