@@ -150,12 +150,29 @@ def _sample_tables(spec: dict, base_offset: int) -> bytes:
             struct.pack(">I", len(ctts))
             + b"".join(struct.pack(">II", c, o) for c, o in ctts),
         )
+    # samples_per_chunk: an int (single-run) or [(first_chunk, spc)...]
+    # runs — the multi-run layout real muxers emit
     k = spec["samples_per_chunk"]
-    out += _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, k, 1))
-    offsets, pos = [], base_offset
-    for i in range(0, n, k):
+    runs = [(1, k)] if isinstance(k, int) else [tuple(r) for r in k]
+    out += _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    # chunk sample counts by consuming the runs until samples exhaust
+    chunk_counts, remaining, ri, c = [], n, 0, 1
+    while remaining > 0:
+        while ri + 1 < len(runs) and runs[ri + 1][0] <= c:
+            ri += 1
+        take = min(runs[ri][1], remaining)
+        chunk_counts.append(take)
+        remaining -= take
+        c += 1
+    offsets, pos, i = [], base_offset, 0
+    for cc in chunk_counts:
         offsets.append(pos)
-        pos += sum(size_list[i : i + k])
+        pos += sum(size_list[i : i + cc])
+        i += cc
     if spec.get("co64"):
         out += _full(b"co64", 0, 0, struct.pack(">I", len(offsets))
                      + b"".join(struct.pack(">Q", o) for o in offsets))
@@ -394,6 +411,50 @@ def parse_mp4(payload: bytes) -> dict:
     }
 
 
+def _stsc_runs(payload: bytes, s: int, e: int) -> list:
+    """Validated stsc runs [(first_chunk, samples_per_chunk)...] — r14
+    generalizes from the single-run layout to the full spec (real muxers
+    commonly emit multi-run tables: a short head chunk, a different
+    interleave mid-file)."""
+    cnt, at = _fullbox_u32s(payload, s, e, 12)
+    if cnt < 1:
+        raise ValueError("empty stsc")
+    runs = [
+        struct.unpack_from(">III", payload, at + 12 * i)[:2]
+        for i in range(cnt)
+    ]
+    if runs[0][0] != 1:
+        raise ValueError("stsc first run must start at chunk 1")
+    for (a, _), (b, _) in zip(runs, runs[1:]):
+        if b <= a:
+            raise ValueError("stsc run chunks not strictly increasing")
+    if any(spc < 1 for _, spc in runs):
+        raise ValueError("stsc zero samples-per-chunk")
+    return runs
+
+
+def _chunk_sample_counts(runs: list, n_chunks: int, n_samples: int) -> list:
+    """Per-chunk sample counts from the stsc runs: each chunk takes its
+    run's samples_per_chunk; only the LAST chunk may come up short, and
+    the totals must tile n_samples exactly — the cross-check a corrupt
+    (or truncated) table fails loudly."""
+    counts, remaining, ri = [], n_samples, 0
+    for c in range(1, n_chunks + 1):
+        while ri + 1 < len(runs) and runs[ri + 1][0] <= c:
+            ri += 1
+        spc = runs[ri][1]
+        if remaining <= 0:
+            raise ValueError("stco chunk beyond the declared samples")
+        take = min(spc, remaining)
+        if take < spc and c != n_chunks:
+            raise ValueError("short chunk before the last (stsc/stsz mismatch)")
+        counts.append(take)
+        remaining -= take
+    if remaining != 0:
+        raise ValueError("stco chunk count inconsistent with stsc/stsz")
+    return counts
+
+
 def _fullbox_u32s(payload: bytes, s: int, e: int, per_entry: int) -> tuple:
     """(entry_count, entries_start) for a fullbox whose body is
     entry_count + fixed-width entries; validates the declared count fits."""
@@ -520,26 +581,16 @@ def parse_mp4_tracks(payload: bytes) -> list:
         row["total_bytes"] = sum(sizes)
         row["max_sample_bytes"] = max(sizes)
 
-        # stsc + stco/co64: chunk layout
+        # stsc + stco/co64: chunk layout (full multi-run stsc per spec)
         if b"stsc" not in boxes:
             raise ValueError("MP4 sampled track without stsc")
-        c_cnt, c_at = _fullbox_u32s(payload, *boxes[b"stsc"], 12)
-        if c_cnt < 1:
-            raise ValueError("empty stsc")
-        first_chunk, per_chunk, _sdi = struct.unpack_from(
-            ">III", payload, c_at
-        )
-        if c_cnt != 1 or first_chunk != 1 or per_chunk < 1:
-            # multi-run stsc is legal ISO-BMFF; this engine's builder
-            # emits single-run tables — reject rather than misread
-            raise ValueError("unsupported stsc layout")
+        runs = _stsc_runs(payload, *boxes[b"stsc"])
         off_key = b"co64" if b"co64" in boxes else b"stco"
         if off_key not in boxes:
             raise ValueError("MP4 sampled track without stco/co64")
         width = 8 if off_key == b"co64" else 4
         o_cnt, o_at = _fullbox_u32s(payload, *boxes[off_key], width)
-        if o_cnt != (n_samples + per_chunk - 1) // per_chunk:
-            raise ValueError("stco chunk count inconsistent with stsc/stsz")
+        counts = _chunk_sample_counts(runs, o_cnt, n_samples)
         fmt = ">Q" if width == 8 else ">I"
         offsets = [
             struct.unpack_from(fmt, payload, o_at + width * i)[0]
@@ -547,7 +598,7 @@ def parse_mp4_tracks(payload: bytes) -> list:
         ]
         if any(b <= a for a, b in zip(offsets, offsets[1:])):
             raise ValueError("stco offsets not strictly increasing")
-        last_chunk_bytes = sum(sizes[per_chunk * (o_cnt - 1):])
+        last_chunk_bytes = sum(sizes[n_samples - counts[-1]:])
         row["n_chunks"] = o_cnt
         row["chunk_span"] = offsets[-1] + last_chunk_bytes - offsets[0]
 
@@ -640,21 +691,26 @@ def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
             if const_size
             else list(struct.unpack_from(f">{n}I", payload, zs + 12))
         )
-        # chunk layout -> per-sample absolute offsets
-        c_cnt, c_at = _fullbox_u32s(payload, *boxes[b"stsc"], 12)
-        first_chunk, per_chunk, _sdi = struct.unpack_from(">III", payload, c_at)
-        if c_cnt != 1 or first_chunk != 1 or per_chunk < 1:
-            raise ValueError("unsupported stsc layout")
+        # chunk layout -> per-sample absolute offsets (multi-run stsc)
+        runs = _stsc_runs(payload, *boxes[b"stsc"])
         off_key = b"co64" if b"co64" in boxes else b"stco"
         if off_key not in boxes:
             raise ValueError("track without stco/co64")
         width = 8 if off_key == b"co64" else 4
         o_cnt, o_at = _fullbox_u32s(payload, *boxes[off_key], width)
+        counts = _chunk_sample_counts(runs, o_cnt, n)
         fmt = ">Q" if width == 8 else ">I"
         chunk_offs = [
             struct.unpack_from(fmt, payload, o_at + width * i)[0]
             for i in range(o_cnt)
         ]
+        # per-sample (chunk, first-sample-of-chunk) from the counts
+        sample_chunk, chunk_first = [], []
+        acc = 0
+        for c, cc in enumerate(counts):
+            chunk_first.append(acc)
+            sample_chunk.extend([c] * cc)
+            acc += cc
         sync = None
         if b"stss" in boxes:
             s_cnt, s_at = _fullbox_u32s(payload, *boxes[b"stss"], 4)
@@ -680,10 +736,8 @@ def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
                 break
             if t_ms < t0_ms:
                 continue
-            chunk = i // per_chunk
-            if chunk >= len(chunk_offs):
-                raise ValueError("sample outside declared chunks")
-            offset = chunk_offs[chunk] + sum(sizes[chunk * per_chunk : i])
+            chunk = sample_chunk[i]
+            offset = chunk_offs[chunk] + sum(sizes[chunk_first[chunk] : i])
             ct = times[i][0] + (ct_offs[i] if ct_offs is not None else 0)
             out.append({
                 "sample_idx": i,

@@ -346,7 +346,10 @@ def q_multimodal_mp4_samples(spark, sf_dir):
             aus = {
                 "stts_runs": [(n_a, 1024)],
                 "sizes": 192 + b[1] % 64,
-                "samples_per_chunk": 4,
+                # MULTI-RUN stsc (r14): a short 2-sample head chunk, then
+                # 4-sample chunks — the layout real muxers emit; the
+                # single-run video track covers the simple path
+                "samples_per_chunk": [(1, 2), (2, 4)],
                 "co64": True,
             }
         payload = build_mp4(
@@ -1396,7 +1399,8 @@ ORACLES = {
              CAST((n % 5 + 4) * 1024 * 1000 // 48000 AS BIGINT) AS duration_ms,
              CAST((n % 5 + 4) * (192 + b1 % 64) AS BIGINT) AS total_bytes,
              CAST(192 + b1 % 64 AS BIGINT) AS max_sample_bytes,
-             CAST((n % 5 + 4 + 3) // 4 AS INT) AS n_chunks,
+             -- multi-run stsc: one 2-sample head chunk + 4-sample chunks
+             CAST(1 + (n % 5 + 4 + 1) // 4 AS INT) AS n_chunks,
              CAST(NULL AS INT) AS n_sync,
              CAST((n % 5 + 4) * (192 + b1 % 64) AS BIGINT) AS chunk_span
       FROM v WHERE doc_id % 2 = 0

@@ -1706,3 +1706,42 @@ def test_mp3_toc_seek(spark):
         mp3_seek(build_mp3_vbr(brs[:5], 44100), 10)  # no TOC flag
     with pytest.raises(ValueError, match="Xing VBR"):
         mp3_seek(build_mp3(10, 128, 44100), 10)  # CBR
+
+
+def test_mp4_multirun_stsc(spark):
+    """r14: full multi-run stsc — a 2-sample head chunk then 4-sample
+    chunks (the layout real muxers emit); offsets stay exact through
+    the run-aware chunk expansion; malformed run tables (non-increasing
+    first_chunk, zero spc, short middle chunk) raise."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.mp4 import (
+        build_mp4,
+        mp4_sample_ranges,
+        parse_mp4_tracks,
+    )
+
+    vs = {"stts_runs": [(10, 100)], "sizes": [100 + i for i in range(10)],
+          "samples_per_chunk": [(1, 2), (2, 4)], "stss_every": 4}
+    p = build_mp4(b"isom", 1000, 0, video=(b"avc1", 320, 240),
+                  video_samples=vs)
+    tr = parse_mp4_tracks(p)[0]
+    assert tr["n_chunks"] == 3 and tr["n_samples"] == 10  # 2 + 4 + 4
+    assert tr["chunk_span"] == tr["total_bytes"] == sum(vs["sizes"])
+    base = len(p) - sum(vs["sizes"])
+    acc = base
+    for s, sz in zip(mp4_sample_ranges(p, 0, 10**9), vs["sizes"]):
+        assert s["offset"] == acc and s["size"] == sz
+        acc += sz
+
+    # corrupt run table: second run's first_chunk <= first's
+    t = bytearray(p)
+    at = p.find(b"stsc") + 4 + 4  # entry_count; entries start at +4
+    t[at + 4 + 12 : at + 8 + 12] = _struct.pack(">I", 1)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        parse_mp4_tracks(bytes(t))
+    # zero samples-per-chunk (first run's spc)
+    t = bytearray(p)
+    t[at + 8 : at + 12] = _struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="zero samples-per-chunk"):
+        parse_mp4_tracks(bytes(t))
