@@ -191,6 +191,16 @@ def _trak(version: int, track_id: int, duration: int, handler: bytes,
           fourcc: bytes, width: int, height: int, mdhd_timescale: int,
           sample_rate: int, sample_spec: dict | None = None,
           base_offset: int = 0) -> bytes:
+    edts = b""
+    if sample_spec is not None and sample_spec.get("elst_media_time"):
+        # single normal edit: whole track presented, media starts at
+        # media_time (the standard ctts-lead compensation edit)
+        mt = int(sample_spec["elst_media_time"])
+        elst = _full(
+            b"elst", 0, 0,
+            struct.pack(">IIiHH", 1, int(duration), mt, 1, 0),
+        )
+        edts = _box(b"edts", elst)
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
                  + _sample_entry(fourcc, handler, width, height, sample_rate))
     if sample_spec is None:
@@ -206,7 +216,10 @@ def _trak(version: int, track_id: int, duration: int, handler: bytes,
     name = b"VideoHandler" if handler == b"vide" else b"SoundHandler"
     mdia = _box(b"mdia", _mdhd(mdhd_timescale, duration) + _hdlr(handler, name)
                 + minf)
-    return _box(b"trak", _tkhd(version, track_id, duration, width, height) + mdia)
+    return _box(
+        b"trak",
+        _tkhd(version, track_id, duration, width, height) + edts + mdia,
+    )
 
 
 def _spec_totals(spec: dict | None) -> tuple:
@@ -659,6 +672,25 @@ def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
         media_ts = struct.unpack_from(">I", payload, mh[0] + 12)[0]
         if media_ts == 0:
             raise ValueError("zero mdhd timescale")
+        # elst edit list (single normal entry): presentation subtracts
+        # media_time — the standard compensation for the ctts lead.
+        # Multi-entry lists (splices) are out of scope and raise.
+        elst_mt = 0
+        ed = _first(payload, s, e, b"edts")
+        if ed is not None:
+            el = _first(payload, ed[0], ed[1], b"elst")
+            if el is not None:
+                e_cnt, e_at = _fullbox_u32s(payload, *el, 12)
+                if e_cnt != 1:
+                    raise ValueError("multi-entry elst unsupported")
+                _segdur, mt, rate_i, _rate_f = struct.unpack_from(
+                    ">IihH", payload, e_at
+                )
+                if rate_i != 1:
+                    raise ValueError("elst rate != 1 unsupported")
+                if mt < 0:
+                    raise ValueError("elst empty edit unsupported")
+                elst_mt = mt
         sb = _first(payload, mi[0], mi[1], b"stbl")
         if sb is None:
             raise ValueError("MP4 minf without stbl")
@@ -738,12 +770,20 @@ def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
                 continue
             chunk = sample_chunk[i]
             offset = chunk_offs[chunk] + sum(sizes[chunk_first[chunk] : i])
-            ct = times[i][0] + (ct_offs[i] if ct_offs is not None else 0)
+            # presentation = decode + ctts offset - elst media_time; a
+            # negative pt marks the trimmed lead the edit list cuts
+            ct = (
+                times[i][0]
+                + (ct_offs[i] if ct_offs is not None else 0)
+                - elst_mt
+            )
             out.append({
                 "sample_idx": i,
                 "time_ms": t_ms,
                 "dur_ms": times[i][1] * 1000 // media_ts,
-                "pt_ms": ct * 1000 // media_ts,
+                "pt_ms": ct * 1000 // media_ts if ct >= 0 else -(
+                    (-ct) * 1000 // media_ts
+                ),
                 "offset": offset,
                 "size": sizes[i],
                 "sync": True if sync is None else (i + 1) in sync,

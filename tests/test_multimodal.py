@@ -1745,3 +1745,44 @@ def test_mp4_multirun_stsc(spark):
     t[at + 8 : at + 12] = _struct.pack(">I", 0)
     with pytest.raises(ValueError, match="zero samples-per-chunk"):
         parse_mp4_tracks(bytes(t))
+
+
+def test_mp4_elst_edit_list(spark):
+    """r14: elst edit lists — a single normal edit subtracts media_time
+    from presentation (the standard ctts-lead compensation); splices /
+    rate changes / empty edits raise; tracks without elst unchanged."""
+    from octopusdb_spark.functions.mp4 import (
+        build_mp4,
+        mp4_sample_ranges,
+        parse_mp4_tracks,
+    )
+
+    vs = {"stts_runs": [(6, 100)], "sizes": [100] * 6,
+          "samples_per_chunk": 3, "ctts_runs": [(6, 50)],
+          "elst_media_time": 50}
+    p = build_mp4(b"isom", 1000, 600, video=(b"avc1", 320, 240),
+                  video_samples=vs)
+    plan = mp4_sample_ranges(p, 0, 10**9)
+    # ctts lead (+50) exactly compensated: pt == decode time
+    assert [s["pt_ms"] for s in plan] == [0, 100, 200, 300, 400, 500]
+    assert parse_mp4_tracks(p)[0]["n_samples"] == 6  # edts box skipped
+
+    no_elst = dict(vs)
+    no_elst.pop("elst_media_time")
+    p2 = build_mp4(b"isom", 1000, 600, video=(b"avc1", 320, 240),
+                   video_samples=no_elst)
+    assert [s["pt_ms"] for s in mp4_sample_ranges(p2, 0, 10**9)][0] == 50
+
+    # a LARGER media_time trims the first sample: negative pt marks it
+    vs3 = dict(vs); vs3["elst_media_time"] = 120
+    p3 = build_mp4(b"isom", 1000, 600, video=(b"avc1", 320, 240),
+                   video_samples=vs3)
+    assert mp4_sample_ranges(p3, 0, 10**9)[0]["pt_ms"] == -70
+
+    # multi-entry splice: hand-build by doubling the entry count
+    import struct as _struct
+    t = bytearray(p)
+    at = p.find(b"elst") + 4 + 4  # entry_count
+    t[at : at + 4] = _struct.pack(">I", 2)
+    with pytest.raises(ValueError):
+        mp4_sample_ranges(bytes(t), 0, 10**9)
