@@ -113,6 +113,7 @@ HEADLINE = [
     "multimodal_mp4_samples",
     "multimodal_gif_frames",
     "multimodal_mp4_slice",
+    "multimodal_fmp4_frags",
 ]
 
 

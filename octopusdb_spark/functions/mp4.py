@@ -39,6 +39,11 @@ from pyspark.sql import types as T
 
 _MP4_BRANDS = (b"isom", b"iso2", b"mp41", b"mp42", b"avc1", b"M4A ")
 
+MP4_MAX_SAMPLES = 4_194_304  # engine bound on per-sample expansions: a
+# 2h 30fps track is ~216k samples, so 4M is generous — and a corrupt u32
+# count (4 billion) must never materialize a per-sample list (fuzz-found
+# DoS class; arithmetic-only paths like parse_mp4_tracks need no bound)
+
 _MATRIX_IDENTITY = struct.pack(
     ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
 )
@@ -290,6 +295,299 @@ def build_mp4(
     return head + struct.pack(">I", 1) + b"mdat" + struct.pack(
         ">Q", 16 + len(body)
     ) + body
+
+
+# ------------------------------------------------------- fragmented MP4
+
+def build_fmp4(
+    timescale: int = 1000,
+    track_id: int = 1,
+    trex_duration: int = 100,
+    trex_size: int = 200,
+    fragments: list | None = None,
+    video: tuple = (b"avc1", 320, 240),
+) -> bytes:
+    """A structurally real FRAGMENTED MP4 (the CMAF/DASH layout modern
+    video ships in): ftyp + moov{mvhd, trak with EMPTY sample tables
+    (fmp4 convention — sample info lives in the fragments), mvex{trex
+    track defaults}} + per fragment moof{mfhd, traf{tfhd, tfdt, trun}}
+    + mdat. Each fragment dict may carry ``n_samples`` plus optional
+    ``durations``/``sizes`` (per-sample lists -> trun entries) or
+    ``default_duration``/``default_size`` (tfhd fragment defaults) —
+    omitted tiers fall through to the trex defaults, so the full
+    trun > tfhd > trex precedence chain is in the file. tfdt carries
+    the cumulative base decode time; trun's data_offset points past the
+    mdat header under default-base-is-moof."""
+    frags = fragments or []
+    head = _box(b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5cmfc")
+    trak = _trak(0, track_id, 0, b"vide", video[0], video[1], video[2],
+                 timescale, 0, None, 0)
+    trex = _full(
+        b"trex", 0, 0,
+        struct.pack(">IIIII", track_id, 1, trex_duration, trex_size, 0),
+    )
+    moov = _box(
+        b"moov",
+        _mvhd(0, timescale, 0, track_id + 1) + trak + _box(b"mvex", trex),
+    )
+    out = bytearray(head + moov)
+    base_time = 0
+    for seq, f in enumerate(frags, start=1):
+        n = f["n_samples"]
+        durs = f.get("durations")
+        sizes = f.get("sizes")
+        if durs is not None and len(durs) != n:
+            raise ValueError("fragment durations/count mismatch")
+        if sizes is not None and len(sizes) != n:
+            raise ValueError("fragment sizes/count mismatch")
+        tfhd_flags = 0x020000  # default-base-is-moof
+        tfhd_body = struct.pack(">I", track_id)
+        if f.get("default_duration") is not None:
+            tfhd_flags |= 0x08
+            tfhd_body += struct.pack(">I", f["default_duration"])
+        if f.get("default_size") is not None:
+            tfhd_flags |= 0x10
+            tfhd_body += struct.pack(">I", f["default_size"])
+        tfhd = _full(b"tfhd", 0, tfhd_flags, tfhd_body)
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", base_time))
+        trun_flags = 0x01  # data-offset present
+        if durs is not None:
+            trun_flags |= 0x100
+        if sizes is not None:
+            trun_flags |= 0x200
+        entries = b""
+        for i in range(n):
+            if durs is not None:
+                entries += struct.pack(">I", durs[i])
+            if sizes is not None:
+                entries += struct.pack(">I", sizes[i])
+        # data_offset = moof size + mdat header (8): patched after the
+        # moof is assembled, the same two-pass discipline as stco
+        trun = _full(
+            b"trun", 0, trun_flags,
+            struct.pack(">Ii", n, 0) + entries,
+        )
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+                    + traf)
+        # patch data_offset now that the moof size is known
+        moof = bytearray(moof)
+        t_at = bytes(moof).find(b"trun") + 4 + 4 + 4  # hdr+verflags+count
+        moof[t_at : t_at + 4] = struct.pack(">i", len(moof) + 8)
+        d_dur = f.get("default_duration")
+        d_size = f.get("default_size")
+        eff_dur = durs if durs is not None else [
+            d_dur if d_dur is not None else trex_duration
+        ] * n
+        eff_sizes = sizes if sizes is not None else [
+            d_size if d_size is not None else trex_size
+        ] * n
+        body = bytes((seq * 31 + j * 7) % 251 for j in range(sum(eff_sizes)))
+        out += bytes(moof) + _box(b"mdat", body)
+        base_time += sum(eff_dur)
+    return bytes(out)
+
+
+def parse_fmp4_fragments(payload: bytes) -> list:
+    """Walk a fragmented MP4's movie fragments — the sample-table walk's
+    CMAF/DASH counterpart: trex defaults from moov/mvex, then per moof
+    the traf chain (tfhd fragment defaults + base-data-offset mode,
+    tfdt base decode time, trun's per-sample durations/sizes with the
+    full trun > tfhd > trex precedence). Returns one dict per fragment:
+    frag_idx, seq, track_id, base_time_ms, n_samples, duration_ms,
+    total_bytes, data_start (absolute first sample byte), contiguous
+    (tfdt equals the previous fragment's base + duration — real streams
+    may legitimately gap, so it reports rather than raises). Validates
+    sample bytes stay inside the following mdat. Raises ValueError on
+    malformed structure (loud-fallback contract)."""
+    if not looks_like_mp4(payload):
+        raise ValueError("not an MP4/ISO-BMFF stream")
+    trex = None
+    media_ts = None
+    frags: list = []
+    expected_next = None
+    boxes = list(_walk(payload, 0, len(payload)))
+    for idx, (t, s, e) in enumerate(boxes):
+        if t == b"moov":
+            mv = _first(payload, s, e, b"mvex")
+            if mv is not None:
+                tx = _first(payload, mv[0], mv[1], b"trex")
+                if tx is not None:
+                    if tx[1] - tx[0] < 24:
+                        raise ValueError("truncated trex")
+                    trex = struct.unpack_from(">IIIII", payload, tx[0] + 4)
+            for tt, ts2, te2 in _walk(payload, s, e):
+                if tt == b"trak":
+                    md = _first(payload, ts2, te2, b"mdia")
+                    if md is not None:
+                        mh = _first(payload, md[0], md[1], b"mdhd")
+                        if mh is not None and mh[1] - mh[0] >= 20:
+                            media_ts = struct.unpack_from(
+                                ">I", payload, mh[0] + 12
+                            )[0]
+        elif t == b"moof":
+            if trex is None or not media_ts:
+                raise ValueError("moof before moov/mvex/mdhd")
+            # the box START (incl. header) = previous top-level box's end
+            moof_start = boxes[idx - 1][2] if idx > 0 else 0
+            mf = _first(payload, s, e, b"mfhd")
+            tf = _first(payload, s, e, b"traf")
+            if mf is None or tf is None:
+                raise ValueError("moof without mfhd/traf")
+            seq = struct.unpack_from(">I", payload, mf[0] + 4)[0]
+            th = _first(payload, tf[0], tf[1], b"tfhd")
+            td = _first(payload, tf[0], tf[1], b"tfdt")
+            tr = _first(payload, tf[0], tf[1], b"trun")
+            if th is None or tr is None:
+                raise ValueError("traf without tfhd/trun")
+            th_flags = int.from_bytes(payload[th[0] + 1 : th[0] + 4], "big")
+            at = th[0] + 4
+            tfhd_track = struct.unpack_from(">I", payload, at)[0]
+            at += 4
+            if th_flags & 0x01:  # explicit base-data-offset
+                base_data = struct.unpack_from(">Q", payload, at)[0]
+                at += 8
+            elif th_flags & 0x020000:  # default-base-is-moof
+                base_data = moof_start
+            else:
+                raise ValueError("tfhd without a base-data-offset mode")
+            if th_flags & 0x02:
+                at += 4  # sample-description-index
+            d_dur = d_size = None
+            if th_flags & 0x08:
+                d_dur = struct.unpack_from(">I", payload, at)[0]
+                at += 4
+            if th_flags & 0x10:
+                d_size = struct.unpack_from(">I", payload, at)[0]
+                at += 4
+            base_time = 0
+            if td is not None:
+                tver = payload[td[0]]
+                base_time = (
+                    struct.unpack_from(">Q", payload, td[0] + 4)[0]
+                    if tver == 1
+                    else struct.unpack_from(">I", payload, td[0] + 4)[0]
+                )
+            tr_flags = int.from_bytes(payload[tr[0] + 1 : tr[0] + 4], "big")
+            at = tr[0] + 4
+            n = struct.unpack_from(">I", payload, at)[0]
+            at += 4
+            data_off = 0
+            if tr_flags & 0x01:
+                data_off = struct.unpack_from(">i", payload, at)[0]
+                at += 4
+            if tr_flags & 0x04:
+                at += 4  # first-sample-flags
+            per_dur = bool(tr_flags & 0x100)
+            per_size = bool(tr_flags & 0x200)
+            entry_w = (4 if per_dur else 0) + (4 if per_size else 0) \
+                + (4 if tr_flags & 0x400 else 0) + (4 if tr_flags & 0x800 else 0)
+            if at + n * entry_w > tr[1]:
+                raise ValueError("trun entries past box end")
+            dflt_dur = d_dur if d_dur is not None else trex[2]
+            dflt_size = d_size if d_size is not None else trex[3]
+            if entry_w == 0:
+                # no per-sample fields: totals are O(1) arithmetic —
+                # CRITICAL: a corrupt u32 sample_count must never drive a
+                # Python loop (fuzz-found DoS; the mdat bounds check
+                # below still rejects impossible counts)
+                total_dur = n * dflt_dur
+                total_bytes = n * dflt_size
+            else:
+                total_dur = total_bytes = 0
+                for _ in range(n):
+                    dur, size = dflt_dur, dflt_size
+                    if per_dur:
+                        dur = struct.unpack_from(">I", payload, at)[0]
+                        at += 4
+                    if per_size:
+                        size = struct.unpack_from(">I", payload, at)[0]
+                        at += 4
+                    if tr_flags & 0x400:
+                        at += 4
+                    if tr_flags & 0x800:
+                        at += 4
+                    total_dur += dur
+                    total_bytes += size
+            data_start = base_data + data_off
+            # the samples must live inside the NEXT top-level mdat
+            nxt = boxes[idx + 1] if idx + 1 < len(boxes) else None
+            if nxt is None or nxt[0] != b"mdat":
+                raise ValueError("moof without a following mdat")
+            if not (nxt[1] <= data_start and data_start + total_bytes <= nxt[2]):
+                raise ValueError("fragment samples outside the mdat")
+            frags.append({
+                "frag_idx": len(frags),
+                "seq": seq,
+                "track_id": tfhd_track,
+                "base_time_ms": base_time * 1000 // media_ts,
+                "n_samples": n,
+                "duration_ms": total_dur * 1000 // media_ts,
+                "total_bytes": total_bytes,
+                "data_start": data_start,
+                "contiguous": (
+                    expected_next is None or base_time == expected_next
+                ),
+            })
+            expected_next = base_time + total_dur
+    if not frags:
+        raise ValueError("no movie fragments")
+    return frags
+
+
+FMP4_FRAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("frag_idx", T.IntegerType(), True),
+        T.StructField("seq", T.IntegerType(), True),
+        T.StructField("track_id", T.IntegerType(), True),
+        T.StructField("base_time_ms", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("total_bytes", T.LongType(), True),
+        T.StructField("data_start", T.LongType(), True),
+        T.StructField("contiguous", T.BooleanType(), True),
+    ]
+)
+
+_FRAG_COLS = [f.name for f in FMP4_FRAGS_SCHEMA.fields[2:]]
+
+
+def fmp4_fragments(media_df: DataFrame) -> DataFrame:
+    """One output row per MOVIE FRAGMENT (``parse_fmp4_fragments``) —
+    the explode happens inside the Arrow batch, same shape as
+    ``mp4_track_samples``; malformed payloads yield one decoded=false
+    row (loud fallback, never a batch failure)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {f.name: [] for f in FMP4_FRAGS_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frags = parse_fmp4_fragments(bytes(p))
+                except (ValueError, struct.error, IndexError):
+                    frags = None
+                if frags is None:
+                    out["media_id"].append(int(mid))
+                    out["decoded"].append(False)
+                    for k in _FRAG_COLS:
+                        out[k].append(None)
+                    continue
+                for fr in frags:
+                    out["media_id"].append(int(mid))
+                    out["decoded"].append(True)
+                    for k in _FRAG_COLS:
+                        out[k].append(fr[k])
+            nullable_int = set(_FRAG_COLS) - {"contiguous"}
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64") if k in nullable_int else v
+                    for k, v in out.items()
+                }
+            )
+
+    return media_df.mapInPandas(batches, FMP4_FRAGS_SCHEMA)
 
 
 # ----------------------------------------------------------------- parser
@@ -702,15 +1000,23 @@ def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
         for need in (b"stts", b"stsz", b"stsc"):
             if need not in boxes:
                 raise ValueError(f"track without {need.decode()}")
-        # per-sample decode times from stts
+        # per-sample decode times from stts — counts validated (and the
+        # engine bound applied) BEFORE any per-sample materialization: a
+        # corrupt u32 run count must never drive the expansion
+        # (fuzz-found DoS class, same as the trun arithmetic path)
         cnt, at = _fullbox_u32s(payload, *boxes[b"stts"], 8)
-        times, t_acc = [], 0
+        runs_t, n = [], 0
         for i in range(cnt):
             c, d = struct.unpack_from(">II", payload, at + 8 * i)
+            runs_t.append((c, d))
+            n += c
+            if n > MP4_MAX_SAMPLES:
+                raise ValueError("stts sample count exceeds engine bound")
+        times, t_acc = [], 0
+        for c, d in runs_t:
             for _ in range(c):
                 times.append((t_acc, d))
                 t_acc += d
-        n = len(times)
         # sizes
         zs, ze = boxes[b"stsz"]
         if ze - zs < 12:
@@ -758,6 +1064,8 @@ def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
             ct_offs = []
             for i in range(c2_cnt):
                 c, o = struct.unpack_from(">II", payload, c2_at + 8 * i)
+                if len(ct_offs) + c > n:  # also bounds the expansion
+                    raise ValueError("ctts/stts sample count mismatch")
                 ct_offs.extend([o] * c)
             if len(ct_offs) != n:
                 raise ValueError("ctts/stts sample count mismatch")

@@ -84,7 +84,14 @@ _PRIORITY = [
     # sample tables (stts time walk + stsc/stco chunk arithmetic to
     # absolute byte ranges; closed-form oracle incl. the builder-base
     # box arithmetic; empty-window and truncation lanes) — displaced
-    # dedup_simhash_pairs, r11-green with slack until r15.)
+    # dedup_simhash_pairs, r11-green with slack until r15.
+    # multimodal_fmp4_frags NEW — fragmented MP4 (CMAF/DASH): moof/traf
+    # walk with the full trun > tfhd > trex precedence, cumulative tfdt
+    # base times, absolute data offsets under default-base-is-moof, and
+    # per-fragment mdat bounds checks; closed-form layout oracle —
+    # displaced dedup_minhash_lsh, r11-green with slack until r15.
+    # Registry adds this round: 4 of the 5 budget.)
+    "multimodal_fmp4_frags",
     "multimodal_mp4_slice",
     "graph_scc",
     "multimodal_gif_frames",
@@ -111,7 +118,6 @@ _PRIORITY = [
     "graph_pagerank", "graph_kcore", "graph_shortest_paths",
     "graph_adjacency", "graph_degrees",
     "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_capped",
-    "dedup_minhash_lsh",
 ]
 
 

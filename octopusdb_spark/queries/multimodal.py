@@ -503,6 +503,59 @@ def q_multimodal_mp4_slice(spark, sf_dir):
     ).orderBy("media_id", F.col("sample_idx").asc_nulls_first())
 
 
+def q_multimodal_fmp4_frags(spark, sf_dir):
+    """FRAGMENTED MP4 under the gate — the CMAF/DASH layout modern video
+    actually ships in (a crawl's media is increasingly fmp4, not
+    flat-moov): `functions/mp4.py::parse_fmp4_fragments` walks
+    moov/mvex trex defaults then each moof's traf chain (tfhd fragment
+    defaults + default-base-is-moof, tfdt base decode time, trun
+    per-sample tables), resolving the full trun > tfhd > trex
+    precedence. Each doc's file carries one fragment per tier — trun
+    (per-sample durations AND sizes), tfhd (fragment defaults), trex
+    (track defaults), and a mixed trun-sizes/trex-durations fragment —
+    so the precedence chain itself is under the hash, along with
+    cumulative tfdt base times, per-fragment byte totals, and the
+    ABSOLUTE first-sample offset (closed-form layout: HEAD=519 bytes,
+    per-tier moof spans 96/104/96+8n/96+4n — fitted and pinned in
+    pytest; the parser additionally bounds-checks every fragment's
+    samples inside its mdat). doc_id%9==4 rows are truncated so the
+    loud-fallback lane is hash-checked. Per-fragment explode inside
+    the Arrow batch."""
+    from octopusdb_spark.functions.mp4 import build_fmp4, fmp4_fragments
+
+    def payload_fn(did, b):
+        n = len(b)
+        kf = 2 + n % 3
+        n0, n1 = b[0] % 3 + 2, b[1] % 3 + 2
+        frags = [
+            {"n_samples": n0,
+             "durations": [100 + 10 * i for i in range(n0)],
+             "sizes": [50 + ((i * 7 + b[0]) % 40) for i in range(n0)]},
+            {"n_samples": n1, "default_duration": 90,
+             "default_size": 40 + b[1] % 32},
+        ]
+        if kf >= 3:
+            frags.append({"n_samples": 3})
+        if kf >= 4:
+            n3 = b[2] % 2 + 2
+            frags.append({"n_samples": n3,
+                          "sizes": [30 + 5 * i for i in range(n3)]})
+        payload = build_fmp4(
+            1000, 1, trex_duration=100, trex_size=150 + b[2] % 50,
+            fragments=frags,
+        )
+        if did % 9 == 4:
+            payload = payload[:-10]  # last mdat bound breaks: loud lane
+        return payload, "video"
+
+    rows = fmp4_fragments(_doc_media(spark, sf_dir, payload_fn))
+    return rows.select(
+        "media_id", "decoded", "frag_idx", "seq", "track_id",
+        "base_time_ms", "n_samples", "duration_ms", "total_bytes",
+        "data_start", "contiguous",
+    ).orderBy("media_id", F.col("frag_idx").asc_nulls_first())
+
+
 def q_multimodal_mp3_meta(spark, sf_dir):
     """MP3 frame-walk metadata under the gate — the audio counterpart of
     `multimodal_mp4_meta`, completing the crawl-media metadata triad
@@ -1197,6 +1250,86 @@ ORACLES = {
            CASE WHEN doc_id % 9 = 4 OR doc_id % 3 = 1 THEN NULL
                 WHEN b2 % 2 = 0 THEN 'mp4a' ELSE 'opus' END AS audio_codec
     FROM src ORDER BY media_id""",
+    # closed-form replication of the fmp4 fragment walk: one CTE per
+    # precedence tier (trun / tfhd / trex / mixed), the trun tier's
+    # per-sample sums via lateral unnest, then cumulative windows give
+    # tfdt base times and absolute data_start offsets (HEAD 519 +
+    # per-tier moof spans, fitted and pinned in pytest)
+    "multimodal_fmp4_frags": """
+    WITH src AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1,
+             ascii(substr(text, 3, 1)) AS b2
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    ok AS (
+      SELECT doc_id, b0, b1, b2, 2 + n % 3 AS kf,
+             b0 % 3 + 2 AS n0, b1 % 3 + 2 AS n1, b2 % 2 + 2 AS n3,
+             150 + b2 % 50 AS xsize
+      FROM src WHERE doc_id % 9 != 4
+    ),
+    f0sums AS (
+      SELECT o.doc_id,
+             sum(50 + (CAST(t.i AS BIGINT) * 7 + o.b0) % 40) AS bytes0
+      FROM ok o, unnest(range(o.n0)) AS t(i) GROUP BY o.doc_id
+    ),
+    tiers AS (
+      SELECT o.doc_id, 0 AS frag_idx, CAST(o.n0 AS BIGINT) AS n_samples,
+             CAST(100 * o.n0 + 10 * o.n0 * (o.n0 - 1) // 2 AS BIGINT)
+               AS duration_ms,
+             CAST(s.bytes0 AS BIGINT) AS total_bytes,
+             CAST(96 + 8 * o.n0 AS BIGINT) AS hspan
+      FROM ok o JOIN f0sums s USING (doc_id)
+      UNION ALL
+      SELECT doc_id, 1, CAST(n1 AS BIGINT),
+             CAST(90 * n1 AS BIGINT),
+             CAST(n1 * (40 + b1 % 32) AS BIGINT),
+             CAST(104 AS BIGINT)
+      FROM ok
+      UNION ALL
+      SELECT doc_id, 2, CAST(3 AS BIGINT),
+             CAST(300 AS BIGINT), CAST(3 * xsize AS BIGINT),
+             CAST(96 AS BIGINT)
+      FROM ok WHERE kf >= 3
+      UNION ALL
+      SELECT doc_id, 3, CAST(n3 AS BIGINT),
+             CAST(100 * n3 AS BIGINT),
+             CAST(30 * n3 + 5 * n3 * (n3 - 1) // 2 AS BIGINT),
+             CAST(96 + 4 * n3 AS BIGINT)
+      FROM ok WHERE kf >= 4
+    ),
+    placed AS (
+      SELECT doc_id AS media_id, TRUE AS decoded,
+             CAST(frag_idx AS INT) AS frag_idx,
+             CAST(frag_idx + 1 AS INT) AS seq, 1 AS track_id,
+             CAST(coalesce(sum(duration_ms) OVER (
+               PARTITION BY doc_id ORDER BY frag_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS base_time_ms,
+             n_samples, duration_ms, total_bytes,
+             CAST(519
+                  + sum(hspan) OVER (
+                      PARTITION BY doc_id ORDER BY frag_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  + coalesce(sum(total_bytes) OVER (
+                      PARTITION BY doc_id ORDER BY frag_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS data_start,
+             TRUE AS contiguous
+      FROM tiers
+    ),
+    fallback AS (
+      SELECT doc_id AS media_id, FALSE AS decoded, CAST(NULL AS INT),
+             CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BOOLEAN)
+      FROM src WHERE doc_id % 9 = 4
+    )
+    SELECT * FROM placed UNION ALL SELECT * FROM fallback
+    ORDER BY media_id, frag_idx ASC NULLS FIRST""",
     # closed-form replication of the MP4 seek plan: sample times from the
     # two-run stts arithmetic, sizes from the stsz formula, ABSOLUTE
     # offsets as builder-base (590 + 8*runs + 4*nv + 4*nc + 4*ns — box
@@ -1490,5 +1623,6 @@ QUERIES = {
     "multimodal_mp4_samples": q_multimodal_mp4_samples,
     "multimodal_gif_frames": q_multimodal_gif_frames,
     "multimodal_mp4_slice": q_multimodal_mp4_slice,
+    "multimodal_fmp4_frags": q_multimodal_fmp4_frags,
     "multimodal_mp3_meta": q_multimodal_mp3_meta,
 }

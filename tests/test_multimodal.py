@@ -1213,7 +1213,9 @@ def test_media_parser_exception_contract_fuzz():
     from octopusdb_spark.functions.flac import decode_flac, encode_flac
     from octopusdb_spark.functions.mp3 import build_mp3, build_mp3_vbr, parse_mp3
     from octopusdb_spark.functions.mp4 import (
+        build_fmp4,
         build_mp4,
+        parse_fmp4_fragments,
         parse_mp4,
         parse_mp4_tracks,
     )
@@ -1272,6 +1274,17 @@ def test_media_parser_exception_contract_fuzz():
                                     for v in (i, 255 - i, i // 2)))],
             ),
             decode_gif_frames,
+        ),
+        (
+            build_fmp4(
+                1000, 1, 100, 200,
+                [{"n_samples": 3, "durations": [100, 110, 120],
+                  "sizes": [50, 60, 70]},
+                 {"n_samples": 4, "default_duration": 90,
+                  "default_size": 40},
+                 {"n_samples": 2}],
+            ),
+            parse_fmp4_fragments,
         ),
     ]
     for base, parse in targets:
@@ -1786,3 +1799,62 @@ def test_mp4_elst_edit_list(spark):
     t[at : at + 4] = _struct.pack(">I", 2)
     with pytest.raises(ValueError):
         mp4_sample_ranges(bytes(t), 0, 10**9)
+
+
+def test_fmp4_fragment_walk(spark):
+    """r14: fragmented MP4 — the trun > tfhd > trex precedence chain,
+    cumulative tfdt base times, default-base-is-moof data offsets, mdat
+    bounds checks, contiguity reporting, and the closed-form layout
+    constants the gate oracle hard-codes (HEAD 519; moof spans 96 /
+    104 / 96+8n / 96+4n per tier)."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.mp4 import (
+        FMP4_FRAGS_SCHEMA,
+        build_fmp4,
+        fmp4_fragments,
+        parse_fmp4_fragments,
+    )
+
+    frags = [
+        {"n_samples": 3, "durations": [100, 110, 120],
+         "sizes": [50, 60, 70]},
+        {"n_samples": 4, "default_duration": 90, "default_size": 40},
+        {"n_samples": 2},
+        {"n_samples": 3, "sizes": [30, 35, 40]},
+    ]
+    p = build_fmp4(1000, 1, trex_duration=100, trex_size=200,
+                   fragments=frags)
+    out = parse_fmp4_fragments(p)
+    assert [f["n_samples"] for f in out] == [3, 4, 2, 3]
+    assert [f["duration_ms"] for f in out] == [330, 360, 200, 300]
+    assert [f["total_bytes"] for f in out] == [180, 160, 400, 105]
+    assert [f["base_time_ms"] for f in out] == [0, 330, 690, 890]
+    assert all(f["contiguous"] for f in out)
+    # the closed-form layout the oracle hard-codes
+    assert len(build_fmp4(1000, 1, 100, 200, [])) == 519
+    pos = 519
+    for f, span in zip(out, (96 + 8 * 3, 104, 96, 96 + 4 * 3)):
+        assert f["data_start"] == pos + span
+        pos = f["data_start"] + f["total_bytes"]
+
+    # truncation breaks the last mdat bound -> whole parse refuses
+    with pytest.raises(ValueError):
+        parse_fmp4_fragments(p[:-10])
+    # a gapped tfdt reports contiguous=False instead of raising
+    t = bytearray(p)
+    # second fragment's tfdt (version 1, u64 after hdr): bump base time
+    second_tfdt = p.find(b"tfdt", p.find(b"tfdt") + 4) + 4
+    t[second_tfdt + 4 : second_tfdt + 12] = _struct.pack(">Q", 999)
+    gapped = parse_fmp4_fragments(bytes(t))
+    assert not gapped[1]["contiguous"] and gapped[1]["base_time_ms"] == 999
+
+    rows = [(1, "video", p, None, None, None),
+            (2, "video", p[:-10], None, None, None)]
+    got = fmp4_fragments(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["media_id"], []).append(r)
+    assert len(by[1]) == 4 and all(r["decoded"] for r in by[1])
+    assert len(by[2]) == 1 and not by[2][0]["decoded"]
+    assert [f.name for f in FMP4_FRAGS_SCHEMA.fields][0] == "media_id"
