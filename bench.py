@@ -114,6 +114,7 @@ HEADLINE = [
     "multimodal_gif_frames",
     "multimodal_mp4_slice",
     "multimodal_fmp4_frags",
+    "multimodal_ogg_meta",
 ]
 
 

@@ -90,7 +90,13 @@ _PRIORITY = [
     # base times, absolute data offsets under default-base-is-moof, and
     # per-fragment mdat bounds checks; closed-form layout oracle —
     # displaced dedup_minhash_lsh, r11-green with slack until r15.
-    # Registry adds this round: 4 of the 5 budget.)
+    # Registry adds this round: 4 of the 5 budget.
+    # multimodal_ogg_meta NEW — OGG/Opus container walk (real RFC 3533
+    # page CRC32 verified per page, lacing packet reassembly, BOS/EOS/
+    # continuation flags, OpusHead fields, granule-clock duration) —
+    # the 5th and LAST add of the round budget; displaced
+    # dedup_minhash_capped, r11-green with slack until r15.)
+    "multimodal_ogg_meta",
     "multimodal_fmp4_frags",
     "multimodal_mp4_slice",
     "graph_scc",
@@ -117,7 +123,7 @@ _PRIORITY = [
     # round and must re-earn green in-window.
     "graph_pagerank", "graph_kcore", "graph_shortest_paths",
     "graph_adjacency", "graph_degrees",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_capped",
+    "dedup_embedding_cosine", "dedup_exact",
 ]
 
 

@@ -556,6 +556,48 @@ def q_multimodal_fmp4_frags(spark, sf_dir):
     ).orderBy("media_id", F.col("frag_idx").asc_nulls_first())
 
 
+def q_multimodal_ogg_meta(spark, sf_dir):
+    """OGG/Opus container walk under the gate — the THIRD real-world
+    audio format (after MP3 frame headers and real FLAC decode), the one
+    modern voice/podcast crawls ship. Each doc builds a structurally
+    real file via `functions/ogg.py::build_ogg_opus` (BOS OpusHead +
+    OpusTags + K audio pages with lacing-framed packets, every page
+    carrying its REAL RFC 3533 CRC32), parameterized from the text
+    bytes: channels/pre-skip/input-rate ride b0/b1/b2, page and packet
+    counts ride n. `parse_ogg_opus` walks back executor-side VERIFYING
+    every page's CRC (a flipped bit anywhere fails the page — integrity
+    is part of the hash contract), checks sequence continuity, BOS/EOS
+    flags and continuation consistency, reassembles packet counts from
+    lacing, and computes exact duration from the final granule minus
+    pre-skip at the 48 kHz Opus clock. No audio decode (Opus packets
+    stay behind the codec boundary, like MP3/MP4 bitstreams); the
+    oracle replicates every field arithmetically; doc_id%9==4 rows are
+    truncated so the loud fallback is hash-checked."""
+    from octopusdb_spark.functions.ogg import build_ogg_opus, ogg_metadata
+
+    def payload_fn(did, b):
+        n = len(b)
+        kp = n % 3 + 1
+        npk = b[0] % 3 + 2
+        payload = build_ogg_opus(
+            serial=did + 100,
+            channels=b[0] % 2 + 1,
+            preskip=200 + b[1] % 200,
+            input_rate=(8000, 16000, 24000, 48000)[b[2] % 4],
+            audio_pages=[(npk, 60 + (b[1] + i * 13) % 60)
+                         for i in range(kp)],
+        )
+        if did % 9 == 4:
+            payload = payload[:-5]  # truncate the last page: loud lane
+        return payload, "audio"
+
+    meta = ogg_metadata(_doc_media(spark, sf_dir, payload_fn))
+    return meta.select(
+        "media_id", "container", "decoded", "serial", "channels",
+        "pre_skip", "input_rate", "n_pages", "n_packets", "duration_ms",
+    ).orderBy("media_id")
+
+
 def q_multimodal_mp3_meta(spark, sf_dir):
     """MP3 frame-walk metadata under the gate — the audio counterpart of
     `multimodal_mp4_meta`, completing the crawl-media metadata triad
@@ -1250,6 +1292,40 @@ ORACLES = {
            CASE WHEN doc_id % 9 = 4 OR doc_id % 3 = 1 THEN NULL
                 WHEN b2 % 2 = 0 THEN 'mp4a' ELSE 'opus' END AS audio_codec
     FROM src ORDER BY media_id""",
+    # arithmetic replication of the OGG/Opus walk: every field is a pure
+    # function of (doc_id, n, first text bytes); the CRC/lacing/flag
+    # machinery is what the parser must get right to SEE these values
+    "multimodal_ogg_meta": """
+    WITH src AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1,
+             ascii(substr(text, 3, 1)) AS b2
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    p AS (
+      SELECT doc_id, n % 3 + 1 AS kp, b0 % 3 + 2 AS npk,
+             b0 % 2 + 1 AS ch, 200 + b1 % 200 AS ps,
+             CASE b2 % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         WHEN 2 THEN 24000 ELSE 48000 END AS rate
+      FROM src WHERE doc_id % 9 != 4
+    )
+    SELECT doc_id AS media_id, 'ogg' AS container,
+           (doc_id % 9 != 4) AS decoded,
+           CAST(CASE WHEN doc_id % 9 = 4 THEN NULL
+                ELSE doc_id + 100 END AS BIGINT) AS serial,
+           CAST(ch AS INT) AS channels,
+           CAST(ps AS INT) AS pre_skip,
+           CAST(rate AS INT) AS input_rate,
+           CAST(kp + 2 AS INT) AS n_pages,
+           CAST(kp * npk AS BIGINT) AS n_packets,
+           CAST(kp * npk * 960 * 1000 // 48000 AS BIGINT) AS duration_ms
+    FROM p
+    UNION ALL
+    SELECT doc_id, 'ogg', FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM src WHERE doc_id % 9 = 4
+    ORDER BY media_id""",
     # closed-form replication of the fmp4 fragment walk: one CTE per
     # precedence tier (trun / tfhd / trex / mixed), the trun tier's
     # per-sample sums via lateral unnest, then cumulative windows give
@@ -1624,5 +1700,6 @@ QUERIES = {
     "multimodal_gif_frames": q_multimodal_gif_frames,
     "multimodal_mp4_slice": q_multimodal_mp4_slice,
     "multimodal_fmp4_frags": q_multimodal_fmp4_frags,
+    "multimodal_ogg_meta": q_multimodal_ogg_meta,
     "multimodal_mp3_meta": q_multimodal_mp3_meta,
 }

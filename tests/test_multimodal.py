@@ -1223,6 +1223,7 @@ def test_media_parser_exception_contract_fuzz():
         decode_gif_frames,
         encode_gif_animation,
     )
+    from octopusdb_spark.functions.ogg import build_ogg_opus, parse_ogg_opus
 
     rng = random.Random(1234)
     inter = [
@@ -1285,6 +1286,12 @@ def test_media_parser_exception_contract_fuzz():
                  {"n_samples": 2}],
             ),
             parse_fmp4_fragments,
+        ),
+        (
+            build_ogg_opus(0x77, channels=2, preskip=312,
+                           input_rate=48000,
+                           audio_pages=[(3, 100), (4, 120), (2, 80)]),
+            parse_ogg_opus,
         ),
     ]
     for base, parse in targets:
@@ -1858,3 +1865,73 @@ def test_fmp4_fragment_walk(spark):
     assert len(by[1]) == 4 and all(r["decoded"] for r in by[1])
     assert len(by[2]) == 1 and not by[2][0]["decoded"]
     assert [f.name for f in FMP4_FRAGS_SCHEMA.fields][0] == "media_id"
+
+
+def test_ogg_opus_walk(spark):
+    """r14: OGG/Opus — page CRC verification (any flipped bit fails),
+    lacing packet reassembly incl. the exact-255 zero terminator,
+    sequence/BOS/EOS/continuation consistency, OpusHead fields, and
+    granule-clock duration; malformed classes raise ValueError."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.ogg import (
+        OGG_META_SCHEMA,
+        build_ogg_opus,
+        ogg_crc,
+        ogg_metadata,
+        parse_ogg_opus,
+    )
+
+    p = build_ogg_opus(0x77, channels=2, preskip=312, input_rate=48000,
+                       audio_pages=[(3, 100), (4, 120), (2, 80)])
+    m = parse_ogg_opus(p)
+    assert m["n_pages"] == 5 and m["n_packets"] == 9
+    assert m["channels"] == 2 and m["pre_skip"] == 312
+    assert m["duration_ms"] == 9 * 960 * 1000 // 48000
+    # spec vector: the CRC of 'OggS' under the OGG polynomial is stable
+    assert ogg_crc(b"") == 0 and ogg_crc(b"\x00") == 0
+
+    # integrity: a single flipped bit ANYWHERE fails a page CRC
+    for flip_at in (30, 100, len(p) // 2, len(p) - 3):
+        t = bytearray(p)
+        t[flip_at] ^= 0x10
+        with pytest.raises(ValueError):
+            parse_ogg_opus(bytes(t))
+
+    # exact-255 packets need the zero lacing terminator
+    assert parse_ogg_opus(
+        build_ogg_opus(1, audio_pages=[(2, 255)])
+    )["n_packets"] == 2
+
+    bad_cases = [
+        p[:-5],                      # truncated page body
+        p[40:],                      # no BOS capture at start
+        p + p[:60],                  # page after EOS / bad sequence
+    ]
+    for bad in bad_cases:
+        with pytest.raises(ValueError):
+            parse_ogg_opus(bad)
+    # sequence gap: bump a page's seq field (CRC recomputed to isolate
+    # the continuity check)
+    t = bytearray(p)
+    second = p.find(b"OggS", 4)
+    t[second + 18 : second + 22] = _struct.pack("<I", 9)
+    t[second + 22 : second + 26] = b"\x00" * 4
+    nsegs = t[second + 26]
+    body_len = sum(t[second + 27 : second + 27 + nsegs])
+    page = bytes(t[second : second + 27 + nsegs + body_len])
+    t[second + 22 : second + 26] = _struct.pack("<I", ogg_crc(page))
+    with pytest.raises(ValueError, match="sequence gap"):
+        parse_ogg_opus(bytes(t))
+
+    rows = [(1, "audio", p, None, None, None),
+            (2, "audio", p[:-5], None, None, None)]
+    out = {
+        r["media_id"]: r
+        for r in ogg_metadata(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["decoded"] and out[1]["n_packets"] == 9
+    assert not out[2]["decoded"] and out[2]["duration_ms"] is None
+    assert [f.name for f in OGG_META_SCHEMA.fields][0] == "media_id"
