@@ -130,24 +130,25 @@ def parse_ogg_opus(payload: bytes) -> dict:
     metadata: serial, channels, pre_skip, input_rate, n_pages,
     n_packets (audio packets — the head/tags packets are excluded),
     duration_ms ((last granule - pre_skip) at the 48 kHz Opus clock).
-    Single-stream files only (multiplexed bitstreams raise — the
-    documented boundary); malformed structure raises ValueError (the
-    loud-fallback contract). Packet continuation across pages
-    (lacing 255 at page end) is tracked so spanning packets count
+    MULTIPLEXED bitstreams are supported by selection (r14): every
+    stream's pages are CRC- and sequence-verified, and the metadata is
+    reported for THE Opus stream (the serial whose BOS packet is
+    OpusHead) — the real-world mux case (e.g. a video stream sharing
+    the container). Two Opus streams, or none, raise. ``n_pages`` /
+    ``n_packets`` count the Opus stream's own pages; ``n_streams``
+    reports the mux width. Malformed structure raises ValueError (the
+    loud-fallback contract). Packet continuation across pages (lacing
+    255 at page end) is tracked per stream so spanning packets count
     once."""
     if payload[:4] != b"OggS":
         raise ValueError("not an OGG stream")
     pos = 0
-    serial0 = None
+    streams: dict = {}  # serial -> per-stream walk state
+    opus_serial = None
     head = None
-    n_pages = 0
-    n_packets = 0
-    last_granule = None
-    expected_seq = 0
-    mid_packet = False
-    saw_eos = False
+    total_pages = 0
     while pos < len(payload):
-        if n_pages >= OGG_MAX_PAGES:
+        if total_pages >= OGG_MAX_PAGES:
             raise ValueError("OGG page count exceeds engine bound")
         if pos + 27 > len(payload):
             raise ValueError("truncated OGG page header")
@@ -172,57 +173,67 @@ def parse_ogg_opus(payload: bytes) -> dict:
         page[22:26] = b"\x00\x00\x00\x00"
         if ogg_crc(bytes(page)) != crc:
             raise ValueError(f"OGG page {seq} CRC mismatch")
-        if serial0 is None:
-            serial0 = serial
+        st = streams.get(serial)
+        if st is None:
             if not htype & 0x02:
-                raise ValueError("first OGG page is not BOS")
-        elif serial != serial0:
-            raise ValueError("multiplexed OGG bitstreams unsupported")
-        if seq != expected_seq:
+                raise ValueError("new OGG stream without a BOS page")
+            st = streams[serial] = {
+                "seq": 0, "mid": False, "eos": False,
+                "pages": 0, "packets": 0, "last_granule": None,
+            }
+            body = payload[seg_end:page_end]
+            if body[:8] == b"OpusHead":
+                if opus_serial is not None:
+                    raise ValueError("multiple Opus streams in one file")
+                if body_len < 19:
+                    raise ValueError("truncated OpusHead")
+                if body[8] != 1:
+                    raise ValueError(f"unknown OpusHead version {body[8]}")
+                opus_serial = serial
+                head = {
+                    "channels": body[9],
+                    "pre_skip": struct.unpack_from("<H", body, 10)[0],
+                    "input_rate": struct.unpack_from("<I", body, 12)[0],
+                }
+        if seq != st["seq"]:
             raise ValueError(
-                f"OGG page sequence gap (expected {expected_seq}, got {seq})"
+                f"OGG page sequence gap (expected {st['seq']}, got {seq})"
             )
-        expected_seq += 1
-        if saw_eos:
+        st["seq"] += 1
+        if st["eos"]:
             raise ValueError("OGG page after EOS")
         if htype & 0x04:
-            saw_eos = True
-        if bool(htype & 0x01) != mid_packet:
+            st["eos"] = True
+        if bool(htype & 0x01) != st["mid"]:
             raise ValueError("OGG continuation flag inconsistent")
         # packets completed on this page: every lacing value < 255 ends one
         completed = sum(1 for v in lacing if v < 255)
-        mid_packet = bool(lacing) and lacing[-1] == 255
-        if n_pages == 0:
-            body = payload[seg_end:page_end]
-            if body[:8] != b"OpusHead" or body_len < 19:
-                raise ValueError("BOS page without OpusHead")
-            version, ch = body[8], body[9]
-            if version != 1:
-                raise ValueError(f"unknown OpusHead version {version}")
-            pre_skip = struct.unpack_from("<H", body, 10)[0]
-            input_rate = struct.unpack_from("<I", body, 12)[0]
-            head = {"channels": ch, "pre_skip": pre_skip,
-                    "input_rate": input_rate}
-        elif n_pages >= 2:
-            n_packets += completed
+        st["mid"] = bool(lacing) and lacing[-1] == 255
+        if st["pages"] >= 2:  # pages 0/1 are the ID + comment headers
+            st["packets"] += completed
         if granule != -1:
-            last_granule = granule
-        n_pages += 1
+            st["last_granule"] = granule
+        st["pages"] += 1
+        total_pages += 1
         pos = page_end
-    if head is None or n_pages < 2:
-        raise ValueError("OGG without OpusHead/OpusTags pages")
-    if not saw_eos:
-        raise ValueError("OGG without an EOS page")
-    dur_gr = max(0, (last_granule or 0) - head["pre_skip"])
+    if opus_serial is None or head is None:
+        raise ValueError("OGG without an Opus stream")
+    ost = streams[opus_serial]
+    if ost["pages"] < 2:
+        raise ValueError("Opus stream without its header pages")
+    if not ost["eos"]:
+        raise ValueError("Opus stream without an EOS page")
+    dur_gr = max(0, (ost["last_granule"] or 0) - head["pre_skip"])
     return {
         "container": "ogg",
-        "serial": serial0,
+        "serial": opus_serial,
         "channels": head["channels"],
         "pre_skip": head["pre_skip"],
         "input_rate": head["input_rate"],
-        "n_pages": n_pages,
-        "n_packets": n_packets,
+        "n_pages": ost["pages"],
+        "n_packets": ost["packets"],
         "duration_ms": dur_gr * 1000 // 48000,
+        "n_streams": len(streams),
     }
 
 

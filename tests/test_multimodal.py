@@ -1935,3 +1935,39 @@ def test_ogg_opus_walk(spark):
     assert out[1]["decoded"] and out[1]["n_packets"] == 9
     assert not out[2]["decoded"] and out[2]["duration_ms"] is None
     assert [f.name for f in OGG_META_SCHEMA.fields][0] == "media_id"
+
+
+def test_ogg_multiplexed_stream_selection(spark):
+    """r14: multiplexed OGG — the Opus stream is SELECTED among
+    interleaved bitstreams (every stream's pages still CRC/sequence
+    verified per serial); two Opus streams raise; a new serial without
+    BOS raises."""
+    from octopusdb_spark.functions.ogg import (
+        _page,
+        build_ogg_opus,
+        parse_ogg_opus,
+    )
+
+    p = build_ogg_opus(0x77, channels=2, preskip=312, input_rate=48000,
+                       audio_pages=[(3, 100), (4, 120), (2, 80)])
+    pages, pos = [], 0
+    while pos < len(p):
+        nsegs = p[pos + 26]
+        end = pos + 27 + nsegs + sum(p[pos + 27 : pos + 27 + nsegs])
+        pages.append(p[pos:end])
+        pos = end
+    other_bos = _page(0x99, 0, 0, 0x02, [b"\x80theora-ish-header"])
+    other_eos = _page(0x99, 1, 1000, 0x04, [b"x" * 50])
+    mux = pages[0] + other_bos + pages[1] + other_eos + b"".join(pages[2:])
+    m = parse_ogg_opus(mux)
+    assert m["n_streams"] == 2 and m["serial"] == 0x77
+    assert m["n_pages"] == 5 and m["n_packets"] == 9
+    assert m["duration_ms"] == 9 * 960 * 1000 // 48000
+
+    with pytest.raises(ValueError, match="multiple Opus"):
+        parse_ogg_opus(pages[0] + build_ogg_opus(0x88,
+                                                 audio_pages=[(1, 50)]))
+    with pytest.raises(ValueError, match="without a BOS"):
+        parse_ogg_opus(pages[0] + other_eos)  # 0x99 starts mid-stream
+    with pytest.raises(ValueError, match="without an Opus stream"):
+        parse_ogg_opus(other_bos + other_eos)
