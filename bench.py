@@ -174,14 +174,17 @@ def main() -> None:
         "calibration": calibration,
     }
     print(json.dumps(record), flush=True)
-    # the tail-surviving copy: compact separators, 2-decimal timings and
-    # medians-only calibration keep the whole line inside the driver's
-    # 2000-char tail window so it PARSES (the full-precision record above
-    # is the canonical reading)
+    # the tail-surviving copy: compact separators, 2-decimal timings,
+    # medians-only calibration, and NO "metric"/"unit" keys (r14 verdict
+    # #2: the line was at 1883/2000 chars at 70 rows; bench_compare's
+    # load only requires "queries" — dropping the two constant keys buys
+    # ~2 rows of headroom). The full-precision record above is the
+    # canonical reading and keeps the contract shape.
     compact = json.dumps(
         {
-            **record,
+            "value": record["value"],
             "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf_val,
             "calibration": {
                 k: calibration.get(k)
                 for k in ("median", "shuffle_median")

@@ -42,7 +42,11 @@ _MP4_BRANDS = (b"isom", b"iso2", b"mp41", b"mp42", b"avc1", b"M4A ")
 MP4_MAX_SAMPLES = 4_194_304  # engine bound on per-sample expansions: a
 # 2h 30fps track is ~216k samples, so 4M is generous — and a corrupt u32
 # count (4 billion) must never materialize a per-sample list (fuzz-found
-# DoS class; arithmetic-only paths like parse_mp4_tracks need no bound)
+# DoS class). Enforced everywhere a per-run u32 sample count is summed:
+# only the RUN count is box-bounded, not the per-run totals, so even
+# "arithmetic-only" walks must cap before any n_samples-proportional
+# allocation (ADVICE r14: the const-size stsz path in parse_mp4_tracks
+# built a [const]*n list from an unbounded stts sum).
 
 _MATRIX_IDENTITY = struct.pack(
     ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
@@ -856,6 +860,8 @@ def parse_mp4_tracks(payload: bytes) -> list:
         for i in range(cnt):
             c, d = struct.unpack_from(">II", payload, at + 8 * i)
             n_samples += c
+            if n_samples > MP4_MAX_SAMPLES:
+                raise ValueError("stts sample count exceeds engine bound")
             media_dur += c * d
         row = {
             "track_id": track_id,
@@ -884,13 +890,18 @@ def parse_mp4_tracks(payload: bytes) -> list:
         if z_count != n_samples:
             raise ValueError("stsz/stts sample count mismatch")
         if const_size:
-            sizes = [const_size] * n_samples
+            # arithmetic — never materialize an n_samples-long list here
+            # (the stts bound above caps n_samples, but the const-size
+            # lane costs O(1) regardless, so keep it O(1))
+            sizes = None
+            row["total_bytes"] = const_size * n_samples
+            row["max_sample_bytes"] = const_size
         else:
             if zs + 12 + 4 * n_samples > ze:
                 raise ValueError("stsz table past box end")
             sizes = list(struct.unpack_from(f">{n_samples}I", payload, zs + 12))
-        row["total_bytes"] = sum(sizes)
-        row["max_sample_bytes"] = max(sizes)
+            row["total_bytes"] = sum(sizes)
+            row["max_sample_bytes"] = max(sizes)
 
         # stsc + stco/co64: chunk layout (full multi-run stsc per spec)
         if b"stsc" not in boxes:
@@ -909,7 +920,11 @@ def parse_mp4_tracks(payload: bytes) -> list:
         ]
         if any(b <= a for a, b in zip(offsets, offsets[1:])):
             raise ValueError("stco offsets not strictly increasing")
-        last_chunk_bytes = sum(sizes[n_samples - counts[-1]:])
+        last_chunk_bytes = (
+            const_size * counts[-1]
+            if sizes is None
+            else sum(sizes[n_samples - counts[-1]:])
+        )
         row["n_chunks"] = o_cnt
         row["chunk_span"] = offsets[-1] + last_chunk_bytes - offsets[0]
 
@@ -1024,11 +1039,17 @@ def mp4_sample_ranges(payload: bytes, t0_ms: int, t1_ms: int,
         const_size, z_count = struct.unpack_from(">II", payload, zs + 4)
         if z_count != n:
             raise ValueError("stsz/stts sample count mismatch")
-        sizes = (
-            [const_size] * n
-            if const_size
-            else list(struct.unpack_from(f">{n}I", payload, zs + 12))
-        )
+        if const_size:
+            sizes = [const_size] * n
+        else:
+            # box-bound the table read (ADVICE r14: without this, a short
+            # stsz silently reads the following boxes' bytes as sample
+            # sizes — a silent misparse in a seek-plan whose offsets
+            # drive ranged blob reads; loud-fallback contract demands a
+            # raise instead)
+            if zs + 12 + 4 * n > ze:
+                raise ValueError("stsz table past box end")
+            sizes = list(struct.unpack_from(f">{n}I", payload, zs + 12))
         # chunk layout -> per-sample absolute offsets (multi-run stsc)
         runs = _stsc_runs(payload, *boxes[b"stsc"])
         off_key = b"co64" if b"co64" in boxes else b"stco"

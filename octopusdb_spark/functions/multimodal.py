@@ -740,6 +740,10 @@ def encode_gif_animation(
 
 
 GIF_MAX_FRAMES = 256  # zip-bomb bound, same spirit as _lzw_decompress's
+GIF_MAX_PIXELS = 16_777_216  # 4096x4096 — bound on the COMPOSITION
+# canvas (ADVICE r14: GIF_MAX_FRAMES bounds frame count but not canvas
+# area; a 13-byte header declaring 65535x65535 forced a ~13 GB tile
+# before any pixel data was checked — same zip-bomb class)
 
 
 def decode_gif_frames(payload: bytes) -> list:
@@ -768,6 +772,8 @@ def decode_gif_frames(payload: bytes) -> list:
     sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     if sw <= 0 or sh <= 0:
         raise ValueError("invalid GIF screen size")
+    if sw * sh > GIF_MAX_PIXELS:
+        raise ValueError("GIF logical screen exceeds engine pixel bound")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -780,6 +786,13 @@ def decode_gif_frames(payload: bytes) -> list:
         raise ValueError("GIF animation requires a global table with bg")
     bg_rgb = np.frombuffer(gct[3 * bg : 3 * bg + 3], dtype=np.uint8)
     canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+    # incremental canvas moments (ADVICE r14): a full-canvas int64 copy
+    # per frame costs O(frames * W*H * 8 bytes); instead track the exact
+    # sums and update them with the painted rect's delta — O(rect) per
+    # frame, identical integer results
+    _bg = [int(x) for x in bg_rgb]
+    canvas_sum = sum(_bg) * sw * sh
+    canvas_sumsq = sum(x * x for x in _bg) * sw * sh
     frames: list = []
     delay_cs, disposal = None, 0
     while pos < len(payload):
@@ -847,18 +860,29 @@ def decode_gif_frames(payload: bytes) -> list:
         idx = np.array(indices, dtype=np.int64)
         if int(idx.max()) >= len(pal):
             raise ValueError("GIF index outside the color table")
-        canvas[top : top + h, left : left + w] = pal[idx].reshape(h, w, 3)
-        flat = canvas.astype(np.int64)
+        rect_new = pal[idx].reshape(h, w, 3)
+        rect_old = canvas[top : top + h, left : left + w].astype(np.int64)
+        rect_n64 = rect_new.astype(np.int64)
+        canvas_sum += int(rect_n64.sum()) - int(rect_old.sum())
+        canvas_sumsq += int((rect_n64 * rect_n64).sum()) - int(
+            (rect_old * rect_old).sum()
+        )
+        canvas[top : top + h, left : left + w] = rect_new
         frames.append({
             "frame_idx": len(frames),
             "left": int(left), "top": int(top), "w": int(w), "h": int(h),
             "delay_cs": delay_cs, "disposal": disposal,
             "local_palette": local,
-            "canvas_sum": int(flat.sum()),
-            "canvas_sumsq": int((flat * flat).sum()),
+            "canvas_sum": canvas_sum,
+            "canvas_sumsq": canvas_sumsq,
         })
         # disposal applies AFTER the frame is shown, before the next
         if disposal == 2:
+            rect_old = canvas[top : top + h, left : left + w].astype(np.int64)
+            canvas_sum += sum(_bg) * w * h - int(rect_old.sum())
+            canvas_sumsq += sum(x * x for x in _bg) * w * h - int(
+                (rect_old * rect_old).sum()
+            )
             canvas[top : top + h, left : left + w] = bg_rgb
         delay_cs, disposal = None, 0
     if not frames:

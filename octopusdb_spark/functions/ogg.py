@@ -209,8 +209,12 @@ def parse_ogg_opus(payload: bytes) -> dict:
         # packets completed on this page: every lacing value < 255 ends one
         completed = sum(1 for v in lacing if v < 255)
         st["mid"] = bool(lacing) and lacing[-1] == 255
-        if st["pages"] >= 2:  # pages 0/1 are the ID + comment headers
-            st["packets"] += completed
+        # running COMPLETED-packet count; audio packets are those after
+        # the stream's first two packets (OpusHead + OpusTags). ADVICE
+        # r14: RFC 7845 lets the comment header span multiple pages
+        # (cover art), so "pages 0/1 are headers" miscounts tags
+        # continuation pages as audio — count by packet, not page.
+        st["packets"] += completed
         if granule != -1:
             st["last_granule"] = granule
         st["pages"] += 1
@@ -219,8 +223,8 @@ def parse_ogg_opus(payload: bytes) -> dict:
     if opus_serial is None or head is None:
         raise ValueError("OGG without an Opus stream")
     ost = streams[opus_serial]
-    if ost["pages"] < 2:
-        raise ValueError("Opus stream without its header pages")
+    if ost["pages"] < 2 or ost["packets"] < 2:
+        raise ValueError("Opus stream without its header packets")
     if not ost["eos"]:
         raise ValueError("Opus stream without an EOS page")
     dur_gr = max(0, (ost["last_granule"] or 0) - head["pre_skip"])
@@ -231,7 +235,7 @@ def parse_ogg_opus(payload: bytes) -> dict:
         "pre_skip": head["pre_skip"],
         "input_rate": head["input_rate"],
         "n_pages": ost["pages"],
-        "n_packets": ost["packets"],
+        "n_packets": ost["packets"] - 2,  # minus OpusHead + OpusTags
         "duration_ms": dur_gr * 1000 // 48000,
         "n_streams": len(streams),
     }

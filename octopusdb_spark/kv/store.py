@@ -2426,6 +2426,13 @@ class KVStore:
             target_segments=target_segments,
             commit_tag=commit_tag,
             _allow_reserved=True,  # scoped folds: keys may be CF-encoded
+            # a cf-scoped fold must route folded values with the FAMILY's
+            # effective threshold, not the store default (ADVICE r14:
+            # otherwise a family with a larger threshold gets its inline
+            # values pushed to the values table on fold, and vice versa)
+            value_threshold=(
+                None if cf is None else self.cf_value_threshold(str(cf))
+            ),
         )
 
     # ------------------------------------------------------------ maintenance

@@ -39,91 +39,52 @@ for _m in _MODULES:
     ORACLE_SQL.update(getattr(mod, "ORACLES", {}))
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order. Round-14 rotation (VERDICT r13 #1): the lifetime
-# ledger after r13 is 34 names last green r10 (AT the 3-round staleness
+# insertion order. Round-15 rotation (VERDICT r14 #1): the lifetime
+# ledger after r14 is 41 names last green r11 (AT the 3-round staleness
 # bound — tools/staleness_check.py exits 1 unless they lead this
-# window), 48 r11, 49 r12, 50 r13. Head = the full 34-name r10 cohort,
-# then 16 fill from the r11 cohort. Fill selection: the graph rows being
-# rewired onto the new aggregate_messages primitive this round
-# (pagerank/kcore/shortest_paths/adjacency/degrees) go first so their
-# re-earned green lands in-window; the rest oldest-policy from the r11
-# cohort with the most-expendable (still r11-safe-through-r14) LAST so
-# mid-round head-inserts displace those. The 32 r11 names left out —
-# plus any displaced below — lead the r15 rotation, which the staleness
-# tool will enforce then. No sacrifices: every at-bound name is in.
+# window), 47 r12, 48 r13, 50 r14. Head = the full 41-name r11 cohort
+# (exactly the list the staleness tool printed at round open), then 9
+# fill from the r12 cohort. Fill selection: kv_failover and
+# kv_changefeed first — this round's replication-lag telemetry work
+# touches their surface, so any re-earned green lands in-window; then
+# cheap representative r12 rows with the most-expendable (still
+# r12-safe-through-r15) LAST so mid-round head-inserts displace those.
+# The 38 r12 names left out — plus any displaced below — lead the r16
+# rotation, which the staleness tool will enforce then. No sacrifices:
+# every at-bound name is in.
 # PROTOCOL: a query added to the registry after this list is frozen must
 # be inserted at the HEAD at that moment (displacing the last fill
-# entry), not next round. Displaced entries here are r11-green — safe
+# entry), not next round. Displaced entries here are r12-green — safe
 # through this round's bound, and the staleness tool projects them into
-# the r15 lead automatically.
+# the r16 lead automatically.
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
-    # fill entry per protocol. r14 insert log: multimodal_mp4_samples
-    # NEW — per-track ISO-BMFF sample tables (stts two-run deltas, stsz
-    # table+constant modes, stsc chunk runs, stco AND co64 absolute
-    # offsets from the two-pass builder, stss sync cadence, per-track
-    # explode inside the Arrow batch, truncation fallback lane) —
-    # displaced kv_snapshot_holds, r11-green with slack until r15.
-    # graph_components / graph_khop / graph_lpa CHANGED — rewired onto
-    # queries/graph.py::aggregate_messages (the GraphX primitive; the
-    # other three rewired algorithms — pagerank/kcore/shortest_paths —
-    # were already leading the fill), so their r12/r13 greens must be
-    # re-earned; displaced kv_remote_reads, kv_merge_sorted_runs,
-    # kv_gc_discard_stats, all r11-green with slack until r15.
-    # multimodal_gif_frames NEW — animated-GIF multi-frame decode with
-    # real canvas composition (GCE disposal methods, per-frame local
-    # palettes, sub-rect painting, NETSCAPE loop ext skip, composed-
-    # canvas integer moments per frame, truncation fallback lane) —
-    # displaced kv_compaction_filter, r11-green with slack until r15.
-    # graph_scc CHANGED — its color-propagation and backward-mark
-    # supersteps rewired onto aggregate_messages like the other six
-    # algorithms (trim stays semi-join peeling: not message passing), so
-    # its r12 green must be re-earned; displaced kv_binary_key_scan,
-    # r11-green with slack until r15.
-    # multimodal_mp4_slice NEW — time-slice seek planning off the real
-    # sample tables (stts time walk + stsc/stco chunk arithmetic to
-    # absolute byte ranges; closed-form oracle incl. the builder-base
-    # box arithmetic; empty-window and truncation lanes) — displaced
-    # dedup_simhash_pairs, r11-green with slack until r15.
-    # multimodal_fmp4_frags NEW — fragmented MP4 (CMAF/DASH): moof/traf
-    # walk with the full trun > tfhd > trex precedence, cumulative tfdt
-    # base times, absolute data offsets under default-base-is-moof, and
-    # per-fragment mdat bounds checks; closed-form layout oracle —
-    # displaced dedup_minhash_lsh, r11-green with slack until r15.
-    # Registry adds this round: 4 of the 5 budget.
-    # multimodal_ogg_meta NEW — OGG/Opus container walk (real RFC 3533
-    # page CRC32 verified per page, lacing packet reassembly, BOS/EOS/
-    # continuation flags, OpusHead fields, granule-clock duration) —
-    # the 5th and LAST add of the round budget; displaced
-    # dedup_minhash_capped, r11-green with slack until r15.)
-    "multimodal_ogg_meta",
-    "multimodal_fmp4_frags",
-    "multimodal_mp4_slice",
-    "graph_scc",
-    "multimodal_gif_frames",
-    "graph_components", "graph_khop", "graph_lpa",
-    "multimodal_mp4_samples",
-    # r10-stale cohort (the full 34 — all at the bound; exactly the list
-    # tools/staleness_check.py printed at round open)
-    "dedup_semantic", "kv_stream_ingest", "pipeline_pretrain_corpus",
-    "q12_ship_lag_shape", "q14_promo_effect", "q17_small_quantity",
-    "q19_discounted_revenue", "q1_pricing_summary", "q22_global_sales",
-    "q2_min_cost_shape", "q4_order_priority", "q6_forecast_revenue",
-    "q7_volume_shipping", "q_approx_percentile", "q_asof_join",
-    "q_avg_order_gap", "q_cohort_retention", "q_cube_orders",
-    "q_grouping_sets", "q_rollup_acctbal", "q_running_totals",
-    "q_scalar_functions", "q_semi_join", "q_session_window",
-    "q_sessionize", "q_set_ops", "q_time_gapfill", "q_time_rollup",
-    "q_top_customers_per_nation", "q_train_val_split",
-    "sim_quantized_cosine", "stream_dedup_ingest",
-    "stream_semantic_filter", "text_chunk_overlap",
-    # r11 fill (16 of 48; the other 32 — plus any displaced by this
-    # round's inserts — lead r15). Graph rows first: they are being
-    # rewired onto queries/graph.py's aggregate_messages primitive this
-    # round and must re-earn green in-window.
-    "graph_pagerank", "graph_kcore", "graph_shortest_paths",
-    "graph_adjacency", "graph_degrees",
-    "dedup_embedding_cosine", "dedup_exact",
+    # fill entry per protocol. r15 insert log: none yet.)
+    # r11-stale cohort (the full 41 — all at the bound)
+    "dedup_minhash_capped", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "kv_binary_key_scan", "kv_compaction_filter", "kv_gc_discard_stats",
+    "kv_merge_sorted_runs", "kv_remote_reads", "kv_snapshot_holds",
+    "kv_stream_replication", "multimodal_chunking",
+    "multimodal_frame_sample", "multimodal_resample",
+    "multimodal_resize", "multimodal_video_frames", "q_anti_join",
+    "q_correlation", "q_countmin_sketch", "q_domain_mixture",
+    "q_join_skew_profile", "q_json_extract", "q_linear_regression",
+    "q_pandas_udf_score", "q_pivot_event_types", "q_stream_dedup",
+    "q_stream_interval_join", "q_stream_rollup", "q_stream_sessionize",
+    "q_string_agg", "q_token_budget_packing", "quality_column_profile",
+    "quality_distribution_drift", "quality_duplicate_keys",
+    "sim_ann_ivf_kmeans", "sim_ann_persistent", "source_warc_ingest",
+    "stream_warc_ingest", "text_ngram_topk", "text_pii_redact",
+    "text_repetition", "text_unicode_nfc",
+    # r12 fill (9 of 47; the other 38 — plus any displaced by this
+    # round's inserts — lead r16). kv_failover / kv_changefeed first:
+    # the replication-lag telemetry work this round touches their
+    # surface. Most-expendable LAST so mid-round head-inserts displace
+    # those (all r12-green — safe through this round's bound).
+    "kv_failover", "kv_changefeed",
+    "kv_latest_live", "kv_point_lookup",
+    "kv_value_separation", "multimodal_decode",
+    "q3_shipping_priority", "sim_topk_cosine", "text_stats",
 ]
 
 
