@@ -28,6 +28,29 @@ from pyspark.sql import types as T
 
 OGG_MAX_PAGES = 65536  # engine bound (a 2h voice file is ~7k pages)
 
+# 20 ms Opus configs by coding mode (RFC 6716 table 2) — the builder
+# default clock: one 20 ms frame is 960 samples at 48 kHz
+OPUS_20MS_CONFIGS = (1, 5, 9, 13, 15, 19, 23, 27, 31)
+
+
+def opus_toc_config(config: int) -> tuple:
+    """Decode an Opus TOC config number (RFC 6716 §3.1, table 2) into
+    (mode, bandwidth, frame_duration_in_48k_samples) — pure table
+    arithmetic, no entropy decode. configs 0-11 are SILK-only
+    (NB/MB/WB x 10/20/40/60 ms), 12-15 Hybrid (SWB/FB x 10/20 ms),
+    16-31 CELT-only (NB/WB/SWB/FB x 2.5/5/10/20 ms)."""
+    if not 0 <= config <= 31:
+        raise ValueError(f"Opus config out of range: {config}")
+    if config < 12:
+        return ("silk", ("nb", "mb", "wb")[config // 4],
+                (480, 960, 1920, 2880)[config % 4])
+    if config < 16:
+        return ("hybrid", ("swb", "fb")[(config - 12) // 2],
+                (480, 960)[config % 2])
+    c = config - 16
+    return ("celt", ("nb", "wb", "swb", "fb")[c // 4],
+            (120, 240, 480, 960)[c % 4])
+
 
 def _crc_table() -> list:
     table = []
@@ -89,13 +112,23 @@ def build_ogg_opus(
     input_rate: int = 16000,
     audio_pages: list | None = None,  # [(n_packets, packet_size)...]
     frame_samples: int = 960,  # 20 ms at 48 kHz
+    toc_config: int = 1,  # SILK NB 20 ms — matches frame_samples=960
+    stereo_flag: bool = False,
+    frames_per_packet: int = 1,
 ) -> bytes:
     """A structurally real OGG/Opus file: BOS page with the OpusHead
     identification header, an OpusTags comment page, then one audio page
-    per ``audio_pages`` entry (each carrying ``n_packets`` opaque packets
-    of ``packet_size`` bytes; granule positions advance ``frame_samples``
-    per packet at the Opus 48 kHz clock, the last page flagged EOS).
-    Every page carries its real CRC."""
+    per ``audio_pages`` entry (each carrying ``n_packets`` packets
+    of ``packet_size`` bytes; granule positions advance
+    ``frames_per_packet * frame_samples`` per packet at the Opus 48 kHz
+    clock, the last page flagged EOS). Every page carries its real CRC,
+    and every audio packet starts with a REAL RFC 6716 §3.1 TOC byte:
+    ``toc_config`` picks the coding mode/bandwidth/frame duration (the
+    caller keeps it consistent with ``frame_samples`` — config 1 is the
+    960-sample default), ``stereo_flag`` sets the s bit, and
+    ``frames_per_packet`` selects frame-count code 0 (one frame) or
+    code 3 with an M-count byte (CBR, no padding). Bytes past the TOC
+    stay opaque filler — the codec boundary."""
     head = (
         b"OpusHead" + bytes([1, channels])
         + struct.pack("<H", preskip)
@@ -106,16 +139,29 @@ def build_ogg_opus(
         b"OpusTags" + struct.pack("<I", 9) + b"octopusdb"
         + struct.pack("<I", 0)
     )
+    if not 1 <= frames_per_packet <= 48:
+        raise ValueError("frames_per_packet out of the code-3 range")
+    toc = (int(toc_config) << 3) | (int(bool(stereo_flag)) << 2)
+    if frames_per_packet == 1:
+        prefix = bytes([toc | 0])  # code 0: one frame
+    else:
+        # code 3, vbr=0, padding=0, M in the low 6 bits
+        prefix = bytes([toc | 3, frames_per_packet & 0x3F])
     out = bytearray()
     out += _page(serial, 0, 0, 0x02, [head])  # BOS
     out += _page(serial, 1, 0, 0x00, [tags])
     pages = audio_pages or []
     granule = preskip
     for i, (np_, psz) in enumerate(pages):
-        granule += np_ * frame_samples
+        if psz < len(prefix):
+            raise ValueError("packet_size smaller than its TOC prefix")
+        granule += np_ * frames_per_packet * frame_samples
         htype = 0x04 if i == len(pages) - 1 else 0x00  # EOS on the last
         pkts = [
-            bytes(((i * 31 + j * 7 + k) % 251) for k in range(psz))
+            prefix + bytes(
+                ((i * 31 + j * 7 + k) % 251)
+                for k in range(len(prefix), psz)
+            )
             for j in range(np_)
         ]
         out += _page(serial, 2 + i, granule, htype, pkts)
@@ -130,6 +176,14 @@ def parse_ogg_opus(payload: bytes) -> dict:
     metadata: serial, channels, pre_skip, input_rate, n_pages,
     n_packets (audio packets — the head/tags packets are excluded),
     duration_ms ((last granule - pre_skip) at the 48 kHz Opus clock).
+    The TOC byte of every audio packet is decoded (r15 — RFC 6716 §3.1
+    table arithmetic, still zero entropy decode): toc_frames /
+    toc_duration_ms accumulate the per-packet frame counts and
+    durations from the config field (code-3 packets read their M-count
+    byte), n_silk / n_hybrid / n_celt count packets per coding mode,
+    n_stereo counts s-bit packets, and toc_granule_agree records
+    whether the TOC clock matches the granule clock exactly — the
+    integrity signal a crawl pipeline filters on.
     MULTIPLEXED bitstreams are supported by selection (r14): every
     stream's pages are CRC- and sequence-verified, and the metadata is
     reported for THE Opus stream (the serial whose BOS packet is
@@ -180,6 +234,7 @@ def parse_ogg_opus(payload: bytes) -> dict:
             st = streams[serial] = {
                 "seq": 0, "mid": False, "eos": False,
                 "pages": 0, "packets": 0, "last_granule": None,
+                "open": None, "heads": [],
             }
             body = payload[seg_end:page_end]
             if body[:8] == b"OpusHead":
@@ -206,14 +261,37 @@ def parse_ogg_opus(payload: bytes) -> dict:
             st["eos"] = True
         if bool(htype & 0x01) != st["mid"]:
             raise ValueError("OGG continuation flag inconsistent")
-        # packets completed on this page: every lacing value < 255 ends one
-        completed = sum(1 for v in lacing if v < 255)
-        st["mid"] = bool(lacing) and lacing[-1] == 255
-        # running COMPLETED-packet count; audio packets are those after
-        # the stream's first two packets (OpusHead + OpusTags). ADVICE
-        # r14: RFC 7845 lets the comment header span multiple pages
-        # (cover art), so "pages 0/1 are headers" miscounts tags
-        # continuation pages as audio — count by packet, not page.
+        # walk the lacing values tracking packet boundaries: every
+        # value < 255 COMPLETES a packet, and each packet's first two
+        # bytes (the RFC 6716 TOC byte + optional code-3 count byte)
+        # are captured at its start — even when the start's segment is
+        # 1 byte and the second byte lands in the next segment/page.
+        # Audio packets are those after the stream's first two packets
+        # (OpusHead + OpusTags). ADVICE r14: RFC 7845 lets the comment
+        # header span multiple pages (cover art), so "pages 0/1 are
+        # headers" miscounted tags continuation pages as audio — count
+        # by packet, not page.
+        off = 0
+        completed = 0
+        for v in lacing:
+            if st["open"] is None:
+                st["open"] = {"b0": None, "b1": None, "len": 0}
+            o = st["open"]
+            if v > 0:
+                s0 = seg_end + off
+                if o["b0"] is None:
+                    o["b0"] = payload[s0]
+                    if v > 1:
+                        o["b1"] = payload[s0 + 1]
+                elif o["b1"] is None:
+                    o["b1"] = payload[s0]
+            o["len"] += v
+            off += v
+            if v < 255:
+                st["heads"].append((o["b0"], o["b1"], o["len"]))
+                st["open"] = None
+                completed += 1
+        st["mid"] = st["open"] is not None
         st["packets"] += completed
         if granule != -1:
             st["last_granule"] = granule
@@ -227,7 +305,52 @@ def parse_ogg_opus(payload: bytes) -> dict:
         raise ValueError("Opus stream without its header packets")
     if not ost["eos"]:
         raise ValueError("Opus stream without an EOS page")
+    if ost["open"] is not None:
+        raise ValueError("Opus stream ends mid-packet")
     dur_gr = max(0, (ost["last_granule"] or 0) - head["pre_skip"])
+
+    # TOC-byte walk over the audio packets (r15, VERDICT r14 #3): the
+    # first byte of every Opus packet encodes config (mode/bandwidth/
+    # frame duration), the stereo bit, and the frame-count code — pure
+    # table arithmetic (RFC 6716 §3.1), no entropy decode. This yields
+    # a per-packet duration CLOCK independent of the granule positions;
+    # their agreement is the crawl-quality integrity signal, and the
+    # mode distribution is the codec-identity signal.
+    toc_samples = toc_frames = 0
+    n_silk = n_hybrid = n_celt = n_stereo = 0
+    for b0, b1, plen in ost["heads"][2:]:
+        if b0 is None:
+            raise ValueError("zero-length Opus audio packet")
+        config, stereo, code = b0 >> 3, (b0 >> 2) & 1, b0 & 3
+        mode, _bw, dur = opus_toc_config(config)
+        if code == 0:
+            nf = 1
+        elif code == 1:
+            if (plen - 1) % 2:
+                raise ValueError("code-1 Opus packet with odd payload")
+            nf = 2
+        elif code == 2:
+            if plen < 2:
+                raise ValueError("truncated code-2 Opus packet")
+            nf = 2
+        else:
+            if b1 is None:
+                raise ValueError("truncated code-3 Opus packet")
+            nf = b1 & 0x3F
+            if nf == 0:
+                raise ValueError("code-3 Opus packet with zero frames")
+        if nf * dur > 5760:  # 120 ms at 48 kHz (RFC 6716 §3.2.5)
+            raise ValueError("Opus packet exceeds 120 ms")
+        toc_frames += nf
+        toc_samples += nf * dur
+        n_stereo += stereo
+        if mode == "silk":
+            n_silk += 1
+        elif mode == "hybrid":
+            n_hybrid += 1
+        else:
+            n_celt += 1
+
     return {
         "container": "ogg",
         "serial": opus_serial,
@@ -238,6 +361,13 @@ def parse_ogg_opus(payload: bytes) -> dict:
         "n_packets": ost["packets"] - 2,  # minus OpusHead + OpusTags
         "duration_ms": dur_gr * 1000 // 48000,
         "n_streams": len(streams),
+        "toc_frames": toc_frames,
+        "toc_duration_ms": toc_samples * 1000 // 48000,
+        "n_silk": n_silk,
+        "n_hybrid": n_hybrid,
+        "n_celt": n_celt,
+        "n_stereo": n_stereo,
+        "toc_granule_agree": toc_samples == dur_gr,
     }
 
 
@@ -253,6 +383,13 @@ OGG_META_SCHEMA = T.StructType(
         T.StructField("n_pages", T.IntegerType(), True),
         T.StructField("n_packets", T.LongType(), True),
         T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("toc_frames", T.LongType(), True),
+        T.StructField("toc_duration_ms", T.LongType(), True),
+        T.StructField("n_silk", T.IntegerType(), True),
+        T.StructField("n_hybrid", T.IntegerType(), True),
+        T.StructField("n_celt", T.IntegerType(), True),
+        T.StructField("n_stereo", T.IntegerType(), True),
+        T.StructField("toc_granule_agree", T.BooleanType(), True),
     ]
 )
 
@@ -275,13 +412,20 @@ def ogg_metadata(media_df: DataFrame) -> DataFrame:
                 out["container"].append("ogg")
                 out["decoded"].append(meta is not None)
                 for k in ("serial", "channels", "pre_skip", "input_rate",
-                          "n_pages", "n_packets", "duration_ms"):
+                          "n_pages", "n_packets", "duration_ms",
+                          "toc_frames", "toc_duration_ms", "n_silk",
+                          "n_hybrid", "n_celt", "n_stereo",
+                          "toc_granule_agree"):
                     out[k].append(meta[k] if meta else None)
             nullable_int = ("serial", "channels", "pre_skip", "input_rate",
-                            "n_pages", "n_packets", "duration_ms")
+                            "n_pages", "n_packets", "duration_ms",
+                            "toc_frames", "toc_duration_ms", "n_silk",
+                            "n_hybrid", "n_celt", "n_stereo")
             yield pd.DataFrame(
                 {
-                    k: pd.array(v, dtype="Int64") if k in nullable_int else v
+                    k: pd.array(v, dtype="Int64") if k in nullable_int
+                    else pd.array(v, dtype="boolean")
+                    if k == "toc_granule_agree" else v
                     for k, v in out.items()
                 }
             )

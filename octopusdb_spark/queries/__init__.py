@@ -59,7 +59,14 @@ for _m in _MODULES:
 # the r16 lead automatically.
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
-    # fill entry per protocol. r15 insert log: none yet.)
+    # fill entry per protocol. r15 insert log:
+    # multimodal_ogg_meta CHANGED — Opus TOC-byte layer added (RFC 6716
+    # §3.1: per-packet config/mode/bandwidth/frame-duration/stereo,
+    # code-0 vs code-3 M-count packets, TOC clock vs granule clock
+    # agreement, mode distribution — all under the hash), so its r14
+    # green must be re-earned; displaced text_stats, r12-green with
+    # slack until r16.)
+    "multimodal_ogg_meta",
     # r11-stale cohort (the full 41 — all at the bound)
     "dedup_minhash_capped", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "kv_binary_key_scan", "kv_compaction_filter", "kv_gc_discard_stats",
@@ -84,7 +91,7 @@ _PRIORITY = [
     "kv_failover", "kv_changefeed",
     "kv_latest_live", "kv_point_lookup",
     "kv_value_separation", "multimodal_decode",
-    "q3_shipping_priority", "sim_topk_cosine", "text_stats",
+    "q3_shipping_priority", "sim_topk_cosine",
 ]
 
 

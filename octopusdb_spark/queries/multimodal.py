@@ -569,11 +569,22 @@ def q_multimodal_ogg_meta(spark, sf_dir):
     is part of the hash contract), checks sequence continuity, BOS/EOS
     flags and continuation consistency, reassembles packet counts from
     lacing, and computes exact duration from the final granule minus
-    pre-skip at the 48 kHz Opus clock. No audio decode (Opus packets
-    stay behind the codec boundary, like MP3/MP4 bitstreams); the
-    oracle replicates every field arithmetically; doc_id%9==4 rows are
-    truncated so the loud fallback is hash-checked."""
-    from octopusdb_spark.functions.ogg import build_ogg_opus, ogg_metadata
+    pre-skip at the 48 kHz Opus clock. r15 adds the TOC-byte layer
+    (RFC 6716 §3.1): each audio packet's first byte rides a per-doc
+    config from the 20 ms family (b3 picks mode/bandwidth), the stereo
+    bit follows the channel count, and b1 selects one-frame code-0 vs
+    two-frame code-3 packets (with the M-count second byte) — the
+    parser's per-packet TOC clock, frame totals, mode distribution and
+    TOC-vs-granule agreement are all under the hash. Still no audio
+    decode (Opus packets stay behind the codec boundary, like MP3/MP4
+    bitstreams); the oracle replicates every field arithmetically;
+    doc_id%9==4 rows are truncated so the loud fallback is
+    hash-checked."""
+    from octopusdb_spark.functions.ogg import (
+        OPUS_20MS_CONFIGS,
+        build_ogg_opus,
+        ogg_metadata,
+    )
 
     def payload_fn(did, b):
         n = len(b)
@@ -586,6 +597,9 @@ def q_multimodal_ogg_meta(spark, sf_dir):
             input_rate=(8000, 16000, 24000, 48000)[b[2] % 4],
             audio_pages=[(npk, 60 + (b[1] + i * 13) % 60)
                          for i in range(kp)],
+            toc_config=OPUS_20MS_CONFIGS[b[3] % 9],
+            stereo_flag=b[0] % 2 == 1,
+            frames_per_packet=b[1] % 2 + 1,
         )
         if did % 9 == 4:
             payload = payload[:-5]  # truncate the last page: loud lane
@@ -595,6 +609,8 @@ def q_multimodal_ogg_meta(spark, sf_dir):
     return meta.select(
         "media_id", "container", "decoded", "serial", "channels",
         "pre_skip", "input_rate", "n_pages", "n_packets", "duration_ms",
+        "toc_frames", "toc_duration_ms", "n_silk", "n_hybrid", "n_celt",
+        "n_stereo", "toc_granule_agree",
     ).orderBy("media_id")
 
 
@@ -1300,7 +1316,8 @@ ORACLES = {
       SELECT doc_id, octet_length(encode(text)) AS n,
              ascii(substr(text, 1, 1)) AS b0,
              ascii(substr(text, 2, 1)) AS b1,
-             ascii(substr(text, 3, 1)) AS b2
+             ascii(substr(text, 3, 1)) AS b2,
+             ascii(substr(text, 4, 1)) AS b3
       FROM documents
       WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
     ),
@@ -1308,7 +1325,12 @@ ORACLES = {
       SELECT doc_id, n % 3 + 1 AS kp, b0 % 3 + 2 AS npk,
              b0 % 2 + 1 AS ch, 200 + b1 % 200 AS ps,
              CASE b2 % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                         WHEN 2 THEN 24000 ELSE 48000 END AS rate
+                         WHEN 2 THEN 24000 ELSE 48000 END AS rate,
+             b1 % 2 + 1 AS m,
+             -- b3 % 9 indexes (1,5,9,13,15,19,23,27,31): 0-2 SILK,
+             -- 3-4 Hybrid, 5-8 CELT — all 20 ms configs
+             b3 % 9 AS ci,
+             b0 % 2 AS st
       FROM src WHERE doc_id % 9 != 4
     )
     SELECT doc_id AS media_id, 'ogg' AS container,
@@ -1320,10 +1342,19 @@ ORACLES = {
            CAST(rate AS INT) AS input_rate,
            CAST(kp + 2 AS INT) AS n_pages,
            CAST(kp * npk AS BIGINT) AS n_packets,
-           CAST(kp * npk * 960 * 1000 // 48000 AS BIGINT) AS duration_ms
+           CAST(kp * npk * m * 20 AS BIGINT) AS duration_ms,
+           CAST(kp * npk * m AS BIGINT) AS toc_frames,
+           CAST(kp * npk * m * 20 AS BIGINT) AS toc_duration_ms,
+           CAST(CASE WHEN ci <= 2 THEN kp * npk ELSE 0 END AS INT) AS n_silk,
+           CAST(CASE WHEN ci IN (3, 4) THEN kp * npk ELSE 0 END AS INT)
+               AS n_hybrid,
+           CAST(CASE WHEN ci >= 5 THEN kp * npk ELSE 0 END AS INT) AS n_celt,
+           CAST(CASE WHEN st = 1 THEN kp * npk ELSE 0 END AS INT) AS n_stereo,
+           TRUE AS toc_granule_agree
     FROM p
     UNION ALL
-    SELECT doc_id, 'ogg', FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    SELECT doc_id, 'ogg', FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL
     FROM src WHERE doc_id % 9 = 4
     ORDER BY media_id""",
     # closed-form replication of the fmp4 fragment walk: one CTE per

@@ -1971,3 +1971,68 @@ def test_ogg_multiplexed_stream_selection(spark):
         parse_ogg_opus(pages[0] + other_eos)  # 0x99 starts mid-stream
     with pytest.raises(ValueError, match="without an Opus stream"):
         parse_ogg_opus(other_bos + other_eos)
+
+
+def test_ogg_opus_toc_layer():
+    """r15: the Opus TOC-byte layer (RFC 6716 §3.1) — per-packet
+    config/mode/stereo/frame-count decode, the TOC clock vs granule
+    clock agreement signal, and the malformed-TOC classes."""
+    from octopusdb_spark.functions.ogg import (
+        _page,
+        build_ogg_opus,
+        opus_toc_config,
+        parse_ogg_opus,
+    )
+
+    # code 0, SILK WB 20 ms (config 9), stereo bit set
+    m = parse_ogg_opus(build_ogg_opus(
+        7, toc_config=9, stereo_flag=True, audio_pages=[(3, 40), (2, 50)]))
+    assert (m["n_silk"], m["n_hybrid"], m["n_celt"]) == (5, 0, 0)
+    assert m["n_stereo"] == 5 and m["toc_frames"] == 5
+    assert m["toc_granule_agree"] and m["toc_duration_ms"] == m["duration_ms"]
+
+    # code 3 with M=2, CELT FB 20 ms: frames double, clocks still agree
+    m = parse_ogg_opus(build_ogg_opus(
+        7, toc_config=31, frames_per_packet=2, audio_pages=[(4, 30)]))
+    assert m["n_celt"] == 4 and m["toc_frames"] == 8
+    assert m["toc_granule_agree"] and m["toc_duration_ms"] == 8 * 20
+
+    # granule disagreement is REPORTED, not raised: config 0 is a 10 ms
+    # frame but the builder's granule clock advances 960/packet
+    m = parse_ogg_opus(build_ogg_opus(
+        7, toc_config=0, audio_pages=[(2, 30)]))
+    assert not m["toc_granule_agree"]
+    assert m["toc_duration_ms"] == 2 * 10 and m["duration_ms"] == 2 * 20
+
+    # the full config table decodes and is internally consistent
+    assert opus_toc_config(1) == ("silk", "nb", 960)
+    assert opus_toc_config(14) == ("hybrid", "fb", 480)
+    assert opus_toc_config(16) == ("celt", "nb", 120)
+    with pytest.raises(ValueError):
+        opus_toc_config(32)
+
+    # malformed TOC classes raise (loud-fallback contract). Each case
+    # replaces the single audio page of a valid file with a hand-built
+    # one so the container framing stays intact.
+    base = build_ogg_opus(5, preskip=312, audio_pages=[(1, 10)])
+    pages, pos = [], 0
+    while pos < len(base):
+        nsegs = base[pos + 26]
+        end = pos + 27 + nsegs + sum(base[pos + 27 : pos + 27 + nsegs])
+        pages.append(base[pos:end])
+        pos = end
+    head2 = pages[0] + pages[1]
+
+    def with_audio(pkt):
+        return head2 + _page(5, 2, 312 + 960, 0x04, [pkt])
+
+    cases = [
+        (bytes([(11 << 3) | 3, 0]) + b"x" * 5, "zero frames"),
+        (bytes([(11 << 3) | 3]), "truncated code-3"),
+        (bytes([(11 << 3) | 3, 3]) + b"x" * 9, "exceeds 120 ms"),
+        (bytes([(1 << 3) | 1]) + b"x", "odd payload"),
+        (b"", "zero-length"),
+    ]
+    for pkt, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            parse_ogg_opus(with_audio(pkt))
