@@ -310,6 +310,7 @@ def build_fmp4(
     trex_size: int = 200,
     fragments: list | None = None,
     video: tuple = (b"avc1", 320, 240),
+    sidx: dict | None = None,
 ) -> bytes:
     """A structurally real FRAGMENTED MP4 (the CMAF/DASH layout modern
     video ships in): ftyp + moov{mvhd, trak with EMPTY sample tables
@@ -321,7 +322,14 @@ def build_fmp4(
     omitted tiers fall through to the trex defaults, so the full
     trun > tfhd > trex precedence chain is in the file. tfdt carries
     the cumulative base decode time; trun's data_offset points past the
-    mdat header under default-base-is-moof."""
+    mdat header under default-base-is-moof.
+
+    ``sidx`` (r15): emit a CMAF/DASH segment index box between moov and
+    the first fragment — ``{"version": 0|1}`` selects 32- vs 64-bit
+    earliest-presentation-time/first-offset fields; one type-0
+    reference per fragment carries its exact moof+mdat byte span and
+    subsegment duration (media timescale), first_offset 0 — the layout
+    a DASH packager writes so players seek WITHOUT reading moofs."""
     frags = fragments or []
     head = _box(b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5cmfc")
     trak = _trak(0, track_id, 0, b"vide", video[0], video[1], video[2],
@@ -336,6 +344,7 @@ def build_fmp4(
     )
     out = bytearray(head + moov)
     base_time = 0
+    frag_blobs: list = []  # (moof+mdat bytes, media-timescale duration)
     for seq, f in enumerate(frags, start=1):
         n = f["n_samples"]
         durs = f.get("durations")
@@ -387,8 +396,22 @@ def build_fmp4(
             d_size if d_size is not None else trex_size
         ] * n
         body = bytes((seq * 31 + j * 7) % 251 for j in range(sum(eff_sizes)))
-        out += bytes(moof) + _box(b"mdat", body)
+        frag_blobs.append((bytes(moof) + _box(b"mdat", body), sum(eff_dur)))
         base_time += sum(eff_dur)
+    if sidx is not None:
+        ver = int(sidx.get("version", 0))
+        sbody = struct.pack(">II", track_id, timescale)  # refID, timescale
+        # earliest_presentation_time=0, first_offset=0 (fragments start
+        # right after the sidx — the anchor point)
+        sbody += struct.pack(">QQ" if ver == 1 else ">II", 0, 0)
+        sbody += struct.pack(">HH", 0, len(frag_blobs))
+        for blob, dur in frag_blobs:
+            # type-0 reference: size = the subsegment's exact moof+mdat
+            # span; starts_with_SAP=1, SAP_type=1, delta=0
+            sbody += struct.pack(">III", len(blob), dur, 0x90000000)
+        out += _full(b"sidx", ver, 0, sbody)
+    for blob, _dur in frag_blobs:
+        out += blob
     return bytes(out)
 
 
@@ -403,16 +426,67 @@ def parse_fmp4_fragments(payload: bytes) -> list:
     (tfdt equals the previous fragment's base + duration — real streams
     may legitimately gap, so it reports rather than raises). Validates
     sample bytes stay inside the following mdat. Raises ValueError on
-    malformed structure (loud-fallback contract)."""
+    malformed structure (loud-fallback contract).
+
+    When a CMAF ``sidx`` segment index is present (r15, VERDICT r14
+    #4 — the box DASH players seek with WITHOUT reading moofs), its
+    type-0 references are cross-checked against the actual fragment
+    layout and three more fields are reported per fragment:
+    sidx_ref_size (the declared subsegment byte span), sidx_dur_ms
+    (the declared subsegment duration at the sidx timescale), and
+    sidx_aligned — True iff the reference's prefix-summed offset lands
+    exactly on this fragment's moof, its size spans exactly moof+mdat,
+    and its duration equals the trun/tfhd/trex-resolved total (exact
+    cross-timescale comparison). Misalignments REPORT False rather
+    than raise (a repackaged stream may carry a stale index — that is
+    the signal a pipeline filters on); fragments past the reference
+    count, or files without a sidx, carry nulls. A malformed sidx
+    (truncated fields, zero timescale, references past the box end)
+    raises. Only the first sidx is used (daisy-chained indexes are out
+    of scope, like other multi-sidx layouts)."""
     if not looks_like_mp4(payload):
         raise ValueError("not an MP4/ISO-BMFF stream")
     trex = None
     media_ts = None
     frags: list = []
     expected_next = None
+    sidx_info = None
     boxes = list(_walk(payload, 0, len(payload)))
     for idx, (t, s, e) in enumerate(boxes):
-        if t == b"moov":
+        if t == b"sidx":
+            if sidx_info is not None:
+                continue  # first index wins; chained sidx out of scope
+            if e - s < 24:
+                raise ValueError("truncated sidx")
+            ver = payload[s]
+            at = s + 4
+            _ref_id, s_ts = struct.unpack_from(">II", payload, at)
+            at += 8
+            if s_ts == 0:
+                raise ValueError("sidx timescale zero")
+            if ver == 1:
+                if at + 16 + 4 > e:
+                    raise ValueError("truncated sidx v1")
+                _ept, first_off = struct.unpack_from(">QQ", payload, at)
+                at += 16
+            else:
+                _ept, first_off = struct.unpack_from(">II", payload, at)
+                at += 8
+            _res, cnt = struct.unpack_from(">HH", payload, at)
+            at += 4
+            if at + 12 * cnt > e:
+                raise ValueError("sidx references past box end")
+            refs, starts = [], []
+            cur = e + first_off  # anchor = first byte after the sidx
+            for i in range(cnt):
+                w1, sdur, _sap = struct.unpack_from(
+                    ">III", payload, at + 12 * i
+                )
+                refs.append((w1 >> 31, w1 & 0x7FFFFFFF, sdur))
+                starts.append(cur)
+                cur += w1 & 0x7FFFFFFF
+            sidx_info = {"ts": s_ts, "refs": refs, "starts": starts}
+        elif t == b"moov":
             mv = _first(payload, s, e, b"mvex")
             if mv is not None:
                 tx = _first(payload, mv[0], mv[1], b"trex")
@@ -520,6 +594,19 @@ def parse_fmp4_fragments(payload: bytes) -> list:
                 raise ValueError("moof without a following mdat")
             if not (nxt[1] <= data_start and data_start + total_bytes <= nxt[2]):
                 raise ValueError("fragment samples outside the mdat")
+            i = len(frags)
+            sidx_ref_size = sidx_dur_ms = sidx_aligned = None
+            if sidx_info is not None and i < len(sidx_info["refs"]):
+                rtype, rsize, rdur = sidx_info["refs"][i]
+                sidx_ref_size = rsize
+                sidx_dur_ms = rdur * 1000 // sidx_info["ts"]
+                sidx_aligned = (
+                    rtype == 0
+                    and moof_start == sidx_info["starts"][i]
+                    and rsize == nxt[2] - moof_start
+                    # exact cross-timescale duration equality
+                    and rdur * media_ts == total_dur * sidx_info["ts"]
+                )
             frags.append({
                 "frag_idx": len(frags),
                 "seq": seq,
@@ -532,6 +619,9 @@ def parse_fmp4_fragments(payload: bytes) -> list:
                 "contiguous": (
                     expected_next is None or base_time == expected_next
                 ),
+                "sidx_ref_size": sidx_ref_size,
+                "sidx_dur_ms": sidx_dur_ms,
+                "sidx_aligned": sidx_aligned,
             })
             expected_next = base_time + total_dur
     if not frags:
@@ -552,6 +642,9 @@ FMP4_FRAGS_SCHEMA = T.StructType(
         T.StructField("total_bytes", T.LongType(), True),
         T.StructField("data_start", T.LongType(), True),
         T.StructField("contiguous", T.BooleanType(), True),
+        T.StructField("sidx_ref_size", T.LongType(), True),
+        T.StructField("sidx_dur_ms", T.LongType(), True),
+        T.StructField("sidx_aligned", T.BooleanType(), True),
     ]
 )
 
@@ -583,7 +676,7 @@ def fmp4_fragments(media_df: DataFrame) -> DataFrame:
                     out["decoded"].append(True)
                     for k in _FRAG_COLS:
                         out[k].append(fr[k])
-            nullable_int = set(_FRAG_COLS) - {"contiguous"}
+            nullable_int = set(_FRAG_COLS) - {"contiguous", "sidx_aligned"}
             yield pd.DataFrame(
                 {
                     k: pd.array(v, dtype="Int64") if k in nullable_int else v

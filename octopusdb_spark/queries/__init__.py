@@ -60,12 +60,19 @@ for _m in _MODULES:
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
     # fill entry per protocol. r15 insert log:
+    # multimodal_fmp4_frags CHANGED — CMAF sidx segment-index walk
+    # added (type-0 references cross-checked against the real moof/mdat
+    # layout: prefix-summed offsets, exact byte spans, cross-timescale
+    # durations; v0/v1 head-shift arithmetic under the hash), so its
+    # r14 green must be re-earned; displaced sim_topk_cosine, r12-green
+    # with slack until r16.
     # multimodal_ogg_meta CHANGED — Opus TOC-byte layer added (RFC 6716
     # §3.1: per-packet config/mode/bandwidth/frame-duration/stereo,
     # code-0 vs code-3 M-count packets, TOC clock vs granule clock
     # agreement, mode distribution — all under the hash), so its r14
     # green must be re-earned; displaced text_stats, r12-green with
     # slack until r16.)
+    "multimodal_fmp4_frags",
     "multimodal_ogg_meta",
     # r11-stale cohort (the full 41 — all at the bound)
     "dedup_minhash_capped", "dedup_minhash_lsh", "dedup_simhash_pairs",
@@ -91,7 +98,7 @@ _PRIORITY = [
     "kv_failover", "kv_changefeed",
     "kv_latest_live", "kv_point_lookup",
     "kv_value_separation", "multimodal_decode",
-    "q3_shipping_priority", "sim_topk_cosine",
+    "q3_shipping_priority",
 ]
 
 

@@ -518,9 +518,15 @@ def q_multimodal_fmp4_frags(spark, sf_dir):
     ABSOLUTE first-sample offset (closed-form layout: HEAD=519 bytes,
     per-tier moof spans 96/104/96+8n/96+4n — fitted and pinned in
     pytest; the parser additionally bounds-checks every fragment's
-    samples inside its mdat). doc_id%9==4 rows are truncated so the
-    loud-fallback lane is hash-checked. Per-fragment explode inside
-    the Arrow batch."""
+    samples inside its mdat). r15 adds the CMAF `sidx` segment index
+    (VERDICT r14 #4 — the box DASH players seek with WITHOUT reading
+    moofs): even doc_ids carry one (version v0/v1 rides b2, shifting
+    the head by 32+12k/40+12k bytes — the data_start arithmetic is
+    itself under the hash), and the parser's cross-check of each
+    type-0 reference's prefix-summed offset/size/duration against the
+    real moof/mdat layout lands in three more hashed columns.
+    doc_id%9==4 rows are truncated so the loud-fallback lane is
+    hash-checked. Per-fragment explode inside the Arrow batch."""
     from octopusdb_spark.functions.mp4 import build_fmp4, fmp4_fragments
 
     def payload_fn(did, b):
@@ -543,6 +549,7 @@ def q_multimodal_fmp4_frags(spark, sf_dir):
         payload = build_fmp4(
             1000, 1, trex_duration=100, trex_size=150 + b[2] % 50,
             fragments=frags,
+            sidx={"version": b[2] % 2} if did % 2 == 0 else None,
         )
         if did % 9 == 4:
             payload = payload[:-10]  # last mdat bound breaks: loud lane
@@ -552,7 +559,8 @@ def q_multimodal_fmp4_frags(spark, sf_dir):
     return rows.select(
         "media_id", "decoded", "frag_idx", "seq", "track_id",
         "base_time_ms", "n_samples", "duration_ms", "total_bytes",
-        "data_start", "contiguous",
+        "data_start", "contiguous", "sidx_ref_size", "sidx_dur_ms",
+        "sidx_aligned",
     ).orderBy("media_id", F.col("frag_idx").asc_nulls_first())
 
 
@@ -1377,6 +1385,14 @@ ORACLES = {
              150 + b2 % 50 AS xsize
       FROM src WHERE doc_id % 9 != 4
     ),
+    sx AS (  -- sidx head shift: v0 = 32+12k, v1 = 40+12k, odd docs none
+      SELECT doc_id,
+             (doc_id % 2 = 0) AS has_sidx,
+             CASE WHEN doc_id % 2 = 0
+                  THEN (CASE WHEN b2 % 2 = 1 THEN 40 ELSE 32 END) + 12 * kf
+                  ELSE 0 END AS sdelta
+      FROM ok
+    ),
     f0sums AS (
       SELECT o.doc_id,
              sum(50 + (CAST(t.i AS BIGINT) * 7 + o.b0) % 40) AS bytes0
@@ -1416,7 +1432,7 @@ ORACLES = {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) AS base_time_ms,
              n_samples, duration_ms, total_bytes,
-             CAST(519
+             CAST(519 + sx.sdelta
                   + sum(hspan) OVER (
                       PARTITION BY doc_id ORDER BY frag_idx
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1424,15 +1440,21 @@ ORACLES = {
                       PARTITION BY doc_id ORDER BY frag_idx
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) AS data_start,
-             TRUE AS contiguous
-      FROM tiers
+             TRUE AS contiguous,
+             CAST(CASE WHEN sx.has_sidx THEN hspan + total_bytes END
+               AS BIGINT) AS sidx_ref_size,
+             CAST(CASE WHEN sx.has_sidx THEN duration_ms END
+               AS BIGINT) AS sidx_dur_ms,
+             CASE WHEN sx.has_sidx THEN TRUE END AS sidx_aligned
+      FROM tiers JOIN sx USING (doc_id)
     ),
     fallback AS (
       SELECT doc_id AS media_id, FALSE AS decoded, CAST(NULL AS INT),
              CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-             CAST(NULL AS BOOLEAN)
+             CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
       FROM src WHERE doc_id % 9 = 4
     )
     SELECT * FROM placed UNION ALL SELECT * FROM fallback

@@ -2036,3 +2036,65 @@ def test_ogg_opus_toc_layer():
     for pkt, msg in cases:
         with pytest.raises(ValueError, match=msg):
             parse_ogg_opus(with_audio(pkt))
+
+
+def test_fmp4_sidx_walk():
+    """r15: the CMAF segment index — v0/v1 field widths, per-reference
+    cross-checks against the real moof/mdat layout (prefix-summed
+    offsets, exact spans, cross-timescale durations), REPORTED
+    misalignment, and the malformed classes that raise."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.mp4 import build_fmp4, parse_fmp4_fragments
+
+    frags = [
+        {"n_samples": 3, "durations": [100, 110, 120],
+         "sizes": [50, 51, 52]},
+        {"n_samples": 2, "default_duration": 90, "default_size": 40},
+        {"n_samples": 4},
+    ]
+    # no sidx -> nulls
+    for fr in parse_fmp4_fragments(build_fmp4(fragments=frags)):
+        assert fr["sidx_ref_size"] is None and fr["sidx_aligned"] is None
+
+    for ver in (0, 1):
+        out = parse_fmp4_fragments(
+            build_fmp4(fragments=frags, sidx={"version": ver}))
+        assert all(fr["sidx_aligned"] is True for fr in out)
+        assert all(fr["sidx_dur_ms"] == fr["duration_ms"] for fr in out)
+        # declared spans tile the fragment region exactly: everything
+        # after the sidx box end is covered by the references
+        spans = [fr["sidx_ref_size"] for fr in out]
+        p = build_fmp4(fragments=frags, sidx={"version": ver})
+        box_start = p.index(b"sidx") - 4
+        box_size, = _struct.unpack_from(">I", p, box_start)
+        assert sum(spans) == len(p) - (box_start + box_size)
+
+    # a corrupted reference SIZE shifts every later prefix sum: all
+    # fragments report misaligned, nothing raises
+    p = bytearray(build_fmp4(fragments=frags, sidx={"version": 0}))
+    ref0 = p.find(b"sidx") + 28
+    w1, = _struct.unpack_from(">I", p, ref0)
+    _struct.pack_into(">I", p, ref0, w1 + 5)
+    assert [f["sidx_aligned"] for f in parse_fmp4_fragments(bytes(p))] \
+        == [False, False, False]
+
+    # a corrupted reference DURATION flags only its own fragment
+    p = bytearray(build_fmp4(fragments=frags, sidx={"version": 0}))
+    d1 = p.find(b"sidx") + 28 + 12 + 4
+    v, = _struct.unpack_from(">I", p, d1)
+    _struct.pack_into(">I", p, d1, v + 1)
+    assert [f["sidx_aligned"] for f in parse_fmp4_fragments(bytes(p))] \
+        == [True, False, True]
+
+    # malformed sidx raises: reference count past the box end
+    p = bytearray(build_fmp4(fragments=frags, sidx={"version": 0}))
+    cnt_at = p.find(b"sidx") + 24
+    _struct.pack_into(">HH", p, cnt_at, 0, 4000)
+    with pytest.raises(ValueError, match="past box end"):
+        parse_fmp4_fragments(bytes(p))
+    # zero timescale raises
+    p = bytearray(build_fmp4(fragments=frags, sidx={"version": 0}))
+    _struct.pack_into(">I", p, p.find(b"sidx") + 12, 0)
+    with pytest.raises(ValueError, match="timescale zero"):
+        parse_fmp4_fragments(bytes(p))
