@@ -115,6 +115,8 @@ HEADLINE = [
     "multimodal_mp4_slice",
     "multimodal_fmp4_frags",
     "multimodal_ogg_meta",
+    # added round 15 (perceptual image near-dup: dHash/pHash + banding)
+    "dedup_image_phash",
 ]
 
 

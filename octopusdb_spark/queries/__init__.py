@@ -60,6 +60,15 @@ for _m in _MODULES:
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
     # fill entry per protocol. r15 insert log:
+    # dedup_image_phash NEW — perceptual image near-dup, the multimodal
+    # analog of MinHash (VERDICT r14 #5): integer dHash (9x8 gradient
+    # grid) + integer-DCT pHash over PPM/BMP-decoded pixels, brightness
+    # twins pair across containers, banded (never all-pairs) plan with
+    # a pigeonhole-exact hamming<=3 re-score; oracle replicates both
+    # hashes bit-for-bit incl. the DCT matrix. The round's 1st registry
+    # add (185/199); displaced q3_shipping_priority, r12-green with
+    # slack until r16.
+    "dedup_image_phash",
     # multimodal_fmp4_frags CHANGED — CMAF sidx segment-index walk
     # added (type-0 references cross-checked against the real moof/mdat
     # layout: prefix-summed offsets, exact byte spans, cross-timescale
@@ -98,7 +107,6 @@ _PRIORITY = [
     "kv_failover", "kv_changefeed",
     "kv_latest_live", "kv_point_lookup",
     "kv_value_separation", "multimodal_decode",
-    "q3_shipping_priority",
 ]
 
 

@@ -680,7 +680,226 @@ ORACLES = {
     ORDER BY doc_a, doc_b""",
 }
 
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE near-dup (r15, VERDICT r14 #5) — the multimodal
+    analog of MinHash the pipeline brief implies: re-encoded /
+    brightness-shifted copies of a picture must pair, different
+    pictures must not. Each guarded doc becomes TWO images (72x64
+    grayscale pattern from its text bytes): the original as PPM and a
+    +40-brightness twin as BMP — a cross-container, photometrically
+    shifted near-duplicate. `functions/image_hash.py` decodes both
+    containers and computes the integer dHash (9x8 gradient grid) and
+    integer-DCT pHash executor-side; pairing rides the SimHash band
+    machinery — 4 x 16-bit dHash bands, band-equality join, exact
+    hamming <= 3 re-score. By pigeonhole the banded plan returns
+    EXACTLY the full cross join's pairs at this threshold, which is
+    what the oracle computes (it replicates both hashes bit-for-bit
+    from the closed-form pixel function, integer DCT matrix included).
+    doc_id%9==4 docs get a truncated PPM, so their twin pair vanishes
+    through the loud-fallback lane — under the hash. NEVER all-pairs
+    on the Spark side: candidates are band collisions, the 100 TB
+    shape shared with dedup_simhash_pairs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from octopusdb_spark.functions.image_hash import image_hashes
+    from octopusdb_spark.functions.multimodal import encode_bmp, encode_ppm
+
+    W, H = 72, 64
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 60)
+            & F.octet_length(F.col("text")).between(48, 599)
+        )
+        .select("doc_id", "text")
+        .repartition(8, "doc_id")
+    )
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def build(it):
+        xs = np.arange(W, dtype=np.int64)[None, :]
+        ys = np.arange(H, dtype=np.int64)[:, None]
+        for pdf in it:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                ax, ay = b[0] % 5 + 1, b[1] % 5 + 1
+                k, c = b[2] % 3 + 1, int(did) % 97
+                v = (ax * xs + ay * ys + ((xs * ys) % 7) * k + c) % 200
+                px = np.repeat(v.astype(np.uint8).reshape(-1), 3).tobytes()
+                twin = np.repeat(
+                    (v + 40).astype(np.uint8).reshape(-1), 3
+                ).tobytes()  # values < 200, so +40 never wraps
+                ppm = encode_ppm(px, W, H)
+                if int(did) % 9 == 4:
+                    ppm = ppm[: len(ppm) // 2]  # truncated: loud lane
+                ids += [int(did) * 2, int(did) * 2 + 1]
+                payloads += [ppm, encode_bmp(twin, W, H)]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    hashes = (
+        image_hashes(docs.mapInPandas(build, media_schema))
+        .filter(F.col("decoded"))
+        .select("media_id", "dhash", "phash")
+    )
+    bands = hashes.select(
+        "media_id", "dhash", "phash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(F.col("dhash"), 16 * j)
+                .bitwiseAND(F.lit(65535)).alias("bval"),
+            )
+            for j in range(4)
+        ])).alias("bb"),
+    ).select("media_id", "dhash", "phash", "bb.band", "bb.bval")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.dhash").alias("dh_a"), F.col("b.dhash").alias("dh_b"),
+            F.col("a.phash").alias("ph_a"), F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand
+        .withColumn(
+            "ham_dhash",
+            F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b"))),
+        )
+        .withColumn(
+            "ham_phash",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))),
+        )
+        .filter(F.col("ham_dhash") <= 3)
+        .select("media_a", "media_b", "ham_dhash", "ham_phash")
+        .orderBy("media_a", "media_b")
+    )
+
+
+def _dct8_values_sql() -> str:
+    """The integer DCT matrix as a VALUES table, generated from the
+    same DCT8 constant the Python side uses — one source of truth."""
+    from octopusdb_spark.functions.image_hash import DCT8
+
+    rows = ", ".join(
+        f"({u}, {k}, {DCT8[u][k]})" for u in range(8) for k in range(8)
+    )
+    return f"(VALUES {rows}) ctab(u, k, cv)"
+
+
+# bit-for-bit replication of the perceptual-hash pipeline: closed-form
+# pixels -> block-average grids -> dHash comparisons / integer DCT ->
+# signed-64 packing -> FULL cross join at hamming <= 3 (pigeonhole-
+# equivalent to the Spark side's banded plan; tiny at oracle scale)
+_IMAGE_PHASH_SQL = f"""
+    WITH src AS (
+      SELECT doc_id, ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1,
+             ascii(substr(text, 3, 1)) AS b2
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    imgs AS (  -- PPM original (even id; %9==4 truncated -> dropped) + BMP twin
+      SELECT doc_id, doc_id * 2 AS media_id, 0 AS delta
+      FROM src WHERE doc_id % 9 != 4
+      UNION ALL
+      SELECT doc_id, doc_id * 2 + 1, 40 FROM src
+    ),
+    params AS (
+      SELECT i.media_id, i.delta, s.b0 % 5 + 1 AS ax, s.b1 % 5 + 1 AS ay,
+             s.b2 % 3 + 1 AS k, s.doc_id % 97 AS c
+      FROM imgs i JOIN src s USING (doc_id)
+    ),
+    px AS (
+      SELECT p.media_id,
+             CAST(xx.x AS BIGINT) AS x, CAST(yy.y AS BIGINT) AS y,
+             (p.ax * xx.x + p.ay * yy.y + ((xx.x * yy.y) % 7) * p.k + p.c)
+               % 200 + p.delta AS v
+      FROM params p,
+           (SELECT unnest(range(72)) AS x) xx,
+           (SELECT unnest(range(64)) AS y) yy
+    ),
+    dgrid AS (  -- 9x8 grid of 8x8-pixel block averages
+      SELECT media_id, y // 8 AS gr, x // 8 AS gc, sum(v) // 64 AS g
+      FROM px GROUP BY 1, 2, 3
+    ),
+    dbits AS (
+      SELECT a.media_id, a.gr * 8 + a.gc AS idx,
+             CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+      FROM dgrid a JOIN dgrid b
+        ON a.media_id = b.media_id AND a.gr = b.gr AND b.gc = a.gc + 1
+      WHERE a.gc < 8
+    ),
+    dh AS (
+      -- CAST: DuckDB sum(BIGINT) widens to HUGEINT; the packed value is
+      -- in signed-64 range by construction, and the xor/bit_count below
+      -- must run on 64-bit two's complement to match Spark
+      SELECT media_id,
+             CAST(sum(CASE WHEN idx < 63 THEN bit * (CAST(1 AS BIGINT) << idx)
+                           ELSE bit * CAST(-9223372036854775808 AS BIGINT)
+                      END) AS BIGINT) AS dhash
+      FROM dbits GROUP BY media_id
+    ),
+    pgrid AS (  -- 8x8 grid of 9x8-pixel block averages
+      SELECT media_id, y // 8 AS gr, x // 9 AS gc, sum(v) // 72 AS g
+      FROM px GROUP BY 1, 2, 3
+    ),
+    m1 AS (  -- C @ G : rows u, cols l
+      SELECT g.media_id, ctab.u, g.gc AS l, sum(ctab.cv * g.g) AS s
+      FROM pgrid g JOIN {_dct8_values_sql()} ON ctab.k = g.gr
+      GROUP BY 1, 2, 3
+    ),
+    tmat AS (  -- (C @ G) @ C^T : cells (u, v)
+      SELECT m.media_id, m.u, ctab2.u AS v, sum(m.s * ctab2.cv) AS t
+      FROM m1 m JOIN {_dct8_values_sql().replace('ctab', 'ctab2')}
+        ON ctab2.k = m.l
+      GROUP BY 1, 2, 3
+    ),
+    acsum AS (
+      SELECT media_id,
+             sum(t) - sum(CASE WHEN u = 0 AND v = 0 THEN t ELSE 0 END) AS s
+      FROM tmat GROUP BY media_id
+    ),
+    ph AS (
+      SELECT t.media_id,
+             CAST(sum(CASE WHEN t.u * 8 + t.v < 63 THEN
+                             (CASE WHEN 63 * t.t > a.s THEN 1 ELSE 0 END)
+                             * (CAST(1 AS BIGINT) << (t.u * 8 + t.v))
+                           ELSE (CASE WHEN 63 * t.t > a.s THEN 1 ELSE 0 END)
+                             * CAST(-9223372036854775808 AS BIGINT)
+                      END) AS BIGINT) AS phash
+      FROM tmat t JOIN acsum a USING (media_id) GROUP BY t.media_id
+    ),
+    hashes AS (SELECT media_id, dhash, phash FROM dh JOIN ph USING (media_id))
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           bit_count(xor(a.dhash, b.dhash)) AS ham_dhash,
+           bit_count(xor(a.phash, b.phash)) AS ham_phash
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ORDER BY media_a, media_b"""
+
+
+# registered below the dict literal because the SQL is assembled after
+# ORACLES is defined (the VALUES table is generated from the Python-side
+# DCT8 constant — one source of truth)
+ORACLES["dedup_image_phash"] = _IMAGE_PHASH_SQL
+
 QUERIES = {
+    "dedup_image_phash": q_dedup_image_phash,
     "dedup_containment": q_dedup_containment,
     "dedup_exact_normalized": q_dedup_exact_normalized,
     "dedup_minhash_capped": q_dedup_minhash_capped,
