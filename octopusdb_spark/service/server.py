@@ -343,7 +343,9 @@ class KVService:
     def _op_stats(self, req: dict) -> dict:
         """Service-side observability: request/ratelimit counters + the
         bounded slow-query log (the reference's slow-query-threshold knob,
-        implemented)."""
+        implemented) + replication lag (r15): per-holder event distance
+        from the head seq, so a remote operator can assert a replica's
+        changefeed checkpoint is keeping up WITHOUT a data read."""
         with self._stats_lock:
             return {
                 "ok": True,
@@ -352,6 +354,7 @@ class KVService:
                 "slow_queries": list(self._slow_log),
                 "rate_limit": self._rate_limit,
                 "slow_query_ms": self._slow_ms,
+                "replication": self.store.replication_lag(),
             }
 
     _UNTHROTTLED = frozenset({"ping", "stats"})

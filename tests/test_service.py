@@ -547,3 +547,34 @@ def test_service_rate_limit_and_slow_query_log(spark, tmp_path):
             st = c2.stats()
             assert st["rate_limited"] == 0 and st["rate_limit"] is None
             assert st["slow_queries"] == []  # no threshold set
+
+
+def test_service_replication_lag_telemetry(spark, tmp_path):
+    """r15: the stats op carries per-holder replication lag — head seq
+    minus each held checkpoint, in events — so a failover drill can
+    assert a replica's changefeed consumer is keeping up remotely.
+    Advancing a hold shrinks its lag to zero; releasing removes it."""
+    store = KVStore(spark, str(tmp_path / "kv"))
+    store.set_batch([Entry(f"r{i}", b"v") for i in range(4)])
+    with KVService(store, now=NOW) as svc:
+        host, port = svc.address
+        with KVClient(host, port) as c:
+            base = c.snapshot()
+            c.hold("replica-a")
+            c.hold("replica-b")
+            store.set_batch([Entry("r9", b"x"), Entry("r10", b"y")])
+            rep = c.stats()["replication"]
+            assert rep["head_seq"] == base + 2
+            assert rep["holders"] == {"replica-a": 2, "replica-b": 2}
+            assert rep["max_lag"] == 2
+            assert rep["oldest_held_seq"] == base
+            assert rep["writer_epoch"] == store.writer_epoch
+            # consumer applies the batch and advances: lag back to zero
+            c.hold("replica-a", seq=c.snapshot())
+            rep = c.stats()["replication"]
+            assert rep["holders"]["replica-a"] == 0
+            assert rep["max_lag"] == 2  # replica-b still behind
+            c.release("replica-b")
+            rep = c.stats()["replication"]
+            assert rep["holders"] == {"replica-a": 0}
+            assert rep["max_lag"] == 0
