@@ -1,6 +1,7 @@
 """One-command closing battery: the checks every round must end green.
 
 Usage: python tools/close_battery.py [--skip-oracle] [--skip-bench]
+                                     [--skip-scaling]
 
 Runs, in order, and prints one JSON line with each result:
   1. staleness_check        — rotation-ledger invariant (fast, pure python)
@@ -8,9 +9,15 @@ Runs, in order, and prints one JSON line with each result:
   3. driver-window oracle   — the FIRST 50 registry rows vs DuckDB at
                               sf0.01 (the composition the driver will
                               actually check)
-  4. bench at sf0.01        — smoke that bench.py emits its JSON line
-                              (use the real sf0.1 run separately for
-                              recorded numbers)
+  4. bench at sf0.01 AND sf0.1 (unless --skip-scaling: sf0.01 only) —
+                              smoke that bench.py emits its JSON line,
+                              and the recorded sf0.1 numbers
+  5. scaling gate (r15, VERDICT r14 #7) — tools/scaling_probe.py over
+                              the two bench artifacts just produced; a
+                              HARD failure if any >=1 s query's implied
+                              per-decade exponent exceeds 1.2 (a
+                              superlinear mover must not survive a
+                              round)
 
 Exit code 1 if any stage fails. pytest is intentionally NOT run here —
 it takes ~25 minutes and should run (often in the background) on its
@@ -88,26 +95,65 @@ def main() -> None:
         ok &= rc == 0 and " 0 fail" in summary
 
     if not skip_bench:
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
-            SPARK_GRAFT_SKIP_MAINTENANCE="1",
-        )
-        r = subprocess.run(
-            [sys.executable, "bench.py"], cwd=ROOT, capture_output=True,
-            text=True, timeout=1800, env=env,
-        )
-        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-        try:
-            b = json.loads(line)
-            out["bench_smoke"] = {
-                "rc": r.returncode, "queries": len(b.get("queries", {})),
-                "total_sec": b.get("value"),
+        skip_scaling = "--skip-scaling" in sys.argv
+        bench_out: dict = {}
+        for sf in ("0.01",) if skip_scaling else ("0.01", "0.1"):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+                SPARK_GRAFT_SKIP_MAINTENANCE="1",
+            )
+            r = subprocess.run(
+                [sys.executable, "bench.py"], cwd=ROOT, capture_output=True,
+                text=True, timeout=1800, env=env,
+            )
+            path = os.path.join(ROOT, f".close_bench_sf{sf}.json")
+            with open(path, "w") as f:
+                f.write(r.stdout)
+            bench_out[sf] = path
+            line = (
+                r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+            )
+            try:
+                b = json.loads(line)
+                out[f"bench_sf{sf}"] = {
+                    "rc": r.returncode, "queries": len(b.get("queries", {})),
+                    "total_sec": b.get("value"),
+                }
+                ok &= r.returncode == 0 and len(b.get("queries", {})) > 0
+            except json.JSONDecodeError:
+                out[f"bench_sf{sf}"] = {
+                    "rc": r.returncode, "unparseable": line[-200:]
+                }
+                ok = False
+
+        # empirical scale gate (VERDICT r14 #7): both SFs just ran, so
+        # the 10x probe is free — any per-decade exponent above 1.2 on a
+        # >=1 s query is a superlinear regression and FAILS the battery
+        if not skip_scaling and "0.1" in bench_out:
+            rc, lines = run(
+                [
+                    sys.executable, "tools/scaling_probe.py",
+                    bench_out["0.01"], bench_out["0.1"],
+                    "--gate-exponent=1.2",
+                ],
+                300,
+            )
+            probe = next(
+                (
+                    json.loads(ln)
+                    for ln in reversed(lines)
+                    if ln.strip().startswith("{") and '"n_common"' in ln
+                ),
+                {"rc": rc},
+            )
+            out["scaling_gate"] = {
+                "rc": rc,
+                "median_ratio": probe.get("median_ratio"),
+                "worst": probe.get("worst"),
+                "violations": (probe.get("gate") or {}).get("violations"),
             }
-            ok &= r.returncode == 0 and len(b.get("queries", {})) > 0
-        except json.JSONDecodeError:
-            out["bench_smoke"] = {"rc": r.returncode, "unparseable": line[-200:]}
-            ok = False
+            ok &= rc == 0
 
     out["ok"] = ok
     print(json.dumps(out))

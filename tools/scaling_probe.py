@@ -76,9 +76,15 @@ def salvage(text: str) -> dict:
 def main() -> None:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_ratio = 10.0
+    gate_exponent = None
+    min_big_sec = 1.0
     for a in sys.argv[1:]:
-        if a.startswith("--sf-ratio"):
-            sf_ratio = float(a.split("=", 1)[1]) if "=" in a else sf_ratio
+        if a.startswith("--sf-ratio="):
+            sf_ratio = float(a.split("=", 1)[1])
+        elif a.startswith("--gate-exponent="):
+            gate_exponent = float(a.split("=", 1)[1])
+        elif a.startswith("--min-big-sec="):
+            min_big_sec = float(a.split("=", 1)[1])
     if len(argv) != 2:
         raise SystemExit(__doc__)
     small, big = load(argv[0]), load(argv[1])
@@ -89,6 +95,10 @@ def main() -> None:
     )
     med = sorted(r for r, _ in ratios)[len(ratios) // 2] if ratios else None
     worst = ratios[0] if ratios else (None, None)
+
+    def exponent(r: float) -> float:
+        return round(math.log10(r) / math.log10(sf_ratio), 3) if r > 0 else 0.0
+
     out = {
         "n_common": len(common),
         "median_ratio": med,
@@ -96,15 +106,32 @@ def main() -> None:
             "query": worst[1],
             "ratio": worst[0],
             "per_decade_exponent": (
-                round(math.log10(worst[0]) / math.log10(sf_ratio), 3)
-                if worst[0] else None
+                exponent(worst[0]) if worst[0] else None
             ),
         },
         "steepest": [{"query": k, "ratio": r} for r, k in ratios[:10]],
         "only_small": sorted(set(qs) - set(qb)),
         "only_big": sorted(set(qb) - set(qs)),
     }
+    if gate_exponent is not None:
+        # the closing-battery HARD GATE (VERDICT r14 #7): any query whose
+        # implied per-decade exponent exceeds the threshold fails the
+        # battery — a superlinear mover (all-pairs join, unpushed filter)
+        # must not survive a round. Queries under min_big_sec at the big
+        # SF are exempt: fixed scheduling overhead on sub-second drills
+        # produces noisy ratios that say nothing about data scaling.
+        out["gate"] = {
+            "max_exponent": gate_exponent,
+            "min_big_sec": min_big_sec,
+            "violations": [
+                {"query": k, "ratio": r, "per_decade_exponent": exponent(r)}
+                for r, k in ratios
+                if qb[k] >= min_big_sec and exponent(r) > gate_exponent
+            ],
+        }
     print(json.dumps(out))
+    if gate_exponent is not None and out["gate"]["violations"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
