@@ -141,3 +141,97 @@ def test_flac_round_trip_property(samples, channels):
     )
     rms = (sum(v * v for v in samples) / n) ** 0.5
     assert abs(out["rms"] - rms) < 1e-9 * max(1.0, rms)
+
+
+@settings(deadline=None, max_examples=120)
+@given(
+    st.integers(min_value=0, max_value=31),
+    st.integers(min_value=1, max_value=6),
+    st.booleans(),
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=4),
+                  st.integers(min_value=4, max_value=80)),
+        min_size=1, max_size=4,
+    ),
+)
+def test_opus_toc_round_trip(config, m, stereo, pages):
+    """r15: any config/frame-count/stereo combination the builder can
+    express round-trips through the TOC walk: frame totals multiply,
+    mode counts partition the packets, and the TOC clock matches the
+    granule clock exactly when the builder's frame_samples equals the
+    config's frame duration."""
+    from hypothesis import assume
+
+    from octopusdb_spark.functions.ogg import (
+        build_ogg_opus,
+        opus_toc_config,
+        parse_ogg_opus,
+    )
+
+    mode, _bw, dur = opus_toc_config(config)
+    assume(m == 1 or m * dur <= 5760)  # the RFC 120 ms packet bound
+    p = build_ogg_opus(
+        0x55, toc_config=config, stereo_flag=stereo, frames_per_packet=m,
+        frame_samples=dur, audio_pages=pages,
+    )
+    meta = parse_ogg_opus(p)
+    n_pkt = sum(n for n, _ in pages)
+    assert meta["n_packets"] == n_pkt
+    assert meta["toc_frames"] == n_pkt * m
+    assert meta["toc_granule_agree"]
+    assert meta["toc_duration_ms"] == meta["duration_ms"]
+    counts = {"silk": meta["n_silk"], "hybrid": meta["n_hybrid"],
+              "celt": meta["n_celt"]}
+    assert counts[mode] == n_pkt and sum(counts.values()) == n_pkt
+    assert meta["n_stereo"] == (n_pkt if stereo else 0)
+
+
+@settings(deadline=None, max_examples=80)
+@given(
+    st.integers(min_value=0, max_value=1),
+    st.lists(
+        st.integers(min_value=1, max_value=5), min_size=1, max_size=4
+    ),
+)
+def test_fmp4_sidx_tiles_fragments(version, sample_counts):
+    """r15: for any fragment layout, the builder's segment index tiles
+    the fragment region exactly and the parser reports every reference
+    aligned (offsets, spans, and durations all cross-check)."""
+    from octopusdb_spark.functions.mp4 import build_fmp4, parse_fmp4_fragments
+
+    frags = [{"n_samples": n} for n in sample_counts]
+    p = build_fmp4(fragments=frags, sidx={"version": version})
+    out = parse_fmp4_fragments(p)
+    assert len(out) == len(frags)
+    assert all(fr["sidx_aligned"] is True for fr in out)
+    box_start = p.index(b"sidx") - 4
+    box_size, = struct.unpack_from(">I", p, box_start)
+    assert sum(fr["sidx_ref_size"] for fr in out) \
+        == len(p) - (box_start + box_size)
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=96),
+    st.integers(min_value=1, max_value=55),
+)
+def test_image_hash_brightness_invariance(ax, ay, k, c, delta):
+    """r15: for any generator pattern and any non-clamping brightness
+    shift, dHash is bit-identical and pHash moves at most the DC bit —
+    the integer-DCT zero-row-sum lemma, exercised empirically."""
+    import numpy as np
+
+    from octopusdb_spark.functions.image_hash import dhash64, phash64
+
+    W, H = 72, 64
+    xs = np.arange(W, dtype=np.int64)[None, :]
+    ys = np.arange(H, dtype=np.int64)[:, None]
+    v = (ax * xs + ay * ys + ((xs * ys) % 7) * k + c) % 200
+    a = np.repeat(v.astype(np.uint8).reshape(-1), 3).tobytes()
+    b = np.repeat((v + delta).astype(np.uint8).reshape(-1), 3).tobytes()
+    assert dhash64(a, W, H) == dhash64(b, W, H)
+    pa, pb = phash64(a, W, H), phash64(b, W, H)
+    assert bin((pa ^ pb) & (2**64 - 1)).count("1") <= 1

@@ -1293,6 +1293,24 @@ def test_media_parser_exception_contract_fuzz():
                            audio_pages=[(3, 100), (4, 120), (2, 80)]),
             parse_ogg_opus,
         ),
+        # r15 surfaces under the same fuzz contract: a sidx-bearing
+        # fragmented MP4 and a code-3 TOC OGG stream
+        (
+            build_fmp4(
+                1000, 1, 100, 200,
+                [{"n_samples": 3, "durations": [100, 110, 120],
+                  "sizes": [50, 60, 70]},
+                 {"n_samples": 2}],
+                sidx={"version": 1},
+            ),
+            parse_fmp4_fragments,
+        ),
+        (
+            build_ogg_opus(0x31, toc_config=27, stereo_flag=True,
+                           frames_per_packet=3,
+                           audio_pages=[(2, 40), (3, 60)]),
+            parse_ogg_opus,
+        ),
     ]
     for base, parse in targets:
         for trial in range(800):
