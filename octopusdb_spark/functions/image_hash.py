@@ -61,6 +61,20 @@ DCT8 = (
 _DCT8_NP = np.array(DCT8, dtype=np.int64)
 
 
+def pattern_rgb(ax: int, ay: int, k: int, c: int, delta: int = 0,
+                w: int = 72, h: int = 64) -> bytes:
+    """The gate rows' deterministic grayscale test pattern:
+    v(x,y) = (ax*x + ay*y + ((x*y) % 7)*k + c) % 200 + delta, emitted
+    as w*h*3 RGB bytes (r=g=b). Values stay under 200 so any delta up
+    to 55 never clamps — the exact closed form the DuckDB oracles
+    replicate, kept in ONE place so Spark rows, stream twins, and
+    tests cannot drift."""
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    v = (ax * xs + ay * ys + ((xs * ys) % 7) * k + c) % 200 + delta
+    return np.repeat(v.astype(np.uint8).reshape(-1), 3).tobytes()
+
+
 def _signed64(h: int) -> int:
     """Pack 64 hash bits into the signed two's-complement value both
     Spark and DuckDB BIGINTs carry."""

@@ -60,6 +60,14 @@ for _m in _MODULES:
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
     # fill entry per protocol. r15 insert log:
+    # stream_image_dedup NEW — the perceptual twin: online image
+    # near-dup rejection at ingest (decode+dHash inside the stream via
+    # the same Arrow lane, banded stream-static join, exact hamming
+    # re-score; arrivals are +40 brightness shifts so the invariance is
+    # under the hash; shares the batch row's closed-form SQL chain).
+    # The round's 2nd registry add (186/199); displaced
+    # multimodal_decode, r12-green with slack until r16.
+    "stream_image_dedup",
     # dedup_image_phash NEW — perceptual image near-dup, the multimodal
     # analog of MinHash (VERDICT r14 #5): integer dHash (9x8 gradient
     # grid) + integer-DCT pHash over PPM/BMP-decoded pixels, brightness
@@ -106,7 +114,7 @@ _PRIORITY = [
     # those (all r12-green — safe through this round's bound).
     "kv_failover", "kv_changefeed",
     "kv_latest_live", "kv_point_lookup",
-    "kv_value_separation", "multimodal_decode",
+    "kv_value_separation",
 ]
 
 

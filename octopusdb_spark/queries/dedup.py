@@ -699,11 +699,10 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the loud-fallback lane — under the hash. NEVER all-pairs
     on the Spark side: candidates are band collisions, the 100 TB
     shape shared with dedup_simhash_pairs."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    from octopusdb_spark.functions.image_hash import image_hashes
+    from octopusdb_spark.functions.image_hash import image_hashes, pattern_rgb
     from octopusdb_spark.functions.multimodal import encode_bmp, encode_ppm
 
     W, H = 72, 64
@@ -722,20 +721,15 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
     def build(it):
-        xs = np.arange(W, dtype=np.int64)[None, :]
-        ys = np.arange(H, dtype=np.int64)[:, None]
         for pdf in it:
             ids, payloads = [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 b = text.encode("utf-8")
                 ax, ay = b[0] % 5 + 1, b[1] % 5 + 1
                 k, c = b[2] % 3 + 1, int(did) % 97
-                v = (ax * xs + ay * ys + ((xs * ys) % 7) * k + c) % 200
-                px = np.repeat(v.astype(np.uint8).reshape(-1), 3).tobytes()
-                twin = np.repeat(
-                    (v + 40).astype(np.uint8).reshape(-1), 3
-                ).tobytes()  # values < 200, so +40 never wraps
-                ppm = encode_ppm(px, W, H)
+                ppm = encode_ppm(pattern_rgb(ax, ay, k, c), W, H)
+                # +40 never wraps: pattern values stay under 200
+                twin = pattern_rgb(ax, ay, k, c, delta=40)
                 if int(did) % 9 == 4:
                     ppm = ppm[: len(ppm) // 2]  # truncated: loud lane
                 ids += [int(did) * 2, int(did) * 2 + 1]
@@ -801,29 +795,10 @@ def _dct8_values_sql() -> str:
     return f"(VALUES {rows}) ctab(u, k, cv)"
 
 
-# bit-for-bit replication of the perceptual-hash pipeline: closed-form
-# pixels -> block-average grids -> dHash comparisons / integer DCT ->
-# signed-64 packing -> FULL cross join at hamming <= 3 (pigeonhole-
-# equivalent to the Spark side's banded plan; tiny at oracle scale)
-_IMAGE_PHASH_SQL = f"""
-    WITH src AS (
-      SELECT doc_id, ascii(substr(text, 1, 1)) AS b0,
-             ascii(substr(text, 2, 1)) AS b1,
-             ascii(substr(text, 3, 1)) AS b2
-      FROM documents
-      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
-    ),
-    imgs AS (  -- PPM original (even id; %9==4 truncated -> dropped) + BMP twin
-      SELECT doc_id, doc_id * 2 AS media_id, 0 AS delta
-      FROM src WHERE doc_id % 9 != 4
-      UNION ALL
-      SELECT doc_id, doc_id * 2 + 1, 40 FROM src
-    ),
-    params AS (
-      SELECT i.media_id, i.delta, s.b0 % 5 + 1 AS ax, s.b1 % 5 + 1 AS ay,
-             s.b2 % 3 + 1 AS k, s.doc_id % 97 AS c
-      FROM imgs i JOIN src s USING (doc_id)
-    ),
+# the closed-form pixel -> dHash chain, shared by the batch row's and
+# the stream twin's oracles: assumes a CTE ``params(media_id, ax, ay,
+# k, c, delta)`` is already in scope (one row per image)
+_DHASH_CHAIN_SQL = """
     px AS (
       SELECT p.media_id,
              CAST(xx.x AS BIGINT) AS x, CAST(yy.y AS BIGINT) AS y,
@@ -853,7 +828,33 @@ _IMAGE_PHASH_SQL = f"""
                            ELSE bit * CAST(-9223372036854775808 AS BIGINT)
                       END) AS BIGINT) AS dhash
       FROM dbits GROUP BY media_id
+    )"""
+
+
+# bit-for-bit replication of the perceptual-hash pipeline: closed-form
+# pixels -> block-average grids -> dHash comparisons / integer DCT ->
+# signed-64 packing -> FULL cross join at hamming <= 3 (pigeonhole-
+# equivalent to the Spark side's banded plan; tiny at oracle scale)
+_IMAGE_PHASH_SQL = f"""
+    WITH src AS (
+      SELECT doc_id, ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1,
+             ascii(substr(text, 3, 1)) AS b2
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
     ),
+    imgs AS (  -- PPM original (even id; %9==4 truncated -> dropped) + BMP twin
+      SELECT doc_id, doc_id * 2 AS media_id, 0 AS delta
+      FROM src WHERE doc_id % 9 != 4
+      UNION ALL
+      SELECT doc_id, doc_id * 2 + 1, 40 FROM src
+    ),
+    params AS (
+      SELECT i.media_id, i.delta, s.b0 % 5 + 1 AS ax, s.b1 % 5 + 1 AS ay,
+             s.b2 % 3 + 1 AS k, s.doc_id % 97 AS c
+      FROM imgs i JOIN src s USING (doc_id)
+    ),
+    {_DHASH_CHAIN_SQL.lstrip()},
     pgrid AS (  -- 8x8 grid of 9x8-pixel block averages
       SELECT media_id, y // 8 AS gr, x // 9 AS gc, sum(v) // 72 AS g
       FROM px GROUP BY 1, 2, 3

@@ -577,6 +577,141 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online IMAGE near-dup rejection at ingest (r15) — the perceptual
+    sibling of `stream_dedup_ingest`, completing the twin family for
+    the round's `dedup_image_phash` operator: arriving images
+    (doc_id % 5 == 0, brightness-shifted +40 so the invariance is part
+    of what's tested) ride a file stream; each payload is decoded and
+    dHashed INSIDE the stream via the same Arrow-batched mapInPandas
+    lane the batch row uses (stateless — no streaming aggregation, no
+    state store), exploded into the 4 x 16-bit bands, and a
+    stream-static join against the static corpus's banded index
+    (doc_id % 5 != 0, checkpointed once) surfaces colliding bands; the
+    exact hamming <= 3 re-score rides the joined row (bit_count over
+    xor, still stateless). Identical hashes, bands, and threshold as
+    the batch row, so stream and batch image dedup agree by
+    construction; the banded plan finds exactly the cross join's pairs
+    (pigeonhole at hamming 3). Checked output: per-source
+    arrivals/rejected/accepted counts (batching-independent).
+
+    100 TB shape: decode+hash is map-only per micro-batch; the static
+    index is one row per (image, band); the join is a band-bucket
+    equi-join; the memory sink holds only collision rows. No all-pairs
+    anything."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from octopusdb_spark.functions.image_hash import image_hashes, pattern_rgb
+    from octopusdb_spark.functions.multimodal import encode_ppm
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def builder(delta: int):
+        def build(it):
+            for pdf in it:
+                ids, payloads = [], []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    b = text.encode("utf-8")
+                    ids.append(int(did))
+                    payloads.append(encode_ppm(pattern_rgb(
+                        b[0] % 5 + 1, b[1] % 5 + 1, b[2] % 3 + 1,
+                        int(did) % 97, delta=delta,
+                    ), 72, 64))
+                yield pd.DataFrame({"media_id": ids, "payload": payloads})
+        return build
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 60)
+            & F.octet_length(F.col("text")).between(48, 599)
+        )
+        .select("doc_id", "text", "source")
+    )
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftrightunsigned(F.col("dhash"), 16 * j)
+            .bitwiseAND(F.lit(65535)).alias("bval"),
+        )
+        for j in range(4)
+    ]
+    static_bands = (
+        image_hashes(
+            docs.filter(F.col("doc_id") % 5 != 0)
+            .select("doc_id", "text")
+            .repartition(8, "doc_id")
+            .mapInPandas(builder(0), media_schema)
+        )
+        .filter(F.col("decoded"))
+        .select(
+            F.col("dhash").alias("s_dhash"),
+            F.explode(F.array(*band_cols)).alias("bb"),
+        )
+        .select("s_dhash", "bb.band", "bb.bval")
+        .localCheckpoint(eager=True)
+    )
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_image_dedup_{run_id}_")
+    try:
+        arrivals = docs.filter(F.col("doc_id") % 5 == 0)
+        src = f"{base}/src"
+        arrivals.select("doc_id", "text").coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string").parquet(src)
+            .mapInPandas(builder(40), media_schema)
+        )
+        collisions = (
+            image_hashes(stream)
+            .filter(F.col("decoded"))
+            .select(
+                F.col("media_id").alias("doc_id"), "dhash",
+                F.explode(F.array(*band_cols)).alias("bb"),
+            )
+            .select("doc_id", "dhash", "bb.band", "bb.bval")
+            .join(static_bands, ["band", "bval"])
+            .filter(
+                F.bit_count(F.col("dhash").bitwiseXOR(F.col("s_dhash"))) <= 3
+            )
+            .select("doc_id")
+        )
+        name = f"stream_image_dedup_{run_id}"
+        q = (
+            collisions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_bounded(q)
+        rejected = spark.table(name).distinct()
+        out = (
+            arrivals.join(
+                rejected.withColumn("rej", F.lit(1)), "doc_id", "left"
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_arrivals"),
+                F.count("rej").alias("n_rejected"),
+                (F.count("*") - F.count("rej")).alias("n_accepted"),
+            )
+            .orderBy("source")
+        )
+        result = spark.createDataFrame(
+            out.collect(),
+            "source string, n_arrivals long, n_rejected long, n_accepted long",
+        )
+        spark.catalog.dropTempView(name)
+        return result
+    finally:
+        static_bands.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_semantic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online SEMANTIC near-dup rejection at ingest — `dedup_semantic`'s
     SemDeDup rule run as a stream filter, the embedding-space sibling of
@@ -1158,8 +1293,43 @@ from octopusdb_spark.queries.multimodal import ORACLES as _MM_ORACLES  # noqa: E
 
 ORACLES["stream_warc_cdx"] = _MM_ORACLES["source_warc_cdx"]
 
+# the image stream twin shares the batch row's closed-form dHash chain
+# (one SQL fragment, one Python constant — stream, batch, and oracle
+# cannot drift); arrivals are +40 brightness shifts, so the invariance
+# is itself under the hash: a wrong DCT/grid would change rejections
+from octopusdb_spark.queries.dedup import _DHASH_CHAIN_SQL  # noqa: E402
+
+ORACLES["stream_image_dedup"] = f"""
+    WITH g AS (
+      SELECT doc_id, source, ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1,
+             ascii(substr(text, 3, 1)) AS b2
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    params AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 5 = 0 THEN 40 ELSE 0 END AS delta,
+             b0 % 5 + 1 AS ax, b1 % 5 + 1 AS ay, b2 % 3 + 1 AS k,
+             doc_id % 97 AS c
+      FROM g
+    ),
+    {_DHASH_CHAIN_SQL.lstrip()},
+    rejected AS (
+      SELECT DISTINCT a.media_id AS doc_id
+      FROM dh a JOIN dh s
+        ON a.media_id % 5 = 0 AND s.media_id % 5 != 0
+       AND bit_count(xor(a.dhash, s.dhash)) <= 3
+    )
+    SELECT g.source, count(*) AS n_arrivals,
+           count(r.doc_id) AS n_rejected,
+           count(*) - count(r.doc_id) AS n_accepted
+    FROM g LEFT JOIN rejected r USING (doc_id)
+    WHERE g.doc_id % 5 = 0
+    GROUP BY g.source ORDER BY g.source"""
 
 QUERIES = {
+    "stream_image_dedup": q_stream_image_dedup,
     "stream_warc_ingest": q_stream_warc_ingest,
     "stream_warc_cdx": q_stream_warc_cdx,
     "q_stream_hll": q_stream_hll,
