@@ -115,8 +115,10 @@ HEADLINE = [
     "multimodal_mp4_slice",
     "multimodal_fmp4_frags",
     "multimodal_ogg_meta",
-    # added round 15 (perceptual image near-dup: dHash/pHash + banding)
+    # added round 15 (perceptual image near-dup: dHash/pHash + banding;
+    # acoustic fingerprint dedup: DCT gradient codes + shingle join)
     "dedup_image_phash",
+    "dedup_audio_fingerprint",
 ]
 
 

