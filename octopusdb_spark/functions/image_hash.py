@@ -81,30 +81,45 @@ def _signed64(h: int) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def _grid_from_gray(gray: np.ndarray, gw: int, gh: int) -> np.ndarray:
+    """Block-average a (h, w) int grayscale matrix to a gw x gh grid;
+    dimensions must tile evenly (resampling policy belongs to the
+    resize operator, not the hash)."""
+    h, w = gray.shape
+    if w % gw or h % gh:
+        raise ValueError(f"{w}x{h} image does not tile a {gw}x{gh} grid")
+    bw, bh = w // gw, h // gh
+    return gray.reshape(gh, bh, gw, bw).sum(axis=(1, 3)) // (bw * bh)
+
+
 def gray_grid(rgb: bytes, w: int, h: int, gw: int, gh: int) -> np.ndarray:
     """Block-average the (r+g+b)//3 grayscale of a w*h RGB image down to
     a gw x gh integer grid. w/h must divide evenly (the builders pick
-    72x64 so both the 9x8 dHash and 8x8 pHash grids tile exactly);
-    uneven inputs raise — resampling policy belongs to the resize
-    operator, not the hash."""
-    if w % gw or h % gh:
-        raise ValueError(f"{w}x{h} image does not tile a {gw}x{gh} grid")
+    72x64 so both the 9x8 dHash and 8x8 pHash grids tile exactly)."""
     a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
     if a.size != w * h * 3:
         raise ValueError("pixel buffer size mismatch")
-    gray = a.reshape(h, w, 3).sum(axis=2) // 3
-    bw, bh = w // gw, h // gh
-    return gray.reshape(gh, bh, gw, bw).sum(axis=(1, 3)) // (bw * bh)
+    return _grid_from_gray(a.reshape(h, w, 3).sum(axis=2) // 3, gw, gh)
+
+
+def _pack_dhash(g: np.ndarray) -> int:
+    bits = (g[:, :8] > g[:, 1:]).astype(np.uint64)
+    weights = (1 << (np.arange(8, dtype=np.uint64)[None, :]
+                     + 8 * np.arange(8, dtype=np.uint64)[:, None]))
+    return _signed64(int((bits * weights).sum()))
 
 
 def dhash64(rgb: bytes, w: int, h: int) -> int:
     """Gradient hash: 9x8 grid, bit (r,c) = grid[r][c] > grid[r][c+1],
     packed row-major into a signed 64-bit int."""
-    g = gray_grid(rgb, w, h, 9, 8)
-    bits = (g[:, :8] > g[:, 1:]).astype(np.uint64)
-    weights = (1 << (np.arange(8, dtype=np.uint64)[None, :]
-                     + 8 * np.arange(8, dtype=np.uint64)[:, None]))
-    return _signed64(int((bits * weights).sum()))
+    return _pack_dhash(gray_grid(rgb, w, h, 9, 8))
+
+
+def dhash64_gray(gray: np.ndarray) -> int:
+    """dHash of an (h, w) int grayscale matrix — the per-frame lane for
+    video fingerprints, identical grid/packing to the RGB entry point."""
+    return _pack_dhash(_grid_from_gray(np.asarray(gray, dtype=np.int64),
+                                       9, 8))
 
 
 def phash64(rgb: bytes, w: int, h: int) -> int:
@@ -140,6 +155,61 @@ IMAGE_HASH_SCHEMA = T.StructType(
         T.StructField("phash", T.LongType(), True),
     ]
 )
+
+
+VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("hashes", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def video_fingerprints(media_df: DataFrame) -> DataFrame:
+    """VIDEO fingerprinting (r15): one dHash per frame of a mono Y4M
+    stream — the per-frame lane of the image hash, so a re-encoded or
+    globally brightness-shifted copy of a clip carries the IDENTICAL
+    hash sequence. Matching pairs consecutive-frame shingles (the
+    queries layer), never raw frames. Stateless Arrow batches; a
+    malformed stream (truncated frame, non-mono colorspace) records
+    decoded=False — the loud fallback."""
+    from octopusdb_spark.functions.multimodal import _y4m_parse
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {f.name: [] for f in VIDEO_FP_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    (w, h, _n, _d, _ch, cs), frames = _y4m_parse(bytes(p))
+                    if cs != "mono":
+                        raise ValueError("fingerprint lane is mono Y4M")
+                    hashes = [
+                        dhash64_gray(
+                            np.frombuffer(f, dtype=np.uint8)
+                            .astype(np.int64).reshape(h, w)
+                        )
+                        for f in frames
+                    ]
+                    if not hashes:
+                        raise ValueError("Y4M stream with no frames")
+                except (ValueError, struct.error, IndexError):
+                    hashes = None
+                out["media_id"].append(int(mid))
+                out["decoded"].append(hashes is not None)
+                out["n_frames"].append(
+                    len(hashes) if hashes is not None else None
+                )
+                out["hashes"].append(hashes)
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64") if k == "n_frames" else v
+                    for k, v in out.items()
+                }
+            )
+
+    return media_df.mapInPandas(batches, VIDEO_FP_SCHEMA)
 
 
 def image_hashes(media_df: DataFrame) -> DataFrame:

