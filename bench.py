@@ -179,14 +179,14 @@ def main() -> None:
     }
     print(json.dumps(record), flush=True)
     # the tail-surviving copy: compact separators, 2-decimal timings,
-    # medians-only calibration, and NO "metric"/"unit" keys (r14 verdict
-    # #2: the line was at 1883/2000 chars at 70 rows; bench_compare's
-    # load only requires "queries" — dropping the two constant keys buys
-    # ~2 rows of headroom). The full-precision record above is the
+    # medians-only calibration, and NO "metric"/"unit"/"value" keys (r14
+    # verdict #2: the line was at 1883/2000 chars at 70 rows;
+    # bench_compare's load only requires "queries" — every constant or
+    # derivable key dropped buys headline rows; the total is the sum of
+    # the queries map anyway). The full-precision record above is the
     # canonical reading and keeps the contract shape.
     compact = json.dumps(
         {
-            "value": record["value"],
             "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": sf_val,
             "calibration": {

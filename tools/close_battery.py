@@ -118,7 +118,10 @@ def main() -> None:
                 b = json.loads(line)
                 out[f"bench_sf{sf}"] = {
                     "rc": r.returncode, "queries": len(b.get("queries", {})),
-                    "total_sec": b.get("value"),
+                    # the compact tail line no longer carries "value"
+                    # (headroom lever) — the total is the map's sum
+                    "total_sec": b.get("value") if b.get("value") is not None
+                    else round(sum(b.get("queries", {}).values()), 3),
                 }
                 ok &= r.returncode == 0 and len(b.get("queries", {})) > 0
             except json.JSONDecodeError:
