@@ -1,9 +1,10 @@
 """Deduplication operators over `documents` — the LLM-pipeline dedup stage
 (driver mandate; SURVEY.md §2 Part B / §7.3 M5).
 
-Four families, all expressed as shuffle-friendly DataFrame plans with exact
+All families are expressed as shuffle-friendly DataFrame plans with exact
 DuckDB oracles (no randomness: hash functions are md5-derived with fixed
-seeds, so Spark and DuckDB compute identical signatures):
+seeds or pure integer pipelines, so Spark and DuckDB compute identical
+signatures):
 
 - exact dedup          content-hash groupBy, keep min doc_id as canonical
 - n-gram Jaccard       5-word shingles → shared-shingle candidate pairs →
@@ -13,6 +14,12 @@ seeds, so Spark and DuckDB compute identical signatures):
                        candidate pairs (the scale path: pair generation cost
                        is bounded by band collisions, not corpus size)
 - SimHash              16-bit sign-aggregated fingerprint per doc
+- image pHash/dHash    r15: integer perceptual hashes over decoded pixels,
+                       hamming-banded pairing (pigeonhole-exact at <= 3)
+- audio fingerprint    r15: amplitude-invariant DCT gradient codes,
+                       4-frame shingle inverted-index pairing
+- video fingerprint    r15: per-frame dHash sequences, consecutive-frame
+                       shingles — near-dup across all FOUR modalities
 
 Scale notes: every pair-generating join is on a hash/band key — at 100 TB
 the shuffle is by shingle/band, and hot shingles can be frequency-capped
