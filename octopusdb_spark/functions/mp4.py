@@ -439,11 +439,14 @@ def parse_fmp4_fragments(payload: bytes) -> list:
     and its duration equals the trun/tfhd/trex-resolved total (exact
     cross-timescale comparison). Misalignments REPORT False rather
     than raise (a repackaged stream may carry a stale index — that is
-    the signal a pipeline filters on); fragments past the reference
-    count, or files without a sidx, carry nulls. A malformed sidx
-    (truncated fields, zero timescale, references past the box end)
-    raises. Only the first sidx is used (daisy-chained indexes are out
-    of scope, like other multi-sidx layouts)."""
+    the signal a pipeline filters on); fragments preceding the sidx
+    box (live/segment-appended layouts — references describe only the
+    subsegments that FOLLOW the index), fragments past the reference
+    count, and files without a sidx carry nulls. A malformed sidx
+    (truncated fields, unknown version, zero timescale, references
+    past the box end) raises. Only the first sidx is used
+    (daisy-chained indexes are out of scope, like other multi-sidx
+    layouts)."""
     if not looks_like_mp4(payload):
         raise ValueError("not an MP4/ISO-BMFF stream")
     trex = None
@@ -459,6 +462,10 @@ def parse_fmp4_fragments(payload: bytes) -> list:
             if e - s < 24:
                 raise ValueError("truncated sidx")
             ver = payload[s]
+            if ver > 1:
+                # reading v0 widths for an unknown layout would decode
+                # garbage references silently (review r15) — loud
+                raise ValueError(f"unsupported sidx version {ver}")
             at = s + 4
             _ref_id, s_ts = struct.unpack_from(">II", payload, at)
             at += 8
@@ -485,7 +492,12 @@ def parse_fmp4_fragments(payload: bytes) -> list:
                 refs.append((w1 >> 31, w1 & 0x7FFFFFFF, sdur))
                 starts.append(cur)
                 cur += w1 & 0x7FFFFFFF
-            sidx_info = {"ts": s_ts, "refs": refs, "starts": starts}
+            # references describe the subsegments FOLLOWING the sidx:
+            # index them from the fragments parsed after this point, not
+            # from file start (review r15: a mid-file sidx — live /
+            # segment-appended layouts — must not shift the mapping)
+            sidx_info = {"ts": s_ts, "refs": refs, "starts": starts,
+                         "skip": len(frags)}
         elif t == b"moov":
             mv = _first(payload, s, e, b"mvex")
             if mv is not None:
@@ -594,9 +606,10 @@ def parse_fmp4_fragments(payload: bytes) -> list:
                 raise ValueError("moof without a following mdat")
             if not (nxt[1] <= data_start and data_start + total_bytes <= nxt[2]):
                 raise ValueError("fragment samples outside the mdat")
-            i = len(frags)
             sidx_ref_size = sidx_dur_ms = sidx_aligned = None
-            if sidx_info is not None and i < len(sidx_info["refs"]):
+            if sidx_info is not None:
+                i = len(frags) - sidx_info["skip"]
+            if sidx_info is not None and 0 <= i < len(sidx_info["refs"]):
                 rtype, rsize, rdur = sidx_info["refs"][i]
                 sidx_ref_size = rsize
                 sidx_dur_ms = rdur * 1000 // sidx_info["ts"]

@@ -168,6 +168,44 @@ def build_ogg_opus(
     return bytes(out)
 
 
+def _toc_accumulate(st: dict, b0, b1, plen: int) -> None:
+    """Fold one completed AUDIO packet's TOC byte into the stream's
+    running aggregates (RFC 6716 §3.1) — called at packet completion so
+    per-stream state stays O(1) regardless of packet count. Malformed
+    TOC classes raise (the loud-fallback contract)."""
+    if b0 is None:
+        raise ValueError("zero-length Opus audio packet")
+    config, stereo, code = b0 >> 3, (b0 >> 2) & 1, b0 & 3
+    mode, _bw, dur = opus_toc_config(config)
+    if code == 0:
+        nf = 1
+    elif code == 1:
+        if (plen - 1) % 2:
+            raise ValueError("code-1 Opus packet with odd payload")
+        nf = 2
+    elif code == 2:
+        if plen < 2:
+            raise ValueError("truncated code-2 Opus packet")
+        nf = 2
+    else:
+        if b1 is None:
+            raise ValueError("truncated code-3 Opus packet")
+        nf = b1 & 0x3F
+        if nf == 0:
+            raise ValueError("code-3 Opus packet with zero frames")
+    if nf * dur > 5760:  # 120 ms at 48 kHz (RFC 6716 §3.2.5)
+        raise ValueError("Opus packet exceeds 120 ms")
+    st["toc_frames"] += nf
+    st["toc_samples"] += nf * dur
+    st["n_stereo"] += stereo
+    if mode == "silk":
+        st["n_silk"] += 1
+    elif mode == "hybrid":
+        st["n_hybrid"] += 1
+    else:
+        st["n_celt"] += 1
+
+
 def parse_ogg_opus(payload: bytes) -> dict:
     """Walk every page: capture pattern, version 0, CRC verification
     (recomputed with the checksum field zeroed — a flipped bit anywhere
@@ -234,7 +272,15 @@ def parse_ogg_opus(payload: bytes) -> dict:
             st = streams[serial] = {
                 "seq": 0, "mid": False, "eos": False,
                 "pages": 0, "packets": 0, "last_granule": None,
-                "open": None, "heads": [],
+                "open": None,
+                # O(1) running TOC aggregates (review r15: a per-packet
+                # heads LIST was input-amplified — 255 zero-length
+                # lacing values per page across OGG_MAX_PAGES pages
+                # could materialize ~16M tuples; aggregate at packet
+                # completion instead, same fuzz-DoS policy as
+                # MP4_MAX_SAMPLES)
+                "toc_samples": 0, "toc_frames": 0,
+                "n_silk": 0, "n_hybrid": 0, "n_celt": 0, "n_stereo": 0,
             }
             body = payload[seg_end:page_end]
             if body[:8] == b"OpusHead":
@@ -264,35 +310,38 @@ def parse_ogg_opus(payload: bytes) -> dict:
         # walk the lacing values tracking packet boundaries: every
         # value < 255 COMPLETES a packet, and each packet's first two
         # bytes (the RFC 6716 TOC byte + optional code-3 count byte)
-        # are captured at its start — even when the start's segment is
-        # 1 byte and the second byte lands in the next segment/page.
-        # Audio packets are those after the stream's first two packets
-        # (OpusHead + OpusTags). ADVICE r14: RFC 7845 lets the comment
-        # header span multiple pages (cover art), so "pages 0/1 are
-        # headers" miscounted tags continuation pages as audio — count
-        # by packet, not page.
+        # are captured at its start. A packet's non-final segments are
+        # always exactly 255, so when the first segment exists (v > 0)
+        # it is either the whole packet (v < 255, b1 present iff
+        # v > 1) or a 255-byte run — both bytes always live in that
+        # first segment. Audio packets are those after the stream's
+        # first two packets (OpusHead + OpusTags). ADVICE r14: RFC
+        # 7845 lets the comment header span multiple pages (cover
+        # art), so "pages 0/1 are headers" miscounted tags
+        # continuation pages as audio — count by packet, not page.
+        # TOC stats aggregate AT COMPLETION (O(1) state per stream —
+        # never a per-packet list), and only for the Opus stream
+        # (whose BOS precedes all of its audio pages, so opus_serial
+        # is known by the time any of its packets completes).
         off = 0
-        completed = 0
         for v in lacing:
             if st["open"] is None:
                 st["open"] = {"b0": None, "b1": None, "len": 0}
             o = st["open"]
-            if v > 0:
+            if v > 0 and o["b0"] is None:
                 s0 = seg_end + off
-                if o["b0"] is None:
-                    o["b0"] = payload[s0]
-                    if v > 1:
-                        o["b1"] = payload[s0 + 1]
-                elif o["b1"] is None:
-                    o["b1"] = payload[s0]
+                o["b0"] = payload[s0]
+                if v > 1:
+                    o["b1"] = payload[s0 + 1]
             o["len"] += v
             off += v
             if v < 255:
-                st["heads"].append((o["b0"], o["b1"], o["len"]))
+                pkt_idx = st["packets"]
+                st["packets"] = pkt_idx + 1
                 st["open"] = None
-                completed += 1
+                if serial == opus_serial and pkt_idx >= 2:
+                    _toc_accumulate(st, o["b0"], o["b1"], o["len"])
         st["mid"] = st["open"] is not None
-        st["packets"] += completed
         if granule != -1:
             st["last_granule"] = granule
         st["pages"] += 1
@@ -309,48 +358,12 @@ def parse_ogg_opus(payload: bytes) -> dict:
         raise ValueError("Opus stream ends mid-packet")
     dur_gr = max(0, (ost["last_granule"] or 0) - head["pre_skip"])
 
-    # TOC-byte walk over the audio packets (r15, VERDICT r14 #3): the
-    # first byte of every Opus packet encodes config (mode/bandwidth/
-    # frame duration), the stereo bit, and the frame-count code — pure
-    # table arithmetic (RFC 6716 §3.1), no entropy decode. This yields
-    # a per-packet duration CLOCK independent of the granule positions;
-    # their agreement is the crawl-quality integrity signal, and the
-    # mode distribution is the codec-identity signal.
-    toc_samples = toc_frames = 0
-    n_silk = n_hybrid = n_celt = n_stereo = 0
-    for b0, b1, plen in ost["heads"][2:]:
-        if b0 is None:
-            raise ValueError("zero-length Opus audio packet")
-        config, stereo, code = b0 >> 3, (b0 >> 2) & 1, b0 & 3
-        mode, _bw, dur = opus_toc_config(config)
-        if code == 0:
-            nf = 1
-        elif code == 1:
-            if (plen - 1) % 2:
-                raise ValueError("code-1 Opus packet with odd payload")
-            nf = 2
-        elif code == 2:
-            if plen < 2:
-                raise ValueError("truncated code-2 Opus packet")
-            nf = 2
-        else:
-            if b1 is None:
-                raise ValueError("truncated code-3 Opus packet")
-            nf = b1 & 0x3F
-            if nf == 0:
-                raise ValueError("code-3 Opus packet with zero frames")
-        if nf * dur > 5760:  # 120 ms at 48 kHz (RFC 6716 §3.2.5)
-            raise ValueError("Opus packet exceeds 120 ms")
-        toc_frames += nf
-        toc_samples += nf * dur
-        n_stereo += stereo
-        if mode == "silk":
-            n_silk += 1
-        elif mode == "hybrid":
-            n_hybrid += 1
-        else:
-            n_celt += 1
-
+    # TOC aggregates were folded in at packet completion (RFC 6716
+    # §3.1 — _toc_accumulate): a per-packet duration CLOCK independent
+    # of the granule positions (their agreement is the crawl-quality
+    # integrity signal) and the mode distribution (the codec-identity
+    # signal), all O(1) stream state.
+    toc_samples = ost["toc_samples"]
     return {
         "container": "ogg",
         "serial": opus_serial,
@@ -361,12 +374,12 @@ def parse_ogg_opus(payload: bytes) -> dict:
         "n_packets": ost["packets"] - 2,  # minus OpusHead + OpusTags
         "duration_ms": dur_gr * 1000 // 48000,
         "n_streams": len(streams),
-        "toc_frames": toc_frames,
+        "toc_frames": ost["toc_frames"],
         "toc_duration_ms": toc_samples * 1000 // 48000,
-        "n_silk": n_silk,
-        "n_hybrid": n_hybrid,
-        "n_celt": n_celt,
-        "n_stereo": n_stereo,
+        "n_silk": ost["n_silk"],
+        "n_hybrid": ost["n_hybrid"],
+        "n_celt": ost["n_celt"],
+        "n_stereo": ost["n_stereo"],
         "toc_granule_agree": toc_samples == dur_gr,
     }
 

@@ -2425,6 +2425,25 @@ class KVStore:
                 "fold_merges requires a merge operator (store merge_op=, "
                 "or a family with one via cf=)"
             )
+        if cf is None:
+            # a cross-namespace fold writes every family's folded values
+            # through ONE ingest, which can only honor ONE threshold —
+            # refuse loudly when any family's effective threshold
+            # differs (review r15: the same misrouting the r14 ADVICE
+            # fixed for cf-scoped folds, on the CF_ALL path; mirrors
+            # the heterogeneous-merge-op refusal)
+            cfs = self.manifest.state.column_families or {}
+            odd = sorted(
+                n for n in cfs
+                if self.cf_value_threshold(n) != self.value_threshold
+            )
+            if odd:
+                raise ValueError(
+                    "fold_merges over all namespaces cannot honor "
+                    f"per-family value thresholds (families {odd} differ "
+                    "from the store default) — fold each family via "
+                    "cf.fold_merges() / fold_merges(cf=...)"
+                )
         if not bool(self.manifest.state.has_merge_operands):
             return 0
         now = int(time.time()) if now is None else now

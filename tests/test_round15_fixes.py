@@ -219,3 +219,117 @@ def test_cf_scoped_fold_respects_family_threshold(spark, tmp_path):
     assert newest["value_ptr"] is None  # inline under the FAMILY threshold
     assert bytes(newest["value"]) == folded_val
     store.close()
+
+
+def test_sidx_unknown_version_raises():
+    """Review r15: an unknown sidx version must raise, not decode
+    references at version-0 field widths."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.mp4 import build_fmp4, parse_fmp4_fragments
+
+    p = bytearray(build_fmp4(fragments=[{"n_samples": 2}],
+                             sidx={"version": 0}))
+    p[p.find(b"sidx") + 4] = 2  # version byte of the fullbox
+    with pytest.raises(ValueError, match="unsupported sidx version"):
+        parse_fmp4_fragments(bytes(p))
+
+
+def test_sidx_mid_file_references_following_fragments():
+    """Review r15: a sidx between fragments (live/segment-appended
+    layout) indexes only the fragments AFTER it — the preceding
+    fragment carries nulls and the following one still cross-checks
+    aligned."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.mp4 import build_fmp4, parse_fmp4_fragments
+
+    frags = [
+        {"n_samples": 3, "durations": [100, 110, 120],
+         "sizes": [50, 51, 52]},
+        {"n_samples": 2},  # trex defaults: 2*100 ticks, 2*200 bytes
+    ]
+    p = build_fmp4(fragments=frags)
+    # top-level box walk to find the second fragment's moof start
+    spans, pos = [], 0
+    while pos < len(p):
+        size, = _struct.unpack_from(">I", p, pos)
+        if size == 1:
+            big, = _struct.unpack_from(">Q", p, pos + 8)
+            end = pos + big
+        else:
+            end = pos + size
+        spans.append((p[pos + 4 : pos + 8], pos, end))
+        pos = end
+    moofs = [i for i, (t, _, _) in enumerate(spans) if t == b"moof"]
+    frag1_start = spans[moofs[1]][1]
+    frag1_len = spans[moofs[1] + 1][2] - frag1_start  # moof+mdat span
+    # hand-build a v0 sidx referencing ONLY the second fragment
+    body = _struct.pack(">BBH", 0, 0, 0)  # version/flags
+    body += _struct.pack(">II", 1, 1000)  # refid, timescale
+    body += _struct.pack(">II", 0, 0)  # ept, first_offset
+    body += _struct.pack(">HH", 0, 1)  # reserved, count
+    body += _struct.pack(">III", frag1_len, 200, 0x90000000)
+    sidx = _struct.pack(">I", 8 + len(body)) + b"sidx" + body
+    p2 = p[:frag1_start] + sidx + p[frag1_start:]
+    out = parse_fmp4_fragments(p2)
+    assert out[0]["sidx_aligned"] is None  # before the index: no claim
+    assert out[1]["sidx_aligned"] is True
+    assert out[1]["sidx_ref_size"] == frag1_len
+    assert out[1]["sidx_dur_ms"] == 200
+
+
+def test_ogg_packet_flood_stays_bounded():
+    """Review r15: a page of zero-length packets must not materialize
+    per-packet state — parse cost is O(input), state O(1)."""
+    from octopusdb_spark.functions.ogg import (
+        _page,
+        build_ogg_opus,
+        parse_ogg_opus,
+    )
+
+    base = build_ogg_opus(9, audio_pages=[(1, 10)])
+    pages, pos = [], 0
+    while pos < len(base):
+        nsegs = base[pos + 26]
+        end = pos + 27 + nsegs + sum(base[pos + 27 : pos + 27 + nsegs])
+        pages.append(base[pos:end])
+        pos = end
+    # a flood page: 200 zero-length packets — all complete, all audio.
+    # zero-length AUDIO packets are malformed Opus (no TOC byte), so
+    # the walk must raise LOUDLY at the first one, after O(1) work —
+    # not accumulate 200 head tuples first
+    flood = _raw_page(9, 2, -1, 0x00, [0] * 200, b"")
+    with pytest.raises(ValueError, match="zero-length Opus audio packet"):
+        parse_ogg_opus(pages[0] + pages[1] + flood + pages[2])
+
+
+def test_cross_namespace_fold_refuses_on_threshold_mismatch(spark, tmp_path):
+    """Review r15: a CF_ALL fold cannot honor per-family value
+    thresholds — it must refuse loudly (mirroring the heterogeneous
+    merge-op refusal) instead of routing every family's folded values
+    with the store default."""
+    from octopusdb_spark.kv import Entry, KVStore
+
+    store = KVStore(spark, str(tmp_path / "foldall"),
+                    value_threshold=16, merge_op="append")
+    big = store.create_cf("big", value_threshold=1024)
+    store.set(Entry("s", b"a"))
+    store.merge("s", b"b")
+    big.set(Entry("k", b"v"))
+    big.merge("k", b"w")
+    with pytest.raises(ValueError, match="per-family value thresholds"):
+        store.fold_merges(now=10**15)
+    # the per-family paths still work
+    assert big.fold_merges(now=10**15) == 1
+    assert big.get("k", now=10**15).value == b"v,w"
+    # a same-threshold family does NOT block the cross-namespace fold
+    store2 = KVStore(spark, str(tmp_path / "foldall2"),
+                     value_threshold=16, merge_op="append")
+    store2.create_cf("same")  # inherits the store threshold
+    store2.set(Entry("s", b"a"))
+    store2.merge("s", b"b")
+    assert store2.fold_merges(now=10**15) == 1
+    assert store2.get("s", now=10**15).value == b"a,b"
+    store.close()
+    store2.close()
