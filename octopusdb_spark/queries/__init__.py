@@ -60,6 +60,16 @@ for _m in _MODULES:
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
     # fill entry per protocol. r15 insert log:
+    # pipeline_multimodal_dedup NEW — the composite the modality
+    # operators exist for: doc-level keep-list over text md5 + image
+    # dHash (banded, hamming<=3) + audio shingle containment, 1-hop
+    # minimum canonical selection, per-modality match counts; docs
+    # built in groups of five sharing media content so the invariances
+    # (brightness, gain) drive the collapse; oracle reruns both hash
+    # pipelines closed-form + the same rule. The round's 5th registry
+    # add (189/199 — the r14 verdict's suggested ceiling); displaced
+    # kv_latest_live, r12-green with slack until r16.
+    "pipeline_multimodal_dedup",
     # dedup_video_fingerprint NEW — the VIDEO leg completing the
     # four-modality near-dup family: per-frame dHash over mono Y4M
     # clips (brightness invariance carries frame-by-frame),
@@ -132,7 +142,6 @@ _PRIORITY = [
     # surface. Most-expendable LAST so mid-round head-inserts displace
     # those (all r12-green — safe through this round's bound).
     "kv_failover", "kv_changefeed",
-    "kv_latest_live",
 ]
 
 

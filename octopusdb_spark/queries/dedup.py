@@ -997,6 +997,188 @@ def q_dedup_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level MULTIMODAL dedup keep-list (r15) — the integration the
+    four modality operators exist for: a corpus record carries text +
+    an image + an audio track, and the pipeline drops it when ANY
+    modality near-matches another record, keeping one canonical per
+    match set. Docs are built in GROUPS of five sharing media content
+    (group-keyed patterns; within a group images differ only by
+    brightness and audio only by gain — the exact invariances the
+    hashes are for), so every group collapses to its leader; text
+    rides real document md5 (this slice carries no exact text dups —
+    the path is exercised, the count is zero).
+
+    Matching rules are the modality rows' own: image dHash banded join
+    + hamming <= 3; audio 4-frame shingles + the integer containment
+    rule; text md5 equality. Canonical selection is the 1-HOP minimum
+    (min of self and all direct partners) — deterministic without a
+    transitive closure, and equal to the closure on the group
+    structure (in-group matches are complete cliques). Output per doc:
+    canonical_id, is_dup, and per-modality match counts — all integer,
+    all oracle-replicated (the oracle reruns both hash pipelines
+    closed-form and the same 1-hop rule). Plans: two mapInPandas hash
+    lanes + three bounded equi-joins; NEVER all-pairs."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from octopusdb_spark.functions.audio_fp import (
+        audio_fingerprints,
+        pcm_pattern,
+    )
+    from octopusdb_spark.functions.image_hash import image_hashes, pattern_rgb
+    from octopusdb_spark.functions.multimodal import encode_ppm, encode_wav
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 60)
+            & F.octet_length(F.col("text")).between(48, 599)
+        )
+        .select("doc_id", "text")
+        .repartition(8, "doc_id")
+    )
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def build_images(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                gi = (d - d % 5) // 5
+                ids.append(d)
+                payloads.append(encode_ppm(pattern_rgb(
+                    gi % 5 + 1, (2 * gi) % 5 + 1, gi % 3 + 1,
+                    (gi * 13) % 97, delta=8 * (d % 5),
+                ), 72, 64))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    def build_audio(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g = d - d % 5
+                ids.append(d)
+                payloads.append(encode_wav(pcm_pattern(
+                    g % 37 + 2, g % 5 + 1, g % 211, 17 + (g * 7) % 23,
+                    12 + g % 8, d % 5 + 1,
+                )))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    # image matches: the banded dHash join at hamming <= 3
+    img = (
+        image_hashes(docs.mapInPandas(build_images, media_schema))
+        .filter(F.col("decoded"))
+        .select(F.col("media_id").alias("doc_id"), "dhash")
+    )
+    bands = img.select(
+        "doc_id", "dhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(F.col("dhash"), 16 * j)
+                .bitwiseAND(F.lit(65535)).alias("bval"),
+            )
+            for j in range(4)
+        ])).alias("bb"),
+    ).select("doc_id", "dhash", "bb.band", "bb.bval")
+    ia, ib = bands.alias("a"), bands.alias("b")
+    ipairs = (
+        ia.join(ib, (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bval") == F.col("b.bval"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
+                F.col("a.dhash").alias("ha"), F.col("b.dhash").alias("hb"))
+        .distinct()
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .select("da", "db")
+    )
+
+    # audio matches: 4-frame shingles + the integer containment rule
+    fp = (
+        audio_fingerprints(docs.mapInPandas(build_audio, media_schema))
+        .filter(F.col("decoded"))
+        .select(F.col("media_id").alias("doc_id"), "codes")
+    )
+    ash = fp.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(0, size(codes) - 4), i -> "
+            "CAST(((codes[i] * 128 + codes[i+1]) * 128 + codes[i+2]) * 128 "
+            "+ codes[i+3] AS BIGINT))"
+        ))).alias("sh"),
+    )
+    acnt = ash.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    aa, ab = ash.alias("a"), ash.alias("b")
+    apairs = (
+        aa.join(ab, (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("n_shared"))
+        .join(acnt.withColumnRenamed("doc_id", "da")
+              .withColumnRenamed("n_sh", "n_a"), "da")
+        .join(acnt.withColumnRenamed("doc_id", "db")
+              .withColumnRenamed("n_sh", "n_b"), "db")
+        .filter(F.lit(5) * F.col("n_shared")
+                >= F.lit(4) * F.least("n_a", "n_b"))
+        .select("da", "db")
+    )
+
+    # text matches: exact md5 equality (the corpus slice's honest zero)
+    fps = docs.select("doc_id", F.md5("text").alias("fp"))
+    ta, tb = fps.alias("a"), fps.alias("b")
+    tpairs = (
+        ta.join(tb, (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+
+    def sym(pairs, tag):
+        return pairs.select(
+            F.col("da").alias("doc_id"), F.col("db").alias("partner"),
+            F.lit(tag).alias("modality"),
+        ).unionByName(pairs.select(
+            F.col("db").alias("doc_id"), F.col("da").alias("partner"),
+            F.lit(tag).alias("modality"),
+        ))
+
+    matches = (
+        sym(ipairs, "image")
+        .unionByName(sym(apairs, "audio"))
+        .unionByName(sym(tpairs, "text"))
+    )
+    agg = matches.groupBy("doc_id").agg(
+        F.min("partner").alias("min_partner"),
+        F.sum(F.when(F.col("modality") == "image", 1).otherwise(0))
+        .alias("n_image_matches"),
+        F.sum(F.when(F.col("modality") == "audio", 1).otherwise(0))
+        .alias("n_audio_matches"),
+        F.sum(F.when(F.col("modality") == "text", 1).otherwise(0))
+        .alias("n_text_matches"),
+    )
+    return (
+        docs.select("doc_id").join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce("min_partner", "doc_id"))
+            .alias("canonical_id"),
+            (F.least(F.col("doc_id"), F.coalesce("min_partner", "doc_id"))
+             != F.col("doc_id")).alias("is_dup"),
+            F.coalesce("n_image_matches", F.lit(0)).cast("long")
+            .alias("n_image_matches"),
+            F.coalesce("n_audio_matches", F.lit(0)).cast("long")
+            .alias("n_audio_matches"),
+            F.coalesce("n_text_matches", F.lit(0)).cast("long")
+            .alias("n_text_matches"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _dct8_values_sql() -> str:
     """The integer DCT matrix as a VALUES table, generated from the
     same DCT8 constant the Python side uses — one source of truth."""
@@ -1191,6 +1373,116 @@ _AUDIO_FP_SQL = f"""
 ORACLES["dedup_image_phash"] = _IMAGE_PHASH_SQL
 ORACLES["dedup_audio_fingerprint"] = _AUDIO_FP_SQL
 
+# the composite keep-list: both hash pipelines rerun closed-form (the
+# image chain via the shared fragment, the audio chain with the
+# group-keyed params), text via md5 equality, then the same 1-hop
+# minimum canonical rule and per-modality counts
+ORACLES["pipeline_multimodal_dedup"] = f"""
+    WITH src AS (
+      SELECT doc_id, md5(text) AS fp
+      FROM documents
+      WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
+    ),
+    params AS (  -- image: group-keyed pattern, brightness variant per doc
+      SELECT doc_id AS media_id, 8 * (doc_id % 5) AS delta,
+             ((doc_id - doc_id % 5) // 5) % 5 + 1 AS ax,
+             (2 * ((doc_id - doc_id % 5) // 5)) % 5 + 1 AS ay,
+             ((doc_id - doc_id % 5) // 5) % 3 + 1 AS k,
+             (((doc_id - doc_id % 5) // 5) * 13) % 97 AS c
+      FROM src
+    ),
+    {_DHASH_CHAIN_SQL.lstrip()},
+    ipairs AS (
+      SELECT a.media_id AS da, b.media_id AS db
+      FROM dh a JOIN dh b
+        ON a.media_id < b.media_id
+       AND bit_count(xor(a.dhash, b.dhash)) <= 3
+    ),
+    apar AS (  -- audio: group-keyed signal, gain variant per doc
+      SELECT doc_id AS media_id, doc_id % 5 + 1 AS scale,
+             (doc_id - doc_id % 5) % 37 + 2 AS a1,
+             (doc_id - doc_id % 5) % 5 + 1 AS a2,
+             (doc_id - doc_id % 5) % 211 AS c,
+             17 + ((doc_id - doc_id % 5) * 7) % 23 AS md,
+             12 + (doc_id - doc_id % 5) % 8 AS nf
+      FROM src
+    ),
+    smp AS (
+      SELECT p.media_id, CAST(tt.t AS BIGINT) AS t,
+             ((p.a1 * tt.t + p.a2 * ((tt.t * tt.t) % p.md) + p.c) % 2048
+               - 1024) * p.scale AS s
+      FROM apar p, (SELECT unnest(range(1216)) AS t) tt
+      WHERE tt.t < 64 * p.nf
+    ),
+    ss AS (
+      SELECT media_id, t // 64 AS f, (t % 64) // 8 AS sub, sum(s) AS g
+      FROM smp GROUP BY 1, 2, 3
+    ),
+    tm AS (
+      SELECT ss.media_id, ss.f, ctab.u, sum(ctab.cv * ss.g) AS tval
+      FROM ss JOIN {_dct8_values_sql()} ON ctab.k = ss.sub
+      GROUP BY 1, 2, 3
+    ),
+    code AS (
+      SELECT x.media_id, x.f,
+             CAST(sum(CASE WHEN x.tval > y.tval
+                           THEN CAST(1 AS BIGINT) << x.u ELSE 0 END)
+               AS BIGINT) AS cd
+      FROM tm x JOIN tm y
+        ON x.media_id = y.media_id AND x.f = y.f AND y.u = x.u + 1
+      WHERE x.u < 7
+      GROUP BY 1, 2
+    ),
+    sh0 AS (
+      SELECT media_id, cd,
+             lead(cd, 1) OVER w AS c1, lead(cd, 2) OVER w AS c2,
+             lead(cd, 3) OVER w AS c3
+      FROM code WINDOW w AS (PARTITION BY media_id ORDER BY f)
+    ),
+    ash AS (
+      SELECT DISTINCT media_id,
+             ((cd * 128 + c1) * 128 + c2) * 128 + c3 AS sh
+      FROM sh0 WHERE c3 IS NOT NULL
+    ),
+    acnt AS (SELECT media_id, count(*) AS n_sh FROM ash GROUP BY 1),
+    apairs AS (
+      SELECT p.da, p.db FROM (
+        SELECT a.media_id AS da, b.media_id AS db, count(*) AS n_shared
+        FROM ash a JOIN ash b ON a.sh = b.sh AND a.media_id < b.media_id
+        GROUP BY 1, 2
+      ) p
+      JOIN acnt ca ON ca.media_id = p.da
+      JOIN acnt cb ON cb.media_id = p.db
+      WHERE 5 * p.n_shared >= 4 * least(ca.n_sh, cb.n_sh)
+    ),
+    tpairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM src a JOIN src b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT da AS doc_id, db AS partner, 'image' AS modality FROM ipairs
+      UNION ALL SELECT db, da, 'image' FROM ipairs
+      UNION ALL SELECT da, db, 'audio' FROM apairs
+      UNION ALL SELECT db, da, 'audio' FROM apairs
+      UNION ALL SELECT da, db, 'text' FROM tpairs
+      UNION ALL SELECT db, da, 'text' FROM tpairs
+    ),
+    agg AS (
+      SELECT doc_id, min(partner) AS mp,
+             sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS ni,
+             sum(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) AS nt
+      FROM sym GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           least(s.doc_id, coalesce(a.mp, s.doc_id)) AS canonical_id,
+           least(s.doc_id, coalesce(a.mp, s.doc_id)) != s.doc_id AS is_dup,
+           CAST(coalesce(a.ni, 0) AS BIGINT) AS n_image_matches,
+           CAST(coalesce(a.na, 0) AS BIGINT) AS n_audio_matches,
+           CAST(coalesce(a.nt, 0) AS BIGINT) AS n_text_matches
+    FROM src s LEFT JOIN agg a USING (doc_id)
+    ORDER BY s.doc_id"""
+
 # the video row rides the SAME dHash chain, one row per (clip, frame):
 # the chain's media_id key is fid = clip*16 + frame (nf <= 10 < 16),
 # per-frame drift rides the chain's k/c params, and shingles pair
@@ -1247,6 +1539,7 @@ ORACLES["dedup_video_fingerprint"] = f"""
     ORDER BY media_a, media_b"""
 
 QUERIES = {
+    "pipeline_multimodal_dedup": q_pipeline_multimodal_dedup,
     "dedup_video_fingerprint": q_dedup_video_fingerprint,
     "dedup_audio_fingerprint": q_dedup_audio_fingerprint,
     "dedup_image_phash": q_dedup_image_phash,
