@@ -39,109 +39,54 @@ for _m in _MODULES:
     ORACLE_SQL.update(getattr(mod, "ORACLES", {}))
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# insertion order. Round-15 rotation (VERDICT r14 #1): the lifetime
-# ledger after r14 is 41 names last green r11 (AT the 3-round staleness
-# bound — tools/staleness_check.py exits 1 unless they lead this
-# window), 47 r12, 48 r13, 50 r14. Head = the full 41-name r11 cohort
-# (exactly the list the staleness tool printed at round open), then 9
-# fill from the r12 cohort. Fill selection: kv_failover and
-# kv_changefeed first — this round's replication-lag telemetry work
-# touches their surface, so any re-earned green lands in-window; then
-# cheap representative r12 rows with the most-expendable (still
-# r12-safe-through-r15) LAST so mid-round head-inserts displace those.
-# The 38 r12 names left out — plus any displaced below — lead the r16
+# insertion order. Round-16 rotation (VERDICT r15 #1): the lifetime
+# ledger after r15 is 43 names last green r12 (AT the 3-round staleness
+# bound — tools/staleness_check.py printed exactly this list at round
+# open and exits 1 unless they lead this window), 48 r13, 48 r14,
+# 50 r15. Head = the full 43-name r12 cohort, then the four rows whose
+# semantics CHANGE this round and must re-earn green
+# (pipeline_multimodal_dedup: video leg added to the composite;
+# stream_image_dedup: updatable between-batch index;
+# multimodal_mp4_meta: udta/ilst tag walk; multimodal_mp3_meta: ID3v2
+# text frames — the latter two are r13, so their slots double as
+# rotation credit), then 3 fill from the r13 cohort chosen as the
+# VERDICT #4 bench re-measure targets (sim_ann_filtered,
+# text_line_dedup, sim_ann_drift) with the most-expendable LAST so
+# mid-round head-inserts displace those (all r13-green — safe through
+# this round's bound). The remaining 45 r13 names lead the r17
 # rotation, which the staleness tool will enforce then. No sacrifices:
 # every at-bound name is in.
 # PROTOCOL: a query added to the registry after this list is frozen must
 # be inserted at the HEAD at that moment (displacing the last fill
-# entry), not next round. Displaced entries here are r12-green — safe
-# through this round's bound, and the staleness tool projects them into
-# the r16 lead automatically.
+# entry), not next round.
 _PRIORITY = [
     # (mid-round inserts, newest first, each displacing the then-last
-    # fill entry per protocol. r15 insert log:
-    # pipeline_multimodal_dedup NEW — the composite the modality
-    # operators exist for: doc-level keep-list over text md5 + image
-    # dHash (banded, hamming<=3) + audio shingle containment, 1-hop
-    # minimum canonical selection, per-modality match counts; docs
-    # built in groups of five sharing media content so the invariances
-    # (brightness, gain) drive the collapse; oracle reruns both hash
-    # pipelines closed-form + the same rule. The round's 5th registry
-    # add (189/199 — the r14 verdict's suggested ceiling); displaced
-    # kv_latest_live, r12-green with slack until r16.
-    "pipeline_multimodal_dedup",
-    # dedup_video_fingerprint NEW — the VIDEO leg completing the
-    # four-modality near-dup family: per-frame dHash over mono Y4M
-    # clips (brightness invariance carries frame-by-frame),
-    # consecutive-frame shingles through the inverted-index shape with
-    # the integer containment rule (exact 64-bit equality twice over,
-    # so time-shifted sub-clip copies match); oracle rides the shared
-    # dHash chain with fid = clip*16+frame. The round's 4th registry
-    # add (188/199); displaced kv_point_lookup, r12-green with slack
-    # until r16.
-    "dedup_video_fingerprint",
-    # dedup_audio_fingerprint NEW — the AUDIO leg of the near-dup
-    # trifecta: per-frame spectral-gradient codes (sub-block sums ->
-    # shared integer DCT -> amplitude-invariant comparison bits),
-    # 4-frame shingle inverted-index pairing with an integer
-    # containment rule; 3x re-masters pair exactly, corrupted-magic
-    # loud lane under the hash; oracle replicates PCM->codes->shingles
-    # bit-for-bit. The round's 3rd registry add (187/199); displaced
-    # kv_value_separation, r12-green with slack until r16.
-    "dedup_audio_fingerprint",
-    # stream_image_dedup NEW — the perceptual twin: online image
-    # near-dup rejection at ingest (decode+dHash inside the stream via
-    # the same Arrow lane, banded stream-static join, exact hamming
-    # re-score; arrivals are +40 brightness shifts so the invariance is
-    # under the hash; shares the batch row's closed-form SQL chain).
-    # The round's 2nd registry add (186/199); displaced
-    # multimodal_decode, r12-green with slack until r16.
-    "stream_image_dedup",
-    # dedup_image_phash NEW — perceptual image near-dup, the multimodal
-    # analog of MinHash (VERDICT r14 #5): integer dHash (9x8 gradient
-    # grid) + integer-DCT pHash over PPM/BMP-decoded pixels, brightness
-    # twins pair across containers, banded (never all-pairs) plan with
-    # a pigeonhole-exact hamming<=3 re-score; oracle replicates both
-    # hashes bit-for-bit incl. the DCT matrix. The round's 1st registry
-    # add (185/199); displaced q3_shipping_priority, r12-green with
-    # slack until r16.
-    "dedup_image_phash",
-    # multimodal_fmp4_frags CHANGED — CMAF sidx segment-index walk
-    # added (type-0 references cross-checked against the real moof/mdat
-    # layout: prefix-summed offsets, exact byte spans, cross-timescale
-    # durations; v0/v1 head-shift arithmetic under the hash), so its
-    # r14 green must be re-earned; displaced sim_topk_cosine, r12-green
-    # with slack until r16.
-    # multimodal_ogg_meta CHANGED — Opus TOC-byte layer added (RFC 6716
-    # §3.1: per-packet config/mode/bandwidth/frame-duration/stereo,
-    # code-0 vs code-3 M-count packets, TOC clock vs granule clock
-    # agreement, mode distribution — all under the hash), so its r14
-    # green must be re-earned; displaced text_stats, r12-green with
-    # slack until r16.)
-    "multimodal_fmp4_frags",
-    "multimodal_ogg_meta",
-    # r11-stale cohort (the full 41 — all at the bound)
-    "dedup_minhash_capped", "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "kv_binary_key_scan", "kv_compaction_filter", "kv_gc_discard_stats",
-    "kv_merge_sorted_runs", "kv_remote_reads", "kv_snapshot_holds",
-    "kv_stream_replication", "multimodal_chunking",
-    "multimodal_frame_sample", "multimodal_resample",
-    "multimodal_resize", "multimodal_video_frames", "q_anti_join",
-    "q_correlation", "q_countmin_sketch", "q_domain_mixture",
-    "q_join_skew_profile", "q_json_extract", "q_linear_regression",
-    "q_pandas_udf_score", "q_pivot_event_types", "q_stream_dedup",
-    "q_stream_interval_join", "q_stream_rollup", "q_stream_sessionize",
-    "q_string_agg", "q_token_budget_packing", "quality_column_profile",
-    "quality_distribution_drift", "quality_duplicate_keys",
-    "sim_ann_ivf_kmeans", "sim_ann_persistent", "source_warc_ingest",
-    "stream_warc_ingest", "text_ngram_topk", "text_pii_redact",
-    "text_repetition", "text_unicode_nfc",
-    # r12 fill (9 of 47; the other 38 — plus any displaced by this
-    # round's inserts — lead r16). kv_failover / kv_changefeed first:
-    # the replication-lag telemetry work this round touches their
-    # surface. Most-expendable LAST so mid-round head-inserts displace
-    # those (all r12-green — safe through this round's bound).
-    "kv_failover", "kv_changefeed",
+    # fill entry per protocol.)
+    # --- r12-stale cohort (the full 43 — all at the bound) ---
+    "dedup_simhash", "kv_latest_live", "kv_point_lookup",
+    "kv_value_separation", "kv_version_history", "multimodal_decode",
+    "multimodal_jpeg_color", "pipeline_pretrain_v2",
+    "q10_returned_items", "q11_volume_share_shape", "q13_custdist",
+    "q15_top_supplier", "q16_supplier_cnt_shape", "q18_large_volume",
+    "q20_excess_shipping_shape", "q21_waiting_shape",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q8_market_share", "q9_profit_shape", "q_approx_distinct",
+    "q_hll_sketch", "q_median_quantity", "q_orders_by_month",
+    "q_p95_disc", "q_pandas_udaf_trimmed_mean", "q_rollup_merge",
+    "q_stream_hll", "sim_ann_bucketed", "sim_ann_ivfpq",
+    "sim_label_centroids", "sim_topk_cosine", "source_warc_cdx",
+    "stream_lm_filter", "stream_warc_cdx", "text_decontaminate",
+    "text_dedup_rewrite", "text_dup_suffix", "text_langid_ngram",
+    "text_lm_score", "text_shard_assignment", "text_stats",
+    "text_tokenize_udtf",
+    # --- changed this round: greens must be re-earned ---
+    "pipeline_multimodal_dedup",  # CHANGED: video-fingerprint leg joins the composite verdict
+    "stream_image_dedup",         # CHANGED: index appends accepted arrivals between micro-batches
+    "multimodal_mp4_meta",        # CHANGED: moov/udta/meta/ilst tag walk (r13 — rotation credit too)
+    "multimodal_mp3_meta",        # CHANGED: ID3v2 text-frame walk (r13 — rotation credit too)
+    # --- r13 fill (3 of 48; doubles as the VERDICT #4 re-measure set;
+    # most-expendable LAST so mid-round inserts displace those) ---
+    "sim_ann_filtered", "text_line_dedup", "sim_ann_drift",
 ]
 
 
