@@ -141,6 +141,16 @@ def build_ogg_opus(
     )
     if not 1 <= frames_per_packet <= 48:
         raise ValueError("frames_per_packet out of the code-3 range")
+    # Builder/parser contract (ADVICE r15): parse_ogg_opus rejects any
+    # packet over 120 ms at the TOC clock (RFC 6716 §3.2.5), so refuse
+    # to build one — the bound uses the TOC config's duration, which is
+    # what the parser will see, not the granule-clock frame_samples.
+    toc_dur = opus_toc_config(toc_config)[2]
+    if frames_per_packet * toc_dur > 5760:
+        raise ValueError(
+            "frames_per_packet * TOC frame duration exceeds the 120 ms "
+            "RFC 6716 packet bound the parser enforces"
+        )
     toc = (int(toc_config) << 3) | (int(bool(stereo_flag)) << 2)
     if frames_per_packet == 1:
         prefix = bytes([toc | 0])  # code 0: one frame

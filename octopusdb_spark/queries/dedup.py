@@ -853,6 +853,10 @@ def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         audio_fingerprints(docs.mapInPandas(build, media_schema))
         .filter(F.col("decoded"))
+        # short-recording guard (ADVICE r15): sequence(0, size-4) goes
+        # DESCENDING below 4 codes, minting null shingles the oracle's
+        # lead()-based shingling never emits; drop them like it does
+        .filter(F.size("codes") >= 4)
         .select("media_id", "codes")
     )
     # 4-frame shingles as 28-bit ints; distinct per recording (the
@@ -961,6 +965,9 @@ def q_dedup_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         video_fingerprints(docs.mapInPandas(build, media_schema))
         .filter(F.col("decoded"))
+        # short-clip guard (ADVICE r15): below 2 frames the sequence()
+        # shingle expr runs descending and emits nulls the oracle never does
+        .filter(F.size("hashes") >= 2)
         .select("media_id", "hashes")
     )
     sh = fp.select(
@@ -1102,6 +1109,8 @@ def q_pipeline_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         audio_fingerprints(docs.mapInPandas(build_audio, media_schema))
         .filter(F.col("decoded"))
+        # short-recording guard (ADVICE r15) — see dedup_audio_fingerprint
+        .filter(F.size("codes") >= 4)
         .select(F.col("media_id").alias("doc_id"), "codes")
     )
     ash = fp.select(

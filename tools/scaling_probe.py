@@ -85,6 +85,10 @@ def main() -> None:
             gate_exponent = float(a.split("=", 1)[1])
         elif a.startswith("--min-big-sec="):
             min_big_sec = float(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            # ADVICE r15: a misspelled or space-separated flag used to be
+            # silently dropped, disabling the hard gate while exiting 0.
+            raise SystemExit(f"unrecognized flag: {a}\n{__doc__}")
     if len(argv) != 2:
         raise SystemExit(__doc__)
     small, big = load(argv[0]), load(argv[1])
