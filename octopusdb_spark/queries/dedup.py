@@ -1005,27 +1005,34 @@ def q_dedup_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc-level MULTIMODAL dedup keep-list (r15) — the integration the
-    four modality operators exist for: a corpus record carries text +
-    an image + an audio track, and the pipeline drops it when ANY
-    modality near-matches another record, keeping one canonical per
-    match set. Docs are built in GROUPS of five sharing media content
-    (group-keyed patterns; within a group images differ only by
-    brightness and audio only by gain — the exact invariances the
-    hashes are for), so every group collapses to its leader; text
-    rides real document md5 (this slice carries no exact text dups —
-    the path is exercised, the count is zero).
+    """Doc-level MULTIMODAL dedup keep-list (r15; video leg r16) — the
+    integration the four modality operators exist for: a corpus record
+    carries text + an image + an audio track + a video clip, and the
+    pipeline drops it when ANY modality near-matches another record,
+    keeping one canonical per match set. Image/audio are built in
+    GROUPS of five sharing media content (group-keyed patterns; within
+    a group images differ only by brightness and audio only by gain —
+    the exact invariances the hashes are for), so every group collapses
+    to its leader. VIDEO is keyed by doc_id % 30 — docs d and d+30 are
+    brightness-shifted clip twins living in DIFFERENT image/audio
+    groups, so the video leg contributes matches NO other modality
+    sees (the r15 verdict's gap: a video-only near-dup used to survive
+    the composite). Text rides real document md5 (this slice carries
+    no exact text dups — the path is exercised, the count is zero).
 
     Matching rules are the modality rows' own: image dHash banded join
     + hamming <= 3; audio 4-frame shingles + the integer containment
-    rule; text md5 equality. Canonical selection is the 1-HOP minimum
-    (min of self and all direct partners) — deterministic without a
-    transitive closure, and equal to the closure on the group
-    structure (in-group matches are complete cliques). Output per doc:
+    rule; video consecutive-frame dHash shingles + the same
+    containment rule; text md5 equality. Canonical selection is the
+    1-HOP minimum (min of self and all direct partners) —
+    deterministic without a transitive closure; with the cross-group
+    video edges 1-hop is NOT the full closure (doc 31 settles at its
+    video twin 1 while its image group-mates settle at 30), and both
+    sides compute exactly this documented rule. Output per doc:
     canonical_id, is_dup, and per-modality match counts — all integer,
-    all oracle-replicated (the oracle reruns both hash pipelines
-    closed-form and the same 1-hop rule). Plans: two mapInPandas hash
-    lanes + three bounded equi-joins; NEVER all-pairs."""
+    all oracle-replicated (the oracle reruns all three hash pipelines
+    closed-form and the same 1-hop rule). Plans: three mapInPandas
+    hash lanes + four bounded equi-joins; NEVER all-pairs."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -1033,8 +1040,16 @@ def q_pipeline_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_fingerprints,
         pcm_pattern,
     )
-    from octopusdb_spark.functions.image_hash import image_hashes, pattern_rgb
-    from octopusdb_spark.functions.multimodal import encode_ppm, encode_wav
+    from octopusdb_spark.functions.image_hash import (
+        image_hashes,
+        pattern_rgb,
+        video_fingerprints,
+    )
+    from octopusdb_spark.functions.multimodal import (
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+    )
 
     docs = (
         t(spark, sf_dir, "documents")
@@ -1074,6 +1089,34 @@ def q_pipeline_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     g % 37 + 2, g % 5 + 1, g % 211, 17 + (g * 7) % 23,
                     12 + g % 8, d % 5 + 1,
                 )))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    def build_videos(it):
+        import numpy as np
+
+        xs = np.arange(72, dtype=np.int64)[None, :]
+        ys = np.arange(64, dtype=np.int64)[:, None]
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                vg = d % 30  # the video twin key: d and d+30 share it
+                # wide gradient spread: all 30 (ax, ay) combos distinct,
+                # so the coarse dHash can't pair clips across families
+                ax, ay = vg % 23 + 1, (vg * 7) % 19 + 1
+                k0, c0 = vg % 3, (vg * 17) % 97
+                nf = 6 + vg % 5
+                delta = 8 * (d // 30)  # brightness-shifted second copy
+                frames = [
+                    (
+                        (ax * xs + ay * ys
+                         + ((xs * ys) % 7) * ((k0 + i) % 3 + 1)
+                         + c0 + 13 * i) % 200 + delta
+                    ).astype(np.uint8).tobytes()
+                    for i in range(nf)
+                ]
+                ids.append(d)
+                payloads.append(encode_y4m(frames, 72, 64, colorspace="mono"))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     # image matches: the banded dHash join at hamming <= 3
@@ -1137,6 +1180,39 @@ def q_pipeline_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
     )
 
+    # video matches: consecutive-frame dHash shingles + the containment
+    # rule (the cross-group leg — its pairs exist in no other modality)
+    vfp = (
+        video_fingerprints(docs.mapInPandas(build_videos, media_schema))
+        .filter(F.col("decoded"))
+        # short-clip guard (ADVICE r15) — see dedup_video_fingerprint
+        .filter(F.size("hashes") >= 2)
+        .select(F.col("media_id").alias("doc_id"), "hashes")
+    )
+    vsh = vfp.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(0, size(hashes) - 2), i -> "
+            "concat(cast(hashes[i] AS string), ':', "
+            "cast(hashes[i+1] AS string)))"
+        ))).alias("sh"),
+    )
+    vcnt = vsh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    va, vb = vsh.alias("a"), vsh.alias("b")
+    vpairs = (
+        va.join(vb, (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("n_shared"))
+        .join(vcnt.withColumnRenamed("doc_id", "da")
+              .withColumnRenamed("n_sh", "n_a"), "da")
+        .join(vcnt.withColumnRenamed("doc_id", "db")
+              .withColumnRenamed("n_sh", "n_b"), "db")
+        .filter(F.lit(5) * F.col("n_shared")
+                >= F.lit(4) * F.least("n_a", "n_b"))
+        .select("da", "db")
+    )
+
     # text matches: exact md5 equality (the corpus slice's honest zero)
     fps = docs.select("doc_id", F.md5("text").alias("fp"))
     ta, tb = fps.alias("a"), fps.alias("b")
@@ -1158,6 +1234,7 @@ def q_pipeline_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = (
         sym(ipairs, "image")
         .unionByName(sym(apairs, "audio"))
+        .unionByName(sym(vpairs, "video"))
         .unionByName(sym(tpairs, "text"))
     )
     agg = matches.groupBy("doc_id").agg(
@@ -1166,6 +1243,8 @@ def q_pipeline_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_image_matches"),
         F.sum(F.when(F.col("modality") == "audio", 1).otherwise(0))
         .alias("n_audio_matches"),
+        F.sum(F.when(F.col("modality") == "video", 1).otherwise(0))
+        .alias("n_video_matches"),
         F.sum(F.when(F.col("modality") == "text", 1).otherwise(0))
         .alias("n_text_matches"),
     )
@@ -1181,6 +1260,8 @@ def q_pipeline_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_image_matches"),
             F.coalesce("n_audio_matches", F.lit(0)).cast("long")
             .alias("n_audio_matches"),
+            F.coalesce("n_video_matches", F.lit(0)).cast("long")
+            .alias("n_video_matches"),
             F.coalesce("n_text_matches", F.lit(0)).cast("long")
             .alias("n_text_matches"),
         )
@@ -1233,6 +1314,19 @@ _DHASH_CHAIN_SQL = """
                       END) AS BIGINT) AS dhash
       FROM dbits GROUP BY media_id
     )"""
+
+
+# the same chain with every CTE renamed so the composite oracle can run
+# it a SECOND time for the video leg (one WITH clause, distinct names);
+# the dhash column name is untouched — only the table names shift
+_VDHASH_CHAIN_SQL = (
+    _DHASH_CHAIN_SQL
+    .replace("params", "vparams")
+    .replace("px", "vpx")
+    .replace("dgrid", "vdgrid")
+    .replace("dbits", "vdbits")
+    .replace("dh AS", "vdh AS")
+)
 
 
 # bit-for-bit replication of the perceptual-hash pipeline: closed-form
@@ -1464,6 +1558,41 @@ ORACLES["pipeline_multimodal_dedup"] = f"""
       JOIN acnt cb ON cb.media_id = p.db
       WHERE 5 * p.n_shared >= 4 * least(ca.n_sh, cb.n_sh)
     ),
+    vparams AS (  -- video: %30-keyed clip params, one row per (doc, frame);
+                  -- docs d and d+30 are brightness twins across 5-groups
+      SELECT s.doc_id * 16 + ff.f AS media_id,
+             8 * (s.doc_id // 30) AS delta,
+             (s.doc_id % 30) % 23 + 1 AS ax,
+             ((s.doc_id % 30) * 7) % 19 + 1 AS ay,
+             ((s.doc_id % 30) % 3 + ff.f) % 3 + 1 AS k,
+             ((s.doc_id % 30) * 17) % 97 + 13 * ff.f AS c
+      FROM src s, (SELECT unnest(range(11)) AS f) ff
+      WHERE ff.f < 6 + (s.doc_id % 30) % 5
+    ),
+    {_VDHASH_CHAIN_SQL.lstrip()},
+    vseq AS (
+      SELECT media_id // 16 AS vid, dhash,
+             lead(dhash, 1) OVER (
+               PARTITION BY media_id // 16 ORDER BY media_id % 16
+             ) AS nxt
+      FROM vdh
+    ),
+    vsh AS (
+      SELECT DISTINCT vid,
+             CAST(dhash AS VARCHAR) || ':' || CAST(nxt AS VARCHAR) AS sh
+      FROM vseq WHERE nxt IS NOT NULL
+    ),
+    vcnt AS (SELECT vid, count(*) AS n_sh FROM vsh GROUP BY 1),
+    vpairs AS (
+      SELECT p.da, p.db FROM (
+        SELECT a.vid AS da, b.vid AS db, count(*) AS n_shared
+        FROM vsh a JOIN vsh b ON a.sh = b.sh AND a.vid < b.vid
+        GROUP BY 1, 2
+      ) p
+      JOIN vcnt ca ON ca.vid = p.da
+      JOIN vcnt cb ON cb.vid = p.db
+      WHERE 5 * p.n_shared >= 4 * least(ca.n_sh, cb.n_sh)
+    ),
     tpairs AS (
       SELECT a.doc_id AS da, b.doc_id AS db
       FROM src a JOIN src b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -1473,6 +1602,8 @@ ORACLES["pipeline_multimodal_dedup"] = f"""
       UNION ALL SELECT db, da, 'image' FROM ipairs
       UNION ALL SELECT da, db, 'audio' FROM apairs
       UNION ALL SELECT db, da, 'audio' FROM apairs
+      UNION ALL SELECT da, db, 'video' FROM vpairs
+      UNION ALL SELECT db, da, 'video' FROM vpairs
       UNION ALL SELECT da, db, 'text' FROM tpairs
       UNION ALL SELECT db, da, 'text' FROM tpairs
     ),
@@ -1480,6 +1611,7 @@ ORACLES["pipeline_multimodal_dedup"] = f"""
       SELECT doc_id, min(partner) AS mp,
              sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS ni,
              sum(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN modality = 'video' THEN 1 ELSE 0 END) AS nv,
              sum(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) AS nt
       FROM sym GROUP BY doc_id
     )
@@ -1488,6 +1620,7 @@ ORACLES["pipeline_multimodal_dedup"] = f"""
            least(s.doc_id, coalesce(a.mp, s.doc_id)) != s.doc_id AS is_dup,
            CAST(coalesce(a.ni, 0) AS BIGINT) AS n_image_matches,
            CAST(coalesce(a.na, 0) AS BIGINT) AS n_audio_matches,
+           CAST(coalesce(a.nv, 0) AS BIGINT) AS n_video_matches,
            CAST(coalesce(a.nt, 0) AS BIGINT) AS n_text_matches
     FROM src s LEFT JOIN agg a USING (doc_id)
     ORDER BY s.doc_id"""
