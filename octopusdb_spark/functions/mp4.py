@@ -242,6 +242,42 @@ def _spec_totals(spec: dict | None) -> tuple:
     return n, dur, total
 
 
+# iTunes-style ilst metadata items the tag walk surfaces (the de-facto
+# standard MP4 tag layout: moov > udta > meta(mdir) > ilst > ©xxx >
+# data) — the crawl-metadata layer (VERDICT r15 #5)
+_ILST_TEXT_FIELDS = {
+    b"\xa9nam": "tag_title",
+    b"\xa9ART": "tag_artist",
+    b"\xa9alb": "tag_album",
+    b"\xa9day": "tag_date",
+}
+_ILST_BUILD_KEYS = (
+    ("title", b"\xa9nam"),
+    ("artist", b"\xa9ART"),
+    ("album", b"\xa9alb"),
+    ("date", b"\xa9day"),
+)
+
+
+def _udta(tags: dict) -> bytes:
+    """A real iTunes-style metadata subtree: udta > meta (fullbox,
+    mdir handler) > ilst, one item per present tag, each carrying a
+    'data' box with well-known type 1 (UTF-8) and locale 0."""
+    unknown = set(tags) - {k for k, _ in _ILST_BUILD_KEYS}
+    if unknown:
+        raise ValueError(f"unknown MP4 tag keys {sorted(unknown)}")
+    items = b""
+    for key, fourcc in _ILST_BUILD_KEYS:
+        if key in tags:
+            items += _box(fourcc, _full(
+                b"data", 0, 1,
+                struct.pack(">I", 0) + tags[key].encode("utf-8"),
+            ))
+    return _box(b"udta", _full(
+        b"meta", 0, 0, _hdlr(b"mdir", b"") + _box(b"ilst", items)
+    ))
+
+
 def build_mp4(
     brand: bytes = b"isom",
     timescale: int = 1000,
@@ -252,6 +288,7 @@ def build_mp4(
     mdat: bytes = b"",
     video_samples: dict | None = None,
     audio_samples: dict | None = None,
+    tags: dict | None = None,  # title/artist/album/date -> ilst subtree
 ) -> bytes:
     """A structurally real ISO-BMFF file: ftyp + free + moov (mvhd v0/v1
     per ``version``, one trak per present media kind) + a
@@ -286,7 +323,10 @@ def build_mp4(
             traks += _trak(version, tid, dur_a or duration, b"soun", fourcc,
                            0, 0, rate, rate, audio_samples, base + bytes_v)
             tid += 1
-        out += _box(b"moov", _mvhd(version, timescale, duration, tid) + traks)
+        udta = _udta(tags) if tags is not None else b""
+        out += _box(
+            b"moov", _mvhd(version, timescale, duration, tid) + traks + udta
+        )
         return out, len(out) + 16  # mdat body starts after the largesize hdr
 
     head, base = assemble(0)
@@ -832,6 +872,65 @@ def parse_mp4(payload: bytes) -> dict:
     }
 
 
+def parse_mp4_tags(payload: bytes) -> dict:
+    """STRICT iTunes-style tag walk (moov > udta > meta > ilst): pure
+    box arithmetic, no entropy decode. A file with no udta (or a udta
+    with no meta/ilst) returns n_tag_items=0 and null fields — absent
+    metadata is not malformed. Present-but-broken metadata RAISES
+    ValueError: truncated meta fullbox, unknown meta version, missing
+    or non-'mdir' hdlr, an ilst item without a 'data' child, a
+    truncated data box, a non-UTF-8 type code, invalid UTF-8. This is
+    a SEPARATE failure domain from ``parse_mp4``: callers record
+    tag_ok=False with the container metadata untouched — a junk tag
+    must not cost a crawl the stream's walkable geometry/duration."""
+    fields: dict = {v: None for v in _ILST_TEXT_FIELDS.values()}
+    moov = None
+    for t, s, e in _walk(payload, 0, len(payload)):
+        if t == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("MP4 without moov")
+    ud = _first(payload, moov[0], moov[1], b"udta")
+    if ud is None:
+        return {"n_tag_items": 0, **fields}
+    me = _first(payload, ud[0], ud[1], b"meta")
+    if me is None:
+        return {"n_tag_items": 0, **fields}
+    s, e = me
+    if e - s < 4:
+        raise ValueError("truncated MP4 meta fullbox")
+    if payload[s] != 0:
+        raise ValueError(f"unknown MP4 meta version {payload[s]}")
+    # meta is a FULLBOX: children start after the 4 version/flags bytes
+    hd = _first(payload, s + 4, e, b"hdlr")
+    if hd is None:
+        raise ValueError("MP4 meta without hdlr")
+    if payload[hd[0] + 8 : hd[0] + 12] != b"mdir":
+        raise ValueError("non-iTunes MP4 meta handler")
+    il = _first(payload, s + 4, e, b"ilst")
+    if il is None:
+        return {"n_tag_items": 0, **fields}
+    n = 0
+    for t, is_, ie in _walk(payload, il[0], il[1]):
+        d = _first(payload, is_, ie, b"data")
+        if d is None:
+            raise ValueError(f"MP4 ilst item {t!r} without data")
+        ds, de = d
+        if de - ds < 8:
+            raise ValueError("truncated MP4 data box")
+        dtype = struct.unpack_from(">I", payload, ds)[0]
+        if dtype != 1:
+            raise ValueError(f"unsupported MP4 data type {dtype}")
+        # UnicodeDecodeError is a ValueError subclass: invalid UTF-8
+        # raises within the same loud contract
+        val = payload[ds + 8 : de].decode("utf-8")
+        key = _ILST_TEXT_FIELDS.get(t)
+        if key is not None and fields[key] is None:
+            fields[key] = val
+        n += 1
+    return {"n_tag_items": n, **fields}
+
+
 def _stsc_runs(payload: bytes, s: int, e: int) -> list:
     """Validated stsc runs [(first_chunk, samples_per_chunk)...] — r14
     generalizes from the single-run layout to the full spec (real muxers
@@ -1242,6 +1341,15 @@ MP4_META_SCHEMA = T.StructType(
         T.StructField("video_h", T.IntegerType(), True),
         T.StructField("video_codec", T.StringType(), True),
         T.StructField("audio_codec", T.StringType(), True),
+        # the udta/meta/ilst tag layer (r16) — an INDEPENDENT failure
+        # domain: tag_ok=False + null tag fields on a malformed tag,
+        # container metadata untouched; decoded=False nulls everything
+        T.StructField("tag_ok", T.BooleanType(), True),
+        T.StructField("n_tag_items", T.IntegerType(), True),
+        T.StructField("tag_title", T.StringType(), True),
+        T.StructField("tag_artist", T.StringType(), True),
+        T.StructField("tag_album", T.StringType(), True),
+        T.StructField("tag_date", T.StringType(), True),
     ]
 )
 
@@ -1257,13 +1365,22 @@ def mp4_metadata(media_df: DataFrame) -> DataFrame:
         for pdf in it:
             out: dict = {f.name: [] for f in MP4_META_SCHEMA.fields}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
                 try:
-                    meta = parse_mp4(bytes(p))
+                    meta = parse_mp4(raw)
                 except (ValueError, struct.error, IndexError):
                     # IndexError in the catch list (ADVICE r13): belt and
                     # braces with the bounds checks above — one corrupt row
                     # must never kill the Arrow batch
                     meta = None
+                tags = None
+                tag_ok = None
+                if meta is not None:
+                    try:
+                        tags = parse_mp4_tags(raw)
+                        tag_ok = True
+                    except (ValueError, struct.error, IndexError):
+                        tag_ok = False
                 out["media_id"].append(int(mid))
                 out["container"].append("mp4")
                 out["decoded"].append(meta is not None)
@@ -1272,8 +1389,12 @@ def mp4_metadata(media_df: DataFrame) -> DataFrame:
                 for k in ("timescale", "duration_ms", "n_tracks",
                           "video_w", "video_h"):
                     out[k].append(meta[k] if meta else None)
+                out["tag_ok"].append(tag_ok)
+                for k in ("n_tag_items", "tag_title", "tag_artist",
+                          "tag_album", "tag_date"):
+                    out[k].append(tags[k] if tags else None)
             nullable_int = ("timescale", "duration_ms", "n_tracks",
-                            "video_w", "video_h")
+                            "video_w", "video_h", "n_tag_items")
             yield pd.DataFrame(
                 {
                     k: pd.array(v, dtype="Int64") if k in nullable_int else v

@@ -269,9 +269,17 @@ def q_multimodal_mp4_meta(spark, sf_dir):
     fourccs derive arithmetically from the first text bytes, and
     doc_id%9==4 rows are truncated mid-mdat so the malformed lane's
     loud fallback (decoded=false, null metadata) is ALSO hash-checked.
-    `parse_mp4` walks the boxes back executor-side (mapInPandas) — NO
-    bitstream decode, the documented codec-library boundary; the oracle
-    recomputes every field from the text bytes arithmetically."""
+    r16 adds the udta/meta/ilst TAG layer (VERDICT r15 #5): doc_id%4!=1
+    rows carry iTunes-style title/artist/album/date items (pure box
+    arithmetic, no entropy decode), doc_id%9==0 rows get their 'data'
+    box size corrupted so the tag layer's INDEPENDENT loud lane
+    (tag_ok=false, container fields intact) is hash-checked too.
+    `parse_mp4`/`parse_mp4_tags` walk the boxes back executor-side
+    (mapInPandas) — NO bitstream decode, the documented codec-library
+    boundary; the oracle recomputes every field from the text bytes
+    arithmetically."""
+    import struct as _struct
+
     from octopusdb_spark.functions.mp4 import build_mp4, mp4_metadata
 
     def payload_fn(did, b):
@@ -289,11 +297,29 @@ def q_multimodal_mp4_meta(spark, sf_dir):
         audio = None
         if did % 3 != 1:
             audio = ((b"mp4a", b"opus")[b[2] % 2], 48000)
+        tags = None
+        if did % 4 != 1 or did % 9 == 0:
+            tags = {
+                "title": f"title-{did}",
+                "artist": f"artist-{b[0] % 7}",
+                "album": f"album-{b[1] % 5}",
+                "date": str(1980 + did % 40),
+            }
         payload = build_mp4(
             b"isom" if did % 2 == 0 else b"mp42",
             timescale, duration, video=video, audio=audio,
-            version=version, mdat=b"\x00" * 16,
+            version=version, mdat=b"\x00" * 16, tags=tags,
         )
+        if did % 9 == 0:
+            # corrupt the ilst 'data' box size: the tag walk raises, the
+            # container walk (which never descends there) stays green
+            buf = bytearray(payload)
+            at = payload.index(b"data") - 4
+            _struct.pack_into(
+                ">I", buf, at,
+                _struct.unpack_from(">I", payload, at)[0] + 7,
+            )
+            payload = bytes(buf)
         if did % 9 == 4:
             payload = payload[:-6]  # truncate mid-mdat: loud fallback lane
         return payload, "video"
@@ -302,7 +328,8 @@ def q_multimodal_mp4_meta(spark, sf_dir):
     return meta.select(
         "media_id", "container", "decoded", "brand", "timescale",
         "duration_ms", "n_tracks", "video_w", "video_h",
-        "video_codec", "audio_codec",
+        "video_codec", "audio_codec", "tag_ok", "n_tag_items",
+        "tag_title", "tag_artist", "tag_album", "tag_date",
     ).orderBy("media_id")
 
 
@@ -633,20 +660,45 @@ def q_multimodal_mp3_meta(spark, sf_dir):
     tag (the skip path is under the hash because a mis-skip desyncs the
     walk), every third frame sets the padding bit (mis-sizing padding
     desyncs too), and doc_id%9==7 rows are truncated mid-frame so the
-    loud fallback is hash-checked. `parse_mp3` walks EVERY frame header
-    executor-side (mapInPandas) — NO entropy decode, the documented
-    codec-library boundary; duration is exact header arithmetic the
-    oracle replicates."""
-    from octopusdb_spark.functions.mp3 import build_mp3, mp3_metadata
+    loud fallback is hash-checked. r16 upgrades the tag to REAL ID3v2.3
+    text frames (VERDICT r15 #5): odd docs carry title/artist/album/
+    year (TIT2 in UTF-16-with-BOM when doc_id%4==1, latin-1 otherwise —
+    both encodings under the hash), and doc_id%9==2 rows carry a frame
+    whose declared size overruns the tag, so the tag layer's
+    INDEPENDENT loud lane (tag_ok=false, audio fields intact) is
+    hash-checked too. `parse_mp3` walks EVERY frame header and
+    `parse_id3v2_frames` every tag frame, executor-side (mapInPandas) —
+    NO entropy decode, the documented codec-library boundary; duration
+    is exact header arithmetic the oracle replicates."""
+    import struct as _struct
+
+    from octopusdb_spark.functions.mp3 import (
+        build_id3v2_frames,
+        build_mp3,
+        mp3_metadata,
+    )
 
     def payload_fn(did, b):
         n = len(b)
+        if did % 9 == 2:
+            # declared frame size overruns the tag: the tag walk raises,
+            # the syncsafe skip (which reads only the header) stays green
+            id3 = b"TIT2" + _struct.pack(">I", 9999) + b"\x00\x00\x00hi"
+        elif did % 2 == 1:
+            id3 = build_id3v2_frames([
+                ("TIT2", f"title-{did}", 1 if did % 4 == 1 else 0),
+                ("TPE1", f"artist-{b[0] % 7}"),
+                ("TALB", f"album-{b[1] % 5}"),
+                ("TYER", str(1980 + did % 40)),
+            ])
+        else:
+            id3 = b""
         payload = build_mp3(
             n_frames=n // 4 + 2,
             bitrate_kbps=(96, 128, 192, 256, 320)[b[0] % 5],
             sample_rate=(44100, 48000, 32000)[b[1] % 3],
             channel_mode=b[2] % 4,
-            id3_payload=(b"t" * (b[0] + 1)) if did % 2 == 1 else b"",
+            id3_payload=id3,
             pad_every=3,
         )
         if did % 9 == 7:
@@ -657,6 +709,8 @@ def q_multimodal_mp3_meta(spark, sf_dir):
     return meta.select(
         "media_id", "container", "decoded", "bitrate_kbps", "sample_rate",
         "channel_mode", "n_frames", "n_samples", "duration_ms",
+        "tag_ok", "n_tag_frames", "tag_title", "tag_artist",
+        "tag_album", "tag_year",
     ).orderBy("media_id")
 
 
@@ -1314,7 +1368,19 @@ ORACLES = {
                 WHEN b2 % 3 = 0 THEN 'avc1'
                 WHEN b2 % 3 = 1 THEN 'hev1' ELSE 'vp09' END AS video_codec,
            CASE WHEN doc_id % 9 = 4 OR doc_id % 3 = 1 THEN NULL
-                WHEN b2 % 2 = 0 THEN 'mp4a' ELSE 'opus' END AS audio_codec
+                WHEN b2 % 2 = 0 THEN 'mp4a' ELSE 'opus' END AS audio_codec,
+           CASE WHEN doc_id % 9 = 4 THEN NULL
+                ELSE doc_id % 9 != 0 END AS tag_ok,
+           CAST(CASE WHEN doc_id % 9 IN (4, 0) THEN NULL
+                WHEN doc_id % 4 = 1 THEN 0 ELSE 4 END AS INT) AS n_tag_items,
+           CASE WHEN doc_id % 9 IN (4, 0) OR doc_id % 4 = 1 THEN NULL
+                ELSE 'title-' || doc_id END AS tag_title,
+           CASE WHEN doc_id % 9 IN (4, 0) OR doc_id % 4 = 1 THEN NULL
+                ELSE 'artist-' || (b0 % 7) END AS tag_artist,
+           CASE WHEN doc_id % 9 IN (4, 0) OR doc_id % 4 = 1 THEN NULL
+                ELSE 'album-' || (b1 % 5) END AS tag_album,
+           CASE WHEN doc_id % 9 IN (4, 0) OR doc_id % 4 = 1 THEN NULL
+                ELSE CAST(1980 + doc_id % 40 AS VARCHAR) END AS tag_date
     FROM src ORDER BY media_id""",
     # arithmetic replication of the OGG/Opus walk: every field is a pure
     # function of (doc_id, n, first text bytes); the CRC/lacing/flag
@@ -1696,7 +1762,7 @@ ORACLES = {
       WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
     ),
     p AS (
-      SELECT doc_id, n,
+      SELECT doc_id, n, b0, b1,
              CASE b0 % 5 WHEN 0 THEN 96 WHEN 1 THEN 128 WHEN 2 THEN 192
                          WHEN 3 THEN 256 ELSE 320 END AS br,
              CASE b1 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
@@ -1718,7 +1784,20 @@ ORACLES = {
            CAST(CASE WHEN doc_id % 9 = 7 THEN NULL
                 ELSE nf * 1152 END AS BIGINT) AS n_samples,
            CAST(CASE WHEN doc_id % 9 = 7 THEN NULL
-                ELSE nf * 1152 * 1000 // sr END AS BIGINT) AS duration_ms
+                ELSE nf * 1152 * 1000 // sr END AS BIGINT) AS duration_ms,
+           CASE WHEN doc_id % 9 = 7 THEN NULL
+                ELSE doc_id % 9 != 2 END AS tag_ok,
+           CAST(CASE WHEN doc_id % 9 IN (7, 2) THEN NULL
+                WHEN doc_id % 2 = 1 THEN 4 ELSE 0 END AS INT)
+             AS n_tag_frames,
+           CASE WHEN doc_id % 9 IN (7, 2) OR doc_id % 2 = 0 THEN NULL
+                ELSE 'title-' || doc_id END AS tag_title,
+           CASE WHEN doc_id % 9 IN (7, 2) OR doc_id % 2 = 0 THEN NULL
+                ELSE 'artist-' || (b0 % 7) END AS tag_artist,
+           CASE WHEN doc_id % 9 IN (7, 2) OR doc_id % 2 = 0 THEN NULL
+                ELSE 'album-' || (b1 % 5) END AS tag_album,
+           CASE WHEN doc_id % 9 IN (7, 2) OR doc_id % 2 = 0 THEN NULL
+                ELSE CAST(1980 + doc_id % 40 AS VARCHAR) END AS tag_year
     FROM p ORDER BY media_id""",
     "multimodal_bytes": """
         SELECT doc_id,

@@ -103,3 +103,139 @@ def test_short_code_arrays_emit_zero_shingles(spark):
 
     with pytest.raises(PySparkException):
         df.select("media_id", shingle).collect()
+
+
+# ---------------------------------------------------------------- r16 tags
+
+
+def test_mp4_ilst_tag_roundtrip_and_failure_domain():
+    """udta/meta/ilst walk: real values back out; absent udta is a
+    vacuous success; a corrupted data-box size raises in the TAG walk
+    while the container walk stays green (independent domains)."""
+    import struct
+
+    from octopusdb_spark.functions.mp4 import (
+        build_mp4,
+        parse_mp4,
+        parse_mp4_tags,
+    )
+
+    p = build_mp4(
+        b"isom", 1000, 4000, video=(b"avc1", 64, 48), mdat=b"\x00" * 8,
+        tags={"title": "t", "artist": "a", "album": "l", "date": "2001"},
+    )
+    tags = parse_mp4_tags(p)
+    assert tags == {
+        "n_tag_items": 4, "tag_title": "t", "tag_artist": "a",
+        "tag_album": "l", "tag_date": "2001",
+    }
+    bare = build_mp4(b"isom", 1000, 0, video=(b"avc1", 64, 48), mdat=b"x")
+    assert parse_mp4_tags(bare)["n_tag_items"] == 0
+
+    buf = bytearray(p)
+    at = p.index(b"data") - 4
+    struct.pack_into(">I", buf, at, struct.unpack_from(">I", p, at)[0] + 7)
+    with pytest.raises(ValueError):
+        parse_mp4_tags(bytes(buf))
+    assert parse_mp4(bytes(buf))["duration_ms"] == 4000  # container intact
+
+    with pytest.raises(ValueError, match="unknown MP4 tag keys"):
+        build_mp4(tags={"composer": "x"}, video=(b"avc1", 8, 8))
+
+
+def test_id3v2_tag_roundtrip_and_malformed_classes():
+    from octopusdb_spark.functions.mp3 import (
+        build_id3v2_frames,
+        build_mp3,
+        parse_id3v2_frames,
+        parse_mp3,
+    )
+    import struct
+
+    frames = build_id3v2_frames([
+        ("TIT2", "ttl", 1),  # UTF-16 with BOM
+        ("TPE1", "art"), ("TALB", "alb"), ("TYER", "1999"),
+    ])
+    s = build_mp3(4, 128, 44100, id3_payload=frames)
+    got = parse_id3v2_frames(s)
+    assert got["n_tag_frames"] == 4 and got["tag_title"] == "ttl"
+    assert got["tag_year"] == "1999"
+    assert parse_mp3(s)["n_frames"] == 4  # skip path unaffected
+    assert parse_id3v2_frames(build_mp3(2, 128, 44100))["n_tag_frames"] == 0
+
+    def tag(body):
+        return build_mp3(2, 128, 44100, id3_payload=body)
+
+    overrun = b"TIT2" + struct.pack(">I", 9999) + b"\x00\x00\x00x"
+    bad_id = b"ti!2" + struct.pack(">I", 2) + b"\x00\x00\x00x"
+    compressed = b"TIT2" + struct.pack(">I", 2) + b"\x00\x80\x00x"
+    bad_enc = b"TIT2" + struct.pack(">I", 2) + b"\x00\x00\x07x"
+    no_bom = b"TIT2" + struct.pack(">I", 3) + b"\x00\x00\x01xy"
+    for bad, msg in [
+        (tag(overrun), "overruns"),
+        (tag(bad_id), "frame id"),
+        (tag(compressed), "compressed/encrypted"),
+        (tag(bad_enc), "encoding"),
+        (tag(no_bom), "BOM"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_id3v2_frames(bad)
+        parse_mp3(bad)  # the audio walk must not care
+    # unsupported revision and unsync flag
+    rev = bytearray(tag(overrun))
+    rev[3] = 9
+    with pytest.raises(ValueError, match="revision"):
+        parse_id3v2_frames(bytes(rev))
+    uns = bytearray(tag(overrun))
+    uns[5] = 0x80
+    with pytest.raises(ValueError, match="unsynchronised"):
+        parse_id3v2_frames(bytes(uns))
+    # zero-byte padding terminates the walk cleanly
+    padded = tag(build_id3v2_frames([("TIT2", "x")]) + b"\x00" * 24)
+    assert parse_id3v2_frames(padded)["n_tag_frames"] == 1
+
+
+def test_tag_layer_is_independent_on_the_spark_surface(spark):
+    """mp3_metadata / mp4_metadata: a malformed tag records
+    tag_ok=False with the audio/container fields REAL; decoded=False
+    still nulls everything including the tag columns."""
+    import struct
+
+    from octopusdb_spark.functions.mp3 import build_mp3, mp3_metadata
+    from octopusdb_spark.functions.mp4 import build_mp4, mp4_metadata
+    from pyspark.sql import types as T
+
+    media_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+    bad_tag = b"TIT2" + struct.pack(">I", 9999) + b"\x00\x00\x00x"
+    rows3 = [
+        (1, build_mp3(5, 128, 44100, id3_payload=bad_tag)),
+        (2, build_mp3(5, 128, 44100)[:-5]),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in mp3_metadata(
+            spark.createDataFrame(rows3, media_schema)
+        ).collect()
+    }
+    assert out[1]["decoded"] and out[1]["n_frames"] == 5
+    assert out[1]["tag_ok"] is False and out[1]["tag_title"] is None
+    assert not out[2]["decoded"] and out[2]["tag_ok"] is None
+
+    p = build_mp4(b"isom", 1000, 3000, video=(b"avc1", 32, 32),
+                  mdat=b"\x00" * 8, tags={"title": "q"})
+    buf = bytearray(p)
+    at = p.index(b"data") - 4
+    struct.pack_into(">I", buf, at, struct.unpack_from(">I", p, at)[0] + 7)
+    rows4 = [(1, bytes(buf)), (2, p)]
+    out4 = {
+        r["media_id"]: r
+        for r in mp4_metadata(
+            spark.createDataFrame(rows4, media_schema)
+        ).collect()
+    }
+    assert out4[1]["decoded"] and out4[1]["duration_ms"] == 3000
+    assert out4[1]["tag_ok"] is False and out4[1]["tag_title"] is None
+    assert out4[2]["tag_ok"] and out4[2]["tag_title"] == "q"
