@@ -578,27 +578,34 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Online IMAGE near-dup rejection at ingest (r15) — the perceptual
-    sibling of `stream_dedup_ingest`, completing the twin family for
-    the round's `dedup_image_phash` operator: arriving images
-    (doc_id % 5 == 0, brightness-shifted +40 so the invariance is part
-    of what's tested) ride a file stream; each payload is decoded and
-    dHashed INSIDE the stream via the same Arrow-batched mapInPandas
-    lane the batch row uses (stateless — no streaming aggregation, no
-    state store), exploded into the 4 x 16-bit bands, and a
-    stream-static join against the static corpus's banded index
-    (doc_id % 5 != 0, checkpointed once) surfaces colliding bands; the
-    exact hamming <= 3 re-score rides the joined row (bit_count over
-    xor, still stateless). Identical hashes, bands, and threshold as
-    the batch row, so stream and batch image dedup agree by
-    construction; the banded plan finds exactly the cross join's pairs
-    (pigeonhole at hamming 3). Checked output: per-source
-    arrivals/rejected/accepted counts (batching-independent).
+    """Online IMAGE near-dup rejection at ingest (r15; UPDATABLE index
+    r16) — the perceptual sibling of `stream_dedup_ingest`: arriving
+    images (doc_id % 5 == 0, brightness-shifted +40 so the invariance
+    is part of what's tested) ride a file stream; each payload is
+    decoded and dHashed INSIDE the stream via the same Arrow-batched
+    mapInPandas lane the batch row uses, exploded into the 4 x 16-bit
+    bands, and — per VERDICT r15 #6 — joined in foreachBatch against a
+    parquet-backed band index that STARTS as the static corpus
+    (doc_id % 5 != 0) and GROWS: every micro-batch appends its observed
+    arrival hashes, so a dup of an EARLIER ARRIVAL is rejected too
+    (the frozen-parameter append pattern of `functions/ann_index.py`,
+    here for the perceptual index). Arrival patterns are keyed by
+    (doc_id % 30) // 5, making arrivals d and d+30 brightness-twin
+    PAIRS that only the updated index can catch; the arrival files are
+    split < 30 / >= 30 with ordered mtimes + maxFilesPerTrigger=1 so
+    the twins genuinely cross a batch boundary. The rejection rule is
+    batching-independent by construction: an arrival is rejected iff
+    it hamming<=3-matches the static corpus OR any SMALLER-doc_id
+    arrival — earlier batches live in the index, same-batch earlier
+    ids via the in-batch banded self-join — so any batching yields the
+    same verdicts. Same hashes, bands, and threshold as the batch row.
+    Checked output: per-source arrivals/rejected/accepted counts.
 
-    100 TB shape: decode+hash is map-only per micro-batch; the static
-    index is one row per (image, band); the join is a band-bucket
-    equi-join; the memory sink holds only collision rows. No all-pairs
-    anything."""
+    100 TB shape: decode+hash is map-only per micro-batch; the index
+    is one parquet row per (image, band), appended not rewritten; the
+    joins are band-bucket equi-joins. No all-pairs anything."""
+    import os
+
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -610,19 +617,30 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("payload", T.BinaryType(), False),
     ])
 
-    def builder(delta: int):
-        def build(it):
-            for pdf in it:
-                ids, payloads = [], []
-                for did, text in zip(pdf["doc_id"], pdf["text"]):
-                    b = text.encode("utf-8")
-                    ids.append(int(did))
-                    payloads.append(encode_ppm(pattern_rgb(
-                        b[0] % 5 + 1, b[1] % 5 + 1, b[2] % 3 + 1,
-                        int(did) % 97, delta=delta,
-                    ), 72, 64))
-                yield pd.DataFrame({"media_id": ids, "payload": payloads})
-        return build
+    def build_static(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                ids.append(int(did))
+                payloads.append(encode_ppm(pattern_rgb(
+                    b[0] % 5 + 1, b[1] % 5 + 1, b[2] % 3 + 1,
+                    int(did) % 97, delta=0,
+                ), 72, 64))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    def build_arrivals(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                vg = (d % 30) // 5  # twin key: arrivals d and d+30 share it
+                ids.append(d)
+                payloads.append(encode_ppm(pattern_rgb(
+                    vg % 23 + 1, (vg * 7) % 19 + 1, vg % 3 + 1,
+                    (vg * 31) % 97, delta=40,
+                ), 72, 64))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     docs = (
         t(spark, sf_dir, "documents")
@@ -640,55 +658,91 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(4)
     ]
-    static_bands = (
-        image_hashes(
-            docs.filter(F.col("doc_id") % 5 != 0)
-            .select("doc_id", "text")
-            .repartition(8, "doc_id")
-            .mapInPandas(builder(0), media_schema)
-        )
-        .filter(F.col("decoded"))
-        .select(
-            F.col("dhash").alias("s_dhash"),
-            F.explode(F.array(*band_cols)).alias("bb"),
-        )
-        .select("s_dhash", "bb.band", "bb.bval")
-        .localCheckpoint(eager=True)
-    )
-    run_id = uuid.uuid4().hex[:12]
-    base = tempfile.mkdtemp(prefix=f"stream_image_dedup_{run_id}_")
-    try:
-        arrivals = docs.filter(F.col("doc_id") % 5 == 0)
-        src = f"{base}/src"
-        arrivals.select("doc_id", "text").coalesce(1).write.parquet(src)
-        stream = (
-            spark.readStream.schema("doc_id long, text string").parquet(src)
-            .mapInPandas(builder(40), media_schema)
-        )
-        collisions = (
-            image_hashes(stream)
-            .filter(F.col("decoded"))
+
+    def banded(hashed):
+        return (
+            hashed.filter(F.col("decoded"))
             .select(
                 F.col("media_id").alias("doc_id"), "dhash",
                 F.explode(F.array(*band_cols)).alias("bb"),
             )
             .select("doc_id", "dhash", "bb.band", "bb.bval")
-            .join(static_bands, ["band", "bval"])
-            .filter(
-                F.bit_count(F.col("dhash").bitwiseXOR(F.col("s_dhash"))) <= 3
-            )
-            .select("doc_id")
         )
-        name = f"stream_image_dedup_{run_id}"
+
+    run_id = uuid.uuid4().hex[:12]
+    base = tempfile.mkdtemp(prefix=f"stream_image_dedup_{run_id}_")
+    index_dir = f"{base}/index"
+    rej_dir = f"{base}/rejected"
+    try:
+        # seed the updatable index with the static corpus's bands
+        banded(
+            image_hashes(
+                docs.filter(F.col("doc_id") % 5 != 0)
+                .select("doc_id", "text")
+                .repartition(8, "doc_id")
+                .mapInPandas(build_static, media_schema)
+            )
+        ).select(
+            F.col("dhash").alias("s_dhash"), "band", "bval"
+        ).write.parquet(index_dir)
+        spark.createDataFrame([], "doc_id long").write.parquet(rej_dir)
+
+        arrivals = docs.filter(F.col("doc_id") % 5 == 0)
+        src = f"{base}/src"
+        # two arrival files with ordered mtimes: the < 30 originals land
+        # a batch BEFORE their >= 30 twins, so twin rejection requires
+        # the between-batch index append to actually work
+        arrivals.filter(F.col("doc_id") < 30).select("doc_id") \
+            .coalesce(1).write.mode("append").parquet(src)
+        first_files = {
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        }
+        arrivals.filter(F.col("doc_id") >= 30).select("doc_id") \
+            .coalesce(1).write.mode("append").parquet(src)
+        now = int(os.stat(src).st_mtime)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                early = f in first_files
+                os.utime(f"{src}/{f}", (now - 60, now - 60 if early else now))
+
+        stream = image_hashes(
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .mapInPandas(build_arrivals, media_schema)
+        ).filter(F.col("decoded")).select("media_id", "dhash", "decoded")
+
+        def process(batch_df, _batch_id):
+            bands = banded(batch_df).localCheckpoint(eager=True)
+            idx = spark.read.parquet(index_dir)
+            hit_index = (
+                bands.join(idx, ["band", "bval"])
+                .filter(F.bit_count(
+                    F.col("dhash").bitwiseXOR(F.col("s_dhash"))) <= 3)
+                .select("doc_id")
+            )
+            a, b = bands.alias("a"), bands.alias("b")
+            hit_earlier = (
+                a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bval") == F.col("b.bval"))
+                       & (F.col("a.doc_id") > F.col("b.doc_id")))
+                .filter(F.bit_count(
+                    F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))) <= 3)
+                .select(F.col("a.doc_id").alias("doc_id"))
+            )
+            hit_index.unionByName(hit_earlier).distinct() \
+                .write.mode("append").parquet(rej_dir)
+            # the index UPDATE: this batch's observed hashes join it
+            bands.select(F.col("dhash").alias("s_dhash"), "band", "bval") \
+                .write.mode("append").parquet(index_dir)
+
         q = (
-            collisions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", f"{base}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         _run_bounded(q)
-        rejected = spark.table(name).distinct()
+        rejected = spark.read.parquet(rej_dir).distinct()
         out = (
             arrivals.join(
                 rejected.withColumn("rej", F.lit(1)), "doc_id", "left"
@@ -705,10 +759,8 @@ def q_stream_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.collect(),
             "source string, n_arrivals long, n_rejected long, n_accepted long",
         )
-        spark.catalog.dropTempView(name)
         return result
     finally:
-        static_bands.unpersist()
         shutil.rmtree(base, ignore_errors=True)
 
 
@@ -1307,19 +1359,32 @@ ORACLES["stream_image_dedup"] = f"""
       FROM documents
       WHERE doc_id < 60 AND octet_length(encode(text)) BETWEEN 48 AND 599
     ),
-    params AS (
+    params AS (  -- arrivals (%5==0) are ((doc_id%30)//5)-keyed twin
+                 -- pairs d / d+30; statics ride their text bytes
       SELECT doc_id AS media_id,
              CASE WHEN doc_id % 5 = 0 THEN 40 ELSE 0 END AS delta,
-             b0 % 5 + 1 AS ax, b1 % 5 + 1 AS ay, b2 % 3 + 1 AS k,
-             doc_id % 97 AS c
+             CASE WHEN doc_id % 5 = 0
+                  THEN ((doc_id % 30) // 5) % 23 + 1
+                  ELSE b0 % 5 + 1 END AS ax,
+             CASE WHEN doc_id % 5 = 0
+                  THEN (((doc_id % 30) // 5) * 7) % 19 + 1
+                  ELSE b1 % 5 + 1 END AS ay,
+             CASE WHEN doc_id % 5 = 0
+                  THEN ((doc_id % 30) // 5) % 3 + 1
+                  ELSE b2 % 3 + 1 END AS k,
+             CASE WHEN doc_id % 5 = 0
+                  THEN (((doc_id % 30) // 5) * 31) % 97
+                  ELSE doc_id % 97 END AS c
       FROM g
     ),
     {_DHASH_CHAIN_SQL.lstrip()},
-    rejected AS (
+    rejected AS (  -- reject on a static match OR any smaller-doc_id
+                   -- arrival (the updatable-index semantics)
       SELECT DISTINCT a.media_id AS doc_id
-      FROM dh a JOIN dh s
-        ON a.media_id % 5 = 0 AND s.media_id % 5 != 0
-       AND bit_count(xor(a.dhash, s.dhash)) <= 3
+      FROM dh a JOIN dh o
+        ON a.media_id % 5 = 0
+       AND (o.media_id % 5 != 0 OR o.media_id < a.media_id)
+       AND bit_count(xor(a.dhash, o.dhash)) <= 3
     )
     SELECT g.source, count(*) AS n_arrivals,
            count(r.doc_id) AS n_rejected,
