@@ -189,10 +189,14 @@ def main() -> None:
         {
             "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": sf_val,
+            # 2-decimal medians (r15 verdict #7: the next documented
+            # headroom lever — the full-precision reading stays in the
+            # canonical head record)
             "calibration": {
-                k: calibration.get(k)
+                k: round(calibration[k], 2)
                 for k in ("median", "shuffle_median")
                 if isinstance(calibration, dict)
+                and isinstance(calibration.get(k), (int, float))
             },
         },
         separators=(",", ":"),
