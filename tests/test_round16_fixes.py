@@ -239,3 +239,36 @@ def test_tag_layer_is_independent_on_the_spark_surface(spark):
     assert out4[1]["decoded"] and out4[1]["duration_ms"] == 3000
     assert out4[1]["tag_ok"] is False and out4[1]["tag_title"] is None
     assert out4[2]["tag_ok"] and out4[2]["tag_title"] == "q"
+
+
+def test_stream_image_dedup_index_catches_earlier_arrivals(spark):
+    """The updatable-index mechanism itself: the stream runs in at
+    least two micro-batches (maxFilesPerTrigger=1 over the two
+    mtime-ordered arrival files), and a >= 30 twin is rejected even
+    though the static corpus never matches it — only the between-batch
+    index append can catch it."""
+    import octopusdb_spark.queries.stream_twin as st
+
+    progress = []
+    orig = st._run_bounded
+
+    def probe(q):
+        orig(q)
+        progress.append(len(q.recentProgress))
+
+    st._run_bounded = probe
+    try:
+        rows = {
+            r["source"]: r
+            for r in st.q_stream_image_dedup(
+                spark, "/root/testdata/sf0.01"
+            ).collect()
+        }
+    finally:
+        st._run_bounded = orig
+    assert progress and progress[0] >= 2  # the twins cross a batch boundary
+    # oracle-decomposed ground truth at sf0.01: arrivals 35/40/45/50/55
+    # are rejected ONLY via an earlier arrival (see the oracle's
+    # smaller-doc_id disjunct); their sources carry the rejections
+    assert sum(r["n_rejected"] for r in rows.values()) == 7
+    assert sum(r["n_arrivals"] for r in rows.values()) == 12
