@@ -26,9 +26,9 @@ from octopusdb_spark.queries.similarity import (
     _l2sq,
     _residual_of,
     _with_norm,
+    assign_centroids,
     kmeans_centroids,
     pq_train_codebooks,
-    rank_centroids,
 )
 
 
@@ -91,11 +91,9 @@ def build_ivf(
         cent = kmeans_centroids(emb, cent, iters=kmeans_iters)
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     cent_r = _read_centroids(emb.sparkSession, index_dir)
-    assigned = (
-        rank_centroids(emb, cent_r, keep=("embedding", "norm"), with_ct=True)
-        .filter(F.col("rn") == 1)
-        .select("cent_id", "vec_id", "embedding", "norm", "ct_emb")
-    )
+    assigned = assign_centroids(
+        emb, cent_r, keep=("embedding", "norm"), with_ct=True
+    ).select("cent_id", "vec_id", "embedding", "norm", "ct_emb")
     (
         assigned.select("cent_id", "vec_id", "embedding", "norm")
         .repartition("cent_id")
@@ -131,11 +129,9 @@ def append_ivf(
     )
     cent = _read_centroids(emb.sparkSession, index_dir)
     _check_batch_dim(emb, int(cent.select(F.size("ct_emb")).first()[0]), "append_ivf")
-    assigned = (
-        rank_centroids(emb, cent, keep=("embedding", "norm"), with_ct=True)
-        .filter(F.col("rn") == 1)
-        .select("cent_id", "vec_id", "embedding", "norm", "ct_emb")
-    )
+    assigned = assign_centroids(
+        emb, cent, keep=("embedding", "norm"), with_ct=True
+    ).select("cent_id", "vec_id", "embedding", "norm", "ct_emb")
     (
         assigned.select("cent_id", "vec_id", "embedding", "norm")
         .repartition("cent_id")
@@ -241,15 +237,13 @@ def _residual_base(emb: DataFrame, residual_ivf_dir: str) -> DataFrame:
     coarse quantizer — the residual-mode input to PQ seeding, training,
     and encoding. norm stays the RAW vector's norm (the ADC denominator)."""
     cent = _read_centroids(emb.sparkSession, residual_ivf_dir)
-    return (
-        rank_centroids(emb, cent, keep=("norm", "embedding"), with_ct=True)
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "norm",
-            "cent_id",
-            _residual_of(F.col("embedding"), F.col("ct_emb")).alias("embedding"),
-        )
+    return assign_centroids(
+        emb, cent, keep=("norm", "embedding"), with_ct=True
+    ).select(
+        "vec_id",
+        "norm",
+        "cent_id",
+        _residual_of(F.col("embedding"), F.col("ct_emb")).alias("embedding"),
     )
 
 

@@ -586,7 +586,11 @@ class KVStore:
             has_merge_operands=True if any_merge else None,
         )
         if value_rows:
-            vdf = self.spark.createDataFrame(value_rows, VALUES_SCHEMA)
+            # same one-slice discipline as the data write below: a driver-
+            # held batch writes one file without fanning 32 Python partitions
+            vdf = self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize(value_rows, 1), VALUES_SCHEMA
+            )
             vdf.write.mode("overwrite").parquet(vpath)
             total_bytes = sum(len(v) for _, v in value_rows)
             new_state.segments.append(
@@ -604,9 +608,20 @@ class KVStore:
                 )
             )
         dseg_id, dpath = self.manifest.new_segment_path("data")
-        ddf = self.spark.createDataFrame(data_rows, self._schema)
+        # sorted run, like an SST flush (A10). ONE slice, one sorted file —
+        # the batch is a driver-held list (bounded by the point-write
+        # contract), so a single sorted file IS the right segment layout at
+        # any scale, and it skips the range-sampling job + shuffle a global
+        # sort pays (r16 optimization, guide §2.4: 3 Spark jobs -> 1 per
+        # set/delete/merge batch, measured 0.65s -> 0.40s warm). NOTE:
+        # parallelize(.., 1), not coalesce(1) — coalescing a default-
+        # parallelism Python collection makes ONE task evaluate 32 Python
+        # partitions sequentially (measured 5s for 4 rows).
+        ddf = self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(data_rows, 1), self._schema
+        )
         (
-            ddf.sort("key", "version")  # sorted run, like an SST flush (A10)
+            ddf.sortWithinPartitions("key", "version")
             .write.mode("overwrite")
             .option("parquet.bloom.filter.enabled#key", "true")
             .parquet(dpath)
@@ -812,16 +827,20 @@ class KVStore:
         # replays idempotently via commit_tag. For bulk loads where
         # executor churn is expected, a reliable checkpoint dir trades one
         # extra write for restartability.
-        staged = staged_rows.localCheckpoint(eager=True)
+        # LAZY checkpoint + count(): the count job materializes every
+        # partition of the checkpoint (so the frozen-seq property is
+        # identical to the old eager checkpoint) AND doubles as the
+        # empty-batch probe — one job where eager-checkpoint + isEmpty was
+        # two (r16 optimization, guide §1.2: fewer passes; measured).
+        staged = staged_rows.localCheckpoint(eager=False)
         try:
             # Empty micro-batches are common under streaming ingest: bail
             # before allocating the ranged write (staging dir + _SUCCESS +
-            # stats job) — on a checkpointed frame this probe is block-local.
-            # Deliberately NO commit and NO batch-tag burn (pinned by
-            # test_empty_tagged_ingest_is_noop): an empty batch must leave
-            # the manifest untouched so a later replay of the same id that
-            # does carry rows still lands.
-            if staged.isEmpty():
+            # stats job). Deliberately NO commit and NO batch-tag burn
+            # (pinned by test_empty_tagged_ingest_is_noop): an empty batch
+            # must leave the manifest untouched so a later replay of the
+            # same id that does carry rows still lands.
+            if staged.count() == 0:
                 return 0
 
             data = staged.withColumn(

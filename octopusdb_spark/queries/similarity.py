@@ -76,6 +76,49 @@ def rank_centroids(emb: DataFrame, cent: DataFrame, keep=(), with_ct: bool = Fal
     return scored.withColumn("rn", F.row_number().over(w))
 
 
+def assign_centroids(
+    emb: DataFrame, cent: DataFrame, keep=(), with_ct: bool = False
+) -> DataFrame:
+    """``rank_centroids(...).filter(rn == 1)`` as a ``max_by`` AGGREGATION
+    instead of a row_number window (r16 optimization, guide §2.3/§2.4):
+    the same broadcast-K crossJoin scores each (vector, centroid) pair with
+    the same bit-identical sequential dot, but the winner per vector is
+    picked by ``max_by`` over the ordering struct (cos DESC ≡ max cos,
+    cent_id ASC ≡ max of -cent_id) — EXACTLY the window's
+    (desc cos, asc cent_id) tie-break, row for row (cent_id is unique per
+    vector, so the winner is always unique). The aggregation has a
+    map-side partial phase, so the shuffle carries ONE candidate row per
+    vector instead of the K scored rows (and any ``keep`` payload — e.g.
+    kmeans' 64-float embeddings — crosses the exchange once, not K times),
+    and the window's per-partition sort disappears. Probe queries
+    (rn <= nprobe) still use ``rank_centroids``, restricted to the bounded
+    query batch."""
+    payload = F.struct("cent_id", *(("ct_emb",) if with_ct else ()), *keep)
+    best = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            *keep,
+            "cent_id",
+            *(("ct_emb",) if with_ct else ()),
+            (
+                _dot(F.col("embedding"), F.col("ct_emb"))
+                / (F.col("norm") * F.col("ct_norm"))
+            ).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(payload, F.struct(F.col("cos"), -F.col("cent_id"))).alias("e")
+        )
+    )
+    return best.select(
+        "vec_id",
+        "e.cent_id",
+        *(("e.ct_emb",) if with_ct else ()),
+        *[F.col(f"e.{k}").alias(k) for k in keep],
+    )
+
+
 def _sign_bucket_slice(col, offset: int, nbits: int) -> Column:
     """Sign bits of coordinates [offset, offset+nbits) — one LSH table key."""
     total = F.lit(0)
@@ -224,7 +267,7 @@ def kmeans_centroids(emb: DataFrame, init: DataFrame, iters: int = KMEANS_ITERS)
 
     cent = init
     for _ in range(iters):
-        asg = rank_centroids(emb, cent, keep=("embedding",)).filter(F.col("rn") == 1)
+        asg = assign_centroids(emb, cent, keep=("embedding",))
         means = (
             asg.select("cent_id", F.posexplode("embedding").alias("dim", "x"))
             .groupBy("cent_id", "dim")
@@ -296,10 +339,11 @@ def q_sim_ann_ivf_kmeans(spark, sf_dir):
 
     emb = _with_norm(t(spark, sf_dir, "embeddings"))
     cent = trained_ivf_centroids(spark, sf_dir)
-    ranked = rank_centroids(emb, cent)
-    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
-    probes = ranked.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE_TRAINED)
+    # assignment: max_by agg over the corpus (no window sort, 1/K the
+    # shuffle); probe ranking: window over the bounded query batch only
+    assigned = assign_centroids(emb, cent).select("vec_id", "cent_id")
+    probes = rank_centroids(emb.filter(F.col("vec_id") < N_QUERIES), cent).filter(
+        F.col("rn") <= N_PROBE_TRAINED
     ).select(F.col("vec_id").alias("query_id"), "cent_id")
     cands = (
         probes.join(assigned, "cent_id")
@@ -408,12 +452,21 @@ def pq_train_codebooks(subvecs: DataFrame, init: DataFrame, iters: int = PQ_TRAI
     subvecs = subvecs.localCheckpoint(eager=True)
     codebook = init
     for _ in range(iters):
-        w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+        # nearest codeword per (vec, subspace) via min_by agg, not a
+        # row_number window (r16, guide §2.3/§2.4): min over the ordering
+        # struct (d2 ASC, code ASC) is the window's exact tie-break — the
+        # winner is unique (code is unique per (vec, m)) — and the partial
+        # agg collapses the K scored rows map-side instead of sorting and
+        # shuffling all of them.
         asg = (
             subvecs.join(F.broadcast(codebook), "m")
             .select("vec_id", "m", "sv", "code", _l2sq(F.col("sv"), F.col("cw")).alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id", "m")
+            .agg(F.min_by(F.struct("code", "sv"), F.struct("d2", "code")).alias("e"))
+            .select(
+                "vec_id", "m",
+                F.col("e.code").alias("code"), F.col("e.sv").alias("sv"),
+            )
         )
         means = (
             asg.select("m", "code", F.posexplode("sv").alias("dim", "x"))
@@ -521,14 +574,12 @@ def trained_residual_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % PQ_TRAIN_SAMPLE_MOD == 1)
         | ((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + IVFPQ_K))
     )
-    res = (
-        rank_centroids(picked, cent, keep=("norm", "embedding"), with_ct=True)
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "norm",
-            _residual_of(F.col("embedding"), F.col("ct_emb")).alias("rv"),
-        )
+    res = assign_centroids(
+        picked, cent, keep=("norm", "embedding"), with_ct=True
+    ).select(
+        "vec_id",
+        "norm",
+        _residual_of(F.col("embedding"), F.col("ct_emb")).alias("rv"),
     )
     rsub = _explode_subvecs(res, "rv")
     rseed = rsub.filter(
@@ -592,13 +643,16 @@ def q_sim_ann_pq(spark, sf_dir):
     # trained once per (session, sf_dir), shared with sim_ann_ivfpq
     subvecs, _ = pq_seed_and_subvecs(emb)
     codebook = trained_pq_codebook(spark, sf_dir)
-    # encode: nearest codeword per (vec, subspace); ties -> smallest code
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+    # encode: nearest codeword per (vec, subspace); ties -> smallest code.
+    # min_by agg over the ordering struct (d2 ASC, code ASC) — the window's
+    # exact tie-break with a map-side partial phase instead of a sort over
+    # the full (vec, subspace, codeword) cross (r16, guide §2.3/§2.4)
     codes = (
         subvecs.join(F.broadcast(codebook), "m")
         .select("vec_id", "norm", "m", "code", _l2sq(F.col("sv"), F.col("cw")).alias("d2"))
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "m")
+        .agg(F.min_by(F.struct("code", "norm"), F.struct("d2", "code")).alias("e"))
+        .select("vec_id", "m", F.col("e.code").alias("code"), F.col("e.norm").alias("norm"))
         .groupBy("vec_id")
         .agg(
             F.transform(
@@ -724,10 +778,11 @@ def q_sim_ann_ivfpq(spark, sf_dir):
     # coarse quantizer: trained IVF centroids — the SAME memoized frame
     # sim_ann_ivf_kmeans uses (one training per session/sf_dir)
     cent = trained_ivf_centroids(spark, sf_dir)
-    ranked = rank_centroids(emb, cent)
-    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
-    probes = ranked.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE_TRAINED)
+    # assignment: max_by agg over the corpus; probe ranking: window over
+    # the bounded query batch only (r16, guide §2.3/§2.4)
+    assigned = assign_centroids(emb, cent).select("vec_id", "cent_id")
+    probes = rank_centroids(emb.filter(F.col("vec_id") < N_QUERIES), cent).filter(
+        F.col("rn") <= N_PROBE_TRAINED
     ).select(F.col("vec_id").alias("query_id"), "cent_id")
     # PQ compression: residual-trained codebooks (memoized) + residual
     # codes for the probed lists' candidates only
@@ -762,12 +817,13 @@ def q_sim_ann_ivfpq(spark, sf_dir):
         )
     )
     cand_subvecs = _explode_subvecs(cand_res, "rv")
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("code"))
+    # same min_by rewrite as the raw-vector encode (r16, guide §2.3/§2.4)
     codes = (
         cand_subvecs.join(F.broadcast(codebook), "m")
         .select("vec_id", "norm", "m", "code", _l2sq(F.col("sv"), F.col("cw")).alias("d2"))
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "m")
+        .agg(F.min_by(F.struct("code", "norm"), F.struct("d2", "code")).alias("e"))
+        .select("vec_id", "m", F.col("e.code").alias("code"), F.col("e.norm").alias("norm"))
         .groupBy("vec_id")
         .agg(
             F.transform(
@@ -965,10 +1021,14 @@ def q_sim_ann_filtered(spark, sf_dir):
         F.col("embedding").alias("ct_emb"),
         F.col("norm").alias("ct_norm"),
     )
-    ranked = rank_centroids(emb, cent, keep=("label",))
-    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id", "label")
+    # assignment: max_by agg over the corpus; probe ranking: window over
+    # the bounded query batch only (r16, guide §2.3/§2.4)
+    assigned = assign_centroids(emb, cent, keep=("label",)).select(
+        "vec_id", "cent_id", "label"
+    )
     probes = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE_FILTERED))
+        rank_centroids(emb.filter(F.col("vec_id") < N_QUERIES), cent)
+        .filter(F.col("rn") <= N_PROBE_FILTERED)
         .select(
             F.col("vec_id").alias("query_id"),
             (F.col("vec_id") % 10).alias("target_label"),
@@ -1124,29 +1184,55 @@ def q_dedup_semantic(spark, sf_dir):
     audit join, so no pair survives past its cluster's local check."""
     emb = _with_norm(t(spark, sf_dir, "embeddings"))
     cent = trained_ivf_centroids(spark, sf_dir)
-    assigned = (
-        rank_centroids(emb, cent, keep=("embedding", "norm"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id", "embedding", "norm")
+    assigned = assign_centroids(emb, cent, keep=("embedding", "norm")).select(
+        "vec_id", "cent_id", "embedding", "norm"
     )
-    lo = assigned.select(
-        F.col("cent_id"),
-        F.col("vec_id").alias("lo_id"),
-        F.col("embedding").alias("lo_emb"),
-        F.col("norm").alias("lo_norm"),
-    )
+    # Within-cluster pairwise scoring as ONE vectorized numpy pass per
+    # cluster (r16 optimization, guide §4.2/§8): the relational shape —
+    # cent_id-keyed self-join + an interpreted zip_with/aggregate dot per
+    # pair — evaluated Σ|cluster|² higher-order-function dots row by row
+    # (measured ~3.9 s at sf0.1; the HOF dot runs ~100k pairs/s
+    # interpreted). Here each cluster's pair grid is scored by 64 rank-1
+    # numpy updates with EXACTLY the fold's accumulation order:
+    # acc starts at 0.0 and adds p_d in dimension order, so every pair's
+    # cosine is bit-identical to _dot(a,b)/(na*nb) — same float32→float64
+    # widening, same IEEE product, same left-to-right sum, same division.
+    # The drop rule (some lower-id cluster-mate with cos >= thresh) and
+    # the result set are unchanged — oracle-verified. Scale shape is the
+    # same Σ|cluster|² bound, now at GEMM speed; the row-block loop keeps
+    # peak memory at BLOCK×|cluster| doubles per task.
+    def _cluster_drops(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.array(pdf["embedding"].to_list(), dtype=np.float64)[order]
+        norms = pdf["norm"].to_numpy(np.float64)[order]
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        block = 2048
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            # acc[i, j] accumulates sum_d m[lo+i, d] * m[j, d] in d order —
+            # the exact left fold of _dot (0.0 + p0 + p1 + ...)
+            acc = np.zeros((hi - lo, n))
+            for d in range(m.shape[1]):
+                acc += np.outer(m[lo:hi, d], m[:, d])
+            cos = acc / np.outer(norms[lo:hi], norms)
+            # Spark comparison semantics: NaN compares greater than any
+            # value, so NaN >= thresh is true (numpy would say False)
+            qual = (cos >= SEMDEDUP_THRESH) | np.isnan(cos)
+            # a row i drops a column j iff ids[i] < ids[j] (strictly lower id)
+            qual &= ids[lo:hi, None] < ids[None, :]
+            dropped |= qual.any(axis=0)
+        return pd.DataFrame({"vec_id": ids[dropped]})
+
     dropped = (
-        assigned.join(lo, "cent_id")
-        .filter(
-            (F.col("lo_id") < F.col("vec_id"))
-            & (
-                _dot(F.col("embedding"), F.col("lo_emb"))
-                / (F.col("norm") * F.col("lo_norm"))
-                >= F.lit(SEMDEDUP_THRESH)
-            )
-        )
-        .select("vec_id")
-        .distinct()
+        assigned.select("cent_id", "vec_id", "embedding", "norm")
+        .groupBy("cent_id")
+        .applyInPandas(_cluster_drops, "vec_id long")
     )
     return (
         assigned.join(

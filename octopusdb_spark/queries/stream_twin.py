@@ -788,15 +788,20 @@ def q_stream_semantic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SEMDEDUP_THRESH,
         _dot,
         _with_norm,
-        rank_centroids,
+        assign_centroids,
         trained_ivf_centroids,
     )
 
     emb = _with_norm(t(spark, sf_dir, "embeddings"))
     cent = trained_ivf_centroids(spark, sf_dir)
+    # assignment via max_by agg (r16, guide §2.3/§2.4); the corpus-split
+    # filter moves BEFORE assignment — per-vector assignment is independent,
+    # so the filtered result is row-identical and the discarded split never
+    # crosses the exchange
     static_idx = (
-        rank_centroids(emb, cent, keep=("embedding", "norm"))
-        .filter((F.col("rn") == 1) & (F.col("vec_id") % 5 != 0))
+        assign_centroids(
+            emb.filter(F.col("vec_id") % 5 != 0), cent, keep=("embedding", "norm")
+        )
         .select(
             F.col("cent_id").alias("s_cent"),
             F.col("embedding").alias("s_emb"),
