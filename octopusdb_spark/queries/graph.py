@@ -399,7 +399,16 @@ def q_graph_scc(spark, sf_dir):
     live_edges = (
         e0.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
     )
-    assigned = spark.createDataFrame([], "node long, scc long")
+    # r16 optimization (guide §1.2: fewer passes): the assigned set is
+    # accumulated as a python list of frames over FROZEN (checkpointed)
+    # inputs and unioned once at the end — the old per-round
+    # assigned-union checkpoint was a whole job that materialized nothing
+    # new. (A bolder rewrite — lazy anti-join frontiers replacing the
+    # improved/new_marks checkpoints — was tried and MEASURED SLOWER:
+    # 90 -> 105 jobs, the anti-join isEmpty probes out-cost the
+    # checkpoints they replaced; reverted.) Same algorithm, same
+    # supersteps, same (unique) SCC labeling.
+    assigned_parts: list = []
     for _round in range(64):
         # -- trim trivial SCCs (no in- or no out-edge in the live graph)
         while True:
@@ -412,9 +421,10 @@ def q_graph_scc(spark, sf_dir):
             trivial = live_nodes.join(cyclic, "node", "left_anti")
             if trivial.isEmpty():
                 break
-            assigned = assigned.unionByName(
+            # trivial reads two FROZEN frames — safe to defer to the end
+            assigned_parts.append(
                 trivial.select("node", F.col("node").alias("scc"))
-            ).localCheckpoint(eager=True)
+            )
             live_nodes = cyclic
             live_edges = (
                 live_edges.join(cyclic, live_edges.src == cyclic.node, "left_semi")
@@ -484,9 +494,7 @@ def q_graph_scc(spark, sf_dir):
                 break
             marked = marked.unionByName(new_marks).localCheckpoint(eager=True)
             mfrontier = new_marks
-        assigned = assigned.unionByName(
-            marked.select("node", F.col("color").alias("scc"))
-        ).localCheckpoint(eager=True)
+        assigned_parts.append(marked.select("node", F.col("color").alias("scc")))
         live_nodes = live_nodes.join(marked, "node", "left_anti").localCheckpoint(
             eager=True
         )
@@ -499,6 +507,9 @@ def q_graph_scc(spark, sf_dir):
             break
     else:
         raise RuntimeError("graph_scc did not converge within 64 peel rounds")
+    assigned = spark.createDataFrame([], "node long, scc long")
+    for part in assigned_parts:
+        assigned = assigned.unionByName(part)
     return assigned.orderBy("node")
 
 
@@ -533,7 +544,6 @@ def q_graph_lpa(spark, sf_dir):
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    w = Window.partitionBy("n2").orderBy(F.desc("c"), F.asc("label"))
     prev_ckpt = None
     for _ in range(LPA_ROUNDS):
         # superstep: each node's label to its neighbors; group_extra turns
@@ -545,10 +555,15 @@ def q_graph_lpa(spark, sf_dir):
             group_extra=("label",),
             agg=[F.count("*").alias("c")],
         ).withColumnRenamed("node", "n2")
-        pick = (
-            freq.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("n2", F.col("label").alias("new_label"))
+        # histogram argmax via max_by agg, not a row_number window (r16,
+        # guide §2.3/§2.4): max over the ordering struct (c, -label) IS
+        # the window's (c DESC, label ASC) tie-break — unique winner
+        # (one histogram row per (node, label)) — with a map-side partial
+        # phase and no sort
+        pick = freq.groupBy("n2").agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("c"), -F.col("label"))
+            ).alias("new_label")
         )
         labels = (
             labels.join(pick, labels.node == F.col("n2"), "left")

@@ -524,18 +524,34 @@ def q_pipeline_pretrain_v2(spark, sf_dir):
     canon = surv0.groupBy(F.md5("text").alias("fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    surv = surv0.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # Narrow survivor materialization (r16 optimization, guide §3.3/§8):
+    # downstream stages reference the survivor set FOUR times (the dedup
+    # semi-join's both sides, the mixture-rate recount, the keep filter,
+    # and the pack's two prefix-sum branches), and each reference used to
+    # re-evaluate the whole filter chain — the explain held ~154 Exchange
+    # nodes from the duplicated subtrees. Every downstream decision needs
+    # only (doc_id, source, bucket, toks) — ~32 bytes/doc, the "decide
+    # with small rows" proxy — so compute exactly those once, checkpoint,
+    # and let every stage read the materialized narrow frame. Values are
+    # unchanged: bucket/toks are the same expressions previously computed
+    # inline (oracle-verified).
+    surv = (
+        surv0.join(canon.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "source",
+            mixture_bucket().alias("bucket"),
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+        )
+        .localCheckpoint(eager=True)
+    )
     # stage 4: temperature mixture over SURVIVORS (the shared
     # q_domain_mixture machinery, rates recomputed from survivor counts)
     rates = mixture_rates(surv.groupBy("source").agg(F.count("*").alias("n")))
     mixed = (
-        surv.withColumn("bucket", mixture_bucket())
-        .join(rates, "source")
+        surv.join(rates, "source")
         .filter(mixture_keep_cond())
-        .select(
-            "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("toks"),
-        )
+        .select("doc_id", "toks")
     )
     # stage 5: token-budget packing (shared two-phase prefix sum)
     packed = token_budget_pack(mixed)
