@@ -24,6 +24,8 @@ tie order is irrelevant and the session partition is deterministic.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import shutil
 import tempfile
 import uuid
@@ -37,6 +39,30 @@ from octopusdb_spark.streaming.stateful import dedup_stream, sessionize_stream
 GAP_SECONDS = 1800
 # far enough past every event (data ends 2024-01-30) to breach any gap
 _SENTINEL_US = 4_102_444_800_000_000  # 2100-01-01T00:00:00Z in microseconds
+
+@contextlib.contextmanager
+def _bounded_state_partitions(spark: SparkSession, key_domain: int):
+    """Scope the stateful-aggregation shuffle down for a streaming query
+    whose state key domain is BOUNDED by construction (r16, guide §2.2/§2.4:
+    fewer, larger partitions; state-store open/commit is a per-partition
+    per-micro-batch fixed cost). The partition count is frozen into the
+    query's checkpoint at first start, so it must be set before .start().
+
+    Only valid when the domain does not grow with data size (e.g. the 256
+    HLL registers): upstream stateless work keeps full scan parallelism and
+    the partial aggregation reduces each task's output to <= key_domain
+    rows before the exchange, so a small constant partition count is right
+    at any input scale. Parameterised via SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    (default 8), clamped to the domain."""
+    n = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    n = max(1, min(n, key_domain))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 def _run_bounded(q) -> None:
     """Wait for an availableNow run to finish, loudly. A silent timeout
@@ -1129,15 +1155,18 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("rho").alias("reg"))
         )
         name = f"stream_hll_{run_id}"
-        q = (
-            regs.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .start()
-        )
-        _run_bounded(q)
+        # state domain is 256 registers by construction -> small constant
+        # state-partition count (r16; see _bounded_state_partitions)
+        with _bounded_state_partitions(spark, key_domain=256):
+            q = (
+                regs.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .start()
+            )
+            _run_bounded(q)
         rows = spark.table(name).collect()
         spark.catalog.dropTempView(name)
         regs_df = spark.createDataFrame(

@@ -272,3 +272,28 @@ def test_stream_image_dedup_index_catches_earlier_arrivals(spark):
     # smaller-doc_id disjunct); their sources carry the rejections
     assert sum(r["n_rejected"] for r in rows.values()) == 7
     assert sum(r["n_arrivals"] for r in rows.values()) == 12
+
+
+def test_bounded_state_partitions_scopes_and_restores(spark, monkeypatch):
+    """r16 optimization: the bounded-domain streaming state-partition
+    scope must (a) clamp to the key domain, (b) apply inside the block,
+    and (c) restore the session value even on error — a leaked shrunken
+    shuffle.partitions would silently deparallelize every later query."""
+    import pytest
+
+    from octopusdb_spark.queries.stream_twin import _bounded_state_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with _bounded_state_partitions(spark, key_domain=256):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "64")
+    with _bounded_state_partitions(spark, key_domain=4):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    with pytest.raises(RuntimeError):
+        with _bounded_state_partitions(spark, key_domain=256):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
