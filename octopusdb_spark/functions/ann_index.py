@@ -91,17 +91,29 @@ def build_ivf(
         cent = kmeans_centroids(emb, cent, iters=kmeans_iters)
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     cent_r = _read_centroids(emb.sparkSession, index_dir)
-    assigned = assign_centroids(
-        emb, cent_r, keep=("embedding", "norm"), with_ct=True
-    ).select("cent_id", "vec_id", "embedding", "norm", "ct_emb")
+    assigned = assign_centroids(emb, cent_r, keep=("embedding", "norm")).select(
+        "cent_id", "vec_id", "embedding", "norm"
+    )
     (
-        assigned.select("cent_id", "vec_id", "embedding", "norm")
+        assigned
         .repartition("cent_id")
         .write.mode("overwrite")
         .partitionBy("cent_id")
         .parquet(f"{index_dir}/lists")
     )
-    _write_list_stats(assigned, index_dir, "build", "overwrite")
+    # Stats read the WRITTEN lists (the build's own materialization) joined
+    # back to the broadcast centroids for ct_emb, instead of re-running the
+    # corpus assignment pass a second time (r16, guide §1.2/§8: the lists
+    # write already decided cent_id per row — reuse it). Per-row res_norm
+    # arithmetic is unchanged (same doubles, same fold), and the DECIMAL
+    # sum is order-independent, so the ledger bytes are identical.
+    written = emb.sparkSession.read.parquet(f"{index_dir}/lists")
+    _write_list_stats(
+        written.join(F.broadcast(cent_r.select("cent_id", "ct_emb")), "cent_id"),
+        index_dir,
+        "build",
+        "overwrite",
+    )
 
 
 def append_ivf(
@@ -129,9 +141,16 @@ def append_ivf(
     )
     cent = _read_centroids(emb.sparkSession, index_dir)
     _check_batch_dim(emb, int(cent.select(F.size("ct_emb")).first()[0]), "append_ivf")
-    assigned = assign_centroids(
-        emb, cent, keep=("embedding", "norm"), with_ct=True
-    ).select("cent_id", "vec_id", "embedding", "norm", "ct_emb")
+    # ONE assignment pass over the batch: the lazy localCheckpoint
+    # materializes during the lists write, and the stats ledger reads the
+    # same frozen blocks instead of re-running the broadcast assignment
+    # (r16, guide §1.2). Batch-sized (never the corpus), so checkpoint
+    # storage is bounded by the append itself.
+    assigned = (
+        assign_centroids(emb, cent, keep=("embedding", "norm"), with_ct=True)
+        .select("cent_id", "vec_id", "embedding", "norm", "ct_emb")
+        .localCheckpoint(eager=False)
+    )
     (
         assigned.select("cent_id", "vec_id", "embedding", "norm")
         .repartition("cent_id")
@@ -370,13 +389,19 @@ def query_ivf(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_emb", "q_norm", "cent_id")
     )
-    # static partition pruning: the probed centroid set is tiny metadata
-    # (never vectors) — collecting it lets the IN filter reach the scan
-    probed_ids = [r["cent_id"] for r in probes.select("cent_id").distinct().collect()]
+    # ONE evaluation of the probe subtree (r16, guide §1.2): the probe
+    # frame is bounded rows by construction (<= nprobe per query), so it is
+    # collected once and reused both as driver metadata (the static
+    # partition-pruning IN list below) and, re-parallelized, as the
+    # broadcast join side — previously the query scan + crossJoin + window
+    # ran twice, once per consumer.
+    probe_rows = probes.collect()
+    probed_ids = sorted({r["cent_id"] for r in probe_rows})
+    probes_local = spark.createDataFrame(probe_rows, probes.schema)
     lists = spark.read.parquet(f"{index_dir}/lists").filter(
         F.col("cent_id").isin(probed_ids)
     )
-    scored = lists.join(F.broadcast(probes), "cent_id")
+    scored = lists.join(F.broadcast(probes_local), "cent_id")
     if exclude_matching_ids:
         scored = scored.filter(F.col("vec_id") != F.col("query_id"))
     scored = (

@@ -166,6 +166,9 @@ HINT_ALLOWED_SCOPED = {
     (_ANNIDX, "cent"): "K centroid rows (K fixed)",
     (_ANNIDX, "cent_r"): "K centroid rows (K fixed)",
     (_ANNIDX, "probes"): "nprobe centroid ids per query (fixed)",
+    (_ANNIDX, "probes_local"):
+        "same probe rows re-parallelized from the driver collect "
+        "(<= nprobe per query, fixed)",
     (_ANNIDX, "cb"): "M x K codebook rows read from a PQ index (fixed)",
     (_ANNIDX, "lut"): "ADC lookup tables for N_QUERIES queries (fixed)",
     (_ANNIDX, "qv"): "N_QUERIES query vectors (fixed)",
