@@ -62,6 +62,36 @@ def _session_stopped(spark: SparkSession) -> bool:
         return True
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Restore scan parallelism before expansion-heavy narrow work (r16,
+    guide §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    A parquet file is splittable only at row-group boundaries, so a
+    source with fewer row groups than the session has cores runs its
+    whole pre-exchange stage (explode, per-row hashing, media decode) on
+    a fraction of the machine — the test tables are single-row-group
+    files, leaving 31 of 32 cores idle until the first shuffle. This
+    helper repartitions to the session's core count, keyed by the given
+    deterministic columns (never round-robin: keyless repartition pays a
+    sort and retries redistribute rows), and ONLY when the frame's
+    natural partitioning is below the core count. At production scale a
+    table scan yields >= cores splits, so the condition is false and no
+    exchange is added — the adaptivity derives from the input, not from
+    a constant tuned for one machine.
+
+    Worth it only when per-row downstream work dominates the one-pass
+    shuffle of the compact input rows (measured on q1's scan+agg shape:
+    no win — the shuffle of 600k full rows costs what the serial partial
+    agg saves; measured on the char-bigram explode: 2.0 s -> 0.6 s warm).
+    Apply at expansion sites, not blanket."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *keys)
+
+
 def session_memo_get(memo: dict, spark: SparkSession, key):
     """Lookup in a {key: (owning_session, DataFrame)} memo of materialized
     (localCheckpointed) frames over immutable parquet inputs. Hit only when

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from octopusdb_spark.queries.common import session_memo_get, session_memo_put, t
+from octopusdb_spark.queries.common import session_memo_get, session_memo_put, spread, t
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
@@ -55,7 +55,10 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_distinct dedupes within the doc BEFORE the explode, so the
     # (doc_id, s) output is already unique — no global distinct (which would
     # shuffle every shingle once more for zero semantic effect).
-    docs = t(spark, sf_dir, "documents")
+    # spread (r16, guide §2.5): the 5-gram slice+concat explode is the
+    # expensive narrow stage of every shingle consumer; without it the
+    # single-row-group source runs it on one core
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     return (
         docs.withColumn("ws", F.split("text", " "))
         .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES_SPARK))).alias("s"))
@@ -452,6 +455,10 @@ def q_dedup_cluster_keep(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    # (r16 note: carrying n_sh through the inverted-index join to drop
+    # these two joins was tried and MEASURED SLOWER warm — the sizes
+    # attach re-passes the full shingle frame, while `inter` is the
+    # smaller side here and both attaches stay broadcast; reverted.)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     pairs = (
@@ -464,9 +471,18 @@ def q_dedup_cluster_keep(spark, sf_dir):
         )
         .select("doc_a", "doc_b")
     )
-    und = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).cache()
+    # Cache the undirected pair graph PRE-PARTITIONED by the join key of
+    # every propagation round (r16, guide §2.4 "two operations keyed the
+    # same way can share one exchange"): the cached partitioning satisfies
+    # the round join's distribution requirement, so only the label frame
+    # moves per superstep.
+    und = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .repartition("doc_a")
+        .cache()
+    )
     labels = (
         und.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("lbl", F.col("doc_id"))
     )

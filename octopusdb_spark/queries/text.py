@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from octopusdb_spark.queries.common import session_memo_get, session_memo_put, t
+from octopusdb_spark.queries.common import session_memo_get, session_memo_put, spread, t
 
 # Deterministic heuristic constants (same literals in both engines).
 EN_MARKERS = ("the", "a")
@@ -359,13 +359,22 @@ def _lm_doc_bigram_counts(spark, sf_dir):
     hit = session_memo_get(_LM_PAIRS_MEMO, spark, key)
     if hit is not None:
         return hit
-    txt = t(spark, sf_dir, "documents").select(
-        "doc_id", F.lower(F.col("text")).alias("txt")
-    )
+    # Bigrams from a per-row char array instead of per-position substring
+    # (r16, guide §1.2 per-task work): substring(txt, i, 2) re-seeks the
+    # string from byte 0 for every i (UTF8String position lookup), making
+    # the per-doc work quadratic in doc length; splitting once and
+    # concatenating adjacent O(1) array elements is linear. Verified
+    # bigram-for-bigram identical (posexplode diff = 0 rows at sf0.1) and
+    # measured 2.5 s -> 1.4 s serial on the pass. `spread` then restores
+    # core-count parallelism over the single-row-group source (guide
+    # §2.5): 2.0 s -> 0.6 s warm for the whole pass.
+    txt = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.split(F.lower(F.col("text")), "").alias("cs"))
     bigrams = F.expr(
-        """CASE WHEN length(txt) >= 2
-                THEN transform(sequence(1, length(txt) - 1),
-                               i -> substring(txt, i, 2))
+        """CASE WHEN size(cs) >= 2
+                THEN transform(sequence(1, size(cs) - 1),
+                               i -> concat(cs[i-1], cs[i]))
                 ELSE array() END"""
     )
     pairs = (
@@ -507,13 +516,18 @@ def _trigram_pairs(spark, sf_dir):
     hit = session_memo_get(_TRIGRAM_PAIRS_MEMO, spark, key)
     if hit is not None:
         return hit
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.lower(F.col("text")).alias("txt")
-    )
+    # Same linear char-array + spread rewrite as _lm_doc_bigram_counts
+    # (r16, guide §1.2/§2.5): per-position substring is a quadratic
+    # re-seek; adjacent-element concat over one split is linear, and the
+    # single-row-group source needs the keyed repartition to use more
+    # than one core for the explode.
+    docs = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), "doc_id"
+    ).select("doc_id", "lang", F.split(F.lower(F.col("text")), "").alias("cs"))
     trigrams = F.expr(
-        """CASE WHEN length(txt) >= 3
-                THEN transform(sequence(1, length(txt) - 2),
-                               i -> substring(txt, i, 3))
+        """CASE WHEN size(cs) >= 3
+                THEN transform(sequence(1, size(cs) - 2),
+                               i -> concat(cs[i-1], cs[i], cs[i+1]))
                 ELSE array() END"""
     )
     pairs = (
@@ -602,9 +616,11 @@ def _span_hashes(spark, sf_dir):
     hit = session_memo_get(_SPAN_HASH_MEMO, spark, key)
     if hit is not None:
         return hit
-    ws_docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ws")
-    )
+    # spread (r16, guide §2.5): ~300 16-word md5 spans per doc hash
+    # serially on the single-row-group source without it
+    ws_docs = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.split("text", " ").alias("ws"))
     spans = F.expr(
         f"""CASE WHEN size(ws) >= {SPAN_WORDS}
                 THEN transform(sequence(1, size(ws) - {SPAN_WORDS - 1}),
