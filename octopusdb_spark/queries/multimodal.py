@@ -243,7 +243,11 @@ def q_multimodal_flac(spark, sf_dir):
             "audio",
         )
 
-    feats = extract_features(_doc_media(spark, sf_dir, payload_fn))
+    # partitions=16 (r16, guide §2.5): FLAC encode+decode is the other
+    # per-doc-expensive lane (~35 ms/doc; measured 2.1 s serial, 1.1 s at
+    # 8/16-way — wider fan-outs lose to Python-worker startup on the
+    # <= 60-row set: 1.6 s at 32)
+    feats = extract_features(_doc_media(spark, sf_dir, payload_fn, partitions=16))
     return feats.select(
         "media_id",
         "container",
