@@ -169,6 +169,9 @@ def q_text_tfidf_keywords(spark, sf_dir):
     n_docs = docs.count()  # one scalar; everything else stays distributed
     words = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        # (r16: spread was tried here and on the chunk/drift token
+        # explodes and MEASURED SLOWER — these explodes are too cheap to
+        # amortize the added exchange; reverted)
         .filter(F.col("term") != "")
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -283,7 +286,10 @@ def q_text_repetition(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     # materialize the split ONCE per row: referencing split() inside the
     # higher-order-function lambda re-evaluates it per array element
-    ws_docs = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    # (spread: r16, guide §2.5 — the gram explode is the heavy stage)
+    ws_docs = spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
     grams = F.expr(
         """CASE WHEN size(ws) >= 3
                 THEN transform(sequence(1, size(ws) - 2),
@@ -326,7 +332,10 @@ def q_text_ngram_topk(spark, sf_dir):
     array_distinct would be quadratic in doc length); the top-k is a
     single ordered limit with the ngram itself as tie-break."""
     docs = t(spark, sf_dir, "documents")
-    ws_docs = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    # spread: r16, guide §2.5 — the gram explode is the heavy stage
+    ws_docs = spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
     grams = F.expr(
         """CASE WHEN size(ws) >= 3
                 THEN transform(sequence(1, size(ws) - 2),
@@ -742,7 +751,11 @@ def q_text_dup_suffix(spark, sf_dir):
     all-pairs comparison: documents meet only through seed hashes."""
     docs = t(spark, sf_dir, "documents")
     w = SUFFIX_SEED_WORDS
-    ws_docs = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    # spread (r16, guide §2.5): the seed-window md5 explode otherwise
+    # runs single-task over the single-row-group source
+    ws_docs = spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
     seeds_expr = F.expr(
         f"""CASE WHEN size(ws) >= {w}
                 THEN transform(sequence(1, size(ws) - {w - 1}),
@@ -843,9 +856,9 @@ def q_text_dedup_rewrite(spark, sf_dir):
         )
         .distinct()
     )
-    words = docs.select(
+    words = spread(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("idx0", "word")
-    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "word")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "word")  # r16 §2.5
     kept = words.join(covered, ["doc_id", "idx"], "left_anti")
     per = kept.groupBy("doc_id").agg(
         F.count("*").alias("kept_words"),
@@ -910,7 +923,8 @@ def q_text_line_dedup(spark, sf_dir):
     boilerplate census."""
     docs = t(spark, sf_dir, "documents")
     lines = (
-        docs.select(
+        spread(docs.select("doc_id", "text"), "doc_id")  # r16, guide §2.5
+        .select(
             "doc_id",
             F.posexplode(
                 F.expr(
