@@ -148,6 +148,12 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(_ident, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # warm the DataFrame->RDD conversion machinery (r16): the scan-spread
+    # helper's split-count probe initializes the Python RDD SerDe on first
+    # use (~0.8 s once per session) — session spin-up like the worker
+    # pool above, so it belongs in the warm-up, not inside whichever
+    # query row happens to call it first
+    spark.range(1).rdd.getNumPartitions()
 
     calibration = _calibration(spark)
 

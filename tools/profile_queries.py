@@ -78,6 +78,7 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(_ident, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    spark.range(1).rdd.getNumPartitions()  # warm the RDD SerDe (spread's probe)
 
     if plans_dir:
         os.makedirs(plans_dir, exist_ok=True)
