@@ -846,21 +846,22 @@ class KVStore:
             data = staged.withColumn(
                 "value", F.when(F.col("value_ptr").isNotNull(), F.lit(None)).otherwise(F.col("value"))
             ).select("key", "value", "meta", "expires_at", "version", "seq", "value_ptr")
-            # batch totals fold into the ranged write's own stats job (pointer
+            # batch totals fold into the ranged write's own stats (pointer
             # byte lengths parsed from the ptr string — the values column is
-            # already nulled here): no separate totals scan
+            # already nulled here): no separate totals scan. Row-level
+            # expressions, SUM-aggregated per bucket by the write.
             ptr_len = F.split(F.col("value_ptr"), ":").getItem(2).cast("long")
             extra = {
-                "vcnt": F.count("value_ptr"),
-                "vbytes": F.sum(ptr_len),
+                "vcnt": F.col("value_ptr").isNotNull().cast("long"),
+                "vbytes": ptr_len,
             }
             if merge_col:
                 # operand rows must raise the manifest flag durably (the
                 # sentinel rule set_batch follows) — folded into the ranged
-                # write's own stats job, no extra scan (ADVICE r9 finding 2)
-                extra["mcnt"] = F.sum(
-                    (F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0).cast("long")
-                )
+                # write's own stats, no extra scan (ADVICE r9 finding 2)
+                extra["mcnt"] = (
+                    F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0
+                ).cast("long")
             new_data_segs, bucket_stats = self._write_ranged_segments(
                 data,
                 level=0,
@@ -2495,6 +2496,12 @@ class KVStore:
         )
 
     # ------------------------------------------------------------ maintenance
+    # Widest ranged write whose per-bucket stats are folded into the write
+    # job as observed conditional aggregates; wider writes use the readback
+    # stats job instead (see _write_ranged_segments). Every in-repo caller
+    # uses 1-8 buckets; 32 keeps the observed-aggregate row bounded.
+    OBSERVE_STATS_MAX_COMBOS = 32
+
     def _write_ranged_segments(
         self,
         df: DataFrame,
@@ -2531,13 +2538,25 @@ class KVStore:
         delta-sized epoch-1 segments. Epoch segments overlap in key range
         across epochs; the view's newest-wins dedup already handles that.
 
-        ``extra_stats``: {name: agg Column} evaluated in the same readback
-        stats job; totals (summed across buckets for counts/sums, max for
-        maxes — the caller gets the raw per-bucket rows) are exposed on the
-        returned list as ``segs_extra`` attribute-free second channel: when
-        provided, the return value is ``(segs, rows)`` with ``rows`` the
-        per-bucket stat Rows. Lets callers fold their own accounting into
-        the one stats job instead of re-scanning."""
+        ``extra_stats``: {name: row-level Column}, each SUM-aggregated per
+        bucket alongside the built-in stats; when provided, the return
+        value is ``(segs, rows)`` with ``rows`` the per-bucket stat
+        mappings (None sums normalized to 0). Lets callers fold their own
+        accounting into the write's own stats instead of re-scanning.
+
+        Stats are collected as OBSERVED metrics of the write job itself
+        (``Dataset.observe``, r16 guide §1.2 "fewer passes"): the old
+        shape re-read every freshly written segment in a separate stats
+        job — a full extra pass over the entire compaction/ingest output,
+        which at 100 TB is a second 100 TB read. Per-bucket breakdown
+        comes from conditional aggregates over the (epoch, bucket) ids,
+        exact because ``repartitionByRange(n)`` yields partition ids
+        0..n-1 and the dynamic-partition write lays files out by those
+        same ids. Writes wider than ``OBSERVE_STATS_MAX_COMBOS`` buckets
+        fall back to the readback job (the conditional-aggregate row
+        would otherwise grow past what codegen handles well); the
+        observed rows and the readback rows are field-for-field
+        identical."""
         n = max(1, min(target_segments, 200))
         staging_id, staging = self.manifest.new_segment_path("data")
         part_cols = ["_bucket"]
@@ -2546,39 +2565,92 @@ class KVStore:
             .sortWithinPartitions("key")
             .withColumn("_bucket", F.spark_partition_id())
         )
+        epochs: list = [None]
         if epoch_cut is not None:
             staged = staged.withColumn(
                 "_epoch",
                 F.when(F.col("seq") <= F.lit(int(epoch_cut)), F.lit(0)).otherwise(F.lit(1)),
             )
             part_cols = ["_epoch", "_bucket"]
-        (
-            staged.write.mode("overwrite")
-            .partitionBy(*part_cols)
-            .option("parquet.bloom.filter.enabled#key", "true")
-            .parquet(staging)
-        )
-        # Explicit schema: when df is empty (e.g. compacting a fully
-        # tombstoned store) the dynamic-partition write produces no part
-        # files, and schema inference on the staging dir would fail.
-        extra_fields = [T.StructField("_bucket", T.IntegerType(), True)]
-        if epoch_cut is not None:
-            extra_fields.insert(0, T.StructField("_epoch", T.IntegerType(), True))
-        readback_schema = T.StructType(list(self._schema.fields) + extra_fields)
-        stats = (
-            self.spark.read.schema(readback_schema).parquet(staging)
-            .groupBy(*part_cols)
-            .agg(
-                F.min("key").alias("mn"),
-                F.max("key").alias("mx"),
-                F.count("*").alias("cnt"),
-                F.sum(F.coalesce(F.length("value"), F.lit(0))).alias("bytes"),
-                F.max("seq").alias("_mxseq"),  # exact per-segment seq bound
-                F.min("seq").alias("_mnseq"),  # exact lower bound -> created_seq
-                *[c.alias(nm) for nm, c in (extra_stats or {}).items()],
+            epochs = [0, 1]
+        combos = [(e, b) for e in epochs for b in range(n)]
+        extra = dict(extra_stats or {})
+
+        def _write(frame: DataFrame) -> None:
+            (
+                frame.write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .option("parquet.bloom.filter.enabled#key", "true")
+                .parquet(staging)
             )
-            .collect()
-        )
+
+        if len(combos) <= self.OBSERVE_STATS_MAX_COMBOS:
+            from pyspark.sql import Observation
+
+            def _cond(e, b):
+                c = F.col("_bucket") == F.lit(b)
+                if e is not None:
+                    c = c & (F.col("_epoch") == F.lit(e))
+                return c
+
+            base_stats = {
+                "mn": lambda c: F.min(F.when(c, F.col("key"))),
+                "mx": lambda c: F.max(F.when(c, F.col("key"))),
+                "cnt": lambda c: F.count(F.when(c, F.lit(1))),
+                "bytes": lambda c: F.sum(
+                    F.when(c, F.coalesce(F.length("value"), F.lit(0)))
+                ),
+                "_mxseq": lambda c: F.max(F.when(c, F.col("seq"))),
+                "_mnseq": lambda c: F.min(F.when(c, F.col("seq"))),
+            }
+            metrics = []
+            for e, b in combos:
+                c = _cond(e, b)
+                for nm, mk in base_stats.items():
+                    metrics.append(mk(c).alias(f"{nm}__{0 if e is None else e}__{b}"))
+                for nm, expr in extra.items():
+                    metrics.append(
+                        F.sum(F.when(c, expr)).alias(f"{nm}__{0 if e is None else e}__{b}")
+                    )
+            obs = Observation(f"wrs-{staging_id}")
+            _write(staged.observe(obs, *metrics))
+            got = obs.get
+            stats: list = []
+            for e, b in combos:
+                sfx = f"__{0 if e is None else e}__{b}"
+                row = {nm: got[f"{nm}{sfx}"] for nm in base_stats}
+                if not row["cnt"]:
+                    continue  # empty bucket: no part file was written
+                for nm in extra:
+                    v = got[f"{nm}{sfx}"]
+                    row[nm] = 0 if v is None else v
+                row["_bucket"] = b
+                if epoch_cut is not None:
+                    row["_epoch"] = e
+                stats.append(row)
+        else:
+            _write(staged)
+            # Explicit schema: when df is empty (e.g. compacting a fully
+            # tombstoned store) the dynamic-partition write produces no part
+            # files, and schema inference on the staging dir would fail.
+            extra_fields = [T.StructField("_bucket", T.IntegerType(), True)]
+            if epoch_cut is not None:
+                extra_fields.insert(0, T.StructField("_epoch", T.IntegerType(), True))
+            readback_schema = T.StructType(list(self._schema.fields) + extra_fields)
+            stats = (
+                self.spark.read.schema(readback_schema).parquet(staging)
+                .groupBy(*part_cols)
+                .agg(
+                    F.min("key").alias("mn"),
+                    F.max("key").alias("mx"),
+                    F.count("*").alias("cnt"),
+                    F.sum(F.coalesce(F.length("value"), F.lit(0))).alias("bytes"),
+                    F.max("seq").alias("_mxseq"),  # exact per-segment seq bound
+                    F.min("seq").alias("_mnseq"),  # exact lower bound -> created_seq
+                    *[F.sum(c).alias(nm) for nm, c in extra.items()],
+                )
+                .collect()
+            )
         segs = []
 
         def _sort_key(r):
@@ -3180,61 +3252,63 @@ class KVStore:
         rt_mask = self._rt_mask(clearable, None)
         if rt_mask is not None:
             merged = merged.filter(rt_mask)
-        new_segs = self._write_ranged_segments(
-            merged,
-            self.MAX_LEVEL,
-            target_segments,
-        )
-        drops = self._dropped_ptr_bytes(old, new_segs)
-        kept = [s for s in state.segments if s.kind != "data"]
-        # merge-operand flag maintenance: full compaction is the ONE place
-        # the whole keyspace is rewritten, so it can verify whether any
-        # operand rows survive (they do while un-folded or hold-retained)
-        # and clear the flag when none do — restoring the bit-identical
-        # non-merge plans and re-enabling the changefeed. The probe reads
-        # only the freshly-written output.
-        merge_flag = None
-        if bool(state.has_merge_operands):
-            survivors = not (
-                self.raw_df(new_segs)
-                .filter(F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0)
-                .isEmpty()
-            )
-            merge_flag = True if survivors else False
-        # column_families_ever flag maintenance (the same verifying-probe
-        # contract as has_merge_operands): with the catalog empty, the
-        # full rewrite can verify no reserved-prefix rows survive. The
-        # manifest interval check is free but only SUFFICIENT for clearing
-        # when no output segment's [min,max] intersects the reserved range
-        # [\x02, \x03) — a global-min shortcut would be unsound, since
-        # default-namespace keys may legally sort BELOW \x02 (\x00/\x01
-        # leading bytes). When some segment does intersect (e.g. a held
-        # snapshot retained dropped-CF rows through the rewrite), one
-        # filter+isEmpty probe over the fresh output decides exactly.
-        cfs_ever_flag = None
-        if bool(getattr(state, "column_families_ever", False)) and not (
-            state.column_families or {}
-        ):
+        # Flag-maintenance probes ride the write's own observed stats (r16,
+        # guide §1.2): full compaction is the ONE place the whole keyspace
+        # is rewritten, so counting surviving merge-operand rows and
+        # reserved-prefix (CF) rows during the write answers both verifying
+        # probes without re-reading the fresh output (the old shape paid
+        # one filter+isEmpty scan per flag).
+        need_merge_probe = bool(state.has_merge_operands)
+        need_cf_probe = bool(
+            getattr(state, "column_families_ever", False)
+        ) and not (state.column_families or {})
+        probe_stats: dict = {}
+        if need_merge_probe:
+            probe_stats["_mrows"] = (
+                F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0
+            ).cast("long")
+        if need_cf_probe:
             if self.key_type == "binary":
-                resv_lo, resv_hi = b"\x02".hex(), b"\x03".hex()
                 resv_pred = F.expr("substring(key, 1, 1)") == F.lit(
                     CF_RESERVED.encode("ascii")
                 )
             else:
-                resv_lo, resv_hi = CF_RESERVED, "\x03"
                 resv_pred = F.col("key").startswith(CF_RESERVED)
-            overlapping = [
-                s
-                for s in new_segs
-                if s.min_key is None
-                or s.max_key is None
-                or not (s.max_key < resv_lo or s.min_key >= resv_hi)
-            ]
-            if not overlapping:
-                cfs_ever_flag = False
-            else:
-                survivors = not self.raw_df(overlapping).filter(resv_pred).isEmpty()
-                cfs_ever_flag = True if survivors else False
+            probe_stats["_resvrows"] = resv_pred.cast("long")
+        if probe_stats:
+            new_segs, probe_rows = self._write_ranged_segments(
+                merged,
+                self.MAX_LEVEL,
+                target_segments,
+                extra_stats=probe_stats,
+            )
+        else:
+            probe_rows = []
+            new_segs = self._write_ranged_segments(
+                merged,
+                self.MAX_LEVEL,
+                target_segments,
+            )
+        drops = self._dropped_ptr_bytes(old, new_segs)
+        kept = [s for s in state.segments if s.kind != "data"]
+        # merge-operand flag: clear when no operand rows survive (they do
+        # while un-folded or hold-retained) — restoring the bit-identical
+        # non-merge plans and re-enabling the changefeed.
+        merge_flag = None
+        if need_merge_probe:
+            survivors = sum(int(r["_mrows"] or 0) for r in probe_rows) > 0
+            merge_flag = True if survivors else False
+        # column_families_ever flag maintenance (the same verifying-probe
+        # contract as has_merge_operands): with the catalog empty, the
+        # full rewrite can verify no reserved-prefix rows survive. The
+        # exact surviving-row count was observed during the write itself
+        # (a segment-interval shortcut and a filter+isEmpty probe used to
+        # approximate/decide this; the observed count is both exact and
+        # free).
+        cfs_ever_flag = None
+        if need_cf_probe:
+            survivors = sum(int(r["_resvrows"] or 0) for r in probe_rows) > 0
+            cfs_ever_flag = True if survivors else False
         self.manifest.commit(
             ManifestState(
                 version=state.version,
@@ -3439,13 +3513,23 @@ class KVStore:
             return 0
         merged = self._read_segments(vsegs, VALUES_SCHEMA)
         new_id, new_path = self.manifest.new_segment_path("values")
-        merged.repartition(max(1, target_segments)).write.mode("overwrite").parquet(new_path)
-        stats = (
-            self.spark.read.schema(VALUES_SCHEMA)
+        # manifest stats observed during the rewrite itself (r16, guide
+        # §1.2) — the old shape re-read the whole merged value log (a
+        # second full pass over every separated payload) just to count it
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cv-{new_id}")
+        (
+            merged.repartition(max(1, target_segments))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.length("big_value")).alias("bytes"),
+            )
+            .write.mode("overwrite")
             .parquet(new_path)
-            .agg(F.count("*").alias("cnt"), F.sum(F.length("big_value")).alias("bytes"))
-            .collect()[0]
         )
+        stats = obs.get
         new_seg = SegmentInfo(
             segment_id=new_id,
             kind="values",
