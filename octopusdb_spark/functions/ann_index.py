@@ -59,6 +59,47 @@ def _write_list_stats(assigned_ct: DataFrame, index_dir: str, phase: str,
     stats.write.mode(mode).parquet(f"{index_dir}/stats")
 
 
+# ledger schema written by both stats paths — must stay identical across
+# generations (the stats table is a multi-generation parquet union)
+_STATS_SCHEMA = "cent_id int, n long, res_norm_sum decimal(38,12), phase string"
+
+# Widest centroid set whose ledger stats ride the lists write as observed
+# conditional aggregates; wider quantizers use the aggregate-over-lists
+# path above (same bytes either way — pinned by test).
+OBSERVE_STATS_MAX_CENTROIDS = 32
+
+
+def _ledger_metrics(cent_ids: list):
+    """Per-centroid conditional aggregates of the ledger stats, observable
+    during the lists write itself (r16, guide §1.2): same per-row
+    res_norm doubles, same order-independent DECIMAL sum as
+    `_write_list_stats` — the ledger bytes are identical, but the build
+    no longer re-reads the written lists (a full corpus re-read at
+    scale) and the append needs no checkpoint + aggregation job."""
+    res = F.sqrt(_l2sq(F.col("embedding"), F.col("ct_emb"))).cast("decimal(38,12)")
+    metrics = []
+    for cid in cent_ids:
+        c = F.col("cent_id") == F.lit(int(cid))
+        metrics.append(F.count(F.when(c, F.lit(1))).alias(f"n__{cid}"))
+        metrics.append(F.sum(F.when(c, res)).alias(f"rs__{cid}"))
+    return metrics
+
+
+def _write_observed_stats(spark: SparkSession, got: dict, cent_ids: list,
+                          index_dir: str, phase: str, mode: str) -> None:
+    rows = [
+        (int(cid), int(got[f"n__{cid}"]), got[f"rs__{cid}"], phase)
+        for cid in cent_ids
+        if got[f"n__{cid}"]
+    ]
+    # parallelize(.., 1), not coalesce(1): coalescing a default-parallelism
+    # Python collection makes one task evaluate 32 Python partitions
+    # sequentially (the set_batch lesson, kv/store.py)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), _STATS_SCHEMA
+    ).write.mode(mode).parquet(f"{index_dir}/stats")
+
+
 def build_ivf(
     emb_df: DataFrame,
     index_dir: str,
@@ -91,29 +132,43 @@ def build_ivf(
         cent = kmeans_centroids(emb, cent, iters=kmeans_iters)
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     cent_r = _read_centroids(emb.sparkSession, index_dir)
-    assigned = assign_centroids(emb, cent_r, keep=("embedding", "norm")).select(
-        "cent_id", "vec_id", "embedding", "norm"
-    )
-    (
-        assigned
-        .repartition("cent_id")
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(f"{index_dir}/lists")
-    )
-    # Stats read the WRITTEN lists (the build's own materialization) joined
-    # back to the broadcast centroids for ct_emb, instead of re-running the
-    # corpus assignment pass a second time (r16, guide §1.2/§8: the lists
-    # write already decided cent_id per row — reuse it). Per-row res_norm
-    # arithmetic is unchanged (same doubles, same fold), and the DECIMAL
-    # sum is order-independent, so the ledger bytes are identical.
-    written = emb.sparkSession.read.parquet(f"{index_dir}/lists")
-    _write_list_stats(
-        written.join(F.broadcast(cent_r.select("cent_id", "ct_emb")), "cent_id"),
-        index_dir,
-        "build",
-        "overwrite",
-    )
+    assigned = assign_centroids(emb, cent_r, keep=("embedding", "norm"), with_ct=True)
+    if n_centroids <= OBSERVE_STATS_MAX_CENTROIDS:
+        # Ledger stats observed during the lists write itself: centroid
+        # ids are bounded by 1..n_centroids (row_number seeds; Lloyd drops
+        # but never renumbers), so per-id conditional aggregates are exact.
+        # The prior shape re-read the WRITTEN lists — one full corpus
+        # re-read at scale — to recompute them (r16, guide §1.2).
+        from pyspark.sql import Observation
+
+        cent_ids = list(range(1, n_centroids + 1))
+        obs = Observation(f"ivf-build-{index_dir}")
+        (
+            assigned.observe(obs, *_ledger_metrics(cent_ids))
+            .select("cent_id", "vec_id", "embedding", "norm")
+            .repartition("cent_id")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(f"{index_dir}/lists")
+        )
+        _write_observed_stats(
+            emb.sparkSession, obs.get, cent_ids, index_dir, "build", "overwrite"
+        )
+    else:
+        (
+            assigned.select("cent_id", "vec_id", "embedding", "norm")
+            .repartition("cent_id")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(f"{index_dir}/lists")
+        )
+        written = emb.sparkSession.read.parquet(f"{index_dir}/lists")
+        _write_list_stats(
+            written.join(F.broadcast(cent_r.select("cent_id", "ct_emb")), "cent_id"),
+            index_dir,
+            "build",
+            "overwrite",
+        )
 
 
 def append_ivf(
@@ -140,25 +195,42 @@ def append_ivf(
         emb_df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     )
     cent = _read_centroids(emb.sparkSession, index_dir)
-    _check_batch_dim(emb, int(cent.select(F.size("ct_emb")).first()[0]), "append_ivf")
-    # ONE assignment pass over the batch: the lazy localCheckpoint
-    # materializes during the lists write, and the stats ledger reads the
-    # same frozen blocks instead of re-running the broadcast assignment
-    # (r16, guide §1.2). Batch-sized (never the corpus), so checkpoint
-    # storage is bounded by the append itself.
-    assigned = (
-        assign_centroids(emb, cent, keep=("embedding", "norm"), with_ct=True)
-        .select("cent_id", "vec_id", "embedding", "norm", "ct_emb")
-        .localCheckpoint(eager=False)
-    )
-    (
-        assigned.select("cent_id", "vec_id", "embedding", "norm")
-        .repartition("cent_id")
-        .write.mode("append")
-        .partitionBy("cent_id")
-        .parquet(f"{index_dir}/lists")
-    )
-    _write_list_stats(assigned, index_dir, "append", "append")
+    # one tiny collect serves the dim check AND the ledger's centroid-id
+    # domain (the frozen quantizer is K rows by contract)
+    cent_meta = cent.select("cent_id", F.size("ct_emb").alias("dim")).collect()
+    _check_batch_dim(emb, int(cent_meta[0]["dim"]), "append_ivf")
+    cent_ids = sorted(int(r["cent_id"]) for r in cent_meta)
+    assigned = assign_centroids(emb, cent, keep=("embedding", "norm"), with_ct=True)
+    if len(cent_ids) <= OBSERVE_STATS_MAX_CENTROIDS:
+        # ONE assignment pass over the batch: ledger stats are observed
+        # metrics of the lists write itself (r16, guide §1.2) — no
+        # checkpoint, no second aggregation job, identical ledger bytes.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"ivf-append-{index_dir}-{id(emb_df)}")
+        (
+            assigned.observe(obs, *_ledger_metrics(cent_ids))
+            .select("cent_id", "vec_id", "embedding", "norm")
+            .repartition("cent_id")
+            .write.mode("append")
+            .partitionBy("cent_id")
+            .parquet(f"{index_dir}/lists")
+        )
+        _write_observed_stats(
+            emb.sparkSession, obs.get, cent_ids, index_dir, "append", "append"
+        )
+    else:
+        assigned = assigned.select(
+            "cent_id", "vec_id", "embedding", "norm", "ct_emb"
+        ).localCheckpoint(eager=False)
+        (
+            assigned.select("cent_id", "vec_id", "embedding", "norm")
+            .repartition("cent_id")
+            .write.mode("append")
+            .partitionBy("cent_id")
+            .parquet(f"{index_dir}/lists")
+        )
+        _write_list_stats(assigned, index_dir, "append", "append")
     emb.sparkSession.catalog.refreshByPath(f"{index_dir}/stats")
     # Invalidate the session's cached file listing for the lists path: a
     # reader that already planned a query over this index (Spark's

@@ -222,3 +222,41 @@ def test_compact_flag_probes_ride_observed_stats(spark, tmp_path):
     store.compact(now=2_000_000_000)
     # no reserved-prefix rows survive the rewrite: flag clears
     assert not bool(getattr(store.manifest.state, "column_families_ever", False))
+
+
+def test_ann_ledger_observed_equals_aggregated(spark, tmp_path, monkeypatch):
+    """The ANN index stats ledger must be byte-for-byte identical whether
+    it rides the lists write as observed aggregates (r16) or the
+    aggregate-over-lists fallback."""
+    import octopusdb_spark.functions.ann_index as ai
+
+    emb = spark.range(80).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: ((F.col("id") * 31 + i * 7) % 13).cast("double") / 13.0,
+        ).alias("embedding"),
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    batch = emb.filter(F.col("vec_id") % 5 == 3)
+
+    ai.build_ivf(base, f"{tmp_path}/obs", n_centroids=4, kmeans_iters=0)
+    ai.append_ivf(batch, f"{tmp_path}/obs")
+    monkeypatch.setattr(ai, "OBSERVE_STATS_MAX_CENTROIDS", 0)
+    ai.build_ivf(base, f"{tmp_path}/agg", n_centroids=4, kmeans_iters=0)
+    ai.append_ivf(batch, f"{tmp_path}/agg")
+    monkeypatch.undo()
+
+    def ledger(d):
+        return sorted(
+            (r["phase"], r["cent_id"], r["n"], str(r["res_norm_sum"]))
+            for r in spark.read.parquet(f"{d}/stats").collect()
+        )
+
+    a, b = ledger(f"{tmp_path}/obs"), ledger(f"{tmp_path}/agg")
+    assert a == b
+    assert len(a) > 0
+    # and the lists themselves are identical
+    la = sorted(r["vec_id"] for r in spark.read.parquet(f"{tmp_path}/obs/lists").collect())
+    lb = sorted(r["vec_id"] for r in spark.read.parquet(f"{tmp_path}/agg/lists").collect())
+    assert la == lb
