@@ -1164,6 +1164,109 @@ def q_sim_label_centroids(spark, sf_dir):
 # exercise a non-trivial drop set while keeping the semantics identical.
 SEMDEDUP_THRESH = 0.33
 
+# Clusters larger than this fan their pair grid out as block-pair tasks
+# (r17, VERDICT r16 #2): below it a cluster is scored by ONE task (the r16
+# shape); above it the Σ|cluster|² grid is decomposed into nb = ceil(n/T)
+# row-blocks whose (nb+1)·nb/2 block pairs are independent tasks, so a hot
+# cluster at 100 TB becomes many bounded tasks instead of one straggler.
+SEMDEDUP_FANOUT_ROWS = 4096
+
+
+def _semdedup_dropped(assigned, thresh: float = SEMDEDUP_THRESH,
+                      fanout_rows: int = SEMDEDUP_FANOUT_ROWS):
+    """Distinct vec_ids that have a LOWER-id cluster-mate with cosine >=
+    ``thresh`` (NaN counts, matching Spark's NaN-greatest ordering), from
+    an ``assigned`` frame of (cent_id, vec_id, embedding, norm).
+
+    Skew-proof block-pair decomposition: every row is routed to the
+    block pairs its block participates in (nb replicas per row, nb = 1
+    for clusters at or under ``fanout_rows`` — the common case adds no
+    replication and one task per cluster, exactly the r16 plan). Each
+    (cent_id, block_a, block_b) task scores its bipartite (or diagonal)
+    grid with the SAME rank-1 accumulation as the r16 single-task pass —
+    acc starts at 0.0 and adds the d-th product in dimension order — so
+    every pair's cosine is bit-identical to _dot(a,b)/(na*nb) no matter
+    which block pair scores it, and the union of per-task drop sets IS
+    the per-cluster drop set (each unordered pair lands in exactly one
+    task: cross pairs in their (ba,bb) group, within-block pairs in the
+    diagonal). Peak task memory stays at BLOCK x block-width doubles."""
+    sizes = assigned.groupBy("cent_id").agg(F.count("*").alias("_n"))
+    nb = F.ceil(F.col("_n") / F.lit(fanout_rows)).cast("int")
+    routed = (
+        assigned.join(
+            F.broadcast(sizes.select("cent_id", nb.alias("_nb"))), "cent_id"
+        )
+        .withColumn("_blk", F.pmod("vec_id", F.col("_nb")).cast("int"))
+        .withColumn(
+            "_j", F.explode(F.sequence(F.lit(0), F.col("_nb") - F.lit(1)))
+        )
+        .select(
+            "cent_id",
+            "vec_id",
+            "embedding",
+            "norm",
+            F.least("_blk", "_j").alias("_ba"),
+            F.greatest("_blk", "_j").alias("_bb"),
+            (F.col("_blk") <= F.col("_j")).alias("_is_left"),
+        )
+    )
+
+    def _pair_drops(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        diagonal = int(key[1]) == int(key[2])
+        left = pdf if diagonal else pdf[pdf["_is_left"]]
+        right = pdf if diagonal else pdf[~pdf["_is_left"]]
+        if left.empty or right.empty:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+        lids = left["vec_id"].to_numpy(np.int64)
+        lorder = np.argsort(lids)
+        lids = lids[lorder]
+        lm = np.array(left["embedding"].to_list(), dtype=np.float64)[lorder]
+        lnorm = left["norm"].to_numpy(np.float64)[lorder]
+        if diagonal:
+            rids, rm, rnorm = lids, lm, lnorm
+        else:
+            rids = right["vec_id"].to_numpy(np.int64)
+            rorder = np.argsort(rids)
+            rids = rids[rorder]
+            rm = np.array(right["embedding"].to_list(), dtype=np.float64)[rorder]
+            rnorm = right["norm"].to_numpy(np.float64)[rorder]
+        nl, nr = len(lids), len(rids)
+        drop_r = np.zeros(nr, dtype=bool)
+        drop_l = np.zeros(nl, dtype=bool)
+        block = 2048
+        for lo in range(0, nl, block):
+            hi = min(lo + block, nl)
+            # acc[i, j] accumulates sum_d lm[lo+i, d] * rm[j, d] in d
+            # order — the exact left fold of _dot (0.0 + p0 + p1 + ...)
+            acc = np.zeros((hi - lo, nr))
+            for d in range(lm.shape[1]):
+                acc += np.outer(lm[lo:hi, d], rm[:, d])
+            cos = acc / np.outer(lnorm[lo:hi], rnorm)
+            # Spark comparison semantics: NaN compares greater than any
+            # value, so NaN >= thresh is true (numpy would say False)
+            qual = (cos >= thresh) | np.isnan(cos)
+            # grid entry (i, j) drops the strictly-HIGHER id of the pair
+            drop_r |= (qual & (lids[lo:hi, None] < rids[None, :])).any(axis=0)
+            if not diagonal:
+                drop_l[lo:hi] |= (
+                    qual & (rids[None, :] < lids[lo:hi, None])
+                ).any(axis=1)
+        dropped = rids[drop_r] if diagonal else np.concatenate(
+            [lids[drop_l], rids[drop_r]]
+        )
+        return pd.DataFrame({"vec_id": dropped})
+
+    return (
+        routed.groupBy("cent_id", "_ba", "_bb")
+        .applyInPandas(_pair_drops, "vec_id long")
+        # a fanned-out cluster can drop the same id from several block
+        # pairs; the audit join needs each dropped id once
+        .dropDuplicates(["vec_id"])
+    )
+
 
 def q_dedup_semantic(spark, sf_dir):
     """Semantic (embedding-space) dedup, SemDeDup-style: assign every
@@ -1187,52 +1290,22 @@ def q_dedup_semantic(spark, sf_dir):
     assigned = assign_centroids(emb, cent, keep=("embedding", "norm")).select(
         "vec_id", "cent_id", "embedding", "norm"
     )
-    # Within-cluster pairwise scoring as ONE vectorized numpy pass per
-    # cluster (r16 optimization, guide §4.2/§8): the relational shape —
-    # cent_id-keyed self-join + an interpreted zip_with/aggregate dot per
-    # pair — evaluated Σ|cluster|² higher-order-function dots row by row
+    # Within-cluster pairwise scoring as vectorized numpy passes (r16
+    # optimization, guide §4.2/§8): the relational shape — cent_id-keyed
+    # self-join + an interpreted zip_with/aggregate dot per pair —
+    # evaluated Σ|cluster|² higher-order-function dots row by row
     # (measured ~3.9 s at sf0.1; the HOF dot runs ~100k pairs/s
-    # interpreted). Here each cluster's pair grid is scored by 64 rank-1
-    # numpy updates with EXACTLY the fold's accumulation order:
-    # acc starts at 0.0 and adds p_d in dimension order, so every pair's
-    # cosine is bit-identical to _dot(a,b)/(na*nb) — same float32→float64
+    # interpreted). The pair grid is scored by 64 rank-1 numpy updates
+    # with EXACTLY the fold's accumulation order, so every pair's cosine
+    # is bit-identical to _dot(a,b)/(na*nb) — same float32→float64
     # widening, same IEEE product, same left-to-right sum, same division.
-    # The drop rule (some lower-id cluster-mate with cos >= thresh) and
-    # the result set are unchanged — oracle-verified. Scale shape is the
-    # same Σ|cluster|² bound, now at GEMM speed; the row-block loop keeps
-    # peak memory at BLOCK×|cluster| doubles per task.
-    def _cluster_drops(key, pdf):
-        import numpy as np
-        import pandas as pd
-
-        ids = pdf["vec_id"].to_numpy(np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        m = np.array(pdf["embedding"].to_list(), dtype=np.float64)[order]
-        norms = pdf["norm"].to_numpy(np.float64)[order]
-        n = len(ids)
-        dropped = np.zeros(n, dtype=bool)
-        block = 2048
-        for lo in range(0, n, block):
-            hi = min(lo + block, n)
-            # acc[i, j] accumulates sum_d m[lo+i, d] * m[j, d] in d order —
-            # the exact left fold of _dot (0.0 + p0 + p1 + ...)
-            acc = np.zeros((hi - lo, n))
-            for d in range(m.shape[1]):
-                acc += np.outer(m[lo:hi, d], m[:, d])
-            cos = acc / np.outer(norms[lo:hi], norms)
-            # Spark comparison semantics: NaN compares greater than any
-            # value, so NaN >= thresh is true (numpy would say False)
-            qual = (cos >= SEMDEDUP_THRESH) | np.isnan(cos)
-            # a row i drops a column j iff ids[i] < ids[j] (strictly lower id)
-            qual &= ids[lo:hi, None] < ids[None, :]
-            dropped |= qual.any(axis=0)
-        return pd.DataFrame({"vec_id": ids[dropped]})
-
-    dropped = (
+    # r17 (VERDICT r16 #2): clusters above SEMDEDUP_FANOUT_ROWS fan their
+    # grid out as independent block-pair tasks so a hot cluster cannot
+    # become a single straggler; see _semdedup_dropped. The drop rule
+    # (some lower-id cluster-mate with cos >= thresh) and the result set
+    # are unchanged — oracle-verified.
+    dropped = _semdedup_dropped(
         assigned.select("cent_id", "vec_id", "embedding", "norm")
-        .groupBy("cent_id")
-        .applyInPandas(_cluster_drops, "vec_id long")
     )
     return (
         assigned.join(

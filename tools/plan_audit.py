@@ -162,6 +162,7 @@ HINT_ALLOWED_SCOPED = {
     (_SIM, "q"): "N_QUERIES query vectors (fixed)",
     (_SIM, "qv"): "N_QUERIES query vectors (fixed)",
     (_SIM, "cand"): "bounded candidate pair set (<=O(B^2*20) ids, never the corpus)",
+    (_SIM, "sizes"): "per-centroid row counts (K rows, K fixed by the quantizer)",
     (_SIM, "qc"): "N_QUERIES x nprobe centroid-dot rows (fixed)",
     (_ANNIDX, "cent"): "K centroid rows (K fixed)",
     (_ANNIDX, "cent_r"): "K centroid rows (K fixed)",
