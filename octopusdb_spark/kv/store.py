@@ -1097,9 +1097,15 @@ class KVStore:
         as_of: int | None = None,
         at_version: int | None = None,
         cf: str | None = None,
+        _fold_marker: bool = False,
     ) -> DataFrame:
         """The live view: newest version, tombstones hidden, TTL applied,
         big values re-joined (`kv/db.go:89-130` read path as one plan).
+
+        ``_fold_marker`` (internal, r17): append a boolean ``_folded``
+        column — True iff the row's value folded at least one operand.
+        Only meaningful on the merge-operator path (``fold_merges`` is the
+        sole caller); plans without it are bit-identical (default off).
 
         ``as_of`` reads the snapshot as of write sequence ``as_of`` (the
         reference's versioned keys, `kv/utils/key.go:32-37`, read at a fixed
@@ -1175,7 +1181,7 @@ class KVStore:
                 # get/mget/scan/pin all ride this
                 return self._merged_fold(
                     base.filter(~is_m), base.filter(is_m), rt_list, vsegs,
-                    now, as_of, op,
+                    now, as_of, op, with_marker=_fold_marker,
                 )
             # no operator configured: operands are INVISIBLE — reads
             # resolve to the newest FULL value. (RocksDB returns an error
@@ -1184,6 +1190,11 @@ class KVStore:
             # data.) Stores without the manifest flag skip this filter —
             # bit-identical plans.
             base = base.filter(~is_m)
+        if _fold_marker:
+            raise ValueError(
+                "_fold_marker requires the merge-operator fold path "
+                "(operator configured and has_merge_operands set)"
+            )
         live = self._newest_of(base).filter(
             (F.col("value").isNotNull() | F.col("value_ptr").isNotNull())
             & ((F.col("expires_at") == 0) | (F.col("expires_at") > F.lit(now)))
@@ -1234,7 +1245,7 @@ class KVStore:
 
     def _merged_fold(
         self, nm: DataFrame, m_rows: DataFrame, rt_list, vsegs, now: int,
-        as_of, op: str,
+        as_of, op: str, with_marker: bool = False,
     ) -> DataFrame:
         """The merge-operator read fold (RocksDB FullMergeV2 at read time):
         per key, the newest FULL row is the base; operands strictly above
@@ -1327,6 +1338,8 @@ class KVStore:
                 .otherwise(F.col("_bv"))
                 .alias("version"),
                 F.when(has_ops, F.col("_omax.seq")).otherwise(F.col("_bs")).alias("seq"),
+                # the fold marker costs nothing when unused (column pruned)
+                *([has_ops.alias("_folded")] if with_marker else []),
             )
         )
 
@@ -2417,9 +2430,12 @@ class KVStore:
     ) -> int:
         """Physically fold accumulated merge operands into full values —
         RocksDB's fold-during-compaction, decomposed into an ordinary
-        idempotent write: for every key currently carrying operands, the
+        idempotent write: for every key whose read currently FOLDS
+        operands (live operands above its newest full version), the
         MERGED value (exactly what ``view()`` folds) is written as a new
-        full version. The superseded operand rows become shadowed history
+        full version. Keys whose only operands are shadowed or
+        range-deleted carry nothing a read folds; their dead operand rows
+        fall to the next compaction's retention rule unchanged. The superseded operand rows become shadowed history
         — the next maintenance pass trims them under the no-holds
         retention rule, while snapshot holds keep them for as-of reads
         exactly like superseded full versions (folding therefore never
@@ -2427,10 +2443,11 @@ class KVStore:
         interval at read). A later full ``compact()`` verifies no operand
         rows remain and clears the manifest flag. Returns rows written.
 
-        Plan shape: the read fold (keyed aggs over operand rows) +
-        one left-semi join restricting the write to keys that actually
-        carry operands + one ``ingest_df`` — cost tracks the un-folded
-        operand set, not the store.
+        Plan shape: the read fold (keyed aggs over operand rows, which
+        already marks per key whether anything folded — the ``_folded``
+        gate) + one ``ingest_df`` — cost tracks the un-folded operand
+        set, not the store. (Until r17 this re-derived the operand key
+        set with a second full-store scan + distinct + left-semi join.)
 
         ``cf`` (r14): fold ONE family's operands with ITS effective
         operator — the maintenance path for heterogeneous-op stores,
@@ -2467,19 +2484,21 @@ class KVStore:
         if not bool(self.manifest.state.has_merge_operands):
             return 0
         now = int(time.time()) if now is None else now
-        m_keys = (
-            self.raw_df()
-            .filter(F.col("meta").bitwiseAND(F.lit(BIT_MERGE)) != 0)
-            .select("key")
-            .distinct()
+        # The view's merge fold already knows, per key, whether any
+        # operand folded into the value (r17, VERDICT r16 #3): gate the
+        # rewrite on that marker instead of a second full-store scan +
+        # distinct + left-semi join — one scan tree instead of two.
+        # Difference vs the old gate: a key whose ONLY operands are
+        # shadowed (at/below the newest full version) or range-deleted is
+        # no longer rewritten — those operands are dead rows the next
+        # compaction's retention drops regardless, and rewriting the
+        # unchanged base value for them only minted a redundant version.
+        # The post-fold view and the flag lifecycle are identical.
+        to_fold = (
+            self.view(now=now, cf=scope, _fold_marker=True)
+            .filter(F.col("_folded"))
+            .drop("_folded")
         )
-        if cf is not None:
-            # same namespace predicate view() itself applies — only this
-            # family's operand keys gate the rewrite
-            ns = self._ns_predicate(str(cf), self.manifest.state)
-            if ns is not None:
-                m_keys = m_keys.filter(ns)
-        to_fold = self.view(now=now, cf=scope).join(m_keys, "key", "left_semi")
         return self.ingest_df(
             to_fold.select("key", "value", "expires_at"),
             expires_col="expires_at",

@@ -491,13 +491,18 @@ def q_hll_sketch(spark, sf_dir):
     takes the raw branch). One pass, mergeable max-partials, constant
     256-row state regardless of corpus size — the 100 TB cardinality
     shape."""
-    # same spread + lazy-checkpoint treatment as q_countmin_sketch: the
-    # token explode feeds both the register build and the exact count
-    # (applied HERE, not in hll_tokens — the streaming twin shares that
-    # helper and cannot checkpoint a stream)
-    toks = hll_tokens(
-        spread(t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
-    ).localCheckpoint(eager=False)
+    # r17 (VERDICT r16 #1): the r16 spread + lazy-checkpoint treatment is
+    # REVERTED here — fresh-session single-shot A/B (the driver's
+    # methodology; n=6 interleaved) medians: r15 shape 4.52 s, spread-only
+    # 5.03 s, checkpoint-only 4.88 s, both 5.38 s. The checkpoint's first
+    # materialization stores the full token frame in the block manager,
+    # which a run-once query pays in full and never amortizes; warm reps
+    # are flat (±0.1 s), so the r16 warm A/B had measured the wrong
+    # regime. q_countmin_sketch KEEPS its treatment: its sketch pass
+    # (md5 + 4-way posexplode) makes recomputing the explode twice
+    # genuinely more expensive — single-shot A/B r15 4.59 vs current
+    # 4.69 s (flat, kept on the shared-work argument).
+    toks = hll_tokens(t(spark, sf_dir, "documents"))
     regs = hll_parts(toks).groupBy("bucket").agg(F.max("rho").alias("reg"))
     exact = toks.agg(F.countDistinct("tok").alias("exact_distinct"))
     return hll_report(spark, regs, exact)

@@ -32,11 +32,19 @@ WITH edges AS (
 """
 
 
-def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def edges(spark: SparkSession, sf_dir: str, spread_scan: bool = True) -> DataFrame:
     # spread (r16, guide §2.5): the JSON extraction + partial distinct
-    # otherwise run single-task over the single-row-group events file
-    # (measured 0.58 s -> 0.42 s warm for the edge pass alone)
-    ev = spread(t(spark, sf_dir, "events"), "user_id")
+    # otherwise run single-task over the single-row-group events file.
+    # r17 (VERDICT r16 #1): per-caller — the iterative algorithms keep it
+    # (khop warm interleave 1.25 s -> 0.92 s; pagerank/scc flat), but a
+    # single-pass consumer turns it OFF: the exchange of full-width event
+    # rows costs more than the serial JSON parse saves (graph_degrees
+    # warm interleave 0.63 s without vs 0.95 s with; single-shot
+    # 2.7 s vs 3.6 s — the r16 'edge pass alone' A/B had mis-attributed
+    # the win).
+    ev = t(spark, sf_dir, "events")
+    if spread_scan:
+        ev = spread(ev, "user_id")
     return ev.select(
         F.col("user_id").alias("src"),
         F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
@@ -95,7 +103,7 @@ def aggregate_messages(
 def q_graph_degrees(spark, sf_dir):
     """In/out degree per node — the follower/following counts of the
     reference's User payload (`kv/db_test.go:107-112`)."""
-    e = edges(spark, sf_dir)
+    e = edges(spark, sf_dir, spread_scan=False)  # single-pass: see edges()
     out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_degree"))
     in_deg = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_degree"))
     return (

@@ -266,6 +266,7 @@ def kmeans_centroids(emb: DataFrame, init: DataFrame, iters: int = KMEANS_ITERS)
     from pyspark.sql import Window
 
     cent = init
+    rounds = []
     for _ in range(iters):
         asg = assign_centroids(emb, cent, keep=("embedding",))
         means = (
@@ -278,7 +279,6 @@ def kmeans_centroids(emb: DataFrame, init: DataFrame, iters: int = KMEANS_ITERS)
                 ).alias("m")
             )
         )
-        prev = cent
         cent = (
             means.groupBy("cent_id")
             .agg(
@@ -287,10 +287,20 @@ def kmeans_centroids(emb: DataFrame, init: DataFrame, iters: int = KMEANS_ITERS)
                 ).alias("ct_emb")
             )
             .withColumn("ct_norm", F.sqrt(_dot(F.col("ct_emb"), F.col("ct_emb"))))
-            .localCheckpoint(eager=True)  # K rows; keeps the per-round plan flat
+            # lazy (r17, VERDICT r16 #4): the plan still truncates to a
+            # LogicalRDD per round, but every round materializes inside
+            # ONE job below instead of one eager blocking job each
+            .localCheckpoint(eager=False)  # K rows; keeps the per-round plan flat
         )
-        if prev is not init:  # release the superseded round's blocks
-            prev.unpersist()
+        rounds.append(cent)
+    if not rounds:  # iters == 0: nothing trained, nothing to materialize
+        return cent
+    # single materialization of the whole Lloyd chain; superseded rounds'
+    # K-row blocks are released only AFTER it (unpersisting a lazy
+    # checkpoint before its blocks exist would discard the marking)
+    cent.count()
+    for r in rounds[:-1]:
+        r.unpersist()
     return cent
 
 
@@ -451,6 +461,7 @@ def pq_train_codebooks(subvecs: DataFrame, init: DataFrame, iters: int = PQ_TRAI
     # pinned in executor storage except the M*K-row result.
     subvecs = subvecs.localCheckpoint(eager=True)
     codebook = init
+    rounds = []
     for _ in range(iters):
         # nearest codeword per (vec, subspace) via min_by agg, not a
         # row_number window (r16, guide §2.3/§2.4): min over the ordering
@@ -478,7 +489,6 @@ def pq_train_codebooks(subvecs: DataFrame, init: DataFrame, iters: int = PQ_TRAI
                 ).alias("mu")
             )
         )
-        prev = codebook
         codebook = (
             means.groupBy("m", "code")
             .agg(
@@ -486,10 +496,20 @@ def pq_train_codebooks(subvecs: DataFrame, init: DataFrame, iters: int = PQ_TRAI
                     F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
                 ).alias("cw")
             )
-            .localCheckpoint(eager=True)  # M*K rows; keeps the per-round plan flat
+            # lazy (r17, VERDICT r16 #4): plan still truncates per round,
+            # all rounds materialize inside ONE job below
+            .localCheckpoint(eager=False)  # M*K rows; keeps the per-round plan flat
         )
-        if prev is not init:  # superseded round's blocks (never the caller's init)
-            prev.unpersist()
+        rounds.append(codebook)
+    if rounds:
+        # single materialization of the whole Lloyd chain; the training
+        # set and superseded rounds' M*K-row blocks are released only
+        # AFTER it (unpersisting a lazy checkpoint before its blocks
+        # exist would discard the marking, and subvecs' blocks feed every
+        # round until then)
+        codebook.count()
+        for r in rounds[:-1]:
+            r.unpersist()
     subvecs.unpersist()
     # Dense re-code: an emptied cluster leaves a gap in the code sequence,
     # but downstream ADC indexes the lookup table POSITIONALLY
@@ -1169,7 +1189,91 @@ SEMDEDUP_THRESH = 0.33
 # shape); above it the Σ|cluster|² grid is decomposed into nb = ceil(n/T)
 # row-blocks whose (nb+1)·nb/2 block pairs are independent tasks, so a hot
 # cluster at 100 TB becomes many bounded tasks instead of one straggler.
-SEMDEDUP_FANOUT_ROWS = 4096
+SEMDEDUP_FANOUT_ROWS = 8192
+
+
+def _corpus_rows_upper(df) -> int | None:
+    """Exact upper bound on ``df``'s row count from the parquet footers of
+    its file sources (driver-side metadata read, no Spark job) — valid for
+    frames whose per-file row multiplicity is at most 1 (scans + narrow
+    ops + joins that cannot duplicate scan rows). None when unknowable
+    (non-file sources, remote FS)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                return None
+            total += pq.ParquetFile(unquote(p.path)).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
+def _semdedup_grid_drops(pdf, thresh: float, diagonal: bool):
+    """The SemDeDup pair-grid scorer shared by both plan shapes: numpy
+    rank-1 accumulation in dimension order (bit-identical to the
+    interpreted ``_dot`` fold — same float32→float64 widening, same IEEE
+    products, same left-to-right sum, same division), Spark NaN-greatest
+    comparison semantics, strictly-lower-id drop rule. ``diagonal``:
+    score the frame against itself (one side, column-drop direction
+    only); otherwise score ``_is_left`` rows against the rest
+    bipartitely, dropping in both id directions."""
+    import numpy as np
+    import pandas as pd
+
+    left = pdf if diagonal else pdf[pdf["_is_left"]]
+    right = pdf if diagonal else pdf[~pdf["_is_left"]]
+    if left.empty or right.empty:
+        return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+    lids = left["vec_id"].to_numpy(np.int64)
+    lorder = np.argsort(lids)
+    lids = lids[lorder]
+    lm = np.array(left["embedding"].to_list(), dtype=np.float64)[lorder]
+    lnorm = left["norm"].to_numpy(np.float64)[lorder]
+    if diagonal:
+        rids, rm, rnorm = lids, lm, lnorm
+    else:
+        rids = right["vec_id"].to_numpy(np.int64)
+        rorder = np.argsort(rids)
+        rids = rids[rorder]
+        rm = np.array(right["embedding"].to_list(), dtype=np.float64)[rorder]
+        rnorm = right["norm"].to_numpy(np.float64)[rorder]
+    nl, nr = len(lids), len(rids)
+    drop_r = np.zeros(nr, dtype=bool)
+    drop_l = np.zeros(nl, dtype=bool)
+    block = 2048
+    for lo in range(0, nl, block):
+        hi = min(lo + block, nl)
+        # acc[i, j] accumulates sum_d lm[lo+i, d] * rm[j, d] in d order —
+        # the exact left fold of _dot (0.0 + p0 + p1 + ...)
+        acc = np.zeros((hi - lo, nr))
+        for d in range(lm.shape[1]):
+            acc += np.outer(lm[lo:hi, d], rm[:, d])
+        cos = acc / np.outer(lnorm[lo:hi], rnorm)
+        # Spark comparison semantics: NaN compares greater than any
+        # value, so NaN >= thresh is true (numpy would say False)
+        qual = (cos >= thresh) | np.isnan(cos)
+        # grid entry (i, j) drops the strictly-HIGHER id of the pair
+        drop_r |= (qual & (lids[lo:hi, None] < rids[None, :])).any(axis=0)
+        if not diagonal:
+            drop_l[lo:hi] |= (
+                qual & (rids[None, :] < lids[lo:hi, None])
+            ).any(axis=1)
+    dropped = rids[drop_r] if diagonal else np.concatenate(
+        [lids[drop_l], rids[drop_r]]
+    )
+    return pd.DataFrame({"vec_id": dropped})
 
 
 def _semdedup_dropped(assigned, thresh: float = SEMDEDUP_THRESH,
@@ -1189,7 +1293,22 @@ def _semdedup_dropped(assigned, thresh: float = SEMDEDUP_THRESH,
     which block pair scores it, and the union of per-task drop sets IS
     the per-cluster drop set (each unordered pair lands in exactly one
     task: cross pairs in their (ba,bb) group, within-block pairs in the
-    diagonal). Peak task memory stays at BLOCK x block-width doubles."""
+    diagonal). Peak task memory stays at BLOCK x block-width doubles.
+
+    Scale gate (measured: the fan-out's sizes agg costs ~0.3 s warm at
+    sf0.1, pure fixed cost when every nb is 1): when the parquet footers
+    prove the WHOLE corpus is at most ``fanout_rows`` rows — so no
+    cluster can be oversized — keep the exact r16 one-task-per-cluster
+    plan with zero extra nodes. The bound is a driver-side metadata
+    read; at production scale it exceeds the threshold and the fan-out
+    (whose sizes pass is then amortized by the Σ|cluster|² scoring)
+    engages."""
+    n_upper = _corpus_rows_upper(assigned)
+    if n_upper is not None and n_upper <= fanout_rows:
+        return assigned.groupBy("cent_id").applyInPandas(
+            lambda key, pdf: _semdedup_grid_drops(pdf, thresh, diagonal=True),
+            "vec_id long",
+        )
     sizes = assigned.groupBy("cent_id").agg(F.count("*").alias("_n"))
     nb = F.ceil(F.col("_n") / F.lit(fanout_rows)).cast("int")
     routed = (
@@ -1212,52 +1331,9 @@ def _semdedup_dropped(assigned, thresh: float = SEMDEDUP_THRESH,
     )
 
     def _pair_drops(key, pdf):
-        import numpy as np
-        import pandas as pd
-
-        diagonal = int(key[1]) == int(key[2])
-        left = pdf if diagonal else pdf[pdf["_is_left"]]
-        right = pdf if diagonal else pdf[~pdf["_is_left"]]
-        if left.empty or right.empty:
-            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
-        lids = left["vec_id"].to_numpy(np.int64)
-        lorder = np.argsort(lids)
-        lids = lids[lorder]
-        lm = np.array(left["embedding"].to_list(), dtype=np.float64)[lorder]
-        lnorm = left["norm"].to_numpy(np.float64)[lorder]
-        if diagonal:
-            rids, rm, rnorm = lids, lm, lnorm
-        else:
-            rids = right["vec_id"].to_numpy(np.int64)
-            rorder = np.argsort(rids)
-            rids = rids[rorder]
-            rm = np.array(right["embedding"].to_list(), dtype=np.float64)[rorder]
-            rnorm = right["norm"].to_numpy(np.float64)[rorder]
-        nl, nr = len(lids), len(rids)
-        drop_r = np.zeros(nr, dtype=bool)
-        drop_l = np.zeros(nl, dtype=bool)
-        block = 2048
-        for lo in range(0, nl, block):
-            hi = min(lo + block, nl)
-            # acc[i, j] accumulates sum_d lm[lo+i, d] * rm[j, d] in d
-            # order — the exact left fold of _dot (0.0 + p0 + p1 + ...)
-            acc = np.zeros((hi - lo, nr))
-            for d in range(lm.shape[1]):
-                acc += np.outer(lm[lo:hi, d], rm[:, d])
-            cos = acc / np.outer(lnorm[lo:hi], rnorm)
-            # Spark comparison semantics: NaN compares greater than any
-            # value, so NaN >= thresh is true (numpy would say False)
-            qual = (cos >= thresh) | np.isnan(cos)
-            # grid entry (i, j) drops the strictly-HIGHER id of the pair
-            drop_r |= (qual & (lids[lo:hi, None] < rids[None, :])).any(axis=0)
-            if not diagonal:
-                drop_l[lo:hi] |= (
-                    qual & (rids[None, :] < lids[lo:hi, None])
-                ).any(axis=1)
-        dropped = rids[drop_r] if diagonal else np.concatenate(
-            [lids[drop_l], rids[drop_r]]
+        return _semdedup_grid_drops(
+            pdf, thresh, diagonal=int(key[1]) == int(key[2])
         )
-        return pd.DataFrame({"vec_id": dropped})
 
     return (
         routed.groupBy("cent_id", "_ba", "_bb")
