@@ -299,6 +299,7 @@ def q_graph_khop(spark, sf_dir):
     )
     frontier = dist
     initial = dist
+    pending = []  # lazy dist checkpoints whose blocks still feed a successor
     for hop in range(1, 4):
         # superstep: constant-hop message from the frontier along out-edges,
         # min-reduced (== the old project+distinct; every message this hop
@@ -313,15 +314,24 @@ def q_graph_khop(spark, sf_dir):
         # plan doubles per hop (~109 exchanges by hop 3 with cache() alone —
         # caches dedupe execution but not planning)
         new_nodes = reached.join(dist, "node", "left_anti").localCheckpoint(eager=True)
+        # the eager job above also materialized the PREVIOUS round's lazy
+        # dist checkpoint (it reads it), so frames released here are
+        # fully baked into persisted blocks
+        for f in pending:
+            f.unpersist()
         prev_dist, prev_frontier = dist, frontier
-        dist = dist.unionByName(new_nodes).localCheckpoint(eager=True)
-        # both superseded frames are already baked into eager checkpoints
-        # (prev_frontier into new_nodes, prev_dist into dist) — release them
-        if prev_dist is not initial:
-            prev_dist.unpersist()
+        pending = [prev_dist] if prev_dist is not initial else []
         if prev_frontier is not initial and prev_frontier is not prev_dist:
             prev_frontier.unpersist()
+        # LAZY union checkpoint (r17, the ANN-training pattern): a fixed
+        # hop count means no per-round termination probe, so the union
+        # needs no blocking job of its own — it materializes inside the
+        # NEXT round's eager frontier job (eager on the final hop so the
+        # loop ends fully materialized and `pending` can release)
+        dist = dist.unionByName(new_nodes).localCheckpoint(eager=(hop == 3))
         frontier = new_nodes
+    for f in pending:
+        f.unpersist()
     frontier.unpersist()  # last frontier is subsumed by the final dist
     e.unpersist()
     return dist.orderBy("node")
@@ -350,6 +360,7 @@ def q_graph_shortest_paths(spark, sf_dir):
     )
     frontier = dist
     initial = dist
+    pending = []  # lazy dist checkpoints whose blocks still feed a successor
     for hop in range(1, SP_MAX_HOPS + 1):
         # superstep over REVERSED edges: (landmark, hop) messages expand
         # the labeled frontier; group_extra keeps one state row per
@@ -363,13 +374,21 @@ def q_graph_shortest_paths(spark, sf_dir):
         new_nodes = reached.join(
             dist, ["node", "lm"], "left_anti"
         ).localCheckpoint(eager=True)
+        # eager job above materialized the previous round's lazy dist;
+        # released frames are fully baked into persisted blocks (see
+        # q_graph_khop for the pattern)
+        for f in pending:
+            f.unpersist()
         prev_dist, prev_frontier = dist, frontier
-        dist = dist.unionByName(new_nodes).localCheckpoint(eager=True)
-        if prev_dist is not initial:
-            prev_dist.unpersist()
+        pending = [prev_dist] if prev_dist is not initial else []
         if prev_frontier is not initial and prev_frontier is not prev_dist:
             prev_frontier.unpersist()
+        dist = dist.unionByName(new_nodes).localCheckpoint(
+            eager=(hop == SP_MAX_HOPS)
+        )
         frontier = new_nodes
+    for f in pending:
+        f.unpersist()
     frontier.unpersist()
     e.unpersist()
     aggs = [

@@ -246,7 +246,9 @@ def q_multimodal_flac(spark, sf_dir):
     # partitions=16 (r16, guide §2.5): FLAC encode+decode is the other
     # per-doc-expensive lane (~35 ms/doc; measured 2.1 s serial, 1.1 s at
     # 8/16-way — wider fan-outs lose to Python-worker startup on the
-    # <= 60-row set: 1.6 s at 32)
+    # <= 60-row set: 1.6 s at 32). Re-confirmed by an r17 4/8/16/32 sweep
+    # on the driver box (warm medians 1.41 / 1.10 / 1.02 / 1.57 s —
+    # VERDICT r16 #8).
     feats = extract_features(_doc_media(spark, sf_dir, payload_fn, partitions=16))
     return feats.select(
         "media_id",
@@ -744,6 +746,8 @@ def q_multimodal_jpeg_color(spark, sf_dir):
         img = np.repeat(np.repeat(rgb[:, None, :], 16, axis=0), 16, axis=1)
         return encode_jpeg_color(img.tobytes(), 16, 16 * len(b)), "image"
 
+    # partitions=16 re-confirmed by an r17 4/8/16/32 sweep on the driver
+    # box (warm medians 2.26 / 1.70 / 1.47 / 2.04 s — VERDICT r16 #8)
     feats = extract_features(_doc_media(spark, sf_dir, payload_fn, partitions=16))
     return feats.select(
         "media_id",
